@@ -1,0 +1,34 @@
+package graft
+
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has a runnable DataFrame at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracleSql without queries entry: $extra")
+  }
+
+  test("q1_agg groups and sums correctly") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    // group keys unique
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    // total count_order equals filtered row count
+    val li = Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <= "1998-09-02")
+    assert(rows.map(_.getAs[Long]("count_order")).sum == li.count())
+  }
+}
