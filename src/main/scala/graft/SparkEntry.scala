@@ -19,6 +19,26 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 expr-lang filter (reference filter/json/filter.go) compiled through
+    // graft.exprs to a Catalyst predicate — pushed down to the parquet scan.
+    "q_filter_expr" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .transform(operators.FilterOp("event_type != 'error' && value > 100.0"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    },
+
+    // F2 stateless transform (reference transformer/json/transformation.go):
+    // full reshape to computed columns, each cast to its declared type.
+    "q_transform_expr" -> { (s, dir) =>
+      Tables.events(s, dir).transform(operators.TransformOp(Seq(
+        operators.TransformOp.Rule("event_id", "event_id", "int64"),
+        operators.TransformOp.Rule("upper(event_type)", "etype", "string"),
+        operators.TransformOp.Rule("toInt(value)", "value_int", "int64"),
+        operators.TransformOp.Rule("event_type + '_' + toString(user_id)", "tag", "string"),
+        operators.TransformOp.Rule("user_id % 10", "uid_bucket", "int64"),
+        operators.TransformOp.Rule("value > 100.0 ? 'high' : 'low'", "band", "string"))))
+    },
+
     // A (beyond-reference) pushed-down scan + grouped aggregation, TPC-H Q1
     // shape: partial (map-side) aggregation then a 2-key shuffle — the plan
     // that survives 100x scale-up because the shuffle carries only
@@ -39,6 +59,18 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_filter_expr" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type <> 'error' AND value > 100.0""".stripMargin,
+    "q_transform_expr" ->
+      """SELECT event_id,
+        |  upper(event_type) AS etype,
+        |  CAST(floor(value) AS BIGINT) AS value_int,
+        |  event_type || '_' || CAST(user_id AS VARCHAR) AS tag,
+        |  user_id % 10 AS uid_bucket,
+        |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS band
+        |FROM events""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
