@@ -39,6 +39,22 @@ object SparkEntry {
         operators.TransformOp.Rule("value > 100.0 ? 'high' : 'low'", "band", "string"))))
     },
 
+    // T1/T2 sink field mapper + ClickHouse conversion matrix
+    // (reference mapper/mapper.go + mapper/types.go): JSON extraction,
+    // range-checked narrowing, float-secs→DateTime, LowCardinality target.
+    "q_sink_typecast" -> { (s, dir) =>
+      import graft.sink.SinkMapper
+      import graft.sink.SinkMapper.ColumnMapping
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .transform(SinkMapper(Seq(
+          ColumnMapping("event_id", "event_id", "Int64"),
+          ColumnMapping("k", "k8", "Int8"),
+          ColumnMapping("value", "dt", "DateTime"),
+          ColumnMapping("event_type", "name", "LowCardinality(String)"))))
+        .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd HH:mm:ss"))
+    },
+
     // A (beyond-reference) pushed-down scan + grouped aggregation, TPC-H Q1
     // shape: partial (map-side) aggregation then a 2-key shuffle — the plan
     // that survives 100x scale-up because the shuffle carries only
@@ -71,6 +87,12 @@ object SparkEntry {
         |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS band
         |FROM events""".stripMargin,
 
+    "q_sink_typecast" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS TINYINT) AS k8,
+        |  strftime(epoch_ms(CAST(floor(value) AS BIGINT) * 1000), '%Y-%m-%d %H:%M:%S') AS dt,
+        |  event_type AS name
+        |FROM events""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

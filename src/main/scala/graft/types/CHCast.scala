@@ -1,0 +1,136 @@
+package graft.types
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import CHType._
+
+/** The (ClickHouse type × engine type) conversion matrix — the declarative
+  * re-expression of the reference's ConvertValue
+  * (glassflow-api/internal/mapper/types.go:79-225, mapper/utils.go).
+  *
+  * Semantics preserved:
+  *  - strict pairings: Bool needs bool; Int/UInt accept integers only;
+  *    Float* accepts numerics; String-family needs string (arrays fall back
+  *    to their JSON encoding, types.go:200-222)
+  *  - range-checked narrowing (Int8 from 300 is an error, utils.go:29-496)
+  *  - DateTime from int seconds / float seconds.nanos / ~20 string formats
+  *    (utils.go:507-574)
+  *  - Map values coerced to strings; scalars formatted, complex JSON-encoded
+  *    (types.go:238-276); NULL Map → empty map (types.go:47-54)
+  *  - NULL otherwise passes through (ClickHouse validates; types.go:79-88)
+  *
+  * A conversion error yields NULL (never a thrown exception) so the row-level
+  * DLQ channel can route it — see [[graft.sink.SinkMapper.partitionErrors]]:
+  * "error" is detected as source-not-null ∧ result-null. Everything here is
+  * built-in expressions, so the whole matrix runs inside codegen.
+  */
+object CHCast {
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isFloating(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** NULL column of the target's spark type (a typed error marker). */
+  private def nul(to: CHType): Column = lit(null).cast(to.sparkType)
+
+  def convert(c: Column, from: DataType, to: CHType): Column = to match {
+    case CHLowCardinality(inner) => convert(c, from, inner)
+
+    case CHString => from match {
+      case StringType => c
+      case _: ArrayType | _: MapType | _: StructType => to_json(c) // JSON fallback
+      case _ => nul(to)
+    }
+
+    case CHFixedString(n) => from match {
+      case StringType => when(length(c) <= n, c) // too long → error
+      case _ => nul(to)
+    }
+
+    case CHBool => from match {
+      case BooleanType => c
+      case _ => nul(to)
+    }
+
+    case CHEnum(_, values) => from match {
+      case StringType =>
+        if (values.isEmpty) c
+        else when(c.isin(values.keys.toSeq: _*), c) // non-member → error
+      case _ => nul(to)
+    }
+
+    case CHUUID => from match {
+      case StringType =>
+        when(c.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"), c)
+      case _ => nul(to)
+    }
+
+    case CHInt(_) =>
+      if (isIntegral(from)) c.try_cast(to.sparkType) // try_cast: overflow → null
+      else nul(to)
+
+    case CHUInt(bits) =>
+      if (!isIntegral(from)) nul(to)
+      else {
+        val max: Column = bits match {
+          case 8 => lit(255L); case 16 => lit(65535L); case 32 => lit(4294967295L)
+          case 64 => lit(Long.MaxValue) // long input can't exceed; negativity is the check
+        }
+        when(c >= 0 && c.cast(LongType) <= max, c.cast(to.sparkType))
+      }
+
+    case CHFloat32 =>
+      if (isFloating(from) || isIntegral(from)) c.cast(FloatType) else nul(to)
+    case CHFloat64 =>
+      if (isFloating(from) || isIntegral(from)) c.cast(DoubleType) else nul(to)
+
+    case CHDateTime(_) =>
+      // second precision: truncate fractional seconds
+      timestamp_seconds(unixSeconds(c, from))
+    case CHDateTime64(p, _) =>
+      val ts = DateTimeFormats.parseAny(c, from)
+      if (p <= 0) timestamp_seconds(unixSeconds(c, from))
+      else {
+        // keep only p fractional digits (micros ceiling — Spark's precision)
+        val unit = math.pow(10, math.min(p, 6)).toLong
+        timestamp_micros((unix_micros(ts).cast(DoubleType) / (1000000L / unit))
+          .cast(LongType) * (1000000L / unit))
+      }
+
+    case CHMap(_, _) => from match {
+      case MapType(_, valueType, _) =>
+        val strings = transform_values(c, (_, v) => stringifyValue(v, valueType))
+        coalesce(strings, map()) // NULL map → {}
+      case _ => nul(to)
+    }
+
+    case CHArray(inner) => from match {
+      case ArrayType(elem, _) => transform(c, e => convert(e, elem, inner))
+      case _ => nul(to)
+    }
+  }
+
+  private def unixSeconds(c: Column, from: DataType): Column = from match {
+    case _: TimestampType => floor(unix_micros(c) / 1000000.0).cast(LongType)
+    case t if isIntegral(t) => c.cast(LongType)
+    case t if isFloating(t) => floor(c.cast(DoubleType)).cast(LongType)
+    case _ =>
+      floor(unix_micros(DateTimeFormats.parseString(c.cast(StringType))) / 1000000.0)
+        .cast(LongType)
+  }
+
+  /** Map-value coercion: scalars formatted as strings, complex values
+    * JSON-encoded (reference types.go:238-276). */
+  private def stringifyValue(v: Column, dt: DataType): Column = dt match {
+    case StringType => v
+    case _: ArrayType | _: MapType | _: StructType => to_json(v)
+    case _ => v.cast(StringType)
+  }
+}

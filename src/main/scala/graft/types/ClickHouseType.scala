@@ -1,0 +1,134 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** ClickHouse column-type model: the exact type domain the reference sink
+  * mapper accepts (glassflow-api/internal/constants.go:87-118,
+  * internal/mapper/clickhouse_validate.go:15-52): String, FixedString(N),
+  * Bool, Int8..64, UInt8..64, Float32/64, Enum8/16, UUID, DateTime,
+  * DateTime64(p[,tz]), LowCardinality(...) wrappers, Map(...), Array(...)
+  * including Array(Map(...)). Decimal / Date / Nullable / Tuple are
+  * intentionally NOT supported, matching the reference.
+  */
+sealed trait CHType {
+  /** The Spark type a column of this CH type materializes as. */
+  def sparkType: DataType
+}
+
+object CHType {
+  case object CHString extends CHType { val sparkType: DataType = StringType }
+  final case class CHFixedString(n: Int) extends CHType { val sparkType: DataType = StringType }
+  case object CHBool extends CHType { val sparkType: DataType = BooleanType }
+  /** bits ∈ {8,16,32,64} */
+  final case class CHInt(bits: Int) extends CHType {
+    val sparkType: DataType = bits match {
+      case 8 => ByteType; case 16 => ShortType; case 32 => IntegerType; case 64 => LongType
+    }
+  }
+  /** Unsigned: widened one step for range fidelity; UInt64 → Decimal(20,0)
+    * (a Long cannot hold 2^64-1 — reference range checks in mapper/utils.go:411-462). */
+  final case class CHUInt(bits: Int) extends CHType {
+    val sparkType: DataType = bits match {
+      case 8 => ShortType; case 16 => IntegerType; case 32 => LongType
+      case 64 => DecimalType(20, 0)
+    }
+  }
+  case object CHFloat32 extends CHType { val sparkType: DataType = FloatType }
+  case object CHFloat64 extends CHType { val sparkType: DataType = DoubleType }
+  final case class CHEnum(bits: Int, values: Map[String, Int]) extends CHType {
+    val sparkType: DataType = StringType
+  }
+  case object CHUUID extends CHType { val sparkType: DataType = StringType }
+  final case class CHDateTime(tz: Option[String]) extends CHType {
+    val sparkType: DataType = TimestampType
+  }
+  final case class CHDateTime64(precision: Int, tz: Option[String]) extends CHType {
+    val sparkType: DataType = TimestampType
+  }
+  final case class CHLowCardinality(inner: CHType) extends CHType {
+    def sparkType: DataType = inner.sparkType
+  }
+  /** ClickHouse Map target — values are coerced to String
+    * (reference mapper/types.go:238-276). */
+  final case class CHMap(key: CHType, value: CHType) extends CHType {
+    val sparkType: DataType = MapType(StringType, StringType)
+  }
+  final case class CHArray(inner: CHType) extends CHType {
+    def sparkType: DataType = ArrayType(inner.sparkType)
+  }
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  /** Parse a ClickHouse type string, e.g. `LowCardinality(FixedString(16))`,
+    * `Array(Map(String, String))`, `DateTime64(3, 'UTC')`,
+    * `Enum8('a' = 1, 'b' = 2)`. Unsupported types raise ParseException —
+    * the same validation surface as clickhouse_validate.go. */
+  def parse(s: String): CHType = {
+    val t = s.trim
+    val paren = t.indexOf('(')
+    val (name, args) =
+      if (paren < 0) (t, Seq.empty[String])
+      else {
+        if (!t.endsWith(")")) throw ParseException(s"malformed type: $s")
+        (t.substring(0, paren).trim, splitArgs(t.substring(paren + 1, t.length - 1)))
+      }
+    name match {
+      case "String" => CHString
+      case "FixedString" => CHFixedString(args.head.trim.toInt)
+      case "Bool" | "Boolean" => CHBool
+      case "Int8" => CHInt(8)
+      case "Int16" => CHInt(16)
+      case "Int32" => CHInt(32)
+      case "Int64" => CHInt(64)
+      case "UInt8" => CHUInt(8)
+      case "UInt16" => CHUInt(16)
+      case "UInt32" => CHUInt(32)
+      case "UInt64" => CHUInt(64)
+      case "Float32" => CHFloat32
+      case "Float64" => CHFloat64
+      case "UUID" => CHUUID
+      case "DateTime" => CHDateTime(args.headOption.map(stripQuotes))
+      case "DateTime64" =>
+        CHDateTime64(args.head.trim.toInt, args.lift(1).map(stripQuotes))
+      case "Enum8" | "Enum16" =>
+        val bits = if (name == "Enum8") 8 else 16
+        CHEnum(bits, args.map { a =>
+          a.split("=") match {
+            case Array(k, v) => stripQuotes(k) -> v.trim.toInt
+            case _ => throw ParseException(s"malformed enum entry '$a' in: $s")
+          }
+        }.toMap)
+      case "LowCardinality" => CHLowCardinality(parse(args.head))
+      case "Map" => CHMap(parse(args.head), parse(args(1)))
+      case "Array" => CHArray(parse(args.head))
+      case other => throw ParseException(s"unsupported ClickHouse type: $other")
+    }
+  }
+
+  def isSupported(s: String): Boolean =
+    try { parse(s); true } catch { case _: Exception => false }
+
+  /** Split top-level comma-separated type arguments (commas inside nested
+    * parens or quotes don't split). */
+  private def splitArgs(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inQuote = false
+    val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case '(' if !inQuote => depth += 1; cur += '('
+      case ')' if !inQuote => depth -= 1; cur += ')'
+      case ',' if depth == 0 && !inQuote => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'') t.substring(1, t.length - 1) else t
+  }
+}

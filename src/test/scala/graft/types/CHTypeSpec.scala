@@ -1,0 +1,131 @@
+package graft.types
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import CHType._
+
+class CHTypeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- parser ----
+  test("parses scalar types") {
+    assert(CHType.parse("String") == CHString)
+    assert(CHType.parse("FixedString(16)") == CHFixedString(16))
+    assert(CHType.parse("Bool") == CHBool)
+    assert(CHType.parse("Int32") == CHInt(32))
+    assert(CHType.parse("UInt64") == CHUInt(64))
+    assert(CHType.parse("Float64") == CHFloat64)
+    assert(CHType.parse("UUID") == CHUUID)
+    assert(CHType.parse("DateTime") == CHDateTime(None))
+    assert(CHType.parse("DateTime64(3)") == CHDateTime64(3, None))
+    assert(CHType.parse("DateTime64(3, 'UTC')") == CHDateTime64(3, Some("UTC")))
+  }
+
+  test("parses nested / wrapped types") {
+    assert(CHType.parse("LowCardinality(String)") == CHLowCardinality(CHString))
+    assert(CHType.parse("LowCardinality(FixedString(8))") == CHLowCardinality(CHFixedString(8)))
+    assert(CHType.parse("Map(String, String)") == CHMap(CHString, CHString))
+    assert(CHType.parse("Array(Int64)") == CHArray(CHInt(64)))
+    assert(CHType.parse("Array(Map(String, String))") == CHArray(CHMap(CHString, CHString)))
+    assert(CHType.parse("Enum8('a' = 1, 'b' = 2)") == CHEnum(8, Map("a" -> 1, "b" -> 2)))
+  }
+
+  test("rejects unsupported types (reference parity)") {
+    Seq("Decimal(10,2)", "Date", "Nullable(String)", "Tuple(String, Int32)", "Interval")
+      .foreach(t => assert(!CHType.isSupported(t), s"$t should be unsupported"))
+  }
+
+  test("spark type mapping") {
+    assert(CHType.parse("UInt64").sparkType == DecimalType(20, 0))
+    assert(CHType.parse("UInt8").sparkType == ShortType)
+    assert(CHType.parse("Int8").sparkType == ByteType)
+    assert(CHType.parse("LowCardinality(String)").sparkType == StringType)
+    assert(CHType.parse("Array(Map(String,String))").sparkType ==
+      ArrayType(MapType(StringType, StringType)))
+  }
+
+  // ---- conversion matrix ----
+  private def conv(v: Any, from: DataType, to: String): Any = {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(v)),
+      StructType(Seq(StructField("c", from))))
+    df.select(CHCast.convert(col("c"), from, CHType.parse(to)).as("o")).head.get(0)
+  }
+
+  test("integer narrowing is range checked") {
+    assert(conv(100L, LongType, "Int8") == 100.toByte)
+    assert(conv(300L, LongType, "Int8") == null)           // overflow → error
+    assert(conv(-1L, LongType, "UInt32") == null)          // negative → error
+    assert(conv(4294967295L, LongType, "UInt32") == 4294967295L)
+    assert(conv(4294967296L, LongType, "UInt32") == null)
+    assert(conv(12L, LongType, "UInt64") == java.math.BigDecimal.valueOf(12).setScale(0))
+    assert(conv(-5L, LongType, "UInt64") == null)
+  }
+
+  test("strict pairings") {
+    assert(conv(1.5, DoubleType, "Int32") == null)         // float → Int = error
+    assert(conv(3L, LongType, "Float64") == 3.0)           // int → Float ok
+    assert(conv("x", StringType, "Bool") == null)
+    assert(conv(true, BooleanType, "Bool") == true)
+    assert(conv(5L, LongType, "String") == null)           // non-string → String = error
+  }
+
+  test("string family") {
+    assert(conv("abc", StringType, "FixedString(3)") == "abc")
+    assert(conv("abcd", StringType, "FixedString(3)") == null)
+    assert(conv("ok", StringType, "LowCardinality(String)") == "ok")
+    assert(conv("9baea34c-08b2-4ea7-9a32-1575e2048cdb", StringType, "UUID")
+      == "9baea34c-08b2-4ea7-9a32-1575e2048cdb")
+    assert(conv("not-a-uuid", StringType, "UUID") == null)
+    assert(conv("a", StringType, "Enum8('a' = 1, 'b' = 2)") == "a")
+    assert(conv("z", StringType, "Enum8('a' = 1, 'b' = 2)") == null)
+  }
+
+  test("datetime from int seconds, float seconds, strings") {
+    val expect = java.sql.Timestamp.valueOf("2025-01-01 10:00:00")
+    assert(conv(1735725600L, LongType, "DateTime") == expect)
+    assert(conv(1735725600.75, DoubleType, "DateTime") == expect) // truncated to secs
+    assert(conv("2025-01-01T10:00:00Z", StringType, "DateTime") == expect)
+    assert(conv("2025-01-01 10:00:00", StringType, "DateTime") == expect)
+    assert(conv("01/01/2025 10:00:00", StringType, "DateTime") == expect)
+    assert(conv("garbage", StringType, "DateTime") == null)
+    // DateTime64(3): millisecond precision kept
+    assert(conv("2025-01-01T10:00:00.123Z", StringType, "DateTime64(3)")
+      == java.sql.Timestamp.valueOf("2025-01-01 10:00:00.123"))
+  }
+
+  test("map value coercion and null-map→empty-map") {
+    val from = MapType(StringType, LongType)
+    assert(conv(Map("a" -> 1L), from, "Map(String, String)") ==
+      Map("a" -> "1"))
+    assert(conv(null, from, "Map(String, String)") == Map())
+    val nested = MapType(StringType, ArrayType(LongType))
+    assert(conv(Map("a" -> Seq(1L, 2L)), nested, "Map(String, String)") ==
+      Map("a" -> "[1,2]")) // complex values JSON-encoded
+  }
+
+  test("arrays: element conversion, Array(Map) deep, JSON-string fallback") {
+    assert(conv(Seq(1L, 2L), ArrayType(LongType), "Array(Int32)") == Seq(1, 2))
+    assert(conv(Seq(Map("k" -> 1L)), ArrayType(MapType(StringType, LongType)),
+      "Array(Map(String, String))") == Seq(Map("k" -> "1")))
+    assert(conv(Seq("a", "b"), ArrayType(StringType), "String") == """["a","b"]""")
+  }
+
+  // ---- engine schema ----
+  test("engine type normalization and schema building") {
+    assert(EngineSchema.normalize("int32") == "int")
+    assert(EngineSchema.normalize("uint8") == "uint")
+    assert(EngineSchema.normalize("float32") == "float")
+    assert(EngineSchema.normalize("bytes") == "string")
+    assert(EngineSchema.structFor(Seq("id" -> "string", "n" -> "int64")) ==
+      StructType(Seq(StructField("id", StringType), StructField("n", LongType))))
+    assert(EngineSchema.isBackwardCompatible(
+      Seq("a" -> "int32"), Seq("a" -> "int64", "b" -> "string")))
+    assert(!EngineSchema.isBackwardCompatible(
+      Seq("a" -> "int32"), Seq("a" -> "string")))
+    assert(!EngineSchema.isBackwardCompatible(
+      Seq("a" -> "int32", "b" -> "bool"), Seq("a" -> "int64")))
+  }
+}
