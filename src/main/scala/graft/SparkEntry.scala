@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** events with ts_ns truncated to microsecond precision — DuckDB's parquet
+    * scan converts TIMESTAMP_NS→TIMESTAMP (micros), so oracle-checked queries
+    * must do their time arithmetic at the precision both engines share. */
+  private def eventsUsPrecision(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -37,6 +43,44 @@ object SparkEntry {
         operators.TransformOp.Rule("event_type + '_' + toString(user_id)", "tag", "string"),
         operators.TransformOp.Rule("user_id % 10", "uid_bucket", "int64"),
         operators.TransformOp.Rule("value > 100.0 ? 'high' : 'low'", "band", "string"))))
+    },
+
+    // A1 exact keyed dedup: deterministic keep-first-by-(ts,id) per key.
+    // Partitioned by the dedup key (window shuffle), map-side nothing to
+    // combine — same co-location the reference gets from key-hash sharding.
+    "q_dedup_exact" -> { (s, dir) =>
+      eventsUsPrecision(s, dir)
+        .transform(operators.DedupOp.exact(
+          Seq("user_id", "event_type"), Seq(col("ts_ns"), col("event_id"))))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+    },
+
+    // A1 windowed dedup, reference semantics ("since-last-kept": dropped
+    // duplicates don't refresh the TTL window). One shuffle + linear scan.
+    "q_dedup_windowed" -> { (s, dir) =>
+      eventsUsPrecision(s, dir)
+        .transform(operators.DedupOp.windowedBatch(
+          Seq("user_id"), "ts_ns", 3600L * 1000000000L, "event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+    },
+
+    // J1 temporal join (batch analog): for each purchase, the LATEST view
+    // by the same user within 24h — latest-right-wins, not all-pairs.
+    // sortMerge: one shuffle per side, linear pass, no pair blow-up.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = eventsUsPrecision(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+      import operators.AsOfJoin.Projection
+      operators.AsOfJoin.sortMerge(
+        purchases, views, "user_id", "user_id", "ts_ns", "ts_ns",
+        86400L * 1000000000L,
+        leftOut = Seq(Projection("event_id", "purchase_id"),
+          Projection("user_id", "user_id"),
+          Projection("value", "purchase_value"),
+          Projection("ts_ns", "purchase_ts")),
+        rightOut = Seq(Projection("event_id", "view_id"),
+          Projection("value", "view_value")))
     },
 
     // T1/T2 sink field mapper + ClickHouse conversion matrix
@@ -87,6 +131,34 @@ object SparkEntry {
         |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS band
         |FROM events""".stripMargin,
 
+    "q_dedup_exact" ->
+      """SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id) = 1""".stripMargin,
+    "q_dedup_windowed" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
+        |kept AS (
+        |  SELECT user_id, min(ts_ns) AS ts_ns FROM e GROUP BY user_id
+        |  UNION ALL
+        |  SELECT k.user_id,
+        |    (SELECT min(e.ts_ns) FROM e
+        |     WHERE e.user_id = k.user_id AND e.ts_ns > k.ts_ns + 3600000000000) AS ts_ns
+        |  FROM kept k
+        |  WHERE (SELECT min(e.ts_ns) FROM e
+        |         WHERE e.user_id = k.user_id AND e.ts_ns > k.ts_ns + 3600000000000) IS NOT NULL)
+        |SELECT e.event_id, e.user_id, e.ts_ns
+        |FROM kept JOIN e ON e.user_id = kept.user_id AND e.ts_ns = kept.ts_ns""".stripMargin,
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+        |           FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+        |           FROM events WHERE event_type = 'view')
+        |SELECT l.event_id AS purchase_id, l.user_id AS user_id,
+        |       l.value AS purchase_value, l.ts_ns AS purchase_ts,
+        |       r.event_id AS view_id, r.value AS view_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns
+        |WHERE l.ts_ns - r.ts_ns <= 86400000000000""".stripMargin,
     "q_sink_typecast" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS TINYINT) AS k8,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming temporal join — the reference's ONLY join
+  * (glassflow-api/internal/join/temporal.go, ~510 LoC), reproduced exactly
+  * with flatMapGroupsWithState rather than approximated with Spark's
+  * symmetric stream-stream join (which is all-pairs-in-window, not
+  * latest-right-wins):
+  *
+  *  - right event → becomes the key's latest value (PutMessage overwrite,
+  *    temporal.go:278), then ALL buffered left events for the key are
+  *    drained: each emits one joined row and is deleted (temporal.go:149-213)
+  *  - left event → probe the latest right: hit ⇒ emit immediately
+  *    (temporal.go:215-265); miss ⇒ buffer the left (temporal.go:119-147)
+  *  - per-side TTLs (= the two configured windows) decide expiry: an
+  *    expired buffered left never matches; an expired right is not a hit
+  *
+  * State is partitioned by join key in the state store — the same
+  * co-location the reference gets from single-threaded handlers + KV, but
+  * shared-nothing across executors instead of one mutex (component/join.go:
+  * 87-118 serializes everything; at 100 TB that mutex is the bottleneck,
+  * a keyed state store is not).
+  */
+object TemporalJoin {
+
+  /** Per-key state: buffered left events awaiting a right, and the latest
+    * right value. Payloads are plain value arrays (kryo-serialized). */
+  final case class JState(
+    leftBuffer: List[(Long, Array[Any])],
+    rightLatest: Option[(Long, Array[Any])])
+
+  final case class Config(
+    leftKey: String, rightKey: String,
+    leftTs: String, rightTs: String,     // event-time columns (TimestampType)
+    leftTtlMs: Long, rightTtlMs: Long,
+    leftOut: Seq[AsOfJoin.Projection], rightOut: Seq[AsOfJoin.Projection],
+    watermarkDelay: String = "10 seconds")
+
+  def apply(left: DataFrame, right: DataFrame, cfg: Config): DataFrame = {
+    val lType = StructType(cfg.leftOut.map(p =>
+      StructField(p.as, left.schema(p.field).dataType, nullable = true)))
+    val rType = StructType(cfg.rightOut.map(p =>
+      StructField(p.as, right.schema(p.field).dataType, nullable = true)))
+    val outSchema = StructType(lType.fields ++ rType.fields)
+
+    val taggedL = left.select(
+      left(cfg.leftKey).cast(StringType).as("__k"), left(cfg.leftTs).as("__t"),
+      lit(1).as("__side"),
+      struct(cfg.leftOut.map(p => left(p.field).as(p.as)): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val taggedR = right.select(
+      right(cfg.rightKey).cast(StringType).as("__k"), right(cfg.rightTs).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(cfg.rightOut.map(p => right(p.field).as(p.as)): _*).as("__r"))
+
+    val union = taggedR.unionByName(taggedL).withWatermark("__t", cfg.watermarkDelay)
+
+    implicit val stateEnc: Encoder[JState] = Encoders.kryo[JState]
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    def tsMillis(r: Row): Long = r.get(1) match {
+      case t: java.sql.Timestamp => t.getTime
+      case i: java.time.Instant => i.toEpochMilli
+      case l: Long => l
+    }
+    def toArray(s: Row): Array[Any] = Array.tabulate(s.length)(s.get)
+    def emit(l: Array[Any], r: Array[Any]): Row =
+      new GenericRowWithSchema(l ++ r, outSchema)
+
+    val maxTtl = math.max(cfg.leftTtlMs, cfg.rightTtlMs)
+
+    union.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[JState, Row](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[Row], state: GroupState[JState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // event-time order; rights before lefts at the same instant
+            // (reference handler order: store right, then probe/drain)
+            val events = it.toArray.sortBy(r => (tsMillis(r), r.getInt(2)))
+            var st = state.getOption.getOrElse(JState(Nil, None))
+            val out = ArrayBuffer.empty[Row]
+            events.foreach { r =>
+              val ts = tsMillis(r)
+              if (r.getInt(2) == 0) {
+                val payload = toArray(r.getStruct(4))
+                // latest right wins; drain every non-expired buffered left
+                st.leftBuffer.reverse.foreach { case (lts, lp) =>
+                  if (ts - lts <= cfg.leftTtlMs) out += emit(lp, payload)
+                }
+                st = JState(Nil, Some((ts, payload)))
+              } else {
+                val lp = toArray(r.getStruct(3))
+                st.rightLatest match {
+                  case Some((rts, rp)) if rts <= ts && ts - rts <= cfg.rightTtlMs =>
+                    out += emit(lp, rp)
+                  case _ =>
+                    st = st.copy(leftBuffer = (ts, lp) :: st.leftBuffer)
+                }
+              }
+            }
+            state.update(st)
+            if (events.nonEmpty) {
+              val horizon = events.map(tsMillis).max + maxTtl
+              try state.setTimeoutTimestamp(horizon)
+              catch { case _: IllegalArgumentException =>
+                // horizon already behind the watermark: expire next batch
+                try state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+                catch { case _: Exception => () }
+              }
+            }
+            out.iterator
+          }
+      }
+  }
+}

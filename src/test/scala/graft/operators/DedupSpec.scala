@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps one deterministic row per key") {
+    val df = Seq(
+      ("k1", 10L, 1L), ("k1", 5L, 2L), ("k2", 7L, 3L), ("k1", 5L, 4L)
+    ).toDF("k", "ts_ns", "id")
+    val out = DedupOp.exact(Seq("k"), Seq(col("ts_ns"), col("id")))(df)
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("k1", 2L), ("k2", 3L))) // k1: min ts=5, tie → min id=2
+  }
+
+  test("windowed dedup is since-last-KEPT, not since-last-seen") {
+    // key a, window 10: ts 0 kept, 5 dropped, 8 dropped, 12 KEPT
+    // (12-0 > 10; if TTL refreshed on dropped 8, 12 would be dropped)
+    val df = Seq(
+      ("a", 0L, 1L), ("a", 5L, 2L), ("a", 8L, 3L), ("a", 12L, 4L),
+      ("b", 100L, 5L), ("b", 111L, 6L)
+    ).toDF("k", "ts_ns", "id")
+    val out = DedupOp.windowedBatch(Seq("k"), "ts_ns", 10L, "id")(df)
+      .orderBy("id").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("windowed dedup matches the oracle semantics on real data") {
+    val ev = graft.Tables.events(spark, sf)
+    val out = DedupOp.windowedBatch(Seq("user_id"), "ts_ns", 3600L * 1000000000L, "event_id")(ev)
+    // every kept pair per user is > window apart
+    val bad = out.selectExpr("user_id", "ts_ns")
+      .withColumn("prev", lag("ts_ns", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts_ns")))
+      .filter(col("prev").isNotNull && col("ts_ns") - col("prev") <= 3600L * 1000000000L)
+    assert(bad.count() == 0)
+    assert(out.count() > 0 && out.count() < ev.count())
+  }
+
+  test("streaming windowed dedup drops in-window duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val df = mem.toDF.toDF("k", "ts", "id")
+    val q = DedupOp.windowedStreaming(Seq("k"), "ts", "1 hour")(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      ("a", t("2025-01-01 10:00:00"), 1L),
+      ("a", t("2025-01-01 10:30:00"), 2L), // dup within 1h
+      ("b", t("2025-01-01 10:00:00"), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect().map(_.getLong(2)).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+}

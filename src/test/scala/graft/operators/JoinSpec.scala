@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import AsOfJoin.Projection
+
+class JoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lefts = Seq(
+    // (id, key, ts)
+    (1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 100L), (4L, "u3", 500L)
+  ).toDF("id", "k", "ts_ns")
+  private def rights = Seq(
+    (10L, "u1", 50L), (11L, "u1", 90L),   // u1: latest at 90 wins for left@100
+    (12L, "u1", 240L),                    // u1: latest for left@250
+    (13L, "u2", 300L)                     // u2: AFTER left@100 → no match
+  ).toDF("id", "k", "ts_ns")
+
+  private val lOut = Seq(Projection("id", "lid"), Projection("k", "k"), Projection("ts_ns", "lts"))
+  private val rOut = Seq(Projection("id", "rid"), Projection("ts_ns", "rts"))
+
+  test("sortMerge picks the latest in-window right, inner semantics") {
+    val out = AsOfJoin.sortMerge(lefts, rights, "k", "k", "ts_ns", "ts_ns",
+      1000L, lOut, rOut).orderBy("lid").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      Seq((1L, 11L), (2L, 12L))) // left 3: right too late; left 4: no right
+  }
+
+  test("window bound excludes stale rights") {
+    val out = AsOfJoin.sortMerge(lefts, rights, "k", "k", "ts_ns", "ts_ns",
+      5L, lOut, rOut).collect() // tiny window: only left@250 vs right@240? gap=10 > 5 → none
+    assert(out.isEmpty)
+  }
+
+  test("same-instant right is visible to left (inclusive bound)") {
+    val l = Seq((1L, "u1", 100L)).toDF("id", "k", "ts_ns")
+    val r = Seq((9L, "u1", 100L)).toDF("id", "k", "ts_ns")
+    val out = AsOfJoin.sortMerge(l, r, "k", "k", "ts_ns", "ts_ns", 10L, lOut, rOut).collect()
+    assert(out.length == 1 && out.head.getLong(3) == 9L)
+  }
+
+  test("sortMerge equals viaWindow on real data") {
+    val ev = graft.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val views = ev.filter(col("event_type") === "view")
+    val w = 86400L * 1000000000L
+    val lo = Seq(Projection("event_id", "pid"), Projection("user_id", "uid"),
+      Projection("ts_ns", "pts"))
+    val ro = Seq(Projection("event_id", "vid"))
+    val a = AsOfJoin.sortMerge(purchases, views, "user_id", "user_id",
+      "ts_ns", "ts_ns", w, lo, ro)
+    val b = AsOfJoin.viaWindow(purchases, views, "user_id", "user_id",
+      "ts_ns", "ts_ns", w, "event_id", lo, ro)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("streaming temporal join: latest-right-wins, buffer drain, TTL expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val leftMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rightMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val left = leftMem.toDF.toDF("id", "k", "ts")
+    val right = rightMem.toDF.toDF("id", "k", "ts")
+
+    val cfg = TemporalJoin.Config(
+      leftKey = "k", rightKey = "k", leftTs = "ts", rightTs = "ts",
+      leftTtlMs = 60000L, rightTtlMs = 60000L,
+      leftOut = Seq(Projection("id", "lid"), Projection("k", "k")),
+      rightOut = Seq(Projection("id", "rid")))
+
+    val q = TemporalJoin(left, right, cfg)
+      .writeStream.format("memory").queryName("tj_out")
+      .outputMode("append").start()
+
+    // batch 1: right r1@10:00:00 for u1; left l1@10:00:10 → immediate hit
+    //          left l2@10:00:20 for u2 → buffered (no right yet)
+    rightMem.addData((100L, "u1", t("2025-01-01 10:00:00")))
+    leftMem.addData((1L, "u1", t("2025-01-01 10:00:10")),
+      (2L, "u2", t("2025-01-01 10:00:20")))
+    q.processAllAvailable()
+    // batch 2: right r2@10:00:30 for u2 → drains buffered l2
+    //          right r3@10:00:40 for u1 overwrites r1; left l3@10:00:50 → r3
+    rightMem.addData((200L, "u2", t("2025-01-01 10:00:30")),
+      (300L, "u1", t("2025-01-01 10:00:40")))
+    q.processAllAvailable()
+    leftMem.addData((3L, "u1", t("2025-01-01 10:00:50")))
+    q.processAllAvailable()
+    // batch 3: left l4 for u3 at 10:05 — no right ever → no output;
+    //          left l5 for u1 at 10:05 — r3 is 4min10s old > 60s TTL → miss
+    leftMem.addData((4L, "u3", t("2025-01-01 10:05:00")),
+      (5L, "u1", t("2025-01-01 10:05:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("tj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1L, 100L), (2L, 200L), (3L, 300L)))
+  }
+}
