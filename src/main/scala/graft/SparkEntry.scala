@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,6 +83,32 @@ object SparkEntry {
           Projection("value", "view_value")))
     },
 
+    // F4 OTLP logs flattener: build an ExportLogsServiceRequest-shaped
+    // nested row per event, then explode it back flat. The oracle checks the
+    // flatten inverts the construction exactly (attr maps, ns→RFC3339).
+    "q_otlp_flatten" -> { (s, dir) =>
+      def anyVal(c: Column) = struct(c.cast("string").as("stringValue"))
+      def kv(k: String, c: Column) =
+        struct(lit(k).as("key"), anyVal(c).as("value"))
+      val nested = eventsUsPrecision(s, dir).select(array(struct(
+        struct(array(kv("user", col("user_id"))).as("attributes")).as("resource"),
+        array(struct(
+          struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
+          array(struct(
+            col("ts_ns").cast("string").as("timeUnixNano"),
+            lit(9L).as("severityNumber"),
+            upper(col("event_type")).as("severityText"),
+            struct(col("props").as("stringValue")).as("body"),
+            array(kv("event", col("event_id"))).as("attributes")
+          )).as("logRecords")
+        )).as("scopeLogs")
+      )).as("resourceLogs"))
+      operators.OtlpFlatten.logs(nested)
+        .select(col("timestamp"), col("severity_number"), col("severity_text"),
+          col("body"), col("resource_attributes"), col("attributes"),
+          col("scope_name"), col("scope_version"))
+    },
+
     // T1/T2 sink field mapper + ClickHouse conversion matrix
     // (reference mapper/mapper.go + mapper/types.go): JSON extraction,
     // range-checked narrowing, float-secs→DateTime, LowCardinality target.
@@ -131,6 +157,17 @@ object SparkEntry {
         |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS band
         |FROM events""".stripMargin,
 
+    "q_otlp_flatten" ->
+      """SELECT
+        |  strftime(ts::TIMESTAMP, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS timestamp,
+        |  9 AS severity_number,
+        |  upper(event_type) AS severity_text,
+        |  props AS body,
+        |  MAP {'user': user_id::VARCHAR} AS resource_attributes,
+        |  MAP {'event': event_id::VARCHAR} AS attributes,
+        |  'graft' AS scope_name,
+        |  '1.0' AS scope_version
+        |FROM events""".stripMargin,
     "q_dedup_exact" ->
       """SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
         |QUALIFY row_number() OVER (
