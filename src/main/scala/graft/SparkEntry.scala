@@ -19,9 +19,10 @@ object SparkEntry {
   private def eventsUsPrecision(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * a full config-driven pipeline (filter → windowed dedup → transform). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -43,6 +44,28 @@ object SparkEntry {
         operators.TransformOp.Rule("event_type + '_' + toString(user_id)", "tag", "string"),
         operators.TransformOp.Rule("user_id % 10", "uid_bucket", "int64"),
         operators.TransformOp.Rule("value > 100.0 ? 'high' : 'low'", "band", "string"))))
+    },
+
+    // Full pipeline through the config compiler (the engine's real entry
+    // point): reference-style JSON config → filter → windowed dedup →
+    // transform chain, exactly the dedup-pod processor order.
+    "q_pipeline_e2e" -> { (s, dir) =>
+      val cfgJson =
+        """{
+          |  "pipeline_id": "e2e",
+          |  "source": { "topics": [ {
+          |    "name": "events",
+          |    "deduplication": {"enabled": true, "id_field": "user_id",
+          |      "time_window": "1h", "time_field": "ts_ns"} } ] },
+          |  "filter": { "expression": "event_type != 'error' && value > 50.0" },
+          |  "transform": { "rules": [
+          |    {"expression": "event_id", "output_name": "event_id", "output_type": "int64"},
+          |    {"expression": "user_id", "output_name": "user_id", "output_type": "int64"},
+          |    {"expression": "upper(event_type)", "output_name": "etype", "output_type": "string"},
+          |    {"expression": "toInt(value)", "output_name": "v", "output_type": "int64"} ] }
+          |}""".stripMargin
+      val cfg = pipeline.PipelineConfig.fromJson(cfgJson)
+      pipeline.PipelineCompiler.batch(cfg, Map("events" -> eventsUsPrecision(s, dir)))
     },
 
     // A1 exact keyed dedup: deterministic keep-first-by-(ts,id) per key.
@@ -157,6 +180,22 @@ object SparkEntry {
         |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS band
         |FROM events""".stripMargin,
 
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS ts_ns
+        |  FROM events WHERE event_type <> 'error' AND value > 50.0),
+        |kept AS (
+        |  SELECT user_id, min(ts_ns) AS ts_ns FROM f GROUP BY user_id
+        |  UNION ALL
+        |  SELECT k.user_id,
+        |    (SELECT min(f.ts_ns) FROM f
+        |     WHERE f.user_id = k.user_id AND f.ts_ns > k.ts_ns + 3600000000000) AS ts_ns
+        |  FROM kept k
+        |  WHERE (SELECT min(f.ts_ns) FROM f
+        |         WHERE f.user_id = k.user_id AND f.ts_ns > k.ts_ns + 3600000000000) IS NOT NULL)
+        |SELECT f.event_id, f.user_id, upper(f.event_type) AS etype,
+        |       CAST(floor(f.value) AS BIGINT) AS v
+        |FROM kept JOIN f ON f.user_id = kept.user_id AND f.ts_ns = kept.ts_ns""".stripMargin,
     "q_otlp_flatten" ->
       """SELECT
         |  strftime(ts::TIMESTAMP, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS timestamp,

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsOfJoin, DedupOp, FilterOp, TransformOp}
+import graft.sink.SinkMapper
+
+/** Pipeline compiler: config → DataFrame transform chain. The whole
+  * reference topology (Kafka ‖ ingestor ‖ NATS ‖ dedup-pod ‖ NATS ‖ join-pod
+  * ‖ NATS ‖ sink-pod, SURVEY.md §3.1) collapses into ONE Spark job — every
+  * NATS hop becomes either nothing (narrow chain) or a shuffle Catalyst
+  * places for the stateful stages.
+  *
+  * Stage order inside a source branch matches the reference's processor
+  * chain: filter → dedup → transform
+  * (glassflow-api/cmd/glassflow/dedup_component.go:219-223).
+  */
+object PipelineCompiler {
+
+  /** Compile against batch sources (testing / backfill path; the streaming
+    * path uses the same per-stage builders). `sources` maps topic name →
+    * DataFrame already carrying the declared schema. */
+  def batch(cfg: PipelineConfig, sources: Map[String, DataFrame]): DataFrame = {
+    val branches: Map[String, DataFrame] = cfg.source.topics.map { t =>
+      val df0 = sources.getOrElse(t.name,
+        throw new IllegalArgumentException(s"no source DataFrame for topic ${t.name}"))
+      val filtered = cfg.filter.fold(df0)(f => FilterOp(f.expression)(df0))
+      val deduped = t.deduplication.filter(_.enabled).fold(filtered) { d =>
+        applyDedup(filtered, d)
+      }
+      val transformed = cfg.transform.fold(deduped) { tr =>
+        TransformOp(tr.rules.map(r =>
+          TransformOp.Rule(r.expression, r.outputName, r.outputType)))(deduped)
+      }
+      t.name -> transformed
+    }.toMap
+
+    val joined: DataFrame = cfg.join.filter(_.enabled) match {
+      case None => branches.values.head
+      case Some(j) =>
+        val left = j.sources.find(_.orientation == "left").get
+        val right = j.sources.find(_.orientation == "right").get
+        val (lDf, rDf) = (branches(left.sourceId), branches(right.sourceId))
+        val (lTs, rTs) = (tsNsColumn(lDf, left.timeField), tsNsColumn(rDf, right.timeField))
+        val windowNs = math.max(
+          PipelineConfig.windowMillis(left.timeWindow),
+          PipelineConfig.windowMillis(right.timeWindow)) * 1000000L
+        def outs(id: String, df: DataFrame) = {
+          val ps = j.projections.filter(_.sourceId == id)
+          if (ps.nonEmpty) ps.map(p => AsOfJoin.Projection(p.field, p.outputName))
+          else df.columns.toSeq.map(c => AsOfJoin.Projection(c, c))
+        }
+        AsOfJoin.sortMerge(
+          lDf.withColumn("__ts_ns", lTs), rDf.withColumn("__ts_ns", rTs),
+          left.joinKey, right.joinKey, "__ts_ns", "__ts_ns", windowNs,
+          outs(left.sourceId, lDf), outs(right.sourceId, rDf))
+    }
+
+    cfg.sink.filter(_.tableMapping.nonEmpty).fold(joined) { s =>
+      SinkMapper(s.tableMapping.map(m =>
+        SinkMapper.ColumnMapping(m.fieldName, m.columnName, m.columnType)))(joined)
+    }
+  }
+
+  /** Streaming compile for a single-source pipeline: same chain with
+    * streaming dedup; returns the transformed streaming DataFrame (attach a
+    * sink with ClickHouseSink.attach). */
+  def streaming(cfg: PipelineConfig, source: DataFrame): DataFrame = {
+    val t = cfg.source.topics.head
+    val filtered = cfg.filter.fold(source)(f => FilterOp(f.expression)(source))
+    val deduped = t.deduplication.filter(_.enabled).fold(filtered) { d =>
+      val tf = d.timeField.getOrElse(
+        throw new IllegalArgumentException("streaming dedup requires time_field"))
+      val win = PipelineConfig.windowMillis(d.timeWindow)
+      DedupOp.windowedStreaming(Seq(d.idField), tf, s"$win milliseconds")(filtered)
+    }
+    cfg.transform.fold(deduped) { tr =>
+      TransformOp(tr.rules.map(r =>
+        TransformOp.Rule(r.expression, r.outputName, r.outputType)))(deduped)
+    }
+  }
+
+  private def applyDedup(df: DataFrame, d: DedupConfig): DataFrame =
+    d.timeField match {
+      case Some(tf) =>
+        val windowNs = PipelineConfig.windowMillis(d.timeWindow) * 1000000L
+        DedupOp.windowedBatch(Seq(d.idField), "__ts_ns", windowNs, d.idField)(
+          df.withColumn("__ts_ns", tsNsColumn(df, Some(tf)))).drop("__ts_ns")
+      case None =>
+        DedupOp.exact(Seq(d.idField), Seq(col(d.idField)))(df)
+    }
+
+  /** Event-time column → exact nanos long. */
+  private def tsNsColumn(df: DataFrame, timeField: Option[String]): Column = {
+    val tf = timeField.getOrElse(
+      throw new IllegalArgumentException("time_field required"))
+    df.schema(tf).dataType match {
+      case LongType => col(tf)
+      case _: TimestampType => unix_micros(col(tf)) * 1000L
+      case other => throw new IllegalArgumentException(s"unsupported time field type $other")
+    }
+  }
+}
