@@ -148,6 +148,134 @@ object SparkEntry {
         .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd HH:mm:ss"))
     },
 
+    // ---- training-data ops over documents/embeddings ----
+
+    // Text analysis: token counts, fingerprint, word stats — all codegen'd
+    // scan-projection, zero extra passes.
+    "q_text_stats" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      Tables.documents(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        avgWordLenX100(col("text")).as("awl_x100"),
+        fingerprint(col("text")).as("fp"))
+    },
+
+    // Quality scoring + language ID (stopword-profile heuristic).
+    "q_text_quality" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      Tables.documents(s, dir).select(col("doc_id"),
+        punctRatioBp(col("text")).as("punct_bp"),
+        stopwordRatioBp(col("text")).as("stop_bp"),
+        qualityMilli(col("text")).as("quality_milli"),
+        languageId(col("text")).as("lang_pred"))
+    },
+
+    // Exact document dedup by normalized-text fingerprint, keep min doc_id.
+    "q_doc_dedup_exact" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      Tables.documents(s, dir)
+        .withColumn("fp", fingerprint(col("text")))
+        .transform(operators.DedupOp.exact(Seq("fp"), Seq(col("doc_id"))))
+        .select(col("doc_id"), col("fp"))
+    },
+
+    // MinHash+LSH near-dup pairs, exactly verified (Jaccard ≥ 0.8 on word
+    // 3-gram shingles). The oracle computes ALL exact pairs — passing means
+    // the LSH candidate generation missed nothing.
+    "q_minhash_dedup" -> { (s, dir) =>
+      graft.data.MinHashDedup.duplicatePairs(
+        Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // SimHash near-dup pairs (banded 16-bit chunks, hamming ≤ 3). No SQL
+    // oracle (hash-function specific) → driver rows-only check.
+    "q_simhash_dedup" -> { (s, dir) =>
+      graft.data.MinHashDedup.simhashPairs(
+        Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // Brute-force cosine top-10 around the vec_id=0 embedding (the exact
+    // ANN baseline; one scan + TakeOrdered, no corpus shuffle).
+    "q_ann_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
+      graft.data.EmbeddingOps.bruteTopK(emb, "vec_id", "embedding", query, 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+    },
+
+    // Embedding near-dup pairs: exact cosine ≥ 0.48 (threshold sits in a
+    // wide similarity gap of the dataset, so float ulps can't flip rows).
+    "q_embed_dedup" -> { (s, dir) =>
+      graft.data.EmbeddingOps.brutePairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0.48)
+    },
+
+    // LSH-bucketed approximate ANN (the 100 TB scale path; recall measured
+    // in EmbeddingSpec against the brute baseline). Rows-only check.
+    "q_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
+      graft.data.EmbeddingOps.annTopK(emb, "vec_id", "embedding", 64, query, 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+    },
+
+    // ---- beyond-reference relational operators ----
+
+    // Window functions: top-3 orders per customer.
+    "q_window_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // Broadcast-hash join + ROLLUP aggregation: revenue by region/nation.
+    // nation/region are broadcast (tiny dims) — orders never shuffles for
+    // the join, only for the final rollup aggregation.
+    "q_rollup_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // Semi/anti joins: customers with ≥1 order but no order above 400k.
+    "q_semi_anti" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val big = o.filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // Global top-k with deterministic tie-break (TakeOrderedAndProject —
+    // no full sort at scale).
+    "q_topk" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(10)
+    },
+
+    // Distinct aggregation: suppliers and exact+approx order counts per part.
+    "q_distinct_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
     // A (beyond-reference) pushed-down scan + grouped aggregation, TPC-H Q1
     // shape: partial (map-side) aggregation then a 2-key shuffle — the plan
     // that survives 100x scale-up because the shuffle carries only
@@ -168,6 +296,99 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS len_chars,
+        |  (list_aggregate(list_transform(string_split_regex(trim(text), '\s+'),
+        |        x -> length(x)), 'sum') * 100)
+        |    // len(string_split_regex(trim(text), '\s+')) AS awl_x100,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct_n,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','and','of','to','in','is','you','that','it','for'))) AS stop_n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (punct_n * 10000) // length(text) AS punct_bp,
+        |  (stop_n * 10000) // len(toks) AS stop_bp,
+        |  least(len(toks), 100) * 4
+        |    + (300 - least((punct_n * 1500) // length(text), 300))
+        |    + least((stop_n * 3000) // len(toks), 300) AS quality_milli,
+        |  CASE
+        |    WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |    WHEN de >= fr AND de > 0 THEN 'de'
+        |    WHEN fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (SELECT *,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','you','that','it','for'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS es,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('le','les','des','une','du','et','est','dans','pour','ce'))) AS fr
+        |  FROM t)""".stripMargin,
+    "q_doc_dedup_exact" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |  ORDER BY doc_id) = 1""".stripMargin,
+    "q_minhash_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+        |     for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |        FROM documents)
+        |  WHERE len(tokens) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        |    / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        |    / len(list_distinct(a.shingles || b.shingles)) >= 0.8""".stripMargin,
+    "q_ann_topk" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q_embed_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.48""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3""".stripMargin,
+    "q_rollup_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name)""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_partkey,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_partkey""".stripMargin,
     "q_filter_expr" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type <> 'error' AND value > 100.0""".stripMargin,

