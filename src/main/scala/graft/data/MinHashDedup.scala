@@ -28,11 +28,31 @@ object MinHashDedup {
     df.select(col(idCol).as("id"),
       TextFunctions.shingles(col(textCol), n).as("shingles"))
 
-  /** MinHash signature: element s of the signature is
-    * min over shingles of xxhash64(seed_s ∥ shingle). */
-  def signature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingles, x => xxhash64(concat(s.cast(StringType), lit("|"), x)))))
+  /** MinHash signature: one base FNV-1a 64 hash per shingle, then the k
+    * per-seed values derived with a splitmix64 stream — a tight primitive
+    * loop (k=128 seeded string re-hashes per shingle, the naive form, was
+    * the dominant cost; and Catalyst cannot hoist a shared subexpression
+    * out of higher-order-function lambdas, so this lives in a UDF). */
+  def signatureUdf(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { shingles: scala.collection.Seq[String] =>
+      val out = new Array[Long](numHashes)
+      java.util.Arrays.fill(out, Long.MaxValue)
+      shingles.foreach { t =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var s = 0
+        while (s < numHashes) {
+          var z = h + s * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= z >>> 31
+          if (z < out(s)) out(s) = z
+          s += 1
+        }
+      }
+      out.toSeq
+    }
 
   /** Candidate pairs (a < b) that share at least one LSH band bucket. */
   def candidatePairs(sigs: DataFrame, cfg: Config): DataFrame = {
@@ -60,7 +80,7 @@ object MinHashDedup {
   def duplicatePairs(df: DataFrame, idCol: String, textCol: String,
                      cfg: Config = Config()): DataFrame = {
     val sh = withShingles(df, idCol, textCol, cfg.shingleSize).cache()
-    val sigs = sh.select(col("id"), signature(col("shingles"), cfg.numHashes).as("sig"))
+    val sigs = sh.select(col("id"), signatureUdf(cfg.numHashes)(col("shingles")).as("sig"))
     val cands = candidatePairs(sigs, cfg)
     val withSets = cands
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")

@@ -83,10 +83,12 @@ object TextFunctions {
   // basis points / milli-units via integer division — no float rounding
   // boundary can flip the last digit) ----
 
-  /** avg word length ×100, integer (`sum_len*100 div n_tokens`). */
+  /** avg word length ×100, integer (`sum_len*100 div n_tokens`). Sum of
+    * token lengths ≡ count of non-whitespace chars — one regexp instead of
+    * a per-token aggregate lambda. */
   def avgWordLenX100(c: Column): Column = {
     val t = tokens(c)
-    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val sumLen = length(regexp_replace(c, "\\s", "")).cast(LongType)
     when(size(t) === 0, lit(0L)).otherwise(expr2Div(sumLen * 100, size(t)))
   }
 
