@@ -148,6 +148,48 @@ object SparkEntry {
         .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd HH:mm:ss"))
     },
 
+    // F3 versioned transform router: per-schema-version rule sets unioned
+    // into one plan (version predicate reaches the scan on each branch).
+    "q_versioned_transform" -> { (s, dir) =>
+      import operators.{TransformOp, VersionedTransform}
+      val df = Tables.events(s, dir)
+        .withColumn("ver", when(col("user_id") % 2 === 0, "v1").otherwise("v2"))
+      df.transform(VersionedTransform("ver", Map(
+        "v1" -> Seq(
+          TransformOp.Rule("event_id", "event_id", "int64"),
+          TransformOp.Rule("upper(event_type)", "label", "string"),
+          TransformOp.Rule("toInt(value)", "metric", "int64")),
+        "v2" -> Seq(
+          TransformOp.Rule("event_id", "event_id", "int64"),
+          TransformOp.Rule("lower(event_type)", "label", "string"),
+          TransformOp.Rule("user_id", "metric", "int64")))))
+    },
+
+    // §2.6 stdlib sweep: several expr-lang functions through the compiler
+    // in one projection (all codegen'd string expressions).
+    "q_expr_stdlib" -> { (s, dir) =>
+      Tables.documents(s, dir).transform(operators.TransformOp(Seq(
+        operators.TransformOp.Rule("doc_id", "doc_id", "int64"),
+        operators.TransformOp.Rule("upper(lang)", "lang_u", "string"),
+        operators.TransformOp.Rule("replace(source, 'src', 'origin_')", "origin", "string"),
+        operators.TransformOp.Rule("containsStr(text, 'spark') ? 'y' : 'n'", "has_spark", "string"),
+        operators.TransformOp.Rule("len(text)", "n", "int64"),
+        operators.TransformOp.Rule("join(split(source, 'rc'), '|')", "parts", "string"),
+        operators.TransformOp.Rule("hasPrefix(source, 'src') && lang in ['en', 'es']", "flagged", "bool"))))
+    },
+
+    // Beyond-reference statistics aggregation: stddev + exact interpolated
+    // median per group (partial aggregation before the 1-key shuffle).
+    "q_agg_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+    },
+
     // ---- training-data ops over documents/embeddings ----
 
     // Text analysis: token counts, fingerprint, word stats — all codegen'd
@@ -296,6 +338,29 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_versioned_transform" ->
+      """SELECT
+        |  CASE WHEN user_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS ver,
+        |  event_id,
+        |  CASE WHEN user_id % 2 = 0 THEN upper(event_type) ELSE lower(event_type) END AS label,
+        |  CASE WHEN user_id % 2 = 0 THEN CAST(floor(value) AS BIGINT) ELSE user_id END AS metric
+        |FROM events""".stripMargin,
+    "q_expr_stdlib" ->
+      """SELECT doc_id,
+        |  upper(lang) AS lang_u,
+        |  replace(source, 'src', 'origin_') AS origin,
+        |  CASE WHEN contains(text, 'spark') THEN 'y' ELSE 'n' END AS has_spark,
+        |  length(text) AS n,
+        |  array_to_string(string_split(source, 'rc'), '|') AS parts,
+        |  starts_with(source, 'src') AND lang IN ('en', 'es') AS flagged
+        |FROM documents""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 2) AS sd_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,

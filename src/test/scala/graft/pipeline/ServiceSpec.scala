@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.operators.{TransformOp, VersionedTransform}
+
+class ServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("evaluateTransform runs rules against a sample document") {
+    val out = ExpressionService.evaluateTransform(spark,
+      Seq(TransformOp.Rule("upper(name)", "name_u", "string"),
+        TransformOp.Rule("n * 2", "n2", "int64")),
+      """{"name":"ada","n":21}""")
+    assert(out == Right("""{"name_u":"ADA","n2":42}"""))
+  }
+
+  test("evaluateTransform surfaces compile errors") {
+    val out = ExpressionService.evaluateTransform(spark,
+      Seq(TransformOp.Rule("nope(name)", "x", "string")), """{"name":"a"}""")
+    assert(out.isLeft && out.swap.exists(_.contains("unknown function")))
+  }
+
+  test("evaluateFilter and validateFilter") {
+    assert(ExpressionService.evaluateFilter(spark,
+      "status != 'failed' && n > 1", """{"status":"ok","n":5}""") == Right(true))
+    assert(ExpressionService.evaluateFilter(spark,
+      "status == 'failed'", """{"status":"ok","n":5}""") == Right(false))
+    val schema = StructType(Seq(StructField("status", StringType)))
+    assert(ExpressionService.validateFilter("status != 'x'", schema).isRight)
+    assert(ExpressionService.validateFilter("ghost > 1", schema).isLeft)
+  }
+
+  test("versioned transform routes rows by schema version") {
+    val df = Seq(
+      ("v1", "Click", 10L), ("v2", "View", 20L), ("v9", "Drop", 30L)
+    ).toDF("ver", "etype", "n")
+    val rules = Map(
+      "v1" -> Seq(TransformOp.Rule("upper(etype)", "label", "string"),
+        TransformOp.Rule("n", "n", "int64")),
+      "v2" -> Seq(TransformOp.Rule("lower(etype)", "label", "string"),
+        TransformOp.Rule("n * 100", "n", "int64")))
+    val out = VersionedTransform("ver", rules)(df).orderBy("n").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("v1", "CLICK", 10L), ("v2", "view", 2000L))) // v9 dropped
+    val withPass = VersionedTransform("ver", rules, passthrough = true)(df)
+    assert(withPass.count() == 3)
+    assert(withPass.filter(col("ver") === "v9").head.isNullAt(1))
+  }
+
+  test("metrics listener captures streaming progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val listener = Metrics.attach(spark)
+    try {
+      val mem = MemoryStream[Long]
+      val q = mem.toDF.toDF("v")
+        .writeStream.format("memory").queryName("metrics_probe")
+        .outputMode("append").start()
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      q.stop()
+      val snaps = listener.snapshot.filter(_.queryName == "metrics_probe")
+      assert(snaps.nonEmpty)
+      assert(snaps.map(_.numInputRows).sum == 3L)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("streaming pipeline compile: filter + windowed dedup + transform") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val cfg = PipelineConfig(
+      pipelineId = "stream-e2e",
+      source = SourceConfig(topics = Seq(TopicConfig("ev",
+        deduplication = Some(DedupConfig(enabled = true, idField = "k",
+          timeWindow = "1h", timeField = Some("ts")))))),
+      filter = Some(FilterConfig("status != 'failed'")),
+      transform = Some(TransformConfig(Seq(
+        TransformRule("upper(k)", "k", "string"),
+        TransformRule("n * 2", "n2", "int64")))))
+    val mem = MemoryStream[(String, String, java.sql.Timestamp, Long)]
+    val src = mem.toDF.toDF("k", "status", "ts", "n")
+    val q = PipelineCompiler.streaming(cfg, src)
+      .writeStream.format("memory").queryName("pipe_stream")
+      .outputMode("append").start()
+    mem.addData(
+      ("a", "ok", t("2025-01-01 10:00:00"), 1L),
+      ("a", "ok", t("2025-01-01 10:10:00"), 2L),   // dup within 1h → dropped
+      ("b", "failed", t("2025-01-01 10:00:00"), 3L), // filtered
+      ("c", "ok", t("2025-01-01 10:00:00"), 4L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pipe_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq(("A", 2L), ("C", 8L)))
+  }
+}
