@@ -28,7 +28,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE.md parity metric: ingest-only pipeline (1.5 KB telemetry
+    // JSON parse+validate+typed-map) events/sec on this host
+    val ingestRate =
+      try IngestBench.run(spark, 1000000L)
+      catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""ingest_events_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,6 +117,25 @@ object ExprCompiler {
     }
   }
 
+  /** Top-level input columns an expression references (dotted names resolve
+    * literal-first like [[resolve]]). Used for column pruning around opaque
+    * stages (mapPartitions) that Catalyst can't see through. */
+  def referencedFields(src: String, schema: StructType): Set[String] = {
+    def walk(e: Expr): Set[String] = e match {
+      case Ident(path) =>
+        val dotted = path.mkString(".")
+        if (schema.fieldNames.contains(dotted)) Set(dotted) else Set(path.head)
+      case Lit(_) => Set.empty
+      case Unary(_, x) => walk(x)
+      case Binary(_, l, r) => walk(l) ++ walk(r)
+      case Ternary(c, t, f) => walk(c) ++ walk(t) ++ walk(f)
+      case Call(_, args) => args.flatMap(walk).toSet
+      case ArrayLit(items) => items.flatMap(walk).toSet
+      case Index(t, k) => walk(t) ++ walk(k)
+    }
+    walk(Parser.parse(src))
+  }
+
   // ---- minimal static typing (enough to pick string-concat vs addition) ----
   def typeOf(e: Expr, schema: StructType): Option[DataType] = e match {
     case Lit(_: String) => Some(StringType)

@@ -27,8 +27,22 @@ object PipelineCompiler {
       val df0 = sources.getOrElse(t.name,
         throw new IllegalArgumentException(s"no source DataFrame for topic ${t.name}"))
       val filtered = cfg.filter.fold(df0)(f => FilterOp(f.expression)(df0))
-      val deduped = t.deduplication.filter(_.enabled).fold(filtered) { d =>
-        applyDedup(filtered, d)
+      // windowed dedup runs through mapPartitions, which Catalyst can't
+      // prune columns through — project down to what later stages need
+      // BEFORE the opaque stage (at 100 TB, not reading unused columns at
+      // the scan is the single biggest win)
+      val pruned = cfg.transform match {
+        case Some(tr) if t.deduplication.exists(d => d.enabled && d.timeField.isDefined) =>
+          val needed = tr.rules
+            .flatMap(r => graft.exprs.ExprCompiler.referencedFields(r.expression, filtered.schema))
+            .toSet ++
+            t.deduplication.toSeq.flatMap(d => d.timeField.toSeq :+ d.idField) ++
+            cfg.join.toSeq.flatMap(_.sources.flatMap(s => s.timeField.toSeq :+ s.joinKey))
+          filtered.select(filtered.columns.filter(needed).map(col): _*)
+        case _ => filtered
+      }
+      val deduped = t.deduplication.filter(_.enabled).fold(pruned) { d =>
+        applyDedup(pruned, d)
       }
       val transformed = cfg.transform.fold(deduped) { tr =>
         TransformOp(tr.rules.map(r =>
