@@ -301,6 +301,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     },
 
+    // Set operations: users who purchased but never viewed (EXCEPT), and
+    // the purchase∩signup overlap (INTERSECT), tagged and unioned.
+    "q_setops" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+      val exceptSet = users("purchase").except(users("view"))
+        .withColumn("tag", lit("purchase_no_view"))
+      val intersectSet = users("purchase").intersect(users("signup"))
+        .withColumn("tag", lit("purchase_and_signup"))
+      exceptSet.unionByName(intersectSet)
+    },
+
     // Global top-k with deterministic tie-break (TakeOrderedAndProject —
     // no full sort at scale).
     "q_topk" -> { (s, dir) =>
@@ -445,6 +457,16 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |  AND c_custkey NOT IN (
         |    SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+    "q_setops" ->
+      """SELECT user_id, 'purchase_no_view' AS tag FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |UNION ALL
+        |SELECT user_id, 'purchase_and_signup' AS tag FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'signup')""".stripMargin,
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber

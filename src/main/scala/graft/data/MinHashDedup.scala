@@ -75,18 +75,60 @@ object MinHashDedup {
     when(size(array_union(a, b)) === 0, lit(0.0))
       .otherwise(size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)))
 
+  /** Distinct word n-gram shingle set (JVM-side; same definition as
+    * [[TextFunctions.shingles]]: whitespace tokens of trimmed text). */
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = if (text == null || text.trim.isEmpty) Array.empty[String]
+    else text.trim.split("\\s+")
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** Exact Jaccard from raw texts (used to verify candidate pairs — only
+    * O(candidates) texts are ever re-shingled). */
+  private def jaccardUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: String, b: String) =>
+      val (sa, sb) = (shingleSet(a, n), shingleSet(b, n))
+      val union = sa.size + sb.size - (sa & sb).size
+      if (union == 0) 0.0 else (sa & sb).size.toDouble / union
+    }
+
   /** Full pipeline: near-duplicate pairs (id_a < id_b, exact jaccard ≥
-    * threshold), LSH-pruned then exactly verified. */
+    * threshold), LSH-pruned then exactly verified.
+    *
+    * Scale shape: signatures are computed straight from text (fixed
+    * ~numHashes·8 bytes per doc — the corpus's shingle sets, ~10× the text
+    * size, are never materialized or shuffled); only candidate pairs join
+    * back to the raw text for exact verification. */
   def duplicatePairs(df: DataFrame, idCol: String, textCol: String,
                      cfg: Config = Config()): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, cfg.shingleSize).cache()
-    val sigs = sh.select(col("id"), signatureUdf(cfg.numHashes)(col("shingles")).as("sig"))
+    val sigFromText = udf { text: String =>
+      val sh = shingleSet(text, cfg.shingleSize)
+      val out = new Array[Long](cfg.numHashes)
+      java.util.Arrays.fill(out, Long.MaxValue)
+      sh.foreach { t =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var s = 0
+        while (s < cfg.numHashes) {
+          var z = h + s * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= z >>> 31
+          if (z < out(s)) out(s) = z
+          s += 1
+        }
+      }
+      out.toSeq
+    }
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sigs = base.select(col("id"), sigFromText(col("text")).as("sig"))
     val cands = candidatePairs(sigs, cfg)
-    val withSets = cands
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-    withSets
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    cands
+      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard", jaccardUdf(cfg.shingleSize)(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

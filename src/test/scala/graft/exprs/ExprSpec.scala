@@ -137,6 +137,12 @@ class ExprSpec extends SparkSpec {
     assert(ExprCompiler.validate("n > 1", sample.schema).isRight)
   }
 
+  test("elvis ?? operator coalesces") {
+    val df = Seq((null.asInstanceOf[String], "fallback")).toDF("a", "b")
+    assert(eval1("a ?? b", df) == "fallback")
+    assert(eval1("b ?? 'x'", df) == "fallback")
+  }
+
   test("extractPathType") {
     val df = Seq(("/g/collect?v=2", "/_/set_cookie", "/other")).toDF("a", "b", "c")
     assert(eval1("extractPathType(a)", df) == "collect")
