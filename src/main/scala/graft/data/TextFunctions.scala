@@ -134,24 +134,11 @@ object TextFunctions {
         i => concat_ws(" ", slice(t, i, lit(n))))))
   }
 
-  /** 64-bit SimHash over whitespace tokens (UDF: per-bit vote accumulation
-    * has no reasonable Catalyst form; still one pass per row). */
-  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { toks: scala.collection.Seq[String] =>
-      val votes = new Array[Int](64)
-      toks.foreach { t =>
-        // FNV-1a 64-bit — stable across JVMs, unlike String.hashCode
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
-        var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
+  /** 64-bit SimHash over whitespace tokens — a native Catalyst expression
+    * with codegen (graft.exprs.SimHash64Expr), not a UDF: no per-row
+    * Seq[String] materialization. */
+  def simhash64(tokens: Column): Column =
+    graft.exprs.NativeExpressions.simhash64(tokens)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,64 @@
+package graft.exprs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fnv_hash64 matches the reference FNV-1a test vectors") {
+    // public FNV-1a 64 vectors: fnv1a64("") = 0xcbf29ce484222325,
+    // fnv1a64("a") = 0xaf63dc4c8601ec8c
+    val df = Seq("", "a", "hello").toDF("s")
+    val out = df.select(NativeExpressions.fnvHash64(col("s"))).collect().map(_.getLong(0))
+    assert(out(0) == 0xcbf29ce484222325L)
+    assert(out(1) == 0xaf63dc4c8601ec8cL)
+    // deterministic across evaluations
+    val again = df.select(NativeExpressions.fnvHash64(col("s")))
+      .collect().map(_.getLong(0))
+    assert(out(2) == again(2))
+  }
+
+  test("expressions run inside whole-stage codegen") {
+    // a parquet-backed source: a local Seq would be constant-folded into a
+    // LocalTableScan before codegen ever runs
+    val df = graft.Tables.documents(spark, sf)
+      .select(NativeExpressions.simhash64(split(col("text"), " ")).as("sh"),
+        NativeExpressions.fnvHash64(col("text")).as("h"))
+    // compact plan strings render WholeStageCodegen as a `*(n)` prefix —
+    // check the physical node type, not the string
+    val hasCodegen = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasCodegen, s"no codegen in:\n${df.queryExecution.executedPlan}")
+    val r = df.head
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+  }
+
+  test("SQL registration") {
+    NativeExpressions.register(spark)
+    val out = spark.sql("SELECT fnv_hash64('a') AS h, simhash64(array('x','y')) AS s").head
+    assert(out.getLong(0) == 0xaf63dc4c8601ec8cL)
+    val direct = Seq(Seq("x", "y")).toDF("a")
+      .select(NativeExpressions.simhash64(col("a"))).head.getLong(0)
+    assert(out.getLong(1) == direct)
+  }
+
+  test("type checking rejects wrong inputs at analysis") {
+    val df = Seq(1L).toDF("n")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      df.select(NativeExpressions.fnvHash64(col("n"))).collect()
+    }
+  }
+
+  test("null safety: null input yields null, null array elements skipped") {
+    val df = Seq((null.asInstanceOf[String], Seq("a", null, "b"))).toDF("s", "arr")
+    val r = df.select(NativeExpressions.fnvHash64(col("s")).as("h"),
+      NativeExpressions.simhash64(col("arr")).as("sh")).head
+    assert(r.isNullAt(0))
+    val noNulls = Seq(Seq("a", "b")).toDF("arr")
+      .select(NativeExpressions.simhash64(col("arr"))).head.getLong(0)
+    assert(r.getLong(1) == noNulls)
+  }
+}
