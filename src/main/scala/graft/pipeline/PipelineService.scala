@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Pipeline control plane — the lifecycle side of the reference's API
+  * surface (SURVEY.md §3.1/§3.3: create/get/list/stop/resume/terminate/
+  * delete + DLQ state/consume/purge; statuses
+  * glassflow-api/internal/constants.go:32-38). The reference persists to
+  * Postgres and orchestrates pods via a K8s CRD; here a pipeline is one
+  * StreamingQuery, so lifecycle ops are query.stop()/restart-from-checkpoint
+  * and the registry is in-memory (swap for a durable store in production —
+  * the checkpoint itself is the durable execution state).
+  */
+final class PipelineService(spark: SparkSession) {
+
+  import PipelineService._
+
+  private val registry = new ConcurrentHashMap[String, Deployed]()
+
+  /** Create: validate + register (status Created). */
+  def create(cfg: PipelineConfig,
+             schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Either[String, String] = {
+    val errs = PipelineConfig.validate(cfg, schemas)
+    if (errs.nonEmpty) Left(errs.mkString("; "))
+    else if (registry.containsKey(cfg.pipelineId)) Left(s"pipeline ${cfg.pipelineId} already exists")
+    else {
+      registry.put(cfg.pipelineId, Deployed(cfg, None, Created))
+      Right(cfg.pipelineId)
+    }
+  }
+
+  /** Start (or resume): compile against the source and hand the transformed
+    * stream to `sink`, which starts the StreamingQuery (checkpoint choice
+    * lives with the sink — restart from the same checkpoint = resume). */
+  def start(id: String, source: DataFrame, sink: DataFrame => StreamingQuery): Either[String, Unit] =
+    withPipeline(id) { d =>
+      if (d.status == Running) Left(s"pipeline $id already running")
+      else {
+        try {
+          val q = sink(PipelineCompiler.streaming(d.config, source))
+          registry.put(id, d.copy(query = Some(q), status = Running))
+          Right(())
+        } catch {
+          case e: Exception =>
+            registry.put(id, d.copy(status = Failed))
+            Left(Option(e.getMessage).getOrElse(e.toString))
+        }
+      }
+    }
+
+  /** Stop: halt the query, keep config + checkpoint (resumable). */
+  def stop(id: String): Either[String, Unit] = withPipeline(id) { d =>
+    d.query.foreach(_.stop())
+    registry.put(id, d.copy(query = None, status = Stopped))
+    Right(())
+  }
+
+  /** Terminate: stop and drop from the registry. */
+  def terminate(id: String): Either[String, Unit] = withPipeline(id) { d =>
+    d.query.foreach(_.stop())
+    registry.put(id, d.copy(query = None, status = Terminated))
+    Right(())
+  }
+
+  def delete(id: String): Either[String, Unit] = withPipeline(id) { d =>
+    if (d.status == Running) Left(s"pipeline $id is running; stop it first")
+    else { registry.remove(id); Right(()) }
+  }
+
+  def get(id: String): Option[(PipelineConfig, Status)] =
+    Option(registry.get(id)).map(d => (d.config, d.status))
+
+  def list(): Seq[(String, Status)] =
+    registry.asScala.toSeq.map { case (id, d) => (id, d.status) }.sortBy(_._1)
+
+  private def withPipeline[A](id: String)(f: Deployed => Either[String, A]): Either[String, A] =
+    Option(registry.get(id)).toRight(s"no such pipeline: $id").flatMap(f)
+
+  // ---- DLQ API (state / consume / purge over a parquet-backed DLQ) ----
+
+  def dlqState(path: String): Long =
+    try spark.read.parquet(path).count() catch { case _: Exception => 0L }
+
+  def dlqConsume(path: String, limit: Int): Seq[String] =
+    try spark.read.parquet(path).limit(limit)
+      .collect().map(_.getAs[String]("original_message")).toSeq
+    catch { case _: Exception => Seq.empty }
+
+  def dlqPurge(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+object PipelineService {
+  sealed trait Status
+  case object Created extends Status
+  case object Running extends Status
+  case object Stopped extends Status
+  case object Terminated extends Status
+  case object Failed extends Status
+
+  final case class Deployed(
+    config: PipelineConfig,
+    query: Option[StreamingQuery],
+    status: Status)
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Skew
+
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def simpleCfg(id: String) = PipelineConfig(
+    pipelineId = id,
+    source = SourceConfig(topics = Seq(TopicConfig("t"))),
+    transform = Some(TransformConfig(Seq(
+      TransformRule("upper(k)", "k", "string")))))
+
+  test("pipeline lifecycle: create → start → stop → resume → terminate → delete") {
+    implicit val sqlCtx = spark.sqlContext
+    val svc = new PipelineService(spark)
+    assert(svc.create(simpleCfg("p1")).isRight)
+    assert(svc.create(simpleCfg("p1")).isLeft) // duplicate id
+    assert(svc.get("p1").map(_._2).contains(PipelineService.Created))
+
+    val mem = MemoryStream[String]
+    def startIt() = svc.start("p1", mem.toDF.toDF("k"),
+      df => df.writeStream.format("memory").queryName(s"lc_${System.nanoTime()}")
+        .outputMode("append").start())
+    assert(startIt().isRight)
+    assert(svc.get("p1").map(_._2).contains(PipelineService.Running))
+    assert(startIt().isLeft) // double-start rejected
+    assert(svc.delete("p1").isLeft) // can't delete running
+
+    assert(svc.stop("p1").isRight)
+    assert(svc.get("p1").map(_._2).contains(PipelineService.Stopped))
+    assert(startIt().isRight) // resume
+    assert(svc.terminate("p1").isRight)
+    assert(svc.get("p1").map(_._2).contains(PipelineService.Terminated))
+    assert(svc.delete("p1").isRight)
+    assert(svc.get("p1").isEmpty)
+  }
+
+  test("create rejects invalid configs") {
+    val svc = new PipelineService(spark)
+    val bad = simpleCfg("p2").copy(join = Some(JoinConfig(enabled = true,
+      sources = Seq(JoinSource("a", "k", "1h", "left")))))
+    assert(svc.create(bad).swap.exists(_.contains("exactly 2 sources")))
+  }
+
+  test("dlq state / consume / purge") {
+    val svc = new PipelineService(spark)
+    val dir = Files.createTempDirectory("graft_dlq").toString + "/dlq"
+    val failed = Seq(("r1", 1L), ("r2", 2L)).toDF("id", "n")
+    graft.sink.Dlq.writeParquet(dir)(
+      graft.sink.Dlq.envelope("sink", "Code: 53")(failed))
+    assert(svc.dlqState(dir) == 2L)
+    val msgs = svc.dlqConsume(dir, 10)
+    assert(msgs.length == 2 && msgs.forall(_.contains("\"id\":")))
+    svc.dlqPurge(dir)
+    assert(svc.dlqState(dir) == 0L)
+  }
+
+  test("streaming dedup state survives a restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the memory sink refuses checkpoint recovery; a file sink supports it
+    val base = Files.createTempDirectory("graft_ckpt").toString
+    val (checkpoint, outDir) = (s"$base/ckpt", s"$base/out")
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val dedup = graft.operators.DedupOp.windowedStreaming(Seq("k"), "ts", "1 hour")(
+      mem.toDF.toDF("k", "ts"))
+    def startQuery() = dedup.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    mem.addData(("a", t("2025-01-01 10:00:00")), ("b", t("2025-01-01 10:00:00")))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // restart from the same checkpoint: the duplicate "a" within the window
+    // must be dropped by RESTORED state, not re-emitted
+    val q2 = startQuery()
+    mem.addData(("a", t("2025-01-01 10:20:00")), ("c", t("2025-01-01 10:20:00")))
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.parquet(outDir).collect().map(_.getString(0)).toSeq
+    assert(all.count(_ == "a") == 1 && all.contains("c"),
+      s"restored state should drop duplicate 'a', got $all")
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = graft.Tables.events(spark, sf)
+    val direct = df.groupBy("user_id")
+      .agg(sum("value").as("sum_v"), count(lit(1)).as("cnt"))
+    val salted = Skew.saltedSumCount(df, Seq("user_id"), "value")
+    // compare after rounding sums (double addition order differs by design)
+    val d = direct.withColumn("sum_v", round(col("sum_v"), 4)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val s = salted.withColumn("sum_v", round(col("sum_v"), 4)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(s == d)
+  }
+}
