@@ -82,9 +82,9 @@ object SparkEntry {
     // duplicates don't refresh the TTL window). One shuffle + linear scan.
     "q_dedup_windowed" -> { (s, dir) =>
       eventsUsPrecision(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
         .transform(operators.DedupOp.windowedBatch(
           Seq("user_id"), "ts_ns", 3600L * 1000000000L, "event_id"))
-        .select(col("event_id"), col("user_id"), col("ts_ns"))
     },
 
     // J1 temporal join (batch analog): for each purchase, the LATEST view
