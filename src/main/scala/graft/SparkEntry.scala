@@ -264,6 +264,18 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
     },
 
+    // IVF-cell approximate ANN (the other scale path besides LSH: coarse
+    // centroids + posting lists; query scans nprobe cells). Rows-only check;
+    // recall vs brute asserted in DataOpsSpec.
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
+      val index = graft.data.EmbeddingOps.ivfIndex(emb, "vec_id", "embedding", 16)
+      graft.data.EmbeddingOps.ivfTopK(index, query, 10, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+    },
+
     // ---- beyond-reference relational operators ----
 
     // Window functions: top-3 orders per customer.

@@ -98,6 +98,52 @@ object EmbeddingOps {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bucket"))
   }
 
+  /** IVF (inverted-file) index: deterministic coarse centroids (an evenly
+    * spaced sample of the corpus — cheap, seedless, stable), each vector
+    * assigned to its nearest centroid. The returned frame is the "posting
+    * list" layout: repartitioning/clustering by `centroid` colocates each
+    * cell, so a query only scans `nprobe` cells instead of the corpus. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               numCentroids: Int): (Seq[(Int, Array[Double])], DataFrame) = {
+    val spark = df.sparkSession
+    val all = df.select(col(idCol)).orderBy(col(idCol)).limit(1000000).collect().map(_.getLong(0))
+    val step = math.max(1, all.length / numCentroids)
+    val centroidIds = all.zipWithIndex.collect { case (id, i) if i % step == 0 => id }
+      .take(numCentroids)
+    val centroids = df.filter(col(idCol).isInCollection(centroidIds))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf { v: scala.collection.Seq[Float] =>
+      val vd = v.map(_.toDouble).toArray
+      var best = 0; var bestSim = Double.MinValue
+      bc.value.foreach { case (i, c) =>
+        var s = 0.0; var j = 0
+        while (j < vd.length) { s += vd(j) * c(j); j += 1 }
+        if (s > bestSim) { bestSim = s; best = i }
+      }
+      best
+    }
+    (centroids, df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      assign(col(vecCol)).as("centroid")))
+  }
+
+  /** IVF approximate top-k: rank centroids by similarity to the query,
+    * scan only the nprobe nearest cells. */
+  def ivfTopK(index: (Seq[(Int, Array[Double])], DataFrame),
+              query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val (centroids, assigned) = index
+    val probeCells = centroids
+      .map { case (i, c) => (i, c.zip(query).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("centroid").isInCollection(probeCells))
+      .select(col("id"), cosine(toDouble(col("vec")), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Approximate top-k: probe only the query's LSH bucket (single-table;
     * recall grows with fewer planes / multi-probe — measured in tests). */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,

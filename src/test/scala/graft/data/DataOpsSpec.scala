@@ -80,6 +80,32 @@ class DataOpsSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ann: nprobe cells achieve high recall vs brute force") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 7)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
+    val brute = EmbeddingOps.bruteTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val index = EmbeddingOps.ivfIndex(emb, "vec_id", "embedding", numCentroids = 16)
+    // probing ALL cells must recover the exact answer
+    val full = EmbeddingOps.ivfTopK(index, q, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == brute)
+    // probing a quarter of the cells keeps most of it
+    val approx = EmbeddingOps.ivfTopK(index, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.contains(7L))
+    assert((approx & brute).size >= 5, s"recall too low: ${(approx & brute).size}/10")
+  }
+
+  test("subword count approximates tokenizer granularity") {
+    val df = Seq("hello, world! a-b c_d 42x").toDF("text")
+    val n = df.select(TextFunctions.subwordCount(col("text"))).head.getInt(0)
+    // runs of letters/digits + punctuation marks, > whitespace token count
+    val ws = df.select(TextFunctions.tokenCount(col("text"))).head.getInt(0)
+    assert(n > ws && n >= 10)
+  }
+
   test("embedding pair dedup: exact pairs above threshold") {
     val emb = graft.Tables.embeddings(spark, sf)
     val pairs = EmbeddingOps.brutePairs(emb, "vec_id", "embedding", 0.99).collect()
