@@ -185,7 +185,10 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(
           round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+          // discrete median: an actual element value — interpolated medians
+          // ((a+b)/2) can land exactly on round-half boundaries where the
+          // two engines' last-ulp arithmetic disagrees
+          expr("percentile_approx(l_extendedprice, 0.5, 1000000)").as("median_price"),
           round(min(col("l_extendedprice")), 2).as("min_price"),
           round(max(col("l_extendedprice")), 2).as("max_price"))
     },
@@ -381,7 +384,7 @@ object SparkEntry {
     "q_agg_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 2) AS sd_qty,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+        |  quantile_disc(l_extendedprice, 0.5) AS median_price,
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
