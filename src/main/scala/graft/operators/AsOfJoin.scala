@@ -50,9 +50,13 @@ object AsOfJoin {
       lit(0).as("__side"), lit(null).cast(lType).as("__l"), rStruct.as("__r"))
 
     val outSchema = StructType(lType.fields ++ rType.fields)
+    // final xxhash64 sort key: with duplicate right timestamps on a key the
+    // "latest" is otherwise whichever row the shuffle happened to order last
+    // — hash of the payload makes the winner deterministic across runs
     val sorted = taggedR.unionByName(taggedL)
       .repartition(col("__k"))
-      .sortWithinPartitions(col("__k"), col("__ts"), col("__side"))
+      .sortWithinPartitions(col("__k"), col("__ts"), col("__side"),
+        xxhash64(to_json(struct(col("__l"), col("__r")))))
 
     sorted.mapPartitions { rows =>
       var curKey: Any = null
