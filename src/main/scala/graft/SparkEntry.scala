@@ -132,6 +132,54 @@ object SparkEntry {
           col("scope_name"), col("scope_version"))
     },
 
+    // F5 OTLP traces flattener: nested span per event, exploded back flat;
+    // duration computed from exact ns ints; trace ids lowercased.
+    "q_otlp_traces" -> { (s, dir) =>
+      val nested = eventsUsPrecision(s, dir).select(array(struct(
+        struct(array(struct(lit("svc").as("key"),
+          struct(lit("api").as("stringValue")).as("value"))).as("attributes")).as("resource"),
+        array(struct(
+          struct(lit("tracer").as("name"), lit("2.0").as("version")).as("scope"),
+          array(struct(
+            concat(lit("T"), col("event_id")).as("traceId"),
+            concat(lit("S"), col("event_id")).as("spanId"),
+            col("event_type").as("name"),
+            col("ts_ns").cast("string").as("startTimeUnixNano"),
+            (col("ts_ns") + floor(col("value") * 1000000).cast("long"))
+              .cast("string").as("endTimeUnixNano")
+          )).as("spans")
+        )).as("scopeSpans")
+      )).as("resourceSpans"))
+      operators.OtlpFlatten.traces(nested)
+        .select(col("trace_id"), col("span_id"), col("name"),
+          col("start_timestamp"), col("duration_ns"), col("scope_name"),
+          col("scope_version"))
+    },
+
+    // F6 OTLP metrics flattener: one gauge data point per event.
+    "q_otlp_metrics" -> { (s, dir) =>
+      val nested = eventsUsPrecision(s, dir).select(array(struct(
+        struct(array(struct(lit("host").as("key"),
+          struct(col("user_id").cast("string").as("stringValue")).as("value")))
+          .as("attributes")).as("resource"),
+        array(struct(
+          struct(lit("meter").as("name")).as("scope"),
+          array(struct(
+            concat(lit("evt_"), col("event_type")).as("name"),
+            lit("1").as("unit"),
+            struct(array(struct(
+              col("ts_ns").cast("string").as("timeUnixNano"),
+              col("value").as("asDouble")
+            )).as("dataPoints")).as("gauge")
+          )).as("metrics")
+        )).as("scopeMetrics")
+      )).as("resourceMetrics"))
+      operators.OtlpFlatten.metrics(nested)
+        .select(col("timestamp"), col("metric_name"), col("metric_unit"),
+          col("metric_type"), col("aggregation_temporality"),
+          col("value_double"), col("resource_attributes"))
+    },
+
     // T1/T2 sink field mapper + ClickHouse conversion matrix
     // (reference mapper/mapper.go + mapper/types.go): JSON extraction,
     // range-checked narrowing, float-secs→DateTime, LowCardinality target.
@@ -503,6 +551,26 @@ object SparkEntry {
         |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS band
         |FROM events""".stripMargin,
 
+    "q_otlp_traces" ->
+      """SELECT
+        |  lower('T' || event_id) AS trace_id,
+        |  lower('S' || event_id) AS span_id,
+        |  event_type AS name,
+        |  strftime(ts::TIMESTAMP, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS start_timestamp,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS duration_ns,
+        |  'tracer' AS scope_name,
+        |  '2.0' AS scope_version
+        |FROM events""".stripMargin,
+    "q_otlp_metrics" ->
+      """SELECT
+        |  strftime(ts::TIMESTAMP, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS timestamp,
+        |  'evt_' || event_type AS metric_name,
+        |  '1' AS metric_unit,
+        |  'gauge' AS metric_type,
+        |  'UNSPECIFIED' AS aggregation_temporality,
+        |  value AS value_double,
+        |  MAP {'host': user_id::VARCHAR} AS resource_attributes
+        |FROM events""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH RECURSIVE f AS (
         |  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS ts_ns
