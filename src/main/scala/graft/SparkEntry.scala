@@ -267,9 +267,13 @@ object SparkEntry {
     // Exact document dedup by normalized-text fingerprint, keep min doc_id.
     "q_doc_dedup_exact" -> { (s, dir) =>
       import graft.data.TextFunctions._
+      // keep-min-id per fingerprint as a hash aggregate: map-side partials
+      // shrink the shuffle to one row per distinct fingerprint (a window
+      // row_number would full-sort every partition instead)
       Tables.documents(s, dir)
-        .withColumn("fp", fingerprint(col("text")))
-        .transform(operators.DedupOp.exact(Seq("fp"), Seq(col("doc_id"))))
+        .select(fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("fp"))
     },
 
