@@ -41,6 +41,29 @@ class DedupSpec extends SparkSpec {
     assert(out.count() > 0 && out.count() < ev.count())
   }
 
+  test("exact streaming dedup restarts the TTL from the last KEPT record") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = DedupOp.windowedStreamingExact(Seq("k"), "ts", 600000L)( // 10 min
+        mem.toDF.toDF("k", "ts", "id"))
+      .writeStream.format("memory").queryName("dedup_exact_out")
+      .outputMode("append").start()
+    // kept@10:00; dup@10:05 dropped; dup@10:08 dropped (does NOT refresh);
+    // 10:12 KEPT (12 min since last KEPT — dropDuplicatesWithinWatermark
+    // would still drop it, since-first-seen)
+    mem.addData(
+      ("a", t("2025-01-01 10:00:00"), 1L),
+      ("a", t("2025-01-01 10:05:00"), 2L),
+      ("a", t("2025-01-01 10:08:00"), 3L),
+      ("a", t("2025-01-01 10:12:00"), 4L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_exact_out").collect().map(_.getLong(2)).sorted.toSeq
+    assert(got == Seq(1L, 4L))
+  }
+
   test("streaming windowed dedup drops in-window duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
