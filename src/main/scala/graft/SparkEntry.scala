@@ -128,7 +128,9 @@ object SparkEntry {
       )).as("resourceLogs"))
       operators.OtlpFlatten.logs(nested)
         .select(col("timestamp"), col("severity_number"), col("severity_text"),
-          col("body"), col("resource_attributes"), col("attributes"),
+          col("body"),
+          operators.OtlpFlatten.attrsJson(col("resource_attributes")).as("resource_attributes"),
+          operators.OtlpFlatten.attrsJson(col("attributes")).as("attributes"),
           col("scope_name"), col("scope_version"))
     },
 
@@ -177,7 +179,8 @@ object SparkEntry {
       operators.OtlpFlatten.metrics(nested)
         .select(col("timestamp"), col("metric_name"), col("metric_unit"),
           col("metric_type"), col("aggregation_temporality"),
-          col("value_double"), col("resource_attributes"))
+          col("value_double"),
+          operators.OtlpFlatten.attrsJson(col("resource_attributes")).as("resource_attributes"))
     },
 
     // T1/T2 sink field mapper + ClickHouse conversion matrix
@@ -444,9 +447,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |  length(text) AS len_chars,
-        |  (list_aggregate(list_transform(string_split_regex(trim(text), '\s+'),
+        |  CAST((list_aggregate(list_transform(string_split_regex(trim(text), '\s+'),
         |        x -> length(x)), 'sum') * 100)
-        |    // len(string_split_regex(trim(text), '\s+')) AS awl_x100,
+        |    // len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS awl_x100,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
     "q_text_quality" ->
@@ -573,7 +576,7 @@ object SparkEntry {
         |  'gauge' AS metric_type,
         |  'UNSPECIFIED' AS aggregation_temporality,
         |  value AS value_double,
-        |  MAP {'host': user_id::VARCHAR} AS resource_attributes
+        |  '{"host":"' || user_id::VARCHAR || '"}' AS resource_attributes
         |FROM events""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH RECURSIVE f AS (
@@ -597,8 +600,8 @@ object SparkEntry {
         |  9 AS severity_number,
         |  upper(event_type) AS severity_text,
         |  props AS body,
-        |  MAP {'user': user_id::VARCHAR} AS resource_attributes,
-        |  MAP {'event': event_id::VARCHAR} AS attributes,
+        |  '{"user":"' || user_id::VARCHAR || '"}' AS resource_attributes,
+        |  '{"event":"' || event_id::VARCHAR || '"}' AS attributes,
         |  'graft' AS scope_name,
         |  '1.0' AS scope_version
         |FROM events""".stripMargin,

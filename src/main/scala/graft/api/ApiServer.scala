@@ -129,12 +129,23 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
       .toMap
     val path = params.getOrElse("path",
       return respond(ex, 400, Map("error" -> "missing ?path=")))
+    // paths are confined to the service's configured DLQ root (traversal
+    // outside it → 400); see PipelineService.resolveDlq
     uri.getPath.stripPrefix("/api/v1/dlq/") match {
-      case "state" => respond(ex, 200, Map("rows" -> service.dlqState(path)))
+      case "state" => service.dlqState(path) match {
+        case Right(n) => respond(ex, 200, Map("rows" -> n))
+        case Left(err) => respond(ex, 400, Map("error" -> err))
+      }
       case "consume" =>
-        respond(ex, 200, service.dlqConsume(path, params.getOrElse("limit", "100").toInt))
+        service.dlqConsume(path, params.getOrElse("limit", "100").toInt) match {
+          case Right(msgs) => respond(ex, 200, msgs)
+          case Left(err) => respond(ex, 400, Map("error" -> err))
+        }
       case "purge" if ex.getRequestMethod == "POST" =>
-        service.dlqPurge(path); respond(ex, 200, Map("purged" -> true))
+        service.dlqPurge(path) match {
+          case Right(_) => respond(ex, 200, Map("purged" -> true))
+          case Left(err) => respond(ex, 400, Map("error" -> err))
+        }
       case other => respond(ex, 404, Map("error" -> s"unknown dlq op: $other"))
     }
   }

@@ -42,41 +42,34 @@ object EmbeddingOps {
   /** Exact pairs (a < b) with cosine ≥ threshold. Normalizes once, then a
     * single self-join; fine up to ~10⁴ vectors per executor-broadcast side —
     * beyond that use [[lshBuckets]] + within-bucket pairs. */
+  /** Primitive-loop cosine over two float vectors (ascending-index double
+    * accumulation — the arithmetic order the exact oracle uses). A UDF, not
+    * a HOF lambda: per-pair work must be a tight loop, and it runs once per
+    * candidate pair (n² of them), not once per row. */
+  private val cosineUdf = udf { (a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def brutePairs(df: DataFrame, idCol: String, vecCol: String,
                  threshold: Double): DataFrame = {
-    // Block nested loop done right: broadcast the corpus once (ids + raw
-    // vectors, a few MB for 10⁴×64f), then each partition streams its rows
-    // against the broadcast side with primitive-array loops — no 25M-row
-    // join materialization, no per-pair allocation. Dot is ascending-index,
-    // cosine is dot/(‖a‖·‖b‖): bit-identical to the declarative form.
-    // Beyond ~10⁵ vectors use lshBuckets + within-bucket pairs instead.
-    val spark = df.sparkSession
-    val rows = df.select(col(idCol).cast(LongType), col(vecCol)).collect()
-      .map { r =>
-        val arr = r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray
-        (r.getLong(0), arr)
-      }.sortBy(_._1)
-    def dotP(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val norms = rows.map { case (_, v) => math.sqrt(dotP(v, v)) }
-    val bc = spark.sparkContext.broadcast((rows, norms))
-    import spark.implicits._
-    val n = rows.length
-    val out = spark.sparkContext.parallelize(0 until n,
-        math.min(n, spark.sparkContext.defaultParallelism * 4))
-      .flatMap { i =>
-        val (vecs, nrm) = bc.value
-        val (idA, va) = vecs(i)
-        (i + 1 until vecs.length).iterator.flatMap { j =>
-          val c = dotP(va, vecs(j)._2) / (nrm(i) * nrm(j))
-          if (c >= threshold) Some((idA, vecs(j)._1, c)) else None
-        }
-      }
-    out.toDF("id_a", "id_b", "cosine")
-      .withColumn("cosine", round(col("cosine"), 4))
+    // Distributed block nested loop: Spark broadcasts the right side (its
+    // own torrent broadcast — no manual full-corpus collect on the driver),
+    // each task streams its left rows against it. The id_a < id_b condition
+    // halves the pair space; the cosine is a primitive-loop UDF per pair.
+    // Beyond ~10⁵ vectors (broadcast side no longer fits) use lshBuckets +
+    // within-bucket pairs instead — this is the exact/verification path.
+    val left = df.select(col(idCol).cast(LongType).as("id_a"), col(vecCol).as("__va"))
+    val right = df.select(col(idCol).cast(LongType).as("id_b"), col(vecCol).as("__vb"))
+    left.join(broadcast(right), col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineUdf(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
@@ -98,20 +91,30 @@ object EmbeddingOps {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bucket"))
   }
 
-  /** IVF (inverted-file) index: deterministic coarse centroids (an evenly
-    * spaced sample of the corpus — cheap, seedless, stable), each vector
-    * assigned to its nearest centroid. The returned frame is the "posting
-    * list" layout: repartitioning/clustering by `centroid` colocates each
-    * cell, so a query only scans `nprobe` cells instead of the corpus. */
+  /** IVF (inverted-file) index: deterministic coarse centroids — a
+    * hash-spread sample of the corpus (rows whose xxhash64(id) lands on a
+    * stride of ~n/k, a seedless pseudo-random spread that needs no sort and
+    * no bulk driver materialization; only the k centroid vectors themselves
+    * ever reach the driver). Each vector is assigned to its nearest
+    * centroid. The returned frame is the "posting list" layout:
+    * repartitioning/clustering by `centroid` colocates each cell, so a
+    * query only scans `nprobe` cells instead of the corpus. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
                numCentroids: Int): (Seq[(Int, Array[Double])], DataFrame) = {
     val spark = df.sparkSession
-    val all = df.select(col(idCol)).orderBy(col(idCol)).limit(1000000).collect().map(_.getLong(0))
-    val step = math.max(1, all.length / numCentroids)
-    val centroidIds = all.zipWithIndex.collect { case (id, i) if i % step == 0 => id }
-      .take(numCentroids)
-    val centroids = df.filter(col(idCol).isInCollection(centroidIds))
-      .select(col(idCol), col(vecCol)).collect()
+    val n = df.count()
+    val stride = math.max(1L, n / math.max(1, numCentroids))
+    // orderBy(id).limit(k) over the ~k hash-selected survivors compiles to
+    // TakeOrdered (per-partition top-k + driver merge of k rows), not a
+    // full sort; determinism comes from the hash + the id order.
+    var sample = df.select(col(idCol), col(vecCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(numCentroids).collect()
+    if (sample.length < numCentroids)
+      // hash variance undersupplied (tiny corpus): top up with smallest ids
+      sample = df.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(numCentroids).collect()
+    val centroids = sample
       .map(r => r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
       .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     val bc = spark.sparkContext.broadcast(centroids)

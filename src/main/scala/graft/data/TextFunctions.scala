@@ -84,11 +84,13 @@ object TextFunctions {
   // boundary can flip the last digit) ----
 
   /** avg word length ×100, integer (`sum_len*100 div n_tokens`). Sum of
-    * token lengths ≡ count of non-whitespace chars — one regexp instead of
-    * a per-token aggregate lambda. */
+    * token lengths = length of all tokens concatenated — derived from the
+    * SAME `tokens()` split as the count (a separate `\s` strip would use
+    * Java's whitespace class, which differs from RE2's by `\x0B`), and
+    * still codegen'd (no aggregate lambda). */
   def avgWordLenX100(c: Column): Column = {
     val t = tokens(c)
-    val sumLen = length(regexp_replace(c, "\\s", "")).cast(LongType)
+    val sumLen = length(array_join(t, "")).cast(LongType)
     when(size(t) === 0, lit(0L)).otherwise(expr2Div(sumLen * 100, size(t)))
   }
 

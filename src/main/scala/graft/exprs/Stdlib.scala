@@ -59,8 +59,10 @@ object Stdlib {
       // --- waterfall: first non-null, non-empty-string value
       //     (custom_expr_functions.go:154-191; args or one list) ---
       case "waterfall" =>
+        // try_element_at: an all-null/empty list must yield NULL (expr-lang
+        // returns nil), not ANSI INVALID_ARRAY_INDEX on the empty filter result
         if (args.length == 1 && typeOf(args.head, schema).exists(_.isInstanceOf[ArrayType]))
-          element_at(filter(a(0), x => x.isNotNull && x.cast(StringType) =!= ""), 1)
+          try_element_at(filter(a(0), x => x.isNotNull && x.cast(StringType) =!= ""), lit(1))
         else
           coalesce(args.map { arg =>
             val c = toColumn(arg, schema)

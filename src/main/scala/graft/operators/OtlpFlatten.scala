@@ -49,6 +49,13 @@ object OtlpFlatten {
     case _ => lit(null).cast(MapType(StringType, StringType))
   }
 
+  /** map<string,string> → deterministic JSON string with keys sorted
+    * (array_sort over map_entries orders by the struct's first field = key).
+    * Oracle-facing queries need this: hash comparison over raw map columns
+    * is order-sensitive and map values aren't hashable driver-side. */
+  def attrsJson(m: Column): Column =
+    to_json(map_from_entries(array_sort(map_entries(m))))
+
   /** Unix-nanos column (long or numeric string) → RFC3339 string with
     * microsecond precision (flattener logs.go ns→RFC3339). Division is done
     * in Decimal: a double round-trip would corrupt epoch-nanos (1.7e18 is

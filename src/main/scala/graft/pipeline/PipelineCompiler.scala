@@ -100,8 +100,13 @@ object PipelineCompiler {
     d.timeField match {
       case Some(tf) =>
         val windowNs = PipelineConfig.windowMillis(d.timeWindow) * 1000000L
-        DedupOp.windowedBatch(Seq(d.idField), "__ts_ns", windowNs, d.idField)(
-          df.withColumn("__ts_ns", tsNsColumn(df, Some(tf)))).drop("__ts_ns")
+        // tie-break on a hash of the full payload, not the dedup key (the
+        // key is constant within its partition, which would leave equal-ts
+        // winners nondeterministic across runs)
+        DedupOp.windowedBatch(Seq(d.idField), "__ts_ns", windowNs, "__tie")(
+          df.withColumn("__ts_ns", tsNsColumn(df, Some(tf)))
+            .withColumn("__tie", xxhash64(struct(df.columns.map(col): _*))))
+          .drop("__ts_ns", "__tie")
       case None =>
         DedupOp.exact(Seq(d.idField), Seq(col(d.idField)))(df)
     }

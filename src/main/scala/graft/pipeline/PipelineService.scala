@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * and the registry is in-memory (swap for a durable store in production —
   * the checkpoint itself is the durable execution state).
   */
-final class PipelineService(spark: SparkSession) {
+final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None) {
 
   import PipelineService._
 
@@ -82,19 +82,44 @@ final class PipelineService(spark: SparkSession) {
     Option(registry.get(id)).toRight(s"no such pipeline: $id").flatMap(f)
 
   // ---- DLQ API (state / consume / purge over a parquet-backed DLQ) ----
+  //
+  // Caller-supplied paths are confined to the configured `dlqRoot`: the API
+  // surface must never expose raw filesystem access (the reference scopes
+  // DLQ ops to a pipeline's own queue; a purge endpoint that deletes any
+  // path is an arbitrary-delete primitive for anything that can reach the
+  // socket, CSRF included). Paths are normalized BEFORE the containment
+  // check, so `../` traversal cannot escape.
 
-  def dlqState(path: String): Long =
-    try spark.read.parquet(path).count() catch { case _: Exception => 0L }
+  /** Resolve a caller-supplied DLQ path against the configured root.
+    * Relative paths resolve under the root; absolute paths are accepted
+    * only when they normalize to inside the root. */
+  private[pipeline] def resolveDlq(path: String): Either[String, String] =
+    dlqRoot match {
+      case None => Left("DLQ root not configured")
+      case Some(root) =>
+        val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+        val p = java.nio.file.Paths.get(path)
+        val target = (if (p.isAbsolute) p else base.resolve(p)).normalize
+        if (target.startsWith(base)) Right(target.toString)
+        else Left(s"path outside DLQ root: $path")
+    }
 
-  def dlqConsume(path: String, limit: Int): Seq[String] =
-    try spark.read.parquet(path).limit(limit)
-      .collect().map(_.getAs[String]("original_message")).toSeq
-    catch { case _: Exception => Seq.empty }
+  def dlqState(path: String): Either[String, Long] = resolveDlq(path).map { p =>
+    try spark.read.parquet(p).count() catch { case _: Exception => 0L }
+  }
 
-  def dlqPurge(path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
+  def dlqConsume(path: String, limit: Int): Either[String, Seq[String]] =
+    resolveDlq(path).map { p =>
+      try spark.read.parquet(p).limit(limit)
+        .collect().map(_.getAs[String]("original_message")).toSeq
+      catch { case _: Exception => Seq.empty }
+    }
+
+  def dlqPurge(path: String): Either[String, Unit] = resolveDlq(path).map { rp =>
+    val p = new org.apache.hadoop.fs.Path(rp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    ()
   }
 }
 

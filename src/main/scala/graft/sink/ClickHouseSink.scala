@@ -27,7 +27,12 @@ object ClickHouseSink {
     maxBatchSize: Long = 100000,
     maxDelaySeconds: Int = 60,          // reference default flush delay (constants.go:238)
     maxRetries: Int = 10,               // reference MaxDeliver (constants.go:157-166)
-    idempotencyColumn: Option[String] = None) // e.g. kafka offset
+    idempotencyColumn: Option[String] = None, // e.g. kafka offset
+    // per-schema-version batching (reference clickhouse.go:536-699): rows
+    // carry a version id column; each version gets its own mapping and its
+    // own INSERT. Versions absent from the map fall back to `mappings`.
+    versionColumn: Option[String] = None,
+    versionMappings: Map[String, Seq[ColumnMapping]] = Map.empty)
 
   /** `INSERT INTO db.table (c1, c2, ...)` column list — deterministic order
     * from the mapping config (reference clickhouse.go:701-718). */
@@ -36,11 +41,9 @@ object ClickHouseSink {
   def insertSql(c: Config): String =
     s"INSERT INTO ${c.database}.${c.table} (${insertColumns(c).mkString(", ")})"
 
-  /** Write one micro-batch via JDBC (requires the ClickHouse JDBC driver on
-    * the cluster classpath). Used from foreachBatch. */
-  def writeBatch(c: Config)(df: DataFrame): Unit = {
-    val deduped = c.idempotencyColumn.fold(df)(col => df.dropDuplicates(col))
-    val mapped = if (c.mappings.nonEmpty) SinkMapper(c.mappings)(deduped) else deduped
+  /** The terminal JDBC write for one mapped frame (requires the ClickHouse
+    * JDBC driver on the cluster classpath). */
+  private def jdbcWrite(c: Config)(mapped: DataFrame): Unit =
     mapped.write
       .format("jdbc")
       .option("url", c.url)
@@ -51,17 +54,60 @@ object ClickHouseSink {
       .option("isolationLevel", "NONE")
       .mode("append")
       .save()
+
+  /** Write one micro-batch: within-batch idempotency dedup, then either one
+    * mapped INSERT or — when a version column is configured — one typed
+    * INSERT per schema version present in the batch (the reference groups
+    * every flush by Schema-Version-Id, clickhouse.go:536-699). Used from
+    * foreachBatch. */
+  def writeBatch(c: Config)(df: DataFrame): Unit = writeBatchWith(c, jdbcWrite(c))(df)
+
+  /** Same batching/mapping logic with an injectable terminal write (the
+    * unit-test seam; no JDBC driver ships in this build env). */
+  def writeBatchWith(c: Config, write: DataFrame => Unit)(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val deduped = c.idempotencyColumn.fold(df)(k => df.dropDuplicates(k))
+    c.versionColumn match {
+      case Some(vc) if c.versionMappings.nonEmpty =>
+        // the distinct pulls only the handful of version ids in this batch —
+        // bounded by the schema-version count, not the row count
+        val versions = deduped.select(vc).distinct().collect()
+          .map(r => String.valueOf(r.get(0))).sorted
+        versions.foreach { v =>
+          val mappings = c.versionMappings.getOrElse(v, c.mappings)
+          val part = deduped.filter(col(vc) === v)
+          write(if (mappings.nonEmpty) SinkMapper(mappings)(part) else part)
+        }
+      case _ =>
+        write(if (c.mappings.nonEmpty) SinkMapper(c.mappings)(deduped) else deduped)
+    }
   }
 
-  /** foreachBatch handler with the reference's error policy: retryable →
-    * rethrow (Spark retries the batch from the checkpoint), permanent /
-    * unknown → DLQ writer, stream continues. */
-  def foreachBatchHandler(c: Config, dlq: DataFrame => Unit)(batch: DataFrame, batchId: Long): Unit = {
-    try writeBatch(c)(batch)
-    catch {
-      case t: Throwable => ErrorClassifier.classify(t) match {
-        case ErrorClassifier.Retryable => throw t
-        case _ => dlq(Dlq.envelope("sink", t.getMessage)(batch))
+  /** foreachBatch handler with the reference's full error policy:
+    * retryable → rethrow (Spark retries the batch from the checkpoint)
+    * UNTIL the per-batch retry budget is spent, then DLQ + continue (NATS
+    * MaxDeliver=10 dead-letter semantics, constants.go:157-166,
+    * clickhouse.go:511-534 — a persistently sick batch must not wedge the
+    * stream); permanent / unknown → DLQ immediately, stream continues. */
+  def foreachBatchHandler(c: Config, dlq: DataFrame => Unit,
+                          write: Option[DataFrame => Unit] = None): (DataFrame, Long) => Unit = {
+    val attempts = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]()
+    val terminal = write.getOrElse(jdbcWrite(c) _)
+    (batch: DataFrame, batchId: Long) => {
+      try { writeBatchWith(c, terminal)(batch); attempts.remove(batchId) }
+      catch {
+        case t: Throwable => ErrorClassifier.classify(t) match {
+          case ErrorClassifier.Retryable =>
+            val n: Int = attempts.merge(batchId, 1,
+              (a: Integer, b: Integer) => Integer.valueOf(a + b))
+            if (n < c.maxRetries) throw t
+            else {
+              attempts.remove(batchId)
+              dlq(Dlq.envelope("sink",
+                s"retry budget exhausted (${c.maxRetries}): ${t.getMessage}")(batch))
+            }
+          case _ => dlq(Dlq.envelope("sink", t.getMessage)(batch))
+        }
       }
     }
   }
@@ -72,5 +118,5 @@ object ClickHouseSink {
     df.writeStream
       .trigger(Trigger.ProcessingTime(s"${c.maxDelaySeconds} seconds"))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(foreachBatchHandler(c, dlq) _)
+      .foreachBatch(foreachBatchHandler(c, dlq))
 }

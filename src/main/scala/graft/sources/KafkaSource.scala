@@ -21,13 +21,29 @@ object KafkaSource {
     topic: String,
     consumerGroup: String = "graft",
     initialOffset: String = "earliest",         // earliest | latest
-    saslMechanism: Option[String] = None,       // PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512
+    saslMechanism: Option[String] = None,       // PLAIN | SCRAM-SHA-256 | SCRAM-SHA-512 | GSSAPI
     saslUsername: Option[String] = None,
     saslPassword: Option[String] = None,
     tlsEnabled: Boolean = false,
     skipAuth: Boolean = false,
     maxOffsetsPerTrigger: Option[Long] = None,
-    minPartitions: Option[Int] = None)
+    minPartitions: Option[Int] = None,
+    // GSSAPI/Kerberos (reference consumer.go:155-181: service name, realm,
+    // keytab-or-password client). The JVM reads /etc/krb5.conf by default;
+    // point java.security.krb5.conf at `krb5ConfPath` when set.
+    kerberosServiceName: Option[String] = None,
+    kerberosRealm: Option[String] = None,
+    kerberosKeytabPath: Option[String] = None,
+    krb5ConfPath: Option[String] = None)
+
+  /** Escape a value for embedding in a JAAS double-quoted string: a raw
+    * quote/backslash would break the config or inject JAAS directives. */
+  private[sources] def jaasEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c    => c.toString
+    }
 
   /** The spark.readStream options this config compiles to. Pure — unit
     * testable without a broker. */
@@ -47,6 +63,28 @@ object KafkaSource {
       case _ if c.skipAuth => Map.empty
       case None =>
         if (c.tlsEnabled) Map("kafka.security.protocol" -> "SSL") else Map.empty
+      case Some(mech) if mech.toUpperCase == "GSSAPI" =>
+        // Kerberos (consumer.go:155-181): keytab mode when a keytab is
+        // given, else the JVM ticket cache (JAAS cannot carry a password).
+        val service = c.kerberosServiceName.getOrElse(
+          throw new IllegalArgumentException("kafka: GSSAPI requires kerberos service name"))
+        val principal = (c.saslUsername, c.kerberosRealm) match {
+          case (Some(u), Some(r)) if !u.contains("@") => s"$u@$r"
+          case (Some(u), _) => u
+          case _ => throw new IllegalArgumentException("kafka: GSSAPI requires sasl username (principal)")
+        }
+        val clientAuth = c.kerberosKeytabPath match {
+          case Some(kt) =>
+            s"""useKeyTab=true storeKey=true keyTab="${jaasEscape(kt)}" principal="${jaasEscape(principal)}";"""
+          case None =>
+            s"""useTicketCache=true principal="${jaasEscape(principal)}";"""
+        }
+        Map(
+          "kafka.security.protocol" -> (if (c.tlsEnabled) "SASL_SSL" else "SASL_PLAINTEXT"),
+          "kafka.sasl.mechanism" -> "GSSAPI",
+          "kafka.sasl.kerberos.service.name" -> service,
+          "kafka.sasl.jaas.config" ->
+            s"com.sun.security.auth.module.Krb5LoginModule required $clientAuth")
       case Some(mech) =>
         val (module, mechName) = mech.toUpperCase match {
           case "PLAIN" => ("org.apache.kafka.common.security.plain.PlainLoginModule", "PLAIN")
@@ -59,7 +97,7 @@ object KafkaSource {
           "kafka.security.protocol" -> (if (c.tlsEnabled) "SASL_SSL" else "SASL_PLAINTEXT"),
           "kafka.sasl.mechanism" -> mechName,
           "kafka.sasl.jaas.config" ->
-            s"""$module required username="$user" password="$pass";""")
+            s"""$module required username="${jaasEscape(user)}" password="${jaasEscape(pass)}";""")
     }
     val tuning = c.maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString).toMap ++
       c.minPartitions.map("minPartitions" -> _.toString).toMap

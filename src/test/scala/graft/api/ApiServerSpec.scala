@@ -8,7 +8,8 @@ import graft.pipeline.PipelineService
 
 class ApiServerSpec extends SparkSpec {
 
-  private lazy val service = new PipelineService(spark)
+  private lazy val dlqRoot = java.nio.file.Files.createTempDirectory("api_dlq").toString
+  private lazy val service = new PipelineService(spark, dlqRoot = Some(dlqRoot))
   private lazy val server = new ApiServer(spark, service)
   private lazy val port = server.start()
   private lazy val client = HttpClient.newHttpClient()
@@ -77,14 +78,16 @@ class ApiServerSpec extends SparkSpec {
     assert(code == 200 && body == """{"name_u":"ADA","n2":42}""")
   }
 
-  test("dlq endpoints over http") {
+  test("dlq endpoints over http, confined to the configured root") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("api_dlq").toString + "/d"
-    graft.sink.Dlq.writeParquet(dir)(
+    graft.sink.Dlq.writeParquet(s"$dlqRoot/d")(
       graft.sink.Dlq.envelope("sink", "Code: 53")(Seq(("x", 1)).toDF("id", "n")))
-    val (c1, b1) = get(s"/api/v1/dlq/state?path=$dir")
+    val (c1, b1) = get("/api/v1/dlq/state?path=d")
     assert(c1 == 200 && b1 == """{"rows":1}""")
-    assert(post(s"/api/v1/dlq/purge?path=$dir", "")._1 == 200)
-    assert(get(s"/api/v1/dlq/state?path=$dir")._2 == """{"rows":0}""")
+    // out-of-root paths are refused, never touched
+    assert(post("/api/v1/dlq/purge?path=/tmp", "")._1 == 400)
+    assert(post("/api/v1/dlq/purge?path=d/../../etc", "")._1 == 400)
+    assert(post("/api/v1/dlq/purge?path=d", "")._1 == 200)
+    assert(get("/api/v1/dlq/state?path=d")._2 == """{"rows":0}""")
   }
 }

@@ -79,6 +79,16 @@ class ExprSpec extends SparkSpec {
     assert(eval1("waterfall(a, 'y', c)", df) == "y")
   }
 
+  test("waterfall over a list column; all-empty yields null, not an error") {
+    val df = Seq(
+      (Seq(null.asInstanceOf[String], "", "first"), Seq(null.asInstanceOf[String], "")))
+      .toDF("xs", "empties")
+    assert(eval1("waterfall(xs)", df) == "first")
+    // ANSI mode: element_at on the empty filtered array would throw;
+    // expr-lang waterfall returns nil
+    assert(eval1("waterfall(empties)", df) == null)
+  }
+
   test("timestamps: parseISO8601 / toDate") {
     assert(eval1("parseISO8601(ts)", sample) == 1735725600L)
     assert(eval1("toDate(ts)", sample) == "2025-01-01")

@@ -49,17 +49,24 @@ class LifecycleSpec extends SparkSpec {
     assert(svc.create(bad).swap.exists(_.contains("exactly 2 sources")))
   }
 
-  test("dlq state / consume / purge") {
-    val svc = new PipelineService(spark)
-    val dir = Files.createTempDirectory("graft_dlq").toString + "/dlq"
+  test("dlq state / consume / purge, confined to the configured root") {
+    val root = Files.createTempDirectory("graft_dlq").toString
+    val svc = new PipelineService(spark, dlqRoot = Some(root))
     val failed = Seq(("r1", 1L), ("r2", 2L)).toDF("id", "n")
-    graft.sink.Dlq.writeParquet(dir)(
+    graft.sink.Dlq.writeParquet(s"$root/dlq")(
       graft.sink.Dlq.envelope("sink", "Code: 53")(failed))
-    assert(svc.dlqState(dir) == 2L)
-    val msgs = svc.dlqConsume(dir, 10)
+    assert(svc.dlqState("dlq") == Right(2L))
+    assert(svc.dlqState(s"$root/dlq") == Right(2L)) // absolute, inside root
+    val msgs = svc.dlqConsume("dlq", 10).toOption.get
     assert(msgs.length == 2 && msgs.forall(_.contains("\"id\":")))
-    svc.dlqPurge(dir)
-    assert(svc.dlqState(dir) == 0L)
+    // traversal and out-of-root paths are rejected, not deleted
+    assert(svc.dlqPurge("../outside").isLeft)
+    assert(svc.dlqPurge("/tmp").isLeft)
+    assert(svc.dlqPurge("dlq/../../escaped").isLeft)
+    assert(svc.dlqPurge("dlq").isRight)
+    assert(svc.dlqState("dlq") == Right(0L))
+    // no root configured → every DLQ op refused
+    assert(new PipelineService(spark).dlqState("dlq").isLeft)
   }
 
   test("streaming dedup state survives a restart from checkpoint") {

@@ -33,6 +33,77 @@ class SinkSpec extends SparkSpec {
     assert(ClickHouseSink.insertSql(c) == "INSERT INTO db.t (col_a, col_b)")
   }
 
+  test("retry budget: retryable failures dead-letter after maxRetries, handler keeps going") {
+    import org.apache.spark.sql.DataFrame
+    val c = ClickHouseSink.Config(url = "x", database = "db", table = "t", maxRetries = 3)
+    val dlqd = scala.collection.mutable.ArrayBuffer[String]()
+    val capture = (df: DataFrame) => { dlqd += df.collect().head.getAs[String]("error"); () }
+    val boom: DataFrame => Unit =
+      _ => throw new RuntimeException("Code: 241. DB::Exception: Memory limit")
+    val handler = ClickHouseSink.foreachBatchHandler(c, capture, Some(boom))
+    val batch = Seq(("a", 1L)).toDF("id", "n")
+    // attempts 1..maxRetries-1 rethrow (Spark would retry the batch from
+    // the checkpoint on restart); the budget's last attempt dead-letters
+    intercept[RuntimeException](handler(batch, 7L))
+    intercept[RuntimeException](handler(batch, 7L))
+    handler(batch, 7L)
+    assert(dlqd.length == 1 && dlqd.head.contains("retry budget exhausted (3)"))
+    // a different batch id has its own budget
+    intercept[RuntimeException](handler(batch, 8L))
+    // permanent errors skip the budget and dead-letter immediately
+    val perm: DataFrame => Unit =
+      _ => throw new RuntimeException("Code: 53. DB::Exception: Type mismatch")
+    ClickHouseSink.foreachBatchHandler(c, capture, Some(perm))(batch, 0L)
+    assert(dlqd.length == 2 && dlqd.last.contains("Code: 53"))
+  }
+
+  test("retry budget over a live stream: sick batch dead-letters, stream continues") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val c = ClickHouseSink.Config(url = "x", database = "db", table = "t", maxRetries = 2)
+    val dlqd = scala.collection.mutable.ArrayBuffer[Long]()
+    // poison rows fail retryably; clean rows write fine
+    val writer: DataFrame => Unit = { df =>
+      if (df.filter(df.col("id") === "poison").count() > 0)
+        throw new RuntimeException("Code: 159. DB::Exception: Timeout")
+    }
+    val handler = ClickHouseSink.foreachBatchHandler(c, df => dlqd += df.count(), Some(writer))
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    val mem = MemoryStream[(String, Long)]
+    def start() = mem.toDF.toDF("id", "n").writeStream
+      .option("checkpointLocation", ckpt).foreachBatch(handler).start()
+    mem.addData(("poison", 1L))
+    // attempt 1 fails the query (restart-retries from checkpoint); attempt 2
+    // exhausts the budget → DLQ, query stays alive
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(dlqd.toSeq == Seq(1L))
+    // the stream keeps processing after the dead-letter
+    mem.addData(("clean", 2L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(dlqd.toSeq == Seq(1L))
+  }
+
+  test("per-schema-version batching applies each version's own mapping") {
+    val c = ClickHouseSink.Config(url = "x", database = "db", table = "t",
+      versionColumn = Some("ver"),
+      versionMappings = Map(
+        "v1" -> Seq(ColumnMapping("a", "col_a", "String")),
+        "v2" -> Seq(ColumnMapping("a", "col_a", "String"), ColumnMapping("n", "col_n", "Int64"))))
+    val df = Seq(("x", 1L, "v1"), ("y", 2L, "v2"), ("z", 3L, "v2")).toDF("a", "n", "ver")
+    val written = scala.collection.mutable.ArrayBuffer[(Seq[String], Long)]()
+    ClickHouseSink.writeBatchWith(c, d => written += ((d.columns.toSeq, d.count())))(df)
+    assert(written.toSeq == Seq(
+      (Seq("col_a"), 1L),          // v1 shape
+      (Seq("col_a", "col_n"), 2L)) // v2 shape
+    )
+  }
+
   test("dlq envelope wraps original rows as JSON") {
     val df = Seq(("x", 5L)).toDF("id", "n")
     val out = Dlq.envelope("sink", "Code: 53")(df).collect().head
