@@ -106,6 +106,57 @@ object SparkEntry {
           Projection("value", "view_value")))
     },
 
+    // J1 temporal join, STREAMING form: the flatMapGroupsWithState operator
+    // itself (latest-right-wins, left-buffer drain, per-side TTLs —
+    // reference join/temporal.go:119-291) driven through MemoryStream and
+    // oracle-checked. The collect feeds the in-memory stream only: that is
+    // the unavoidable shape of driving a streaming operator from a batch
+    // verify harness (production path is the Kafka source).
+    "q_temporal_join_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.expressions.Window
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val ttlMs = 6L * 3600 * 1000
+      // millisecond event time: flatMapGroupsWithState timestamps are ms,
+      // so the oracle must share that truncation
+      val ev = eventsUsPrecision(s, dir)
+        .withColumn("tms", expr("ts_ns div 1000000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"), col("tms"))
+      // one view per (user, ms): equal-timestamp rights would make
+      // latest-right-wins depend on arrival order — dedupe deterministically
+      // on BOTH sides instead
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("tms")).orderBy(col("event_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("event_id"), col("user_id"), col("value"), col("tms"))
+      def feed(df: DataFrame): DataFrame = {
+        val ms = MemoryStream[(Long, Long, Double, Long)]
+        ms.addData(df.collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
+        ms.toDF.toDF("event_id", "user_id", "value", "tms")
+          .withColumn("ts", timestamp_millis(col("tms")))
+      }
+      import operators.AsOfJoin.Projection
+      val joined = operators.TemporalJoin(feed(purchases), feed(views),
+        operators.TemporalJoin.Config(
+          leftKey = "user_id", rightKey = "user_id",
+          leftTs = "ts", rightTs = "ts",
+          leftTtlMs = ttlMs, rightTtlMs = ttlMs,
+          leftOut = Seq(Projection("event_id", "purchase_id"),
+            Projection("user_id", "user_id"),
+            Projection("value", "purchase_value")),
+          rightOut = Seq(Projection("event_id", "view_id"),
+            Projection("value", "view_value"))))
+      val qn = s"tjoin_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+    },
+
     // F4 OTLP logs flattener: build an ExportLogsServiceRequest-shaped
     // nested row per event, then explode it back flat. The oracle checks the
     // flatten inverts the construction exactly (attr maps, ns→RFC3339).
@@ -558,6 +609,37 @@ object SparkEntry {
         |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS band
         |FROM events""".stripMargin,
 
+    // Streaming temporal join semantics in SQL, processed-in-event-order:
+    //  hit  = the LATEST view at-or-before the purchase (ASOF) joins iff
+    //         within the right TTL (an expired latest is a miss — the
+    //         engine keeps only the latest right per key);
+    //  miss = the purchase is buffered and drained by the FIRST later view
+    //         (any later view clears the buffer), emitting iff that view
+    //         arrives within the left TTL.
+    "q_temporal_join_stream" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ns(ts) // 1000000 AS tms
+        |  FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, tms ORDER BY event_id) = 1),
+        |hit AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |         p.value AS purchase_value, v.event_id AS view_id, v.value AS view_value
+        |  FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.tms <= p.tms
+        |  WHERE p.tms - v.tms <= 21600000),
+        |drain AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |         p.value AS purchase_value, v.event_id AS view_id, v.value AS view_value,
+        |         v.tms AS vtms, p.tms AS ptms
+        |  FROM p JOIN v ON v.user_id = p.user_id AND v.tms > p.tms
+        |  WHERE p.event_id NOT IN (SELECT purchase_id FROM hit)
+        |  QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.tms, v.event_id) = 1)
+        |SELECT purchase_id, user_id, purchase_value, view_id, view_value FROM hit
+        |UNION ALL
+        |SELECT purchase_id, user_id, purchase_value, view_id, view_value FROM drain
+        |WHERE vtms - ptms <= 21600000""".stripMargin,
     "q_otlp_traces" ->
       """SELECT
         |  lower('T' || event_id) AS trace_id,
