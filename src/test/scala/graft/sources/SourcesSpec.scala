@@ -88,11 +88,26 @@ class SourcesSpec extends SparkSpec {
     val df = Seq(
       """{"id":"a","n":1}""",
       """not json at all""",
-      """{"unrelated":true}"""
+      """{"unrelated":true}""",
+      """{"id":null,"n":null}""",
+      """{"id":"d","n":"NaN-ish"}"""
     ).toDF("value")
     val (good, dlq) = JsonIngest.ingest(df, "value", schema)
-    assert(good.collect().map(_.getString(0)).toSeq == Seq("a"))
+    // declared-fields-present-but-null is valid (explicit null ≠ absent);
+    // malformed, no-declared-fields, and type-mismatch rows dead-letter
+    assert(good.collect().map(_.getString(0)).toSeq.sortBy(String.valueOf(_)) ==
+      Seq(null, "a").sortBy(String.valueOf(_)))
     val dlqRows = dlq.collect().map(_.getString(0)).toSeq
-    assert(dlqRows.length == 2 && dlqRows.contains("not json at all"))
+    assert(dlqRows.length == 3 && dlqRows.contains("not json at all")
+      && dlqRows.contains("""{"unrelated":true}""")
+      && dlqRows.contains("""{"id":"d","n":"NaN-ish"}"""))
+  }
+
+  test("schema pruning keeps mapped fields and dotted-name roots") {
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", LongType),
+      StructField("k.pod.name", StringType), StructField("unused", StringType)))
+    val pruned = JsonIngest.pruneSchema(schema, Seq("a", "k.pod.name"))
+    assert(pruned.fieldNames.toSeq == Seq("a", "k.pod.name"))
   }
 }
