@@ -16,17 +16,27 @@ import graft.types.EngineSchema
   * (glassflow-api/internal/api/router.go:77-104) on the JDK's built-in
   * HttpServer (zero extra dependencies):
   *
-  *   GET    /healthz
+  *   GET    /healthz, /api/v2/healthz
+  *   GET    /api/v1/platform                      engine/runtime info
   *   POST   /api/v1/pipeline                      create (validate + register)
   *   GET    /api/v1/pipeline                      list
   *   GET    /api/v1/pipeline/{id}                 get config + status
   *   POST   /api/v1/pipeline/{id}/stop            stop (resumable)
+  *   POST   /api/v1/pipeline/{id}/resume          restart from checkpoint
   *   POST   /api/v1/pipeline/{id}/terminate       terminate
+  *   POST   /api/v1/pipeline/{id}/edit            replace config (not running)
+  *   PATCH  /api/v1/pipeline/{id}/metadata        {name?, metadata?}
+  *   GET    /api/v1/pipeline/{id}/health          status + live query signals
+  *   GET    /api/v1/pipeline/{id}/resources       per-component resources
+  *   PATCH  /api/v1/pipeline/{id}/resources       merge-patch resources
+  *   GET    /api/v1/pipeline/{id}/resources/validation
+  *   POST   /api/v1/pipeline/migrate-preview      pure v2→v3 config transform
   *   DELETE /api/v1/pipeline/{id}                 delete
   *   POST   /api/v1/filter/validate               {expression, schema_fields}
   *   POST   /api/v1/transform/expression/evaluate {rules, sample}
-  *   GET    /api/v1/dlq/state?path=…              DLQ row count
-  *   POST   /api/v1/dlq/purge?path=…              purge DLQ
+  *   GET    /api/v1/dlq/state?path=…              DLQ row count (confined)
+  *   POST   /api/v1/dlq/purge?path=…              purge DLQ (confined)
+  *   GET    /api/v1/openapi.json, /api/v1/docs    machine/human route list
   *
   * Starting a pipeline binds it to live sources/sinks, which are runtime
   * objects — that stays on the programmatic PipelineService.start API
@@ -48,10 +58,22 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/healthz", (ex: HttpExchange) =>
       respond(ex, 200, Map("status" -> "ok")))
+    server.createContext("/api/v2/healthz", (ex: HttpExchange) =>
+      respond(ex, 200, Map("status" -> "ok", "version" -> "v2")))
+    server.createContext("/api/v1/platform", (ex: HttpExchange) =>
+      respond(ex, 200, Map(
+        "platform" -> "spark",
+        "spark_version" -> spark.version,
+        "master" -> spark.sparkContext.master,
+        "default_parallelism" -> spark.sparkContext.defaultParallelism)))
     server.createContext("/api/v1/pipeline", handlePipeline _)
     server.createContext("/api/v1/filter/validate", handleValidateFilter _)
     server.createContext("/api/v1/transform/expression/evaluate", handleEvaluate _)
     server.createContext("/api/v1/dlq", handleDlq _)
+    server.createContext("/api/v1/openapi.json", (ex: HttpExchange) =>
+      respond(ex, 200, openApi))
+    server.createContext("/api/v1/docs", (ex: HttpExchange) =>
+      respond(ex, 200, openApi))
     server.start()
     server.getAddress.getPort
   }
@@ -78,15 +100,75 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
             Map("pipeline_id" -> id, "status" -> st.toString, "config" -> cfg))
           case None => respond(ex, 404, Map("error" -> s"no such pipeline: $id"))
         }
+      case ("POST", "migrate-preview" :: Nil) =>
+        val cfg = PipelineConfig.fromJson(body(ex))
+        respond(ex, 200, graft.pipeline.MigratePreview.toV3(cfg))
       case ("POST", id :: "stop" :: Nil) =>
         either(ex, service.stop(id))
+      case ("POST", id :: "resume" :: Nil) =>
+        either(ex, service.resume(id))
       case ("POST", id :: "terminate" :: Nil) =>
         either(ex, service.terminate(id))
+      case ("POST", id :: "edit" :: Nil) =>
+        either(ex, service.edit(id, PipelineConfig.fromJson(body(ex))))
+      case ("PATCH", id :: "metadata" :: Nil) =>
+        val req = mapper.readTree(body(ex))
+        val name = Option(req.get("name")).map(_.asText())
+        val meta = Option(req.get("metadata")).map { m =>
+          val b = Map.newBuilder[String, String]
+          val it = m.fields()
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+          b.result()
+        }
+        either(ex, service.patchMeta(id, name, meta))
+      case ("GET", id :: "health" :: Nil) =>
+        service.health(id) match {
+          case Right(h) => respond(ex, 200, h)
+          case Left(err) => respond(ex, 404, Map("error" -> err))
+        }
+      case ("GET", id :: "resources" :: Nil) =>
+        service.resources(id) match {
+          case Right(r) => respond(ex, 200, r)
+          case Left(err) => respond(ex, 404, Map("error" -> err))
+        }
+      case ("PATCH", id :: "resources" :: Nil) =>
+        val patch = mapper.readValue(body(ex),
+          new com.fasterxml.jackson.core.`type`.TypeReference[Map[String, PipelineService.Resources]] {})
+        service.patchResources(id, patch) match {
+          case Right(r) => respond(ex, 200, r)
+          case Left(err) => respond(ex, 400, Map("error" -> err))
+        }
+      case ("GET", id :: "resources" :: "validation" :: Nil) =>
+        // stored resources are validated on write; report them as valid
+        service.resources(id) match {
+          case Right(r) => respond(ex, 200, Map("valid" -> true, "resources" -> r))
+          case Left(err) => respond(ex, 404, Map("error" -> err))
+        }
       case ("DELETE", id :: Nil) =>
         either(ex, service.delete(id))
       case (m, p) => respond(ex, 405, Map("error" -> s"unsupported: $m /$p"))
     }
   }
+
+  /** Minimal machine-readable route inventory (reference serves swagger
+    * docs; the JDK server has no generator, so the surface is listed
+    * explicitly). */
+  private val openApi: Map[String, Any] = Map(
+    "openapi" -> "3.0.0",
+    "info" -> Map("title" -> "graft pipeline API", "version" -> "v1"),
+    "paths" -> Seq(
+      "GET /healthz", "GET /api/v2/healthz", "GET /api/v1/platform",
+      "POST /api/v1/pipeline", "GET /api/v1/pipeline",
+      "GET /api/v1/pipeline/{id}", "DELETE /api/v1/pipeline/{id}",
+      "POST /api/v1/pipeline/{id}/stop", "POST /api/v1/pipeline/{id}/resume",
+      "POST /api/v1/pipeline/{id}/terminate", "POST /api/v1/pipeline/{id}/edit",
+      "PATCH /api/v1/pipeline/{id}/metadata", "GET /api/v1/pipeline/{id}/health",
+      "GET /api/v1/pipeline/{id}/resources", "PATCH /api/v1/pipeline/{id}/resources",
+      "GET /api/v1/pipeline/{id}/resources/validation",
+      "POST /api/v1/pipeline/migrate-preview",
+      "POST /api/v1/filter/validate", "POST /api/v1/transform/expression/evaluate",
+      "GET /api/v1/dlq/state", "GET /api/v1/dlq/consume", "POST /api/v1/dlq/purge",
+      "GET /api/v1/openapi.json", "GET /api/v1/docs"))
 
   private def handleValidateFilter(ex: HttpExchange): Unit = safely(ex) {
     val req = mapper.readTree(body(ex))

@@ -32,7 +32,9 @@ final case class PipelineConfig(
   filter: Option[FilterConfig] = None,
   transform: Option[TransformConfig] = None,
   join: Option[JoinConfig] = None,
-  sink: Option[SinkConfig] = None)
+  sink: Option[SinkConfig] = None,
+  name: Option[String] = None,
+  metadata: Map[String, String] = Map.empty)
 
 final case class SourceConfig(
   kind: Option[String] = None,                 // "kafka" (default)

@@ -36,14 +36,16 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None)
 
   /** Start (or resume): compile against the source and hand the transformed
     * stream to `sink`, which starts the StreamingQuery (checkpoint choice
-    * lives with the sink — restart from the same checkpoint = resume). */
+    * lives with the sink — restart from the same checkpoint = resume).
+    * The factories are retained so [[resume]] can restart over HTTP. */
   def start(id: String, source: DataFrame, sink: DataFrame => StreamingQuery): Either[String, Unit] =
     withPipeline(id) { d =>
       if (d.status == Running) Left(s"pipeline $id already running")
       else {
         try {
           val q = sink(PipelineCompiler.streaming(d.config, source))
-          registry.put(id, d.copy(query = Some(q), status = Running))
+          registry.put(id, d.copy(query = Some(q), status = Running,
+            starter = Some((source, sink))))
           Right(())
         } catch {
           case e: Exception =>
@@ -51,6 +53,82 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None)
             Left(Option(e.getMessage).getOrElse(e.toString))
         }
       }
+    }
+
+  /** Resume a stopped pipeline from its retained source/sink factories
+    * (reference: resume annotation restarts the pods from stored config;
+    * here the sink's checkpoint carries the offset/state continuity). */
+  def resume(id: String): Either[String, Unit] = withPipeline(id) { d =>
+    d.starter match {
+      case None => Left(s"pipeline $id was never started; use start")
+      case Some((source, sink)) =>
+        if (d.status == Running) Left(s"pipeline $id already running")
+        else start(id, source, sink)
+    }
+  }
+
+  /** Edit: replace the config of a non-running pipeline (reference edit
+    * annotation; the next start/resume compiles the new config). */
+  def edit(id: String, cfg: PipelineConfig,
+           schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Either[String, Unit] =
+    withPipeline(id) { d =>
+      if (d.status == Running) Left(s"pipeline $id is running; stop it first")
+      else {
+        val errs = PipelineConfig.validate(cfg, schemas)
+        if (errs.nonEmpty) Left(errs.mkString("; "))
+        else if (cfg.pipelineId != id) Left("pipeline_id cannot change on edit")
+        else { registry.put(id, d.copy(config = cfg)); Right(()) }
+      }
+    }
+
+  /** Patch display name / metadata (reference updatePipelineMetadata /
+    * updatePipelineName routes). */
+  def patchMeta(id: String, name: Option[String],
+                metadata: Option[Map[String, String]]): Either[String, Unit] =
+    withPipeline(id) { d =>
+      val cfg = d.config.copy(
+        name = name.orElse(d.config.name),
+        metadata = metadata.getOrElse(d.config.metadata))
+      registry.put(id, d.copy(config = cfg)); Right(())
+    }
+
+  /** Health: lifecycle status + live query signals (reference
+    * getPipelineHealth). */
+  def health(id: String): Either[String, Map[String, Any]] = withPipeline(id) { d =>
+    val base = Map[String, Any]("pipeline_id" -> id, "status" -> d.status.toString)
+    val live = d.query.map { q =>
+      val prog = Option(q.lastProgress)
+      Map[String, Any](
+        "query_active" -> q.isActive,
+        "input_rows_per_second" -> prog.map(_.inputRowsPerSecond).getOrElse(0.0),
+        "batch_id" -> prog.map(_.batchId).getOrElse(-1L))
+    }.getOrElse(Map.empty[String, Any])
+    Right(base ++ live)
+  }
+
+  /** Per-component resource requests (reference resources get/patch —
+    * advisory in local mode, enforced by the cluster manager in production). */
+  def resources(id: String): Either[String, Map[String, Resources]] =
+    withPipeline(id)(d => Right(d.resources))
+
+  def patchResources(id: String, patch: Map[String, Resources]): Either[String, Map[String, Resources]] =
+    withPipeline(id) { d =>
+      val bad = patch.keys.filterNot(ComponentNames.contains)
+      if (bad.nonEmpty) Left(s"unknown components: ${bad.mkString(", ")}")
+      else validateResources(patch) match {
+        case Some(err) => Left(err)
+        case None =>
+          val merged = d.resources ++ patch
+          registry.put(id, d.copy(resources = merged)); Right(merged)
+      }
+    }
+
+  private def validateResources(rs: Map[String, Resources]): Option[String] =
+    rs.collectFirst {
+      case (c, r) if r.replicas < 1 => s"$c: replicas must be >= 1"
+      case (c, r) if r.replicas > 64 => s"$c: replicas must be <= 64"
+      case (c, r) if !r.cpuRequest.matches("""\d+(\.\d+)?m?""") => s"$c: bad cpu_request ${r.cpuRequest}"
+      case (c, r) if !r.memoryRequest.matches("""\d+(Ki|Mi|Gi)?""") => s"$c: bad memory_request ${r.memoryRequest}"
     }
 
   /** Stop: halt the query, keep config + checkpoint (resumable). */
@@ -131,8 +209,21 @@ object PipelineService {
   case object Terminated extends Status
   case object Failed extends Status
 
+  /** K8s-style resource requests per pipeline component. */
+  final case class Resources(
+    cpuRequest: String = "1",
+    memoryRequest: String = "512Mi",
+    replicas: Int = 1)
+
+  val ComponentNames: Set[String] = Set("ingestor", "join", "sink")
+
+  val DefaultResources: Map[String, Resources] =
+    ComponentNames.map(_ -> Resources()).toMap
+
   final case class Deployed(
     config: PipelineConfig,
     query: Option[StreamingQuery],
-    status: Status)
+    status: Status,
+    starter: Option[(DataFrame, DataFrame => StreamingQuery)] = None,
+    resources: Map[String, Resources] = DefaultResources)
 }

@@ -53,6 +53,105 @@ class ApiServerSpec extends SparkSpec {
     assert(get("/api/v1/pipeline/api-p1")._1 == 404)
   }
 
+  private def patch(path: String, body: String): (Int, String) = send(
+    HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method("PATCH", HttpRequest.BodyPublishers.ofString(body)).build())
+
+  test("platform, v2 healthz, openapi routes") {
+    val (c, b) = get("/api/v1/platform")
+    assert(c == 200 && b.contains("\"platform\":\"spark\"") && b.contains("spark_version"))
+    assert(get("/api/v2/healthz")._2.contains("\"version\":\"v2\""))
+    val (cd, bd) = get("/api/v1/openapi.json")
+    assert(cd == 200 && bd.contains("/api/v1/pipeline/{id}/resume"))
+  }
+
+  test("edit, metadata patch, health, resources round-trip") {
+    val cfg =
+      """{"pipeline_id": "api-p2",
+        |  "source": {"topics": [{"name": "t"}]},
+        |  "filter": {"expression": "x > 1"}}""".stripMargin
+    assert(post("/api/v1/pipeline", cfg)._1 == 201)
+
+    // edit replaces the config of a non-running pipeline
+    val edited =
+      """{"pipeline_id": "api-p2",
+        |  "source": {"topics": [{"name": "t2"}]}}""".stripMargin
+    assert(post("/api/v1/pipeline/api-p2/edit", edited)._1 == 200)
+    assert(get("/api/v1/pipeline/api-p2")._2.contains("\"t2\""))
+    // pipeline_id may not change on edit
+    assert(post("/api/v1/pipeline/api-p2/edit",
+      edited.replace("api-p2", "other"))._1 == 400)
+
+    // name/metadata patch
+    assert(patch("/api/v1/pipeline/api-p2/metadata",
+      """{"name": "Renamed", "metadata": {"team": "core"}}""")._1 == 200)
+    val got = get("/api/v1/pipeline/api-p2")._2
+    assert(got.contains("\"Renamed\"") && got.contains("\"team\":\"core\""))
+
+    // health: registered but never started
+    val (hc, hb) = get("/api/v1/pipeline/api-p2/health")
+    assert(hc == 200 && hb.contains("\"status\":\"Created\""))
+
+    // resources: defaults, then a validated merge-patch
+    val (rc, rb) = get("/api/v1/pipeline/api-p2/resources")
+    assert(rc == 200 && rb.contains("\"sink\"") && rb.contains("\"cpu_request\":\"1\""))
+    val (pc, pb) = patch("/api/v1/pipeline/api-p2/resources",
+      """{"sink": {"cpu_request": "2", "memory_request": "2Gi", "replicas": 4}}""")
+    assert(pc == 200 && pb.contains("\"replicas\":4"))
+    assert(patch("/api/v1/pipeline/api-p2/resources",
+      """{"sink": {"replicas": 0}}""")._1 == 400)
+    assert(patch("/api/v1/pipeline/api-p2/resources",
+      """{"ghost": {"replicas": 1}}""")._1 == 400)
+    val (vc, vb) = get("/api/v1/pipeline/api-p2/resources/validation")
+    assert(vc == 200 && vb.contains("\"valid\":true"))
+
+    // resume before any start is a clean error
+    assert(post("/api/v1/pipeline/api-p2/resume", "")._1 == 400)
+    assert(delete("/api/v1/pipeline/api-p2")._1 == 200)
+  }
+
+  test("migrate-preview is a pure v2 -> v3 transform") {
+    val v2 =
+      """{"pipeline_id": "mp1",
+        |  "source": {"topics": [{"name": "orders",
+        |    "schema_fields": [{"name": "id", "type": "string"}],
+        |    "deduplication": {"enabled": true, "id_field": "id", "time_window": "1h"}}]},
+        |  "filter": {"expression": "id != ''"},
+        |  "transform": {"rules": [
+        |    {"expression": "upper(id)", "output_name": "id_u", "output_type": "string"}]},
+        |  "sink": {"table": "out", "table_mapping": [
+        |    {"field_name": "id_u", "column_name": "id", "column_type": "String"}]}}""".stripMargin
+    val (c, b) = post("/api/v1/pipeline/migrate-preview", v2)
+    assert(c == 200)
+    assert(b.contains("\"version\":\"v3\""))
+    assert(b.contains("\"type\":\"dedup\"") && b.contains("\"type\":\"filter\"")
+      && b.contains("\"type\":\"stateless\""))
+    assert(b.contains("\"source_id\":\"orders\""))
+    assert(b.contains("\"column_type\":\"String\""))
+    // nothing was created
+    assert(get("/api/v1/pipeline/mp1")._1 == 404)
+  }
+
+  test("resume restarts a stopped pipeline over http") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cfg =
+      """{"pipeline_id": "api-p3", "source": {"topics": [{"name": "t"}]}}""".stripMargin
+    assert(post("/api/v1/pipeline", cfg)._1 == 201)
+    val mem = MemoryStream[String]
+    service.start("api-p3", mem.toDF.toDF("k"),
+      df => df.writeStream.format("memory").queryName(s"rsm_${System.nanoTime()}")
+        .outputMode("append").start())
+    assert(get("/api/v1/pipeline/api-p3/health")._2.contains("\"status\":\"Running\""))
+    assert(post("/api/v1/pipeline/api-p3/stop", "")._1 == 200)
+    assert(post("/api/v1/pipeline/api-p3/resume", "")._1 == 200)
+    val h = get("/api/v1/pipeline/api-p3/health")._2
+    assert(h.contains("\"status\":\"Running\"") && h.contains("\"query_active\":true"))
+    assert(post("/api/v1/pipeline/api-p3/terminate", "")._1 == 200)
+    assert(delete("/api/v1/pipeline/api-p3")._1 == 200)
+  }
+
   test("malformed create body is a clean 400") {
     val (code, body) = post("/api/v1/pipeline", "this is not json {")
     assert(code == 400 && body.contains("error"))

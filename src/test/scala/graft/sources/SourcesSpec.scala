@@ -103,6 +103,56 @@ class SourcesSpec extends SparkSpec {
       && dlqRows.contains("""{"id":"d","n":"NaN-ish"}"""))
   }
 
+  test("schema registry: json-schema parse flattens nested objects to dotted names") {
+    val schema =
+      """{"type": "object", "properties": {
+        |  "id": {"type": "string"},
+        |  "count": {"type": "integer"},
+        |  "score": {"type": ["number", "null"]},
+        |  "tags": {"type": "array"},
+        |  "kubernetes": {"type": "object", "properties": {
+        |    "pod": {"type": "object", "properties": {"name": {"type": "string"}}},
+        |    "namespace": {"type": "string"}}},
+        |  "untyped": {}
+        |}}""".stripMargin
+    val fields = SchemaRegistry.parseJsonSchema(schema).toOption.get.toMap
+    assert(fields == Map(
+      "id" -> "string", "count" -> "integer", "score" -> "number",
+      "tags" -> "array", "kubernetes.pod.name" -> "string",
+      "kubernetes.namespace" -> "string"))
+    assert(SchemaRegistry.parseJsonSchema("""{"type": "string"}""").isLeft)
+    assert(SchemaRegistry.parseJsonSchema("""{"type": "object"}""").isLeft)
+  }
+
+  test("schema registry: fetch-by-id + backward-compat accept flow") {
+    def registryBody(schema: String) =
+      s"""{"schemaType": "JSON", "schema": ${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schema)}}"""
+    val v1 = """{"type":"object","properties":{"id":{"type":"string"},"n":{"type":"integer"}}}"""
+    val compatible = """{"type":"object","properties":{"id":{"type":"string"},"n":{"type":"int64"},"extra":{"type":"string"}}}"""
+    val incompatible = """{"type":"object","properties":{"id":{"type":"integer"},"n":{"type":"integer"}}}"""
+    val responses = Map(
+      "/schemas/ids/2" -> registryBody(compatible),
+      "/schemas/ids/3" -> registryBody(incompatible),
+      "/schemas/ids/4" -> """{"schema": "{}"}""") // no schemaType → AVRO → rejected
+    val http: SchemaRegistry.Http = url =>
+      responses.collectFirst { case (suffix, body) if url.endsWith(suffix) => body }
+        .toRight(s"schema not found: $url")
+    val client = SchemaRegistry.client(SchemaRegistry.Config("http://sr:8081"), http)
+
+    val store = new SchemaRegistry.VersionStore(client)
+    store.register(1L, Seq("id" -> "string", "n" -> "integer"))
+    assert(store.accept(1L).isRight)                 // known: cached
+    val accepted = store.accept(2L)                  // new, compatible: accepted
+    assert(accepted.toOption.get.toMap.apply("extra") == "string")
+    assert(store.knownVersions == Set(1L, 2L))
+    // int64 normalizes to the same engine type as integer → 2 is now latest;
+    // 3 changes id's type → rejected
+    assert(store.accept(3L).swap.exists(_.contains("not backward compatible")))
+    assert(store.accept(4L).swap.exists(_.contains("expected JSON")))
+    assert(store.accept(99L).swap.exists(_.contains("not found")))
+    assert(store.knownVersions == Set(1L, 2L))
+  }
+
   test("schema pruning keeps mapped fields and dotted-name roots") {
     val schema = StructType(Seq(
       StructField("a", StringType), StructField("b", LongType),
