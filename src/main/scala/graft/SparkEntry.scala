@@ -385,6 +385,27 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
     },
 
+    // Multimodal plumbing: documents rendered as opaque binary media rows
+    // (mime by id, content = text bytes), size-aware repartition, then the
+    // partition-streamed feature extraction. Only decoder-independent
+    // outputs are exposed so the oracle checks the PLUMBING (schema, binary
+    // byte length, decode dispatch) — decoder internals are stub-backed and
+    // asserted in DataOpsSpec instead.
+    "q_multimodal" -> { (s, dir) =>
+      import graft.data.Multimodal
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        element_at(
+          array(lit("video/mp4"), lit("audio/wav"), lit("image/png")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
+        col("text").cast("binary").as("content"),
+        map(lit("src"), col("source")).as("meta"))
+      val features = Multimodal.extractFeatures(
+        Multimodal.repartitionBySize(media, 1L << 20))
+      features.select(col("media_id"), col("mime"),
+        length(col("content")).as("n_bytes"), col("decode_ok"))
+    },
+
     // ---- beyond-reference relational operators ----
 
     // Window functions: top-3 orders per customer.
@@ -561,6 +582,13 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.48""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'video/mp4' WHEN 1 THEN 'audio/wav'
+        |       ELSE 'image/png' END AS mime,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) > 0 AS decode_ok
+        |FROM documents""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey

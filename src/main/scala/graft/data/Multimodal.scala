@@ -81,10 +81,21 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Repartition so each task handles ~targetBytes of media content:
-    * salt = running size bucket. (Approximate: per-row length-based.) */
+  /** Repartition so each task handles ~targetBytes of media content.
+    * Total size comes from FILE METADATA when the frame is file-backed
+    * (listing status of the input files — no data scan at all: at 100 TB an
+    * extra pass over the content bytes just to count them would double the
+    * read); the content-length sum job only runs for in-memory frames. */
   def repartitionBySize(df: DataFrame, targetBytes: Long): DataFrame = {
-    val totalBytes = df.select(sum(coalesce(length(col("content")), lit(0)))).head.getLong(0)
+    val files = df.inputFiles
+    val totalBytes =
+      if (files.nonEmpty) {
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        files.iterator.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      } else df.select(sum(coalesce(length(col("content")), lit(0)))).head.getLong(0)
     val parts = math.max(1, (totalBytes / math.max(1L, targetBytes)).toInt)
     df.repartition(parts, col("media_id"))
   }

@@ -136,4 +136,22 @@ class DataOpsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(df).orderBy("media_id").collect()
     assert(deep(out) == deep(again))
   }
+
+  test("multimodal: binary parquet round-trip + metadata-only size repartition") {
+    val rows = (1L to 50L).map(i =>
+      (i, "image/png", Array.fill((i * 37 % 256).toInt + 1)(i.toByte), Map("i" -> i.toString)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString + "/media"
+    rows.toDF("media_id", "mime", "content", "meta").write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    // file-backed: sizing must come from file status, not a content scan —
+    // same public behavior, so assert the partitioning outcome
+    val sized = Multimodal.repartitionBySize(back, targetBytes = 2048)
+    assert(sized.rdd.getNumPartitions >= 2)
+    val feats = Multimodal.extractFeatures(sized)
+    assert(feats.filter(col("decode_ok")).count() == 50)
+    // binary content survives the parquet round-trip byte-for-byte
+    val got = back.orderBy("media_id").collect()
+      .map(r => r.getAs[Array[Byte]]("content").toSeq)
+    assert(got.toSeq == rows.map(_._3.toSeq))
+  }
 }
