@@ -52,11 +52,13 @@ object AsOfJoin {
     val outSchema = StructType(lType.fields ++ rType.fields)
     // final xxhash64 sort key: with duplicate right timestamps on a key the
     // "latest" is otherwise whichever row the shuffle happened to order last
-    // — hash of the payload makes the winner deterministic across runs
+    // — hash of the payload makes the winner deterministic across runs.
+    // xxhash64 hashes the structs directly; a to_json render here would pay
+    // a full JSON serialization of both payloads per row in the sort
     val sorted = taggedR.unionByName(taggedL)
       .repartition(col("__k"))
       .sortWithinPartitions(col("__k"), col("__ts"), col("__side"),
-        xxhash64(to_json(struct(col("__l"), col("__r")))))
+        xxhash64(col("__l"), col("__r")))
 
     sorted.mapPartitions { rows =>
       var curKey: Any = null

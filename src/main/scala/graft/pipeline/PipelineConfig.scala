@@ -94,6 +94,8 @@ object PipelineConfig {
   def fromJson(json: String): PipelineConfig =
     mapper.readValue(json, classOf[PipelineConfig])
 
+  def toJson(cfg: PipelineConfig): String = mapper.writeValueAsString(cfg)
+
   /** "90s" | "30m" | "2h" | "7d" → milliseconds (reference accepts the d
     * suffix up to 7d, models/configs.go:573-592). */
   def windowMillis(s: String): Long = {
@@ -118,6 +120,10 @@ object PipelineConfig {
   def validate(cfg: PipelineConfig, schemas: Map[String, org.apache.spark.sql.types.StructType]): Seq[String] = {
     val errs = Seq.newBuilder[String]
     if (cfg.pipelineId.isEmpty) errs += "pipeline_id must be non-empty"
+    // the id names checkpoint dirs, DLQ queues, and store files — keep it
+    // to a filesystem- and URL-safe charset
+    else if (!cfg.pipelineId.matches("[A-Za-z0-9][A-Za-z0-9._-]*"))
+      errs += "pipeline_id must match [A-Za-z0-9][A-Za-z0-9._-]*"
     if (cfg.source.topics.isEmpty) errs += "source: at least one topic required"
     cfg.join.filter(_.enabled).foreach { j =>
       if (j.sources.length != 2) errs += "join: exactly 2 sources required"

@@ -16,11 +16,42 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * and the registry is in-memory (swap for a durable store in production —
   * the checkpoint itself is the durable execution state).
   */
-final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None) {
+final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
+                            storeDir: Option[String] = None) {
 
   import PipelineService._
 
   private val registry = new ConcurrentHashMap[String, Deployed]()
+
+  // Durable store: registered configs persist as one JSON file per pipeline
+  // (the reference keeps pipelines + schema versions in Postgres,
+  // service/pipeline.go:108-156 — a restart must not lose the registry;
+  // execution state continuity lives in each sink's checkpoint). Loaded
+  // pipelines come back Stopped: their runtime objects are gone, but their
+  // config and checkpoint are not.
+  storeDir.foreach { dir =>
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .foreach { f =>
+        try {
+          val cfg = PipelineConfig.fromJson(
+            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          registry.put(cfg.pipelineId, Deployed(cfg, None, Stopped))
+        } catch { case _: Exception => () } // unreadable entry: skipped
+      }
+  }
+
+  private def persist(cfg: PipelineConfig): Unit = storeDir.foreach { dir =>
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"${cfg.pipelineId}.json"),
+      PipelineConfig.toJson(cfg).getBytes("UTF-8"))
+  }
+
+  private def unpersist(id: String): Unit = storeDir.foreach { dir =>
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, s"$id.json"))
+  }
 
   /** Create: validate + register (status Created). */
   def create(cfg: PipelineConfig,
@@ -30,6 +61,7 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None)
     else if (registry.containsKey(cfg.pipelineId)) Left(s"pipeline ${cfg.pipelineId} already exists")
     else {
       registry.put(cfg.pipelineId, Deployed(cfg, None, Created))
+      persist(cfg)
       Right(cfg.pipelineId)
     }
   }
@@ -77,7 +109,7 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None)
         val errs = PipelineConfig.validate(cfg, schemas)
         if (errs.nonEmpty) Left(errs.mkString("; "))
         else if (cfg.pipelineId != id) Left("pipeline_id cannot change on edit")
-        else { registry.put(id, d.copy(config = cfg)); Right(()) }
+        else { registry.put(id, d.copy(config = cfg)); persist(cfg); Right(()) }
       }
     }
 
@@ -89,7 +121,7 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None)
       val cfg = d.config.copy(
         name = name.orElse(d.config.name),
         metadata = metadata.getOrElse(d.config.metadata))
-      registry.put(id, d.copy(config = cfg)); Right(())
+      registry.put(id, d.copy(config = cfg)); persist(cfg); Right(())
     }
 
   /** Health: lifecycle status + live query signals (reference
@@ -147,7 +179,7 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None)
 
   def delete(id: String): Either[String, Unit] = withPipeline(id) { d =>
     if (d.status == Running) Left(s"pipeline $id is running; stop it first")
-    else { registry.remove(id); Right(()) }
+    else { registry.remove(id); unpersist(id); Right(()) }
   }
 
   def get(id: String): Option[(PipelineConfig, Status)] =

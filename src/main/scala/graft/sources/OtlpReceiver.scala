@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.OtlpFlatten
+
+/** OTLP/HTTP JSON ingestion shim — the receiving end of the reference's
+  * OTLP receiver (glassflow-api/internal/otlp-receiver/server/; SURVEY.md
+  * S3 scopes the gRPC server out and keeps an ingestion shim that lands
+  * OTLP into the engine). Accepts the standard OTLP/HTTP JSON encoding:
+  *
+  *   POST /v1/logs     ExportLogsServiceRequest
+  *   POST /v1/traces   ExportTraceServiceRequest
+  *   POST /v1/metrics  ExportMetricsServiceRequest
+  *
+  * Each request is flattened by the F4–F6 operators and appended to a
+  * parquet spool (`spoolDir/{logs|traces|metrics}`) that a streaming
+  * pipeline reads as a file source — the Kafka-less analogue of the
+  * reference's receiver→NATS hop. The response is the OTLP partial-success
+  * envelope. A custom `route` replaces the spool write (e.g. a Kafka
+  * producer in production).
+  */
+final class OtlpReceiver(spark: SparkSession, spoolDir: String,
+                         route: Option[(String, DataFrame) => Unit] = None) {
+
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/v1/logs", handle("logs", OtlpFlatten.logs) _)
+    server.createContext("/v1/traces", handle("traces", OtlpFlatten.traces) _)
+    server.createContext("/v1/metrics", handle("metrics", OtlpFlatten.metrics) _)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def deliver(signal: String, flat: DataFrame): Long = {
+    val rows = flat.count()
+    route match {
+      case Some(r) => r(signal, flat)
+      case None => flat.write.mode("append").parquet(s"$spoolDir/$signal")
+    }
+    rows
+  }
+
+  private def handle(signal: String, flatten: DataFrame => DataFrame)(ex: HttpExchange): Unit = {
+    val status -> bodyJson =
+      try {
+        if (ex.getRequestMethod != "POST") 405 -> """{"error":"POST required"}"""
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          import spark.implicits._
+          val df = spark.read.json(Seq(body).toDS)
+          val n = deliver(signal, flatten(df))
+          // OTLP/HTTP success envelope (empty partialSuccess = all accepted)
+          200 -> s"""{"partialSuccess":{},"acceptedRows":$n}"""
+        }
+      } catch {
+        case e: Exception =>
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+            .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
+          400 -> s"""{"error":"$msg"}"""
+      }
+    val bytes = bodyJson.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

@@ -91,12 +91,13 @@ object CHCast {
     case CHFloat64 =>
       if (isFloating(from) || isIntegral(from)) c.cast(DoubleType) else nul(to)
 
-    case CHDateTime(_) =>
-      // second precision: truncate fractional seconds
-      timestamp_seconds(unixSeconds(c, from))
-    case CHDateTime64(p, _) =>
-      val ts = DateTimeFormats.parseAny(c, from)
-      if (p <= 0) timestamp_seconds(unixSeconds(c, from))
+    case CHDateTime(tz) =>
+      // second precision: truncate fractional seconds; naive strings are
+      // wall-clock in the column's tz (applied inside the parse)
+      timestamp_seconds(unixSeconds(c, from, tz))
+    case CHDateTime64(p, tz) =>
+      val ts = DateTimeFormats.parseAny(c, from, tz)
+      if (p <= 0) timestamp_seconds(unixSeconds(c, from, tz))
       else {
         // keep only p fractional digits (micros ceiling — Spark's precision)
         val unit = math.pow(10, math.min(p, 6)).toLong
@@ -117,12 +118,12 @@ object CHCast {
     }
   }
 
-  private def unixSeconds(c: Column, from: DataType): Column = from match {
+  private def unixSeconds(c: Column, from: DataType, tz: Option[String] = None): Column = from match {
     case _: TimestampType => floor(unix_micros(c) / 1000000.0).cast(LongType)
     case t if isIntegral(t) => c.cast(LongType)
     case t if isFloating(t) => floor(c.cast(DoubleType)).cast(LongType)
     case _ =>
-      floor(unix_micros(DateTimeFormats.parseString(c.cast(StringType))) / 1000000.0)
+      floor(unix_micros(DateTimeFormats.parseString(c.cast(StringType), tz)) / 1000000.0)
         .cast(LongType)
   }
 

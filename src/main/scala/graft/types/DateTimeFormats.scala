@@ -38,25 +38,38 @@ object DateTimeFormats {
     "yyyyMMdd"
   )
 
+  private val zonedPatterns = patterns.filter(_.contains("XXX"))
+  private val naivePatterns = patterns.filterNot(_.contains("XXX"))
+
   /** String column → timestamp, trying each accepted format, then unix
-    * seconds (10 digits) and unix milliseconds (13 digits). NULL if none fit. */
-  def parseString(c: Column): Column = {
-    val byFormat = patterns.map(p => try_to_timestamp(c, lit(p)))
+    * seconds (10 digits) and unix milliseconds (13 digits). NULL if none
+    * fit. `tz` is the column's declared timezone (DateTime64(p, tz)):
+    * offset-free wall-clock strings are interpreted in that zone — offsets,
+    * Z, and unix numerics are absolute instants and ignore it (ClickHouse
+    * column-tz semantics for naive INSERT strings). A string matches
+    * exactly one pattern class, so grouping zoned before naive preserves
+    * the accepted-format behavior. */
+  def parseString(c: Column, tz: Option[String] = None): Column = {
+    val zoned = zonedPatterns.map(p => try_to_timestamp(c, lit(p)))
+    val naive = naivePatterns.map { p =>
+      val t = try_to_timestamp(c, lit(p))
+      tz.fold(t)(z => to_utc_timestamp(t, z))
+    }
     val secs = when(c.rlike("^\\d{10}$"), timestamp_seconds(c.try_cast(LongType)))
     val millis = when(c.rlike("^\\d{13}$"), timestamp_millis(c.try_cast(LongType)))
-    coalesce(secs +: millis +: byFormat: _*)
+    coalesce(secs +: millis +: (zoned ++ naive): _*)
   }
 
   /** Any column → timestamp: ints are unix seconds, floats are
     * seconds.nanos, strings go through the accepted-format list
     * (reference mapper/utils.go:545-574). */
-  def parseAny(c: Column, dt: DataType): Column = dt match {
+  def parseAny(c: Column, dt: DataType, tz: Option[String] = None): Column = dt match {
     case _: TimestampType => c
     case DateType => c.cast(TimestampType)
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
       timestamp_seconds(c)
     case _: DoubleType | _: FloatType | _: DecimalType =>
       timestamp_micros((c.cast(DoubleType) * 1000000L).cast(LongType))
-    case _ => parseString(c.cast(StringType))
+    case _ => parseString(c.cast(StringType), tz)
   }
 }

@@ -69,6 +69,23 @@ class LifecycleSpec extends SparkSpec {
     assert(new PipelineService(spark).dlqState("dlq").isLeft)
   }
 
+  test("durable store: registry survives a service restart") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    val svc1 = new PipelineService(spark, storeDir = Some(dir))
+    assert(svc1.create(simpleCfg("dp1")).isRight)
+    assert(svc1.create(simpleCfg("dp2")).isRight)
+    assert(svc1.patchMeta("dp1", Some("Renamed"), None).isRight)
+    assert(svc1.delete("dp2").isRight)
+    // ids become store filenames: traversal-shaped ids are rejected up front
+    assert(svc1.create(simpleCfg("../evil")).isLeft)
+
+    // a fresh service over the same store sees dp1 (renamed), not dp2
+    val svc2 = new PipelineService(spark, storeDir = Some(dir))
+    assert(svc2.list().map(_._1) == Seq("dp1"))
+    assert(svc2.get("dp1").exists(_._1.name.contains("Renamed")))
+    assert(svc2.get("dp1").map(_._2).contains(PipelineService.Stopped))
+  }
+
   test("streaming dedup state survives a restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)

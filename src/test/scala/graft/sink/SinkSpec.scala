@@ -104,6 +104,33 @@ class SinkSpec extends SparkSpec {
     )
   }
 
+  test("per-schema-version batching over a live two-version stream") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // F3 (versioned transform) output carries a version id column; the sink
+    // must issue one typed INSERT per version present in each micro-batch
+    val c = ClickHouseSink.Config(url = "x", database = "db", table = "t",
+      versionColumn = Some("ver"),
+      versionMappings = Map(
+        "v1" -> Seq(ColumnMapping("a", "col_a", "String")),
+        "v2" -> Seq(ColumnMapping("a", "col_a", "String"), ColumnMapping("n", "col_n", "Int64"))))
+    val written = scala.collection.mutable.ArrayBuffer[(Seq[String], Long)]()
+    val handler = ClickHouseSink.foreachBatchHandler(c, _ => (),
+      Some((d: DataFrame) => { written.synchronized { written += ((d.columns.toSeq, d.count())) }; () }))
+    val mem = MemoryStream[(String, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ver_ckpt").toString
+    val q = mem.toDF.toDF("a", "n", "ver").writeStream
+      .option("checkpointLocation", ckpt).foreachBatch(handler).start()
+    mem.addData(("x", 1L, "v1"), ("y", 2L, "v2"), ("z", 3L, "v2"))
+    q.processAllAvailable()
+    q.stop()
+    assert(written.toSeq == Seq(
+      (Seq("col_a"), 1L),          // v1 rows in v1 shape
+      (Seq("col_a", "col_n"), 2L)) // v2 rows in v2 shape
+    )
+  }
+
   test("dlq envelope wraps original rows as JSON") {
     val df = Seq(("x", 5L)).toDF("id", "n")
     val out = Dlq.envelope("sink", "Code: 53")(df).collect().head

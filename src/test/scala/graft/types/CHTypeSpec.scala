@@ -96,6 +96,24 @@ class CHTypeSpec extends SparkSpec {
       == java.sql.Timestamp.valueOf("2025-01-01 10:00:00.123"))
   }
 
+  test("datetime column timezone applies to naive strings only") {
+    // naive wall clock in the column's tz: 10:00 in UTC+2 = 08:00 UTC
+    // (session tz is UTC, so the returned Timestamp renders UTC wall clock)
+    assert(conv("2025-01-01 10:00:00", StringType, "DateTime64(3, 'Europe/Berlin')")
+      == java.sql.Timestamp.valueOf("2025-01-01 09:00:00"))
+    assert(conv("2025-06-01 10:00:00", StringType, "DateTime64(3, 'Europe/Berlin')")
+      == java.sql.Timestamp.valueOf("2025-06-01 08:00:00")) // DST
+    assert(conv("2025-01-01 10:00:00", StringType, "DateTime('America/New_York')")
+      == java.sql.Timestamp.valueOf("2025-01-01 15:00:00"))
+    // explicit offset / Z / unix numerics are absolute — tz ignored
+    assert(conv("2025-01-01T10:00:00Z", StringType, "DateTime64(3, 'Europe/Berlin')")
+      == java.sql.Timestamp.valueOf("2025-01-01 10:00:00"))
+    assert(conv("2025-01-01T10:00:00+02:00", StringType, "DateTime64(3, 'Asia/Tokyo')")
+      == java.sql.Timestamp.valueOf("2025-01-01 08:00:00"))
+    assert(conv(1735725600L, LongType, "DateTime64(0, 'Asia/Tokyo')")
+      == java.sql.Timestamp.valueOf("2025-01-01 10:00:00"))
+  }
+
   test("map value coercion and null-map→empty-map") {
     val from = MapType(StringType, LongType)
     assert(conv(Map("a" -> 1L), from, "Map(String, String)") ==
