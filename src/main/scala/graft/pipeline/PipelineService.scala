@@ -17,11 +17,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the checkpoint itself is the durable execution state).
   */
 final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
-                            storeDir: Option[String] = None) {
+                            storeDir: Option[String] = None,
+                            secretsKey: Option[Array[Byte]] = None) {
 
   import PipelineService._
 
   private val registry = new ConcurrentHashMap[String, Deployed]()
+
+  // With a key configured, store files are AES-256-GCM sealed whole (the
+  // reference AES-encrypts stored secrets, internal/encryption/; sealing
+  // the entire config is strictly stronger than per-field and keeps the
+  // store format simple).
+  private val secrets = secretsKey.map(new Secrets(_))
 
   // Durable store: registered configs persist as one JSON file per pipeline
   // (the reference keeps pipelines + schema versions in Postgres,
@@ -36,17 +43,25 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
       .foreach { f =>
         try {
-          val cfg = PipelineConfig.fromJson(
-            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          val raw = java.nio.file.Files.readAllBytes(f.toPath)
+          val json = secrets match {
+            case Some(s) => new String(s.decrypt(raw), "UTF-8")
+            case None => new String(raw, "UTF-8")
+          }
+          val cfg = PipelineConfig.fromJson(json)
           registry.put(cfg.pipelineId, Deployed(cfg, None, Stopped))
-        } catch { case _: Exception => () } // unreadable entry: skipped
+        } catch { case _: Exception => () } // unreadable/undecryptable: skipped
       }
   }
 
   private def persist(cfg: PipelineConfig): Unit = storeDir.foreach { dir =>
+    val json = PipelineConfig.toJson(cfg).getBytes("UTF-8")
+    val bytes = secrets match {
+      case Some(s) => s.encrypt(json)
+      case None => json
+    }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, s"${cfg.pipelineId}.json"),
-      PipelineConfig.toJson(cfg).getBytes("UTF-8"))
+      java.nio.file.Paths.get(dir, s"${cfg.pipelineId}.json"), bytes)
   }
 
   private def unpersist(id: String): Unit = storeDir.foreach { dir =>

@@ -86,6 +86,32 @@ class LifecycleSpec extends SparkSpec {
     assert(svc2.get("dp1").map(_._2).contains(PipelineService.Stopped))
   }
 
+  test("encrypted store: secrets never on disk in plaintext; wrong key loads nothing") {
+    val dir = Files.createTempDirectory("graft_enc_store").toString
+    val key = Array.tabulate[Byte](32)(_.toByte)
+    val cfg = simpleCfg("ep1").copy(sink = Some(SinkConfig(
+      table = "out", password = Some("hunter2-secret"))))
+    val svc1 = new PipelineService(spark, storeDir = Some(dir), secretsKey = Some(key))
+    assert(svc1.create(cfg).isRight)
+    val onDisk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "ep1.json"))
+    assert(!new String(onDisk, "ISO-8859-1").contains("hunter2-secret"))
+
+    // same key round-trips; wrong key skips the entry instead of crashing
+    val svc2 = new PipelineService(spark, storeDir = Some(dir), secretsKey = Some(key))
+    assert(svc2.get("ep1").exists(_._1.sink.exists(_.password.contains("hunter2-secret"))))
+    val wrongKey = Array.fill[Byte](32)(9)
+    assert(new PipelineService(spark, storeDir = Some(dir),
+      secretsKey = Some(wrongKey)).list().isEmpty)
+
+    // aead primitives: tamper detection + key-size check
+    val s = new Secrets(key)
+    val ct = s.encrypt("abc".getBytes("UTF-8"))
+    ct(ct.length - 1) = (ct(ct.length - 1) ^ 1).toByte
+    assertThrows[Exception](s.decrypt(ct))
+    assertThrows[IllegalArgumentException](new Secrets(Array.fill[Byte](16)(0)))
+  }
+
   test("streaming dedup state survives a restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
