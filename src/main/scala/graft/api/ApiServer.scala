@@ -167,7 +167,8 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
       "GET /api/v1/pipeline/{id}/resources/validation",
       "POST /api/v1/pipeline/migrate-preview",
       "POST /api/v1/filter/validate", "POST /api/v1/transform/expression/evaluate",
-      "GET /api/v1/dlq/state", "GET /api/v1/dlq/consume", "POST /api/v1/dlq/purge",
+      "GET /api/v1/dlq/state", "GET /api/v1/dlq/consume",
+      "POST /api/v1/dlq/ack", "POST /api/v1/dlq/purge",
       "GET /api/v1/openapi.json", "GET /api/v1/docs"))
 
   private def handleValidateFilter(ex: HttpExchange): Unit = safely(ex) {
@@ -215,12 +216,18 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
     // outside it → 400); see PipelineService.resolveDlq
     uri.getPath.stripPrefix("/api/v1/dlq/") match {
       case "state" => service.dlqState(path) match {
-        case Right(n) => respond(ex, 200, Map("rows" -> n))
+        case Right((total, acked)) => respond(ex, 200,
+          Map("rows" -> total, "acked" -> acked, "pending" -> (total - acked)))
         case Left(err) => respond(ex, 400, Map("error" -> err))
       }
       case "consume" =>
         service.dlqConsume(path, params.getOrElse("limit", "100").toInt) match {
           case Right(msgs) => respond(ex, 200, msgs)
+          case Left(err) => respond(ex, 400, Map("error" -> err))
+        }
+      case "ack" if ex.getRequestMethod == "POST" =>
+        service.dlqAck(path, params.getOrElse("count", "0").toLong) match {
+          case Right(cursor) => respond(ex, 200, Map("acked" -> cursor))
           case Left(err) => respond(ex, 400, Map("error" -> err))
         }
       case "purge" if ex.getRequestMethod == "POST" =>

@@ -229,16 +229,44 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
         else Left(s"path outside DLQ root: $path")
     }
 
-  def dlqState(path: String): Either[String, Long] = resolveDlq(path).map { p =>
-    try spark.read.parquet(p).count() catch { case _: Exception => 0L }
+  /** (total rows, acked cursor) — pending = total − cursor. */
+  def dlqState(path: String): Either[String, (Long, Long)] = resolveDlq(path).map { p =>
+    val total = try spark.read.parquet(p).count() catch { case _: Exception => 0L }
+    (total, readCursor(p))
   }
 
+  /** Fetch-without-ack from the durable cursor (the reference's DLQ is a
+    * durable consumer with explicit ack, dlq/dlq.go:39-105): repeated
+    * consumes re-deliver until [[dlqAck]] advances the cursor —
+    * at-least-once. Ordering is total (every envelope column), so the
+    * count-based cursor is stable across reads. */
   def dlqConsume(path: String, limit: Int): Either[String, Seq[String]] =
     resolveDlq(path).map { p =>
-      try spark.read.parquet(p).limit(limit)
-        .collect().map(_.getAs[String]("original_message")).toSeq
-      catch { case _: Exception => Seq.empty }
+      try {
+        val df = spark.read.parquet(p)
+        df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
+          .offset(readCursor(p).toInt).limit(limit)
+          .collect().map(_.getAs[String]("original_message")).toSeq
+      } catch { case _: Exception => Seq.empty }
     }
+
+  /** Ack `count` delivered messages: advances the durable cursor. */
+  def dlqAck(path: String, count: Long): Either[String, Long] =
+    resolveDlq(path).map { p =>
+      val next = readCursor(p) + math.max(0L, count)
+      // dot-prefixed: Spark's file index ignores hidden files, so the
+      // cursor can live inside the parquet directory itself
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      java.nio.file.Files.write(cursorPath(p), next.toString.getBytes("UTF-8"))
+      next
+    }
+
+  private def cursorPath(resolved: String) =
+    java.nio.file.Paths.get(resolved, ".graft_dlq_cursor")
+
+  private def readCursor(resolved: String): Long =
+    try new String(java.nio.file.Files.readAllBytes(cursorPath(resolved)), "UTF-8").trim.toLong
+    catch { case _: Exception => 0L }
 
   def dlqPurge(path: String): Either[String, Unit] = resolveDlq(path).map { rp =>
     val p = new org.apache.hadoop.fs.Path(rp)

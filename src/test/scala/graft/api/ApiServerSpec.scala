@@ -182,11 +182,15 @@ class ApiServerSpec extends SparkSpec {
     graft.sink.Dlq.writeParquet(s"$dlqRoot/d")(
       graft.sink.Dlq.envelope("sink", "Code: 53")(Seq(("x", 1)).toDF("id", "n")))
     val (c1, b1) = get("/api/v1/dlq/state?path=d")
-    assert(c1 == 200 && b1 == """{"rows":1}""")
+    assert(c1 == 200 && b1 == """{"rows":1,"acked":0,"pending":1}""")
+    // consume-then-ack advances the durable cursor
+    assert(get("/api/v1/dlq/consume?path=d&limit=10")._2.contains("""{\"id\":\"x\""""))
+    assert(post("/api/v1/dlq/ack?path=d&count=1", "")._2 == """{"acked":1}""")
+    assert(get("/api/v1/dlq/state?path=d")._2 == """{"rows":1,"acked":1,"pending":0}""")
     // out-of-root paths are refused, never touched
     assert(post("/api/v1/dlq/purge?path=/tmp", "")._1 == 400)
     assert(post("/api/v1/dlq/purge?path=d/../../etc", "")._1 == 400)
     assert(post("/api/v1/dlq/purge?path=d", "")._1 == 200)
-    assert(get("/api/v1/dlq/state?path=d")._2 == """{"rows":0}""")
+    assert(get("/api/v1/dlq/state?path=d")._2 == """{"rows":0,"acked":0,"pending":0}""")
   }
 }

@@ -49,22 +49,27 @@ class LifecycleSpec extends SparkSpec {
     assert(svc.create(bad).swap.exists(_.contains("exactly 2 sources")))
   }
 
-  test("dlq state / consume / purge, confined to the configured root") {
+  test("dlq state / consume-ack / purge, confined to the configured root") {
     val root = Files.createTempDirectory("graft_dlq").toString
     val svc = new PipelineService(spark, dlqRoot = Some(root))
     val failed = Seq(("r1", 1L), ("r2", 2L)).toDF("id", "n")
     graft.sink.Dlq.writeParquet(s"$root/dlq")(
       graft.sink.Dlq.envelope("sink", "Code: 53")(failed))
-    assert(svc.dlqState("dlq") == Right(2L))
-    assert(svc.dlqState(s"$root/dlq") == Right(2L)) // absolute, inside root
-    val msgs = svc.dlqConsume("dlq", 10).toOption.get
-    assert(msgs.length == 2 && msgs.forall(_.contains("\"id\":")))
+    assert(svc.dlqState("dlq") == Right((2L, 0L)))
+    assert(svc.dlqState(s"$root/dlq") == Right((2L, 0L))) // absolute, inside root
+    // at-least-once: un-acked messages re-deliver on the next consume
+    val first = svc.dlqConsume("dlq", 1).toOption.get
+    assert(first.length == 1 && svc.dlqConsume("dlq", 1).toOption.get == first)
+    assert(svc.dlqAck("dlq", 1) == Right(1L))
+    val second = svc.dlqConsume("dlq", 10).toOption.get
+    assert(second.length == 1 && second != first)
+    assert(svc.dlqState("dlq") == Right((2L, 1L)))
     // traversal and out-of-root paths are rejected, not deleted
     assert(svc.dlqPurge("../outside").isLeft)
     assert(svc.dlqPurge("/tmp").isLeft)
     assert(svc.dlqPurge("dlq/../../escaped").isLeft)
     assert(svc.dlqPurge("dlq").isRight)
-    assert(svc.dlqState("dlq") == Right(0L))
+    assert(svc.dlqState("dlq") == Right((0L, 0L)))
     // no root configured → every DLQ op refused
     assert(new PipelineService(spark).dlqState("dlq").isLeft)
   }
