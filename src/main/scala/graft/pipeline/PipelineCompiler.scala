@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AsOfJoin, DedupOp, FilterOp, TransformOp}
+import graft.operators.{AsOfJoin, DedupOp, FilterOp, TemporalJoin, TransformOp}
 import graft.sink.SinkMapper
 
 /** Pipeline compiler: config → DataFrame transform chain. The whole
@@ -94,6 +94,53 @@ object PipelineCompiler {
       TransformOp(tr.rules.map(r =>
         TransformOp.Rule(r.expression, r.outputName, r.outputType)))(deduped)
     }
+  }
+
+  /** Streaming compile for a JOIN pipeline (two sources): per-source
+    * filter → streaming dedup branches feed the exact temporal-join
+    * operator (J1), with TTLs from the configured windows and output
+    * projection from the join rules. The filter only applies to a branch
+    * whose schema it resolves against (the reference's filter/transform
+    * stages are per-source-id; this config model carries one filter). */
+  def streamingJoin(cfg: PipelineConfig, sources: Map[String, DataFrame]): DataFrame = {
+    val j = cfg.join.filter(_.enabled).getOrElse(
+      throw new IllegalArgumentException("streamingJoin requires an enabled join"))
+    require(j.sources.length == 2, "join: exactly 2 sources required")
+    val left = j.sources.find(_.orientation == "left").getOrElse(
+      throw new IllegalArgumentException("join: missing left source"))
+    val right = j.sources.find(_.orientation == "right").getOrElse(
+      throw new IllegalArgumentException("join: missing right source"))
+
+    def branch(id: String): DataFrame = {
+      val df0 = sources.getOrElse(id,
+        throw new IllegalArgumentException(s"no source DataFrame for $id"))
+      val filtered = cfg.filter
+        .filter(f => graft.exprs.ExprCompiler.validate(f.expression, df0.schema).isRight)
+        .fold(df0)(f => FilterOp(f.expression)(df0))
+      cfg.source.topics.find(_.name == id).flatMap(_.deduplication)
+        .filter(_.enabled).fold(filtered) { d =>
+          val tf = d.timeField.getOrElse(
+            throw new IllegalArgumentException("streaming dedup requires time_field"))
+          val win = PipelineConfig.windowMillis(d.timeWindow)
+          DedupOp.windowedStreaming(Seq(d.idField), tf, s"$win milliseconds")(filtered)
+        }
+    }
+
+    def outs(id: String, df: DataFrame) = {
+      val ps = j.projections.filter(_.sourceId == id)
+      if (ps.nonEmpty) ps.map(p => AsOfJoin.Projection(p.field, p.outputName))
+      else df.columns.toSeq.map(c => AsOfJoin.Projection(c, c))
+    }
+    def tsOf(s: JoinSource): String = s.timeField.getOrElse(
+      throw new IllegalArgumentException(s"join source ${s.sourceId}: time_field required"))
+
+    val (lDf, rDf) = (branch(left.sourceId), branch(right.sourceId))
+    TemporalJoin(lDf, rDf, TemporalJoin.Config(
+      leftKey = left.joinKey, rightKey = right.joinKey,
+      leftTs = tsOf(left), rightTs = tsOf(right),
+      leftTtlMs = PipelineConfig.windowMillis(left.timeWindow),
+      rightTtlMs = PipelineConfig.windowMillis(right.timeWindow),
+      leftOut = outs(left.sourceId, lDf), rightOut = outs(right.sourceId, rDf)))
   }
 
   private def applyDedup(df: DataFrame, d: DedupConfig): DataFrame =

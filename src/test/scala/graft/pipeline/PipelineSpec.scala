@@ -97,4 +97,41 @@ class PipelineSpec extends SparkSpec {
     // order 1: latest user row at ts 90 ("Ada2"); order 2: user row is later → dropped
     assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq == Seq((1L, "Ada2")))
   }
+
+  test("streaming compile wires the temporal join for a two-source pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val cfg = PipelineConfig(
+      pipelineId = "sj",
+      source = SourceConfig(topics = Seq(TopicConfig("orders"), TopicConfig("users"))),
+      join = Some(JoinConfig(enabled = true,
+        sources = Seq(
+          JoinSource("orders", "user_id", "1h", "left", Some("ts")),
+          JoinSource("users", "id", "1h", "right", Some("ts"))),
+        projections = Seq(
+          JoinProjection("orders", "order_id", "order_id"),
+          JoinProjection("users", "name", "name")))))
+    val orders = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val users = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = PipelineCompiler.streamingJoin(cfg, Map(
+      "orders" -> orders.toDF.toDF("order_id", "user_id", "ts"),
+      "users" -> users.toDF.toDF("id", "name", "ts")))
+    val qn = s"sj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    // u1 has a right value before the order (hit); u2's order precedes its
+    // user row (buffer → drained by the later right); u3's right is stale
+    users.addData(("u1", "Ada", t("2025-01-01 09:50:00")),
+      ("u3", "Cy", t("2025-01-01 07:00:00")))
+    orders.addData((1L, "u1", t("2025-01-01 10:00:00")),
+      (2L, "u2", t("2025-01-01 10:05:00")),
+      (3L, "u3", t("2025-01-01 10:10:00")))
+    q.processAllAvailable()
+    users.addData(("u2", "Bob", t("2025-01-01 10:20:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(qn).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "Ada"), (2L, "Bob")))
+  }
 }
