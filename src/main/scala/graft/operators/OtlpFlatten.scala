@@ -203,6 +203,13 @@ object OtlpFlatten {
         .select(base("histogram") :+ explode(col("m.histogram.dataPoints")).as("dp") :+
           temporality(col("m.histogram.aggregationTemporality")).as("aggregation_temporality") :+
           lit(false).as("is_monotonic"): _*)
+    if (mT.fieldNames.contains("exponentialHistogram"))
+      parts += m.filter(col("m.exponentialHistogram").isNotNull)
+        .select(base("exp_histogram") :+
+          explode(col("m.exponentialHistogram.dataPoints")).as("dp") :+
+          temporality(col("m.exponentialHistogram.aggregationTemporality"))
+            .as("aggregation_temporality") :+
+          lit(false).as("is_monotonic"): _*)
     if (mT.fieldNames.contains("summary"))
       parts += m.filter(col("m.summary").isNotNull)
         .select(base("summary") :+ explode(col("m.summary.dataPoints")).as("dp") :+

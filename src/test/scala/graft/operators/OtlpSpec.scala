@@ -76,11 +76,18 @@ class OtlpSpec extends SparkSpec {
         |     {"name":"latency","histogram":{"aggregationTemporality":1,"dataPoints":[
         |        {"timeUnixNano":"1735725600000000000","count":"10","sum":1.5,
         |         "min":0.01,"max":0.9,
-        |         "bucketCounts":["5","3","2"],"explicitBounds":[0.1,0.5]}]}}
+        |         "bucketCounts":["5","3","2"],"explicitBounds":[0.1,0.5]}]}},
+        |     {"name":"latency_exp","exponentialHistogram":{"aggregationTemporality":2,
+        |        "dataPoints":[{"timeUnixNano":"1735725600000000000","count":"7",
+        |          "sum":2.5,"min":0.02,"max":1.1}]}}
         | ]}]}]}""".stripMargin
     val out = OtlpFlatten.metrics(parse(json))
     val rows = out.orderBy("metric_name", "timestamp").collect()
-    assert(rows.length == 4)
+    assert(rows.length == 5)
+    val exp = rows.filter(_.getAs[String]("metric_name") == "latency_exp").head
+    assert(exp.getAs[String]("metric_type") == "exp_histogram")
+    assert(exp.getAs[String]("aggregation_temporality") == "CUMULATIVE")
+    assert(exp.getAs[Long]("count") == 7L && exp.getAs[Double]("sum") == 2.5)
     val byName = rows.groupBy(_.getAs[String]("metric_name"))
     assert(byName("cpu_load").length == 2)
     assert(byName("cpu_load").head.getAs[Double]("value_double") == 0.75)
