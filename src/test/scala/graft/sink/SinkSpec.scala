@@ -131,6 +131,26 @@ class SinkSpec extends SparkSpec {
     )
   }
 
+  test("F3 versioned transform chains into per-version sink batching") {
+    import graft.operators.{TransformOp, VersionedTransform}
+    val df = Seq(("x", 1L, "v1"), ("y", 2L, "v2")).toDF("a", "n", "ver")
+    val routed = VersionedTransform("ver", Map(
+      "v1" -> Seq(TransformOp.Rule("upper(a)", "a_u", "string")),
+      "v2" -> Seq(TransformOp.Rule("upper(a)", "a_u", "string"),
+        TransformOp.Rule("n * 10", "n10", "int64"))))(df)
+    val c = ClickHouseSink.Config(url = "x", database = "db", table = "t",
+      versionColumn = Some("ver"),
+      versionMappings = Map(
+        "v1" -> Seq(ColumnMapping("a_u", "col_a", "String")),
+        "v2" -> Seq(ColumnMapping("a_u", "col_a", "String"), ColumnMapping("n10", "col_n", "Int64"))))
+    val written = scala.collection.mutable.ArrayBuffer[(Seq[String], Seq[Seq[Any]])]()
+    ClickHouseSink.writeBatchWith(c, d =>
+      written += ((d.columns.toSeq, d.collect().toSeq.map(_.toSeq))))(routed)
+    assert(written.toSeq == Seq(
+      (Seq("col_a"), Seq(Seq("X"))),
+      (Seq("col_a", "col_n"), Seq(Seq("Y", 20L)))))
+  }
+
   test("dlq envelope wraps original rows as JSON") {
     val df = Seq(("x", 5L)).toDF("id", "n")
     val out = Dlq.envelope("sink", "Code: 53")(df).collect().head
