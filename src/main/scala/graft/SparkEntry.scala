@@ -114,33 +114,32 @@ object SparkEntry {
     // verify harness (production path is the Kafka source).
     "q_temporal_join_stream" -> { (s, dir) =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.expressions.Window
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
       val ttlMs = 6L * 3600 * 1000
       // millisecond event time: flatMapGroupsWithState timestamps are ms,
-      // so the oracle must share that truncation
-      val ev = eventsUsPrecision(s, dir)
-        .withColumn("tms", expr("ts_ns div 1000000"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("value"), col("tms"))
-      // one view per (user, ms): equal-timestamp rights would make
-      // latest-right-wins depend on arrival order — dedupe deterministically
-      // on BOTH sides instead
-      val views = ev.filter(col("event_type") === "view")
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("user_id"), col("tms")).orderBy(col("event_id"))))
-        .filter(col("__rn") === 1)
-        .select(col("event_id"), col("user_id"), col("value"), col("tms"))
-      def feed(df: DataFrame): DataFrame = {
+      // so the oracle must share that truncation. ONE scan feeds both
+      // sides; the per-(user, ms) right dedup (equal-timestamp rights would
+      // make latest-right-wins depend on arrival order) happens on the
+      // collected feed — this collect exists only to drive MemoryStream.
+      val rows = eventsUsPrecision(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts_ns div 1000000").as("tms"), col("event_type"))
+        .collect()
+      val purchases = rows.filter(_.getString(4) == "purchase")
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val views = rows.filter(_.getString(4) == "view")
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .groupBy(t => (t._2, t._4)).map(_._2.minBy(_._1)).toSeq
+      def feed(data: Seq[(Long, Long, Double, Long)]): DataFrame = {
         val ms = MemoryStream[(Long, Long, Double, Long)]
-        ms.addData(df.collect().toSeq.map(r =>
-          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
+        ms.addData(data)
         ms.toDF.toDF("event_id", "user_id", "value", "tms")
           .withColumn("ts", timestamp_millis(col("tms")))
       }
       import operators.AsOfJoin.Projection
-      val joined = operators.TemporalJoin(feed(purchases), feed(views),
+      val joined = operators.TemporalJoin(feed(purchases.toSeq), feed(views),
         operators.TemporalJoin.Config(
           leftKey = "user_id", rightKey = "user_id",
           leftTs = "ts", rightTs = "ts",
