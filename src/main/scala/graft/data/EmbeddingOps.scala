@@ -136,17 +136,34 @@ object EmbeddingOps {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"), bucket.as("bucket"))
   }
 
+  /** Nearest centroid by dot-product similarity (primitive loops). */
+  private def nearest(vd: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestSim = Double.MinValue; var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var s = 0.0; var j = 0
+      while (j < vd.length) { s += vd(j) * c(j); j += 1 }
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    best
+  }
+
   /** IVF (inverted-file) index: deterministic coarse centroids — a
     * hash-spread sample of the corpus (rows whose xxhash64(id) lands on a
-    * stride of ~n/k, a seedless pseudo-random spread that needs no sort and
-    * no bulk driver materialization; only the k centroid vectors themselves
-    * ever reach the driver). Each vector is assigned to its nearest
-    * centroid. The returned frame is the "posting list" layout:
-    * repartitioning/clustering by `centroid` colocates each cell, so a
-    * query only scans `nprobe` cells instead of the corpus. */
+    * stride of ~n/k; a seedless pseudo-random spread that needs no sort and
+    * no bulk driver materialization — only k centroid vectors ever reach
+    * the driver) refined by `lloydIterations` distributed k-means steps:
+    * each partition accumulates per-centroid (sum, count) partials (k×dim
+    * doubles per partition, tiny), the driver combines them into the new
+    * means. Each vector is then assigned to its nearest centroid. The
+    * returned frame is the "posting list" layout: repartitioning/clustering
+    * by `centroid` colocates each cell, so a query only scans `nprobe`
+    * cells instead of the corpus. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-               numCentroids: Int): (Seq[(Int, Array[Double])], DataFrame) = {
+               numCentroids: Int, lloydIterations: Int = 2): (Seq[(Int, Array[Double])], DataFrame) = {
     val spark = df.sparkSession
+    import spark.implicits._
     val n = df.count()
     val stride = math.max(1L, n / math.max(1, numCentroids))
     // orderBy(id).limit(k) over the ~k hash-selected survivors compiles to
@@ -159,19 +176,48 @@ object EmbeddingOps {
       // hash variance undersupplied (tiny corpus): top up with smallest ids
       sample = df.select(col(idCol), col(vecCol))
         .orderBy(col(idCol)).limit(numCentroids).collect()
-    val centroids = sample
+    var centroidVecs: Array[Array[Double]] = sample
       .map(r => r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
-      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-    val bc = spark.sparkContext.broadcast(centroids)
+
+    val vecsOnly = df.select(col(vecCol)).as[Array[Float]]
+    for (_ <- 0 until lloydIterations) {
+      val bcIter = spark.sparkContext.broadcast(centroidVecs)
+      val partials = vecsOnly.mapPartitions { rows =>
+        val cs = bcIter.value
+        val sums = Array.fill(cs.length)(null: Array[Double])
+        val counts = new Array[Long](cs.length)
+        rows.foreach { s =>
+          val vd = new Array[Double](s.length)
+          var j = 0
+          while (j < vd.length) { vd(j) = s(j).toDouble; j += 1 }
+          val c = nearest(vd, cs)
+          if (sums(c) == null) sums(c) = new Array[Double](vd.length)
+          var k = 0
+          while (k < vd.length) { sums(c)(k) += vd(k); k += 1 }
+          counts(c) += 1
+        }
+        sums.indices.iterator.filter(sums(_) != null)
+          .map(i => (i, sums(i), counts(i)))
+      }.collect()
+      val combined = partials.groupBy(_._1).map { case (c, ps) =>
+        val sum = ps.map(_._2).reduce { (a, b) =>
+          val out = a.clone(); var i = 0
+          while (i < out.length) { out(i) += b(i); i += 1 }
+          out
+        }
+        val count = ps.map(_._3).sum
+        c -> sum.map(_ / count)
+      }
+      // empty clusters keep their previous centroid
+      centroidVecs = centroidVecs.indices
+        .map(i => combined.getOrElse(i, centroidVecs(i))).toArray
+    }
+
+    val centroids = centroidVecs.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val bc = spark.sparkContext.broadcast(centroidVecs)
     val assign = udf { v: scala.collection.Seq[Float] =>
       val vd = v.map(_.toDouble).toArray
-      var best = 0; var bestSim = Double.MinValue
-      bc.value.foreach { case (i, c) =>
-        var s = 0.0; var j = 0
-        while (j < vd.length) { s += vd(j) * c(j); j += 1 }
-        if (s > bestSim) { bestSim = s; best = i }
-      }
-      best
+      nearest(vd, bc.value)
     }
     (centroids, df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       assign(col(vecCol)).as("centroid")))
