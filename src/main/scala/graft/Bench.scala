@@ -38,7 +38,14 @@ object Bench {
     // first: the JSON parse path needs JIT/codegen warm-up, and timing the
     // first pass under-reports steady-state by ~3×.
     val ingestRate =
-      try { IngestBench.run(spark, 100000L); IngestBench.run(spark, 2000000L) }
+      try {
+        // drop caches the query sweep left behind — ingest should measure
+        // the parse+map path, not the sweep's GC debt
+        spark.catalog.clearCache()
+        System.gc()
+        IngestBench.run(spark, 100000L)
+        IngestBench.run(spark, 2000000L)
+      }
       catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       f""""ingest_events_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")
