@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark contract: runs every registered query against
@@ -34,21 +36,54 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // BASELINE.md parity metric: ingest-only pipeline (1.5 KB telemetry
-    // JSON parse+validate+typed-map) events/sec on this host. Warm-up run
-    // first: the JSON parse path needs JIT/codegen warm-up, and timing the
-    // first pass under-reports steady-state by ~3×.
-    val ingestRate =
+    // JSON parse+validate+typed-map) events/sec on this host. Measured in a
+    // FORKED FRESH JVM so the 31-query sweep's leftover GC/shuffle debt
+    // can't depress it (in-session it reads ~2.2× low even after
+    // clearCache+gc). The in-session rate is still recorded alongside for
+    // comparability with earlier rounds.
+    val (ingestRate, ingestPruned) = forkedIngest(2000000L).getOrElse((-1.0, -1.0))
+    val inSession =
       try {
-        // drop caches the query sweep left behind — ingest should measure
-        // the parse+map path, not the sweep's GC debt
         spark.catalog.clearCache()
         System.gc()
-        IngestBench.run(spark, 100000L)
-        IngestBench.run(spark, 2000000L)
+        IngestBench.run(spark, 100000L, pruneToMapped = false)
+        IngestBench.run(spark, 2000000L, pruneToMapped = false)
       }
       catch { case _: Throwable => -1.0 }
+    val headline = if (ingestRate > 0) ingestRate else inSession
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      f""""ingest_events_per_sec":$ingestRate%.0f,"sf":"$sfDir"}""")
+      f""""ingest_events_per_sec":$headline%.0f,""" +
+      f""""ingest_pruned_schema_events_per_sec":$ingestPruned%.0f,""" +
+      f""""ingest_in_session":$inSession%.0f,""" +
+      """"ingest_note":"events_per_sec=steady-state forked-fresh-JVM rate with ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Run graft.IngestBench in a fresh forked JVM (same JVM opts + classpath
+    * as this one) and parse its (full-schema, pruned-schema) events/sec.
+    * Steady-state ingest must not share a heap with the query sweep's
+    * debris. */
+  private def forkedIngest(n: Long): Option[(Double, Double)] =
+    try {
+      import scala.sys.process._
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.IngestBench", n.toString)
+      val out = new StringBuilder
+      val code = Process(cmd, cwd = None, extraEnv = sys.env.toSeq: _*)
+        .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
+      if (code != 0) None
+      else {
+        val line = out.toString.linesIterator
+          .find(_.contains("\"ingest_throughput\""))
+        val num = (key: String, s: String) =>
+          s""""$key":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+        line.flatMap(l => num("value", l).map(_ -> num("pruned_schema_events_per_sec", l).getOrElse(-1.0)))
+      }
+    } catch { case _: Throwable => None }
 }

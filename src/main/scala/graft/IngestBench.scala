@@ -82,14 +82,21 @@ object IngestBench {
   }
 
   /** Run the ingest pipeline over n synthetic events; returns events/sec.
-    * The declared schema is pruned to the mapped fields before parsing —
-    * the reference gjson-validates all 35 declared fields per record, but
-    * the Spark pipeline only ever reads the mapped 12, and parsing just
-    * those is the dominant throughput lever (validation scope shrinks with
-    * it: unmapped fields are not type-checked — they never reach the sink). */
-  def run(spark: SparkSession, n: Long): Double = {
-    val schema = JsonIngest.pruneSchema(
-      EngineSchema.structFor(fields), mappings.map(_.sourceField))
+    *
+    * Two validation scopes are measured (both reported by `main`):
+    *   - pruneToMapped=true: the declared schema is pruned to the 12 mapped
+    *     fields before parsing — the production-relevant configuration (the
+    *     pipeline only ever reads mapped fields), but validation scope
+    *     shrinks with it: unmapped fields are not type-checked.
+    *   - pruneToMapped=false: all 35 declared fields are parsed and
+    *     type-validated per record — the reference's semantics (it
+    *     gjson-validates every declared field), so this is the
+    *     apples-to-apples number for BASELINE.md comparison. */
+  def run(spark: SparkSession, n: Long, pruneToMapped: Boolean = true): Double = {
+    val declared = EngineSchema.structFor(fields)
+    val schema =
+      if (pruneToMapped) JsonIngest.pruneSchema(declared, mappings.map(_.sourceField))
+      else declared
     val t0 = System.nanoTime()
     val raw = syntheticJson(spark, n)
     val (valid, _) = JsonIngest.ingest(raw, "value", schema)
@@ -108,9 +115,31 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, math.min(n, 100000L)) // warm-up
-    val rate = run(spark, n)
-    println(f"""{"metric":"ingest_throughput","value":$rate%.0f,"unit":"events_per_sec","n":$n}""")
+    // Warm BOTH parse paths before measuring either — the JSON parse path
+    // needs substantial JIT warm-up (~500k events), and measuring one scope
+    // while only the other is warm skews the comparison. Measurements then
+    // alternate pruned/full twice, best-of-two per scope, so continuing JIT
+    // drift over the run can't systematically favor whichever went last.
+    val warm = math.min(n, 500000L)
+    run(spark, warm); run(spark, warm, pruneToMapped = false)
+    val rates = (0 until 2).map { _ =>
+      System.gc()
+      val p = run(spark, n)
+      System.gc()
+      val f = run(spark, n, pruneToMapped = false)
+      (p, f)
+    }
+    val pruned = rates.map(_._1).max
+    val full = rates.map(_._2).max
+    // Headline = full-schema rate: all 35 declared fields type-validated per
+    // record, matching the reference's gjson-validate-everything semantics —
+    // the apples-to-apples BASELINE.md number. (Measured: the two scopes are
+    // within run-to-run noise of each other on Spark 4 — Catalyst's JSON
+    // expression optimization already prunes the parse to accessed fields,
+    // so explicit pruning buys narrower validation, not speed.)
+    println(f"""{"metric":"ingest_throughput","value":$full%.0f,"unit":"events_per_sec","n":$n,""" +
+      f""""pruned_schema_events_per_sec":$pruned%.0f,""" +
+      """"note":"value=all 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation scope)"}""")
     spark.stop()
   }
 }
