@@ -338,8 +338,11 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
     },
 
-    // SimHash near-dup pairs (banded 16-bit chunks, hamming ≤ 3). No SQL
-    // oracle (hash-function specific) → driver rows-only check.
+    // SimHash near-dup pairs, exactly verified: banded simhash candidates
+    // (11 bands → pigeonhole guarantee for hamming ≤ 10; planted pairs
+    // measured at hamming ≤ 8) then exact shingle-Jaccard ≥ 0.8 verify —
+    // so the result is SQL-expressible (exhaustive Jaccard) and any
+    // candidate-generation miss turns the oracle row red.
     "q_simhash_dedup" -> { (s, dir) =>
       graft.data.MinHashDedup.simhashPairs(
         Tables.documents(s, dir), "doc_id", "text")
@@ -362,26 +365,36 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", 0.48)
     },
 
-    // LSH-bucketed approximate ANN (the 100 TB scale path; recall measured
-    // in EmbeddingSpec against the brute baseline). Rows-only check.
+    // Multi-probe LSH radius search, exactly verified: probe the buckets
+    // within hamming ≤ 3 of the query signature, exact-verify candidates'
+    // cosine ≥ 0.45. Query = vec 169 (its one true neighbor, vec 466 at
+    // cosine 0.5128, sits at signature hamming 3; next-nearest is 0.3654,
+    // so the 0.45 threshold has wide margins both sides) — the oracle is
+    // the exhaustive SQL scan, and a probe miss turns the row red.
+    // Top-k LSH (annTopK) recall is asserted in DataOpsSpec.
     "q_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val query = emb.filter(col("vec_id") === 0)
+      val query = emb.filter(col("vec_id") === 169)
         .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
-      graft.data.EmbeddingOps.annTopK(emb, "vec_id", "embedding", 64, query, 10)
+      graft.data.EmbeddingOps.lshRadius(emb, "vec_id", "embedding", 64, query, 0.45)
         .withColumn("cosine", round(col("cosine"), 6))
+        .withColumnRenamed("id", "vec_id")
     },
 
-    // IVF-cell approximate ANN (the other scale path besides LSH: coarse
-    // centroids + posting lists; query scans nprobe cells). Rows-only check;
-    // recall vs brute asserted in DataOpsSpec.
+    // IVF-cell radius search, exactly verified (the other scale path
+    // besides LSH: coarse centroids + posting lists; the query scans only
+    // nprobe cells). Same query/threshold as q_ann_lsh — vec 169's true
+    // neighbor lives in the top-ranked probe cell — so the exhaustive SQL
+    // scan is the oracle and a cell miss turns the row red. Top-k IVF
+    // (ivfTopK) recall is asserted in DataOpsSpec.
     "q_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val query = emb.filter(col("vec_id") === 0)
+      val query = emb.filter(col("vec_id") === 169)
         .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
       val index = graft.data.EmbeddingOps.ivfIndex(emb, "vec_id", "embedding", 16)
-      graft.data.EmbeddingOps.ivfTopK(index, query, 10, nprobe = 4)
+      graft.data.EmbeddingOps.ivfRadius(index, query, 0.45, nprobe = 4)
         .withColumn("cosine", round(col("cosine"), 6))
+        .withColumnRenamed("id", "vec_id")
     },
 
     // Multimodal plumbing: documents rendered as opaque binary media rows
@@ -576,6 +589,40 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[],
         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    // Exhaustive exact scans: the approximate (LSH / IVF) paths must return
+    // exactly the vectors the full scan finds — exact-verified candidates
+    // mean no false positives, and the oracle catches any probe miss.
+    "q_ann_lsh" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 169)), 6) AS cosine
+        |FROM embeddings
+        |WHERE list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 169)) >= 0.45""".stripMargin,
+    "q_ann_ivf" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 169)), 6) AS cosine
+        |FROM embeddings
+        |WHERE list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 169)) >= 0.45""".stripMargin,
+    // Exhaustive exact shingle-Jaccard — identical contract to
+    // q_minhash_dedup; the machinery under test differs (simhash banding),
+    // and a banding miss turns this row red.
+    "q_simhash_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+        |     for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |        FROM documents)
+        |  WHERE len(tokens) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        |    / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        |    / len(list_distinct(a.shingles || b.shingles)) >= 0.8""".stripMargin,
     "q_embed_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine

@@ -52,17 +52,37 @@ class DataOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
-  test("simhash pairs align with minhash near-dups") {
+  test("simhash-banded candidates + exact verify find exactly the true near-dups") {
     val docs = graft.Tables.documents(spark, sf)
     val sim = MinHashDedup.simhashPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val mh = MinHashDedup.duplicatePairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // simhash (hamming≤3) and jaccard≥0.8 are different similarity notions on
-    // this small-vocab corpus; require substantial overlap, not containment
+    // both pipelines exact-verify at jaccard ≥ 0.8, so any difference is a
+    // candidate-generation miss (planted pairs sit at simhash hamming ≤ 8;
+    // the 11-band / maxHamming=10 net must not lose one)
     assert(sim.nonEmpty)
-    val overlap = sim.intersect(mh).size.toDouble / mh.size
-    assert(overlap >= 0.5, s"simhash found only ${overlap * 100}%% of minhash pairs")
+    assert(sim == mh, s"simhash banding missed ${(mh -- sim).mkString(",")}; " +
+      s"spurious ${(sim -- mh).mkString(",")}")
+  }
+
+  test("LSH and IVF radius search match the exhaustive scan") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 169)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
+    val exact = emb
+      .select(col("vec_id"), EmbeddingOps.cosine(
+        EmbeddingOps.toDouble(col("embedding")),
+        array(q.map(lit): _*)).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = EmbeddingOps.lshRadius(emb, "vec_id", "embedding", 64, q, 0.45)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh == exact, s"lshRadius=$lsh exact=$exact")
+    val index = EmbeddingOps.ivfIndex(emb, "vec_id", "embedding", numCentroids = 16)
+    val ivf = EmbeddingOps.ivfRadius(index, q, 0.45, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == exact, s"ivfRadius=$ivf exact=$exact")
   }
 
   test("brute topk is exact and LSH ann achieves high recall on its bucket") {
