@@ -51,14 +51,20 @@ object EmbeddingOps {
     // UDF decodes a chunk into primitive arrays ONCE per task (keyed
     // cache) and then runs tight ascending-index loops — a per-PAIR udf
     // would pay an array conversion per candidate pair (n² of them), which
-    // is the difference between ~2 s and ~30 s at 20k vectors. Beyond ~10⁵
-    // vectors (broadcast no longer fits) use lshBuckets + within-bucket
-    // pairs instead — this is the exact/verification path.
-    val n = df.count()
-    val chunkSize = 1024L
-    val nChunks = math.max(1L, (n + chunkSize - 1) / chunkSize)
+    // is the difference between ~2 s and ~30 s at 20k vectors. Memory
+    // bound: each concurrent task can hold up to the full decoded corpus
+    // (n × dim × 8 bytes of doubles, e.g. ~50 MB at 10⁵ × 64) on top of the
+    // serialized broadcast — both the broadcast cap and this per-task
+    // decode bound set the ~10⁵-vector limit; beyond it use lshBuckets +
+    // within-bucket pairs instead — this is the exact/verification path.
+    // Chunk by CONTIGUOUS id range (id >> 10), not hash: a range chunk's
+    // max id then bounds every id inside it, so the `__chunk_max > id_a`
+    // prefilter below skips ~half of all (row, chunk) combinations before
+    // the UDF ever runs — with hash-spread chunks every chunk's max is ≈ n
+    // and nothing can be pruned. (Sparse/skewed id spaces only unbalance
+    // chunk SIZES, never correctness.)
     val chunks = df.groupBy(
-        pmod(col(idCol).cast(LongType), lit(nChunks)).as("__chunk_id"))
+        shiftright(col(idCol).cast(LongType), 10).as("__chunk_id"))
       .agg(collect_list(struct(col(idCol).cast(LongType).as("id"),
         col(vecCol).as("vec"))).as("__chunk"))
       // split into aligned parallel arrays — scala UDFs can't take
@@ -66,7 +72,8 @@ object EmbeddingOps {
       // array guarantees alignment
       .select(col("__chunk_id"),
         transform(col("__chunk"), x => x.getField("id")).as("__chunk_ids"),
-        transform(col("__chunk"), x => x.getField("vec")).as("__chunk_vecs"))
+        transform(col("__chunk"), x => x.getField("vec")).as("__chunk_vecs"),
+        array_max(transform(col("__chunk"), x => x.getField("id"))).as("__chunk_max"))
 
     // per-task decoded-chunk cache: (ids, unit-less vectors, norms)
     val cache = new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Array[Array[Double]], Array[Double])]()
@@ -110,6 +117,9 @@ object EmbeddingOps {
 
     df.select(col(idCol).cast(LongType).as("id_a"), col(vecCol).as("__va"))
       .crossJoin(broadcast(chunks))
+      // chunks whose ids are all ≤ id_a can't contribute a (a < b) pair —
+      // drop them before the pair UDF (halves the scanned volume)
+      .filter(col("__chunk_max") > col("id_a"))
       .select(col("id_a"),
         explode(pairsUdf(col("id_a"), col("__va"), col("__chunk_id"),
           col("__chunk_ids"), col("__chunk_vecs"))).as("__m"))
@@ -199,6 +209,9 @@ object EmbeddingOps {
         sums.indices.iterator.filter(sums(_) != null)
           .map(i => (i, sums(i), counts(i)))
       }.collect()
+      // per-iteration broadcast is consumed by the collect above — free the
+      // executor copies instead of letting them pile up in a long session
+      bcIter.destroy()
       val combined = partials.groupBy(_._1).map { case (c, ps) =>
         val sum = ps.map(_._2).reduce { (a, b) =>
           val out = a.clone(); var i = 0
