@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
@@ -42,6 +40,46 @@ object TemporalJoin {
     leftTtlMs: Long, rightTtlMs: Long,
     leftOut: Seq[AsOfJoin.Projection], rightOut: Seq[AsOfJoin.Projection],
     watermarkDelay: String = "10 seconds")
+
+  /** One event inside a micro-batch for a single key: side 0 = right, 1 = left. */
+  private[operators] final case class Ev(ts: Long, side: Int, payload: Array[Any])
+
+  /** Pure per-key batch transition: apply `events` (already sorted by
+    * (ts, side) — rights first at the same instant) to `st0`, returning
+    * emitted (left, right) payload pairs and the new state.
+    *
+    * The left buffer is BOUNDED: after processing, buffered lefts older
+    * than `wmMs − leftTtlMs` are pruned — any future right arrives with
+    * event time above the watermark, so `rightTs − lts > leftTtlMs` holds
+    * and the entry could never drain. Without this, a key receiving only
+    * left events (the one-sided hot-key flood) accumulates every event
+    * until a right shows up or the whole key times out; with it, state per
+    * key is O(lefts inside the TTL horizon). The prune is output-neutral:
+    * the drain path re-checks `ts − lts ≤ leftTtlMs` per emit. */
+  private[operators] def step(events: Iterable[Ev], st0: JState, wmMs: Long,
+                              leftTtlMs: Long, rightTtlMs: Long):
+      (Vector[(Array[Any], Array[Any])], JState) = {
+    var st = st0
+    val out = Vector.newBuilder[(Array[Any], Array[Any])]
+    events.foreach { e =>
+      if (e.side == 0) {
+        // latest right wins; drain every non-expired buffered left
+        st.leftBuffer.reverse.foreach { case (lts, lp) =>
+          if (e.ts - lts <= leftTtlMs) out += ((lp, e.payload))
+        }
+        st = JState(Nil, Some((e.ts, e.payload)))
+      } else {
+        st.rightLatest match {
+          case Some((rts, rp)) if rts <= e.ts && e.ts - rts <= rightTtlMs =>
+            out += ((e.payload, rp))
+          case _ =>
+            st = st.copy(leftBuffer = (e.ts, e.payload) :: st.leftBuffer)
+        }
+      }
+    }
+    val pruned = st.leftBuffer.filter { case (lts, _) => wmMs - lts <= leftTtlMs }
+    (out.result(), st.copy(leftBuffer = pruned))
+  }
 
   def apply(left: DataFrame, right: DataFrame, cfg: Config): DataFrame = {
     val lType = StructType(cfg.leftOut.map(p =>
@@ -85,30 +123,14 @@ object TemporalJoin {
             // event-time order; rights before lefts at the same instant
             // (reference handler order: store right, then probe/drain)
             val events = it.toArray.sortBy(r => (tsMillis(r), r.getInt(2)))
-            var st = state.getOption.getOrElse(JState(Nil, None))
-            val out = ArrayBuffer.empty[Row]
-            events.foreach { r =>
-              val ts = tsMillis(r)
-              if (r.getInt(2) == 0) {
-                val payload = toArray(r.getStruct(4))
-                // latest right wins; drain every non-expired buffered left
-                st.leftBuffer.reverse.foreach { case (lts, lp) =>
-                  if (ts - lts <= cfg.leftTtlMs) out += emit(lp, payload)
-                }
-                st = JState(Nil, Some((ts, payload)))
-              } else {
-                val lp = toArray(r.getStruct(3))
-                st.rightLatest match {
-                  case Some((rts, rp)) if rts <= ts && ts - rts <= cfg.rightTtlMs =>
-                    out += emit(lp, rp)
-                  case _ =>
-                    st = st.copy(leftBuffer = (ts, lp) :: st.leftBuffer)
-                }
-              }
-            }
+              .map(r => Ev(tsMillis(r), r.getInt(2),
+                toArray(r.getStruct(if (r.getInt(2) == 0) 4 else 3))))
+            val st0 = state.getOption.getOrElse(JState(Nil, None))
+            val wm = try state.getCurrentWatermarkMs() catch { case _: Exception => Long.MinValue }
+            val (pairs, st) = step(events, st0, wm, cfg.leftTtlMs, cfg.rightTtlMs)
             state.update(st)
             if (events.nonEmpty) {
-              val horizon = events.map(tsMillis).max + maxTtl
+              val horizon = events.map(_.ts).max + maxTtl
               try state.setTimeoutTimestamp(horizon)
               catch { case _: IllegalArgumentException =>
                 // horizon already behind the watermark: expire next batch
@@ -116,7 +138,7 @@ object TemporalJoin {
                 catch { case _: Exception => () }
               }
             }
-            out.iterator
+            pairs.iterator.map { case (l, r) => emit(l, r) }
           }
       }
   }

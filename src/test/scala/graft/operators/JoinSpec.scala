@@ -101,4 +101,38 @@ class JoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
     assert(got == Seq((1L, 100L), (2L, 200L), (3L, 300L)))
   }
+
+  test("one-sided left flood: buffer stays bounded to the TTL horizon, output unchanged") {
+    import TemporalJoin.{Ev, JState, step}
+    val ttl = 1000L
+    // 10k lefts at 1ms spacing, no rights, watermark trailing 100ms behind:
+    // only lefts inside [wm - ttl, ∞) may survive each step
+    var st = JState(Nil, None)
+    var emitted = 0
+    (0 until 100).foreach { batch =>
+      val evs = (0 until 100).map(i => Ev(batch * 100L + i, 1, Array[Any](batch * 100L + i)))
+      val wm = batch * 100L + 99 - 100
+      val (out, st2) = step(evs, st, wm, ttl, ttl)
+      emitted += out.size
+      st = st2
+      assert(st.leftBuffer.size <= ttl + 101,
+        s"buffer grew past the TTL horizon: ${st.leftBuffer.size}")
+      st.leftBuffer.foreach { case (lts, _) => assert(wm - lts <= ttl) }
+    }
+    assert(emitted == 0)
+    assert(st.leftBuffer.size <= ttl + 101)
+
+    // pruning is output-neutral: a right arriving inside the TTL still
+    // drains exactly the in-TTL lefts, in order
+    val (out, _) = step(Seq(Ev(10000L, 0, Array[Any](999L))), st, 9900L, ttl, ttl)
+    val drained = out.map(_._1(0).asInstanceOf[Long])
+    assert(drained.nonEmpty)
+    assert(drained == drained.sorted, "drain must preserve event order")
+    drained.foreach(lts => assert(10000L - lts <= ttl))
+
+    // and a left older than wm - ttl is gone even though a fresh right
+    // would otherwise have matched nothing-expired state
+    val stale = step(Seq(Ev(0L, 1, Array[Any](0L))), JState(Nil, None), 5000L, ttl, ttl)._2
+    assert(stale.leftBuffer.isEmpty, "stale left must be pruned at step end")
+  }
 }
