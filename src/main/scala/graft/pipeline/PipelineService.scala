@@ -217,7 +217,11 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
 
   /** Resolve a caller-supplied DLQ path against the configured root.
     * Relative paths resolve under the root; absolute paths are accepted
-    * only when they normalize to inside the root. */
+    * only when they normalize to inside the root. Containment is checked
+    * on SYMLINK-RESOLVED paths (nearest existing ancestor realized, then
+    * the non-existent tail re-appended): a link planted inside the root
+    * pointing outside it would otherwise pass the lexical check and turn
+    * dlqPurge into an arbitrary recursive delete. */
   private[pipeline] def resolveDlq(path: String): Either[String, String] =
     dlqRoot match {
       case None => Left("DLQ root not configured")
@@ -225,9 +229,26 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
         val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
         val p = java.nio.file.Paths.get(path)
         val target = (if (p.isAbsolute) p else base.resolve(p)).normalize
-        if (target.startsWith(base)) Right(target.toString)
+        if (realize(target).startsWith(realize(base))) Right(target.toString)
         else Left(s"path outside DLQ root: $path")
     }
+
+  /** toRealPath that tolerates non-existent tails: realize the nearest
+    * existing ancestor, then append the remaining (not-yet-created)
+    * components, which by definition contain no symlinks. */
+  private def realize(p: java.nio.file.Path): java.nio.file.Path = {
+    var existing = p
+    var tail = List.empty[String]
+    while (existing != null && !java.nio.file.Files.exists(existing,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      tail = existing.getFileName.toString :: tail
+      existing = existing.getParent
+    }
+    val realHead =
+      if (existing == null) p.getRoot
+      else try existing.toRealPath() catch { case _: Exception => existing }
+    tail.foldLeft(realHead)(_.resolve(_)).normalize
+  }
 
   /** (total rows, acked cursor) — pending = total − cursor. */
   def dlqState(path: String): Either[String, (Long, Long)] = resolveDlq(path).map { p =>
@@ -238,15 +259,26 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
   /** Fetch-without-ack from the durable cursor (the reference's DLQ is a
     * durable consumer with explicit ack, dlq/dlq.go:39-105): repeated
     * consumes re-deliver until [[dlqAck]] advances the cursor —
-    * at-least-once. Ordering is total (every envelope column), so the
-    * count-based cursor is stable across reads. */
+    * at-least-once. Envelopes carry a monotonic contiguous `seq` stamped
+    * at append ([[graft.sink.Dlq.writeParquet]]), so a page is
+    * `seq > cursor` + top-n by seq — a filter and a bounded TakeOrdered,
+    * never a full re-sort of the queue (count-offset paging re-sorted
+    * everything per call: quadratic on a large DLQ, and the Int offset
+    * overflowed past 2³¹ messages). Seq-less frames (externally written)
+    * fall back to total-order offset paging with the cursor capped. */
   def dlqConsume(path: String, limit: Int): Either[String, Seq[String]] =
     resolveDlq(path).map { p =>
+      import org.apache.spark.sql.functions.col
       try {
         val df = spark.read.parquet(p)
-        df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
-          .offset(readCursor(p).toInt).limit(limit)
-          .collect().map(_.getAs[String]("original_message")).toSeq
+        val cursor = readCursor(p)
+        val page =
+          if (df.columns.contains("seq"))
+            df.filter(col("seq") > cursor).orderBy(col("seq")).limit(limit)
+          else
+            df.orderBy(df.columns.map(col): _*)
+              .offset(math.min(cursor, Int.MaxValue.toLong).toInt).limit(limit)
+        page.collect().map(_.getAs[String]("original_message")).toSeq
       } catch { case _: Exception => Seq.empty }
     }
 

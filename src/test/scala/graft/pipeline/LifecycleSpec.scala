@@ -74,6 +74,47 @@ class LifecycleSpec extends SparkSpec {
     assert(new PipelineService(spark).dlqState("dlq").isLeft)
   }
 
+  test("dlq paging: monotonic seq across multi-file appends, no re-sort, symlink escape blocked") {
+    val root = Files.createTempDirectory("graft_dlq_seq").toString
+    val svc = new PipelineService(spark, dlqRoot = Some(root))
+    // three separate appends → three parquet file sets in one DLQ dir
+    (1 to 3).foreach { b =>
+      graft.sink.Dlq.writeParquet(s"$root/dlq")(
+        graft.sink.Dlq.envelope("sink", s"Code: 53 b$b")(
+          Seq((s"a$b", b.toLong), (s"b$b", b.toLong)).toDF("id", "n")))
+    }
+    // seq is contiguous 1..6 across appends
+    val seqs = spark.read.parquet(s"$root/dlq").select("seq")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (1L to 6L))
+    // pages walk the queue in append order without re-delivering acked rows
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    var got = svc.dlqConsume("dlq", 2).toOption.get
+    while (got.nonEmpty) {
+      all ++= got
+      svc.dlqAck("dlq", got.length)
+      got = svc.dlqConsume("dlq", 2).toOption.get
+    }
+    assert(all.size == 6 && all.distinct.size == 6)
+    // append order preserved across batches, column order within a batch
+    val ids = all.map(m => """"id":"(\w+)"""".r.findFirstMatchIn(m).get.group(1))
+    assert(ids == Seq("a1", "b1", "a2", "b2", "a3", "b3"))
+    assert(svc.dlqState("dlq") == Right((6L, 6L)))
+    // a symlink inside the root pointing outside must not resolve
+    val outside = Files.createTempDirectory("graft_dlq_outside")
+    Files.write(outside.resolve("keep.txt"), "x".getBytes)
+    val link = java.nio.file.Paths.get(root, "sneaky")
+    try {
+      Files.createSymbolicLink(link, outside)
+      assert(svc.dlqPurge("sneaky").isLeft, "symlinked purge must be refused")
+      assert(Files.exists(outside.resolve("keep.txt")), "purge must not follow the link")
+    } finally {
+      Files.deleteIfExists(link)
+      Files.deleteIfExists(outside.resolve("keep.txt"))
+      Files.deleteIfExists(outside)
+    }
+  }
+
   test("durable store: registry survives a service restart") {
     val dir = Files.createTempDirectory("graft_store").toString
     val svc1 = new PipelineService(spark, storeDir = Some(dir))
