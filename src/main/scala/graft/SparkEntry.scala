@@ -208,29 +208,73 @@ object SparkEntry {
           col("scope_version"))
     },
 
-    // F6 OTLP metrics flattener: one gauge data point per event.
+    // F6 OTLP metrics flattener: a gauge/sum/histogram/exp-histogram/summary
+    // MIX (event_id % 5 picks the type), with per-data-point attributes and
+    // flags — the full reference surface (flattener/metrics.go stamps
+    // dp attributes + flags on every point; summaries surface count/sum,
+    // quantiles dropped like the reference's model).
     "q_otlp_metrics" -> { (s, dir) =>
+      val branch = col("event_id") % 5
+      val nullD = lit(null).cast("double"); val nullL = lit(null).cast("long")
+      val nullAL = lit(null).cast("array<long>")
+      val nullAD = lit(null).cast("array<double>")
+      // every branch's dataPoints share one struct shape (unused value
+      // fields null) so the flattener's unionByName merges trivially
+      def dps(asDouble: Column, asInt: Column, cnt: Column, sm: Column,
+              mn: Column, mx: Column, buckets: Column, bounds: Column) =
+        array(struct(
+          col("ts_ns").cast("string").as("timeUnixNano"),
+          (col("ts_ns") - lit(1000000000L)).cast("string").as("startTimeUnixNano"),
+          (col("event_id") % 4).cast("int").as("flags"),
+          array(struct(lit("et").as("key"),
+            struct(col("event_type").as("stringValue")).as("value"))).as("attributes"),
+          asDouble.as("asDouble"), asInt.as("asInt"),
+          cnt.as("count"), sm.as("sum"), mn.as("min"), mx.as("max"),
+          buckets.as("bucketCounts"), bounds.as("explicitBounds")
+        )).as("dataPoints")
       val nested = eventsUsPrecision(s, dir).select(array(struct(
         struct(array(struct(lit("host").as("key"),
           struct(col("user_id").cast("string").as("stringValue")).as("value")))
           .as("attributes")).as("resource"),
         array(struct(
-          struct(lit("meter").as("name")).as("scope"),
+          struct(lit("meter").as("name"), lit("3.1").as("version")).as("scope"),
           array(struct(
             concat(lit("evt_"), col("event_type")).as("name"),
             lit("1").as("unit"),
-            struct(array(struct(
-              col("ts_ns").cast("string").as("timeUnixNano"),
-              col("value").as("asDouble")
-            )).as("dataPoints")).as("gauge")
+            lit("synthetic metric").as("description"),
+            when(branch === 0, struct(
+              dps(col("value"), nullL, nullL, nullD, nullD, nullD, nullAL, nullAD))).as("gauge"),
+            when(branch === 1, struct(
+              dps(nullD, col("user_id").cast("long"), nullL, nullD, nullD, nullD, nullAL, nullAD),
+              lit(1).as("aggregationTemporality"), lit(true).as("isMonotonic"))).as("sum"),
+            when(branch === 2, struct(
+              dps(nullD, nullL, (col("user_id") % 100).cast("long"), col("value"),
+                col("value") - 1.0d, col("value") + 1.0d,
+                array((col("event_id") % 3).cast("long"), lit(7L), lit(2L)),
+                array(lit(0.5d), lit(2.5d))),
+              lit(2).as("aggregationTemporality"))).as("histogram"),
+            when(branch === 3, struct(
+              dps(nullD, nullL, (col("user_id") % 50).cast("long"), col("value"),
+                col("value"), col("value"), nullAL, nullAD),
+              lit(1).as("aggregationTemporality"))).as("exponentialHistogram"),
+            when(branch === 4, struct(
+              dps(nullD, nullL, (col("user_id") % 10).cast("long"), col("value"),
+                nullD, nullD, nullAL, nullAD))).as("summary")
           )).as("metrics")
         )).as("scopeMetrics")
       )).as("resourceMetrics"))
       operators.OtlpFlatten.metrics(nested)
-        .select(col("timestamp"), col("metric_name"), col("metric_unit"),
+        .select(col("timestamp"), col("start_timestamp"),
+          col("metric_name"), col("metric_description"), col("metric_unit"),
           col("metric_type"), col("aggregation_temporality"),
-          col("value_double"),
-          operators.OtlpFlatten.attrsJson(col("resource_attributes")).as("resource_attributes"))
+          col("is_monotonic"), col("flags"),
+          col("value_double"), col("value_int"),
+          col("count"), col("sum"), col("min"), col("max"),
+          to_json(col("bucketCounts")).as("bucket_counts"),
+          to_json(col("explicitBounds")).as("explicit_bounds"),
+          operators.OtlpFlatten.attrsJson(col("resource_attributes")).as("resource_attributes"),
+          col("scope_name"), col("scope_version"),
+          operators.OtlpFlatten.attrsJson(col("attributes")).as("attributes"))
     },
 
     // T1/T2 sink field mapper + ClickHouse conversion matrix
@@ -727,12 +771,31 @@ object SparkEntry {
     "q_otlp_metrics" ->
       """SELECT
         |  strftime(ts::TIMESTAMP, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS timestamp,
+        |  strftime((ts - INTERVAL 1 SECOND)::TIMESTAMP, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS start_timestamp,
         |  'evt_' || event_type AS metric_name,
+        |  'synthetic metric' AS metric_description,
         |  '1' AS metric_unit,
-        |  'gauge' AS metric_type,
-        |  'UNSPECIFIED' AS aggregation_temporality,
-        |  value AS value_double,
-        |  '{"host":"' || user_id::VARCHAR || '"}' AS resource_attributes
+        |  CASE event_id % 5 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+        |    WHEN 2 THEN 'histogram' WHEN 3 THEN 'exp_histogram'
+        |    ELSE 'summary' END AS metric_type,
+        |  CASE event_id % 5 WHEN 1 THEN 'DELTA' WHEN 2 THEN 'CUMULATIVE'
+        |    WHEN 3 THEN 'DELTA' ELSE 'UNSPECIFIED' END AS aggregation_temporality,
+        |  event_id % 5 = 1 AS is_monotonic,
+        |  event_id % 4 AS flags,
+        |  CASE WHEN event_id % 5 = 0 THEN value END AS value_double,
+        |  CASE WHEN event_id % 5 = 1 THEN user_id END AS value_int,
+        |  CASE event_id % 5 WHEN 2 THEN user_id % 100 WHEN 3 THEN user_id % 50
+        |    WHEN 4 THEN user_id % 10 END AS "count",
+        |  CASE WHEN event_id % 5 IN (2, 3, 4) THEN value END AS "sum",
+        |  CASE event_id % 5 WHEN 2 THEN value - 1.0 WHEN 3 THEN value END AS "min",
+        |  CASE event_id % 5 WHEN 2 THEN value + 1.0 WHEN 3 THEN value END AS "max",
+        |  CASE WHEN event_id % 5 = 2
+        |    THEN '[' || (event_id % 3)::VARCHAR || ',7,2]' END AS bucket_counts,
+        |  CASE WHEN event_id % 5 = 2 THEN '[0.5,2.5]' END AS explicit_bounds,
+        |  '{"host":"' || user_id::VARCHAR || '"}' AS resource_attributes,
+        |  'meter' AS scope_name,
+        |  '3.1' AS scope_version,
+        |  '{"et":"' || event_type || '"}' AS attributes
         |FROM events""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH RECURSIVE f AS (

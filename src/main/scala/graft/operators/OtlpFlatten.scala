@@ -160,16 +160,30 @@ object OtlpFlatten {
   }
 
   /** F6: one row per metric DATA POINT — union over
-    * gauge/sum/histogram/summary into one wide sparse schema with
-    * temporality mapped to DELTA/CUMULATIVE (flattener/metrics.go:32-213). */
+    * gauge/sum/histogram/exp-histogram/summary into one wide sparse schema
+    * with temporality mapped to DELTA/CUMULATIVE
+    * (flattener/metrics.go:32-213). Every data point carries its OWN
+    * `attributes` map and `flags` (metrics.go stamps
+    * `rec.Attributes = attrsToMap(dp.GetAttributes())` / `rec.Flags` on
+    * each point) alongside resource/scope attributes. Summary points
+    * surface count/sum only — the reference drops quantile values
+    * (flattenSummaryDataPoints, metrics.go:179-203; no quantile field in
+    * models/otlp.go's OTLPMetric) and this matches that surface exactly. */
   def metrics(df: DataFrame): DataFrame = {
     val rm = df.select(explode(col("resourceMetrics")).as("rm"))
     val resAttrsT = fieldType(rm, "rm.resource.attributes")
     val sm = rm.select(
       attrsToMap(col("rm.resource.attributes"), resAttrsT).as("resource_attributes"),
       explode(col("rm.scopeMetrics")).as("sm"))
+    val scopeT = fieldType(sm, "sm.scope").asInstanceOf[StructType]
+    val scopeAttrsT = if (scopeT.fieldNames.contains("attributes"))
+      scopeT("attributes").dataType else NullType
     val m = sm.select(col("resource_attributes"),
       col("sm.scope.name").as("scope_name"),
+      opt(scopeT, "version", lit(null).cast(StringType),
+        col("sm.scope.version")).as("scope_version"),
+      (if (scopeAttrsT == NullType) lit(null).cast(MapType(StringType, StringType))
+       else attrsToMap(col("sm.scope.attributes"), scopeAttrsT)).as("scope_attributes"),
       explode(col("sm.metrics")).as("m"))
     val mT = fieldType(m, "m").asInstanceOf[StructType]
 
@@ -180,6 +194,7 @@ object OtlpFlatten {
 
     def base(metricType: String) = Seq(
       col("resource_attributes"), col("scope_name"),
+      col("scope_version"), col("scope_attributes"),
       col("m.name").as("metric_name"),
       (if (mT.fieldNames.contains("description")) col("m.description")
        else lit(null).cast(StringType)).as("metric_description"),
@@ -226,6 +241,8 @@ object OtlpFlatten {
         case other => other
       })
 
+    val dpAttrsT = if (dpT.fieldNames.contains("attributes"))
+      dpT("attributes").dataType else NullType
     unioned.select(
       nsToRfc3339(col("dp.timeUnixNano")).as("timestamp"),
       (if (dpT.fieldNames.contains("startTimeUnixNano"))
@@ -233,11 +250,16 @@ object OtlpFlatten {
       else lit(null).cast(StringType)).as("start_timestamp"),
       col("metric_name"), col("metric_description"), col("metric_unit"),
       col("metric_type"), col("aggregation_temporality"), col("is_monotonic"),
+      (if (dpT.fieldNames.contains("flags")) coalesce(col("dp.flags").cast(LongType), lit(0L))
+       else lit(0L)).as("flags"),
       dpField("asDouble", DoubleType), dpField("asInt", LongType),
       dpField("count", LongType), dpField("sum", DoubleType),
       dpField("min", DoubleType), dpField("max", DoubleType),
       dpField("bucketCounts", ArrayType(LongType)),
       dpField("explicitBounds", ArrayType(DoubleType)),
-      col("resource_attributes"), col("scope_name"))
+      col("resource_attributes"), col("scope_name"),
+      col("scope_version"), col("scope_attributes"),
+      (if (dpAttrsT == NullType) lit(null).cast(MapType(StringType, StringType))
+       else attrsToMap(col("dp.attributes"), dpAttrsT)).as("attributes"))
   }
 }
