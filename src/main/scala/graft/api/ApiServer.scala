@@ -34,7 +34,12 @@ import graft.types.EngineSchema
   *   DELETE /api/v1/pipeline/{id}                 delete
   *   POST   /api/v1/filter/validate               {expression, schema_fields}
   *   POST   /api/v1/transform/expression/evaluate {rules, sample}
-  *   GET    /api/v1/dlq/state?path=…              DLQ row count (confined)
+  *   GET    /api/v1/pipeline/{id}/dlq/state       per-pipeline DLQ (server-
+  *   GET    /api/v1/pipeline/{id}/dlq/consume       side path resolution,
+  *   POST   /api/v1/pipeline/{id}/dlq/ack           router.go:79-81)
+  *   POST   /api/v1/pipeline/{id}/dlq/purge
+  *   GET    /internal/pipelines/{id}/otlp-config  OTLP routing descriptor
+  *   GET    /api/v1/dlq/state?path=…              ops DLQ access (confined)
   *   POST   /api/v1/dlq/purge?path=…              purge DLQ (confined)
   *   GET    /api/v1/openapi.json, /api/v1/docs    machine/human route list
   *
@@ -70,6 +75,7 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
     server.createContext("/api/v1/filter/validate", handleValidateFilter _)
     server.createContext("/api/v1/transform/expression/evaluate", handleEvaluate _)
     server.createContext("/api/v1/dlq", handleDlq _)
+    server.createContext("/internal/pipelines", handleOtlpConfig _)
     server.createContext("/api/v1/openapi.json", (ex: HttpExchange) =>
       respond(ex, 200, openApi))
     server.createContext("/api/v1/docs", (ex: HttpExchange) =>
@@ -146,7 +152,51 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
         }
       case ("DELETE", id :: Nil) =>
         either(ex, service.delete(id))
+      // per-pipeline DLQ — the queue is resolved server-side from the id
+      // (reference router.go:79-81); unknown pipeline → 404
+      case ("GET", id :: "dlq" :: "state" :: Nil) =>
+        service.pipelineDlqState(id) match {
+          case Right((total, acked)) => respond(ex, 200, Map("pipeline_id" -> id,
+            "rows" -> total, "acked" -> acked, "pending" -> (total - acked)))
+          case Left(err) => respond(ex, errCode(err), Map("error" -> err))
+        }
+      case ("GET", id :: "dlq" :: "consume" :: Nil) =>
+        service.pipelineDlqConsume(id, query(ex).getOrElse("limit", "100").toInt) match {
+          case Right(msgs) => respond(ex, 200, msgs)
+          case Left(err) => respond(ex, errCode(err), Map("error" -> err))
+        }
+      case ("POST", id :: "dlq" :: "ack" :: Nil) =>
+        service.pipelineDlqAck(id, query(ex).getOrElse("count", "0").toLong) match {
+          case Right(cursor) => respond(ex, 200, Map("acked" -> cursor))
+          case Left(err) => respond(ex, errCode(err), Map("error" -> err))
+        }
+      case ("POST", id :: "dlq" :: "purge" :: Nil) =>
+        service.pipelineDlqPurge(id) match {
+          case Right(_) => respond(ex, 200, Map("purged" -> true))
+          case Left(err) => respond(ex, errCode(err), Map("error" -> err))
+        }
       case (m, p) => respond(ex, 405, Map("error" -> s"unsupported: $m /$p"))
+    }
+  }
+
+  private def errCode(err: String): Int =
+    if (err.startsWith("no such pipeline")) 404 else 400
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split('&')
+      .flatMap(_.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None })
+      .toMap
+
+  private def handleOtlpConfig(ex: HttpExchange): Unit = safely(ex) {
+    val segs = ex.getRequestURI.getPath.stripPrefix("/internal/pipelines")
+      .split('/').filter(_.nonEmpty).toList
+    segs match {
+      case id :: "otlp-config" :: Nil if ex.getRequestMethod == "GET" =>
+        service.otlpConfig(id) match {
+          case Right(cfg) => respond(ex, 200, cfg)
+          case Left(err) => respond(ex, errCode(err), Map("error" -> err))
+        }
+      case other => respond(ex, 404, Map("error" -> s"unknown internal route: $other"))
     }
   }
 
@@ -167,8 +217,11 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
       "GET /api/v1/pipeline/{id}/resources/validation",
       "POST /api/v1/pipeline/migrate-preview",
       "POST /api/v1/filter/validate", "POST /api/v1/transform/expression/evaluate",
+      "GET /api/v1/pipeline/{id}/dlq/state", "GET /api/v1/pipeline/{id}/dlq/consume",
+      "POST /api/v1/pipeline/{id}/dlq/ack", "POST /api/v1/pipeline/{id}/dlq/purge",
       "GET /api/v1/dlq/state", "GET /api/v1/dlq/consume",
       "POST /api/v1/dlq/ack", "POST /api/v1/dlq/purge",
+      "GET /internal/pipelines/{id}/otlp-config",
       "GET /api/v1/openapi.json", "GET /api/v1/docs"))
 
   private def handleValidateFilter(ex: HttpExchange): Unit = safely(ex) {

@@ -300,6 +300,48 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
     try new String(java.nio.file.Files.readAllBytes(cursorPath(resolved)), "UTF-8").trim.toLong
     catch { case _: Exception => 0L }
 
+  // ---- per-pipeline DLQ ops (reference router.go:79-81 scopes DLQ routes
+  // to a pipeline id and resolves the queue server-side; here a pipeline's
+  // DLQ is the `<dlqRoot>/<pipelineId>` parquet directory — the id never
+  // leaves the server as a path). Unknown pipelines are reported as such
+  // (→ 404) instead of reading an empty directory.
+
+  def pipelineDlqState(id: String): Either[String, (Long, Long)] =
+    withPipeline(id)(_ => dlqState(id))
+  def pipelineDlqConsume(id: String, limit: Int): Either[String, Seq[String]] =
+    withPipeline(id)(_ => dlqConsume(id, limit))
+  def pipelineDlqAck(id: String, count: Long): Either[String, Long] =
+    withPipeline(id)(_ => dlqAck(id, count))
+  def pipelineDlqPurge(id: String): Either[String, Unit] =
+    withPipeline(id)(_ => dlqPurge(id))
+
+  /** OTLP routing descriptor for a pipeline (reference
+    * service/pipeline.go:272-307 + models/otlp.go OTLPConfig): dedup
+    * enabled → route by the dedup id field across the processor replicas;
+    * otherwise random across sink replicas. The output subject mirrors the
+    * reference's hash-derived stream name shape. */
+  def otlpConfig(id: String): Either[String, Map[String, Any]] = withPipeline(id) { d =>
+    val hash = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(id))
+    val subject = s"graft-pl-$hash-otlp-out"
+    val dedup = d.config.source.topics.flatMap(_.deduplication).find(_.enabled)
+    val routing = dedup match {
+      case Some(dc) => Map(
+        "output_subject" -> subject,
+        "subject_count" -> d.resources.get("ingestor").map(_.replicas).getOrElse(1),
+        "type" -> "field",
+        "field" -> Map("name" -> dc.idField))
+      case None => Map(
+        "output_subject" -> subject,
+        "subject_count" -> d.resources.get("sink").map(_.replicas).getOrElse(1),
+        "type" -> "random")
+    }
+    Right(Map(
+      "pipeline_id" -> id,
+      "source_type" -> d.config.source.kind.getOrElse("kafka"),
+      "routing" -> routing,
+      "status" -> d.status.toString))
+  }
+
   def dlqPurge(path: String): Either[String, Unit] = resolveDlq(path).map { rp =>
     val p = new org.apache.hadoop.fs.Path(rp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

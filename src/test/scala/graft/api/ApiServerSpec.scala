@@ -193,4 +193,51 @@ class ApiServerSpec extends SparkSpec {
     assert(post("/api/v1/dlq/purge?path=d", "")._1 == 200)
     assert(get("/api/v1/dlq/state?path=d")._2 == """{"rows":0,"acked":0,"pending":0}""")
   }
+
+  test("per-pipeline dlq routes resolve the queue server-side from the id") {
+    import spark.implicits._
+    val cfg =
+      """{"pipeline_id": "api-dlq1",
+        |  "source": {"topics": [{"name": "t"}]}}""".stripMargin
+    assert(post("/api/v1/pipeline", cfg)._1 == 201)
+    graft.sink.Dlq.writeParquet(s"$dlqRoot/api-dlq1")(
+      graft.sink.Dlq.envelope("sink", "Code: 53")(Seq(("y", 2)).toDF("id", "n")))
+
+    val (c1, b1) = get("/api/v1/pipeline/api-dlq1/dlq/state")
+    assert(c1 == 200 &&
+      b1 == """{"pipeline_id":"api-dlq1","rows":1,"acked":0,"pending":1}""")
+    assert(get("/api/v1/pipeline/api-dlq1/dlq/consume?limit=5")._2.contains("""{\"id\":\"y\""""))
+    assert(post("/api/v1/pipeline/api-dlq1/dlq/ack?count=1", "")._2 == """{"acked":1}""")
+    assert(get("/api/v1/pipeline/api-dlq1/dlq/state")._2.contains("\"pending\":0"))
+    assert(post("/api/v1/pipeline/api-dlq1/dlq/purge", "")._1 == 200)
+    // unknown pipeline → 404, and no path parameter exists to abuse
+    assert(get("/api/v1/pipeline/ghost/dlq/state")._1 == 404)
+    assert(post("/api/v1/pipeline/ghost/dlq/purge", "")._1 == 404)
+    assert(delete("/api/v1/pipeline/api-dlq1")._1 == 200)
+  }
+
+  test("otlp-config internal route reports dedup-driven routing") {
+    val cfg =
+      """{"pipeline_id": "api-otlp1",
+        |  "source": {"kind": "otlp", "topics": [{"name": "t",
+        |    "deduplication": {"enabled": true, "id_field": "trace_id"}}]}}""".stripMargin
+    assert(post("/api/v1/pipeline", cfg)._1 == 201)
+    val (c, b) = get("/internal/pipelines/api-otlp1/otlp-config")
+    assert(c == 200)
+    assert(b.contains("\"pipeline_id\":\"api-otlp1\""))
+    assert(b.contains("\"source_type\":\"otlp\""))
+    assert(b.contains("\"type\":\"field\""))
+    assert(b.contains("\"name\":\"trace_id\""))
+    assert(b.contains("-otlp-out"))
+    // no dedup → random routing over sink replicas
+    val cfg2 =
+      """{"pipeline_id": "api-otlp2",
+        |  "source": {"topics": [{"name": "t"}]}}""".stripMargin
+    assert(post("/api/v1/pipeline", cfg2)._1 == 201)
+    val b2 = get("/internal/pipelines/api-otlp2/otlp-config")._2
+    assert(b2.contains("\"type\":\"random\"") && b2.contains("\"source_type\":\"kafka\""))
+    assert(get("/internal/pipelines/ghost/otlp-config")._1 == 404)
+    assert(delete("/api/v1/pipeline/api-otlp1")._1 == 200)
+    assert(delete("/api/v1/pipeline/api-otlp2")._1 == 200)
+  }
 }
