@@ -21,6 +21,7 @@ import graft.types.EngineSchema
   *   POST   /api/v1/pipeline                      create (validate + register)
   *   GET    /api/v1/pipeline                      list
   *   GET    /api/v1/pipeline/{id}                 get config + status
+  *   POST   /api/v1/pipeline/{id}/start           start from stored config
   *   POST   /api/v1/pipeline/{id}/stop            stop (resumable)
   *   POST   /api/v1/pipeline/{id}/resume          restart from checkpoint
   *   POST   /api/v1/pipeline/{id}/terminate       terminate
@@ -43,9 +44,11 @@ import graft.types.EngineSchema
   *   POST   /api/v1/dlq/purge?path=…              purge DLQ (confined)
   *   GET    /api/v1/openapi.json, /api/v1/docs    machine/human route list
   *
-  * Starting a pipeline binds it to live sources/sinks, which are runtime
-  * objects — that stays on the programmatic PipelineService.start API
-  * (the reference likewise delegates actual pod startup to its operator).
+  * `{id}/start` builds the Kafka source and ClickHouse sink from the
+  * STORED config (PipelineService.startFromConfig) — config-only start,
+  * like the reference's operator. Pipelines needing runtime-constructed
+  * sources (joins, custom frames) use the programmatic
+  * PipelineService.start API instead.
   */
 final class ApiServer(spark: SparkSession, service: PipelineService) {
 
@@ -109,6 +112,8 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
       case ("POST", "migrate-preview" :: Nil) =>
         val cfg = PipelineConfig.fromJson(body(ex))
         respond(ex, 200, graft.pipeline.MigratePreview.toV3(cfg))
+      case ("POST", id :: "start" :: Nil) =>
+        either(ex, service.startFromConfig(id))
       case ("POST", id :: "stop" :: Nil) =>
         either(ex, service.stop(id))
       case ("POST", id :: "resume" :: Nil) =>
@@ -210,6 +215,7 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
       "GET /healthz", "GET /api/v2/healthz", "GET /api/v1/platform",
       "POST /api/v1/pipeline", "GET /api/v1/pipeline",
       "GET /api/v1/pipeline/{id}", "DELETE /api/v1/pipeline/{id}",
+      "POST /api/v1/pipeline/{id}/start",
       "POST /api/v1/pipeline/{id}/stop", "POST /api/v1/pipeline/{id}/resume",
       "POST /api/v1/pipeline/{id}/terminate", "POST /api/v1/pipeline/{id}/edit",
       "PATCH /api/v1/pipeline/{id}/metadata", "GET /api/v1/pipeline/{id}/health",

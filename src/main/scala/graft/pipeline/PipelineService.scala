@@ -4,8 +4,12 @@ import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+import graft.sink.{ClickHouseSink, Dlq}
+import graft.sink.SinkMapper.ColumnMapping
+import graft.sources.KafkaSource
 
 /** Pipeline control plane — the lifecycle side of the reference's API
   * surface (SURVEY.md §3.1/§3.3: create/get/list/stop/resume/terminate/
@@ -18,7 +22,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
                             storeDir: Option[String] = None,
-                            secretsKey: Option[Array[Byte]] = None) {
+                            secretsKey: Option[Array[Byte]] = None,
+                            checkpointRoot: Option[String] = None,
+                            // live-connector seams: the default factories
+                            // bind real Kafka/ClickHouse; tests (and any
+                            // broker-less environment) inject MemoryStream /
+                            // memory-sink equivalents — the config→connector
+                            // translation above them is always the real code
+                            sourceReader: (SparkSession, KafkaSource.Config) => DataFrame =
+                              KafkaSource.readStream,
+                            sinkAttach: (DataFrame, ClickHouseSink.Config, String, DataFrame => Unit) => DataStreamWriter[Row] =
+                              ClickHouseSink.attach) {
 
   import PipelineService._
 
@@ -102,12 +116,63 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
       }
     }
 
+  /** Start a pipeline purely from its STORED config (reference: create →
+    * start is config-only; pod startup is the operator's job — here the
+    * "operator" is this method): the Kafka source and ClickHouse sink are
+    * built from the registered `SourceConfig`/`SinkConfig` via the
+    * source/sink factories, the DLQ is the pipeline's own
+    * `<dlqRoot>/<id>` queue, and the checkpoint lives under
+    * `<checkpointRoot>/<id>` so stop→resume keeps offset/state continuity.
+    * Join pipelines need two live sources and stay on the programmatic
+    * [[start]]. */
+  def startFromConfig(id: String): Either[String, Unit] = withPipeline(id) { d =>
+    val cfg = d.config
+    val kind = cfg.source.kind.getOrElse("kafka")
+    if (kind != "kafka") Left(s"config start supports kafka sources; got $kind")
+    else if (cfg.join.exists(_.enabled)) Left("config start does not support join pipelines (two live sources); use start")
+    else (cfg.source.topics.headOption, cfg.sink) match {
+      case (None, _) => Left("source: no topics configured")
+      case (_, None) => Left("sink: not configured")
+      case (Some(topic), Some(sc)) if cfg.source.brokers.forall(_.isEmpty) =>
+        Left("source: brokers required for config start")
+      case (Some(topic), Some(sc)) if sc.url.isEmpty =>
+        Left("sink: url required for config start")
+      case (Some(topic), Some(sc)) =>
+        val srcCfg = KafkaSource.Config(
+          brokers = cfg.source.brokers.get,
+          topic = topic.name,
+          consumerGroup = topic.consumerGroup.getOrElse(s"graft-$id"))
+        val chCfg = ClickHouseSink.Config(
+          url = sc.url.get,
+          database = sc.database,
+          table = sc.table,
+          username = sc.username.getOrElse("default"),
+          password = sc.password.getOrElse(""),
+          mappings = sc.tableMapping.map(m =>
+            ColumnMapping(m.fieldName, m.columnName, m.columnType)),
+          maxBatchSize = sc.maxBatchSize.getOrElse(100000L),
+          maxDelaySeconds = sc.maxDelaySeconds.getOrElse(60))
+        val checkpoint = s"${checkpointRoot.getOrElse(
+          sys.props("java.io.tmpdir") + "/graft_ckpt")}/$id"
+        val dlqFn: DataFrame => Unit = dlqRoot match {
+          case Some(r) => Dlq.writeParquet(s"$r/$id") _
+          case None => _ => ()
+        }
+        start(id, sourceReader(spark, srcCfg),
+          df => sinkAttach(df, chCfg, checkpoint, dlqFn).start())
+    }
+  }
+
   /** Resume a stopped pipeline from its retained source/sink factories
     * (reference: resume annotation restarts the pods from stored config;
     * here the sink's checkpoint carries the offset/state continuity). */
   def resume(id: String): Either[String, Unit] = withPipeline(id) { d =>
     d.starter match {
-      case None => Left(s"pipeline $id was never started; use start")
+      case None =>
+        // no retained factories (e.g. registry reloaded from the durable
+        // store after a restart): rebuild them from the stored config
+        if (d.status == Running) Left(s"pipeline $id already running")
+        else startFromConfig(id)
       case Some((source, sink)) =>
         if (d.status == Running) Left(s"pipeline $id already running")
         else start(id, source, sink)

@@ -42,6 +42,74 @@ class LifecycleSpec extends SparkSpec {
     assert(svc.get("p1").isEmpty)
   }
 
+  test("config-driven start over HTTP: create → start → stop → resume, MemoryStream seam") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val outName = s"cfgstart_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    // the seams replace only the live connectors; the config→connector
+    // translation (brokers/topic/sink mapping extraction) is the real path
+    val svc = new PipelineService(spark,
+      dlqRoot = Some(Files.createTempDirectory("graft_dlq_cs").toString),
+      checkpointRoot = Some(ckpt),
+      sourceReader = (_, kc) => {
+        assert(kc.brokers == Seq("broker:9092") && kc.topic == "t"
+          && kc.consumerGroup == "cg1")
+        mem.toDF.toDF("k", "status")
+      },
+      sinkAttach = (df, cc, checkpoint, _) => {
+        assert(cc.url == "jdbc:ch://ch:8123" && cc.table == "out"
+          && cc.mappings.map(_.column) == Seq("k_up"))
+        assert(checkpoint.startsWith(ckpt))
+        df.writeStream.format("memory").queryName(outName).outputMode("append")
+      })
+    val server = new graft.api.ApiServer(spark, svc)
+    val port = server.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String = ""): (Int, String) = {
+      val resp = client.send(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    def outCount: Long =
+      try spark.table(outName).count() catch { case _: Exception => 0L }
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (outCount < n && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(outCount >= n, s"expected $n rows in $outName, got $outCount")
+    }
+    try {
+      val cfgJson =
+        """{"pipeline_id": "cs1",
+          |  "source": {"kind": "kafka", "brokers": ["broker:9092"],
+          |    "topics": [{"name": "t", "consumer_group": "cg1"}]},
+          |  "filter": {"expression": "status != 'failed'"},
+          |  "transform": {"rules": [
+          |    {"expression": "upper(k)", "output_name": "k_up", "output_type": "string"}]},
+          |  "sink": {"url": "jdbc:ch://ch:8123", "table": "out",
+          |    "table_mapping": [{"field_name": "k_up", "column_name": "k_up",
+          |                       "column_type": "String"}]}}""".stripMargin
+      assert(post("/api/v1/pipeline", cfgJson)._1 == 201)
+      assert(post("/api/v1/pipeline/cs1/start")._1 == 200)
+      assert(svc.get("cs1").map(_._2).contains(PipelineService.Running))
+      mem.addData(("a", "ok"), ("b", "failed"))
+      awaitCount(1) // the failed row is filtered; 'A' flows through
+      assert(post("/api/v1/pipeline/cs1/start")._1 == 400) // double start
+      assert(post("/api/v1/pipeline/cs1/stop")._1 == 200)
+      assert(post("/api/v1/pipeline/cs1/resume")._1 == 200)
+      mem.addData(("c", "ok"))
+      awaitCount(2)
+      val vals = spark.table(outName).collect().map(_.getString(0)).toSet
+      assert(vals.subsetOf(Set("A", "C")) && vals.contains("C"))
+      assert(post("/api/v1/pipeline/cs1/terminate")._1 == 200)
+    } finally {
+      try svc.terminate("cs1") catch { case _: Exception => () }
+      server.stop()
+    }
+  }
+
   test("create rejects invalid configs") {
     val svc = new PipelineService(spark)
     val bad = simpleCfg("p2").copy(join = Some(JoinConfig(enabled = true,
