@@ -96,6 +96,15 @@ object PipelineConfig {
 
   def toJson(cfg: PipelineConfig): String = mapper.writeValueAsString(cfg)
 
+  /** Resources sidecar round-trip (durable store keeps patched component
+    * resources next to the config, in a `.resources.json` file). */
+  def resourcesToJson(rs: Map[String, PipelineService.Resources]): String =
+    mapper.writeValueAsString(rs)
+
+  def resourcesFromJson(json: String): Map[String, PipelineService.Resources] =
+    mapper.readValue(json,
+      new com.fasterxml.jackson.core.`type`.TypeReference[Map[String, PipelineService.Resources]] {})
+
   /** "90s" | "30m" | "2h" | "7d" → milliseconds (reference accepts the d
     * suffix up to 7d, models/configs.go:573-592). */
   def windowMillis(s: String): Long = {

@@ -54,7 +54,8 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
     val d = new java.io.File(dir)
     d.mkdirs()
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .filter(f => f.getName.endsWith(".json") && !f.getName.endsWith(".resources.json"))
+      .sortBy(_.getName)
       .foreach { f =>
         try {
           val raw = java.nio.file.Files.readAllBytes(f.toPath)
@@ -63,7 +64,17 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
             case None => new String(raw, "UTF-8")
           }
           val cfg = PipelineConfig.fromJson(json)
-          registry.put(cfg.pipelineId, Deployed(cfg, None, Stopped))
+          // resources sidecar (plain JSON — no secrets in it): restore
+          // patched component resources alongside the config
+          val res =
+            try {
+              val rf = new java.io.File(dir, s"${cfg.pipelineId}.resources.json")
+              if (rf.exists)
+                PipelineConfig.resourcesFromJson(
+                  new String(java.nio.file.Files.readAllBytes(rf.toPath), "UTF-8"))
+              else DefaultResources
+            } catch { case _: Exception => DefaultResources }
+          registry.put(cfg.pipelineId, Deployed(cfg, None, Stopped, resources = res))
         } catch { case _: Exception => () } // unreadable/undecryptable: skipped
       }
   }
@@ -80,7 +91,15 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
 
   private def unpersist(id: String): Unit = storeDir.foreach { dir =>
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, s"$id.json"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, s"$id.resources.json"))
   }
+
+  private def persistResources(id: String, rs: Map[String, Resources]): Unit =
+    storeDir.foreach { dir =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"$id.resources.json"),
+        PipelineConfig.resourcesToJson(rs).getBytes("UTF-8"))
+    }
 
   /** Create: validate + register (status Created). */
   def create(cfg: PipelineConfig,
@@ -231,7 +250,9 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
         case Some(err) => Left(err)
         case None =>
           val merged = d.resources ++ patch
-          registry.put(id, d.copy(resources = merged)); Right(merged)
+          registry.put(id, d.copy(resources = merged))
+          persistResources(id, merged) // survive restarts like name/metadata
+          Right(merged)
       }
     }
 

@@ -88,21 +88,60 @@ object ClickHouseSink {
     * UNTIL the per-batch retry budget is spent, then DLQ + continue (NATS
     * MaxDeliver=10 dead-letter semantics, constants.go:157-166,
     * clickhouse.go:511-534 — a persistently sick batch must not wedge the
-    * stream); permanent / unknown → DLQ immediately, stream continues. */
+    * stream); permanent / unknown → DLQ immediately, stream continues.
+    *
+    * With `budgetDir` set (as [[attach]] does: a directory inside the
+    * checkpoint), attempt counts are DURABLE: the reference's NATS tracks
+    * delivery count server-side, so its budget survives consumer
+    * restarts — a memory-only count resets whenever the handler is
+    * rebuilt (service resume, driver restart) and a persistently sick
+    * batch would retry forever. Without `budgetDir` the count is
+    * in-memory and holds only for this handler instance. */
   def foreachBatchHandler(c: Config, dlq: DataFrame => Unit,
-                          write: Option[DataFrame => Unit] = None): (DataFrame, Long) => Unit = {
+                          write: Option[DataFrame => Unit] = None,
+                          budgetDir: Option[String] = None): (DataFrame, Long) => Unit = {
     val attempts = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]()
     val terminal = write.getOrElse(jdbcWrite(c) _)
+
+    def fs(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p, p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
+    }
+    def bump(batchId: Long): Int = budgetDir match {
+      case Some(dir) =>
+        val (base, hfs) = fs(dir)
+        val p = new org.apache.hadoop.fs.Path(base, batchId.toString)
+        val prev =
+          try {
+            val in = hfs.open(p)
+            try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+          } catch { case _: Exception => 0 }
+        val n = prev + 1
+        val out = hfs.create(p, true)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+        n
+      case None =>
+        attempts.merge(batchId, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+    }
+    def clear(batchId: Long): Unit = {
+      attempts.remove(batchId)
+      budgetDir.foreach { dir =>
+        val (base, hfs) = fs(dir)
+        try hfs.delete(new org.apache.hadoop.fs.Path(base, batchId.toString), false)
+        catch { case _: Exception => () }
+      }
+    }
+
     (batch: DataFrame, batchId: Long) => {
-      try { writeBatchWith(c, terminal)(batch); attempts.remove(batchId) }
+      try { writeBatchWith(c, terminal)(batch); clear(batchId) }
       catch {
         case t: Throwable => ErrorClassifier.classify(t) match {
           case ErrorClassifier.Retryable =>
-            val n: Int = attempts.merge(batchId, 1,
-              (a: Integer, b: Integer) => Integer.valueOf(a + b))
+            val n = bump(batchId)
             if (n < c.maxRetries) throw t
             else {
-              attempts.remove(batchId)
+              clear(batchId)
               dlq(Dlq.envelope("sink",
                 s"retry budget exhausted (${c.maxRetries}): ${t.getMessage}")(batch))
             }
@@ -113,10 +152,12 @@ object ClickHouseSink {
   }
 
   /** Attach the sink to a streaming DataFrame: micro-batch cadence is the
-    * reference's max_delay_time. */
+    * reference's max_delay_time. The retry budget is persisted inside the
+    * checkpoint so it survives restarts alongside the offsets it guards. */
   def attach(df: DataFrame, c: Config, checkpoint: String, dlq: DataFrame => Unit): DataStreamWriter[Row] =
     df.writeStream
       .trigger(Trigger.ProcessingTime(s"${c.maxDelaySeconds} seconds"))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(foreachBatchHandler(c, dlq))
+      .foreachBatch(foreachBatchHandler(c, dlq,
+        budgetDir = Some(s"$checkpoint/graft_retry_budget")))
 }

@@ -23,6 +23,13 @@ import graft.operators.OtlpFlatten
   * reference's receiver→NATS hop. The response is the OTLP partial-success
   * envelope. A custom `route` replaces the spool write (e.g. a Kafka
   * producer in production).
+  *
+  * TRANSPORT: OTLP/HTTP (JSON encoding) ONLY — the reference's primary
+  * transport is gRPC (otlp-receiver/server/grpc/), which an OTel collector
+  * uses by default. To export to this receiver, configure the collector's
+  * `otlphttp` exporter (with `encoding: json`) pointed at this endpoint;
+  * plain `otlp` (gRPC) exporters will not connect. See README for the
+  * collector snippet.
   */
 final class OtlpReceiver(spark: SparkSession, spoolDir: String,
                          route: Option[(String, DataFrame) => Unit] = None) {
@@ -40,14 +47,25 @@ final class OtlpReceiver(spark: SparkSession, spoolDir: String,
 
   def stop(): Unit = if (server != null) server.stop(0)
 
-  private def deliver(signal: String, flat: DataFrame): Long = {
-    val rows = flat.count()
+  /** Deliver the flattened frame, evaluating the plan ONCE: the spool path
+    * counts the files it just wrote (cheap metadata read) instead of
+    * running the flatten twice (count + write); custom routes report the
+    * row count themselves if they care — the acceptance envelope then
+    * reports rows as unknown (-1 suppressed to plain success). */
+  private def deliver(signal: String, flat: DataFrame): Long =
     route match {
-      case Some(r) => r(signal, flat)
-      case None => flat.write.mode("append").parquet(s"$spoolDir/$signal")
+      case Some(r) => r(signal, flat); -1L
+      case None =>
+        val dir = s"$spoolDir/$signal"
+        val before = spoolRows(dir)
+        flat.write.mode("append").parquet(dir)
+        spoolRows(dir) - before
     }
-    rows
-  }
+
+  /** Total spool row count from parquet FILE METADATA (footer row counts —
+    * no data scan). */
+  private def spoolRows(dir: String): Long =
+    try spark.read.parquet(dir).count() catch { case _: Exception => 0L }
 
   private def handle(signal: String, flatten: DataFrame => DataFrame)(ex: HttpExchange): Unit = {
     val status -> bodyJson =
@@ -59,7 +77,8 @@ final class OtlpReceiver(spark: SparkSession, spoolDir: String,
           val df = spark.read.json(Seq(body).toDS)
           val n = deliver(signal, flatten(df))
           // OTLP/HTTP success envelope (empty partialSuccess = all accepted)
-          200 -> s"""{"partialSuccess":{},"acceptedRows":$n}"""
+          200 -> (if (n >= 0) s"""{"partialSuccess":{},"acceptedRows":$n}"""
+                  else """{"partialSuccess":{}}""")
         }
       } catch {
         case e: Exception =>

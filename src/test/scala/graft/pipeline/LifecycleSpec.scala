@@ -193,11 +193,16 @@ class LifecycleSpec extends SparkSpec {
     // ids become store filenames: traversal-shaped ids are rejected up front
     assert(svc1.create(simpleCfg("../evil")).isLeft)
 
+    // patched resources persist in a sidecar and survive the restart too
+    assert(svc1.patchResources("dp1",
+      Map("sink" -> PipelineService.Resources(replicas = 4))).isRight)
+
     // a fresh service over the same store sees dp1 (renamed), not dp2
     val svc2 = new PipelineService(spark, storeDir = Some(dir))
     assert(svc2.list().map(_._1) == Seq("dp1"))
     assert(svc2.get("dp1").exists(_._1.name.contains("Renamed")))
     assert(svc2.get("dp1").map(_._2).contains(PipelineService.Stopped))
+    assert(svc2.resources("dp1").exists(_("sink").replicas == 4))
   }
 
   test("encrypted store: secrets never on disk in plaintext; wrong key loads nothing") {

@@ -57,6 +57,31 @@ class SinkSpec extends SparkSpec {
     assert(dlqd.length == 2 && dlqd.last.contains("Code: 53"))
   }
 
+  test("durable retry budget survives a handler rebuild (restart semantics)") {
+    import org.apache.spark.sql.DataFrame
+    val c = ClickHouseSink.Config(url = "x", database = "db", table = "t", maxRetries = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    val dlqd = scala.collection.mutable.ArrayBuffer[String]()
+    val capture = (df: DataFrame) => { dlqd += df.collect().head.getAs[String]("error"); () }
+    val boom: DataFrame => Unit =
+      _ => throw new RuntimeException("Code: 241. DB::Exception: Memory limit")
+    val batch = Seq(("a", 1L)).toDF("id", "n")
+    def fresh() = ClickHouseSink.foreachBatchHandler(c, capture, Some(boom), Some(dir))
+    // two attempts on one handler, then the "driver restarts": a FRESH
+    // handler must see the persisted count and dead-letter on attempt 3 —
+    // an in-memory budget would reset and retry forever
+    intercept[RuntimeException](fresh()(batch, 7L))
+    intercept[RuntimeException](fresh()(batch, 7L))
+    fresh()(batch, 7L)
+    assert(dlqd.length == 1 && dlqd.head.contains("retry budget exhausted (3)"))
+    // the exhausted batch's counter is cleared: a later retry cycle starts over
+    intercept[RuntimeException](fresh()(batch, 7L))
+    // success clears the persisted counter too
+    val ok = ClickHouseSink.foreachBatchHandler(c, capture, Some((_: DataFrame) => ()), Some(dir))
+    ok(batch, 7L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "7")))
+  }
+
   test("retry budget over a live stream: sick batch dead-letters, stream continues") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
