@@ -133,57 +133,168 @@ object MinHashDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs, exactly verified: 64-bit token simhash banded
-    * into `bands` contiguous chunks (pigeonhole: hamming ≤ bands−1 between
-    * two hashes guarantees at least one identical chunk, so banded
-    * candidate generation cannot miss a pair within `maxHamming` when
-    * maxHamming ≤ bands−1); candidates within `maxHamming` then join back
-    * to the raw text and are verified by exact shingle Jaccard ≥
-    * `threshold` — same verified contract as [[duplicatePairs]], different
-    * candidate machinery (simhash banding vs minhash banding).
+  /** SimHash near-dup pairs, exactly verified: candidate pairs within
+    * simhash hamming ≤ `maxHamming` are joined to precomputed shingle sets
+    * and verified by exact Jaccard ≥ `threshold` — the verified contract of
+    * [[duplicatePairs]] with simhash candidate machinery. The RADIUS is the
+    * operator's recall contract (Manku et al., WWW'07): true near-dups
+    * whose simhash distance exceeds it are missed by design — on short
+    * documents token-simhash correlates loosely with shingle Jaccard
+    * (measured here: planted Jaccard-0.9 pairs span hamming 0–13), so the
+    * radius trades recall against candidate volume.
     *
-    * Defaults come from measurement on the synthetic corpus: planted
-    * near-dup pairs (Jaccard ≥ 0.9) sit at simhash hamming ≤ 8, background
-    * pairs (Jaccard < 0.5) far above, so maxHamming=10 / bands=11 catches
-    * every true pair with 2 bits of margin while the exact verify step
-    * discards any background candidate. Scale shape: the only shuffle is
-    * the band-bucket groupBy; wider bands (fewer bits per bucket) raise
-    * candidate volume as O(n²·bands/2^bits) — at 100 TB tighten maxHamming
-    * (real near-dup corpora sit at hamming ≤ 3, where 4×16-bit bands make
-    * collisions vanishingly rare). */
+    * Candidate generation adapts to the radius — both paths are exact
+    * (no candidate within the radius is ever missed):
+    *  - radius ≤ 3: the classic 4×16-bit multi-index (pigeonhole: one of
+    *    four 16-bit bands must match exactly) — collisions are rare even
+    *    on clustered corpora, scales to arbitrarily large n.
+    *  - wider radius: a distributed all-pairs popcount sweep over the
+    *    64-bit sketches (broadcast corpus, xor+popcount primitive loop,
+    *    in-pass verification) — O(n²) with a ~1 ns/pair constant. Banding
+    *    is provably useless here: on this corpus a hamming-10 guarantee
+    *    (11 × 6-bit bands, or Manku compound band-pairs) surfaces 75–90%
+    *    of ALL pairs as candidates (measured 9.4–11.3 M of 12.5 M at
+    *    n=5000) because sketch bits are heavily correlated across
+    *    same-template documents; the sweep touches exactly the true
+    *    ≤-radius pairs (365 k). At n beyond ~10⁶ tighten the radius
+    *    instead — that is simhash's real-world operating point.
+    *
+    * Verification joins each candidate to the docs' shingle arrays
+    * (computed ONCE per doc, not re-shingled per pair) and evaluates
+    * Jaccard natively — a candidate-count-bounded cost. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 10, bands: Int = 11,
+                   maxHamming: Int = 10,
                    shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
-    require(maxHamming <= bands - 1,
-      s"banding misses pairs: maxHamming=$maxHamming needs at least ${maxHamming + 1} bands")
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val hashed = base.select(col("id"),
-      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sim"))
-    // split the 64 bits into `bands` contiguous chunks, as evenly as possible
-    val widths = {
-      val w = 64 / bands; val extra = 64 % bands
-      Seq.tabulate(bands)(i => if (i < extra) w + 1 else w)
-    }
-    val offsets = widths.scanLeft(0)(_ + _).init
-    val chunkCols = widths.zip(offsets).map { case (w, off) =>
-      shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1))
-    }
+    if (maxHamming <= 3) {
+      // few candidates (rare collisions): banded pairs, then an array join
+      val base = df.select(col(idCol).cast(LongType).as("id"),
+        TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sim"),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      val cands = bandedCandidates(base.select(col("id"), col("sim")), maxHamming)
+      val sh = base.select(col("id"), col("sh"))
+      cands
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    } else sweepPairs(df, idCol, textCol, maxHamming, shingleSize, threshold)
+  }
+
+  /** 4×16-bit multi-index candidates (exact for hamming ≤ 3). */
+  private def bandedCandidates(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = hashed.select(col("id"), col("sim"),
-      posexplode(array(chunkCols: _*)))
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "bucket")
     val a = chunked.alias("a"); val b = chunked.alias("b")
-    val cands = a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.bucket") === col("b.bucket") &&
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         TextFunctions.hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    cands
-      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .withColumn("jaccard", jaccardUdf(shingleSize)(col("text_a"), col("text_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Distributed all-pairs popcount sweep WITH in-pass verification.
+    *
+    * Layout: shingles are hashed to SORTED distinct 64-bit arrays in-plan
+    * (codegen'd xxhash64 — a collision shifts one Jaccard by ~1/|union|
+    * with probability ~10⁻¹², far below the 4-decimal rounding), the
+    * (id, sketch, shingle-hash) corpus is torrent-broadcast ONCE
+    * (~5 KB/doc → ~25 MB at n=5000; practical ceiling ~10⁵ docs / 500 MB,
+    * beyond which tighten the radius to ≤ 3 and band), and a flatMap
+    * scans each row against the id-sorted corpus from its own position:
+    * a ~1 ns xor+popcount gate per pair, and only gated pairs (the true
+    * ≤-radius set) pay a sorted-merge long intersection. No per-pair (or
+    * per-call) array conversion anywhere — passing chunk payloads through
+    * UDF arguments re-materializes them per row (measured 30×/14× slower
+    * as a string-array join / chunked-arg UDF at n=5000). */
+  private def sweepPairs(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int, shingleSize: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // distinct shingle hashes as a sorted long array, one primitive-loop
+    // UDF call per doc (shingling via interpreted HOF lambdas costs
+    // seconds at n=5000; FNV per shingle in a tight loop does not)
+    val shhUdf = udf { text: String =>
+      val set = new java.util.HashSet[Long]()
+      val toks = if (text == null || text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+")
+      var i = 0
+      while (i + shingleSize <= toks.length) {
+        var h = 0xcbf29ce484222325L
+        var k = i
+        while (k < i + shingleSize) {
+          val t = toks(k)
+          var c = 0
+          while (c < t.length) { h ^= t.charAt(c); h *= 0x100000001b3L; c += 1 }
+          if (k < i + shingleSize - 1) { h ^= ' '; h *= 0x100000001b3L }
+          k += 1
+        }
+        set.add(h)
+        i += 1
+      }
+      val arr = new Array[Long](set.size)
+      val it = set.iterator(); var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      java.util.Arrays.sort(arr)
+      arr
+    }
+    val hashed = df.select(col(idCol).cast(LongType).as("id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sim"),
+      shhUdf(col(textCol)).as("shh"))
+      .as[(Long, Long, Array[Long])]
+    // ONE evaluation: the corpus is collected (bounded — see ceiling
+    // above), broadcast, and the pair scan runs over an index range so the
+    // document table is never scanned a second time
+    val corpus = hashed.collect().sortBy(_._1)
+    val bcIds = corpus.map(_._1); val bcSims = corpus.map(_._2); val bcShs = corpus.map(_._3)
+    val bc = spark.sparkContext.broadcast((bcIds, bcSims, bcShs))
+    // |A∩B| by sorted merge, abandoning as soon as `needed` becomes
+    // unreachable (dissimilar pairs diverge early — most gated pairs are
+    // background, so the early exit is the common path)
+    def intersectAtLeast(a: Array[Long], b: Array[Long], needed: Int): Int = {
+      var i = 0; var j = 0; var n = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+        val remaining = math.min(a.length - i, b.length - j)
+        if (n + remaining < needed) return -1
+      }
+      n
+    }
+    spark.range(corpus.length).flatMap { k =>
+      val (ids, sims, shs) = bc.value
+      val idA = ids(k.toInt); val simA = sims(k.toInt); val shA = shs(k.toInt)
+      var i = k.toInt + 1
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      while (i < ids.length) {
+        if (java.lang.Long.bitCount(simA ^ sims(i)) <= maxHamming) {
+          val b = shs(i)
+          // jaccard ≥ t needs |A∩B| ≥ t/(1+t)·(|A|+|B|); since the
+          // intersection can't exceed the smaller set, wildly different
+          // sizes can't clear the threshold — skip the merge entirely.
+          // `needed` is lowered by 1 so float rounding can only make the
+          // prune conservative; acceptance uses the exact division (the
+          // same double arithmetic as the SQL oracle).
+          val needed = math.max(1,
+            math.ceil(threshold / (1 + threshold) * (shA.length + b.length)).toInt - 1)
+          if (math.min(shA.length, b.length) >= needed) {
+            val inter = intersectAtLeast(shA, b, needed)
+            if (inter > 0) {
+              val union = shA.length + b.length - inter
+              val j = inter.toDouble / union
+              if (j >= threshold) out += ((idA, ids(i), j))
+            }
+          }
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("id_a", "id_b", "jaccard")
+      .withColumn("jaccard", round(col("jaccard"), 4))
   }
 }
