@@ -24,12 +24,12 @@ import graft.operators.OtlpFlatten
   * envelope. A custom `route` replaces the spool write (e.g. a Kafka
   * producer in production).
   *
-  * TRANSPORT: OTLP/HTTP (JSON encoding) ONLY — the reference's primary
-  * transport is gRPC (otlp-receiver/server/grpc/), which an OTel collector
-  * uses by default. To export to this receiver, configure the collector's
-  * `otlphttp` exporter (with `encoding: json`) pointed at this endpoint;
-  * plain `otlp` (gRPC) exporters will not connect. See README for the
-  * collector snippet.
+  * TRANSPORT: OTLP/HTTP with BOTH standard encodings — protobuf
+  * (`Content-Type: application/x-protobuf`, the collector's `otlphttp`
+  * default, decoded by [[OtlpProto]]) and JSON. The reference's primary
+  * transport is gRPC (otlp-receiver/server/grpc/); plain `otlp` (gRPC)
+  * exporters will not connect — point the collector's `otlphttp` exporter
+  * here instead. See README for the collector snippet.
   */
 final class OtlpReceiver(spark: SparkSession, spoolDir: String,
                          route: Option[(String, DataFrame) => Unit] = None) {
@@ -72,7 +72,12 @@ final class OtlpReceiver(spark: SparkSession, spoolDir: String,
       try {
         if (ex.getRequestMethod != "POST") 405 -> """{"error":"POST required"}"""
         else {
-          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val raw = ex.getRequestBody.readAllBytes()
+          val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          // collectors default to protobuf on otlphttp; JSON also accepted
+          val body =
+            if (contentType.contains("protobuf")) OtlpProto.toJson(signal, raw)
+            else new String(raw, StandardCharsets.UTF_8)
           import spark.implicits._
           val df = spark.read.json(Seq(body).toDS)
           val n = deliver(signal, flatten(df))

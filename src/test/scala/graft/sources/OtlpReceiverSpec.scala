@@ -47,6 +47,45 @@ class OtlpReceiverSpec extends SparkSpec {
       Map("service.name" -> "api"))
   }
 
+  test("OTLP/HTTP protobuf encoding (collector default) lands in the spool") {
+    // ExportLogsServiceRequest hand-encoded on the protobuf wire format:
+    // resourceLogs { scopeLogs { scope { name } logRecords { time, text } } }
+    def varint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v = v >>> 7 }
+      out.write(v.toInt)
+    }
+    def ld(field: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      varint(out, (field.toLong << 3) | 2); varint(out, payload.length)
+      out.write(payload); out.toByteArray
+    }
+    def strF(field: Int, s: String) = ld(field, s.getBytes("UTF-8"))
+    def f64(field: Int, v: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      varint(out, (field.toLong << 3) | 1)
+      (0 until 8).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt))
+      out.toByteArray
+    }
+    val record = f64(1, 1735725600000000000L) ++ strF(3, "WARN") ++
+      ld(5, strF(1, "proto body"))
+    val resource = ld(1, ld(1, strF(1, "service") ++ ld(2, strF(1, "api"))))
+    val req = ld(1, resource ++ ld(2, ld(1, strF(1, "protologger")) ++ ld(2, record)))
+
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
+        .header("Content-Type", "application/x-protobuf")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, resp.body())
+    val spooled = spark.read.parquet(s"$spool/logs")
+      .filter(org.apache.spark.sql.functions.col("severity_text") === "WARN")
+    val row = spooled.head()
+    assert(row.getAs[String]("body") == "proto body")
+    assert(row.getAs[String]("scope_name") == "protologger")
+    assert(row.getAs[String]("timestamp").startsWith("2025-01-01T"))
+  }
+
   test("OTLP/HTTP traces land flattened with computed duration") {
     val req =
       """{"resourceSpans": [{
