@@ -100,4 +100,53 @@ class RandomizedSemanticsSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(expect.nonEmpty && got == expect)
   }
+
+  test("TemporalJoin.step: pruning never changes output vs an unpruned model") {
+    import TemporalJoin.{Ev, JState, step}
+    // the unpruned reference: identical transition minus the watermark prune
+    def naive(events: Seq[Ev], st0: JState, leftTtl: Long, rightTtl: Long):
+        (Vector[(Long, Long)], JState) = {
+      var st = st0
+      val out = Vector.newBuilder[(Long, Long)]
+      events.foreach { e =>
+        if (e.side == 0) {
+          st.leftBuffer.reverse.foreach { case (lts, lp) =>
+            if (e.ts - lts <= leftTtl) out += ((lp(0).asInstanceOf[Long], e.payload(0).asInstanceOf[Long]))
+          }
+          st = JState(Nil, Some((e.ts, e.payload)))
+        } else st.rightLatest match {
+          case Some((rts, rp)) if rts <= e.ts && e.ts - rts <= rightTtl =>
+            out += ((e.payload(0).asInstanceOf[Long], rp(0).asInstanceOf[Long]))
+          case _ => st = st.copy(leftBuffer = (e.ts, e.payload) :: st.leftBuffer)
+        }
+      }
+      (out.result(), st)
+    }
+    val rnd = new Random(20260812L)
+    (1 to 50).foreach { trial =>
+      val ttl = 50L + rnd.nextInt(100)
+      val nBatches = 1 + rnd.nextInt(6)
+      var t = 0L
+      var pruned = JState(Nil, None)
+      var model = JState(Nil, None)
+      (1 to nBatches).foreach { _ =>
+        val events = Seq.fill(1 + rnd.nextInt(30)) {
+          t += rnd.nextInt(20)
+          Ev(t, if (rnd.nextInt(4) == 0) 0 else 1, Array[Any](t))
+        }.sortBy(e => (e.ts, e.side))
+        // a valid watermark never exceeds processed event time
+        val wm = t - 5 - rnd.nextInt(30)
+        val (outP, stP) = step(events, pruned, wm, ttl, ttl)
+        val (outN, stN) = naive(events, model, ttl, ttl)
+        val outPPairs = outP.map { case (l, r) =>
+          (l(0).asInstanceOf[Long], r(0).asInstanceOf[Long]) }
+        assert(outPPairs == outN, s"trial $trial: output diverged")
+        pruned = stP; model = stN
+        // pruned state is a suffix-subset of the model's, bounded by the TTL horizon
+        assert(pruned.leftBuffer.toSet.subsetOf(model.leftBuffer.toSet))
+        pruned.leftBuffer.foreach { case (lts, _) => assert(wm - lts <= ttl) }
+        assert(pruned.rightLatest.map(_._1) == model.rightLatest.map(_._1))
+      }
+    }
+  }
 }
