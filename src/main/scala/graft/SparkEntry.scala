@@ -435,6 +435,17 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", 0.48)
     },
 
+    // Same contract via the beyond-broadcast scale path: multi-probe LSH
+    // buckets + within-bucket exact verify. All ≥0.48 pairs sit at
+    // signature hamming ≤ 4 here (measured), so probeHamming=2 reaches
+    // recall 1.0 and the exhaustive oracle applies — a probe miss turns
+    // the row red.
+    "q_embed_dedup_lsh" -> { (s, dir) =>
+      graft.data.EmbeddingOps.lshBucketPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 64, 0.48,
+        probeHamming = 2)
+    },
+
     // Multi-probe LSH radius search, exactly verified: probe the buckets
     // within hamming ≤ 3 of the query signature, exact-verify candidates'
     // cosine ≥ 0.45. Query = vec 169 (its one true neighbor, vec 466 at
@@ -694,6 +705,11 @@ object SparkEntry {
         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
         |    / len(list_distinct(a.shingles || b.shingles)) >= 0.8""".stripMargin,
     "q_embed_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.48""".stripMargin,
+    "q_embed_dedup_lsh" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -125,6 +125,72 @@ object EmbeddingOps {
           col("__chunk_ids"), col("__chunk_vecs"))).as("__m"))
       .select(col("id_a"), col("__m._1").as("id_b"),
         round(col("__m._2"), 4).as("cosine"))
+  }
+
+  /** LSH-bucketed near-duplicate PAIRS — the beyond-broadcast scale path
+    * for [[brutePairs]]: bucket the corpus by sign-LSH signature, emit each
+    * vector into every probe bucket within `probeHamming` bit flips of its
+    * own (multi-probe: a pair whose signatures differ by ≤ 2·probeHamming
+    * bits shares at least one probe bucket... probabilistically — like all
+    * LSH pair generation this trades recall for never comparing across
+    * buckets; recall vs [[brutePairs]] is measured in tests, and false
+    * positives never survive the exact cosine verify). The only shuffle is
+    * the bucket groupBy; within-bucket pairs are exact-verified with the
+    * same primitive loops as brutePairs. Cost: E[bucket size²/2] per
+    * bucket × probe multiplicity — at 100 TB size the signature (planes)
+    * so buckets hold ~10³–10⁴ vectors. */
+  def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     threshold: Double, planes: Int = 8, probeHamming: Int = 1,
+                     seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = lshBuckets(df, idCol, vecCol, dim, planes, seed)
+    // explode each vector into its probe set; a pair is compared in its
+    // canonical shared bucket only (dedup via min probe bucket comparison
+    // happens naturally: pairs are distinct-ed after the verify)
+    val flips = probeBuckets(0L, planes, probeHamming)
+    val probed = bucketed.select(col("id"), col("vec"),
+      explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("pbucket"))
+    val verified = probed.groupByKey(_.getAs[Long]("pbucket"))(Encoders.scalaLong)
+      .flatMapGroups { (_: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
+        val buf = rows.toArray
+        // decode once per bucket group
+        val n = buf.length
+        val ids = new Array[Long](n)
+        val vecs = new Array[Array[Double]](n)
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = buf(i).getAs[Long]("id")
+          val s = buf(i).getAs[scala.collection.Seq[Float]]("vec")
+          val v = new Array[Double](s.length)
+          var j = 0; var nn = 0.0
+          while (j < v.length) { v(j) = s(j).toDouble; nn += v(j) * v(j); j += 1 }
+          vecs(i) = v; norms(i) = math.sqrt(nn)
+          i += 1
+        }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
+          var k = i + 1
+          while (k < n) {
+            if (ids(i) != ids(k)) {
+              val (a, b) = if (ids(i) < ids(k)) (i, k) else (k, i)
+              var dot = 0.0; var j = 0
+              val va = vecs(a); val vb = vecs(b)
+              while (j < va.length) { dot += va(j) * vb(j); j += 1 }
+              val c = dot / (norms(a) * norms(b))
+              if (c >= threshold) out += ((ids(a), ids(b), c))
+            }
+            k += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+    verified.toDF("id_a", "id_b", "cosine")
+      .withColumn("cosine", round(col("cosine"), 4))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a

@@ -66,6 +66,21 @@ class DataOpsSpec extends SparkSpec {
       s"spurious ${(sim -- mh).mkString(",")}")
   }
 
+  test("lshBucketPairs: exact-verified subset of brute pairs with usable recall") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val brute = EmbeddingOps.brutePairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = EmbeddingOps.lshBucketPairs(emb, "vec_id", "embedding", 64,
+        threshold = 0.45, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification means NO false positives, ever
+    assert(bucketed.subsetOf(brute), s"false positives: ${bucketed -- brute}")
+    // multi-probe at hamming 2 catches signature distances <= 4; recall on
+    // this corpus's ~60-degree "near" pairs is partial by design
+    assert(brute.isEmpty || bucketed.size.toDouble / brute.size >= 0.4,
+      s"recall ${bucketed.size}/${brute.size}")
+  }
+
   test("LSH and IVF radius search match the exhaustive scan") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 169)
