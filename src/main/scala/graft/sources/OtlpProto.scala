@@ -318,7 +318,15 @@ object OtlpProto {
               val len = r.varint().toInt; val s = r.slice(len)
               put("\"" + hex(s.buf, s.pos, s.end) + "\"")
             case FBool => put(if (r.varint() != 0L) "true" else "false")
-            case FInt => put(r.varint().toString)
+            case FInt =>
+              // uint32 fields are varints, but flags on LogRecord/Span/Link
+              // are declared fixed32 — decode by the ACTUAL wire type
+              val v = wire match {
+                case 5 => r.fixed32().toLong & 0xFFFFFFFFL
+                case 1 => r.fixed64()
+                case _ => r.varint()
+              }
+              put(v.toString)
             case FSInt => put(zigzag(r.varint()).toString)
             case FU64Str =>
               val v = if (wire == 1) r.fixed64() else r.varint()

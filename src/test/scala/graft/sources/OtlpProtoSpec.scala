@@ -172,6 +172,22 @@ class OtlpProtoSpec extends SparkSpec {
     assert(rows("summary").getAs[String]("scope_version") == "3.1")
   }
 
+  test("fixed32-encoded flags (logs/spans per proto) decode by wire type") {
+    // LogRecord.flags is fixed32 on the wire — a varint-assuming decoder
+    // would desync the stream and corrupt everything after it
+    val record = new Pb()
+      .fixed64(1, 1718000000000000000L)
+      .str(3, "INFO")
+      .fixed32(8, 0x80000001)                     // flags, high bit set
+      .bytes(9, Array.fill[Byte](16)(0x55))
+    val req = new Pb().msg(1, new Pb()
+      .msg(2, new Pb().msg(1, new Pb().str(1, "lg")).msg(2, record)))
+    val json = OtlpProto.toJson("logs", req.build)
+    assert(json.contains(""""flags":2147483649"""))
+    assert(json.contains(""""traceId":"""" + "55" * 16))
+    assert(json.contains(""""severityText":"INFO""""))
+  }
+
   test("unknown fields and exemplars are skipped, not fatal") {
     val withUnknown = new Pb().msg(1, new Pb()
       .msg(2, new Pb()
