@@ -24,6 +24,12 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
                             storeDir: Option[String] = None,
                             secretsKey: Option[Array[Byte]] = None,
                             checkpointRoot: Option[String] = None,
+                            // root of an OtlpReceiver parquet spool: OTLP-source
+                            // pipelines config-start as a file stream over
+                            // <otlpSpoolRoot>/<topic> (the receiver is the
+                            // Kafka-less analogue of the reference's
+                            // receiver→NATS hop)
+                            otlpSpoolRoot: Option[String] = None,
                             // live-connector seams: the default factories
                             // bind real Kafka/ClickHouse; tests (and any
                             // broker-less environment) inject MemoryStream /
@@ -137,9 +143,10 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
 
   /** Start a pipeline purely from its STORED config (reference: create →
     * start is config-only; pod startup is the operator's job — here the
-    * "operator" is this method): the Kafka source and ClickHouse sink are
-    * built from the registered `SourceConfig`/`SinkConfig` via the
-    * source/sink factories, the DLQ is the pipeline's own
+    * "operator" is this method): the source (Kafka via the source factory,
+    * or an OTLP receiver spool read as a schema-pinned file stream) and
+    * ClickHouse sink are built from the registered
+    * `SourceConfig`/`SinkConfig`, the DLQ is the pipeline's own
     * `<dlqRoot>/<id>` queue, and the checkpoint lives under
     * `<checkpointRoot>/<id>` so stop→resume keeps offset/state continuity.
     * Join pipelines need two live sources and stay on the programmatic
@@ -147,38 +154,56 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
   def startFromConfig(id: String): Either[String, Unit] = withPipeline(id) { d =>
     val cfg = d.config
     val kind = cfg.source.kind.getOrElse("kafka")
-    if (kind != "kafka") Left(s"config start supports kafka sources; got $kind")
-    else if (cfg.join.exists(_.enabled)) Left("config start does not support join pipelines (two live sources); use start")
+    if (cfg.join.exists(_.enabled)) Left("config start does not support join pipelines (two live sources); use start")
     else (cfg.source.topics.headOption, cfg.sink) match {
       case (None, _) => Left("source: no topics configured")
       case (_, None) => Left("sink: not configured")
-      case (Some(topic), Some(sc)) if cfg.source.brokers.forall(_.isEmpty) =>
-        Left("source: brokers required for config start")
       case (Some(topic), Some(sc)) if sc.url.isEmpty =>
         Left("sink: url required for config start")
       case (Some(topic), Some(sc)) =>
-        val srcCfg = KafkaSource.Config(
-          brokers = cfg.source.brokers.get,
-          topic = topic.name,
-          consumerGroup = topic.consumerGroup.getOrElse(s"graft-$id"))
-        val chCfg = ClickHouseSink.Config(
-          url = sc.url.get,
-          database = sc.database,
-          table = sc.table,
-          username = sc.username.getOrElse("default"),
-          password = sc.password.getOrElse(""),
-          mappings = sc.tableMapping.map(m =>
-            ColumnMapping(m.fieldName, m.columnName, m.columnType)),
-          maxBatchSize = sc.maxBatchSize.getOrElse(100000L),
-          maxDelaySeconds = sc.maxDelaySeconds.getOrElse(60))
-        val checkpoint = s"${checkpointRoot.getOrElse(
-          sys.props("java.io.tmpdir") + "/graft_ckpt")}/$id"
-        val dlqFn: DataFrame => Unit = dlqRoot match {
-          case Some(r) => Dlq.writeParquet(s"$r/$id") _
-          case None => _ => ()
+        val sourceE: Either[String, DataFrame] = kind match {
+          case "kafka" =>
+            if (cfg.source.brokers.forall(_.isEmpty))
+              Left("source: brokers required for config start")
+            else Right(sourceReader(spark, KafkaSource.Config(
+              brokers = cfg.source.brokers.get,
+              topic = topic.name,
+              consumerGroup = topic.consumerGroup.getOrElse(s"graft-$id"))))
+          case "otlp" => otlpSpoolRoot match {
+            case None => Left("source: otlp spool root not configured")
+            case Some(root) =>
+              val dir = s"$root/${topic.name}"
+              // file streams need an explicit schema: take it from the
+              // spool the receiver has already written
+              try {
+                val schema = spark.read.parquet(dir).schema
+                Right(spark.readStream.schema(schema).parquet(dir))
+              } catch {
+                case _: Exception =>
+                  Left(s"source: no spool data at ${topic.name} yet (POST to the receiver first)")
+              }
+          }
+          case other => Left(s"config start supports kafka/otlp sources; got $other")
         }
-        start(id, sourceReader(spark, srcCfg),
-          df => sinkAttach(df, chCfg, checkpoint, dlqFn).start())
+        sourceE.flatMap { source =>
+          val chCfg = ClickHouseSink.Config(
+            url = sc.url.get,
+            database = sc.database,
+            table = sc.table,
+            username = sc.username.getOrElse("default"),
+            password = sc.password.getOrElse(""),
+            mappings = sc.tableMapping.map(m =>
+              ColumnMapping(m.fieldName, m.columnName, m.columnType)),
+            maxBatchSize = sc.maxBatchSize.getOrElse(100000L),
+            maxDelaySeconds = sc.maxDelaySeconds.getOrElse(60))
+          val checkpoint = s"${checkpointRoot.getOrElse(
+            sys.props("java.io.tmpdir") + "/graft_ckpt")}/$id"
+          val dlqFn: DataFrame => Unit = dlqRoot match {
+            case Some(r) => Dlq.writeParquet(s"$r/$id") _
+            case None => _ => ()
+          }
+          start(id, source, df => sinkAttach(df, chCfg, checkpoint, dlqFn).start())
+        }
     }
   }
 

@@ -110,6 +110,64 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("otlp-source pipeline: receiver spool → config start → filtered sink, end to end") {
+    val spool = Files.createTempDirectory("graft_otlp_spool").toString
+    val receiver = new graft.sources.OtlpReceiver(spark, spool)
+    val rPort = receiver.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    def postLogs(body: String, sev: String, ts: Long): Unit = {
+      val payload =
+        s"""{"resourceLogs": [{"resource": {"attributes": []},
+           |  "scopeLogs": [{"scope": {"name": "app"},
+           |    "logRecords": [{"timeUnixNano": "$ts",
+           |      "severityText": "$sev", "body": {"stringValue": "$body"}}]}]}]}""".stripMargin
+      val resp = client.send(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$rPort/v1/logs"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+    }
+    val outName = s"otlpcs_${System.nanoTime()}"
+    val svc = new PipelineService(spark,
+      checkpointRoot = Some(Files.createTempDirectory("graft_otlp_ck").toString),
+      otlpSpoolRoot = Some(spool),
+      sinkAttach = (df, _, _, _) =>
+        df.writeStream.format("memory").queryName(outName).outputMode("append"))
+    try {
+      postLogs("first event", "INFO", 1735725600000000000L)
+      val cfg = PipelineConfig(
+        pipelineId = "otlp1",
+        source = SourceConfig(kind = Some("otlp"),
+          topics = Seq(TopicConfig("logs"))),
+        filter = Some(FilterConfig("severity_text != 'DEBUG'")),
+        transform = Some(TransformConfig(Seq(
+          TransformRule("upper(body)", "body_u", "string")))),
+        sink = Some(SinkConfig(table = "out", url = Some("jdbc:ch://x"),
+          tableMapping = Seq(SinkMapping(None, "body_u", "body_u", "String")))))
+      assert(svc.create(cfg).isRight)
+      assert(svc.startFromConfig("otlp1").isRight)
+      def outRows: Set[String] =
+        try spark.table(outName).collect().map(_.getString(0)).toSet
+        catch { case _: Exception => Set.empty }
+      def await(n: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (outRows.size < n && System.currentTimeMillis() < deadline) Thread.sleep(150)
+        assert(outRows.size >= n, s"expected $n rows, got $outRows")
+      }
+      await(1)
+      // live receiver traffic keeps flowing into the running pipeline;
+      // DEBUG records are filtered out by the configured expression
+      postLogs("second event", "WARN", 1735725601000000000L)
+      postLogs("noise", "DEBUG", 1735725602000000000L)
+      postLogs("third event", "ERROR", 1735725603000000000L)
+      await(3)
+      assert(outRows == Set("FIRST EVENT", "SECOND EVENT", "THIRD EVENT"))
+    } finally {
+      try svc.terminate("otlp1") catch { case _: Exception => () }
+      receiver.stop()
+    }
+  }
+
   test("create rejects invalid configs") {
     val svc = new PipelineService(spark)
     val bad = simpleCfg("p2").copy(join = Some(JoinConfig(enabled = true,
