@@ -188,6 +188,38 @@ class OtlpProtoSpec extends SparkSpec {
     assert(json.contains(""""severityText":"INFO""""))
   }
 
+  test("randomized log batches round-trip: every record and attribute survives") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val nRecords = 1 + rnd.nextInt(8)
+      val expected = (1 to nRecords).map { i =>
+        val body = s"msg-${rnd.nextInt(1000000)}"
+        val sev = Seq("TRACE", "DEBUG", "INFO", "WARN", "ERROR")(rnd.nextInt(5))
+        val attrs = (0 until rnd.nextInt(4)).map(j => s"k$j" -> s"v${rnd.nextInt(100)}").toMap
+        val ts = 1700000000000000000L + rnd.nextLong(1000000000000L)
+        (body, sev, attrs, ts)
+      }
+      val records = expected.map { case (body, sev, attrs, ts) =>
+        var p = new Pb().fixed64(1, ts).str(3, sev).msg(5, sv(body))
+        attrs.foreach { case (k, v) => p = p.msg(6, kv(k, sv(v))) }
+        p
+      }
+      var scopeLogs = new Pb().msg(1, new Pb().str(1, "fuzz"))
+      records.foreach(r => scopeLogs = scopeLogs.msg(2, r))
+      val req = new Pb().msg(1, new Pb()
+        .msg(1, new Pb().msg(1, kv("svc", sv("t"))))
+        .msg(2, scopeLogs))
+      val json = OtlpProto.toJson("logs", req.build)
+      import spark.implicits._
+      val rows = OtlpFlatten.logs(spark.read.json(Seq(json).toDS)).collect()
+      assert(rows.length == expected.length)
+      val got = rows.map(r => (r.getAs[String]("body"), r.getAs[String]("severity_text"),
+        Option(r.getAs[Map[String, String]]("attributes")).getOrElse(Map.empty))).toSet
+      val want = expected.map(e => (e._1, e._2, e._3)).toSet
+      assert(got == want, s"diff: ${(got -- want)} / ${(want -- got)}")
+    }
+  }
+
   test("unknown fields and exemplars are skipped, not fatal") {
     val withUnknown = new Pb().msg(1, new Pb()
       .msg(2, new Pb()
