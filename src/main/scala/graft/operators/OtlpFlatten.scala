@@ -77,24 +77,39 @@ object OtlpFlatten {
   private def opt(st: StructType, name: String, otherwise: Column, c: => Column): Column =
     if (st.fieldNames.contains(name)) c else otherwise
 
+  /** Resolve a nested path tolerantly: proto3 omits empty messages on the
+    * wire, so `resource`/`scope` (and anything under them) may be absent
+    * from the inferred schema entirely — a legal request must not fail
+    * analysis. */
+  private def fieldTypeOpt(df: DataFrame, path: String): Option[DataType] =
+    try Some(fieldType(df, path)) catch { case _: IllegalArgumentException => None }
+
+  private def attrsMapOpt(df: DataFrame, path: String): Column =
+    fieldTypeOpt(df, path) match {
+      case Some(t) => attrsToMap(col(path), t)
+      case None => lit(null).cast(MapType(StringType, StringType))
+    }
+
+  /** Scope struct type if present, else an empty struct stand-in. */
+  private def scopeType(df: DataFrame, path: String): StructType =
+    fieldTypeOpt(df, path) match {
+      case Some(s: StructType) => s
+      case _ => StructType(Nil)
+    }
+
   /** F4: ExportLogsServiceRequest → one row per LogRecord (14 columns,
     * models/otlp.go:174-188). */
   def logs(df: DataFrame): DataFrame = {
     val rl = df.select(explode(col("resourceLogs")).as("rl"))
-    val rlType = fieldType(rl, "rl").asInstanceOf[StructType]
-    val resAttrsT = fieldType(rl, "rl.resource.attributes")
     val sl = rl.select(
-      attrsToMap(col("rl.resource.attributes"), resAttrsT).as("resource_attributes"),
+      attrsMapOpt(rl, "rl.resource.attributes").as("resource_attributes"),
       explode(col("rl.scopeLogs")).as("sl"))
-    val scopeT = fieldType(sl, "sl.scope").asInstanceOf[StructType]
-    val scopeAttrsT = if (scopeT.fieldNames.contains("attributes"))
-      scopeT("attributes").dataType else NullType
+    val scopeT = scopeType(sl, "sl.scope")
     val lr = sl.select(
       col("resource_attributes"),
-      col("sl.scope.name").as("scope_name"),
+      opt(scopeT, "name", lit(null).cast(StringType), col("sl.scope.name")).as("scope_name"),
       opt(scopeT, "version", lit(null).cast(StringType), col("sl.scope.version")).as("scope_version"),
-      (if (scopeAttrsT == NullType) lit(null).cast(MapType(StringType, StringType))
-       else attrsToMap(col("sl.scope.attributes"), scopeAttrsT)).as("scope_attributes"),
+      attrsMapOpt(sl, "sl.scope.attributes").as("scope_attributes"),
       explode(col("sl.logRecords")).as("lr"))
     val lrT = fieldType(lr, "lr").asInstanceOf[StructType]
     val lrAttrsT = if (lrT.fieldNames.contains("attributes")) lrT("attributes").dataType else NullType
@@ -122,14 +137,13 @@ object OtlpFlatten {
     * arrays of structs (flattener/traces.go, models/otlp.go:109-132). */
   def traces(df: DataFrame): DataFrame = {
     val rs = df.select(explode(col("resourceSpans")).as("rs"))
-    val resAttrsT = fieldType(rs, "rs.resource.attributes")
     val ss = rs.select(
-      attrsToMap(col("rs.resource.attributes"), resAttrsT).as("resource_attributes"),
+      attrsMapOpt(rs, "rs.resource.attributes").as("resource_attributes"),
       explode(col("rs.scopeSpans")).as("ss"))
-    val scopeT = fieldType(ss, "ss.scope").asInstanceOf[StructType]
+    val scopeT = scopeType(ss, "ss.scope")
     val sp = ss.select(
       col("resource_attributes"),
-      col("ss.scope.name").as("scope_name"),
+      opt(scopeT, "name", lit(null).cast(StringType), col("ss.scope.name")).as("scope_name"),
       opt(scopeT, "version", lit(null).cast(StringType), col("ss.scope.version")).as("scope_version"),
       explode(col("ss.spans")).as("sp"))
     val spT = fieldType(sp, "sp").asInstanceOf[StructType]
@@ -171,19 +185,15 @@ object OtlpFlatten {
     * models/otlp.go's OTLPMetric) and this matches that surface exactly. */
   def metrics(df: DataFrame): DataFrame = {
     val rm = df.select(explode(col("resourceMetrics")).as("rm"))
-    val resAttrsT = fieldType(rm, "rm.resource.attributes")
     val sm = rm.select(
-      attrsToMap(col("rm.resource.attributes"), resAttrsT).as("resource_attributes"),
+      attrsMapOpt(rm, "rm.resource.attributes").as("resource_attributes"),
       explode(col("rm.scopeMetrics")).as("sm"))
-    val scopeT = fieldType(sm, "sm.scope").asInstanceOf[StructType]
-    val scopeAttrsT = if (scopeT.fieldNames.contains("attributes"))
-      scopeT("attributes").dataType else NullType
+    val scopeT = scopeType(sm, "sm.scope")
     val m = sm.select(col("resource_attributes"),
-      col("sm.scope.name").as("scope_name"),
+      opt(scopeT, "name", lit(null).cast(StringType), col("sm.scope.name")).as("scope_name"),
       opt(scopeT, "version", lit(null).cast(StringType),
         col("sm.scope.version")).as("scope_version"),
-      (if (scopeAttrsT == NullType) lit(null).cast(MapType(StringType, StringType))
-       else attrsToMap(col("sm.scope.attributes"), scopeAttrsT)).as("scope_attributes"),
+      attrsMapOpt(sm, "sm.scope.attributes").as("scope_attributes"),
       explode(col("sm.metrics")).as("m"))
     val mT = fieldType(m, "m").asInstanceOf[StructType]
 

@@ -220,6 +220,18 @@ class OtlpProtoSpec extends SparkSpec {
     }
   }
 
+  test("resource and scope may be absent entirely (proto3 omits empty messages)") {
+    val req = new Pb().msg(1, new Pb().msg(2, new Pb()
+      .msg(2, new Pb().fixed64(1, 1718000000000000000L).str(3, "X"))))
+    val json = OtlpProto.toJson("logs", req.build)
+    import spark.implicits._
+    val rows = OtlpFlatten.logs(spark.read.json(Seq(json).toDS)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("severity_text") == "X")
+    assert(rows.head.getAs[Map[String, String]]("resource_attributes") == null)
+    assert(rows.head.getAs[String]("scope_name") == null)
+  }
+
   test("unknown fields and exemplars are skipped, not fatal") {
     val withUnknown = new Pb().msg(1, new Pb()
       .msg(2, new Pb()
