@@ -253,12 +253,16 @@ object OtlpProto {
       pos += 4; out
     }
     def slice(len: Int): Reader = {
+      // a hostile/corrupt length must fail fast, not move the cursor
+      // backwards (infinite loop) or past the buffer
+      if (len < 0 || pos + len > end)
+        throw new IllegalArgumentException(s"bad length $len at $pos/$end")
       val r = new Reader(buf, pos, pos + len); pos += len; r
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
       case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
+      case 2 => slice(varint().toInt); ()
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
@@ -285,9 +289,12 @@ object OtlpProto {
   }
 
   /** Render double like JSON expects (no trailing .0 loss concerns — Spark
-    * reads any JSON number). */
+    * reads any JSON number). NaN/±Inf have no JSON number form and would
+    * poison the downstream double cast — render as null (value absent). */
   private def num(d: Double): String =
-    if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    if (d.isNaN || d.isInfinite) "null"
+    else if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
 
   /** Decode one message per `schema`, appending a JSON object to `sb`.
     * Repeated fields accumulate in encounter order; scalar fields take the

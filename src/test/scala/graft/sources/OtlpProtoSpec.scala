@@ -232,6 +232,19 @@ class OtlpProtoSpec extends SparkSpec {
     assert(rows.head.getAs[String]("scope_name") == null)
   }
 
+  test("hostile payloads fail fast: truncated lengths and NaN doubles") {
+    // length-delimited field claiming more bytes than exist
+    val truncated = Array[Byte](0x0A, 0x7F, 0x01, 0x02)
+    intercept[IllegalArgumentException](OtlpProto.toJson("logs", truncated))
+    // NaN metric value renders as null, not invalid JSON
+    val req = new Pb().msg(1, new Pb().msg(2, new Pb()
+      .msg(2, new Pb().str(1, "m")
+        .msg(5, new Pb().msg(1, new Pb()
+          .fixed64(3, 1L).double(4, Double.NaN))))))
+    val json = OtlpProto.toJson("metrics", req.build)
+    assert(json.contains(""""asDouble":null"""))
+  }
+
   test("unknown fields and exemplars are skipped, not fatal") {
     val withUnknown = new Pb().msg(1, new Pb()
       .msg(2, new Pb()
