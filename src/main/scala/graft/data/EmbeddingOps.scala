@@ -39,92 +39,55 @@ object EmbeddingOps {
       .limit(k)
   }
 
-  /** Exact pairs (a < b) with cosine ≥ threshold. Normalizes once, then a
-    * single self-join; fine up to ~10⁴ vectors per executor-broadcast side —
-    * beyond that use [[lshBuckets]] + within-bucket pairs. */
+  /** Exact pairs (a < b) with cosine ≥ threshold — the verification
+    * baseline, O(n²) by definition.
+    *
+    * Layout: the (id, vector) corpus is collected once, decoded to
+    * primitive double arrays with precomputed norms, broadcast (torrent;
+    * n × dim × 8 B — ~50 MB at 10⁵ × 64, the practical ceiling; beyond it
+    * use [[lshBucketPairs]]), and the pair scan runs as a flatMap over
+    * an index range: each task walks ascending partners with tight
+    * primitive loops. Nothing heavy ever passes through UDF ARGUMENTS —
+    * the previous chunked-broadcast-join converted each chunk's nested
+    * float arrays per (row, chunk) call, which dominated wall time the
+    * same way it did for the simhash sweep (measured there: 14–30×). */
   def brutePairs(df: DataFrame, idCol: String, vecCol: String,
                  threshold: Double): DataFrame = {
-    // Distributed block nested loop: the corpus is packed into ~1k-vector
-    // chunk rows (a small aggregate), Spark broadcasts the chunks (its own
-    // torrent broadcast — no raw full-corpus collect on the driver), and
-    // each task streams its left rows against them. The per-(row, chunk)
-    // UDF decodes a chunk into primitive arrays ONCE per task (keyed
-    // cache) and then runs tight ascending-index loops — a per-PAIR udf
-    // would pay an array conversion per candidate pair (n² of them), which
-    // is the difference between ~2 s and ~30 s at 20k vectors. Memory
-    // bound: each concurrent task can hold up to the full decoded corpus
-    // (n × dim × 8 bytes of doubles, e.g. ~50 MB at 10⁵ × 64) on top of the
-    // serialized broadcast — both the broadcast cap and this per-task
-    // decode bound set the ~10⁵-vector limit; beyond it use lshBuckets +
-    // within-bucket pairs instead — this is the exact/verification path.
-    // Chunk by CONTIGUOUS id range (id >> 10), not hash: a range chunk's
-    // max id then bounds every id inside it, so the `__chunk_max > id_a`
-    // prefilter below skips ~half of all (row, chunk) combinations before
-    // the UDF ever runs — with hash-spread chunks every chunk's max is ≈ n
-    // and nothing can be pruned. (Sparse/skewed id spaces only unbalance
-    // chunk SIZES, never correctness.)
-    val chunks = df.groupBy(
-        shiftright(col(idCol).cast(LongType), 10).as("__chunk_id"))
-      .agg(collect_list(struct(col(idCol).cast(LongType).as("id"),
-        col(vecCol).as("vec"))).as("__chunk"))
-      // split into aligned parallel arrays — scala UDFs can't take
-      // array<struct> (Row) inputs, and transform over the same source
-      // array guarantees alignment
-      .select(col("__chunk_id"),
-        transform(col("__chunk"), x => x.getField("id")).as("__chunk_ids"),
-        transform(col("__chunk"), x => x.getField("vec")).as("__chunk_vecs"),
-        array_max(transform(col("__chunk"), x => x.getField("id"))).as("__chunk_max"))
-
-    // per-task decoded-chunk cache: (ids, unit-less vectors, norms)
-    val cache = new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Array[Array[Double]], Array[Double])]()
-    val pairsUdf = udf { (idA: Long, va: scala.collection.Seq[Float],
-                          chunkId: Long, chunkIds: scala.collection.Seq[Long],
-                          chunkVecs: scala.collection.Seq[scala.collection.Seq[Float]]) =>
-      val (ids, vecs, norms) = cache.computeIfAbsent(chunkId, _ => {
-        val ids = new Array[Long](chunkIds.length)
-        val vecs = new Array[Array[Double]](chunkIds.length)
-        val norms = new Array[Double](chunkIds.length)
-        var i = 0
-        while (i < ids.length) {
-          ids(i) = chunkIds(i)
-          val s = chunkVecs(i)
-          val v = new Array[Double](s.length)
-          var j = 0; var nn = 0.0
-          while (j < v.length) { v(j) = s(j).toDouble; nn += v(j) * v(j); j += 1 }
-          vecs(i) = v; norms(i) = math.sqrt(nn)
-          i += 1
-        }
-        (ids, vecs, norms)
-      })
-      val a = new Array[Double](va.length)
-      var j = 0; var na = 0.0
-      while (j < a.length) { a(j) = va(j).toDouble; na += a(j) * a(j); j += 1 }
-      na = math.sqrt(na)
-      val out = Seq.newBuilder[(Long, Double)]
-      var i = 0
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast(LongType), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i)._1
+      val s = rows(i)._2
+      val v = new Array[Double](s.length)
+      var j = 0; var nn = 0.0
+      while (j < v.length) { v(j) = s(j).toDouble; nn += v(j) * v(j); j += 1 }
+      vecs(i) = v; norms(i) = math.sqrt(nn)
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    spark.range(n.toLong).flatMap { k =>
+      val (ids, vecs, norms) = bc.value
+      val a = vecs(k.toInt); val na = norms(k.toInt); val idA = ids(k.toInt)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = k.toInt + 1
       while (i < ids.length) {
-        if (ids(i) > idA) {
-          val b = vecs(i)
-          var dot = 0.0; var k = 0
-          while (k < a.length) { dot += a(k) * b(k); k += 1 }
-          val c = dot / (na * norms(i))
-          if (c >= threshold) out += ((ids(i), c))
-        }
+        val b = vecs(i)
+        var dot = 0.0; var j = 0
+        while (j < a.length) { dot += a(j) * b(j); j += 1 }
+        val c = dot / (na * norms(i))
+        if (c >= threshold) out += ((idA, ids(i), c))
         i += 1
       }
       out.result()
-    }
-
-    df.select(col(idCol).cast(LongType).as("id_a"), col(vecCol).as("__va"))
-      .crossJoin(broadcast(chunks))
-      // chunks whose ids are all ≤ id_a can't contribute a (a < b) pair —
-      // drop them before the pair UDF (halves the scanned volume)
-      .filter(col("__chunk_max") > col("id_a"))
-      .select(col("id_a"),
-        explode(pairsUdf(col("id_a"), col("__va"), col("__chunk_id"),
-          col("__chunk_ids"), col("__chunk_vecs"))).as("__m"))
-      .select(col("id_a"), col("__m._1").as("id_b"),
-        round(col("__m._2"), 4).as("cosine"))
+    }.toDF("id_a", "id_b", "cosine")
+      .withColumn("cosine", round(col("cosine"), 4))
   }
 
   /** LSH-bucketed near-duplicate PAIRS — the beyond-broadcast scale path
