@@ -212,6 +212,15 @@ object OtlpFlatten {
        else lit(null).cast(StringType)).as("metric_unit"),
       lit(metricType).as("metric_type"))
 
+    // proto3 omits default-valued fields entirely: a batch where every sum
+    // is non-monotonic (or UNSPECIFIED temporality) has NO such field in
+    // the inferred schema — resolve tolerantly, defaulting like the wire
+    def branchField(branch: String, field: String, otherwise: Column): Column =
+      fieldTypeOpt(m, s"m.$branch.$field") match {
+        case Some(_) => col(s"m.$branch.$field")
+        case None => otherwise
+      }
+
     val parts = Seq.newBuilder[DataFrame]
     if (mT.fieldNames.contains("gauge"))
       parts += m.filter(col("m.gauge").isNotNull)
@@ -221,18 +230,21 @@ object OtlpFlatten {
     if (mT.fieldNames.contains("sum"))
       parts += m.filter(col("m.sum").isNotNull)
         .select(base("sum") :+ explode(col("m.sum.dataPoints")).as("dp") :+
-          temporality(col("m.sum.aggregationTemporality")).as("aggregation_temporality") :+
-          coalesce(col("m.sum.isMonotonic"), lit(false)).as("is_monotonic"): _*)
+          temporality(branchField("sum", "aggregationTemporality", lit(0)))
+            .as("aggregation_temporality") :+
+          coalesce(branchField("sum", "isMonotonic", lit(false)), lit(false))
+            .as("is_monotonic"): _*)
     if (mT.fieldNames.contains("histogram"))
       parts += m.filter(col("m.histogram").isNotNull)
         .select(base("histogram") :+ explode(col("m.histogram.dataPoints")).as("dp") :+
-          temporality(col("m.histogram.aggregationTemporality")).as("aggregation_temporality") :+
+          temporality(branchField("histogram", "aggregationTemporality", lit(0)))
+            .as("aggregation_temporality") :+
           lit(false).as("is_monotonic"): _*)
     if (mT.fieldNames.contains("exponentialHistogram"))
       parts += m.filter(col("m.exponentialHistogram").isNotNull)
         .select(base("exp_histogram") :+
           explode(col("m.exponentialHistogram.dataPoints")).as("dp") :+
-          temporality(col("m.exponentialHistogram.aggregationTemporality"))
+          temporality(branchField("exponentialHistogram", "aggregationTemporality", lit(0)))
             .as("aggregation_temporality") :+
           lit(false).as("is_monotonic"): _*)
     if (mT.fieldNames.contains("summary"))

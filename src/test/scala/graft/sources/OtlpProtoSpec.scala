@@ -232,6 +232,83 @@ class OtlpProtoSpec extends SparkSpec {
     assert(rows.head.getAs[String]("scope_name") == null)
   }
 
+  test("randomized span batches round-trip: ids, times, attributes survive") {
+    val rnd = new scala.util.Random(7)
+    (1 to 15).foreach { _ =>
+      val expected = (1 to 1 + rnd.nextInt(6)).map { _ =>
+        val tid = Array.fill[Byte](16)(rnd.nextInt(256).toByte)
+        val sid = Array.fill[Byte](8)(rnd.nextInt(256).toByte)
+        val name = s"op-${rnd.nextInt(100000)}"
+        val start = 1700000000000000000L + rnd.nextLong(1000000000000L)
+        val dur = 1000000L + rnd.nextLong(1000000000L)
+        (tid, sid, name, start, dur)
+      }
+      var scopeSpans = new Pb().msg(1, new Pb().str(1, "t"))
+      expected.foreach { case (tid, sid, name, start, dur) =>
+        scopeSpans = scopeSpans.msg(2, new Pb()
+          .bytes(1, tid).bytes(2, sid).str(5, name)
+          .fixed64(7, start).fixed64(8, start + dur))
+      }
+      val req = new Pb().msg(1, new Pb()
+        .msg(1, new Pb().msg(1, kv("s", sv("x")))).msg(2, scopeSpans))
+      import spark.implicits._
+      val rows = OtlpFlatten.traces(
+        spark.read.json(Seq(OtlpProto.toJson("traces", req.build)).toDS)).collect()
+      def hexOf(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02x").mkString
+      val got = rows.map(r => (r.getAs[String]("trace_id"), r.getAs[String]("span_id"),
+        r.getAs[String]("name"), r.getAs[Long]("duration_ns"))).toSet
+      val want = expected.map(e => (hexOf(e._1), hexOf(e._2), e._3, e._5)).toSet
+      assert(got == want)
+    }
+  }
+
+  test("randomized metric batches round-trip: type, value, count survive") {
+    val rnd = new scala.util.Random(11)
+    (1 to 15).foreach { _ =>
+      val expected = (1 to 1 + rnd.nextInt(5)).map { i =>
+        val name = s"m$i"
+        val kind = rnd.nextInt(3) // 0 gauge, 1 sum, 2 histogram
+        val value = rnd.nextInt(1000000).toDouble / 7
+        val count = rnd.nextInt(10000).toLong
+        (name, kind, value, count)
+      }
+      var sm = new Pb().msg(1, new Pb().str(1, "meter"))
+      expected.foreach { case (name, kind, value, count) =>
+        val dp = kind match {
+          case 0 => new Pb().str(1, name).msg(5, new Pb().msg(1,
+            new Pb().fixed64(3, 1L).double(4, value)))
+          case 1 => new Pb().str(1, name).msg(7, new Pb().msg(1,
+            new Pb().fixed64(3, 1L).fixed64(6, count)).vint(2, 2))
+          case _ => new Pb().str(1, name).msg(9, new Pb().msg(1,
+            new Pb().fixed64(3, 1L).fixed64(4, count).double(5, value)).vint(2, 1))
+        }
+        sm = sm.msg(2, dp)
+      }
+      val req = new Pb().msg(1, new Pb()
+        .msg(1, new Pb().msg(1, kv("h", sv("n")))).msg(2, sm))
+      import spark.implicits._
+      val rows = OtlpFlatten.metrics(
+        spark.read.json(Seq(OtlpProto.toJson("metrics", req.build)).toDS)).collect()
+      val byName = rows.map(r => r.getAs[String]("metric_name") -> r).toMap
+      expected.foreach { case (name, kind, value, count) =>
+        val r = byName(name)
+        kind match {
+          case 0 =>
+            assert(r.getAs[String]("metric_type") == "gauge")
+            assert(r.getAs[Double]("value_double") == value)
+          case 1 =>
+            assert(r.getAs[String]("metric_type") == "sum")
+            assert(r.getAs[Long]("value_int") == count)
+            assert(r.getAs[String]("aggregation_temporality") == "CUMULATIVE")
+          case _ =>
+            assert(r.getAs[String]("metric_type") == "histogram")
+            assert(r.getAs[Long]("count") == count)
+            assert(r.getAs[Double]("sum") == value)
+        }
+      }
+    }
+  }
+
   test("hostile payloads fail fast: truncated lengths and NaN doubles") {
     // length-delimited field claiming more bytes than exist
     val truncated = Array[Byte](0x0A, 0x7F, 0x01, 0x02)
