@@ -177,7 +177,10 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
               // spool the receiver has already written
               try {
                 val schema = spark.read.parquet(dir).schema
-                Right(spark.readStream.schema(schema).parquet(dir))
+                // bound each micro-batch: a spool with a deep backlog must
+                // drain incrementally, not land in one giant batch
+                Right(spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1000).parquet(dir))
               } catch {
                 case _: Exception =>
                   Left(s"source: no spool data at ${topic.name} yet (POST to the receiver first)")
