@@ -168,6 +168,26 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("startFromConfig reports exactly what the config is missing") {
+    val svc = new PipelineService(spark)
+    def mk(id: String, cfg: PipelineConfig): String = {
+      svc.create(cfg); svc.startFromConfig(id).swap.getOrElse("")
+    }
+    val base = simpleCfg("sc1")
+    assert(mk("sc1", base).contains("sink: not configured"))
+    val withSink = simpleCfg("sc2").copy(sink = Some(SinkConfig(table = "t")))
+    assert(mk("sc2", withSink).contains("sink: url required"))
+    val urlOk = simpleCfg("sc3").copy(sink = Some(SinkConfig(table = "t", url = Some("jdbc:ch://x"))))
+    assert(mk("sc3", urlOk).contains("brokers required"))
+    val otlpNoSpool = urlOk.copy(pipelineId = "sc4",
+      source = SourceConfig(kind = Some("otlp"), topics = Seq(TopicConfig("logs"))))
+    assert(mk("sc4", otlpNoSpool).contains("otlp spool root not configured"))
+    val badKind = urlOk.copy(pipelineId = "sc5",
+      source = SourceConfig(kind = Some("pulsar"), topics = Seq(TopicConfig("t"))))
+    assert(mk("sc5", badKind).contains("got pulsar"))
+    assert(svc.startFromConfig("ghost").swap.exists(_.contains("no such pipeline")))
+  }
+
   test("create rejects invalid configs") {
     val svc = new PipelineService(spark)
     val bad = simpleCfg("p2").copy(join = Some(JoinConfig(enabled = true,
