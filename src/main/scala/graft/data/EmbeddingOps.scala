@@ -34,7 +34,7 @@ object EmbeddingOps {
                 query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     df.select(col(idCol),
-        cosine(toDouble(col(vecCol)), q).as("cosine"))
+        graft.exprs.NativeExpressions.cosineSim(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -275,7 +275,7 @@ object EmbeddingOps {
       .sortBy(-_._2).take(nprobe).map(_._1)
     val q = array(query.map(lit): _*)
     assigned.filter(col("centroid").isInCollection(probeCells))
-      .select(col("id"), cosine(toDouble(col("vec")), q).as("cosine"))
+      .select(col("id"), graft.exprs.NativeExpressions.cosineSim(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -317,7 +317,7 @@ object EmbeddingOps {
     val q = array(query.map(lit): _*)
     lshBuckets(df, idCol, vecCol, dim, planes, seed)
       .filter(col("bucket").isInCollection(probes))
-      .select(col("id"), cosine(toDouble(col("vec")), q).as("cosine"))
+      .select(col("id"), graft.exprs.NativeExpressions.cosineSim(col("vec"), q).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -333,7 +333,7 @@ object EmbeddingOps {
       .sortBy(-_._2).take(nprobe).map(_._1)
     val q = array(query.map(lit): _*)
     assigned.filter(col("centroid").isInCollection(probeCells))
-      .select(col("id"), cosine(toDouble(col("vec")), q).as("cosine"))
+      .select(col("id"), graft.exprs.NativeExpressions.cosineSim(col("vec"), q).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -348,7 +348,7 @@ object EmbeddingOps {
     val bucketed = lshBuckets(df, idCol, vecCol, dim, planes, seed)
     val q = array(query.map(lit): _*)
     bucketed.filter(col("bucket") === qBucket)
-      .select(col("id"), cosine(toDouble(col("vec")), q).as("cosine"))
+      .select(col("id"), graft.exprs.NativeExpressions.cosineSim(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }

@@ -20,6 +20,29 @@ class NativeExprSpec extends SparkSpec {
     assert(out(2) == again(2))
   }
 
+  test("cosine_sim is bit-identical to the HOF formulation, mixed element types") {
+    import graft.data.EmbeddingOps
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 3)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq
+    val qc = array(q.map(lit): _*)
+    val both = emb.select(
+      NativeExpressions.cosineSim(col("embedding"), qc).as("native"),
+      EmbeddingOps.cosine(EmbeddingOps.toDouble(col("embedding")), qc).as("hof"))
+      .collect()
+    both.foreach { r =>
+      // EXACT equality: same ascending add sequence, same division tree —
+      // the oracle's hash comparison tolerates zero divergence
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // registered for SQL
+    NativeExpressions.register(spark)
+    val s = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head.getDouble(0)
+    assert(s == 1.0)
+  }
+
   test("expressions run inside whole-stage codegen") {
     // a parquet-backed source: a local Seq would be constant-folded into a
     // LocalTableScan before codegen ever runs
