@@ -408,6 +408,15 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Exact n-gram Jaccard via prefix filtering (word bigrams, J ≥ 3/5):
+    // deterministic and complete — no sketch, no recall contract. The
+    // oracle computes ALL exact pairs; integer intersection/union sizes
+    // avoid any float boundary.
+    "q_ngram_jaccard" -> { (s, dir) =>
+      graft.data.NgramJaccard.duplicatePairs(
+        Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // SimHash near-dup pairs, exactly verified: banded simhash candidates
     // (11 bands → pigeonhole guarantee for hamming ≤ 10; planted pairs
     // measured at hamming ≤ 8) then exact shingle-Jaccard ≥ 0.8 verify —
@@ -662,6 +671,20 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
         |    / len(list_distinct(a.shingles || b.shingles)) >= 0.8""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(
+        |    [tokens[i] || ' ' || tokens[i+1] for i in range(1, len(tokens))]) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |        FROM documents)
+        |  WHERE len(tokens) >= 2)
+        |SELECT id_a, id_b, inter, uni FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER) AS inter,
+        |    CAST(len(a.grams) + len(b.grams)
+        |      - len(list_intersect(a.grams, b.grams)) AS INTEGER) AS uni
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE inter * 5 >= uni * 3""".stripMargin,
     "q_ann_topk" ->
       """SELECT vec_id,
         |  round(list_cosine_similarity(embedding::DOUBLE[],

@@ -1,0 +1,191 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard set-similarity self-join via prefix filtering —
+  * the deterministic counterpart to [[MinHashDedup]]: no sketch recall
+  * contract; every pair with Jaccard ≥ t is returned (PPJoin-family prefix
+  * filtering: a pair at Jaccard ≥ t must share at least one gram inside
+  * both docs' rare-first prefixes of length |G| − ceil(t·|G|) + 1).
+  *
+  * Scale shape (100 TB):
+  *  - The inverted index holds PREFIX grams only, ordered globally by
+  *    ascending document frequency, so the indexed grams are the rarest.
+  *  - On template-clustered corpora prefix filtering alone degenerates —
+  *    same-template docs share exactly their rarest grams (measured at
+  *    sf0.1: 7.0M of 12.5M possible pairs survive the prefix+length
+  *    filters). A per-pair join at that volume is the scale killer, so
+  *    pairs never leave the posting list: each gram's list carries the
+  *    member docs' sorted gram-hash arrays, and a primitive merge-intersect
+  *    applies the EXACT rational threshold inline. Work is distributed by
+  *    gram, bounded per list (df-ordering keeps lists short), with no
+  *    driver collect and no broadcast cap.
+  *  - Survivors (the true near-dups, orders of magnitude fewer) are then
+  *    re-verified on RAW TEXT for the output values, so emitted
+  *    inter/uni are exact string-gram counts. The only approximation in
+  *    the whole path is 64-bit gram hashing in the inline filter
+  *    (cross-gram collision odds ~|vocab|²/2⁶⁵; a miss further needs ~15
+  *    simultaneous collisions to bridge the similarity gap).
+  *  - The threshold is the exact rational num/den; every comparison is
+  *    integer arithmetic — no floating-point boundary anywhere.
+  *
+  * Complements the reference's keyed dedup (glassflow-api
+  * internal/processor/deduplicate.go operates on exact keys); this is the
+  * corpus-level fuzzy variant a training-data pipeline needs.
+  */
+object NgramJaccard {
+
+  /** Jaccard threshold is the exact rational thresholdNum/thresholdDen. */
+  final case class Config(n: Int = 2, thresholdNum: Int = 3, thresholdDen: Int = 5)
+
+  /** Distinct word n-gram set (JVM-side; same definition as
+    * [[TextFunctions.shingles]]: whitespace tokens of trimmed text). */
+  private def gramSet(text: String, n: Int): Set[String] = {
+    val toks = if (text == null || text.trim.isEmpty) Array.empty[String]
+    else text.trim.split("\\s+")
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** Near-duplicate pairs (id_a < id_b) with exact word-n-gram Jaccard ≥
+    * num/den; output carries the exact intersection and union sizes. */
+  def duplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                     cfg: Config = Config()): DataFrame = {
+    val tn = cfg.thresholdNum
+    val td = cfg.thresholdDen
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Sorted 64-bit gram hashes per doc: the merge-intersect
+    // representation, built in one tight primitive loop per doc (Catalyst
+    // cannot hoist shared subexpressions out of HOF lambdas, so the
+    // declarative shingle→hash→sort chain is interpreted per element and
+    // dominates the whole pipeline — same lesson as MinHash signatures).
+    val hashSet = udf { text: String =>
+      val toks = if (text == null || text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+")
+      if (toks.length < cfg.n) Array.empty[Long]
+      else {
+        val hs = toks.sliding(cfg.n).map { w =>
+          val g = w.mkString(" ")
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < g.length) { h ^= g.charAt(i); h *= 0x100000001b3L; i += 1 }
+          h
+        }.toArray
+        java.util.Arrays.sort(hs)
+        // dedupe in place (sorted)
+        var (r, w) = (1, 1)
+        while (r < hs.length) {
+          if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(hs, w)
+      }
+    }
+    val hashed = base.select(col("id"), hashSet(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sz", size(col("hs")))
+    val exploded = hashed.select(col("id"), col("sz"),
+      explode(col("hs")).as("h"))
+
+    // Global document frequency per gram — the rare-first canonical order.
+    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+
+    // Rank each doc's grams rare-first; keep the prefix of length
+    // sz − ceil(t·sz) + 1 (integer ceil via (sz·num + den − 1) div den).
+    val postings = exploded.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .filter(col("rk") <= col("sz") - expr(s"(sz * $tn + $td - 1) div $td") + 1)
+      .select(col("h"), col("id"))
+
+    // Posting lists that can produce a pair, rejoined to the members'
+    // hash arrays (fetched only for docs inside shared lists).
+    val lists = postings.groupBy("h")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("h"), explode(col("ids")).as("id"))
+      .join(hashed.select(col("id"), col("hs")), "id")
+      .groupBy("h")
+      .agg(collect_list(struct(col("id"), col("hs"))).as("docs"))
+      .select(transform(col("docs"), d => d.getField("id")).as("ids"),
+        transform(col("docs"), d => d.getField("hs")).as("sets"))
+
+    // Inline pair sweep: every i<j pair in the list passes the length
+    // filter then an exact-rational-threshold intersection test. Dense
+    // template clusters make per-pair sorted merges the bottleneck
+    // (~100 branchy steps/pair over millions of pairs), so each list
+    // builds a LOCAL dictionary over its members' gram union and
+    // intersects fixed-width bitsets instead — branchless AND+popcount,
+    // ~|union|/64 words per pair. The dictionary is per-list, so nothing
+    // global is built and the width adapts to the list's own vocabulary.
+    val sweep = udf { (ids: scala.collection.Seq[Long],
+                       sets: scala.collection.Seq[scala.collection.Seq[Long]]) =>
+      val n = ids.length
+      val local = new java.util.HashMap[Long, Integer]()
+      val arrs = sets.iterator.map(_.toArray).toArray
+      arrs.foreach(_.foreach { h =>
+        if (!local.containsKey(h)) local.put(h, local.size())
+      })
+      val words = (local.size() + 63) >>> 6
+      val bits = Array.ofDim[Long](n, words)
+      val szs = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val sa = arrs(i)
+        szs(i) = sa.length
+        var k = 0
+        while (k < sa.length) {
+          val idx = local.get(sa(k)).intValue()
+          bits(i)(idx >>> 6) |= 1L << (idx & 63)
+          k += 1
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val (la, lb) = (szs(i), szs(j))
+          if (math.min(la, lb) * td >= math.max(la, lb) * tn) {
+            val (ba, bb) = (bits(i), bits(j))
+            var (w, inter) = (0, 0)
+            while (w < words) {
+              inter += java.lang.Long.bitCount(ba(w) & bb(w))
+              w += 1
+            }
+            if (inter * td >= (la + lb - inter) * tn) {
+              val (a, b) = (ids(i), ids(j))
+              out += (if (a < b) (a, b) else (b, a))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+
+    val cand = lists
+      .select(explode(sweep(col("ids"), col("sets"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+
+    // Exact re-verification on raw text for the (few) survivors: output
+    // intersection/union are exact string-gram counts.
+    val interUni = udf { (a: String, b: String) =>
+      val (sa, sb) = (gramSet(a, cfg.n), gramSet(b, cfg.n))
+      val inter = (sa & sb).size
+      (inter, sa.size + sb.size - inter)
+    }
+    cand
+      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("iu", interUni(col("text_a"), col("text_b")))
+      .select(col("id_a"), col("id_b"),
+        col("iu._1").as("inter"), col("iu._2").as("uni"))
+      .filter(col("inter") * td >= col("uni") * tn)
+  }
+}

@@ -52,6 +52,40 @@ class DataOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("ngram-jaccard prefix filter is exact and complete vs brute force (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val pf = NgramJaccard.duplicatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // brute-force ground truth on the same bigram sets, same rational test
+    val g = MinHashDedup.withShingles(docs, "doc_id", "text", 2)
+      .filter(size(col("shingles")) > 0)
+    val exact = g.alias("a").join(g.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("uni", size(col("a.shingles")) + size(col("b.shingles")) - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select(col("a.id"), col("b.id"), col("inter"), col("uni"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(pf == exact)
+  }
+
+  test("ngram-jaccard prefix index is a small fraction of the gram index") {
+    // rare-first prefixes must index strictly fewer gram postings than the
+    // full inverted index would (the scale argument for prefix filtering)
+    val docs = graft.Tables.documents(spark, sf)
+    val g = MinHashDedup.withShingles(docs, "doc_id", "text", 2)
+      .filter(size(col("shingles")) > 0)
+    val fullPostings = g.select(explode(col("shingles"))).count()
+    val t = NgramJaccard.Config()
+    // prefix length per doc: sz - ceil(3/5*sz) + 1 ≈ 2/5 of the grams
+    val prefixPostings = g
+      .select((size(col("shingles")) -
+        ((size(col("shingles")) * t.thresholdNum + t.thresholdDen - 1)
+          .divide(t.thresholdDen)).cast("int") + 1).as("p"))
+      .agg(sum(col("p"))).head.getLong(0)
+    assert(prefixPostings < fullPostings / 2)
+  }
+
   test("simhash-banded candidates + exact verify find exactly the true near-dups") {
     val docs = graft.Tables.documents(spark, sf)
     val sim = MinHashDedup.simhashPairs(docs, "doc_id", "text")
