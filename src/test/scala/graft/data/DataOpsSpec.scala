@@ -69,6 +69,53 @@ class DataOpsSpec extends SparkSpec {
     assert(pf == exact)
   }
 
+  test("ngram-jaccard is exact and complete on randomized templated corpora") {
+    // fuzz the completeness claim: random template corpora (the known
+    // worst case for prefix filtering), several thresholds, always
+    // compared against the brute-force ground truth
+    val rnd = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+    def doc(template: Array[String]): String = {
+      val t = template.clone()
+      // perturb 0-30% of tokens
+      val edits = rnd.nextInt(t.length * 3 / 10 + 1)
+      (0 until edits).foreach { _ => t(rnd.nextInt(t.length)) = words(rnd.nextInt(words.length)) }
+      t.mkString(" ")
+    }
+    for ((tn, td) <- Seq((1, 2), (3, 5), (3, 4))) {
+      val templates = Array.fill(4)(Array.fill(30)(words(rnd.nextInt(words.length))))
+      val texts = (0 until 60).map(i => (i.toLong, doc(templates(i % 4))))
+      val df = texts.toDF("doc_id", "text")
+      val cfg = NgramJaccard.Config(n = 2, thresholdNum = tn, thresholdDen = td)
+      val got = NgramJaccard.duplicatePairs(df, "doc_id", "text", cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      val g = MinHashDedup.withShingles(df, "doc_id", "text", 2)
+        .filter(size(col("shingles")) > 0)
+      val exact = g.alias("a").join(g.alias("b"), col("a.id") < col("b.id"))
+        .withColumn("inter", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+        .withColumn("uni", size(col("a.shingles")) + size(col("b.shingles")) - col("inter"))
+        .filter(col("inter") * td >= col("uni") * tn)
+        .select(col("a.id"), col("b.id"), col("inter"), col("uni"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got == exact, s"mismatch at threshold $tn/$td")
+    }
+  }
+
+  test("ngram-jaccard handles degenerate corpora") {
+    // all-identical docs: one posting list holding every doc — the skew
+    // ceiling — must still emit every pair at Jaccard 1
+    val same = (0L until 40L).map((_, "the quick brown fox jumps over the lazy dog"))
+    val out = NgramJaccard.duplicatePairs(same.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(out.length == 40 * 39 / 2)
+    assert(out.forall(r => r.getInt(2) == r.getInt(3)))
+    // empty / sub-n-gram docs are excluded, not errors
+    val tiny = Seq((0L, ""), (1L, "one"), (2L, "a b c"), (3L, "a b c")).toDF("doc_id", "text")
+    val pairs = NgramJaccard.duplicatePairs(tiny, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 3L)))
+  }
+
   test("ngram-jaccard prefix index is a small fraction of the gram index") {
     // rare-first prefixes must index strictly fewer gram postings than the
     // full inverted index would (the scale argument for prefix filtering)
