@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * both docs' rare-first prefixes of length |G| − ceil(t·|G|) + 1).
   *
   * Scale shape (100 TB):
+  *  - Exact duplicates (identical gram sets — viral copies at web scale)
+  *    collapse to one representative before indexing, so a cluster of f
+  *    identical docs costs the index and sweep 1 entry, not one O(f²)
+  *    task; the cluster's pairs reappear only in the output, where the
+  *    quadratic size is inherent to the pair contract.
   *  - The inverted index holds PREFIX grams only, ordered globally by
   *    ascending document frequency, so the indexed grams are the rarest.
   *  - On template-clustered corpora prefix filtering alone degenerates —
@@ -83,9 +88,20 @@ object NgramJaccard {
         java.util.Arrays.copyOf(hs, w)
       }
     }
-    val hashed = base.select(col("id"), hashSet(col("text")).as("hs"))
+    val allDocs = base.select(col("id"), hashSet(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
+
+    // Collapse exact duplicates (identical gram sets) to one representative
+    // BEFORE indexing: a viral duplicate cluster of f docs would otherwise
+    // put f entries in one posting list and cost O(f²) in a single task.
+    // After the sweep, representative pairs expand back to member pairs,
+    // and within-group pairs are emitted directly (identical sets are at
+    // Jaccard 1 ≥ any threshold) — the quadratic blow-up survives only in
+    // the OUTPUT, which is inherent to the pair contract.
+    val groups = allDocs.groupBy(col("hs"), col("sz"))
+      .agg(min(col("id")).as("id"), collect_list(col("id")).as("members"))
+    val hashed = groups.select(col("id"), col("hs"), col("sz"))
     val exploded = hashed.select(col("id"), col("sz"),
       explode(col("hs")).as("h"))
 
@@ -168,10 +184,26 @@ object NgramJaccard {
       out.toSeq
     }
 
-    val cand = lists
+    val repPairs = lists
       .select(explode(sweep(col("ids"), col("sets"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .select(col("p._1").as("ra"), col("p._2").as("rb"))
       .distinct()
+
+    // Expand representative pairs to member pairs, and emit all pairs
+    // inside each exact-duplicate group (identical sets: Jaccard 1).
+    val crossPairs = repPairs
+      .join(groups.select(col("id").as("ra"), col("members").as("ma")), "ra")
+      .join(groups.select(col("id").as("rb"), col("members").as("mb")), "rb")
+      .select(explode(col("ma")).as("x"), col("mb"))
+      .select(col("x"), explode(col("mb")).as("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"))
+    val withinPairs = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"))
+    val cand = crossPairs.unionByName(withinPairs)
 
     // Exact re-verification on raw text for the (few) survivors: output
     // intersection/union are exact string-gram counts.
