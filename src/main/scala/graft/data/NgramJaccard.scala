@@ -189,35 +189,42 @@ object NgramJaccard {
       .select(col("p._1").as("ra"), col("p._2").as("rb"))
       .distinct()
 
-    // Expand representative pairs to member pairs, and emit all pairs
-    // inside each exact-duplicate group (identical sets: Jaccard 1).
-    val crossPairs = repPairs
-      .join(groups.select(col("id").as("ra"), col("members").as("ma")), "ra")
-      .join(groups.select(col("id").as("rb"), col("members").as("mb")), "rb")
-      .select(explode(col("ma")).as("x"), col("mb"))
-      .select(col("x"), explode(col("mb")).as("y"))
-      .select(least(col("x"), col("y")).as("id_a"),
-        greatest(col("x"), col("y")).as("id_b"))
-    val withinPairs = groups.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("x"), col("members"))
-      .select(col("x"), explode(col("members")).as("y"))
-      .filter(col("x") < col("y"))
-      .select(col("x").as("id_a"), col("y").as("id_b"))
-    val cand = crossPairs.unionByName(withinPairs)
-
-    // Exact re-verification on raw text for the (few) survivors: output
-    // intersection/union are exact string-gram counts.
+    // Exact re-verification on raw text at the REPRESENTATIVE level —
+    // O(rep pairs + groups), not O(output pairs): members of a group
+    // share their rep's gram set, so the verified counts propagate
+    // through the expansion below.
     val interUni = udf { (a: String, b: String) =>
       val (sa, sb) = (gramSet(a, cfg.n), gramSet(b, cfg.n))
       val inter = (sa & sb).size
       (inter, sa.size + sb.size - inter)
     }
-    cand
-      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+    val verifiedReps = repPairs
+      .join(base.select(col("id").as("ra"), col("text").as("text_a")), "ra")
+      .join(base.select(col("id").as("rb"), col("text").as("text_b")), "rb")
       .withColumn("iu", interUni(col("text_a"), col("text_b")))
-      .select(col("id_a"), col("id_b"),
+      .select(col("ra"), col("rb"),
         col("iu._1").as("inter"), col("iu._2").as("uni"))
       .filter(col("inter") * td >= col("uni") * tn)
+
+    // Expand representative pairs to member pairs, and emit all pairs
+    // inside each exact-duplicate group (identical sets: Jaccard 1,
+    // inter = uni = the group's string-gram count, verified once).
+    val crossPairs = verifiedReps
+      .join(groups.select(col("id").as("ra"), col("members").as("ma")), "ra")
+      .join(groups.select(col("id").as("rb"), col("members").as("mb")), "rb")
+      .select(explode(col("ma")).as("x"), col("mb"), col("inter"), col("uni"))
+      .select(col("x"), explode(col("mb")).as("y"), col("inter"), col("uni"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("inter"), col("uni"))
+    val gramCount = udf { text: String => gramSet(text, cfg.n).size }
+    val withinPairs = groups.filter(size(col("members")) > 1)
+      .join(base, "id")
+      .withColumn("s", gramCount(col("text")))
+      .select(explode(col("members")).as("x"), col("members"), col("s"))
+      .select(col("x"), explode(col("members")).as("y"), col("s"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"),
+        col("s").as("inter"), col("s").as("uni"))
+    crossPairs.unionByName(withinPairs)
   }
 }
