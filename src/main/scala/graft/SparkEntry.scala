@@ -377,6 +377,16 @@ object SparkEntry {
         fingerprint(col("text")).as("fp"))
     },
 
+    // Winnowing fingerprints (MOSS rolling-hash scheme) over normalized
+    // text: integer rolling hash mod 1e9+7, window minima, one (doc, fp)
+    // row per selected hash. The oracle recomputes the identical integer
+    // pipeline in SQL.
+    "q_winnow_fingerprint" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      Tables.documents(s, dir).select(col("doc_id"),
+        explode(winnowUdf(8, 4)(normalize(col("text")))).as("fp"))
+    },
+
     // Quality scoring + language ID (stopword-profile heuristic).
     "q_text_quality" -> { (s, dir) =>
       import graft.data.TextFunctions._
@@ -626,6 +636,19 @@ object SparkEntry {
         |    // len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS awl_x100,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "q_winnow_fingerprint" ->
+      """WITH n AS (SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    [list_reduce([CAST(unicode(t[j]) AS BIGINT) for j in range(i, i+8)],
+        |       (a,b) -> (a*257+b) % 1000000007)
+        |     for i in range(1, len(t)-8+2)] AS hs
+        |  FROM n WHERE len(t) >= 11),
+        |w AS (SELECT doc_id,
+        |    list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs)-4+2)]) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text,
         |    string_split_regex(trim(text), '\s+') AS toks,

@@ -32,6 +32,55 @@ object TextFunctions {
   /** Document fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(c: Column): Column = md5(normalize(c).cast(BinaryType))
 
+  /** Winnowing document fingerprints (the MOSS local fingerprinting
+    * scheme — Schleimer, Wilkerson, Aiken, SIGMOD'03): polynomial rolling
+    * hash (base 257 mod 1e9+7, per-step mod) over character k-grams of
+    * NORMALIZED text (pass [[normalize]] output in), then the minimum of
+    * every window of w consecutive hashes, distinct and ascending. Any
+    * substring match of length ≥ k+w−1 between two documents is
+    * guaranteed to yield a shared fingerprint. Pure integer arithmetic,
+    * so the values are reproducible in any engine. Scale shape: a
+    * codegen-adjacent scan projection — one tight O(len) loop per doc,
+    * no shuffle; fingerprints explode to (doc, fp) rows for joining.
+    * Texts shorter than k+w−1 produce no fingerprints. */
+  def winnowUdf(k: Int, w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { t: String =>
+      if (t == null || t.length < k + w - 1) Array.empty[Long]
+      else {
+        val P = 1000000007L
+        val B = 257L
+        var bk1 = 1L
+        var i = 0
+        while (i < k - 1) { bk1 = bk1 * B % P; i += 1 }
+        val m = t.length - k + 1
+        val hs = new Array[Long](m)
+        var h = 0L
+        i = 0
+        while (i < k) { h = (h * B + t.charAt(i)) % P; i += 1 }
+        hs(0) = h
+        i = 1
+        while (i < m) {
+          h = ((h - t.charAt(i - 1) * bk1 % P + P) % P * B + t.charAt(i + k - 1)) % P
+          hs(i) = h
+          i += 1
+        }
+        val sel = new java.util.TreeSet[java.lang.Long]()
+        i = 0
+        while (i <= m - w) {
+          var mn = hs(i)
+          var j = i + 1
+          while (j < i + w) { if (hs(j) < mn) mn = hs(j); j += 1 }
+          sel.add(mn)
+          i += 1
+        }
+        val out = new Array[Long](sel.size())
+        val it = sel.iterator()
+        i = 0
+        while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+        out
+      }
+    }
+
   def avgWordLen(c: Column): Column = {
     val t = tokens(c)
     when(size(t) === 0, lit(0.0))

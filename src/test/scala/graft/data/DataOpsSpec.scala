@@ -69,6 +69,25 @@ class DataOpsSpec extends SparkSpec {
     assert(pf == exact)
   }
 
+  test("winnowing guarantees a shared fingerprint for shared substrings >= k+w-1") {
+    val k = 8; val w = 4
+    val rnd = new scala.util.Random(11)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = rand(k + w - 1) // minimal guaranteed-shared substring
+    val docs = Seq(
+      (1L, rand(40) + " " + shared + " " + rand(40)),
+      (2L, rand(60) + " " + shared),
+      (3L, rand(80))).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        explode(TextFunctions.winnowUdf(k, w)(TextFunctions.normalize(col("text")))).as("fp"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "docs sharing a k+w-1 substring must share a fingerprint")
+    // short text yields nothing; empty result is not an error
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+      .select(explode(TextFunctions.winnowUdf(k, w)(TextFunctions.normalize(col("text")))))
+    assert(short.count() == 0)
+  }
+
   test("ngram-jaccard is exact and complete on randomized templated corpora") {
     // fuzz the completeness claim: random template corpora (the known
     // worst case for prefix filtering), several thresholds, always
