@@ -598,6 +598,60 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           count(lit(1)).as("count_order"))
+    },
+
+    // Deterministic hash sampling for training-data curation: membership
+    // is a pure function of md5(salt || key) — stable across runs,
+    // engines, partitionings, and scale (df.sample() is none of those).
+    // One scan, zero shuffles: sample filter and split assignment both
+    // evaluate inside the scan projection.
+    "q_sample_split" -> { (s, dir) =>
+      import graft.data.Sampling
+      Sampling.bernoulli(Tables.documents(s, dir), "doc_id", 0.25, salt = "mix")
+        .select(col("doc_id"), col("lang"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "cut")
+            .as("split"))
+    },
+
+    // Per-stratum quota sample: the 50 docs of each language with the
+    // smallest hash draws — a deterministic n-per-group for mixture
+    // balancing. One shuffle (by stratum), inherent to the semantics.
+    "q_sample_stratified" -> { (s, dir) =>
+      import graft.data.Sampling
+      Sampling.stratifiedQuota(Tables.documents(s, dir), "lang", "doc_id",
+          quota = 50, salt = "strat")
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // Corpus-level statistics for data-quality monitoring: per-language
+    // doc/token totals and exact token-count quantiles (linear
+    // interpolation — identical definition in DuckDB's quantile_cont).
+    // Partial aggregation before the single group-by-language shuffle;
+    // the percentile's per-group buffer is bounded by group cardinality,
+    // and at 100 TB the same query would swap `percentile` for
+    // `approx_percentile` (t-digest) — noted, not needed at test scale.
+    "q_corpus_stats" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      Tables.documents(s, dir)
+        .select(col("lang"), tokenCount(col("text")).as("toks"),
+          qualityMilli(col("text")).as("qm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("sum_tokens"),
+          round(expr("percentile(toks, 0.5)"), 1).as("p50_tokens"),
+          round(expr("percentile(toks, 0.9)"), 1).as("p90_tokens"),
+          sum(col("qm")).as("sum_quality_milli"))
+    },
+
+    // Shared-substring candidate pairs via winnowing fingerprints (the
+    // corpus-level MOSS step): inverted index over (doc, fp), df-capped
+    // posting lists, in-list pair expansion, count of shared fps per
+    // pair. Catches copied passages / boilerplate that word-level
+    // Jaccard dilutes away on long documents.
+    "q_winnow_pairs" -> { (s, dir) =>
+      graft.data.TextFunctions.winnowPairs(Tables.documents(s, dir),
+        "doc_id", "text", k = 8, w = 4, minShared = 20, maxDf = 50)
     }
   )
 
@@ -955,6 +1009,66 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // Deterministic hash sampling: md5 is md5 in every engine, and
+    // lexicographic comparison of the zero-padded hex prefix equals
+    // numeric comparison — so membership replicates bit-for-bit.
+    // Thresholds: 0.25→'40000000', 0.8→'cccccccc', 0.9→'e6666666'
+    // (floor(f·2^32) as 8 hex digits).
+    "q_sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5('cut' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substring(md5('cut' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |WHERE substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50""".stripMargin,
+    // quantile_cont = linear interpolation, the same definition as Spark's
+    // exact percentile(); integer qualityMilli replicates q_text_quality's
+    // expression so the per-language sums are exact.
+    "q_corpus_stats" ->
+      """WITH t AS (SELECT lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS toks,
+        |    least(len(string_split_regex(trim(text), '\s+')), 100) * 4
+        |      + (300 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1500)
+        |          // length(text), 300))
+        |      + least((len(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> x IN ('the','and','of','to','in','is','you','that','it','for'))) * 3000)
+        |          // len(string_split_regex(trim(text), '\s+')), 300) AS qm
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |  round(quantile_cont(toks, 0.5), 1) AS p50_tokens,
+        |  round(quantile_cont(toks, 0.9), 1) AS p90_tokens,
+        |  CAST(sum(qm) AS BIGINT) AS sum_quality_milli
+        |FROM t GROUP BY lang""".stripMargin,
+    // Same integer winnowing pipeline as q_winnow_fingerprint, then the
+    // pair layer: df-capped fingerprints, in-list pairs, shared count.
+    "q_winnow_pairs" ->
+      """WITH n AS (SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    [list_reduce([CAST(unicode(t[j]) AS BIGINT) for j in range(i, i+8)],
+        |       (a,b) -> (a*257+b) % 1000000007)
+        |     for i in range(1, len(t)-8+2)] AS hs
+        |  FROM n WHERE len(t) >= 11),
+        |w AS (SELECT doc_id,
+        |    list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs)-4+2)]) AS fps
+        |  FROM h),
+        |fps AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |capped AS (SELECT fp FROM fps GROUP BY fp
+        |           HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |WHERE a.fp IN (SELECT fp FROM capped)
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 20""".stripMargin
   )
 }

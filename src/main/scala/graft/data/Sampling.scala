@@ -1,0 +1,78 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling for training-data curation.
+  *
+  * A 100-TB corpus is never trained on wholesale: pipelines carve out
+  * mixture-weighted subsets, held-out splits, and per-source quotas. The
+  * operators here are all HASH-deterministic — the same row lands in the
+  * same sample/split on every run, every engine, and every scale, because
+  * membership is a pure function of the row's key (md5, uniform over
+  * [0, 2^128)), never of partitioning, row order, or an RNG seed. That is
+  * the property `df.sample()` cannot give (it is seeded per-partition, so
+  * a repartition reshuffles membership) and the reason replicated data
+  * pipelines standardize on hash-bucket sampling.
+  *
+  * Everything is a scan-local projection/filter (no shuffle, no state):
+  * at 100 TB each executor decides membership for its splits independently.
+  * The quota variant adds the one shuffle its semantics require (a
+  * per-stratum top-n).
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(salt || key) — a uniform 32-bit draw as a
+    * zero-padded hex string. Lexicographic comparison of lowercase hex
+    * equals numeric comparison, so thresholds are plain string literals
+    * and the same expression runs in any SQL engine. */
+  def hashDraw(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast(StringType))), 1, 8)
+
+  /** Hex threshold for a fraction: floor(f · 2^32) as 8 hex digits. */
+  def thresholdHex(fraction: Double): String = {
+    val f = math.min(math.max(fraction, 0.0), 1.0)
+    "%08x".format(math.floor(f * 4294967296.0).toLong min 0xffffffffL)
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose 32-bit hash draw falls
+    * below `fraction`. Membership is stable under repartition/rerun. */
+  def bernoulli(df: DataFrame, keyCol: String, fraction: Double,
+                salt: String = ""): DataFrame =
+    df.filter(hashDraw(col(keyCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Disjoint train/validation/test assignment from one hash draw:
+    * cumulative thresholds partition [0, 1), so every row gets exactly one
+    * label and the splits are exhaustive and non-overlapping by
+    * construction. `weights` maps label → fraction (must sum to ≤ 1; any
+    * remainder falls into the last label). */
+  def splitAssign(key: Column, weights: Seq[(String, Double)],
+                  salt: String = ""): Column = {
+    val draw = hashDraw(key, salt)
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val cases = weights.init.zip(cuts.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), cut)) =>
+        val cond = draw < lit(thresholdHex(cut))
+        Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
+    }
+    cases.fold(lit(weights.last._1))(_.otherwise(lit(weights.last._1)))
+  }
+
+  /** Per-stratum quota sample: the `quota` rows of each stratum with the
+    * smallest hash draws — a deterministic "random" n-per-group. The
+    * ordering ties break on the key itself, so the result is unique even
+    * if two keys collide in the draw. One shuffle (by stratum), inherent
+    * to the semantics; at scale the window's sort is per-stratum, and a
+    * heavily skewed stratum can be pre-thinned with [[bernoulli]] at a
+    * fraction safely above quota/|stratum| before the exact top-n. */
+  def stratifiedQuota(df: DataFrame, stratumCol: String, keyCol: String,
+                      quota: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashDraw(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}

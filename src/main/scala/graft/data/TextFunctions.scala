@@ -81,6 +81,37 @@ object TextFunctions {
       }
     }
 
+  /** Shared-substring candidate pairs from winnowing fingerprints — the
+    * corpus-level use of [[winnowUdf]] (MOSS does exactly this across
+    * submissions): two documents sharing ≥ `minShared` fingerprints very
+    * likely share substrings of length ≥ k+w−1 (boilerplate, templates,
+    * copied passages). Shape is an inverted index: explode (doc, fp),
+    * group to a posting list per fingerprint, emit in-list pairs, count
+    * distinct shared fps per pair. The only shuffles are the two groupBys;
+    * no all-pairs join ever forms. `maxDf` drops "stop fingerprints" —
+    * substrings present in more than maxDf docs (ubiquitous boilerplate)
+    * generate O(df²) pairs while carrying no dedup signal; capping df
+    * bounds per-list work at scale exactly like df-capped posting lists in
+    * text retrieval. Pair expansion is pure Catalyst (nested transform →
+    * flatten), codegen'd, no UDF.
+    *
+    * Output: (id_a, id_b, shared) with id_a < id_b. */
+  def winnowPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, k: Int, w: Int, minShared: Int,
+                  maxDf: Int): org.apache.spark.sql.DataFrame = {
+    val fps = docs.select(col(idCol).cast(LongType).as("id"),
+      explode(winnowUdf(k, w)(normalize(col(textCol)))).as("fp"))
+    val lists = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    val pairs = lists.select(explode(flatten(transform(col("ids"),
+      (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+    pairs.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def avgWordLen(c: Column): Column = {
     val t = tokens(c)
     when(size(t) === 0, lit(0.0))
