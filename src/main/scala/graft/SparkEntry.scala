@@ -427,6 +427,19 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Near-dup CLUSTER assignment: transitive closure over the MinHash
+    // pair edges via alternating large-star/small-star connected
+    // components (log-round convergence — never O(diameter)), min-id
+    // representative, singletons self-clustered. The oracle recomputes the
+    // same clusters from the exhaustive exact-Jaccard pair set with a
+    // recursive CTE.
+    "q_dedup_clusters" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.data.Clustering.assignClusters(
+        docs, "doc_id",
+        graft.data.MinHashDedup.duplicatePairs(docs, "doc_id", "text"))
+    },
+
     // SimHash near-dup pairs, exactly verified: banded simhash candidates
     // (11 bands → pigeonhole guarantee for hamming ≤ 10; planted pairs
     // measured at hamming ≤ 8) then exact shingle-Jaccard ≥ 0.8 verify —
@@ -762,6 +775,30 @@ object SparkEntry {
         |      - len(list_intersect(a.grams, b.grams)) AS INTEGER) AS uni
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE inter * 5 >= uni * 3""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+        |     for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |        FROM documents)
+        |  WHERE len(tokens) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        |      / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+        |reach(n, r) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u
+        |    WHERE e.v <> reach.n),
+        |comp AS (SELECT n, least(n, min(r)) AS cid FROM reach GROUP BY n)
+        |SELECT d.doc_id,
+        |  coalesce(c.cid, d.doc_id) AS cluster_id,
+        |  coalesce(c.cid, d.doc_id) = d.doc_id AS is_representative
+        |FROM documents d LEFT JOIN comp c ON c.n = d.doc_id""".stripMargin,
     "q_ann_topk" ->
       """SELECT vec_id,
         |  round(list_cosine_similarity(embedding::DOUBLE[],
