@@ -377,6 +377,19 @@ object SparkEntry {
         fingerprint(col("text")).as("fp"))
     },
 
+    // Gopher-style repetition signals (Rae et al. 2021, Table A1):
+    // repeated-token/-bigram/-5-gram fractions + top-bigram token share,
+    // as integer milli-fractions (engine-portable hashing). Scan-local
+    // Catalyst expressions — annotates the corpus in one pass, no shuffle.
+    "q_text_repetition" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      Tables.documents(s, dir).select(col("doc_id"),
+        dupTokenFracMilli(col("text")).as("dup_token_milli"),
+        dupNgramFracMilli(col("text"), 2).as("dup_bigram_milli"),
+        dupNgramFracMilli(col("text"), 5).as("dup_5gram_milli"),
+        topNgramFracMilli(col("text"), 2).as("top_bigram_milli"))
+    },
+
     // Winnowing fingerprints (MOSS rolling-hash scheme) over normalized
     // text: integer rolling hash mod 1e9+7, window minima, one (doc, fp)
     // row per selected hash. The oracle recomputes the identical integer
@@ -694,6 +707,32 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] AS g2,
+        |    [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)] AS g5
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       ELSE (1000 * (len(toks) - len(list_distinct(toks)))) // len(toks) END
+        |    AS dup_token_milli,
+        |  CASE WHEN len(g2) = 0 THEN 0
+        |       ELSE (1000 * (len(g2) - len(list_distinct(g2)))) // len(g2) END
+        |    AS dup_bigram_milli,
+        |  CASE WHEN len(g5) = 0 THEN 0
+        |       ELSE (1000 * (len(g5) - len(list_distinct(g5)))) // len(g5) END
+        |    AS dup_5gram_milli,
+        |  CASE WHEN len(g2) = 0 THEN 0
+        |       ELSE least(1000, (1000 * 2 * list_max(list_transform(list_distinct(g2),
+        |              x -> len(list_filter(g2, y -> y = x))))) // len(toks)) END
+        |    AS top_bigram_milli
+        |FROM g""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -112,6 +112,49 @@ object TextFunctions {
       .filter(col("shared") >= minShared)
   }
 
+  /** Word n-grams (space-joined) of the whitespace tokens; fewer than n
+    * tokens → empty array. Pure Catalyst (sequence/slice/transform). */
+  def wordGrams(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  private def fracMilli(num: Column, den: Column): Column =
+    when(den === 0, lit(0))
+      .otherwise(floor((num * 1000).cast(DoubleType) / den).cast(IntegerType))
+
+  /** Repetition signals (Gopher-style quality rules — Rae et al. 2021,
+    * "Scaling Language Models", Table A1): repeated-token fraction,
+    * repeated-n-gram fraction, and the token share of the single most
+    * frequent n-gram. Milli-fractions (ints) so results hash identically
+    * across engines. All scan-local Catalyst expressions — at 100 TB these
+    * annotate documents in the same pass as the rest of the quality
+    * signals, no shuffle. */
+  def dupTokenFracMilli(c: Column): Column = {
+    val t = tokens(c)
+    fracMilli(size(t) - size(array_distinct(t)), size(t))
+  }
+
+  /** Fraction (milli) of word n-grams that are repeats of an earlier one. */
+  def dupNgramFracMilli(c: Column, n: Int): Column = {
+    val g = wordGrams(c, n)
+    fracMilli(size(g) - size(array_distinct(g)), size(g))
+  }
+
+  /** Token share (milli, capped at 1000) covered by occurrences of the most
+    * frequent word n-gram. O(distinct·grams) per row — documents are short
+    * relative to corpus size, and it stays inside the scan projection. */
+  def topNgramFracMilli(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    val g = wordGrams(c, n)
+    val maxCnt = array_max(transform(array_distinct(g),
+      x => size(filter(g, y => y === x))))
+    when(size(g) === 0, lit(0))
+      .otherwise(least(lit(1000), fracMilli(maxCnt * n, size(t))))
+  }
+
   def avgWordLen(c: Column): Column = {
     val t = tokens(c)
     when(size(t) === 0, lit(0.0))

@@ -7,6 +7,31 @@ import graft.SparkSpec
 class DataOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetition signals: dup token/ngram fractions and top-bigram share") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a a a a"),                      // all dup tokens: dup=750, top bigram "a a" x3 covers 6/4 -> capped 1000
+      (2L, "the cat sat on the mat"),       // one dup token (the): 1000*1/6=166
+      (3L, ""),                             // empty: all zeros
+      (4L, "x y"),                          // no repeats, single bigram
+      (5L, "go go go stop go go go stop")   // heavy bigram repetition
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.dupTokenFracMilli(col("text")).as("dt"),
+      TextFunctions.dupNgramFracMilli(col("text"), 2).as("d2"),
+      TextFunctions.dupNgramFracMilli(col("text"), 5).as("d5"),
+      TextFunctions.topNgramFracMilli(col("text"), 2).as("t2"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out(0) == ((1L, 750, 666, 0, 1000)))   // "a a" appears 3x of 3 bigrams, 2 dup
+    assert(out(1) == ((2L, 166, 0, 0, 333)))      // every bigram unique: top covers 2/6
+    assert(out(2) == ((3L, 0, 0, 0, 0)))
+    assert(out(3) == ((4L, 0, 0, 0, 1000)))       // 1 bigram covers both tokens
+    // 8 tokens (go x6, stop x2): dup=(8-2)/8=750; 7 bigrams, 3 distinct ->
+    // 571; all four 5-grams distinct -> 0; "go go" count 4 -> 8/8 tokens
+    assert(out(4) == ((5L, 750, 571, 0, 1000)))
+  }
+
   test("text functions: tokens, fingerprint, language id") {
     val df = Seq(
       ("the cat sat on the mat", 1L),
