@@ -377,6 +377,26 @@ object SparkEntry {
         fingerprint(col("text")).as("fp"))
     },
 
+    // PII detection + redaction. The corpus has no organic PII, so the
+    // query builds a deterministic payload (same expression in the oracle)
+    // carrying an email, an IPv4, and a phone per doc — the oracle then
+    // hash-checks counts AND the full redacted text, proving both engines
+    // match on every regex boundary. Scan-local, codegen'd, no shuffle.
+    "q_pii" -> { (s, dir) =>
+      val payload = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" call 555-0"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.data.Pii.emailCount(payload).as("n_email"),
+        graft.data.Pii.ipv4Count(payload).as("n_ip"),
+        graft.data.Pii.phoneCount(payload).as("n_phone"),
+        graft.data.Pii.redact(payload).as("redacted"))
+    },
+
     // Gopher-style repetition signals (Rae et al. 2021, Table A1):
     // repeated-token/-bigram/-5-gram fractions + top-bigram token share,
     // as integer milli-fractions (engine-portable hashing). Scan-local
@@ -707,6 +727,23 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.' ||
+        |    (doc_id % 256) || '.0.' || (doc_id % 100) ||
+        |    ' call 555-0' || lpad((doc_id % 1000)::VARCHAR, 3, '0') AS payload
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(payload,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(payload, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(payload, '\b\d{3}-\d{4}\b')) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(payload,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM p""".stripMargin,
     "q_text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,

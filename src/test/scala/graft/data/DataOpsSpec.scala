@@ -7,6 +7,29 @@ import graft.SparkSpec
 class DataOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("PII detection and redaction: emails, IPv4, phones") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "mail a.b+c%d@sub.example.co.uk now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255, not 1234.5.6.78"),
+      (3L, "call 555-0142 or 555-014211 (too long)"),
+      (4L, "clean text, no pii at all"),
+      (5L, "x@y.io at 8.8.8.8 call 555-0100")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      Pii.emailCount(col("text")).as("e"),
+      Pii.ipv4Count(col("text")).as("i"),
+      Pii.phoneCount(col("text")).as("p"),
+      Pii.redact(col("text")).as("r"))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(out(0) == ((1, 0, 0, "mail <EMAIL> now")))
+    assert(out(1)._2 == 2 && out(1)._4.contains("<IP> and <IP>,"))
+    assert(out(2) == ((0, 0, 1, "call <PHONE> or 555-014211 (too long)")))
+    assert(out(3) == ((0, 0, 0, "clean text, no pii at all")))
+    assert(out(4) == ((1, 1, 1, "<EMAIL> at <IP> call <PHONE>")))
+  }
+
   test("repetition signals: dup token/ngram fractions and top-bigram share") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
