@@ -377,6 +377,16 @@ object SparkEntry {
         fingerprint(col("text")).as("fp"))
     },
 
+    // BM25 relevance of every document against a fixed query term set
+    // (k1=1.2, b=0.75): inverted-index tf with the query-term filter
+    // BEFORE the shuffle, broadcast df, integer milli-point scores so
+    // float addition order can never flip the hash. The oracle recomputes
+    // the identical formula in SQL.
+    "q_bm25" -> { (s, dir) =>
+      graft.data.Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "query", "fast"))
+    },
+
     // PII detection + redaction. The corpus has no organic PII, so the
     // query builds a deterministic payload (same expression in the oracle)
     // carrying an email, an IPv4, and a phone per doc — the oracle then
@@ -727,6 +737,31 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'query', 'fast')
+        |  GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, count(*) AS df,
+        |    ln(((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(CAST(round(1000 * df.idf * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+        |        ((SELECT sumdl FROM stats)::DOUBLE / (SELECT n FROM stats))))) AS BIGINT))
+        |      AS bm25_milli
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |  GROUP BY tf.doc_id)
+        |SELECT d.doc_id, coalesce(s.bm25_milli, 0) AS bm25_milli
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
     "q_pii" ->
       """WITH p AS (
         |  SELECT doc_id,

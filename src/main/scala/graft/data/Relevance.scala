@@ -1,0 +1,48 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring: BM25 (Robertson/Spärck Jones probabilistic
+  * retrieval ranking function) of every document against a fixed query
+  * term set.
+  *
+  * Scale shape: the term-frequency build is the classic inverted-index
+  * pass — explode tokens, FILTER TO QUERY TERMS BEFORE THE SHUFFLE (the
+  * predicate sits on the exploded term, so the groupBy shuffle carries
+  * only query-term postings, not the corpus vocabulary), then one keyed
+  * aggregate with map-side combine. Document frequencies reduce to
+  * |terms| rows and broadcast back; document length is scan-local. Per-doc
+  * scores are summed as integer milli-points so the result is
+  * order-independent and engine-portable (float addition order never
+  * matters).
+  */
+object Relevance {
+
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val dl = base.select(col("id"), size(col("toks")).as("dl"))
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val tf = base
+      .select(col("id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*)) // pre-shuffle pushdown
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "id")
+      .withColumn("score_milli",
+        round(lit(1000) * col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))).cast("long"))
+      .groupBy(col("id")).agg(sum(col("score_milli")).as("bm25_milli"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("bm25_milli"), lit(0L)).as("bm25_milli"))
+  }
+}

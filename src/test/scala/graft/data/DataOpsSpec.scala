@@ -7,6 +7,21 @@ import graft.SparkSpec
 class DataOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BM25: zero without query terms, grows with tf, rare terms weigh more") {
+    val df = Seq(
+      (1L, "spark spark spark runs fast queries"),
+      (2L, "spark is here"),
+      (3L, "nothing relevant at all"),
+      (4L, "rareword appears once")
+    ).toDF("doc_id", "text")
+    val out = Relevance.bm25(df, "doc_id", "text", Seq("spark", "rareword"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 0L)
+    assert(out(1L) > out(2L), "higher tf must score higher")
+    // rareword (df=1) must outscore a single spark mention (df=2)
+    assert(out(4L) > out(2L))
+  }
+
   test("PII detection and redaction: emails, IPv4, phones") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
