@@ -202,15 +202,15 @@ object OtlpFlatten {
         .when(c.cast(LongType) === 2, "CUMULATIVE")
         .otherwise("UNSPECIFIED")
 
-    def base(metricType: String) = Seq(
+    val baseCols = Seq(
       col("resource_attributes"), col("scope_name"),
       col("scope_version"), col("scope_attributes"),
       col("m.name").as("metric_name"),
       (if (mT.fieldNames.contains("description")) col("m.description")
        else lit(null).cast(StringType)).as("metric_description"),
       (if (mT.fieldNames.contains("unit")) col("m.unit")
-       else lit(null).cast(StringType)).as("metric_unit"),
-      lit(metricType).as("metric_type"))
+       else lit(null).cast(StringType)).as("metric_unit"))
+    def base(metricType: String) = baseCols :+ lit(metricType).as("metric_type")
 
     // proto3 omits default-valued fields entirely: a batch where every sum
     // is non-monotonic (or UNSPECIFIED temporality) has NO such field in
@@ -221,7 +221,60 @@ object OtlpFlatten {
         case None => otherwise
       }
 
+    // Fused single-pass path: when every present metric-type branch carries
+    // the SAME dataPoints element type — which is exactly what the
+    // production parse produces (from_json / the proto decoder against the
+    // declared OTLP schema unify all five shapes into one wide struct) —
+    // the union-of-branches plan below would scan the source five times,
+    // each pass re-evaluating the upstream. Metric types are mutually
+    // exclusive per metric, so one pass with CASE dispatch + a single
+    // explode(coalesce(...)) is equivalent and 5× cheaper on computed or
+    // row-oriented inputs (on columnar scans the branch passes prune to
+    // disjoint subtrees, so fusion matters less there).
+    val branchSpecs = Seq(
+      ("gauge", "gauge"), ("sum", "sum"), ("histogram", "histogram"),
+      ("exponentialHistogram", "exp_histogram"), ("summary", "summary"))
+      .filter { case (f, _) => mT.fieldNames.contains(f) }
+    def branchTemporality(field: String): Column = field match {
+      case "gauge" | "summary" => lit("UNSPECIFIED")
+      case f => temporality(branchField(f, "aggregationTemporality", lit(0)))
+    }
+    def branchMonotonic(field: String): Column = field match {
+      case "sum" => coalesce(branchField("sum", "isMonotonic", lit(false)), lit(false))
+      case _ => lit(false)
+    }
+    // nullability differs between branches (literal nulls vs columns), so
+    // compare shapes with nullability erased
+    def eraseNullability(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = eraseNullability(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(eraseNullability(a.elementType), containsNull = true)
+      case mp: MapType => MapType(eraseNullability(mp.keyType),
+        eraseNullability(mp.valueType), valueContainsNull = true)
+      case other => other
+    }
+    val dpElemTypes = branchSpecs
+      .map { case (f, _) => fieldTypeOpt(m, s"m.$f.dataPoints").map(eraseNullability) }
+    val fusable = branchSpecs.size > 1 && dpElemTypes.forall(_.isDefined) &&
+      dpElemTypes.flatten.distinct.size == 1 &&
+      dpElemTypes.head.get.isInstanceOf[ArrayType]
+
     val parts = Seq.newBuilder[DataFrame]
+    if (fusable) {
+      def dispatch(default: Column)(value: (String, String) => Column): Column =
+        branchSpecs.foldRight(default) {
+          case ((f, label), acc) =>
+            when(col(s"m.$f").isNotNull, value(f, label)).otherwise(acc)
+        }
+      parts += m
+        .filter(branchSpecs.map { case (f, _) => col(s"m.$f").isNotNull }.reduce(_ || _))
+        .select(baseCols ++ Seq(
+          dispatch(lit(null).cast(StringType))((_, label) => lit(label)).as("metric_type"),
+          dispatch(lit(null).cast(StringType))((f, _) => branchTemporality(f)).as("aggregation_temporality"),
+          dispatch(lit(false))((f, _) => branchMonotonic(f)).as("is_monotonic"),
+          explode(coalesce(branchSpecs.map { case (f, _) => col(s"m.$f.dataPoints") }: _*)).as("dp")): _*)
+    }
+    else {
     if (mT.fieldNames.contains("gauge"))
       parts += m.filter(col("m.gauge").isNotNull)
         .select(base("gauge") :+ explode(col("m.gauge.dataPoints")).as("dp"): _*)
@@ -252,6 +305,7 @@ object OtlpFlatten {
         .select(base("summary") :+ explode(col("m.summary.dataPoints")).as("dp") :+
           lit("UNSPECIFIED").as("aggregation_temporality") :+
           lit(false).as("is_monotonic"): _*)
+    }
 
     val unioned = parts.result().reduce(_ unionByName (_, allowMissingColumns = true))
     val dpT = unioned.schema("dp").dataType.asInstanceOf[StructType]
