@@ -377,6 +377,18 @@ object SparkEntry {
         fingerprint(col("text")).as("fp"))
     },
 
+    // Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): docs
+    // from source 'src0' act as the held-out benchmark; every other doc
+    // reports its distinct-trigram overlap with that set. Benchmark grams
+    // broadcast; the corpus is never shuffled.
+    "q_contamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.data.Contamination.ngramOverlap(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", 3)
+    },
+
     // BM25 relevance of every document against a fixed query term set
     // (k1=1.2, b=0.75): inverted-index tf with the query-term filter
     // BEFORE the shuffle, broadcast df, integer milli-point scores so
@@ -737,6 +749,25 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS grams
+        |  FROM toks WHERE len(t) >= 3),
+        |bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, grams FROM g WHERE source <> 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hit
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+        |  JOIN bench USING (gram) GROUP BY doc_id)
+        |SELECT c.doc_id, len(c.grams) AS n_grams,
+        |  coalesce(h.n_hit, 0) AS n_contaminated,
+        |  (1000 * coalesce(h.n_hit, 0)) // len(c.grams) AS contam_milli
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -7,6 +7,21 @@ import graft.SparkSpec
 class DataOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("contamination: distinct shared trigrams against a benchmark set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta eps"),   // contains bench trigram "alpha beta gamma"+"beta gamma delta"
+      (2L, "zeta eta theta iota"),          // clean
+      (3L, "xx yy")                         // too short: excluded
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    // doc 1: trigrams {abg, bgd, gde} -> 2 hit of 3 -> 666
+    assert(out(1L) == ((3, 2L, 666)))
+    assert(out(2L) == ((2, 0L, 0)))
+    assert(!out.contains(3L))
+  }
+
   test("BM25: zero without query terms, grows with tf, rare terms weigh more") {
     val df = Seq(
       (1L, "spark spark spark runs fast queries"),
