@@ -27,13 +27,43 @@ object Clustering {
     * `edges` are present — callers join back to the full table (see
     * [[assignClusters]]). Self-loops are ignored. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 25,
+                          localThreshold: Long = 1L << 20): DataFrame = {
     var cur = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true) // truncate lineage: each round re-plans from here
     var sig = signature(cur)
+    // Below ~10⁶ edges the per-round scheduling of the star algorithm costs
+    // more than the whole problem: a single-pass union-find over a
+    // collected edge list (≤ ~16 MB of longs — a bounded, size-GUARDED
+    // collect, unlike a corpus collect) is strictly faster. Dup-pair edge
+    // sets are usually this small even for huge corpora; the distributed
+    // star path remains the unbounded-scale route.
+    if (sig._1 <= localThreshold) {
+      val spark = edges.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      cur.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val asg = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(n => (n.longValue(), find(n.longValue())))
+      cur.unpersist()
+      import spark.implicits._
+      return asg.toSeq.toDF("id", "cluster_id")
+    }
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {

@@ -7,8 +7,15 @@ import graft.SparkSpec
 class ClusteringSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Default path: small edge sets take the driver union-find. */
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Clustering.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** localThreshold=0 forces the distributed star rounds. */
+  private def ccDist(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Clustering.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+        localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Reference union-find for cross-checking. */
@@ -38,15 +45,16 @@ class ClusteringSpec extends SparkSpec {
     // path 0-1-2-...-200: diameter 200; must still resolve within the
     // default 25-round cap — only possible with star contraction
     val edges = (0L until 200L).map(i => (i, i + 1))
-    val got = cc(edges)
+    val got = ccDist(edges)
     assert(got.size == 201 && got.values.forall(_ == 0L))
   }
 
-  test("matches union-find on a seeded random graph") {
+  test("matches union-find on a seeded random graph (both paths)") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .filter(e => e._1 != e._2)
     assert(cc(edges) == bruteCC(edges))
+    assert(ccDist(edges) == bruteCC(edges))
   }
 
   test("self-loops ignored; duplicate and reversed edges collapse") {
