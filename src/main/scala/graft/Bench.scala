@@ -48,6 +48,7 @@ object Bench {
     val runs = Seq(forkedIngest(2000000L), forkedIngest(2000000L)).flatten
     val (ingestRate, ingestPruned) =
       if (runs.isEmpty) (-1.0, -1.0) else (runs.map(_._1).max, runs.map(_._2).max)
+    val streamingRate = forkedStreamingIngest(70)
     val inSession =
       try {
         spark.catalog.clearCache()
@@ -66,17 +67,18 @@ object Bench {
       """"notes":{"q_temporal_join_stream":"wall time ~= fixed local-mode micro-batch WAL/commit latency (same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
       f""""ingest_events_per_sec":$headline%.0f,""" +
       f""""ingest_pruned_schema_events_per_sec":$ingestPruned%.0f,""" +
+      f""""ingest_streaming_events_per_sec":$streamingRate%.0f,""" +
       f""""ingest_in_session":$inSession%.0f,""" +
-      """"ingest_note":"events_per_sec=steady-state rate, max over 2 forked fresh JVMs (guards against transient host steal/sys-time interference), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
+      """"ingest_note":"events_per_sec=steady-state batch rate, max over 2 forked fresh JVMs (guards against transient host steal/sys-time interference), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate source above service rate, warm-up batch dropped); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
 
-  /** Run graft.IngestBench in a fresh forked JVM (same JVM opts + classpath
-    * as this one) and parse its (full-schema, pruned-schema) events/sec.
-    * Steady-state ingest must not share a heap with the query sweep's
-    * debris. */
-  private def forkedIngest(n: Long): Option[(Double, Double)] =
+  /** Run a graft main in a fresh forked JVM (same JVM opts + classpath as
+    * this one) and return its output line containing `marker`. Steady-state
+    * ingest must not share a heap with the query sweep's debris. */
+  private def forkedLine(mainClass: String, args: Seq[String],
+                         marker: String): Option[String] =
     try {
       import scala.sys.process._
       val javaBin = new java.io.File(
@@ -85,17 +87,27 @@ object Bench {
         .getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
       val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", System.getProperty("java.class.path"), "graft.IngestBench", n.toString)
+        Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args
       val out = new StringBuilder
       val code = Process(cmd, cwd = None, extraEnv = sys.env.toSeq: _*)
         .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
       if (code != 0) None
-      else {
-        val line = out.toString.linesIterator
-          .find(_.contains("\"ingest_throughput\""))
-        val num = (key: String, s: String) =>
-          s""""$key":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
-        line.flatMap(l => num("value", l).map(_ -> num("pruned_schema_events_per_sec", l).getOrElse(-1.0)))
-      }
+      else out.toString.linesIterator.find(_.contains(marker))
     } catch { case _: Throwable => None }
+
+  private def num(key: String, s: String): Option[Double] =
+    s""""$key":([0-9.-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+
+  private def forkedIngest(n: Long): Option[(Double, Double)] =
+    forkedLine("graft.IngestBench", Seq(n.toString), "\"ingest_throughput\"")
+      .flatMap(l => num("value", l)
+        .map(_ -> num("pruned_schema_events_per_sec", l).getOrElse(-1.0)))
+
+  /** Streaming-mode ingest (rate source → same pipeline → noop streaming
+    * sink): the reference is a streaming system, so the parity claim needs
+    * a Structured Streaming number, not just the batch path. */
+  private def forkedStreamingIngest(seconds: Int): Double =
+    forkedLine("graft.StreamingIngestBench", Seq(seconds.toString),
+        "\"streaming_ingest_throughput\"")
+      .flatMap(l => num("value", l)).getOrElse(-1.0)
 }

@@ -54,9 +54,14 @@ object IngestBench {
     ColumnMapping("bytes_out", "bytes_out", "Int64"))
 
   /** Synthesize n events of ~1.5 KB JSON with per-row variation. */
-  def syntheticJson(spark: SparkSession, n: Long): DataFrame = {
+  def syntheticJson(spark: SparkSession, n: Long): DataFrame =
+    jsonFor(spark.range(n).toDF("id"))
+
+  /** The same event JSON built from any `id` long column (batch range or a
+    * streaming rate source). */
+  def jsonFor(ids: DataFrame): DataFrame = {
     val pad = "x" * 700 // static filler to reach the ~1.5 KB baseline shape
-    spark.range(n).select(concat(
+    ids.select(concat(
       lit("""{"event_id":"ev-"""), col("id"),
       lit("""","@version":1,"port":"""), (col("id") % 65535),
       lit(""","timestamp":"2025-06-01T10:"""),
