@@ -19,6 +19,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(extra.isEmpty, s"oracleSql without queries entry: $extra")
   }
 
+  test("every query has a DuckDB oracle (no rows-only entries)") {
+    // as of round 3 every driver query is hash-checked against an oracle;
+    // a new query landing without one should be a deliberate, visible
+    // decision, not an accident
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+  }
+
   test("q1_agg groups and sums correctly") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     val rows = df.collect()
