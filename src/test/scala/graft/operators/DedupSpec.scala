@@ -7,6 +7,33 @@ import graft.SparkSpec
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("windowed batch dedup matches an in-memory since-last-kept model on random streams") {
+    // fuzz the one-pass partition scan against a trivially-correct model:
+    // random keys, clustered timestamps (forces in/out-of-window mixes),
+    // several window sizes, fixed seeds
+    for (seed <- Seq(1, 7, 23); windowNs <- Seq(1L, 50L, 500L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (0 until 400).map { i =>
+        (i.toLong, s"k${rnd.nextInt(12)}", 1700000000000L + rnd.nextInt(1000).toLong)
+      }
+      // model: per key in (ts, id) order, keep iff first or ts-lastKept>w
+      val kept = scala.collection.mutable.Set[Long]()
+      events.groupBy(_._2).foreach { case (_, evs) =>
+        var first = true
+        var last = 0L
+        evs.sortBy(e => (e._3, e._1)).foreach { e =>
+          if (first || e._3 - last > windowNs) {
+            kept += e._1; last = e._3; first = false
+          }
+        }
+      }
+      val df = events.toDF("id", "key", "ts_ns")
+      val got = DedupOp.windowedBatch(Seq("key"), "ts_ns", windowNs, "id")(df)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == kept.toSet, s"seed=$seed window=$windowNs")
+    }
+  }
+
   test("exact dedup keeps one deterministic row per key") {
     val df = Seq(
       ("k1", 10L, 1L), ("k1", 5L, 2L), ("k2", 7L, 3L), ("k1", 5L, 4L)
