@@ -12,7 +12,8 @@ object PlanAudit {
   val defaultSet: Seq[String] = Seq(
     "q_filter_expr", "q1_agg", "q_rollup_join", "q_topk", "q_asof_join",
     "q_doc_dedup_exact", "q_minhash_dedup", "q_embed_dedup", "q_ann_topk",
-    "q_text_stats", "q_multimodal", "q_pipeline_e2e")
+    "q_text_stats", "q_multimodal", "q_pipeline_e2e",
+    "q_text_repetition", "q_pii", "q_bm25", "q_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
