@@ -19,16 +19,37 @@ object SinkMapper {
   /** `{ source_id.field → column : type }` rule (configs.go:375-427). */
   final case class ColumnMapping(sourceField: String, column: String, chType: String)
 
-  private def sourceCol(m: ColumnMapping, df: DataFrame): (Column, org.apache.spark.sql.types.DataType) = {
-    val (c, dt) = ExprCompiler.resolve(m.sourceField.split('.').toSeq, df.schema)
-    (c, dt.getOrElse(org.apache.spark.sql.types.StringType))
-  }
+  private def sourceCol(m: ColumnMapping, df: DataFrame): Option[(Column, org.apache.spark.sql.types.DataType)] =
+    try {
+      val (c, dt) = ExprCompiler.resolve(m.sourceField.split('.').toSeq, df.schema)
+      Some((c, dt.getOrElse(org.apache.spark.sql.types.StringType)))
+    } catch { case _: Exception => None }
 
+  /** A mapping whose source field is absent from the batch entirely inserts
+    * NULL — except Map targets, which insert an empty map (Maps cannot be
+    * NULL in ClickHouse) — exactly the reference mapper's absent-field
+    * path (mapper.go:100-118; sink.feature "Import events with Nullable
+    * string" relies on it). Config-time strictness lives in [[validate]]. */
   def columns(mappings: Seq[ColumnMapping], df: DataFrame): Seq[Column] =
     mappings.map { m =>
-      val (src, dt) = sourceCol(m, df)
-      CHCast.convert(src, dt, CHType.parse(m.chType)).as(m.column)
+      sourceCol(m, df) match {
+        case Some((src, dt)) =>
+          CHCast.convert(src, dt, CHType.parse(m.chType)).as(m.column)
+        case None =>
+          (CHType.parse(m.chType) match {
+            case t if isMapTarget(t) =>
+              typedLit(Map.empty[String, String]).cast(t.sparkType)
+            case t => lit(null).cast(t.sparkType)
+          }).as(m.column)
+      }
     }
+
+  private def isMapTarget(t: graft.types.CHType): Boolean = t match {
+    case CHType.CHMap(_, _) => true
+    case CHType.CHLowCardinality(i) => isMapTarget(i)
+    case CHType.CHNullable(i) => isMapTarget(i)
+    case _ => false
+  }
 
   def apply(mappings: Seq[ColumnMapping])(df: DataFrame): DataFrame =
     df.select(columns(mappings, df): _*)
@@ -37,10 +58,12 @@ object SinkMapper {
     * (reference routes ConvertValue errors to DLQ, sink/clickhouse.go:426-481).
     * Returns (good rows in target shape, failed rows in source shape). */
   def partitionErrors(mappings: Seq[ColumnMapping])(df: DataFrame): (DataFrame, DataFrame) = {
-    val errFlags = mappings.map { m =>
-      val (src, dt) = sourceCol(m, df)
-      val out = CHCast.convert(src, dt, CHType.parse(m.chType))
-      src.isNotNull && out.isNull
+    val errFlags = mappings.flatMap { m =>
+      // absent fields never error (reference inserts NULL silently)
+      sourceCol(m, df).map { case (src, dt) =>
+        val out = CHCast.convert(src, dt, CHType.parse(m.chType))
+        src.isNotNull && out.isNull
+      }
     }
     val anyErr = errFlags.reduceOption(_ || _).getOrElse(lit(false))
     val flagged = df.withColumn("__graft_err", coalesce(anyErr, lit(false)))

@@ -42,6 +42,7 @@ object CHCast {
 
   def convert(c: Column, from: DataType, to: CHType): Column = to match {
     case CHLowCardinality(inner) => convert(c, from, inner)
+    case CHNullable(inner) => convert(c, from, inner)
 
     case CHString => from match {
       case StringType => c

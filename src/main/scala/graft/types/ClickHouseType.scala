@@ -48,6 +48,17 @@ object CHType {
   final case class CHLowCardinality(inner: CHType) extends CHType {
     def sparkType: DataType = inner.sparkType
   }
+  /** Nullable(T): transparent at the SINK tier (Spark columns are nullable;
+    * the server enforces column nullability) — the reference's mapper only
+    * fails on Nullable when a present value reaches ConvertValue, while its
+    * API-layer validation rejects the type outright
+    * (clickhouse_validate.go:15-52 lists no Nullable; sink.feature
+    * "Import events with Nullable string" drives the sink with
+    * destination_type Nullable(String) and absent values). [[isSupported]]
+    * mirrors the strict API surface and still rejects it. */
+  final case class CHNullable(inner: CHType) extends CHType {
+    def sparkType: DataType = inner.sparkType
+  }
   /** ClickHouse Map target — values are coerced to String
     * (reference mapper/types.go:238-276). */
   final case class CHMap(key: CHType, value: CHType) extends CHType {
@@ -99,6 +110,7 @@ object CHType {
           }
         }.toMap)
       case "LowCardinality" => CHLowCardinality(parse(args.head))
+      case "Nullable" => CHNullable(parse(args.head))
       case "Map" => CHMap(parse(args.head), parse(args(1)))
       case "Array" => CHArray(parse(args.head))
       case other => throw ParseException(s"unsupported ClickHouse type: $other")
@@ -106,7 +118,17 @@ object CHType {
   }
 
   def isSupported(s: String): Boolean =
-    try { parse(s); true } catch { case _: Exception => false }
+    try { !containsNullable(parse(s)) } catch { case _: Exception => false }
+
+  /** The reference's API validation (clickhouse_validate.go) rejects
+    * Nullable even though the sink tolerates it for absent values. */
+  private def containsNullable(t: CHType): Boolean = t match {
+    case CHNullable(_) => true
+    case CHLowCardinality(i) => containsNullable(i)
+    case CHArray(i) => containsNullable(i)
+    case CHMap(k, v) => containsNullable(k) || containsNullable(v)
+    case _ => false
+  }
 
   /** Split top-level comma-separated type arguments (commas inside nested
     * parens or quotes don't split). */

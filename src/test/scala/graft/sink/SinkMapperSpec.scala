@@ -28,6 +28,28 @@ class SinkMapperSpec extends SparkSpec {
   private val good = Row("9baea34c-08b2-4ea7-9a32-1575e2048cdb", "u-1", Row("Ada"),
     42L, "2025-01-01T10:00:00Z")
 
+  test("absent source fields insert NULL; Map targets insert empty map; Nullable is sink-transparent") {
+    // mirrors reference sink.feature "Import events with Nullable string"
+    // (mapping for a field no schema version carries) + mapper.go:100-118
+    val m = Seq(
+      ColumnMapping("event_id", "event_id", "String"),
+      ColumnMapping("ghost", "ghost", "Nullable(String)"),
+      ColumnMapping("ghost_n", "ghost_n", "Int32"),
+      ColumnMapping("ghost_m", "ghost_m", "Map(String, String)"))
+    val out = SinkMapper(m)(df(Row("e1", "u1", Row("ann"), 5L, "t")))
+    val r = out.head
+    assert(out.columns.toSeq == Seq("event_id", "ghost", "ghost_n", "ghost_m"))
+    assert(r.getString(0) == "e1" && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getMap[String, String](3).isEmpty)
+    // absent fields are never DLQ'd
+    val (good, bad) = SinkMapper.partitionErrors(m)(df(Row("e1", "u1", Row("ann"), 5L, "t")))
+    assert(good.count() == 1 && bad.count() == 0)
+    // control plane stays strict: Nullable rejected, absent field rejected
+    assert(graft.types.CHType.isSupported("String"))
+    assert(!graft.types.CHType.isSupported("Nullable(String)"))
+    assert(SinkMapper.validate(m, schema).isLeft)
+  }
+
   test("maps a valid row to the target shape") {
     val out = SinkMapper(mappings)(df(good)).head
     assert(out.getString(0) == "9baea34c-08b2-4ea7-9a32-1575e2048cdb")
