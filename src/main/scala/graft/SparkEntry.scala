@@ -377,6 +377,18 @@ object SparkEntry {
         fingerprint(col("text")).as("fp"))
     },
 
+    // Corpus-mix reweighting: per-doc sampling weight reshaping the actual
+    // language distribution into a target mix (the LLM data-mixing step);
+    // weight = target_share/actual_share as micro-ints. |strata| aggregate
+    // broadcast back; the corpus scans once, never shuffles. 'zh' absent
+    // from the target deliberately (weight 0 path).
+    "q_mix_weights" -> { (s, dir) =>
+      graft.data.Sampling.mixWeights(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")), "lang",
+        Map("en" -> 0.4, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.2))
+        .select(col("doc_id"), col("lang"), col("weight_micro"))
+    },
+
     // Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): docs
     // from source 'src0' act as the held-out benchmark; every other doc
     // reports its distinct-trigram overlap with that set. Benchmark grams
@@ -749,6 +761,19 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_mix_weights" ->
+      """WITH sh AS (
+        |  SELECT lang,
+        |    count(*) / (SELECT count(*) FROM documents)::DOUBLE AS share
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, CAST(floor(
+        |    (CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2
+        |      WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.2 ELSE 0.0 END
+        |     / share) * 1000000.0) AS BIGINT) AS weight_micro
+        |  FROM sh)
+        |SELECT d.doc_id, d.lang, w.weight_micro
+        |FROM documents d JOIN w USING (lang)""".stripMargin,
     "q_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t

@@ -75,4 +75,23 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Corpus-mix reweighting: per-row sampling weight that reshapes the
+    * corpus's actual stratum distribution into a declared target mix
+    * (the data-mixing step of every LLM dataset report: weight =
+    * target_share / actual_share). Strata missing from `targetShares`
+    * weigh 0. One tiny aggregate (|strata| rows) joined back broadcast —
+    * the corpus itself is scanned once and never shuffled. Weights are
+    * micro-ints (floor of 1e6·w) so results hash identically across
+    * engines. */
+  def mixWeights(df: DataFrame, stratumCol: String,
+                 targetShares: Map[String, Double]): DataFrame = {
+    val shares = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__share", col("__n") / sum(col("__n")).over(Window.partitionBy()))
+    val target = typedLit(targetShares)
+    val weighted = shares.select(col(stratumCol),
+      floor(coalesce(element_at(target, col(stratumCol)), lit(0.0))
+        / col("__share") * 1e6).cast(LongType).as("weight_micro"))
+    df.join(broadcast(weighted), Seq(stratumCol))
+  }
 }

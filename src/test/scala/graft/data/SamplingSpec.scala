@@ -9,6 +9,23 @@ class SamplingSpec extends SparkSpec {
 
   private def ids(n: Int) = (1 to n).map(_.toLong).toDF("id")
 
+  test("mixWeights reshapes the stratum distribution into the target mix") {
+    import org.apache.spark.sql.functions.col
+    // 8 en, 2 es docs; target 50/50 -> en weight 0.5/0.8, es 0.5/0.2
+    val df = ((1 to 8).map(i => (i.toLong, "en")) ++ Seq((9L, "es"), (10L, "es")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.mixWeights(df, "lang", Map("en" -> 0.5, "es" -> 0.5))
+      .select(col("lang"), col("weight_micro")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("en") == 625000L) // 0.5 / 0.8
+    assert(out("es") == 2500000L) // 0.5 / 0.2
+    // a stratum missing from the target gets weight 0
+    val out2 = Sampling.mixWeights(df, "lang", Map("en" -> 1.0))
+      .select(col("lang"), col("weight_micro")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2("es") == 0L)
+  }
+
   test("bernoulli sample is deterministic and partitioning-invariant") {
     val df = ids(4000)
     val a = Sampling.bernoulli(df, "id", 0.25, "s").select("id").as[Long].collect().sorted
