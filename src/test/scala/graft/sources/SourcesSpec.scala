@@ -103,6 +103,34 @@ class SourcesSpec extends SparkSpec {
       && dlqRows.contains("""{"id":"d","n":"NaN-ish"}"""))
   }
 
+  test("json ingest corrupt split works mid-stream (foreachBatch over MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val mem = MemoryStream[String]
+    val goodRows = new java.util.concurrent.atomic.AtomicLong
+    val dlqRows = new java.util.concurrent.atomic.AtomicLong
+    val q = mem.toDF().withColumnRenamed("value", "payload")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (good, dlq) = JsonIngest.ingest(batch, "payload", schema)
+        goodRows.addAndGet(good.count())
+        dlqRows.addAndGet(dlq.count())
+        ()
+      }.start()
+    try {
+      mem.addData("""{"id":1,"v":"a"}""", """not json at all""", """{"id":"x","v":2}""")
+      q.processAllAvailable()
+      mem.addData("""{"id":2,"v":"b"}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(goodRows.get() == 2, "two clean records pass")
+    assert(dlqRows.get() == 2, "corrupt json and type-broken record dead-letter")
+  }
+
   test("schema registry: json-schema parse flattens nested objects to dotted names") {
     val schema =
       """{"type": "object", "properties": {
