@@ -15,6 +15,14 @@ object ApiMain {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RocksDB state store: stateful operators (dedup TTL state, temporal
+      // join buffers) keep state off-heap/on-disk instead of on the JVM
+      // heap — the production default for long-TTL, hot-key state at scale
+      // (HDFSBackedStateStore holds every key in executor memory).
+      // Compatibility with our flatMapGroupsWithState operators is
+      // asserted in DedupSpec/JoinSpec.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val server = new ApiServer(spark, new PipelineService(spark, dlqRoot))

@@ -91,6 +91,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(1L, 4L))
   }
 
+  test("exact streaming dedup runs under the RocksDB state store (production provider)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+      val q = DedupOp.windowedStreamingExact(Seq("k"), "ts", 600000L)(
+          mem.toDF.toDF("k", "ts", "id"))
+        .writeStream.format("memory").queryName("dedup_rocksdb_out")
+        .outputMode("append").start()
+      mem.addData(
+        ("a", t("2025-01-01 10:00:00"), 1L),
+        ("a", t("2025-01-01 10:05:00"), 2L),
+        ("a", t("2025-01-01 10:12:00"), 3L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("dedup_rocksdb_out").collect().map(_.getLong(2)).sorted.toSeq
+      assert(got == Seq(1L, 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming windowed dedup drops in-window duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
