@@ -69,8 +69,16 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
     server.createContext("/api/v2/healthz", (ex: HttpExchange) =>
       respond(ex, 200, Map("status" -> "ok", "version" -> "v2")))
     server.createContext("/api/v1/platform", (ex: HttpExchange) =>
+      // `orchestrator` is the key the reference's clients read
+      // (platform.feature: {"orchestrator": "local"|"k8s"}); the Spark
+      // analog maps the master URL onto the same vocabulary
       respond(ex, 200, Map(
         "platform" -> "spark",
+        "orchestrator" -> (spark.sparkContext.master match {
+          case m if m.startsWith("local") => "local"
+          case m if m.startsWith("k8s") => "k8s"
+          case _ => "cluster"
+        }),
         "spark_version" -> spark.version,
         "master" -> spark.sparkContext.master,
         "default_parallelism" -> spark.sparkContext.defaultParallelism)))

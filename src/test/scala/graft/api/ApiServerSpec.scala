@@ -60,6 +60,7 @@ class ApiServerSpec extends SparkSpec {
   test("platform, v2 healthz, openapi routes") {
     val (c, b) = get("/api/v1/platform")
     assert(c == 200 && b.contains("\"platform\":\"spark\"") && b.contains("spark_version"))
+    assert(b.contains("\"orchestrator\":\"local\""), "reference clients read this key")
     assert(get("/api/v2/healthz")._2.contains("\"version\":\"v2\""))
     val (cd, bd) = get("/api/v1/openapi.json")
     assert(cd == 200 && bd.contains("/api/v1/pipeline/{id}/resume"))
