@@ -732,6 +732,28 @@ object SparkEntry {
     "q_winnow_pairs" -> { (s, dir) =>
       graft.data.TextFunctions.winnowPairs(Tables.documents(s, dir),
         "doc_id", "text", k = 8, w = 4, minShared = 20, maxDf = 50)
+    },
+
+    // Segment-level (line-level) corpus dedup — the CCNet/RefinedWeb
+    // boilerplate pass: drop every repeated 20-token segment except its
+    // first corpus-wide occurrence (min (doc_id, seg_idx)), rebuild each
+    // doc from what survives. One shuffle by segment fingerprint + one
+    // groupBy(doc) reassembly; no broadcast, no collect — hot segments
+    // cost one winner row, not a hot partition.
+    "q_segment_dedup" -> { (s, dir) =>
+      graft.data.SegmentDedup.byTokenWindows(Tables.documents(s, dir),
+        "doc_id", "text", windowTokens = 20)
+    },
+
+    // Sequence packing (concat-and-chunk): the corpus laid out as fixed
+    // 512-token training sequences over 8 deterministic hash-ordered
+    // shard streams; per doc its stream offset and the sequence range it
+    // spans. Window prefix-sum per shard — one shuffle, no state; shard
+    // count is the parallelism knob at 100 TB.
+    "q_pack_sequences" -> { (s, dir) =>
+      graft.data.Packing.packPlan(Tables.documents(s, dir), "doc_id",
+        graft.data.TextFunctions.tokenCount(col("text")),
+        seqLen = 512, nShards = 8)
     }
   )
 
@@ -1273,6 +1295,40 @@ object SparkEntry {
         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |WHERE a.fp IN (SELECT fp FROM capped)
         |GROUP BY 1, 2
-        |HAVING count(*) >= 20""".stripMargin
+        |HAVING count(*) >= 20""".stripMargin,
+    // Segment dedup: same 20-token windows, first occurrence = min
+    // (doc_id, seg_idx) per md5(segment), docs rebuilt from kept segments.
+    "q_segment_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sa AS (SELECT doc_id,
+        |    [array_to_string(t[i:i+19], ' ') for i in range(1, len(t)+1, 20)] AS segs
+        |  FROM toks WHERE len(t) > 0 AND t != ['']),
+        |segs AS (SELECT doc_id,
+        |    CAST(generate_subscripts(segs, 1) - 1 AS BIGINT) AS seg_idx,
+        |    unnest(segs) AS seg FROM sa),
+        |ranked AS (SELECT *, row_number()
+        |    OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+        |    ORDER BY seg_idx), '') AS dedup_text
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+    // Concat-and-chunk packing plan: identical shard/draw/prefix-sum
+    // pipeline; // is DuckDB floor division (all operands non-negative).
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY draw, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS tok_start,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS seq_last
+        |FROM c""".stripMargin
   )
 }

@@ -367,4 +367,83 @@ class DataOpsSpec extends SparkSpec {
       .map(r => r.getAs[Array[Byte]]("content").toSeq)
     assert(got.toSeq == rows.map(_._3.toSeq))
   }
+
+  test("segment dedup: first corpus-wide occurrence wins, docs rebuilt in order") {
+    val docs = Seq(
+      (1L, "a b c d"),          // segs (w=2): "a b", "c d"
+      (2L, "c d e f"),          // "c d" already seen in doc 1 → dropped
+      (3L, "a b c d"),          // both segs seen → survives empty
+      (4L, "   ")               // whitespace-only → no segments, no row
+    ).toDF("doc_id", "text")
+    val out = SegmentDedup.byTokenWindows(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "e f")))
+    assert(out(3L) == ((2L, 0L, "")))
+    assert(!out.contains(4L))
+  }
+
+  test("segment dedup: kept segments are exactly the distinct input segments") {
+    val docs = graft.Tables.documents(spark, sf)
+    val segs = SegmentDedup.tokenWindowSegments(docs, "doc_id", "text", 20)
+    val distinctIn = segs.select("seg").distinct().count()
+    val keptOut = SegmentDedup.byTokenWindows(docs, "doc_id", "text", 20)
+      .agg(sum("n_kept")).head().getLong(0)
+    assert(keptOut == distinctIn,
+      "every distinct segment must survive exactly once corpus-wide")
+  }
+
+  test("segment dedup by delimiter: repeated lines dropped, empties ignored") {
+    val docs = Seq(
+      (1L, "keep me\nshared line\n\nunique one"),
+      (2L, "shared line\nanother")
+    ).toDF("doc_id", "text")
+    val out = SegmentDedup.byDelimiter(docs, "doc_id", "text", "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "keep me shared line unique one")
+    assert(out(2L) == "another")
+  }
+
+  test("packing: shard streams are contiguous, chunk ranges exact, repartition-stable") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = Packing.packPlan(docs, "doc_id",
+      TextFunctions.tokenCount(col("text")), seqLen = 128, nShards = 4)
+    val rows = plan.collect().map(r => (r.getLong(1), // shard
+      r.getAs[Long]("tok_start"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // each doc starts exactly where the previous one ended: the shard is
+      // one gap-free token stream
+      assert(sorted.head._2 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 == a._2 + a._3)
+        case _ => ()
+      }
+    }
+    rows.foreach { case (_, start, n, first, last) =>
+      assert(first == start / 128 && last == (start + n - 1) / 128)
+    }
+    // determinism: the layout is a pure function of ids, not partitioning
+    val again = Packing.packPlan(docs.repartition(7), "doc_id",
+      TextFunctions.tokenCount(col("text")), seqLen = 128, nShards = 4)
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_first"),
+        r.getAs[Long]("seq_last")))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("packing stats: tail padding accounts for every token") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = Packing.packPlan(docs, "doc_id",
+      TextFunctions.tokenCount(col("text")), seqLen = 128, nShards = 4)
+    Packing.packStats(plan, 128).collect().foreach { r =>
+      val (total, nSeq, pad) = (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("n_sequences"), r.getAs[Long]("tail_pad_tokens"))
+      assert(pad >= 0 && pad < 128, s"tail pad must be within one sequence, got $pad")
+      assert(nSeq * 128 == total + pad)
+    }
+  }
 }
