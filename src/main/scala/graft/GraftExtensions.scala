@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.exprs.{CosineSim, FnvHash64, SimHash64Expr}
+import graft.exprs.{CosineSim, FnvHash64, SimHash64Expr, TopKBy}
 
 /** Cluster-wide installation point for graft's native Catalyst expressions:
   *
@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float|double>, array<float|double>) - cosine similarity"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      info("top_k_by", "top_k_by(sort_key, payload, k) - payloads of the k largest sort keys, largest first"),
+      (children: Seq[Expression]) => TopKBy(children.head, children(1), children(2))))
   }
 }

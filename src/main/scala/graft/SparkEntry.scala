@@ -611,6 +611,23 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("rn"))
     },
 
+    // Same contract as q_window_rank through the top_k_by aggregate — the
+    // scale path: per-key k-item heaps aggregated partially on the map side
+    // (ObjectHashAggregate), so the shuffle carries ≤ k rows per (key, map
+    // task) instead of every row, and nothing is ever partition-sorted.
+    // Sort key struct(price, -orderkey) = price desc, orderkey asc.
+    "q_topk_per_key" -> { (s, dir) =>
+      val top = graft.exprs.TopKBy.topKBy(
+        struct(col("o_totalprice"), (-col("o_orderkey")).as("neg")),
+        struct(col("o_orderkey"), col("o_totalprice")), 3)
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(top.as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("col.o_orderkey").as("o_orderkey"), col("o_custkey"),
+          col("col.o_totalprice").as("o_totalprice"), (col("pos") + 1).as("rn"))
+    },
+
     // Broadcast-hash join + ROLLUP aggregation: revenue by region/nation.
     // nation/region are broadcast (tiny dims) — orders never shuffles for
     // the join, only for the final rollup aggregation.
@@ -1048,6 +1065,12 @@ object SparkEntry {
         |  octet_length(encode(text)) > 0 AS decode_ok
         |FROM documents""".stripMargin,
     "q_window_rank" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3""".stripMargin,
+    "q_topk_per_key" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn

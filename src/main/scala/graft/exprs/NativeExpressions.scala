@@ -150,5 +150,7 @@ object NativeExpressions {
       "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_by", exprs => TopKBy(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 }
