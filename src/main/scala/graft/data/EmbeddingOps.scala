@@ -91,38 +91,60 @@ object EmbeddingOps {
   }
 
   /** LSH-bucketed near-duplicate PAIRS — the beyond-broadcast scale path
-    * for [[brutePairs]]: bucket the corpus by sign-LSH signature, emit each
-    * vector into every probe bucket within `probeHamming` bit flips of its
-    * own (multi-probe: a pair whose signatures differ by ≤ 2·probeHamming
-    * bits shares at least one probe bucket... probabilistically — like all
-    * LSH pair generation this trades recall for never comparing across
-    * buckets; recall vs [[brutePairs]] is measured in tests, and false
-    * positives never survive the exact cosine verify). The only shuffle is
-    * the bucket groupBy; within-bucket pairs are exact-verified with the
-    * same primitive loops as brutePairs. Cost: E[bucket size²/2] per
-    * bucket × probe multiplicity — at 100 TB size the signature (planes)
-    * so buckets hold ~10³–10⁴ vectors. */
+    * for [[brutePairs]]. Contract: every pair whose sign-LSH signatures
+    * differ by ≤ 2·`probeHamming` bits is exact-cosine-verified (this is
+    * EXACTLY the multi-probe "shares a probe bucket within `probeHamming`
+    * flips" set, by the triangle inequality in both directions); pairs
+    * further apart in signature space are never compared — the LSH recall
+    * trade, measured vs [[brutePairs]] in tests. False positives never
+    * survive the exact verify.
+    *
+    * Layout: one groupBy shuffle keyed by signature bucket. Each vector
+    * lands once in its HOME bucket and, for every nonzero mask `m` with
+    * popcount ≤ 2·probeHamming where `sig^m > sig`, once as a PROBE row in
+    * bucket `sig^m`. Within a bucket group: home×home pairs (i<j) and
+    * probe×home pairs — so each candidate pair is enumerated and verified
+    * EXACTLY ONCE, in the bucket pair (min sig, max sig) it uniquely
+    * determines. (The previous formulation verified each pair in every
+    * shared probe bucket — up to |probe set| duplicate dot products — and
+    * needed a distinct pass to clean up.) Cost: Σ over bucket pairs within
+    * 2·probeHamming of |A|·|B| dots + the probe-row shuffle; at 100 TB
+    * size `planes` so buckets hold ~10³–10⁴ vectors and the mask
+    * neighborhood stays a small multiple of the corpus. */
   def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double, planes: Int = 8, probeHamming: Int = 1,
                      seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bucketed = lshBuckets(df, idCol, vecCol, dim, planes, seed)
-    // explode each vector into its probe set; a pair is compared in its
-    // canonical shared bucket only (dedup via min probe bucket comparison
-    // happens naturally: pairs are distinct-ed after the verify)
-    val flips = probeBuckets(0L, planes, probeHamming)
-    val probed = bucketed.select(col("id"), col("vec"),
-      explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("pbucket"))
-    val verified = probed.groupByKey(_.getAs[Long]("pbucket"))(Encoders.scalaLong)
+    // nonzero masks with popcount ≤ 2·probeHamming (pair-distance form of
+    // the probe radius); 0 is the home bucket, handled by the home row
+    val masks = probeBuckets(0L, planes, 2 * probeHamming).filter(_ != 0L)
+    val home = bucketed.select(col("id"), col("vec"), col("bucket"),
+      lit(true).as("home"))
+    val probes = bucketed.select(col("id"), col("vec"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("target"),
+        col("bucket"))
+      .filter(col("target") > col("bucket")) // pair owned by its larger-sig bucket
+      .select(col("id"), col("vec"), col("target").as("bucket"), lit(false).as("home"))
+    val verified = home.unionByName(probes)
+      .groupByKey(_.getAs[Long]("bucket"))(Encoders.scalaLong)
       .flatMapGroups { (_: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
         val buf = rows.toArray
-        // decode once per bucket group
+        // decode once per bucket group; home members first
         val n = buf.length
         val ids = new Array[Long](n)
         val vecs = new Array[Array[Double]](n)
         val norms = new Array[Double](n)
+        var nHome = 0
         var i = 0
+        while (i < n) {
+          if (buf(i).getAs[Boolean]("home")) {
+            val t = buf(i); buf(i) = buf(nHome); buf(nHome) = t; nHome += 1
+          }
+          i += 1
+        }
+        i = 0
         while (i < n) {
           ids(i) = buf(i).getAs[Long]("id")
           val s = buf(i).getAs[scala.collection.Seq[Float]]("vec")
@@ -133,27 +155,32 @@ object EmbeddingOps {
           i += 1
         }
         val out = Seq.newBuilder[(Long, Long, Double)]
+        def verify(i: Int, k: Int): Unit = {
+          val (a, b) = if (ids(i) < ids(k)) (i, k) else (k, i)
+          var dot = 0.0; var j = 0
+          val va = vecs(a); val vb = vecs(b)
+          while (j < va.length) { dot += va(j) * vb(j); j += 1 }
+          val c = dot / (norms(a) * norms(b))
+          if (c >= threshold) out += ((ids(a), ids(b), c))
+        }
+        // home×home once (equal signatures), then probe×home (this bucket
+        // is the pair's larger signature — unique owner)
         i = 0
-        while (i < n) {
+        while (i < nHome) {
           var k = i + 1
-          while (k < n) {
-            if (ids(i) != ids(k)) {
-              val (a, b) = if (ids(i) < ids(k)) (i, k) else (k, i)
-              var dot = 0.0; var j = 0
-              val va = vecs(a); val vb = vecs(b)
-              while (j < va.length) { dot += va(j) * vb(j); j += 1 }
-              val c = dot / (norms(a) * norms(b))
-              if (c >= threshold) out += ((ids(a), ids(b), c))
-            }
-            k += 1
-          }
+          while (k < nHome) { verify(i, k); k += 1 }
+          i += 1
+        }
+        i = nHome
+        while (i < n) {
+          var k = 0
+          while (k < nHome) { verify(i, k); k += 1 }
           i += 1
         }
         out.result().iterator
       }
     verified.toDF("id_a", "id_b", "cosine")
       .withColumn("cosine", round(col("cosine"), 4))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
