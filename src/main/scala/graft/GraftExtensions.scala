@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_by"),
       info("top_k_by", "top_k_by(sort_key, payload, k) - payloads of the k largest sort keys, largest first"),
       (children: Seq[Expression]) => TopKBy(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k_by"),
+      info("bottom_k_by", "bottom_k_by(sort_key, payload, k) - payloads of the k smallest sort keys, smallest first"),
+      (children: Seq[Expression]) => TopKBy(children.head, children(1), children(2), reverse = true)))
   }
 }

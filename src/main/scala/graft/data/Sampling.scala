@@ -63,17 +63,20 @@ object Sampling {
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest hash draws — a deterministic "random" n-per-group. The
     * ordering ties break on the key itself, so the result is unique even
-    * if two keys collide in the draw. One shuffle (by stratum), inherent
-    * to the semantics; at scale the window's sort is per-stratum, and a
-    * heavily skewed stratum can be pre-thinned with [[bernoulli]] at a
-    * fraction safely above quota/|stratum| before the exact top-n. */
+    * if two keys collide in the draw. Runs as a `bottom_k_by` aggregate
+    * (per-stratum bounded heaps, partially combined map-side) rather than
+    * a window `row_number`: the one shuffle keyed by stratum carries at
+    * most quota rows per (stratum, map task) instead of the whole corpus,
+    * and no stratum is ever sorted — a viral stratum costs its heap, not
+    * a skewed partition sort. */
   def stratifiedQuota(df: DataFrame, stratumCol: String, keyCol: String,
                       quota: Int, salt: String = ""): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashDraw(col(keyCol), salt), col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quota)
-      .drop("__rn")
+    val sortKey = struct(hashDraw(col(keyCol), salt).as("d"), col(keyCol).as("k"))
+    df.groupBy(col(stratumCol))
+      .agg(graft.exprs.TopKBy.bottomKBy(
+        sortKey, struct(df.columns.map(col): _*), quota).as("__top"))
+      .select(explode(col("__top")).as("__row"))
+      .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Corpus-mix reweighting: per-row sampling weight that reshapes the

@@ -152,5 +152,7 @@ object NativeExpressions {
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_by", exprs => TopKBy(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k_by", exprs => TopKBy(exprs.head, exprs(1), exprs(2), reverse = true), "built-in")
   }
 }

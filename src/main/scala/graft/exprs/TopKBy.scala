@@ -25,7 +25,7 @@ final class TopKBuffer(val k: Int, ord: Ordering[Any]) {
     else if (ord.compare(key, heap.head._1) > 0) { heap.dequeue(); heap.enqueue((key, payload)) }
   }
 
-  /** Kept items, largest sort key first. */
+  /** Kept items, best (largest under `ord`) sort key first. */
   def sortedDesc: Array[(Any, Any)] =
     heap.toArray.sortWith((a, b) => ord.compare(a._1, b._1) > 0)
 }
@@ -52,13 +52,16 @@ case class TopKBy(
     sortKey: Expression,
     payload: Expression,
     kExpr: Expression,
+    reverse: Boolean = false, // true = keep the k SMALLEST, smallest first
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
-  @transient private lazy val ord: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(sortKey.dataType)
+  @transient private lazy val ord: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(sortKey.dataType)
+    if (reverse) base.reverse else base
+  }
   @transient private lazy val pairProjection =
     UnsafeProjection.create(Array(sortKey.dataType, payload.dataType))
 
@@ -72,7 +75,7 @@ case class TopKBy(
 
   override def dataType: DataType = ArrayType(payload.dataType, payload.nullable)
   override def nullable: Boolean = false
-  override def prettyName: String = "top_k_by"
+  override def prettyName: String = if (reverse) "bottom_k_by" else "top_k_by"
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, ord)
 
@@ -144,4 +147,14 @@ object TopKBy {
       GraftColumnBridge.expression(sortKey),
       GraftColumnBridge.expression(payload),
       org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
+
+  /** `bottomKBy(sortKey, payload, k)` → the k SMALLEST, smallest first —
+    * for ascending orderings over types that can't be negated (hex-string
+    * hash draws, timestamps). */
+  def bottomKBy(sortKey: Column, payload: Column, k: Int): Column =
+    GraftColumnBridge.column(TopKBy(
+      GraftColumnBridge.expression(sortKey),
+      GraftColumnBridge.expression(payload),
+      org.apache.spark.sql.catalyst.expressions.Literal(k),
+      reverse = true).toAggregateExpression())
 }

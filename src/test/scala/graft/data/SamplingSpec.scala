@@ -85,6 +85,20 @@ class SamplingSpec extends SparkSpec {
     assert(rerun.sameElements(out.select("id").as[Long].collect().sorted))
   }
 
+  test("stratifiedQuota (bottom_k_by heaps) equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong, "l" + (i % 4))).toDF("id", "lang")
+    val viaAgg = Sampling.stratifiedQuota(df, "lang", "id", 17, "xchk")
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Sampling.hashDraw(col("id"), "xchk"), col("id"))
+    val viaWindow = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 17).drop("__rn")
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 4 * 17)
+  }
+
   test("thresholdHex maps fractions to 8-digit hex cut points") {
     assert(Sampling.thresholdHex(0.25) == "40000000")
     assert(Sampling.thresholdHex(0.8) == "cccccccc")

@@ -58,6 +58,13 @@ class TopKBySpec extends SparkSpec {
     assert(rows.head.getSeq[Int](1) == Seq(2, 1)) // 'c' then 'b'
   }
 
+  test("bottom_k_by keeps the smallest, ascending — string keys included") {
+    val out = Seq((1, "c", 10L), (1, "a", 20L), (1, "b", 30L)).toDF("g", "s", "v")
+      .groupBy($"g").agg(TopKBy.bottomKBy($"s", $"v", 2).as("bot"))
+      .head().getSeq[Long](1)
+    assert(out == Seq(20L, 30L)) // 'a' then 'b'
+  }
+
   test("k larger than the group keeps everything, descending") {
     val out = Seq((1, 10.0), (1, 30.0), (1, 20.0)).toDF("g", "x")
       .groupBy($"g").agg(TopKBy.topKBy($"x", $"x", 100).as("top"))
