@@ -25,9 +25,12 @@ object TextFunctions {
     size(filter(split(c, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
       t => length(t) > 0))
 
-  /** Normalization for fingerprinting: lowercase, collapse whitespace. */
+  /** Normalization for fingerprinting: lowercase, collapse whitespace.
+    * collapse_ws ≡ regexp_replace(·, "\s+", " ") (bit-identical, proven in
+    * NativeExprSpec) — one bytewise pass instead of a regex walk over every
+    * document. */
   def normalize(c: Column): Column =
-    lower(regexp_replace(trim(c), "\\s+", " "))
+    lower(graft.exprs.NativeExpressions.collapseWs(trim(c)))
 
   /** Document fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(c: Column): Column = md5(normalize(c).cast(BinaryType))

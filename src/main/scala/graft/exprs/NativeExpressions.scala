@@ -46,6 +46,28 @@ object NativeFunctions {
     dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
   }
 
+  /** Collapse every maximal run of Java-regex `\s` characters
+    * ([ \t\n\x0B\f\r] — all single-byte, so a bytewise scan is UTF-8-safe;
+    * continuation bytes are ≥ 0x80 and never match) into one space:
+    * bit-identical to `regexp_replace(s, "\\s+", " ")` without the regex
+    * engine walking every document. */
+  def collapseWs(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var o = 0
+    var inRun = false
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      val ws = b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+      if (ws) {
+        if (!inRun) { out(o) = 0x20; o += 1; inRun = true }
+      } else { out(o) = b; o += 1; inRun = false }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** 64-bit SimHash over an array of strings (per-bit vote accumulation of
     * each element's fnv64). Null elements are skipped. */
   def simhash64(arr: ArrayData): Long = {
@@ -81,6 +103,24 @@ case class FnvHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.exprs.NativeFunctions.fnv64($c)")
   override protected def withNewChildInternal(newChild: Expression): FnvHash64 =
+    copy(child = newChild)
+}
+
+/** `collapse_ws(str)` — codegen'd whitespace-run collapse, semantically
+  * identical to `regexp_replace(str, '\s+', ' ')` (one bytewise pass vs a
+  * regex engine walk — fingerprint normalization is a scan-stage hot path
+  * over full document texts). */
+case class CollapseWs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"collapse_ws requires string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "collapse_ws"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFunctions.collapseWs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.NativeFunctions.collapseWs($c)")
+  override protected def withNewChildInternal(newChild: Expression): CollapseWs =
     copy(child = newChild)
 }
 
@@ -138,6 +178,9 @@ object NativeExpressions {
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokens)))
 
+  def collapseWs(c: Column): Column =
+    GraftColumnBridge.column(CollapseWs(GraftColumnBridge.expression(c)))
+
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -154,5 +197,7 @@ object NativeExpressions {
       "top_k_by", exprs => TopKBy(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottom_k_by", exprs => TopKBy(exprs.head, exprs(1), exprs(2), reverse = true), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collapse_ws", exprs => CollapseWs(exprs.head), "built-in")
   }
 }

@@ -75,6 +75,27 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("collapse_ws is bit-identical to regexp_replace \\s+ on randomized strings") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab \t\n\f\r€日x.  "
+    val cases = Seq("", " ", "a", "  a  b  ", "\t\r\n", "a b" /* nbsp is NOT \s */) ++
+      (1 to 300).map(_ => (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.toDF("s")
+    val out = df.select(
+      NativeExpressions.collapseWs(col("s")).as("fast"),
+      regexp_replace(col("s"), "\\s+", " ").as("re")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), s"on ${r}"))
+    // codegen path too (parquet scan; compact plan strings render codegen
+    // as a `*(n)` prefix, so check the physical node type)
+    val cg = spark.read.parquet(s"$sf/documents.parquet")
+      .select(NativeExpressions.collapseWs(col("text")))
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+    assert(cg.nonEmpty)
+  }
+
   test("null safety: null input yields null, null array elements skipped") {
     val df = Seq((null.asInstanceOf[String], Seq("a", null, "b"))).toDF("s", "arr")
     val r = df.select(NativeExpressions.fnvHash64(col("s")).as("h"),
