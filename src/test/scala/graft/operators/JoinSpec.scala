@@ -102,6 +102,84 @@ class JoinSpec extends SparkSpec {
     assert(got == Seq((1L, 100L), (2L, 200L), (3L, 300L)))
   }
 
+  test("streaming temporal join runs under the RocksDB state store (production provider)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val leftMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val rightMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val cfg = TemporalJoin.Config(
+        leftKey = "k", rightKey = "k", leftTs = "ts", rightTs = "ts",
+        leftTtlMs = 60000L, rightTtlMs = 60000L,
+        leftOut = Seq(Projection("id", "lid"), Projection("k", "k")),
+        rightOut = Seq(Projection("id", "rid")))
+      val q = TemporalJoin(leftMem.toDF.toDF("id", "k", "ts"),
+          rightMem.toDF.toDF("id", "k", "ts"), cfg)
+        .writeStream.format("memory").queryName("tj_rocksdb_out")
+        .outputMode("append").start()
+      // immediate hit, then a buffered left drained by a later right —
+      // exercises both kryo state writes and reads under RocksDB
+      rightMem.addData((100L, "u1", t("2025-01-01 10:00:00")))
+      leftMem.addData((1L, "u1", t("2025-01-01 10:00:10")),
+        (2L, "u2", t("2025-01-01 10:00:20")))
+      q.processAllAvailable()
+      rightMem.addData((200L, "u2", t("2025-01-01 10:00:30")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tj_rocksdb_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      assert(got == Seq((1L, 100L), (2L, 200L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("temporal join state survives a restart from checkpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // memory sink refuses checkpoint recovery; parquet supports it
+    val base = java.nio.file.Files.createTempDirectory("graft_tj_ckpt").toString
+    val (checkpoint, outDir) = (s"$base/ckpt", s"$base/out")
+    val leftMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rightMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val cfg = TemporalJoin.Config(
+      leftKey = "k", rightKey = "k", leftTs = "ts", rightTs = "ts",
+      leftTtlMs = 600000L, rightTtlMs = 600000L,
+      leftOut = Seq(Projection("id", "lid"), Projection("k", "k")),
+      rightOut = Seq(Projection("id", "rid")))
+    val joined = TemporalJoin(leftMem.toDF.toDF("id", "k", "ts"),
+      rightMem.toDF.toDF("id", "k", "ts"), cfg)
+    def startQuery() = joined.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+
+    // run 1: buffer a left for u1 (no right yet), then stop
+    val q1 = startQuery()
+    leftMem.addData((1L, "u1", t("2025-01-01 10:00:00")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: the right arrives AFTER the restart — the buffered left must
+    // drain from recovered state, not from anything in this run's input
+    val q2 = startQuery()
+    rightMem.addData((100L, "u1", t("2025-01-01 10:00:30")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 100L)), s"buffered left did not drain after restart: ${out.toList}")
+  }
+
   test("one-sided left flood: buffer stays bounded to the TTL horizon, output unchanged") {
     import TemporalJoin.{Ev, JState, step}
     val ttl = 1000L
