@@ -103,7 +103,9 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
     val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/pipeline")
     (ex.getRequestMethod, path.split('/').filter(_.nonEmpty).toList) match {
       case ("POST", Nil) =>
-        val cfg = PipelineConfig.fromJson(body(ex))
+        // accepts the native shape AND the reference's public v2/v3 wire
+        // shapes (the demo files its users run today) — sniffed + adapted
+        val cfg = graft.pipeline.ReferenceConfig.fromJson(body(ex))
         service.create(cfg) match {
           case Right(id) => respond(ex, 201, Map("pipeline_id" -> id))
           case Left(err) => respond(ex, 400, Map("error" -> err))
@@ -129,7 +131,7 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
       case ("POST", id :: "terminate" :: Nil) =>
         either(ex, service.terminate(id))
       case ("POST", id :: "edit" :: Nil) =>
-        either(ex, service.edit(id, PipelineConfig.fromJson(body(ex))))
+        either(ex, service.edit(id, graft.pipeline.ReferenceConfig.fromJson(body(ex))))
       case ("PATCH", id :: "metadata" :: Nil) =>
         val req = mapper.readTree(body(ex))
         val name = Option(req.get("name")).map(_.asText())

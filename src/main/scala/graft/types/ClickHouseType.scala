@@ -100,7 +100,11 @@ object CHType {
       case "UUID" => CHUUID
       case "DateTime" => CHDateTime(args.headOption.map(stripQuotes))
       case "DateTime64" =>
-        CHDateTime64(args.head.trim.toInt, args.lift(1).map(stripQuotes))
+        // bare DateTime64 is legal (reference accepts the unparameterized
+        // name, clickhouse_validate.go:32, and its observability demo uses
+        // it); ClickHouse's default precision is 3
+        CHDateTime64(args.headOption.map(_.trim.toInt).getOrElse(3),
+          args.lift(1).map(stripQuotes))
       case "Enum8" | "Enum16" =>
         val bits = if (name == "Enum8") 8 else 16
         CHEnum(bits, args.map { a =>
