@@ -31,8 +31,14 @@ object ReferenceConfig {
 
   def fromJson(json: String): PipelineConfig = {
     val root = mapper.readTree(json)
+    val src = root.path("source")
+    // the native shape also spells `source.topics`; v2 is recognized by its
+    // own markers (source.type / connection_params, or the top-level
+    // schema.fields list) so native configs never detour through the adapter
+    val isV2 = src.has("topics") &&
+      (root.has("schema") || src.has("type") || src.has("connection_params"))
     if (root.has("sources")) fromV3(root)
-    else if (root.has("source") && root.path("source").has("topics")) fromV2(root)
+    else if (isV2) fromV2(root)
     else PipelineConfig.fromJson(json) // native shape
   }
 

@@ -241,4 +241,17 @@ class ApiServerSpec extends SparkSpec {
     assert(delete("/api/v1/pipeline/api-otlp1")._1 == 200)
     assert(delete("/api/v1/pipeline/api-otlp2")._1 == 200)
   }
+
+  test("create accepts the reference's actual demo pipeline file over the wire") {
+    val demo = java.nio.file.Paths.get(
+      "/root/reference/demos/fraud-detection/glassflow/fraud_detection_pipeline.json")
+    assume(java.nio.file.Files.exists(demo))
+    val body = new String(java.nio.file.Files.readAllBytes(demo), "UTF-8")
+    val (c, b) = post("/api/v1/pipeline", body)
+    assert(c == 201, b)
+    assert(b.contains("fraud-detection-logins-tested"))
+    val (gc, gb) = get("/api/v1/pipeline/fraud-detection-logins-tested")
+    assert(gc == 200 && gb.contains("status != 'failed'"))
+    assert(delete("/api/v1/pipeline/fraud-detection-logins-tested")._1 == 200)
+  }
 }
