@@ -81,23 +81,33 @@ object TemporalJoin {
     (out.result(), st.copy(leftBuffer = pruned))
   }
 
+  /** Key/projection fields resolve dotted names literal-first then as
+    * nested paths — the reference's dual resolution (join/utils.go:16-40
+    * reads fields with gjson, where `user.id` means either), so demo
+    * configs keyed on `user.id` work against both a literal column of
+    * that name and a `user` struct. */
+  private def resolved(df: DataFrame, field: String): (org.apache.spark.sql.Column, DataType) = {
+    val (c, dt) = graft.exprs.ExprCompiler.resolve(field.split('.').toSeq, df.schema)
+    (c, dt.getOrElse(StringType))
+  }
+
   def apply(left: DataFrame, right: DataFrame, cfg: Config): DataFrame = {
     val lType = StructType(cfg.leftOut.map(p =>
-      StructField(p.as, left.schema(p.field).dataType, nullable = true)))
+      StructField(p.as, resolved(left, p.field)._2, nullable = true)))
     val rType = StructType(cfg.rightOut.map(p =>
-      StructField(p.as, right.schema(p.field).dataType, nullable = true)))
+      StructField(p.as, resolved(right, p.field)._2, nullable = true)))
     val outSchema = StructType(lType.fields ++ rType.fields)
 
     val taggedL = left.select(
-      left(cfg.leftKey).cast(StringType).as("__k"), left(cfg.leftTs).as("__t"),
+      resolved(left, cfg.leftKey)._1.cast(StringType).as("__k"), left(cfg.leftTs).as("__t"),
       lit(1).as("__side"),
-      struct(cfg.leftOut.map(p => left(p.field).as(p.as)): _*).as("__l"),
+      struct(cfg.leftOut.map(p => resolved(left, p.field)._1.as(p.as)): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
     val taggedR = right.select(
-      right(cfg.rightKey).cast(StringType).as("__k"), right(cfg.rightTs).as("__t"),
+      resolved(right, cfg.rightKey)._1.cast(StringType).as("__k"), right(cfg.rightTs).as("__t"),
       lit(0).as("__side"),
       lit(null).cast(lType).as("__l"),
-      struct(cfg.rightOut.map(p => right(p.field).as(p.as)): _*).as("__r"))
+      struct(cfg.rightOut.map(p => resolved(right, p.field)._1.as(p.as)): _*).as("__r"))
 
     val union = taggedR.unionByName(taggedL).withWatermark("__t", cfg.watermarkDelay)
 

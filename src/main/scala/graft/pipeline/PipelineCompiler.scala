@@ -131,16 +131,26 @@ object PipelineCompiler {
       if (ps.nonEmpty) ps.map(p => AsOfJoin.Projection(p.field, p.outputName))
       else df.columns.toSeq.map(c => AsOfJoin.Projection(c, c))
     }
-    def tsOf(s: JoinSource): String = s.timeField.getOrElse(
-      throw new IllegalArgumentException(s"join source ${s.sourceId}: time_field required"))
+    // no time_field declared (the reference's demo join configs have none:
+    // its buffer TTLs run on ARRIVAL time, the KV entry's age,
+    // temporal.go:119-147) → stamp ingestion time and TTL on that. The
+    // projection list is computed from the user-visible columns first so
+    // the stamp never leaks into the output.
+    def withTs(s: JoinSource, df: DataFrame): (DataFrame, String) = s.timeField match {
+      case Some(tf) => (df, tf)
+      case None => (df.withColumn("__arrival", current_timestamp()), "__arrival")
+    }
 
-    val (lDf, rDf) = (branch(left.sourceId), branch(right.sourceId))
+    val (lDf0, rDf0) = (branch(left.sourceId), branch(right.sourceId))
+    val (lOut, rOut) = (outs(left.sourceId, lDf0), outs(right.sourceId, rDf0))
+    val (lDf, lTs) = withTs(left, lDf0)
+    val (rDf, rTs) = withTs(right, rDf0)
     TemporalJoin(lDf, rDf, TemporalJoin.Config(
       leftKey = left.joinKey, rightKey = right.joinKey,
-      leftTs = tsOf(left), rightTs = tsOf(right),
+      leftTs = lTs, rightTs = rTs,
       leftTtlMs = PipelineConfig.windowMillis(left.timeWindow),
       rightTtlMs = PipelineConfig.windowMillis(right.timeWindow),
-      leftOut = outs(left.sourceId, lDf), rightOut = outs(right.sourceId, rDf)))
+      leftOut = lOut, rightOut = rOut))
   }
 
   private def applyDedup(df: DataFrame, d: DedupConfig): DataFrame =

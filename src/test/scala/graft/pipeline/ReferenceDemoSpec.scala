@@ -89,6 +89,44 @@ class ReferenceDemoSpec extends SparkSpec {
     assert(PipelineConfig.validate(cfg, Map.empty).isEmpty)
   }
 
+  test("getting-started join demo runs the streaming join as-is (arrival-time TTL, dotted key)") {
+    val f = demoRoot.resolve("getting-started/config/glassflow/join_pipeline.json")
+    assume(Files.exists(f))
+    val cfg = ReferenceConfig.fromJson(read(f))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the demo declares user_events fields as dotted names (user.id,
+    // user.name, user.email) — model them as a nested struct; the join key
+    // and projections must resolve through the nested path
+    val userMem = MemoryStream[(String, String, String, String)]
+    val users = userMem.toDF.toDF("event_id", "uid", "uname", "uemail")
+      .select(col("event_id"),
+        struct(col("uid").as("id"), col("uname").as("name"),
+          col("uemail").as("email")).as("user"),
+        lit("2025-01-01T00:00:00Z").as("created_at"),
+        array(lit("vip")).as("tags"))
+    val orderMem = MemoryStream[(String, String, Int, Float)]
+    val orders = orderMem.toDF.toDF("order_id", "user_id", "amount", "price")
+      .withColumn("created_at", lit("2025-01-02T00:00:00Z"))
+    val out = PipelineCompiler.streamingJoin(cfg,
+      Map("orders" -> orders, "user_events" -> users))
+    val q = out.writeStream.format("memory").queryName("demo_join_out")
+      .outputMode("append").start()
+    // right side (user_events) lands first; a later order joins on arrival
+    userMem.addData(("e1", "u1", "Ada", "ada@example.com"))
+    q.processAllAvailable()
+    orderMem.addData(("o1", "u1", 2, 9.99f))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("demo_join_out").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("order_id") == "o1")
+    assert(r.getAs[String]("user.name") == "Ada")   // literal dotted output column
+    assert(r.getAs[String]("user.email") == "ada@example.com")
+    assert(r.getAs[Int]("amount") == 2)
+  }
+
   test("5g-telemetry demo: OTLP source, dotted dedup key, 9-rule stateless transform") {
     val f = demoRoot.resolve("5g-telemetry/glassflow-pipelines/5g-metrics-pipeline.json")
     assume(Files.exists(f))
