@@ -29,24 +29,32 @@ object AsOfJoin {
   /** {source field → output column} (reference JoinRule, configs.go:774-828). */
   final case class Projection(field: String, as: String)
 
+  /** Keys/projections resolve dotted names literal-first then as nested
+    * paths — the reference's dual gjson resolution (join/utils.go:16-40),
+    * same contract as [[TemporalJoin]]. */
+  private def resolved(df: DataFrame, field: String): (Column, DataType) = {
+    val (c, dt) = graft.exprs.ExprCompiler.resolve(field.split('.').toSeq, df.schema)
+    (c, dt.getOrElse(StringType))
+  }
+
   def sortMerge(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String,
                 leftTsNs: String, rightTsNs: String,
                 windowNs: Long,
                 leftOut: Seq[Projection], rightOut: Seq[Projection]): DataFrame = {
-    val lStruct = struct(leftOut.map(p => left(p.field).as(p.as)): _*)
-    val rStruct = struct(rightOut.map(p => right(p.field).as(p.as)): _*)
+    val lStruct = struct(leftOut.map(p => resolved(left, p.field)._1.as(p.as)): _*)
+    val rStruct = struct(rightOut.map(p => resolved(right, p.field)._1.as(p.as)): _*)
     val rType = StructType(rightOut.map(p =>
-      StructField(p.as, right.schema(p.field).dataType, nullable = true)))
+      StructField(p.as, resolved(right, p.field)._2, nullable = true)))
     val lType = StructType(leftOut.map(p =>
-      StructField(p.as, left.schema(p.field).dataType, nullable = true)))
+      StructField(p.as, resolved(left, p.field)._2, nullable = true)))
 
     // side 0 = right sorts before side 1 = left at equal timestamps, so a
     // left row sees a same-instant right (inclusive bound, like the
     // reference's store-then-drain handler order)
-    val taggedL = left.select(left(leftKey).as("__k"), left(leftTsNs).as("__ts"),
+    val taggedL = left.select(resolved(left, leftKey)._1.as("__k"), left(leftTsNs).as("__ts"),
       lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val taggedR = right.select(right(rightKey).as("__k"), right(rightTsNs).as("__ts"),
+    val taggedR = right.select(resolved(right, rightKey)._1.as("__k"), right(rightTsNs).as("__ts"),
       lit(0).as("__side"), lit(null).cast(lType).as("__l"), rStruct.as("__r"))
 
     val outSchema = StructType(lType.fields ++ rType.fields)

@@ -41,6 +41,20 @@ class JoinSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(3) == 9L)
   }
 
+  test("sortMerge resolves dotted keys and projections against nested structs") {
+    val l = Seq((1L, "u1", 100L)).toDF("id", "uid", "ts_ns")
+    val r = Seq((9L, "u1", "Ada", 90L)).toDF("rid", "rid_key", "rname", "ts_ns")
+      .select(col("rid"),
+        struct(col("rid_key").as("id"), col("rname").as("name")).as("user"),
+        col("ts_ns"))
+    val out = AsOfJoin.sortMerge(l, r, "uid", "user.id", "ts_ns", "ts_ns", 1000L,
+      Seq(Projection("id", "lid")),
+      Seq(Projection("rid", "rid"), Projection("user.name", "user.name"))).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 9L)
+    assert(out.head.getString(2) == "Ada") // literal dotted output column
+  }
+
   test("sortMerge equals viaWindow on real data") {
     val ev = graft.Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
