@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.exprs.{CosineSim, FnvHash64, SimHash64Expr, TopKBy}
+import graft.exprs.{CosineSim, FnvHash64, HeavyHitters, SimHash64Expr, TopKBy}
 
 /** Cluster-wide installation point for graft's native Catalyst expressions:
   *
@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bottom_k_by"),
       info("bottom_k_by", "bottom_k_by(sort_key, payload, k) - payloads of the k smallest sort keys, smallest first"),
       (children: Seq[Expression]) => TopKBy(children.head, children(1), children(2), reverse = true)))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(item, k, capacity) - SpaceSaving frequent items; exact when distinct(item) <= capacity"),
+      (children: Seq[Expression]) => HeavyHitters(children.head, children(1), children(2))))
   }
 }

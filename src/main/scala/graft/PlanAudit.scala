@@ -13,7 +13,9 @@ object PlanAudit {
     "q_filter_expr", "q1_agg", "q_rollup_join", "q_topk", "q_asof_join",
     "q_doc_dedup_exact", "q_minhash_dedup", "q_embed_dedup", "q_ann_topk",
     "q_text_stats", "q_multimodal", "q_pipeline_e2e",
-    "q_text_repetition", "q_pii", "q_bm25", "q_contamination")
+    "q_text_repetition", "q_pii", "q_bm25", "q_contamination",
+    "q_topk_per_key", "q_sample_stratified", "q_embed_dedup_lsh",
+    "q_segment_dedup", "q_pack_sequences", "q_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

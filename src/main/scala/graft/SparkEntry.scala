@@ -628,6 +628,19 @@ object SparkEntry {
           col("col.o_totalprice").as("o_totalprice"), (col("pos") + 1).as("rn"))
     },
 
+    // Frequent items via the SpaceSaving sketch: top-10 most active users.
+    // capacity 4096 ≥ distinct users at every test scale, so counts are
+    // EXACT here and the plain GROUP BY oracle applies; at 100-TB
+    // cardinalities the same one-pass plan degrades gracefully to the
+    // published ε = N/capacity guarantees instead of shuffling one row per
+    // distinct key. Output exploded to (user_id, n_events) rows.
+    "q_heavy_hitters" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .agg(graft.exprs.HeavyHitters.heavyHitters(col("user_id"), 10, 4096).as("top"))
+        .select(explode(col("top")).as("h"))
+        .select(col("h.item").as("user_id"), col("h.count").as("n_events"))
+    },
+
     // Broadcast-hash join + ROLLUP aggregation: revenue by region/nation.
     // nation/region are broadcast (tiny dims) — orders never shuffles for
     // the join, only for the final rollup aggregation.
@@ -1076,6 +1089,11 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |FROM orders
         |QUALIFY rn <= 3""".stripMargin,
+    // exact at this capacity (distinct users ≪ 4096), so the sketch must
+    // reproduce the true counts bit-for-bit
+    "q_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
     "q_rollup_join" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders

@@ -1,0 +1,176 @@
+package graft.exprs
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** SpaceSaving counter set (Metwally et al., ICDT'05): at most `capacity`
+  * (item, count, error) entries; an unseen item arriving at a full buffer
+  * evicts a minimum-count entry and inherits its count as both floor and
+  * error bound. */
+final class SSBuffer(val capacity: Int, ord: Ordering[Any]) {
+  val counts = mutable.HashMap.empty[Any, (Long, Long)] // item -> (count, err)
+
+  private def evictMin(): Long = {
+    // deterministic victim: smallest count, then smallest item under ord —
+    // determinism only matters in the approximate regime, but it keeps
+    // results replay-stable there too
+    var victim: Any = null
+    var vc = Long.MaxValue; var ve = 0L
+    counts.foreach { case (item, (c, e)) =>
+      if (c < vc || (c == vc && (victim == null || ord.compare(item, victim) < 0))) {
+        victim = item; vc = c; ve = e
+      }
+    }
+    counts.remove(victim)
+    vc
+  }
+
+  def add(item: Any, by: Long = 1L, err: Long = 0L): Unit =
+    counts.get(item) match {
+      case Some((c, e)) => counts.update(item, (c + by, e + err))
+      case None =>
+        if (counts.size < capacity) counts.update(item, (by, err))
+        else { val m = evictMin(); counts.update(item, (m + by, m + err)) }
+    }
+
+  /** Combine-then-truncate merge: exact whenever the combined distinct set
+    * fits in `capacity` (the exactness contract); beyond it the smallest
+    * tail entries are dropped. */
+  def merge(other: SSBuffer): Unit = {
+    other.counts.foreach { case (item, (c, e)) =>
+      counts.get(item) match {
+        case Some((c0, e0)) => counts.update(item, (c0 + c, e0 + e))
+        case None => counts.update(item, (c, e))
+      }
+    }
+    while (counts.size > capacity) evictMin()
+  }
+
+  /** (item, count, err) rows, count desc then item asc — a total order. */
+  def top(k: Int): Array[(Any, Long, Long)] =
+    counts.iterator.map { case (i, (c, e)) => (i, c, e) }.toArray
+      .sortWith((a, b) => if (a._2 != b._2) a._2 > b._2 else ord.compare(a._1, b._1) < 0)
+      .take(k)
+}
+
+/** `heavy_hitters(item, k, capacity)` — frequent-item aggregate returning
+  * `array<struct<item, count, error>>`: the k most frequent items, count
+  * descending (item ascending on ties — a total order, so results are
+  * hash-stable).
+  *
+  * CONTRACT: with `distinct(item) ≤ capacity` every count is exact and
+  * `error = 0` — the test-scale / oracle regime. Beyond capacity the
+  * SpaceSaving guarantees apply per partial (`true ≤ count ≤ true + error`,
+  * items with true frequency > N/capacity are never lost by insertion) and
+  * the cross-partition merge combines then truncates to capacity.
+  *
+  * The 100-TB shape: one scan pass, `capacity` counters per (key-group,
+  * map task) — the shuffle carries bounded sketches instead of one row per
+  * distinct item, which is the difference between "top URLs over billions
+  * of distinct URLs" being a bounded merge or a full aggregation. For
+  * exact small-cardinality top-k, plain groupBy + [[TopKBy]] is the right
+  * tool; this is for cardinalities that don't fit.
+  */
+case class HeavyHitters(
+    item: Expression,
+    kExpr: Expression,
+    capacityExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SSBuffer] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val capacity: Int = capacityExpr.eval().asInstanceOf[Number].intValue()
+  @transient private lazy val ord: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(item.dataType)
+  @transient private lazy val rowProjection =
+    UnsafeProjection.create(Array(item.dataType, LongType, LongType))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!kExpr.foldable || !capacityExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("heavy_hitters k and capacity must be foldable")
+    else if (k <= 0 || capacity < k)
+      TypeCheckResult.TypeCheckFailure(s"need 0 < k ≤ capacity, got k=$k capacity=$capacity")
+    else TypeUtils.checkForOrderingExpr(item.dataType, prettyName)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", item.dataType),
+    StructField("count", LongType, nullable = false),
+    StructField("error", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "heavy_hitters"
+
+  override def createAggregationBuffer(): SSBuffer = new SSBuffer(capacity, ord)
+
+  override def update(buf: SSBuffer, input: InternalRow): SSBuffer = {
+    val v = item.eval(input)
+    if (v != null) buf.add(InternalRow.copyValue(v))
+    buf
+  }
+
+  override def merge(buf: SSBuffer, other: SSBuffer): SSBuffer = { buf.merge(other); buf }
+
+  override def eval(buf: SSBuffer): Any =
+    new GenericArrayData(buf.top(k).map { case (i, c, e) =>
+      InternalRow(i, c, e)
+    })
+
+  override def serialize(buf: SSBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (i, (c, e)) =>
+      val bytes = rowProjection(InternalRow(i, c, e)).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SSBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new SSBuffer(capacity, ord)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(3)
+      row.pointTo(rowBytes, len)
+      buf.counts.update(InternalRow.copyValue(row.get(0, item.dataType)),
+        (row.getLong(1), row.getLong(2)))
+      i += 1
+    }
+    buf
+  }
+
+  override def children: Seq[Expression] = Seq(item, kExpr, capacityExpr)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHitters =
+    copy(item = newChildren(0), kExpr = newChildren(1), capacityExpr = newChildren(2))
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = newOffset)
+}
+
+object HeavyHitters {
+  import org.apache.spark.sql.GraftColumnBridge
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  def heavyHitters(item: Column, k: Int, capacity: Int): Column =
+    GraftColumnBridge.column(HeavyHitters(
+      GraftColumnBridge.expression(item),
+      Literal(k), Literal(capacity)).toAggregateExpression())
+}

@@ -199,5 +199,7 @@ object NativeExpressions {
       "bottom_k_by", exprs => TopKBy(exprs.head, exprs(1), exprs(2), reverse = true), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collapse_ws", exprs => CollapseWs(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters", exprs => HeavyHitters(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 }

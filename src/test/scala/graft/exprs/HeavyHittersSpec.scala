@@ -1,0 +1,51 @@
+package graft.exprs
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact regime: equals GROUP BY counts when distinct fits the capacity") {
+    val events = Tables.events(spark, sf)
+    val viaSketch = events.repartition(7) // force a multi-partial merge
+      .agg(HeavyHitters.heavyHitters($"user_id", 10, 4096).as("top"))
+      .select(explode($"top").as("h"))
+      .select($"h.item".as("user_id"), $"h.count".as("n"), $"h.error".as("e"))
+      .collect()
+    val exact = events.groupBy($"user_id").count()
+      .orderBy($"count".desc, $"user_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSketch.map(r => (r.getLong(0), r.getLong(1))).toSeq == exact.toSeq)
+    assert(viaSketch.forall(_.getLong(2) == 0L), "exact regime must report zero error")
+  }
+
+  test("approximate regime: majority item survives eviction with a bounded overestimate") {
+    // 60 of 'hot', 40 singletons, capacity 4: hot's true count is 60; the
+    // sketch may overestimate by at most the evicted minimum mass
+    val data = Seq.fill(60)("hot") ++ (1 to 40).map(i => s"cold$i")
+    val out = scala.util.Random.shuffle(data).toDF("item")
+      .agg(HeavyHitters.heavyHitters($"item", 1, 4).as("top"))
+      .select(explode($"top").as("h")).select($"h.*").head()
+    assert(out.getString(0) == "hot")
+    val (count, err) = (out.getLong(1), out.getLong(2))
+    assert(count >= 60, s"SpaceSaving never undercounts a kept item: $count")
+    assert(count - err <= 60, s"count - error is a lower bound: $count - $err")
+  }
+
+  test("SQL registration and struct output shape") {
+    NativeExpressions.register(spark)
+    Seq("a", "a", "b").toDF("x").createOrReplaceTempView("hh_in")
+    val rows = spark.sql(
+      "SELECT explode(heavy_hitters(x, 2, 16)) AS h FROM hh_in")
+      .select("h.item", "h.count").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("k must not exceed capacity") {
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq("a").toDF("x").agg(HeavyHitters.heavyHitters($"x", 10, 4)).collect()
+    }
+  }
+}
