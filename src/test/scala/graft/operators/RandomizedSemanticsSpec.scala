@@ -101,6 +101,41 @@ class RandomizedSemanticsSpec extends SparkSpec {
     assert(expect.nonEmpty && got == expect)
   }
 
+  test("top_k_by matches an in-memory sort-take over random groups") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val rows = (1 to 500).map(i =>
+        (s"g${rnd.nextInt(12)}", rnd.nextInt(100).toDouble, i.toLong))
+      val k = 1 + rnd.nextInt(5)
+      val got = rows.toDF("g", "score", "id").repartition(7)
+        .groupBy($"g")
+        .agg(graft.exprs.TopKBy.topKBy(
+          struct($"score", (-$"id").as("n")), $"id", k).as("top"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val expect = rows.groupBy(_._1).map { case (g, grp) =>
+        g -> grp.sortBy(t => (-t._2, t._3)).take(k).map(_._3).toList
+      }
+      assert(got == expect, s"seed $seed k=$k")
+    }
+  }
+
+  test("heavy_hitters is exact for random streams whenever capacity covers the distinct set") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val distinct = 5 + rnd.nextInt(40)
+      val rows = (1 to 800).map(_ => s"u${rnd.nextInt(distinct)}")
+      val k = 1 + rnd.nextInt(10)
+      val got = rows.toDF("u").repartition(5)
+        .agg(graft.exprs.HeavyHitters.heavyHitters($"u", k, 64).as("top"))
+        .select(explode($"top").as("h")).select($"h.item", $"h.count", $"h.error")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val expect = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (u, c) => (-c, u) }.take(k)
+      assert(got.map(t => (t._1, t._2)).toSeq == expect, s"seed $seed k=$k")
+      assert(got.forall(_._3 == 0L), s"seed $seed: exact regime must report zero error")
+    }
+  }
+
   test("TemporalJoin.step: pruning never changes output vs an unpruned model") {
     import TemporalJoin.{Ev, JState, step}
     // the unpruned reference: identical transition minus the watermark prune
