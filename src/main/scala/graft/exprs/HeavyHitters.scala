@@ -15,32 +15,70 @@ import org.apache.spark.sql.types._
 /** SpaceSaving counter set (Metwally et al., ICDT'05): at most `capacity`
   * (item, count, error) entries; an unseen item arriving at a full buffer
   * evicts a minimum-count entry and inherits its count as both floor and
-  * error bound. */
+  * error bound.
+  *
+  * Eviction uses a LAZY MIN-HEAP of (count, item) snapshots: increments
+  * push a fresh snapshot instead of updating in place, and [[evictMin]]
+  * pops stale snapshots until the head matches the live map — amortized
+  * O(log capacity) per eviction instead of an O(capacity) scan, which is
+  * what keeps the high-eviction regime (stream cardinality ≫ capacity,
+  * the sketch's whole reason to exist) from degenerating quadratic. The
+  * heap is rebuilt from the map when stale entries pile past 4×capacity. */
 final class SSBuffer(val capacity: Int, ord: Ordering[Any]) {
   val counts = mutable.HashMap.empty[Any, (Long, Long)] // item -> (count, err)
+  // min at head: smallest count, then smallest item (deterministic victim —
+  // it only matters in the approximate regime, but keeps results
+  // replay-stable there too)
+  private val heapOrd: Ordering[(Long, Any)] = new Ordering[(Long, Any)] {
+    def compare(a: (Long, Any), b: (Long, Any)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else ord.compare(a._2, b._2)
+    }
+  }
+  private val heap = mutable.PriorityQueue.empty[(Long, Any)](heapOrd.reverse)
 
   private def evictMin(): Long = {
-    // deterministic victim: smallest count, then smallest item under ord —
-    // determinism only matters in the approximate regime, but it keeps
-    // results replay-stable there too
-    var victim: Any = null
-    var vc = Long.MaxValue; var ve = 0L
-    counts.foreach { case (item, (c, e)) =>
-      if (c < vc || (c == vc && (victim == null || ord.compare(item, victim) < 0))) {
-        victim = item; vc = c; ve = e
+    while (true) {
+      val (c, item) = heap.dequeue()
+      counts.get(item) match {
+        case Some((live, _)) if live == c =>
+          counts.remove(item)
+          return c
+        case _ => () // stale snapshot; keep popping
       }
     }
-    counts.remove(victim)
-    vc
+    0L // unreachable: the heap always holds a live snapshot per entry
+  }
+
+  private def push(item: Any, count: Long): Unit = {
+    heap.enqueue((count, item))
+    if (heap.size > 4 * capacity) { // compact stale snapshots
+      heap.clear()
+      counts.foreach { case (i, (c, _)) => heap.enqueue((c, i)) }
+    }
   }
 
   def add(item: Any, by: Long = 1L, err: Long = 0L): Unit =
     counts.get(item) match {
-      case Some((c, e)) => counts.update(item, (c + by, e + err))
+      case Some((c, e)) =>
+        counts.update(item, (c + by, e + err))
+        push(item, c + by)
       case None =>
-        if (counts.size < capacity) counts.update(item, (by, err))
-        else { val m = evictMin(); counts.update(item, (m + by, m + err)) }
+        if (counts.size < capacity) {
+          counts.update(item, (by, err))
+          push(item, by)
+        } else {
+          val m = evictMin()
+          counts.update(item, (m + by, m + err))
+          push(item, m + by)
+        }
     }
+
+  /** Direct load (deserialization): entry plus its heap snapshot. */
+  def load(item: Any, count: Long, err: Long): Unit = {
+    counts.update(item, (count, err))
+    push(item, count)
+  }
 
   /** Combine-then-truncate merge: exact whenever the combined distinct set
     * fits in `capacity` (the exactness contract); beyond it the smallest
@@ -48,8 +86,10 @@ final class SSBuffer(val capacity: Int, ord: Ordering[Any]) {
   def merge(other: SSBuffer): Unit = {
     other.counts.foreach { case (item, (c, e)) =>
       counts.get(item) match {
-        case Some((c0, e0)) => counts.update(item, (c0 + c, e0 + e))
-        case None => counts.update(item, (c, e))
+        case Some((c0, e0)) =>
+          counts.update(item, (c0 + c, e0 + e))
+          push(item, c0 + c)
+        case None => load(item, c, e)
       }
     }
     while (counts.size > capacity) evictMin()
@@ -148,8 +188,8 @@ case class HeavyHitters(
       in.readFully(rowBytes)
       val row = new UnsafeRow(3)
       row.pointTo(rowBytes, len)
-      buf.counts.update(InternalRow.copyValue(row.get(0, item.dataType)),
-        (row.getLong(1), row.getLong(2)))
+      buf.load(InternalRow.copyValue(row.get(0, item.dataType)),
+        row.getLong(1), row.getLong(2))
       i += 1
     }
     buf

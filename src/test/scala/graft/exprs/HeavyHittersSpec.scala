@@ -43,6 +43,20 @@ class HeavyHittersSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("high-eviction stream: lazy-heap eviction keeps bounds over many distinct items") {
+    // 20k distinct singletons + a 2k-count hot item through capacity 128:
+    // ~20k evictions exercise the lazy heap + rebuild; the hot item must
+    // surface with count >= true and count - error <= true
+    val rnd = new scala.util.Random(11)
+    val data = rnd.shuffle(Seq.fill(2000)("hot") ++ (1 to 20000).map(i => s"c$i"))
+    val out = data.toDF("item").coalesce(2)
+      .agg(HeavyHitters.heavyHitters($"item", 1, 128).as("top"))
+      .select(explode($"top").as("h")).select($"h.*").head()
+    assert(out.getString(0) == "hot")
+    assert(out.getLong(1) >= 2000L)
+    assert(out.getLong(1) - out.getLong(2) <= 2000L)
+  }
+
   test("k must not exceed capacity") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       Seq("a").toDF("x").agg(HeavyHitters.heavyHitters($"x", 10, 4)).collect()
