@@ -16,7 +16,7 @@ import graft.types.EngineSchema
   * (glassflow-api/internal/api/router.go:77-104) on the JDK's built-in
   * HttpServer (zero extra dependencies):
   *
-  *   GET    /healthz, /api/v2/healthz
+  *   GET    /healthz, /api/v1/healthz, /api/v2/healthz
   *   GET    /api/v1/platform                      engine/runtime info
   *   POST   /api/v1/pipeline                      create (validate + register)
   *   GET    /api/v1/pipeline                      list
@@ -65,6 +65,8 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/healthz", (ex: HttpExchange) =>
+      respond(ex, 200, Map("status" -> "ok")))
+    server.createContext("/api/v1/healthz", (ex: HttpExchange) => // router.go:104
       respond(ex, 200, Map("status" -> "ok")))
     server.createContext("/api/v2/healthz", (ex: HttpExchange) =>
       respond(ex, 200, Map("status" -> "ok", "version" -> "v2")))

@@ -34,6 +34,7 @@ class ApiServerSpec extends SparkSpec {
 
   test("healthz") {
     assert(get("/healthz") == (200, """{"status":"ok"}"""))
+    assert(get("/api/v1/healthz") == (200, """{"status":"ok"}"""))
   }
 
   test("pipeline create / get / list / terminate / delete round-trip") {
