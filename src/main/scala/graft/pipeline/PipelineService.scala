@@ -169,7 +169,10 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
               brokers = cfg.source.brokers.get,
               topic = topic.name,
               consumerGroup = topic.consumerGroup.getOrElse(s"graft-$id"))))
-          case "otlp" => otlpSpoolRoot match {
+          // "otlp.metrics"/"otlp.logs"/"otlp.traces" are the reference's
+          // typed OTLP source spellings (its 5g demo uses otlp.metrics) —
+          // all read the receiver's spool for their topic
+          case k if k == "otlp" || k.startsWith("otlp.") => otlpSpoolRoot match {
             case None => Left("source: otlp spool root not configured")
             case Some(root) =>
               val dir = s"$root/${topic.name}"

@@ -154,6 +154,21 @@ class ReferenceDemoSpec extends SparkSpec {
     }
   }
 
+  test("5g demo's otlp.metrics source kind reaches the spool path on config start") {
+    val f = demoRoot.resolve("5g-telemetry/glassflow-pipelines/5g-metrics-pipeline.json")
+    assume(Files.exists(f))
+    val cfg0 = ReferenceConfig.fromJson(read(f))
+    // give the sink the url a config start needs; source/type untouched
+    val cfg = cfg0.copy(sink = cfg0.sink.map(_.copy(url = Some("jdbc:ch://x/default"))))
+    val spool = Files.createTempDirectory("otlp_spool").toString
+    val svc = new PipelineService(spark, otlpSpoolRoot = Some(spool))
+    assert(svc.create(cfg).isRight)
+    val r = svc.startFromConfig(cfg.pipelineId)
+    // the typed OTLP spelling must route to the spool reader (which then
+    // reports an empty spool), not fall through as an unsupported kind
+    assert(r.isLeft && r.swap.exists(_.contains("no spool data")), r)
+  }
+
   test("observability v2 demos: schema fields split into engine types and sink columns") {
     val f = demoRoot.resolve("observability/glassflow-pipelines/logs-pipeline.json")
     assume(Files.exists(f))
