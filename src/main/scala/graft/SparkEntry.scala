@@ -868,7 +868,7 @@ object SparkEntry {
         |      AS bm25_milli
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
         |  GROUP BY tf.doc_id)
-        |SELECT d.doc_id, coalesce(s.bm25_milli, 0) AS bm25_milli
+        |SELECT d.doc_id, CAST(coalesce(s.bm25_milli, 0) AS BIGINT) AS bm25_milli
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
     "q_pii" ->
       """WITH p AS (
