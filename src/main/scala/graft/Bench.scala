@@ -48,7 +48,20 @@ object Bench {
     val runs = Seq(forkedIngest(2000000L), forkedIngest(2000000L)).flatten
     val (ingestRate, ingestPruned) =
       if (runs.isEmpty) (-1.0, -1.0) else (runs.map(_._1).max, runs.map(_._2).max)
-    val streamingRate = forkedStreamingIngest(70)
+    // One retry on failure: a lost streaming number (r4) costs a round of
+    // parity evidence, and failures here are usually transient host issues.
+    val (streamingRate, streamingErr) = {
+      val first = forkedStreamingIngest(70)
+      if (first._1 > 0) first
+      else {
+        System.err.println(s"STREAMING BENCH FAILED (${first._2}); retrying once")
+        val second = forkedStreamingIngest(70)
+        if (second._1 > 0) second
+        else (second._1, s"attempt1: ${first._2}; attempt2: ${second._2}")
+      }
+    }
+    if (streamingRate <= 0)
+      System.err.println(s"STREAMING BENCH FAILED after retry: $streamingErr")
     val inSession =
       try {
         spark.catalog.clearCache()
@@ -63,22 +76,38 @@ object Bench {
     // identical at sf0.001 and sf0.1) — not operator cost; its state is
     // keyed and shared-nothing. Recorded so round-over-round comparisons
     // don't read the constant as a regression.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val streamingErrJson =
+      if (streamingRate > 0) ""
+      else s""""streaming_ingest_error":"${jsonEscape(streamingErr)}","""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       """"notes":{"q_temporal_join_stream":"wall time ~= fixed local-mode micro-batch WAL/commit latency (same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
       f""""ingest_events_per_sec":$headline%.0f,""" +
       f""""ingest_pruned_schema_events_per_sec":$ingestPruned%.0f,""" +
       f""""ingest_streaming_events_per_sec":$streamingRate%.0f,""" +
+      streamingErrJson +
       f""""ingest_in_session":$inSession%.0f,""" +
       """"ingest_note":"events_per_sec=steady-state batch rate, max over 2 forked fresh JVMs (guards against transient host steal/sys-time interference), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate source above service rate, warm-up batch dropped); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // Durable copies: the driver's stdout capture window clipped the head of
+    // this line in rounds 3 AND 4; a file can't be clipped.
+    for (path <- Seq("/tmp/bench_final.json", "BENCH_LAST.json"))
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"could not write $path: $e")
+      }
     spark.stop()
   }
 
   /** Run a graft main in a fresh forked JVM (same JVM opts + classpath as
-    * this one) and return its output line containing `marker`. Steady-state
-    * ingest must not share a heap with the query sweep's debris. */
+    * this one) and return its output line containing `marker`, or a Left
+    * describing why there is none (exit code + stderr tail) — a lost bench
+    * number must never be silent. Steady-state ingest must not share a heap
+    * with the query sweep's debris. */
   private def forkedLine(mainClass: String, args: Seq[String],
-                         marker: String): Option[String] =
+                         marker: String): Either[String, String] =
     try {
       import scala.sys.process._
       val javaBin = new java.io.File(
@@ -89,25 +118,50 @@ object Bench {
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args
       val out = new StringBuilder
+      val err = new java.util.ArrayDeque[String]()
       val code = Process(cmd, cwd = None, extraEnv = sys.env.toSeq: _*)
-        .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
-      if (code != 0) None
+        .!(ProcessLogger(
+          l => { out.append(l).append('\n'); () },
+          l => { if (err.size >= 5) err.removeFirst(); err.addLast(l); () }))
+      lazy val errTail = err.asScala.mkString(" | ")
+      if (code != 0) Left(s"$mainClass exited $code; stderr tail: $errTail")
       else out.toString.linesIterator.find(_.contains(marker))
-    } catch { case _: Throwable => None }
+        .toRight(s"$mainClass exited 0 but printed no '$marker' line; stderr tail: $errTail")
+    } catch { case e: Throwable => Left(s"fork of $mainClass threw $e") }
 
   private def num(key: String, s: String): Option[Double] =
     s""""$key":([0-9.-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
 
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private def forkedIngest(n: Long): Option[(Double, Double)] =
-    forkedLine("graft.IngestBench", Seq(n.toString), "\"ingest_throughput\"")
-      .flatMap(l => num("value", l)
-        .map(_ -> num("pruned_schema_events_per_sec", l).getOrElse(-1.0)))
+    forkedLine("graft.IngestBench", Seq(n.toString), "\"ingest_throughput\"") match {
+      case Left(why) =>
+        System.err.println(s"batch ingest bench run failed: $why"); None
+      case Right(l) => num("value", l)
+        .map(_ -> num("pruned_schema_events_per_sec", l).getOrElse(-1.0))
+    }
 
   /** Streaming-mode ingest (rate source → same pipeline → noop streaming
     * sink): the reference is a streaming system, so the parity claim needs
-    * a Structured Streaming number, not just the batch path. */
-  private def forkedStreamingIngest(seconds: Int): Double =
+    * a Structured Streaming number, not just the batch path. Returns the
+    * rate plus a failure description when no positive rate was measured. */
+  private def forkedStreamingIngest(seconds: Int): (Double, String) =
     forkedLine("graft.StreamingIngestBench", Seq(seconds.toString),
-        "\"streaming_ingest_throughput\"")
-      .flatMap(l => num("value", l)).getOrElse(-1.0)
+        "\"streaming_ingest_throughput\"") match {
+      case Left(why) => (-1.0, why)
+      case Right(l) => num("value", l) match {
+        case Some(v) if v > 0 => (v, "")
+        case Some(v) =>
+          (v, "StreamingIngestBench reported a non-positive rate: " +
+            l.replaceAll("\\s+", " ").take(300))
+        case None => (-1.0, s"no numeric value in line: ${l.take(200)}")
+      }
+    }
 }

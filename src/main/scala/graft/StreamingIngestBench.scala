@@ -49,8 +49,26 @@ object StreamingIngestBench {
       .start()
     Thread.sleep(seconds * 1000L)
     val progress = q.recentProgress
+    val failure = q.exception
     q.stop()
     spark.stop()
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(ckpt)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
+    // A dead query must be loud: the value -1 alone cost round 4 its
+    // streaming parity number with no trace of why.
+    failure.foreach { e =>
+      System.err.println(s"streaming query FAILED: ${e.message}")
+      e.getCause match { case null => () case c => c.printStackTrace() }
+    }
+    if (progress.count(_.numInputRows > 0) <= 1)
+      System.err.println(
+        s"streaming bench produced ${progress.length} progress updates, " +
+          s"${progress.count(_.numInputRows > 0)} with data — too few for a " +
+          "steady-state rate (need >= 2 data batches)")
     progress.foreach(p => System.err.println(
       s"batch rows=${p.numInputRows} ms=${p.durationMs.get("triggerExecution")}"))
     // steady state: drop the first DATA batch (cold JIT/codegen), then

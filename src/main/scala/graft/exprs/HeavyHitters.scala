@@ -47,7 +47,9 @@ final class SSBuffer(val capacity: Int, ord: Ordering[Any]) {
         case _ => () // stale snapshot; keep popping
       }
     }
-    0L // unreachable: the heap always holds a live snapshot per entry
+    throw new IllegalStateException(
+      "SSBuffer invariant violated: heap exhausted without finding a live " +
+        "snapshot — every counts entry must have a matching heap snapshot")
   }
 
   private def push(item: Any, count: Long): Unit = {
