@@ -641,6 +641,52 @@ object SparkEntry {
         .select(col("h.item").as("user_id"), col("h.count").as("n_events"))
     },
 
+    // Approximate regime of the SpaceSaving sketch: a skewed item column
+    // with distinct ≫ capacity (at sf0.01: ~3,005 distinct vs capacity 256;
+    // 5 hot items at ~14% of N each, 30% singleton tail), so eviction, the
+    // floor-carrying merge, and post-merge truncation all actually run.
+    // The sketch's item set is not deterministic, so the output is a single
+    // row of guarantee checks the oracle can state as constants: every
+    // returned count bounds its exact GROUP BY truth from above, count −
+    // error bounds it from below, per-item error stays within 8·N/capacity
+    // (analytic bound with safety margin), and every true heavy hitter
+    // (> 4·N/capacity) is present among the returned entries.
+    "q_heavy_hitters_approx" -> { (s, dir) =>
+      val cap = 256
+      val ev = Tables.events(s, dir)
+        .select(when(col("event_id") % 10 < 7, col("event_id") % 5)
+          .otherwise(col("event_id")).as("item"))
+      val sk = ev
+        .agg(graft.exprs.HeavyHitters.heavyHitters(col("item"), cap, cap).as("top"))
+        .select(explode(col("top")).as("h"))
+        .select(col("h.item").as("item"), col("h.count").as("est"),
+          col("h.error").as("err"))
+      val truth = ev.groupBy("item").agg(count(lit(1)).as("true_n"))
+      val tot = ev.agg(count(lit(1)).as("n"),
+        countDistinct(col("item")).as("n_distinct"))
+      val hhTrue = truth.crossJoin(tot)
+        .filter(col("true_n") > lit(4.0) * col("n") / cap)
+        .agg(count(lit(1)).as("n_true_hh"))
+      sk.join(truth, Seq("item")).crossJoin(broadcast(tot))
+        .agg(
+          first(col("n")).as("n_events"),
+          first(col("n_distinct")).as("n_distinct"),
+          count(lit(1)).as("n_returned"),
+          (sum(when(col("est") < col("true_n"), 1L).otherwise(0L)) === 0L)
+            .as("overestimates_ok"),
+          (sum(when(col("est") - col("err") > col("true_n"), 1L).otherwise(0L)) === 0L)
+            .as("lower_bound_ok"),
+          (sum(when(col("err") > lit(8.0) * col("n") / cap, 1L).otherwise(0L)) === 0L)
+            .as("error_bound_ok"),
+          sum(when(col("true_n") > lit(4.0) * col("n") / cap, 1L).otherwise(0L))
+            .as("hh_returned"))
+        .crossJoin(broadcast(hhTrue))
+        .select(col("n_events"), col("n_distinct"), col("n_returned"),
+          col("n_true_hh"), col("overestimates_ok"), col("lower_bound_ok"),
+          col("error_bound_ok"),
+          (col("hh_returned") === col("n_true_hh")).as("all_hh_present"))
+    },
+
     // Broadcast-hash join + ROLLUP aggregation: revenue by region/nation.
     // nation/region are broadcast (tiny dims) — orders never shuffles for
     // the join, only for the final rollup aggregation.
@@ -1094,6 +1140,25 @@ object SparkEntry {
     "q_heavy_hitters" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+    // The sketch side must make every guarantee column land on the
+    // constants below; n_returned is deterministic (the merge truncates to
+    // exactly capacity whenever distinct exceeds it).
+    "q_heavy_hitters_approx" ->
+      """WITH it AS (
+        |  SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 5
+        |              ELSE event_id END AS item
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT item) AS n_distinct FROM it),
+        |truth AS (SELECT item, count(*) AS true_n FROM it GROUP BY item)
+        |SELECT
+        |  (SELECT n FROM tot) AS n_events,
+        |  (SELECT n_distinct FROM tot) AS n_distinct,
+        |  CAST(LEAST((SELECT n_distinct FROM tot), 256) AS BIGINT) AS n_returned,
+        |  (SELECT count(*) FROM truth, tot WHERE true_n > 4.0 * n / 256) AS n_true_hh,
+        |  TRUE AS overestimates_ok,
+        |  TRUE AS lower_bound_ok,
+        |  TRUE AS error_bound_ok,
+        |  TRUE AS all_hh_present""".stripMargin,
     "q_rollup_join" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders

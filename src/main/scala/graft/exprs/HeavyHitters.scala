@@ -26,6 +26,14 @@ import org.apache.spark.sql.types._
   * heap is rebuilt from the map when stale entries pile past 4×capacity. */
 final class SSBuffer(val capacity: Int, ord: Ordering[Any]) {
   val counts = mutable.HashMap.empty[Any, (Long, Long)] // item -> (count, err)
+  /** Upper bound on the true count of any item NOT present in this buffer:
+    * the largest count ever evicted, plus (after merges) the constituent
+    * buffers' floors. Carrying this across the merge is what makes the
+    * summary mergeable in the Agarwal et al. (PODS'12) sense — without it,
+    * an item evicted in one partial but present in another would lose its
+    * evicted-side mass and the `count >= true` guarantee would not survive
+    * the cross-partition merge. */
+  var floorSum: Long = 0L
   // min at head: smallest count, then smallest item (deterministic victim —
   // it only matters in the approximate regime, but keeps results
   // replay-stable there too)
@@ -43,6 +51,7 @@ final class SSBuffer(val capacity: Int, ord: Ordering[Any]) {
       counts.get(item) match {
         case Some((live, _)) if live == c =>
           counts.remove(item)
+          if (c > floorSum) floorSum = c
           return c
         case _ => () // stale snapshot; keep popping
       }
@@ -82,18 +91,34 @@ final class SSBuffer(val capacity: Int, ord: Ordering[Any]) {
     push(item, count)
   }
 
-  /** Combine-then-truncate merge: exact whenever the combined distinct set
-    * fits in `capacity` (the exactness contract); beyond it the smallest
-    * tail entries are dropped. */
+  /** Floor-carrying merge (Agarwal et al., "Mergeable Summaries", PODS'12):
+    * an item present on only one side gets the other side's floor added to
+    * both count and error — its true mass in the other side's stream is at
+    * most that floor — so `true <= count <= true + error` survives the
+    * merge. Exact whenever no constituent ever evicted (both floors zero
+    * and the combined distinct set fits `capacity` — the exactness
+    * contract); beyond that the smallest tail entries are dropped, which
+    * raises only the floor, never a surviving entry's bounds. */
   def merge(other: SSBuffer): Unit = {
+    val selfFloor = floorSum
+    val otherFloor = other.floorSum
+    if (otherFloor > 0) {
+      val onlySelf = counts.keysIterator.filterNot(other.counts.contains).toArray
+      onlySelf.foreach { item =>
+        val (c, e) = counts(item)
+        counts.update(item, (c + otherFloor, e + otherFloor))
+        push(item, c + otherFloor)
+      }
+    }
     other.counts.foreach { case (item, (c, e)) =>
       counts.get(item) match {
         case Some((c0, e0)) =>
           counts.update(item, (c0 + c, e0 + e))
           push(item, c0 + c)
-        case None => load(item, c, e)
+        case None => load(item, c + selfFloor, e + selfFloor)
       }
     }
+    floorSum = selfFloor + otherFloor
     while (counts.size > capacity) evictMin()
   }
 
@@ -111,9 +136,12 @@ final class SSBuffer(val capacity: Int, ord: Ordering[Any]) {
   *
   * CONTRACT: with `distinct(item) ≤ capacity` every count is exact and
   * `error = 0` — the test-scale / oracle regime. Beyond capacity the
-  * SpaceSaving guarantees apply per partial (`true ≤ count ≤ true + error`,
-  * items with true frequency > N/capacity are never lost by insertion) and
-  * the cross-partition merge combines then truncates to capacity.
+  * SpaceSaving guarantees hold END TO END, across the cross-partition
+  * merge (floor-carrying merge, Agarwal et al. PODS'12): for every
+  * returned item `true ≤ count` and `count − error ≤ true`, and every item
+  * with true frequency comfortably above N/capacity survives to the final
+  * sketch. `q_heavy_hitters_approx` oracle-checks exactly these
+  * inequalities against exact GROUP BY truth at distinct ≫ capacity.
   *
   * The 100-TB shape: one scan pass, `capacity` counters per (key-group,
   * map task) — the shuffle carries bounded sketches instead of one row per
@@ -169,6 +197,7 @@ case class HeavyHitters(
   override def serialize(buf: SSBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeLong(buf.floorSum)
     out.writeInt(buf.counts.size)
     buf.counts.foreach { case (i, (c, e)) =>
       val bytes = rowProjection(InternalRow(i, c, e)).getBytes
@@ -182,6 +211,7 @@ case class HeavyHitters(
   override def deserialize(bytes: Array[Byte]): SSBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new SSBuffer(capacity, ord)
+    buf.floorSum = in.readLong()
     val n = in.readInt()
     var i = 0
     while (i < n) {

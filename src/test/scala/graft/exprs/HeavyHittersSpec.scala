@@ -57,6 +57,25 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out.getLong(1) - out.getLong(2) <= 2000L)
   }
 
+  test("floor-carrying merge keeps count >= true for an item evicted in one partial") {
+    val ord = Ordering.fromLessThan[Any]((a, b) =>
+      a.asInstanceOf[String] < b.asInstanceOf[String])
+    // partial A at capacity 2: x enters, then singletons bury and evict it
+    val a = new SSBuffer(2, ord)
+    Seq("x", "c1", "c2", "c3").foreach(a.add(_))
+    assert(!a.counts.contains("x") && a.floorSum >= 1,
+      "precondition: x evicted from A with a recorded floor")
+    // partial B: x is hot
+    val b = new SSBuffer(2, ord)
+    Seq("x", "x", "x").foreach(b.add(_))
+    b.merge(a)
+    val Some((_, count, err)) = b.top(2).find(_._1 == "x")
+    // true count of x across both streams = 1 (A, evicted) + 3 (B) = 4;
+    // the pre-floor merge would have reported 3 here
+    assert(count >= 4L, s"merged estimate must cover the evicted-side mass: $count")
+    assert(count - err <= 4L, s"count - error stays a lower bound: $count - $err")
+  }
+
   test("k must not exceed capacity") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       Seq("a").toDF("x").agg(HeavyHitters.heavyHitters($"x", 10, 4)).collect()
