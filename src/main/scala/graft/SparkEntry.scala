@@ -583,19 +583,36 @@ object SparkEntry {
     // outputs are exposed so the oracle checks the PLUMBING (schema, binary
     // byte length, decode dispatch) — decoder internals are stub-backed and
     // asserted in DataOpsSpec instead.
+    // Image rows carry a REAL synthetic PNG (constant-gray, dimensions and
+    // fill derived from doc_id), decoded for real through javax.imageio —
+    // so the img_* columns are decoder-dependent and oracle-predictable.
+    // Audio/video rows keep the deterministic stub (no such codecs here);
+    // their stub dimensions are deterministic but not SQL-expressible, so
+    // only decode_ok and payload size are oracled for them.
     "q_multimodal" -> { (s, dir) =>
       import graft.data.Multimodal
+      val mkPng = udf((id: Long) => Multimodal.syntheticPng(
+        (8 + id % 16).toInt, (8 + id % 8).toInt, (id % 256).toInt))
+      val isPng = pmod(col("doc_id"), lit(3)) === 2
       val media = Tables.documents(s, dir).select(
         col("doc_id").as("media_id"),
         element_at(
           array(lit("video/mp4"), lit("audio/wav"), lit("image/png")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
-        col("text").cast("binary").as("content"),
+        when(isPng, mkPng(col("doc_id")))
+          .otherwise(col("text").cast("binary")).as("content"),
+        col("text").cast("binary").as("payload"),
         map(lit("src"), col("source")).as("meta"))
       val features = Multimodal.extractFeatures(
         Multimodal.repartitionBySize(media, 1L << 20))
+      val png = col("mime") === "image/png"
       features.select(col("media_id"), col("mime"),
-        length(col("content")).as("n_bytes"), col("decode_ok"))
+        when(!png, length(col("payload"))).as("n_bytes"),
+        col("decode_ok"),
+        when(png, col("width")).as("img_width"),
+        when(png, col("height")).as("img_height"),
+        when(png, col("channels")).as("img_channels"),
+        when(png, col("mean_sample")).as("img_mean"))
     },
 
     // ---- beyond-reference relational operators ----
@@ -1116,12 +1133,20 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.48""".stripMargin,
+    // img_* columns are what a real javax.imageio decode of the synthetic
+    // constant-gray PNG must report: the generator's arguments.
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'video/mp4' WHEN 1 THEN 'audio/wav'
         |       ELSE 'image/png' END AS mime,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  octet_length(encode(text)) > 0 AS decode_ok
+        |  CASE WHEN doc_id % 3 <> 2
+        |       THEN CAST(octet_length(encode(text)) AS INTEGER) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 2 THEN TRUE
+        |       ELSE octet_length(encode(text)) > 0 END AS decode_ok,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(8 + doc_id % 16 AS INTEGER) END AS img_width,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(8 + doc_id % 8 AS INTEGER) END AS img_height,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(3 AS INTEGER) END AS img_channels,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 256 AS DOUBLE) END AS img_mean
         |FROM documents""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,

@@ -1,5 +1,7 @@
 package graft.data
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
@@ -7,9 +9,11 @@ import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
   * metadata. The Spark-side plumbing — schema, batch iteration, partition
-  * sizing — is real; the actual media decoding is STUBBED behind
-  * [[Decoder]] (codec libraries are not available in this build
-  * environment; plug a real implementation in production).
+  * sizing — is real, and so is IMAGE decoding: [[ImageIoDecoder]] reads
+  * PNG/JPEG/GIF/BMP through `javax.imageio` (ships with the JRE — zero
+  * added dependencies). Audio/video decoding remains STUBBED behind
+  * [[Decoder]] (no such codecs in this build environment; plug a real
+  * implementation in production).
   *
   * Scale notes: media rows are orders of magnitude wider than text rows —
   * [[repartitionBySize]] targets a fixed number of BYTES per task (not rows)
@@ -30,9 +34,14 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("n_frames", IntegerType),
+    StructField("mean_sample", DoubleType),
     StructField("decode_ok", BooleanType)))
 
-  final case class Decoded(width: Int, height: Int, channels: Int, nFrames: Int)
+  /** `meanSample` is the mean over every raster sample of every band — a
+    * deterministic pixel-stat scalar (−1.0 when the decoder has no pixel
+    * access, e.g. the stub). */
+  final case class Decoded(width: Int, height: Int, channels: Int, nFrames: Int,
+      meanSample: Double = -1.0)
 
   /** The decode seam. A real implementation wraps an image/audio codec;
     * [[StubDecoder]] is a clearly-marked deterministic fake. */
@@ -60,11 +69,71 @@ object Multimodal {
     }
   }
 
+  /** Real image decode through `javax.imageio`: dimensions, raster band
+    * count, and the mean raster sample. None for non-image mimes, empty
+    * payloads, and bytes no installed reader accepts — chain with
+    * [[StubDecoder]] via [[DefaultDecoder]] for those. */
+  object ImageIoDecoder extends Decoder {
+    def decode(mime: String, bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes == null || bytes.isEmpty) return None
+      if (mime == null || !mime.startsWith("image/")) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h * bands
+          Some(Decoded(w, h, bands, 1, if (n > 0) sum / n else -1.0))
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Default decode chain: real `javax.imageio` decode first, the
+    * deterministic stub for whatever no installed codec accepts
+    * (audio/video in this build). */
+  object DefaultDecoder extends Decoder {
+    def decode(mime: String, bytes: Array[Byte]): Option[Decoded] =
+      ImageIoDecoder.decode(mime, bytes).orElse(StubDecoder.decode(mime, bytes))
+  }
+
+  /** Deterministic synthetic PNG — a constant-gray `width`×`height` RGB
+    * image, so a decode of the emitted bytes is a pure function of the
+    * arguments (dimensions, 3 bands, mean sample = gray). Test and oracle
+    * fixture generator. */
+  def syntheticPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = gray & 0xff
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Decode/feature-extract over partitions (the Scala analogue of a
     * mapInPandas batch UDF: one decoder instance per partition, rows
     * streamed). Appends [[featureSchema]] columns; decode failures yield
     * decode_ok=false rather than failing the job (DLQ-able downstream). */
-  def extractFeatures(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+  def extractFeatures(df: DataFrame, decoder: Decoder = DefaultDecoder): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ featureSchema.fields)
     val mimeIdx = inSchema.fieldIndex("mime")
@@ -73,8 +142,8 @@ object Multimodal {
       rows.map { r =>
         val decoded = decoder.decode(r.getString(mimeIdx), r.getAs[Array[Byte]](contentIdx))
         val extra: Array[Any] = decoded match {
-          case Some(d) => Array(d.width, d.height, d.channels, d.nFrames, true)
-          case None => Array(null, null, null, null, false)
+          case Some(d) => Array(d.width, d.height, d.channels, d.nFrames, d.meanSample, true)
+          case None => Array(null, null, null, null, null, false)
         }
         new GenericRowWithSchema(Array.tabulate(inSchema.length)(r.get) ++ extra, outSchema): Row
       }

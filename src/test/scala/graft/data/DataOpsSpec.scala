@@ -350,6 +350,32 @@ class DataOpsSpec extends SparkSpec {
     assert(deep(out) == deep(again))
   }
 
+  test("multimodal: real PNG/JPEG decode via javax.imageio") {
+    val png = Multimodal.syntheticPng(12, 9, 77)
+    val df = Seq((1L, "image/png", png, Map.empty[String, String]))
+      .toDF("media_id", "mime", "content", "meta")
+    val r = Multimodal.extractFeatures(df).head()
+    assert(r.getAs[Boolean]("decode_ok"))
+    assert(r.getAs[Int]("width") == 12 && r.getAs[Int]("height") == 9)
+    assert(r.getAs[Int]("channels") == 3)
+    assert(r.getAs[Double]("mean_sample") == 77.0,
+      "constant-gray fill must decode to an exact mean sample")
+    // JPEG round-trip decodes too (lossy codec — only dimensions asserted)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JRE must ship a JPEG writer")
+    val j = Multimodal.extractFeatures(
+      Seq((2L, "image/jpeg", bos.toByteArray, Map.empty[String, String]))
+        .toDF("media_id", "mime", "content", "meta")).head()
+    assert(j.getAs[Boolean]("decode_ok"))
+    assert(j.getAs[Int]("width") == 12 && j.getAs[Int]("height") == 9)
+    // undecodable image bytes fall back to the deterministic stub, not a failure
+    val s = Multimodal.extractFeatures(
+      Seq((3L, "image/png", "notapng".getBytes, Map.empty[String, String]))
+        .toDF("media_id", "mime", "content", "meta")).head()
+    assert(s.getAs[Boolean]("decode_ok") && s.getAs[Double]("mean_sample") == -1.0)
+  }
+
   test("multimodal: binary parquet round-trip + metadata-only size repartition") {
     val rows = (1L to 50L).map(i =>
       (i, "image/png", Array.fill((i * 37 % 256).toInt + 1)(i.toByte), Map("i" -> i.toString)))
