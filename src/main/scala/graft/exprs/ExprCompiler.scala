@@ -69,7 +69,19 @@ object ExprCompiler {
         case "*" => lc * rc
         case "/" => lc / rc
         case "%" => lc % rc
-        case "matches" => regexp_like(lc, rc)
+        // Literal patterns are held to the dialect both engines share: the
+        // reference runs Go/RE2, we run java.util.regex — Java-only
+        // constructs are rejected at compile/validation time (silent
+        // semantic divergence otherwise), and RE2-only spellings both
+        // engines can express are translated to their Java form.
+        case "matches" =>
+          r match {
+            case Lit(p: String) =>
+              Re2Dialect.violation(p).foreach(v =>
+                throw CompileException(s"matches pattern not RE2-compatible: $v"))
+              regexp_like(lc, lit(Re2Dialect.toJava(p)))
+            case _ => regexp_like(lc, rc)
+          }
         case "in" => compileIn(l, r, schema)
         case other => throw CompileException(s"unknown operator $other")
       }

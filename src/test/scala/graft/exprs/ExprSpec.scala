@@ -40,6 +40,12 @@ class ExprSpec extends SparkSpec {
     assert(eval1("n in [1, 2]", sample) == false)
     assert(eval1("email matches '^[a-z0-9]+@[a-z.]+$'", sample) == true)
     assert(eval1("action matches '^log'", sample) == true)
+    // RE2 named-group spelling executes (translated to Java's spelling)
+    assert(eval1("action matches '(?P<head>^log)in'", sample) == true)
+    // Java-only construct → compile-time rejection, not silent divergence
+    assertThrows[ExprCompiler.CompileException] {
+      eval1("action matches 'log(?=in)'", sample)
+    }
   }
 
   test("nil comparisons are null tests") {

@@ -33,6 +33,26 @@ class ServiceSpec extends SparkSpec {
     assert(ExpressionService.validateFilter("ghost > 1", schema).isLeft)
   }
 
+  test("matches patterns are held to the reference's RE2 dialect") {
+    val schema = StructType(Seq(StructField("status", StringType)))
+    def validate(expr: String) = ExpressionService.validateFilter(expr, schema)
+    // RE2-safe patterns validate
+    assert(validate("""status matches '^ok[0-9]+$'""").isRight)
+    assert(validate("""status matches 'a{2,3}(?:x|y)*\\d+'""").isRight)
+    assert(validate("""status matches '(?P<name>ab)c'""").isRight)
+    // Java-only constructs are rejected at validation time, naming the construct
+    val look = validate("""status matches 'ok(?=done)'""")
+    assert(look.isLeft && look.swap.exists(_.contains("lookahead")))
+    assert(validate("""status matches '(?<=a)b'""").swap.exists(_.contains("lookbehind")))
+    assert(validate("""status matches '(a)\\1'""").swap.exists(_.contains("backreference")))
+    assert(validate("""status matches 'a*+b'""").swap.exists(_.contains("possessive")))
+    assert(validate("""status matches '(?>ab)c'""").swap.exists(_.contains("atomic")))
+    assert(validate("""status matches '(?<name>ab)'""").swap.exists(_.contains("named group")))
+    // escaped / in-class spellings of the same characters stay legal
+    assert(validate("""status matches 'a\\*\\+b'""").isRight)
+    assert(validate("""status matches '[+*?]'""").isRight)
+  }
+
   test("versioned transform routes rows by schema version") {
     val df = Seq(
       ("v1", "Click", 10L), ("v2", "View", 20L), ("v9", "Drop", 30L)
