@@ -381,21 +381,21 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
     * `seq > cursor` + top-n by seq — a filter and a bounded TakeOrdered,
     * never a full re-sort of the queue (count-offset paging re-sorted
     * everything per call: quadratic on a large DLQ, and the Int offset
-    * overflowed past 2³¹ messages). Seq-less frames (externally written)
-    * fall back to total-order offset paging with the cursor capped. */
+    * overflowed past 2³¹ messages). A seq-less frame (externally written)
+    * is stamped ONCE on first read ([[graft.sink.Dlq.stampLegacySeq]] —
+    * same total order the old offset paging used, so an existing cursor
+    * keeps its meaning) and pages like any other from then on. */
   def dlqConsume(path: String, limit: Int): Either[String, Seq[String]] =
     resolveDlq(path).map { p =>
       import org.apache.spark.sql.functions.col
       try {
-        val df = spark.read.parquet(p)
+        val df0 = spark.read.parquet(p)
+        val df =
+          if (df0.columns.contains("seq")) df0
+          else { graft.sink.Dlq.stampLegacySeq(spark, p); spark.read.parquet(p) }
         val cursor = readCursor(p)
-        val page =
-          if (df.columns.contains("seq"))
-            df.filter(col("seq") > cursor).orderBy(col("seq")).limit(limit)
-          else
-            df.orderBy(df.columns.map(col): _*)
-              .offset(math.min(cursor, Int.MaxValue.toLong).toInt).limit(limit)
-        page.collect().map(_.getAs[String]("original_message")).toSeq
+        df.filter(col("seq") > cursor).orderBy(col("seq")).limit(limit)
+          .collect().map(_.getAs[String]("original_message")).toSeq
       } catch { case _: Exception => Seq.empty }
     }
 

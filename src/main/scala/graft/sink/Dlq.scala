@@ -38,6 +38,41 @@ object Dlq {
     java.nio.file.Files.write(seqPath(path), (start + n).toString.getBytes("UTF-8"))
   }
 
+  /** One-time migration of an externally-written, seq-less DLQ directory:
+    * stamp every existing row with contiguous `seq` (1..n, total column
+    * order — the same order the retired offset-paging fallback used, so
+    * an in-flight ack cursor keeps meaning "rows already delivered") and
+    * initialize the seq side file. Data files are rewritten; dot-prefixed
+    * side files (the ack cursor) are preserved. After this, a legacy queue
+    * pages exactly like a stamped one — the per-page full re-sort path is
+    * gone. */
+  def stampLegacySeq(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    synchronized {
+      import scala.jdk.CollectionConverters._
+      val df = spark.read.parquet(path)
+      if (df.columns.contains("seq")) return
+      val n = df.count()
+      val w = Window.orderBy(df.columns.map(col): _*)
+      val tmp = path + ".seq-migrate"
+      df.withColumn("seq", row_number().over(w).cast("long"))
+        .write.mode("overwrite").parquet(tmp)
+      val dir = java.nio.file.Paths.get(path)
+      val tmpDir = java.nio.file.Paths.get(tmp)
+      def isDataArtifact(nm: String): Boolean =
+        nm.startsWith("part-") || nm.startsWith(".part-") ||
+          nm == "_SUCCESS" || nm == "._SUCCESS.crc"
+      java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .filter(f => isDataArtifact(f.getFileName.toString))
+        .foreach(java.nio.file.Files.delete(_))
+      java.nio.file.Files.list(tmpDir).iterator().asScala.toSeq
+        .filter(f => isDataArtifact(f.getFileName.toString))
+        .foreach(f => java.nio.file.Files.move(f, dir.resolve(f.getFileName.toString)))
+      java.nio.file.Files.list(tmpDir).iterator().asScala.toSeq
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(tmpDir)
+      java.nio.file.Files.write(seqPath(path), (n + 1).toString.getBytes("UTF-8"))
+    }
+
   private def seqPath(path: String) =
     java.nio.file.Paths.get(path, ".graft_dlq_seq")
 

@@ -220,6 +220,32 @@ class LifecycleSpec extends SparkSpec {
     assert(new PipelineService(spark).dlqState("dlq").isLeft)
   }
 
+  test("legacy seq-less dlq is stamped once on first read, then pages by seq") {
+    val root = Files.createTempDirectory("graft_dlq_legacy").toString
+    val svc = new PipelineService(spark, dlqRoot = Some(root))
+    // an externally-written queue: envelope columns, no seq
+    Seq("a", "b", "c", "d", "e")
+      .map(m => ("src", "err", s"""{"m":"$m"}"""))
+      .toDF("component", "error", "original_message")
+      .write.parquet(s"$root/dlq")
+    // pre-existing ack cursor keeps its row-offset meaning through migration
+    assert(svc.dlqConsume("dlq", 2).toOption.get.map(_.contains("\"a\"")) == Seq(true, false))
+    assert(svc.dlqAck("dlq", 2) == Right(2L))
+    // the first read stamped the queue: seq now contiguous, side file advanced
+    val seqs = spark.read.parquet(s"$root/dlq").select("seq")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (1L to 5L), "one-time stamp must assign contiguous seq")
+    assert(graft.sink.Dlq.readSeq(s"$root/dlq") == 6L)
+    val page2 = svc.dlqConsume("dlq", 2).toOption.get
+    assert(page2.exists(_.contains("\"c\"")) && page2.exists(_.contains("\"d\"")))
+    // later appends continue the sequence where the migration left it
+    graft.sink.Dlq.writeParquet(s"$root/dlq")(
+      graft.sink.Dlq.envelope("sink", "late")(Seq(("z", 1L)).toDF("id", "n")))
+    val after = spark.read.parquet(s"$root/dlq").select("seq")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == (1L to 6L), "post-migration append must extend, not restart, seq")
+  }
+
   test("dlq paging: monotonic seq across multi-file appends, no re-sort, symlink escape blocked") {
     val root = Files.createTempDirectory("graft_dlq_seq").toString
     val svc = new PipelineService(spark, dlqRoot = Some(root))
