@@ -26,10 +26,9 @@ import graft.operators.OtlpFlatten
   *
   * TRANSPORT: OTLP/HTTP with BOTH standard encodings — protobuf
   * (`Content-Type: application/x-protobuf`, the collector's `otlphttp`
-  * default, decoded by [[OtlpProto]]) and JSON. The reference's primary
-  * transport is gRPC (otlp-receiver/server/grpc/); plain `otlp` (gRPC)
-  * exporters will not connect — point the collector's `otlphttp` exporter
-  * here instead. See README for the collector snippet.
+  * default, decoded by [[OtlpProto]]) and JSON — plus the reference's
+  * primary transport, OTLP/gRPC over h2c, via [[grpc]] /
+  * [[OtlpGrpcServer]] on its own port. See README for collector snippets.
   */
 final class OtlpReceiver(spark: SparkSession, spoolDir: String,
                          route: Option[(String, DataFrame) => Unit] = None) {
@@ -46,6 +45,26 @@ final class OtlpReceiver(spark: SparkSession, spoolDir: String,
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+
+  /** Decode + flatten + deliver a binary-protobuf Export*ServiceRequest —
+    * the shared ingestion path behind both the HTTP protobuf content-type
+    * and the gRPC transport ([[OtlpGrpcServer]]). Returns accepted rows
+    * (−1 when a custom route owns counting). */
+  def ingestProtobuf(signal: String, bytes: Array[Byte]): Long = {
+    val flatten: DataFrame => DataFrame = signal match {
+      case "logs" => OtlpFlatten.logs
+      case "traces" => OtlpFlatten.traces
+      case "metrics" => OtlpFlatten.metrics
+      case other => throw new IllegalArgumentException(s"unknown OTLP signal: $other")
+    }
+    import spark.implicits._
+    val df = spark.read.json(Seq(OtlpProto.toJson(signal, bytes)).toDS)
+    deliver(signal, flatten(df))
+  }
+
+  /** A gRPC (OTLP's default transport) front for this receiver — start it
+    * on its own port alongside [[start]]. */
+  def grpc(): OtlpGrpcServer = new OtlpGrpcServer(ingestProtobuf)
 
   /** Deliver the flattened frame, evaluating the plan ONCE: the spool path
     * counts the files it just wrote (cheap metadata read) instead of
