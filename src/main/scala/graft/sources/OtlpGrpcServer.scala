@@ -26,9 +26,11 @@ import io.netty.handler.codec.http2._
   * hands the protobuf payload to the same decode → flatten → spool path
   * the HTTP transport uses ([[OtlpReceiver.ingestProtobuf]]).
   *
-  * Scope: unary Export only (all three signals), no response compression,
-  * `grpc-encoding` other than identity rejected with UNIMPLEMENTED(12) as
-  * the gRPC spec directs. TLS stays out of scope as on the HTTP side.
+  * Scope: unary Export only (all three signals). Request `grpc-encoding:
+  * gzip` is accepted — the collector's exporter compresses by default —
+  * other codings are rejected with UNIMPLEMENTED(12) as the gRPC spec
+  * directs; responses are always identity. TLS stays out of scope as on
+  * the HTTP side.
   */
 final class OtlpGrpcServer(ingest: (String, Array[Byte]) => Long) {
 
@@ -94,13 +96,13 @@ final class OtlpGrpcServer(ingest: (String, Array[Byte]) => Long) {
       SignalByPath.get(path) match {
         case None =>
           trailersOnly(ctx, 12, s"unknown method: $path")
-        case Some(_) if encoding != "identity" =>
+        case Some(_) if encoding != "identity" && encoding != "gzip" =>
           trailersOnly(ctx, 12, s"grpc-encoding $encoding not supported")
         case Some(signal) =>
           val bytes = body.toByteArray
           if (bytes.length < 5)
             trailersOnly(ctx, 3, "missing gRPC message frame")
-          else if (bytes(0) != 0)
+          else if (bytes(0) != 0 && encoding == "identity")
             trailersOnly(ctx, 12, "compressed-flag set without grpc-encoding")
           else {
             val len = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
@@ -108,7 +110,9 @@ final class OtlpGrpcServer(ingest: (String, Array[Byte]) => Long) {
               trailersOnly(ctx, 3, s"message length $len exceeds body")
             else
               try {
-                ingest(signal, java.util.Arrays.copyOfRange(bytes, 5, 5 + len))
+                val msg = java.util.Arrays.copyOfRange(bytes, 5, 5 + len)
+                // per-message compressed flag: gunzip only flagged messages
+                ingest(signal, if (bytes(0) != 0) gunzip(msg) else msg)
                 val headers = new DefaultHttp2Headers().status("200")
                 headers.set("content-type", "application/grpc")
                 ctx.write(new DefaultHttp2HeadersFrame(headers))
@@ -126,6 +130,12 @@ final class OtlpGrpcServer(ingest: (String, Array[Byte]) => Long) {
               }
           }
       }
+
+    private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.readAllBytes() finally in.close()
+    }
 
     /** gRPC trailers-only error response: one HEADERS frame, end of stream. */
     private def trailersOnly(ctx: ChannelHandlerContext, status: Int, msg: String): Unit = {

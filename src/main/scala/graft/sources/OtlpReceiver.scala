@@ -91,7 +91,13 @@ final class OtlpReceiver(spark: SparkSession, spoolDir: String,
       try {
         if (ex.getRequestMethod != "POST") 405 -> """{"error":"POST required"}"""
         else {
-          val raw = ex.getRequestBody.readAllBytes()
+          val raw0 = ex.getRequestBody.readAllBytes()
+          // collectors compress by default (otlphttp compression: gzip)
+          val raw =
+            if (Option(ex.getRequestHeaders.getFirst("Content-Encoding")).exists(_.contains("gzip"))) {
+              val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw0))
+              try in.readAllBytes() finally in.close()
+            } else raw0
           val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
           // collectors default to protobuf on otlphttp; JSON also accepted
           val body =

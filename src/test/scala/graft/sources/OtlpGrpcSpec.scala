@@ -135,6 +135,28 @@ class OtlpGrpcSpec extends SparkSpec {
     } finally grpc.stop()
   }
 
+  test("gzip grpc-encoding (collector exporter default) is accepted") {
+    val spool = java.nio.file.Files.createTempDirectory("otlp_grpc_gzip").toString
+    val grpc = new OtlpReceiver(spark, spool).grpc()
+    val port = grpc.start()
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(logsRequest); gz.close()
+      val compressed = bos.toByteArray
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(1) // compressed flag
+      frame.write(java.nio.ByteBuffer.allocate(4).putInt(compressed.length).array())
+      frame.write(compressed)
+      val reply = call(port,
+        "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
+        frame.toByteArray, Map("grpc-encoding" -> "gzip"))
+      assert(reply.grpcStatus == 0, s"expected OK, got $reply")
+      assert(spark.read.parquet(s"$spool/logs").head()
+        .getAs[String]("body") == "grpc works")
+    } finally grpc.stop()
+  }
+
   test("gRPC status machine: unknown method and non-identity encoding rejected") {
     val spool = java.nio.file.Files.createTempDirectory("otlp_grpc_err").toString
     val grpc = new OtlpReceiver(spark, spool).grpc()
@@ -143,7 +165,7 @@ class OtlpGrpcSpec extends SparkSpec {
       assert(call(port, "/no.such.Service/Export", grpcFrame(logsRequest))
         .grpcStatus == 12)
       assert(call(port, "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
-        grpcFrame(logsRequest), Map("grpc-encoding" -> "gzip")).grpcStatus == 12)
+        grpcFrame(logsRequest), Map("grpc-encoding" -> "zstd")).grpcStatus == 12)
       assert(call(port, "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
         Array[Byte](0, 0)).grpcStatus == 3)
     } finally grpc.stop()

@@ -101,6 +101,20 @@ class OtlpReceiverSpec extends SparkSpec {
     assert(row.getAs[Long]("duration_ns") == 500000000L)
   }
 
+  test("gzip Content-Encoding (otlphttp exporter default) is accepted") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(logsRequest.replace("started", "gzipped").getBytes("UTF-8")); gz.close()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
+        .header("Content-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, resp.body())
+    assert(spark.read.parquet(s"$spool/logs")
+      .filter(org.apache.spark.sql.functions.col("body") === "gzipped").count() == 1)
+  }
+
   test("malformed payloads are a clean 400, nothing spooled") {
     assert(post("/v1/metrics", "{ not json")._1 == 400)
     assert(post("/v1/metrics", """{"wrongShape": true}""")._1 == 400)
