@@ -76,6 +76,44 @@ class HeavyHittersSpec extends SparkSpec {
     assert(count - err <= 4L, s"count - error stays a lower bound: $count - $err")
   }
 
+  test("randomized multi-partial merges keep the oracle's guarantees") {
+    // the q_heavy_hitters_approx oracle asserts: count >= true,
+    // count - error <= true, error <= 8N/capacity, and every item with
+    // true > 4N/capacity present. Stress those bounds across random skewed
+    // streams split into random partials merged in random order.
+    val rnd = new scala.util.Random(7)
+    val ord = Ordering.fromLessThan[Any]((a, b) =>
+      a.asInstanceOf[String] < b.asInstanceOf[String])
+    (1 to 20).foreach { trial =>
+      val capacity = 16 + rnd.nextInt(49) // 16..64
+      val nHot = 1 + rnd.nextInt(5)
+      val stream = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until nHot).foreach { h =>
+        stream ++= Seq.fill(200 + rnd.nextInt(400))(s"hot$h")
+      }
+      stream ++= (1 to 500 + rnd.nextInt(2000)).map(i => s"c${rnd.nextInt(100000)}_$i")
+      val shuffled = rnd.shuffle(stream.toSeq)
+      val n = shuffled.length.toLong
+      val nPartials = 2 + rnd.nextInt(15)
+      val buffers = Array.fill(nPartials)(new SSBuffer(capacity, ord))
+      shuffled.foreach(item => buffers(rnd.nextInt(nPartials)).add(item))
+      val merged = rnd.shuffle(buffers.toSeq).reduce { (a, b) => a.merge(b); a }
+      val truth = shuffled.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val top = merged.top(capacity)
+      top.foreach { case (item, count, err) =>
+        val t = truth(item.asInstanceOf[String])
+        assert(count >= t, s"trial $trial: undercount $item: $count < $t")
+        assert(count - err <= t, s"trial $trial: lower bound broken for $item")
+        assert(err <= 8.0 * n / capacity,
+          s"trial $trial: error $err above 8N/cap=${8.0 * n / capacity}")
+      }
+      val present = top.map(_._1.asInstanceOf[String]).toSet
+      truth.filter(_._2 > 4.0 * n / capacity).keys.foreach { hh =>
+        assert(present.contains(hh), s"trial $trial: true heavy hitter $hh lost")
+      }
+    }
+  }
+
   test("k must not exceed capacity") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       Seq("a").toDF("x").agg(HeavyHitters.heavyHitters($"x", 10, 4)).collect()
