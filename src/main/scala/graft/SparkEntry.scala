@@ -615,6 +615,35 @@ object SparkEntry {
         when(png, col("mean_sample")).as("img_mean"))
     },
 
+    // Real bilinear image resize (Graphics2D) over synthetic PNGs: the
+    // fit-box arithmetic and the constant-fill mean are oracle-predictable,
+    // and the decoded output dimensions prove the resize actually ran.
+    "q_image_resize" -> { (s, dir) =>
+      import graft.data.Multimodal
+      val mkPng = udf((id: Long) => Multimodal.syntheticPng(
+        (8 + id % 16).toInt, (8 + id % 8).toInt, (id % 256).toInt))
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        lit("image/png").as("mime"),
+        mkPng(col("doc_id")).as("content"))
+      val feats = Multimodal.extractFeatures(Multimodal.resizeImages(media, 10, 6))
+      feats.select(col("media_id"), col("width").as("out_w"),
+        col("height").as("out_h"), col("mean_sample").as("out_mean"))
+    },
+
+    // Frame sampling: every-30th index below the per-row frame count. The
+    // explosion arithmetic is exact and oracled; pixel extraction stays a
+    // stub seam (no video codec in this build).
+    "q_frame_sample" -> { (s, dir) =>
+      import graft.data.Multimodal
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        lit("video/mp4").as("mime"),
+        (lit(1L) + pmod(col("doc_id"), lit(240))).as("n_frames"))
+      Multimodal.sampleFrames(media, 30, "n_frames")
+        .select(col("media_id"), col("frame_idx"))
+    },
+
     // ---- beyond-reference relational operators ----
 
     // Window functions: top-3 orders per customer.
@@ -1147,6 +1176,25 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(8 + doc_id % 8 AS INTEGER) END AS img_height,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(3 AS INTEGER) END AS img_channels,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 256 AS DOUBLE) END AS img_mean
+        |FROM documents""".stripMargin,
+    // fit-box math mirrors resizeImages exactly (same IEEE double ops:
+    // LEAST of the two ratios, floor, min dimension 1); constant fill
+    // survives bilinear scaling exactly, so out_mean stays the gray level
+    "q_image_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 16 AS DOUBLE) AS w,
+        |    CAST(8 + doc_id % 8 AS DOUBLE) AS h
+        |  FROM documents),
+        |s AS (SELECT media_id, w, h, LEAST(1.0, 10.0 / w, 6.0 / h) AS sc FROM m)
+        |SELECT media_id,
+        |  CAST(GREATEST(1, FLOOR(w * sc)) AS INTEGER) AS out_w,
+        |  CAST(GREATEST(1, FLOOR(h * sc)) AS INTEGER) AS out_h,
+        |  CAST(media_id % 256 AS DOUBLE) AS out_mean
+        |FROM s""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(unnest(range(0, 1 + doc_id % 240, 30)) AS BIGINT) AS frame_idx
         |FROM documents""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,

@@ -150,6 +150,71 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize decodable images to fit within `maxW`×`maxH` (aspect
+    * preserved, never upscaled; floor rounding, min dimension 1),
+    * re-encoding as PNG — real bilinear scaling via the JRE's Graphics2D,
+    * zero added dependencies. Rows whose content no installed reader
+    * accepts (audio/video here) pass through unchanged, so the operator
+    * composes with mixed-media frames. Scaling a constant-fill image is
+    * exactly constant (any convex combination of equal samples), which is
+    * what lets the resize oracle pin the mean sample bit-for-bit. */
+  def resizeImages(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val schema = df.schema
+    val mimeIdx = schema.fieldIndex("mime")
+    val contentIdx = schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val mime = r.getString(mimeIdx)
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val resized =
+          if (mime == null || !mime.startsWith("image/") || bytes == null || bytes.isEmpty) None
+          else
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) None
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                val s = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+                if (s >= 1.0) Some(bytes) // already fits; keep original bytes
+                else {
+                  val (ow, oh) = (math.max(1, math.floor(w * s).toInt),
+                    math.max(1, math.floor(h * s).toInt))
+                  val out = new java.awt.image.BufferedImage(
+                    ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g2 = out.createGraphics()
+                  g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g2.drawImage(img, 0, 0, ow, oh, null)
+                  g2.dispose()
+                  val bos = new ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(out, "png", bos)
+                  Some(bos.toByteArray)
+                }
+              }
+            } catch { case _: Exception => None }
+        resized match {
+          case Some(b) =>
+            val vals = Array.tabulate[Any](schema.length)(r.get)
+            vals(contentIdx) = b
+            new GenericRowWithSchema(vals, schema): Row
+          case None => r
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Frame sampling: one output row per sampled frame index (0, every,
+    * 2·every, … below `framesCol`). The row explosion, partition shape,
+    * and index arithmetic — the parts that matter at 100 TB — are real;
+    * pixel extraction is a STUB seam (`frame` = null binary) because no
+    * video codec ships in this build: a real decoder replaces the null
+    * with the decoded frame without touching the distribution shape. */
+  def sampleFrames(df: DataFrame, every: Int, framesCol: String): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest(col(framesCol).cast("long"), lit(1L)) - 1,
+          lit(every.toLong))))
+      .withColumn("frame", lit(null).cast("binary"))
+
   /** Repartition so each task handles ~targetBytes of media content.
     * Total size comes from FILE METADATA when the frame is file-backed
     * (listing status of the input files — no data scan at all: at 100 TB an

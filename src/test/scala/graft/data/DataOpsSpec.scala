@@ -376,6 +376,31 @@ class DataOpsSpec extends SparkSpec {
     assert(s.getAs[Boolean]("decode_ok") && s.getAs[Double]("mean_sample") == -1.0)
   }
 
+  test("multimodal: bilinear resize fits the box, keeps constant fill, skips non-images") {
+    val rows = Seq(
+      (1L, "image/png", Multimodal.syntheticPng(20, 10, 42)),
+      (2L, "image/png", Multimodal.syntheticPng(4, 3, 7)), // already fits
+      (3L, "video/mp4", "notanimage".getBytes))
+    val df = rows.toDF("media_id", "mime", "content")
+    val out = Multimodal.extractFeatures(Multimodal.resizeImages(df, 10, 6))
+      .orderBy("media_id").collect()
+    // 20x10 → scale min(10/20, 6/10) = 0.5 → 10x5, constant gray intact
+    assert(out(0).getAs[Int]("width") == 10 && out(0).getAs[Int]("height") == 5)
+    assert(out(0).getAs[Double]("mean_sample") == 42.0)
+    // 4x3 fits already: bytes untouched
+    assert(out(1).getAs[Int]("width") == 4 && out(1).getAs[Int]("height") == 3)
+    // non-image passes through to the stub decoder unchanged
+    assert(new String(out(2).getAs[Array[Byte]]("content")) == "notanimage")
+  }
+
+  test("multimodal: frame sampling explodes exact indices with a stubbed frame seam") {
+    val df = Seq((1L, 61), (2L, 1), (3L, 90)).toDF("media_id", "n_frames")
+    val out = Multimodal.sampleFrames(df, 30, "n_frames")
+      .select("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(out == Seq((1L, 0L), (1L, 30L), (1L, 60L), (2L, 0L), (3L, 0L), (3L, 30L), (3L, 60L)))
+  }
+
   test("multimodal: binary parquet round-trip + metadata-only size repartition") {
     val rows = (1L to 50L).map(i =>
       (i, "image/png", Array.fill((i * 37 % 256).toInt + 1)(i.toByte), Map("i" -> i.toString)))
