@@ -534,14 +534,31 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", 0.48)
     },
 
-    // Same contract via the beyond-broadcast scale path: multi-probe LSH
-    // buckets + within-bucket exact verify. All ≥0.48 pairs sit at
-    // signature hamming ≤ 4 here (measured), so probeHamming=2 reaches
-    // recall 1.0 and the exhaustive oracle applies — a probe miss turns
-    // the row red.
+    // The beyond-broadcast scale path (multi-probe LSH buckets +
+    // within-bucket exact verify) held to an exhaustive oracle. An
+    // exhaustive oracle demands recall 1.0, which sign-LSH can only
+    // guarantee across a SIMILARITY GAP — so the query plants one: every
+    // 50th vector gets a near-copy (0.99·v + 0.01·rot(v), cosine ≥ 0.98 by
+    // construction, ~0.9999 in practice) while background pairs top out
+    // near 0.6 at every sf. At threshold 0.9 no pair sits anywhere near
+    // the probe-radius boundary: planted pairs land at signature hamming
+    // ~0 of 8, far inside probeHamming=2's radius-4 reach, and everything
+    // else is excluded by the exact verify. (A threshold inside the dense
+    // background tail — the previous 0.48 — makes recall the documented
+    // LSH trade, not a guarantee: at sf0.1 three 0.48-0.49 pairs sat
+    // beyond the probe radius and the exhaustive oracle broke.) The
+    // perturbation is double-math rounded through float32 on both sides,
+    // so the planted vectors are bit-identical in Spark and DuckDB.
     "q_embed_dedup_lsh" -> { (s, dir) =>
-      graft.data.EmbeddingOps.lshBucketPairs(
-        Tables.embeddings(s, dir), "vec_id", "embedding", 64, 0.48,
+      val e = Tables.embeddings(s, dir)
+      val vd = graft.data.EmbeddingOps.toDouble(col("embedding"))
+      val rot = concat(slice(vd, 2, 63), slice(vd, 1, 1))
+      val planted = e.filter(pmod(col("vec_id"), lit(50)) === 0).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        zip_with(vd, rot, (a, b) => a * lit(0.99) + b * lit(0.01))
+          .cast("array<float>").as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(planted)
+      graft.data.EmbeddingOps.lshBucketPairs(corpus, "vec_id", "embedding", 64, 0.9,
         probeHamming = 2)
     },
 
@@ -1158,10 +1175,18 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.48""".stripMargin,
     "q_embed_dedup_lsh" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.48""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    CAST(CAST(list_transform(range(1, 65),
+        |      i -> 0.99 * embedding[i]::DOUBLE + 0.01 * embedding[(i % 64) + 1]::DOUBLE)
+        |      AS FLOAT[]) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
     // img_* columns are what a real javax.imageio decode of the synthetic
     // constant-gray PNG must report: the generator's arguments.
     "q_multimodal" ->
