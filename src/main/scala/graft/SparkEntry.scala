@@ -507,11 +507,17 @@ object SparkEntry {
         graft.data.MinHashDedup.duplicatePairs(docs, "doc_id", "text"))
     },
 
-    // SimHash near-dup pairs, exactly verified: banded simhash candidates
-    // (11 bands → pigeonhole guarantee for hamming ≤ 10; planted pairs
-    // measured at hamming ≤ 8) then exact shingle-Jaccard ≥ 0.8 verify —
-    // so the result is SQL-expressible (exhaustive Jaccard) and any
-    // candidate-generation miss turns the oracle row red.
+    // SimHash near-dup pairs, held to the operator's ACTUAL contract:
+    // every pair within simhash-hamming ≤ 10, exactly verified at
+    // shingle-Jaccard ≥ 0.8. Simhash offers no worst-case hamming bound
+    // from Jaccard (a J=0.92 pair at hamming 13 exists at sf0.1), so a
+    // bare exhaustive-Jaccard oracle is unachievable by ANY fixed radius —
+    // instead the oracle reimplements FNV-1a + per-bit-vote simhash in SQL
+    // (UBIGINT with HUGEINT wrap-around multiply; corpus is ASCII so
+    // unicode()==byte) and applies the same radius, making both false
+    // positives AND radius-internal misses red with no data-luck.
+    // The no-radius completeness question belongs to MinHash
+    // (q_minhash_dedup), whose LSH theory actually provides it.
     "q_simhash_dedup" -> { (s, dir) =>
       graft.data.MinHashDedup.simhashPairs(
         Tables.documents(s, dir), "doc_id", "text")
@@ -1152,23 +1158,39 @@ object SparkEntry {
         |FROM embeddings
         |WHERE list_cosine_similarity(embedding::DOUBLE[],
         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 169)) >= 0.45""".stripMargin,
-    // Exhaustive exact shingle-Jaccard — identical contract to
-    // q_minhash_dedup; the machinery under test differs (simhash banding),
-    // and a banding miss turns this row red.
+    // Independent SQL reimplementation of the operator's whole contract:
+    // FNV-1a per token (UBIGINT; wrap-around multiply via HUGEINT),
+    // per-bit majority vote → 64-bit simhash, pair hamming ≤ 10, exact
+    // shingle-Jaccard ≥ 0.8. Red on false positives AND on any miss
+    // inside the radius.
     "q_simhash_dedup" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |sh AS (SELECT doc_id, list_distinct(
         |    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-        |     for i in range(1, len(tokens) - 1)]) AS shingles
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
-        |        FROM documents)
-        |  WHERE len(tokens) >= 3)
+        |     for i in range(1, len(tokens) - 1)]) AS shingles FROM t),
+        |fnv AS (SELECT doc_id,
+        |  [list_reduce(
+        |     list_prepend(CAST('14695981039346656037' AS UBIGINT),
+        |       [CAST(unicode(tok[j]) AS UBIGINT) for j in range(1, len(tok)+1)]),
+        |     (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) %
+        |                    CAST('18446744073709551616' AS HUGEINT) AS UBIGINT))
+        |   for tok in tokens] AS hs,
+        |  len(tokens) AS n
+        |  FROM t),
+        |bits AS (SELECT doc_id,
+        |  [2 * list_sum([CAST((h >> b) & 1 AS BIGINT) for h in hs]) > n
+        |   for b in range(0, 64)] AS bits
+        |  FROM fnv)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-        |    / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-        |    / len(list_distinct(a.shingles || b.shingles)) >= 0.8""".stripMargin,
+        |  round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        |    / len(list_distinct(sa.shingles || sb.shingles)), 4) AS jaccard
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |JOIN sh sa ON sa.doc_id = a.doc_id JOIN sh sb ON sb.doc_id = b.doc_id
+        |WHERE len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i])) <= 10
+        |  AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        |    / len(list_distinct(sa.shingles || sb.shingles)) >= 0.8""".stripMargin,
     "q_embed_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
