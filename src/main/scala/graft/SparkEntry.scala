@@ -364,6 +364,18 @@ object SparkEntry {
           round(max(col("l_extendedprice")), 2).as("max_price"))
     },
 
+    // Event sessionization (batch form of the streaming session_window
+    // operator — see Sessionize.streaming + StreamingSpec parity): 12h
+    // inactivity gap per user, exact-cents value totals. One shuffle by
+    // user_id; a 100 TB clickstream backfill runs the identical plan.
+    "q_sessionize" -> { (s, dir) =>
+      operators.Sessionize.batch(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", 12L * 3600 * 1000000, valueCol = Some("value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_cents"), col("duration_us"))
+    },
+
     // ---- training-data ops over documents/embeddings ----
 
     // Text analysis: token counts, fingerprint, word stats — all codegen'd
@@ -928,6 +940,28 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Gaps-and-islands sessionization: diff >= gap splits (the session_window
+    // [start, start+gap) rule). Value totals as exact cents so the double-sum
+    // ordering nondeterminism never reaches the hash compare.
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 43200000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM m)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
     "q_mix_weights" ->
       """WITH sh AS (
         |  SELECT lang,
