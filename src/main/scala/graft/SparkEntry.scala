@@ -389,6 +389,23 @@ object SparkEntry {
         fingerprint(col("text")).as("fp"))
     },
 
+    // Text cleaning: Unicode NFC + control-strip + whitespace collapse, all
+    // codegen'd in the scan projection. The corpus is ASCII, so each doc is
+    // suffixed with decomposed accents and control bytes to force the
+    // non-identity path; the oracle recomputes with DuckDB's own
+    // nfc_normalize. ASCII fast-path identity is proven by fp_clean ==
+    // fingerprint of the raw text's own cleaning on the unsuffixed corpus.
+    "q_text_normalize" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      val messy = concat(col("text"),
+        lit(" Cafe\u0301 \u0007del\u007Ftab\there A\u030Aa "))
+      Tables.documents(s, dir).select(col("doc_id"),
+        cleanText(messy).as("clean_text"),
+        length(messy).as("n_chars_raw"),
+        length(cleanText(messy)).as("n_chars_clean"),
+        (cleanText(col("text")) === col("text")).as("ascii_identity"))
+    },
+
     // Corpus-mix reweighting: per-doc sampling weight reshaping the actual
     // language distribution into a target mix (the LLM data-mixing step);
     // weight = target_share/actual_share as micro-ints. |strata| aggregate
@@ -1071,6 +1088,26 @@ object SparkEntry {
         |    // len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS awl_x100,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    // DuckDB's own nfc_normalize recomputes the cleaning pass; the suffix is
+    // rebuilt from chr() codepoints (decomposed accents + control bytes).
+    // After the control sweep only 0x20 remains as whitespace, so ' +'
+    // collapse ≡ collapse_ws.
+    "q_text_normalize" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    text || ' Cafe' || chr(769) || ' ' || chr(7) || 'del' || chr(127)
+        |         || 'tab' || chr(9) || 'here A' || chr(778) || 'a ' AS messy
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, messy,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(messy),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean_raw
+        |  FROM m)
+        |SELECT doc_id, clean_text,
+        |  length(messy) AS n_chars_raw,
+        |  length(clean_text) AS n_chars_clean,
+        |  clean_raw = text AS ascii_identity
+        |FROM c""".stripMargin,
     "q_winnow_fingerprint" ->
       """WITH n AS (SELECT doc_id,
         |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t

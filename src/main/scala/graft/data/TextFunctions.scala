@@ -35,6 +35,18 @@ object TextFunctions {
   /** Document fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(c: Column): Column = md5(normalize(c).cast(BinaryType))
 
+  /** Standard text-cleaning pass for a scraped corpus, case-preserving:
+    * Unicode NFC (composed/decomposed forms of the same text unify — else
+    * they defeat exact dedup and token matching), C0/DEL control characters
+    * to spaces, whitespace runs collapsed, ends trimmed. All three stages
+    * are codegen'd scan-stage projections (nfc_normalize and collapse_ws are
+    * native expressions with bytewise ASCII fast paths), so cleaning rides
+    * the parquet scan and adds no pass of its own at 100 TB. */
+  def cleanText(c: Column): Column =
+    trim(graft.exprs.NativeExpressions.collapseWs(
+      regexp_replace(graft.exprs.NativeExpressions.nfcNormalize(c),
+        "[\\x00-\\x1f\\x7f]", " ")))
+
   /** Winnowing document fingerprints (the MOSS local fingerprinting
     * scheme — Schleimer, Wilkerson, Aiken, SIGMOD'03): polynomial rolling
     * hash (base 257 mod 1e9+7, per-step mod) over character k-grams of

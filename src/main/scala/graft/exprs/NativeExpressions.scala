@@ -68,6 +68,24 @@ object NativeFunctions {
     UTF8String.fromBytes(out, 0, o)
   }
 
+  /** Unicode NFC normalization (canonical composition — `e`+U+0301 → `é`).
+    * Web-scraped corpora mix composed and decomposed forms of the same text,
+    * which defeats exact dedup and token matching; NFC-first is the standard
+    * first stage of a text-cleaning pipeline. Bytewise ASCII fast path: NFC
+    * is the identity on ASCII, and real corpora are dominantly ASCII, so the
+    * common row never allocates a java.lang.String. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if ((s.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** 64-bit SimHash over an array of strings (per-bit vote accumulation of
     * each element's fnv64). Null elements are skipped. */
   def simhash64(arr: ArrayData): Long = {
@@ -121,6 +139,23 @@ case class CollapseWs(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.exprs.NativeFunctions.collapseWs($c)")
   override protected def withNewChildInternal(newChild: Expression): CollapseWs =
+    copy(child = newChild)
+}
+
+/** `nfc_normalize(str)` — codegen'd Unicode NFC canonical composition with a
+  * bytewise ASCII fast path (identical to DuckDB's `nfc_normalize` and
+  * ICU/java.text.Normalizer NFC). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"nfc_normalize requires string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeFunctions.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.NativeFunctions.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 
@@ -181,6 +216,9 @@ object NativeExpressions {
   def collapseWs(c: Column): Column =
     GraftColumnBridge.column(CollapseWs(GraftColumnBridge.expression(c)))
 
+  def nfcNormalize(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
+
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -199,6 +237,8 @@ object NativeExpressions {
       "bottom_k_by", exprs => TopKBy(exprs.head, exprs(1), exprs(2), reverse = true), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collapse_ws", exprs => CollapseWs(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs => HeavyHitters(exprs.head, exprs(1), exprs(2)), "built-in")
   }

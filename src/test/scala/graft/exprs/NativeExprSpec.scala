@@ -20,6 +20,24 @@ class NativeExprSpec extends SparkSpec {
     assert(out(2) == again(2))
   }
 
+  test("nfc_normalize composes decomposed forms; ASCII fast path is identity") {
+    val decomposed = "Cafe\u0301 A\u030Aa"
+    val df = Seq(decomposed, "plain ascii", "d\u00e9j\u00e0 vu").toDF("s")
+    val out = df.select(NativeExpressions.nfcNormalize(col("s"))).collect().map(_.getString(0))
+    assert(out(0) == "Caf\u00e9 \u00c5a")
+    assert(out(0) == java.text.Normalizer.normalize(decomposed, java.text.Normalizer.Form.NFC))
+    assert(out(1) == "plain ascii")        // ASCII: untouched
+    assert(out(2) == "d\u00e9j\u00e0 vu") // already-NFC non-ASCII: untouched
+  }
+
+  test("cleanText: NFC + control strip + whitespace collapse + trim") {
+    import graft.data.TextFunctions
+    val df = Seq("  a\u0007b\tc   d\u030A  ", "x").toDF("s")
+    val out = df.select(TextFunctions.cleanText(col("s"))).collect().map(_.getString(0))
+    assert(out(0) == "a b c d\u030A") // lone combining mark survives NFC (no base)
+    assert(out(1) == "x")
+  }
+
   test("cosine_sim is bit-identical to the HOF formulation, mixed element types") {
     import graft.data.EmbeddingOps
     val emb = graft.Tables.embeddings(spark, sf)
