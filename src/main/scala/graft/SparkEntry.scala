@@ -514,6 +514,19 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Incremental dedup: a NEW batch (every 20th doc) screened against the
+    // EXISTING corpus (the rest) — batch band-buckets broadcast, corpus
+    // map-only, exact-Jaccard verify on LSH hits only. The oracle computes
+    // the exhaustive batch×corpus cross-Jaccard, so a single missed
+    // candidate goes red.
+    "q_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.data.MinHashDedup.dedupAgainstCorpus(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text")
+    },
+
     // Exact n-gram Jaccard via prefix filtering (word bigrams, J ≥ 3/5):
     // deterministic and complete — no sketch, no recall contract. The
     // oracle computes ALL exact pairs; integer intersection/union sizes
@@ -1166,6 +1179,29 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
         |    / len(list_distinct(a.shingles || b.shingles)) >= 0.8""".stripMargin,
+    // Exhaustive batch×corpus cross-Jaccard: every batch doc, its smallest
+    // matching corpus id at J >= 0.8 (or is_new). Batch docs below the
+    // 3-token shingle floor fall out of sh and surface as is_new via the
+    // left join — the same contract as the empty-shingle-set path in Spark.
+    "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+        |     for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |        FROM documents)
+        |  WHERE len(tokens) >= 3),
+        |j AS (
+        |  SELECT b.doc_id AS bid, c.doc_id AS cid,
+        |    len(list_intersect(b.shingles, c.shingles))::DOUBLE
+        |      / len(list_distinct(b.shingles || c.shingles)) AS jac
+        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0),
+        |m AS (
+        |  SELECT bid, min(cid) AS match_id, round(arg_min(jac, cid), 4) AS jaccard
+        |  FROM j WHERE jac >= 0.8 GROUP BY bid)
+        |SELECT d.doc_id, m.match_id IS NULL AS is_new, m.match_id, m.jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+        |LEFT JOIN m ON m.bid = d.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(

@@ -56,12 +56,7 @@ object MinHashDedup {
 
   /** Candidate pairs (a < b) that share at least one LSH band bucket. */
   def candidatePairs(sigs: DataFrame, cfg: Config): DataFrame = {
-    val r = cfg.numHashes / cfg.bands
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * r + 1, lit(r)).cast(ArrayType(StringType)))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandBuckets(sigs, cfg)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -93,16 +88,10 @@ object MinHashDedup {
       if (union == 0) 0.0 else (sa & sb).size.toDouble / union
     }
 
-  /** Full pipeline: near-duplicate pairs (id_a < id_b, exact jaccard ≥
-    * threshold), LSH-pruned then exactly verified.
-    *
-    * Scale shape: signatures are computed straight from text (fixed
-    * ~numHashes·8 bytes per doc — the corpus's shingle sets, ~10× the text
-    * size, are never materialized or shuffled); only candidate pairs join
-    * back to the raw text for exact verification. */
-  def duplicatePairs(df: DataFrame, idCol: String, textCol: String,
-                     cfg: Config = Config()): DataFrame = {
-    val sigFromText = udf { text: String =>
+  /** MinHash signature straight from text (one UDF call: shingle + k
+    * splitmix64 streams in a tight primitive loop). */
+  private def sigFromTextUdf(cfg: Config): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
       val sh = shingleSet(text, cfg.shingleSize)
       val out = new Array[Long](cfg.numHashes)
       java.util.Arrays.fill(out, Long.MaxValue)
@@ -122,8 +111,29 @@ object MinHashDedup {
       }
       out.toSeq
     }
+
+  /** (id, band, bucket) rows — one per band per doc (the LSH index shape;
+    * persisting this frame IS the incremental-dedup index). */
+  private def bandBuckets(sigs: DataFrame, cfg: Config): DataFrame = {
+    val r = cfg.numHashes / cfg.bands
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * r + 1, lit(r)).cast(ArrayType(StringType)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Full pipeline: near-duplicate pairs (id_a < id_b, exact jaccard ≥
+    * threshold), LSH-pruned then exactly verified.
+    *
+    * Scale shape: signatures are computed straight from text (fixed
+    * ~numHashes·8 bytes per doc — the corpus's shingle sets, ~10× the text
+    * size, are never materialized or shuffled); only candidate pairs join
+    * back to the raw text for exact verification. */
+  def duplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                     cfg: Config = Config()): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val sigs = base.select(col("id"), sigFromText(col("text")).as("sig"))
+    val sigs = base.select(col("id"), sigFromTextUdf(cfg)(col("text")).as("sig"))
     val cands = candidatePairs(sigs, cfg)
     cands
       .join(base.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
@@ -131,6 +141,55 @@ object MinHashDedup {
       .withColumn("jaccard", jaccardUdf(cfg.shingleSize)(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Incremental near-dup screening of a NEW batch against an EXISTING
+    * corpus — the operation a continuously-ingesting 100 TB pipeline
+    * actually runs: all-pairs dedup of the full corpus is a one-time
+    * backfill; every arriving batch only needs batch×corpus candidates.
+    *
+    * Scale shape: the batch's band buckets are BROADCAST (a batch is small
+    * by definition — per-doc index cost is bands×16 bytes), so the corpus
+    * side is a map-only scan: signature → band → broadcast-hash probe, no
+    * corpus shuffle anywhere. Only the LSH hits (corpus rows sharing a
+    * band bucket with some batch doc) flow into the exact-Jaccard verify,
+    * which re-reads just those texts. In production the corpus band index
+    * ([[bandBuckets]] output) is persisted once and this becomes a probe
+    * against a bucketed table.
+    *
+    * Returns one row per batch doc: `doc_id`, `is_new` (no corpus match at
+    * `cfg.threshold`), and the minimum matching corpus id + its exact
+    * Jaccard (null when new). Within-batch duplicates are screened by
+    * [[duplicatePairs]] on the batch itself.
+    */
+  def dedupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         cfg: Config = Config()): DataFrame = {
+    val cBase = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+    val bBase = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val cBands = bandBuckets(
+      cBase.select(col("id"), sigFromTextUdf(cfg)(col("text")).as("sig")), cfg)
+    val bBands = bandBuckets(
+      bBase.select(col("id"), sigFromTextUdf(cfg)(col("text")).as("sig")), cfg)
+    val cands = cBands.join(
+        broadcast(bBands.select(col("band"), col("bucket"), col("id").as("batch_id"))),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col("id").as("corpus_id"))
+      .distinct()
+    val verified = cands
+      .join(bBase.select(col("id").as("batch_id"), col("text").as("text_b")), "batch_id")
+      .join(cBase.select(col("id").as("corpus_id"), col("text").as("text_c")), "corpus_id")
+      .withColumn("jaccard", jaccardUdf(cfg.shingleSize)(col("text_b"), col("text_c")))
+      .filter(col("jaccard") >= cfg.threshold)
+      // deterministic representative: the smallest matching corpus id
+      .groupBy(col("batch_id"))
+      .agg(min(struct(col("corpus_id"), col("jaccard"))).as("m"))
+      .select(col("batch_id"), col("m.corpus_id").as("match_id"),
+        round(col("m.jaccard"), 4).as("jaccard"))
+    bBase.select(col("id").as("doc_id"))
+      .join(verified.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id").isNull.as("is_new"),
+        col("match_id"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs, exactly verified: candidate pairs within

@@ -101,6 +101,32 @@ class RandomizedSemanticsSpec extends SparkSpec {
     assert(expect.nonEmpty && got == expect)
   }
 
+  test("incremental dedup against a corpus matches exhaustive cross-jaccard") {
+    val rnd = new Random(11)
+    val vocab = (1 to 50).map(i => s"w$i")
+    def doc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpus = (1 to 40).map(i => (i.toLong, doc(80)))
+    // batch: near-dups of some corpus docs + genuinely new docs
+    val batch = corpus.take(8).map { case (id, text) =>
+      val toks = text.split(" ").toBuffer
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (id + 1000, toks.mkString(" "))
+    } ++ (1 to 6).map(i => (2000L + i, doc(80)))
+    val got = graft.data.MinHashDedup.dedupAgainstCorpus(
+        corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expect = batch.map { case (bid, bt) =>
+      val matches = corpus.filter { case (_, ct) =>
+        val (a, b) = (sh(bt), sh(ct))
+        (a | b).nonEmpty && (a & b).size.toDouble / (a | b).size >= 0.8
+      }.map(_._1)
+      (bid, matches.isEmpty, if (matches.isEmpty) -1L else matches.min)
+    }.toSet
+    assert(expect.exists(!_._2) && expect.exists(_._2) && got == expect)
+  }
+
   test("top_k_by matches an in-memory sort-take over random groups") {
     for (seed <- 1 to 3) {
       val rnd = new Random(seed)
