@@ -610,6 +610,19 @@ object SparkEntry {
         probeHamming = 2)
     },
 
+    // SemDeDup (Abbas et al. 2023): deterministic quantized k-means over the
+    // embeddings (k=8 singleton-init centroids, 2 exact-integer Lloyd
+    // rounds), then within-cluster cosine dedup at 0.48 (the corpus's
+    // documented similarity gap). Exact integer centroid accumulation makes
+    // the whole operator bit-reproducible run-to-run — and lets the oracle
+    // replay both Lloyd rounds in SQL, so a single flipped assignment or
+    // dedup verdict goes red.
+    "q_semantic_dedup" -> { (s, dir) =>
+      graft.data.SemanticDedup.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 8, 2, 0.48)
+        .withColumnRenamed("id", "vec_id")
+    },
+
     // Multi-probe LSH radius search, exactly verified: probe the buckets
     // within hamming ≤ 3 of the query signature, exact-verify candidates'
     // cosine ≥ 0.45. Query = vec 169 (its one true neighbor, vec 466 at
@@ -1303,6 +1316,70 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.48""".stripMargin,
+    // Full SQL replay of the deterministic k-means: same trunc-quantization,
+    // same exact integer sums, same ascending-dimension fold (list_reduce is
+    // a sequential left fold, matching the Scala loop bit-for-bit), same
+    // (dist, cl) tie-break, same empty-cluster fallback — two unrolled Lloyd
+    // rounds, then the within-cluster cosine screen on the raw vectors.
+    "q_semantic_dedup" ->
+      """WITH qv AS (
+        |  SELECT vec_id, list_transform(range(1, 65),
+        |    i -> CAST(trunc(embedding[i]::DOUBLE * 4096.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cl, q AS s, CAST(1 AS BIGINT) AS n
+        |       FROM qv WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, q, cl FROM (
+        |    SELECT v.vec_id, v.q, c.cl,
+        |      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |        i -> (v.q[i] - c.s[i]::DOUBLE / c.n::DOUBLE)
+        |           * (v.q[i] - c.s[i]::DOUBLE / c.n::DOUBLE))),
+        |        (x, y) -> x + y) AS dist
+        |    FROM qv v CROSS JOIN c0 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |u1 AS (SELECT cl, d.i AS pos, sum(q[d.i]) AS sv
+        |       FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        |       GROUP BY cl, d.i),
+        |g1 AS (SELECT cl, list(sv ORDER BY pos) AS s_new FROM u1 GROUP BY cl),
+        |n1 AS (SELECT cl, count(*) AS n_new FROM a1 GROUP BY cl),
+        |c1 AS (SELECT c0.cl, coalesce(g1.s_new, c0.s) AS s,
+        |              coalesce(n1.n_new, c0.n) AS n
+        |       FROM c0 LEFT JOIN g1 ON g1.cl = c0.cl LEFT JOIN n1 ON n1.cl = c0.cl),
+        |a2 AS (
+        |  SELECT vec_id, q, cl FROM (
+        |    SELECT v.vec_id, v.q, c.cl,
+        |      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |        i -> (v.q[i] - c.s[i]::DOUBLE / c.n::DOUBLE)
+        |           * (v.q[i] - c.s[i]::DOUBLE / c.n::DOUBLE))),
+        |        (x, y) -> x + y) AS dist
+        |    FROM qv v CROSS JOIN c1 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |u2 AS (SELECT cl, d.i AS pos, sum(q[d.i]) AS sv
+        |       FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        |       GROUP BY cl, d.i),
+        |g2 AS (SELECT cl, list(sv ORDER BY pos) AS s_new FROM u2 GROUP BY cl),
+        |n2 AS (SELECT cl, count(*) AS n_new FROM a2 GROUP BY cl),
+        |c2 AS (SELECT c1.cl, coalesce(g2.s_new, c1.s) AS s,
+        |              coalesce(n2.n_new, c1.n) AS n
+        |       FROM c1 LEFT JOIN g2 ON g2.cl = c1.cl LEFT JOIN n2 ON n2.cl = c1.cl),
+        |a3 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT v.vec_id, c.cl,
+        |      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |        i -> (v.q[i] - c.s[i]::DOUBLE / c.n::DOUBLE)
+        |           * (v.q[i] - c.s[i]::DOUBLE / c.n::DOUBLE))),
+        |        (x, y) -> x + y) AS dist
+        |    FROM qv v CROSS JOIN c2 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+        |p AS (SELECT a.vec_id AS dropped
+        |      FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id > b.vec_id
+        |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |      JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |      WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+        |        eb.embedding::DOUBLE[]) >= 0.48
+        |      GROUP BY a.vec_id)
+        |SELECT a3.vec_id, a3.cl AS cluster_id, p.dropped IS NULL AS kept
+        |FROM a3 LEFT JOIN p ON p.dropped = a3.vec_id""".stripMargin,
     "q_embed_dedup_lsh" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
