@@ -86,7 +86,7 @@ object Bench {
       f""""ingest_streaming_events_per_sec":$streamingRate%.0f,""" +
       streamingErrJson +
       f""""ingest_in_session":$inSession%.0f,""" +
-      """"ingest_note":"events_per_sec=steady-state batch rate, max over 2 forked fresh JVMs (guards against transient host steal/sys-time interference), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate source above service rate, warm-up batch dropped); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
+      """"ingest_note":"events_per_sec=steady-state batch rate, max over 2 forked fresh JVMs (guards against transient host steal/sys-time interference), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate-micro-batch source, fixed rows per batch, warm-up batch dropped); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
       s""""sf":"$sfDir"}"""
     println(json)
     // Durable copies: the driver's stdout capture window clipped the head of

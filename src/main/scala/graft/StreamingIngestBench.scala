@@ -11,13 +11,16 @@ import graft.types.EngineSchema
 /** Streaming-mode ingest throughput: the same ~1.5 KB telemetry-JSON
   * pipeline as [[IngestBench]], but run as a real Structured Streaming
   * query — rate source → JSON synth → parse/validate → typed mapping →
-  * noop streaming sink with 1 s micro-batches — because the reference IS a
-  * streaming system and batch-path numbers alone overstate comparability.
-  * The rate source is provisioned above the pipeline's service rate, so
-  * batches carry a backlog and the measured steady-state
-  * rows/trigger-second is the max sustainable throughput, micro-batch
-  * overheads included. Reported: steady-state events/s over the run with
-  * the first batches (JIT/codegen warm-up) dropped.
+  * noop streaming sink — because the reference IS a streaming system and
+  * batch-path numbers alone overstate comparability.
+  * The source is `rate-micro-batch`: a FIXED row count per micro-batch, so
+  * every batch does identical work and rows/trigger-second is the max
+  * sustainable throughput with micro-batch overheads included. (The plain
+  * `rate` source accumulates backlog when provisioned above the service
+  * rate — batch durations grow geometrically and a slow host can finish
+  * zero steady-state batches inside the measurement window, which is
+  * exactly how round 4/5 runs lost this number.) Reported: steady-state
+  * events/s with the first data batch (JIT/codegen warm-up) dropped.
   */
 object StreamingIngestBench {
   def main(args: Array[String]): Unit = {
@@ -35,8 +38,8 @@ object StreamingIngestBench {
       .createTempDirectory(java.nio.file.Paths.get(
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"),
         "graft-sibench-").toString
-    val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", 800000L)
+    val rate = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 2000000L)
       .option("numPartitions", cpus.toInt)
       .load()
       .select(col("value").as("id"))
@@ -45,7 +48,7 @@ object StreamingIngestBench {
     val q = SinkMapper(IngestBench.mappings)(valid)
       .writeStream.format("noop")
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(Trigger.ProcessingTime("0 seconds")) // back-to-back batches
       .start()
     Thread.sleep(seconds * 1000L)
     val progress = q.recentProgress
@@ -80,6 +83,6 @@ object StreamingIngestBench {
     println(f"""{"metric":"streaming_ingest_throughput","value":$rps%.0f,""" +
       s""""unit":"events_per_sec","batches":${steady.length},""" +
       s""""rows":$rows,""" +
-      """"note":"steady-state Structured Streaming micro-batch rate (rate source provisioned above service rate; warm-up batches dropped); same 35-field full-schema validation as the batch bench"}""")
+      """"note":"steady-state Structured Streaming micro-batch rate (rate-micro-batch source, fixed 2M rows/batch; warm-up batch dropped); same 35-field full-schema validation as the batch bench"}""")
   }
 }
