@@ -406,6 +406,39 @@ object SparkEntry {
         (cleanText(col("text")) === col("text")).as("ascii_identity"))
     },
 
+    // End-to-end curation pipeline — the chain a real corpus run executes:
+    // clean (NFC+controls+ws) → language gate → quality gate → exact dedup
+    // of the survivors (keep min doc_id per fingerprint). Each stage is the
+    // already-oracled operator; this row proves the COMPOSITION matches too.
+    "q_curation_e2e" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      val cleaned = Tables.documents(s, dir)
+        .select(col("doc_id"), cleanText(col("text")).as("cl"))
+        .withColumn("lang_pred", languageId(col("cl")))
+        .withColumn("quality_milli", qualityMilli(col("cl")))
+        .withColumn("n_tokens", tokenCount(col("cl")))
+        .filter(col("lang_pred").isin("en", "es") && col("quality_milli") >= 500)
+      val keep = cleaned
+        .select(fingerprint(col("cl")).as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      cleaned.join(keep, Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), col("lang_pred"), col("quality_milli"), col("n_tokens"))
+    },
+
+    // Global token-budget cut: deterministic hash order, two-phase prefix
+    // sum (shard = first hex digit of the draw, so shard boundaries ARE
+    // global-order boundaries; 16 shard totals scan exclusively and
+    // broadcast back). Every doc gets its exact global token offset.
+    "q_token_budget" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      graft.data.Sampling.tokenBudgetSample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 25000L, salt = "tb1")
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"), col("kept"))
+    },
+
     // Corpus-mix reweighting: per-doc sampling weight reshaping the actual
     // language distribution into a target mix (the LLM data-mixing step);
     // weight = target_share/actual_share as micro-ints. |strata| aggregate
@@ -1005,6 +1038,57 @@ object SparkEntry {
         |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |FROM s GROUP BY user_id, session_no""".stripMargin,
+    // The composed curation chain: cleaning, quality/langid (the
+    // q_text_quality formulas over CLEANED text), gates, exact dedup of
+    // survivors. fingerprint(clean) = md5(lower(clean)) because cleaning
+    // already collapsed/trimmed whitespace.
+    "q_curation_e2e" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS cl
+        |  FROM documents),
+        |t AS (SELECT doc_id, cl,
+        |    string_split_regex(trim(cl), '\s+') AS toks,
+        |    length(regexp_replace(cl, '[^[:punct:]]', '', 'g')) AS punct_n
+        |  FROM c),
+        |q AS (SELECT doc_id, cl, len(toks) AS n_tokens,
+        |    least(len(toks), 100) * 4
+        |      + (300 - least((punct_n * 1500) // length(cl), 300))
+        |      + least((en * 3000) // len(toks), 300) AS quality_milli,
+        |    CASE
+        |      WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |      WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |      WHEN de >= fr AND de > 0 THEN 'de'
+        |      WHEN fr > 0 THEN 'fr'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (SELECT *,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','you','that','it','for'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS de,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','une','du','et','est','dans','pour','ce'))) AS fr
+        |    FROM t)),
+        |f AS (SELECT * FROM q
+        |      WHERE lang_pred IN ('en', 'es') AND quality_milli >= 500),
+        |d AS (SELECT doc_id FROM (SELECT doc_id, md5(lower(cl)) AS fp FROM f)
+        |      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT f.doc_id, f.lang_pred, f.quality_milli, f.n_tokens
+        |FROM f JOIN d USING (doc_id)""".stripMargin,
+    // Window prefix sum over the same md5 order (the shard decomposition is
+    // invisible to results — that is the point).
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    md5('tb1' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY h, CAST(doc_id AS VARCHAR)
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS token_offset,
+        |  cum <= 25000 AS kept
+        |FROM s""".stripMargin,
     "q_mix_weights" ->
       """WITH sh AS (
         |  SELECT lang,

@@ -79,6 +79,39 @@ object Sampling {
       .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
   }
 
+  /** Global token-budget cut: order the corpus by a deterministic hash
+    * draw and keep the prefix whose cumulative token count fits `budget` —
+    * "give me a random 50B-token subset" as one reproducible operator.
+    *
+    * The global prefix sum never materializes a global sort: the shard IS
+    * the first hex digit of the draw, so shard boundaries align with the
+    * global hash order by construction. Per-shard window prefix sums run
+    * in parallel (one shuffle on the shard key), the 16 shard totals take
+    * an exclusive scan on the driver-side-tiny frame, and the offsets
+    * broadcast back — the same two-phase scan layout as sequence packing.
+    * Every row gets its exact global `token_offset`; `kept` marks the
+    * prefix (the first row crossing the budget and everything after it is
+    * cut — a clean boundary, not best-fit packing). */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, tokensCol: String,
+                        budget: Long, salt: String = ""): DataFrame = {
+    val withDraw = df
+      .withColumn("__draw", md5(concat(lit(salt), col(keyCol).cast(StringType))))
+      .withColumn("__shard", substring(col("__draw"), 1, 1))
+    val inShard = Window.partitionBy(col("__shard"))
+      .orderBy(col("__draw"), col(keyCol).cast(StringType))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withDraw.withColumn("__cum", sum(col(tokensCol)).over(inShard))
+    val offsets = cum.groupBy(col("__shard")).agg(sum(col(tokensCol)).as("__total"))
+      .withColumn("__offset", coalesce(sum(col("__total"))
+        .over(Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__offset"))
+    cum.join(broadcast(offsets), "__shard")
+      .withColumn("token_offset", col("__offset") + col("__cum") - col(tokensCol))
+      .withColumn("kept", col("__offset") + col("__cum") <= budget)
+      .drop("__draw", "__shard", "__cum", "__offset")
+  }
+
   /** Corpus-mix reweighting: per-row sampling weight that reshapes the
     * corpus's actual stratum distribution into a declared target mix
     * (the data-mixing step of every LLM dataset report: weight =

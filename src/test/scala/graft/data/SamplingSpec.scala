@@ -141,4 +141,27 @@ class SamplingSpec extends SparkSpec {
       .head.getAs[Long]("shared")
     assert(got == expected.toLong)
   }
+
+  test("tokenBudgetSample: offsets equal a single-partition global scan, any partitioning") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 300L).map(i => (i, 1L + rnd.nextInt(50)))
+    def run(parts: Int) = Sampling.tokenBudgetSample(
+        rows.toDF("id", "n").repartition(parts), "id", "n", budget = 3000L, salt = "s")
+      .select("id", "token_offset", "kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val a = run(1); val b = run(11)
+    assert(a == b && a.size == 300)
+    // reference: in-memory global scan over the same md5 order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(("s" + id).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    var cum = 0L
+    val expect = rows.sortBy(r => (h(r._1), r._1.toString)).map { case (id, n) =>
+      cum += n; (id, cum - n, cum <= 3000L)
+    }.toSet
+    assert(a == expect)
+    // the kept set is a prefix: every kept offset is below every cut offset
+    val keptMax = a.filter(_._3).map(_._2).max
+    assert(a.filter(!_._3).forall(_._2 > keptMax))
+  }
 }
