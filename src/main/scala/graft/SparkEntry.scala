@@ -406,6 +406,24 @@ object SparkEntry {
         (cleanText(col("text")) === col("text")).as("ascii_identity"))
     },
 
+    // URL extraction + domain blocklist (the C4-style curation step). The
+    // corpus has no URLs, so each doc gets one injected (domain varies by
+    // doc_id); the query must find it in running text, parse host and
+    // registered domain, and apply the blocklist — all scan-local regexes.
+    "q_url_ops" -> { (s, dir) =>
+      import graft.data.TextFunctions._
+      val withUrl = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" see https://www.site"),
+          pmod(col("doc_id"), lit(50)), lit(".org/p/"), col("doc_id"),
+          lit("?ref=x for more")).as("body"))
+      val url = element_at(extractUrls(col("body")), 1)
+      val host = urlHost(url)
+      val domain = registeredDomain(host)
+      withUrl.select(col("doc_id"), url.as("url"), host.as("host"),
+        domain.as("domain"),
+        domain.isin((0 until 5).map(i => s"site$i.org"): _*).as("blocked"))
+    },
+
     // End-to-end curation pipeline — the chain a real corpus run executes:
     // clean (NFC+controls+ws) → language gate → quality gate → exact dedup
     // of the survivors (keep min doc_id per fingerprint). Each stage is the
@@ -1038,6 +1056,21 @@ object SparkEntry {
         |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |FROM s GROUP BY user_id, session_no""".stripMargin,
+    "q_url_ops" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    text || ' see https://www.site' || CAST(doc_id % 50 AS VARCHAR)
+        |         || '.org/p/' || CAST(doc_id AS VARCHAR) || '?ref=x for more' AS body
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    regexp_extract_all(body, 'https?://[^\s]+')[1] AS url FROM b),
+        |h AS (SELECT doc_id, url,
+        |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host FROM u)
+        |SELECT doc_id, url, host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    IN ('site0.org','site1.org','site2.org','site3.org','site4.org') AS blocked
+        |FROM h""".stripMargin,
     // The composed curation chain: cleaning, quality/langid (the
     // q_text_quality formulas over CLEANED text), gates, exact dedup of
     // survivors. fingerprint(clean) = md5(lower(clean)) because cleaning

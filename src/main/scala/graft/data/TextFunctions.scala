@@ -35,6 +35,23 @@ object TextFunctions {
   /** Document fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(c: Column): Column = md5(normalize(c).cast(BinaryType))
 
+  /** URLs in running text (http/https, up to the next whitespace) — the
+    * extraction primitive behind URL blocklists and per-domain corpus
+    * statistics (the C4-style curation step). Scan-local regex, engine-
+    * portable (no lookarounds). */
+  def extractUrls(c: Column): Column =
+    regexp_extract_all(c, lit("https?://[^\\s]+"), lit(0))
+
+  /** Host of a URL: the authority up to the first `/`, `?` or `#`. */
+  def urlHost(u: Column): Column =
+    regexp_extract(u, "^https?://([^/?#]+)", 1)
+
+  /** Registered-domain heuristic: the last two dot labels of the host.
+    * (A public-suffix list is the production refinement — e.g. `co.uk` —
+    * but the two-label rule is the standard dependency-free baseline.) */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
   /** Standard text-cleaning pass for a scraped corpus, case-preserving:
     * Unicode NFC (composed/decomposed forms of the same text unify — else
     * they defeat exact dedup and token matching), C0/DEL control characters
