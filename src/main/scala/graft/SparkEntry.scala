@@ -430,17 +430,26 @@ object SparkEntry {
     // already-oracled operator; this row proves the COMPOSITION matches too.
     "q_curation_e2e" -> { (s, dir) =>
       import graft.data.TextFunctions._
+      // single-pass gates UDF, not the composed Catalyst helpers: the gate
+      // FILTER pushed below the projection re-inlines the whole chain per
+      // predicate leaf and the stopword HOF lambdas are interpreted, so the
+      // composed form measured 26× this plan (see curationGatesUdf doc;
+      // equivalence is spec-pinned)
       val cleaned = Tables.documents(s, dir)
-        .select(col("doc_id"), cleanText(col("text")).as("cl"))
-        .withColumn("lang_pred", languageId(col("cl")))
-        .withColumn("quality_milli", qualityMilli(col("cl")))
-        .withColumn("n_tokens", tokenCount(col("cl")))
+        .select(col("doc_id"), curationGatesUdf(col("text")).as("g"))
+        .select(col("doc_id"), col("g._1").as("cl"), col("g._2").as("lang_pred"),
+          col("g._3").as("quality_milli"), col("g._4").as("n_tokens"))
         .filter(col("lang_pred").isin("en", "es") && col("quality_milli") >= 500)
-      val keep = cleaned
-        .select(fingerprint(col("cl")).as("fp"), col("doc_id"))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      cleaned.join(keep, Seq("doc_id"), "leftsemi")
+      // keep-min-per-fingerprint via a window, NOT a semi-join: the join
+      // form re-scans documents and recomputes the whole cleaning chain on
+      // the build side (measured 2× the query). Fingerprints are
+      // near-unique, so per-key sorts are one-or-two rows; the single
+      // shuffle carries only gate survivors.
+      import org.apache.spark.sql.expressions.{Window => W}
+      cleaned
+        .withColumn("__rn", row_number().over(
+          W.partitionBy(fingerprint(col("cl"))).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
         .select(col("doc_id"), col("lang_pred"), col("quality_milli"), col("n_tokens"))
     },
 

@@ -299,4 +299,69 @@ object TextFunctions {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  private val PunctSet: Set[Char] = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
+
+  /** One-pass curation gates: (clean_text, lang_pred, quality_milli,
+    * n_tokens) — semantically identical to `cleanText` + `languageId` +
+    * `qualityMilli` + `tokenCount` composed (pinned by a spec), computed in
+    * a single tokenization pass per row. The composed Catalyst form is the
+    * oracle-matching reference, but when a FILTER over these columns gets
+    * pushed below the projection, Catalyst re-inlines the whole chain per
+    * predicate leaf, and the stopword `filter(...)` lambdas are interpreted
+    * HOFs that codegen CSE cannot deduplicate — measured 26× the cost of
+    * the plain projection. Same reasoning as the MinHash signature UDF:
+    * Catalyst cannot hoist shared work out of HOF lambdas, so the
+    * multi-sweep computation lives in one tight JVM function. */
+  val curationGatesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      // cleanText: NFC (ASCII fast path), C0/DEL → ' ', \s-run collapse, trim
+      val nfc = {
+        var ascii = true
+        var i = 0
+        while (ascii && i < text.length) { if (text.charAt(i) >= 0x80) ascii = false; i += 1 }
+        if (ascii || java.text.Normalizer.isNormalized(text, java.text.Normalizer.Form.NFC))
+          text
+        else java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+      }
+      val sb = new java.lang.StringBuilder(nfc.length)
+      var inRun = false
+      var i = 0
+      while (i < nfc.length) {
+        val c0 = nfc.charAt(i)
+        val c = if (c0 <= 0x1f || c0 == 0x7f) ' ' else c0
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+        if (ws) { if (!inRun) { sb.append(' '); inRun = true } }
+        else { sb.append(c); inRun = false }
+        i += 1
+      }
+      var s = 0; var e = sb.length
+      while (s < e && sb.charAt(s) == ' ') s += 1
+      while (e > s && sb.charAt(e - 1) == ' ') e -= 1
+      val cl = sb.substring(s, e)
+      // one tokenization pass: counts for all four stopword profiles + punct
+      val toks = if (cl.isEmpty) Array.empty[String] else cl.split(" ")
+      val hits = new Array[Long](4)
+      val langs = Array("en", "es", "de", "fr")
+      toks.foreach { t =>
+        var l = 0
+        while (l < 4) { if (stopwords(langs(l)).contains(t)) hits(l) += 1; l += 1 }
+      }
+      var punct = 0L
+      var j = 0
+      while (j < cl.length) { if (PunctSet.contains(cl.charAt(j))) punct += 1; j += 1 }
+      val Array(en, es, de, fr) = hits
+      val lang =
+        if (en >= es && en >= de && en >= fr && en > 0) "en"
+        else if (es >= de && es >= fr && es > 0) "es"
+        else if (de >= fr && de > 0) "de"
+        else if (fr > 0) "fr"
+        else "und"
+      val nTok = toks.length.toLong
+      val term1 = math.min(nTok, 100L) * 4
+      val term2 = 300L - math.min(
+        if (cl.isEmpty) 0L else punct * 1500 / cl.length, 300L)
+      val term3 = math.min(if (nTok == 0) 0L else en * 3000 / nTok, 300L)
+      (cl, lang, term1 + term2 + term3, nTok)
+    }
 }

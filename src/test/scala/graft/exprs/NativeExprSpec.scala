@@ -38,6 +38,32 @@ class NativeExprSpec extends SparkSpec {
     assert(out(1) == "x")
   }
 
+  test("curationGatesUdf equals the composed Catalyst helpers on real + adversarial text") {
+    import graft.data.TextFunctions
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, "  the of\u0007and  to\tin Cafe\u0301 !!!??  "),
+        (100002L, "el la de que y en un los"),
+        (100003L, ""),
+        (100004L, "der die und das le les des une du")
+      ).toDF("doc_id", "text"))
+    val viaUdf = docs.select(col("doc_id"),
+        TextFunctions.curationGatesUdf(col("text")).as("g"))
+      .select(col("doc_id"), col("g._1"), col("g._2"), col("g._3"), col("g._4"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val viaCatalyst = docs.select(col("doc_id"),
+        TextFunctions.cleanText(col("text")).as("cl"))
+      .select(col("doc_id"), col("cl"),
+        TextFunctions.languageId(col("cl")).as("lang"),
+        TextFunctions.qualityMilli(col("cl")).as("q"),
+        TextFunctions.tokenCount(col("cl")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(viaUdf.size == viaCatalyst.size)
+    viaCatalyst.foreach { case (id, exp) => assert(viaUdf(id) == exp, s"doc $id") }
+  }
+
   test("cosine_sim is bit-identical to the HOF formulation, mixed element types") {
     import graft.data.EmbeddingOps
     val emb = graft.Tables.embeddings(spark, sf)
