@@ -364,6 +364,32 @@ object SparkEntry {
           round(max(col("l_extendedprice")), 2).as("max_price"))
     },
 
+    // Approximate distinct counting (HyperLogLog++) across three
+    // cardinality regimes, held to its error contract: the estimate is
+    // deterministic for a given dataset (hash-based, no RNG), so the oracle
+    // pins the exact distinct counts and asserts |est − exact| ≤ 5·rsd·exact
+    // as constants-on-truth — the same guarantee-assertion pattern as
+    // q_heavy_hitters_approx. The scale story is the point: count(distinct)
+    // shuffles every distinct value; the sketch is a fixed few KB per
+    // partition merged map-side.
+    "q_approx_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val pair = concat_ws("|", col("user_id"), col("event_type"))
+      val agg = ev.agg(
+        approx_count_distinct(col("user_id"), 0.02).as("est_users"),
+        approx_count_distinct(pair, 0.02).as("est_pairs"),
+        approx_count_distinct(col("event_id"), 0.02).as("est_ids"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(pair).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_ids"))
+      def ok(est: Column, exact: Column): Column =
+        abs(est - exact) <= lit(0.10) * exact
+      agg.select(col("n_users"), col("n_pairs"), col("n_ids"),
+        ok(col("est_users"), col("n_users")).as("users_ok"),
+        ok(col("est_pairs"), col("n_pairs")).as("pairs_ok"),
+        ok(col("est_ids"), col("n_ids")).as("ids_ok"))
+    },
+
     // Event sessionization (batch form of the streaming session_window
     // operator — see Sessionize.streaming + StreamingSpec parity): 12h
     // inactivity gap per user, exact-cents value totals. One shuffle by
@@ -1043,6 +1069,15 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Exact distinct counts as truth; the estimate-quality booleans are
+    // guarantee constants (the estimator is deterministic on fixed data).
+    "q_approx_distinct" ->
+      """SELECT
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type) AS n_pairs,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  TRUE AS users_ok, TRUE AS pairs_ok, TRUE AS ids_ok
+        |FROM events""".stripMargin,
     // Gaps-and-islands sessionization: diff >= gap splits (the session_window
     // [start, start+gap) rule). Value totals as exact cents so the double-sum
     // ordering nondeterminism never reaches the hash compare.

@@ -61,4 +61,34 @@ class SessionizeSpec extends SparkSpec {
       .collect().toSet
     assert(streamed == batch)
   }
+
+  test("batch sessionize matches an in-memory model on random streams") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 400).map { _ =>
+        (rnd.nextInt(6).toLong, rnd.nextLong(200L * 1000000), rnd.nextInt(1000) / 100.0)
+      }
+      val got = Sessionize.batch(toEvents(rows).repartition(7), "user_id", "ts", GapUs,
+          valueCol = Some("value"))
+        .select("user_id", "n_events", "value_cents", "duration_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+        val sorted = evs.map(e => (e._2, e._3)).sorted
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._1 - cur.head._1 < GapUs => (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+        }
+        sessions.map { sess =>
+          val ts = sess.map(_._1)
+          (u, sess.size.toLong,
+            sess.map(e => math.round(e._2 * 100)).sum,
+            ts.max - ts.min)
+        }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
 }
