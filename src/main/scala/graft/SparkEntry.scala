@@ -24,6 +24,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
+  private val sessionizeOracle: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 43200000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM m)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 expr-lang filter (reference filter/json/filter.go) compiled through
@@ -398,6 +418,56 @@ object SparkEntry {
       operators.Sessionize.batch(
         Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
         "user_id", "ts", 12L * 3600 * 1000000, valueCol = Some("value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_cents"), col("duration_us"))
+    },
+
+    // Sessionization, STREAMING form: the native session_window stateful
+    // operator itself, driven through MemoryStream (the same harness shape
+    // as q_temporal_join_stream) and held to the SAME oracle as the batch
+    // form — proving the two paths agree under the driver gate, not just in
+    // the spec. All real events arrive in micro-batch 0 (no late drops); a
+    // far-future sentinel in batch 1 advances the watermark past every real
+    // session's close; the sentinel's own session never closes, so it never
+    // emits.
+    "q_sessionize_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val gapUs = 12L * 3600 * 1000000
+      val rows = eventsUsPrecision(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val maxTus = rows.map(_._2).max
+      val ms = MemoryStream[(Long, Long, Double)]
+      ms.addData(rows.toSeq)
+      ms.addData((-1L, maxTus + 3 * gapUs, 0.0)) // watermark sentinel
+      val events = ms.toDF.toDF("user_id", "tus", "value")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"), col("value"))
+      val sessions = operators.Sessionize.streaming(
+        events, "user_id", "ts", "12 hours", "0 seconds", valueCol = Some("value"))
+      val qn = s"sess_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = sessions.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("user_id") =!= -1L)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("value_cents"), col("duration_us"))
     },
@@ -1080,26 +1150,10 @@ object SparkEntry {
         |FROM events""".stripMargin,
     // Gaps-and-islands sessionization: diff >= gap splits (the session_window
     // [start, start+gap) rule). Value totals as exact cents so the double-sum
-    // ordering nondeterminism never reaches the hash compare.
-    "q_sessionize" ->
-      """WITH m AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 43200000000
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS session_no
-        |  FROM m)
-        |SELECT user_id,
-        |  min(ts) AS session_start,
-        |  max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
-        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-        |FROM s GROUP BY user_id, session_no""".stripMargin,
+    // ordering nondeterminism never reaches the hash compare. The STREAMING
+    // form is held to the identical oracle — batch and stream must agree.
+    "q_sessionize" -> sessionizeOracle,
+    "q_sessionize_stream" -> sessionizeOracle,
     "q_url_ops" ->
       """WITH b AS (
         |  SELECT doc_id,
