@@ -967,6 +967,94 @@ object SparkEntry {
           (col("hh_returned") === col("n_true_hh")).as("all_hh_present"))
     },
 
+    // Point-in-interval (range) join via bucketing: every error event opens
+    // a 30-minute incident window; count and value-sum the events inside
+    // each window. A naive inequality join is a BroadcastNestedLoopJoin —
+    // O(incidents × events); RangeJoin manufactures a bucket equi-key so the
+    // match runs as an ordinary hash join (see RangeJoin.scala scaladoc).
+    "q_range_join" -> { (s, dir) =>
+      val winUs = 1800L * 1000000 // 30 min in micros
+      val ev = eventsUsPrecision(s, dir)
+        .withColumn("tus", expr("ts_ns div 1000"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("tus").as("w_start"),
+          (col("tus") + winUs).as("w_end"))
+      val points = ev.select(col("event_id").as("pt_id"), col("tus").as("pt_ts"),
+        col("value").as("pt_value"))
+      operators.RangeJoin.pointInInterval(
+          incidents, points, "w_start", "w_end", "pt_ts", bucketWidth = winUs)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(pt_value * 100) AS BIGINT)")).as("value_cents"))
+    },
+
+    // Hopping (sliding) time-window aggregation: 1-day windows every 6 hours
+    // per event type — the batch form of the streaming windowed-agg operator
+    // (same `window()` function runs under readStream + watermark). Each row
+    // lands in width/hop = 4 windows; the explode happens before the partial
+    // aggregation, so the shuffle carries (window, type) partials, not rows.
+    "q_window_hopping" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n_events"), col("value_cents"))
+    },
+
+    // Bloom-pruned selective join (hand-rolled runtime filter): lineitems of
+    // urgent-priority orders. The Bloom prefilter drops ~4/5 of the fact
+    // rows before any join work at a few-hundred-KB broadcast cost — the
+    // shape that matters at 100 TB, where shuffling never-matching fact rows
+    // IS the query cost. Output is the guarantee-assertion pattern
+    // (q_approx_distinct style): exact truth columns the oracle recomputes,
+    // plus booleans for the Bloom contract (no false negative ever; false
+    // positives within 5× the configured fpp; pruning actually selective).
+    "q_bloom_prune" -> { (s, dir) =>
+      val fpp = 0.01
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val bf = operators.BloomPrune.buildLong(urgent, "o_orderkey",
+        expectedItems = urgent.count(), fpp = fpp)
+      val pruned = li.filter(
+        operators.BloomPrune.mightContainLong(li, bf, "l_orderkey"))
+      val cents = sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      val truth = li.join(broadcast(urgent),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"), cents.as("revenue_cents"))
+      val afterPrune = pruned.join(broadcast(urgent),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_after"), cents.as("cents_after"))
+      val prunedN = pruned.agg(count(lit(1)).as("n_pass"))
+      val totalN = li.agg(count(lit(1)).as("n_li"))
+      val nUrgent = urgent.agg(count(lit(1)).as("n_urgent"))
+      truth.crossJoin(afterPrune).crossJoin(prunedN).crossJoin(totalN)
+        .crossJoin(nUrgent)
+        .select(col("n_urgent"), col("n_matched"), col("revenue_cents"),
+          (col("n_after") === col("n_matched") &&
+            col("cents_after") === col("revenue_cents")).as("no_false_negatives"),
+          ((col("n_pass") - col("n_matched")).cast("double")
+            <= lit(5 * fpp) * (col("n_li") - col("n_matched"))).as("fp_rate_ok"),
+          (col("n_pass") < lit(0.5) * col("n_li")).as("prune_selective"))
+    },
+
+    // Two-phase salted aggregation (Skew.saltedAgg): event_type has 5 hot
+    // keys, the worst case for a direct groupBy at scale (5 reducers own all
+    // rows). Salting fans each key over 32 partials, then merges partials on
+    // the key alone — exact, and the oracle is the plain GROUP BY truth.
+    // Cents domain so the double-sum ordering nondeterminism of the salted
+    // two-phase plan never reaches the hash compare.
+    "q_salted_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("value_cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      operators.Skew.saltedSumCount(ev, Seq("event_type"), "value_cents", 32)
+        .select(col("event_type"), col("sum_v").as("value_cents"),
+          col("cnt").as("n_events"))
+    },
+
     // Broadcast-hash join + ROLLUP aggregation: revenue by region/nation.
     // nation/region are broadcast (tiny dims) — orders never shuffles for
     // the join, only for the final rollup aggregation.
@@ -1678,6 +1766,57 @@ object SparkEntry {
         |  TRUE AS lower_bound_ok,
         |  TRUE AS error_bound_ok,
         |  TRUE AS all_hh_present""".stripMargin,
+    // Inequality-join truth for the bucketed range join: same half-open
+    // containment, micros domain (DuckDB's parquet scan already truncated
+    // events.ts to micros, matching eventsUsPrecision).
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus, value, event_type
+        |            FROM events),
+        |iv AS (SELECT event_id AS incident_id, tus AS w_start,
+        |              tus + 1800000000 AS w_end
+        |       FROM ev WHERE event_type = 'error')
+        |SELECT iv.incident_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM iv JOIN ev p ON p.tus >= iv.w_start AND p.tus < iv.w_end
+        |GROUP BY iv.incident_id""".stripMargin,
+    // Hop-window membership unrolled: a point belongs to every hop-aligned
+    // start in (tus - width, tus]; integer floor-division (non-negative
+    // domain) keeps boundary points exact where a double floor could flake.
+    "q_window_hopping" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |w AS (SELECT
+        |    unnest(generate_series(
+        |      ((tus - 86400000000) // 21600000000 + 1) * 21600000000,
+        |      (tus // 21600000000) * 21600000000,
+        |      21600000000)) AS w_start_us,
+        |    event_type, value
+        |  FROM ev)
+        |SELECT w_start_us, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w GROUP BY w_start_us, event_type""".stripMargin,
+    // Exact truth columns recomputed; the Bloom-contract booleans are
+    // guarantee constants (no false negative by construction; fp and
+    // selectivity bounds hold with wide margin at every test scale).
+    "q_bloom_prune" ->
+      """WITH u AS (SELECT o_orderkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |t AS (SELECT l_extendedprice FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM u))
+        |SELECT
+        |  (SELECT count(*) FROM u) AS n_urgent,
+        |  count(*) AS n_matched,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fp_rate_ok,
+        |  TRUE AS prune_selective
+        |FROM t""".stripMargin,
+    // The salted two-phase plan must land on the plain GROUP BY truth.
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_rollup_join" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders
