@@ -44,6 +44,23 @@ object SparkEntry {
       |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
+  /** Shared truth for the batch AND streaming hopping-window forms:
+    * hop-window membership unrolled — a point belongs to every hop-aligned
+    * start in (tus - width, tus]; integer floor division (non-negative
+    * domain) keeps boundary points exact where a double floor could flake. */
+  private val hoppingOracle: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+      |w AS (SELECT
+      |    unnest(generate_series(
+      |      ((tus - 86400000000) // 21600000000 + 1) * 21600000000,
+      |      (tus // 21600000000) * 21600000000,
+      |      21600000000)) AS w_start_us,
+      |    event_type, value
+      |  FROM ev)
+      |SELECT w_start_us, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM w GROUP BY w_start_us, event_type""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 expr-lang filter (reference filter/json/filter.go) compiled through
@@ -1002,6 +1019,57 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("value_cents"))
     },
 
+    // Hopping windows, STREAMING form: the native stateful windowed-agg
+    // operator itself (same `window()` call under readStream + watermark),
+    // driven through MemoryStream and held to the SAME oracle as the batch
+    // form — the q_sessionize_stream harness shape. All real events arrive
+    // in micro-batch 0; a far-future sentinel advances the watermark past
+    // every real window's close. The sentinel's own windows never close, so
+    // they never emit.
+    "q_window_hopping_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = eventsUsPrecision(s, dir)
+        .select(expr("ts_ns div 1000").as("tus"), col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val maxTus = rows.map(_._1).max
+      val ms = MemoryStream[(Long, String, Double)]
+      ms.addData(rows.toSeq)
+      ms.addData((maxTus + 3L * 86400000000L, "__sentinel", 0.0))
+      val events = ms.toDF.toDF("tus", "event_type", "value")
+        .select(timestamp_micros(col("tus")).as("ts"), col("event_type"), col("value"))
+        .withWatermark("ts", "0 seconds")
+      val agg = events
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n_events"), col("value_cents"))
+      val qn = s"hop_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("event_type") =!= "__sentinel")
+    },
+
     // Bloom-pruned selective join (hand-rolled runtime filter): lineitems of
     // urgent-priority orders. The Bloom prefilter drops ~4/5 of the fact
     // rows before any join work at a few-hundred-KB broadcast cost — the
@@ -1039,6 +1107,37 @@ object SparkEntry {
           ((col("n_pass") - col("n_matched")).cast("double")
             <= lit(5 * fpp) * (col("n_li") - col("n_matched"))).as("fp_rate_ok"),
           (col("n_pass") < lit(0.5) * col("n_li")).as("prune_selective"))
+    },
+
+    // Ordered first-touch funnel (view → click → purchase per user): the
+    // compose-built-ins form is 3 groupBy+join-back rounds; Funnel does it
+    // in ONE shuffle with a per-key state machine over a sorted linear pass
+    // (AsOfJoin.sortMerge shape). Oracle is the 3-round chained-min SQL.
+    "q_funnel" -> { (s, dir) =>
+      val ev = eventsUsPrecision(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+          col("event_type"))
+      operators.Funnel.firstTouch(ev, "user_id", "tus", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("reached"), col("ts_1").as("t1_us"),
+          col("ts_2").as("t2_us"), col("ts_3").as("t3_us"))
+    },
+
+    // Cohort retention: cohort = a user's first active epoch-week; one row
+    // per (cohort, week offset) with the distinct-user count. Every shuffle
+    // is keyed by user_id until the final tiny (cohort, offset) aggregate,
+    // so the plan is a 100 TB clickstream shape.
+    "q_cohort_retention" -> { (s, dir) =>
+      val weekUs = 604800000000L
+      val active = eventsUsPrecision(s, dir)
+        .select(col("user_id"),
+          expr(s"(ts_ns div 1000) div $weekUs").as("wk"))
+        .distinct()
+      val cohorts = active.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      active.join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
     },
 
     // Two-phase salted aggregation (Skew.saltedAgg): event_type has 5 hot
@@ -1779,21 +1878,10 @@ object SparkEntry {
         |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM iv JOIN ev p ON p.tus >= iv.w_start AND p.tus < iv.w_end
         |GROUP BY iv.incident_id""".stripMargin,
-    // Hop-window membership unrolled: a point belongs to every hop-aligned
-    // start in (tus - width, tus]; integer floor-division (non-negative
-    // domain) keeps boundary points exact where a double floor could flake.
-    "q_window_hopping" ->
-      """WITH ev AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
-        |w AS (SELECT
-        |    unnest(generate_series(
-        |      ((tus - 86400000000) // 21600000000 + 1) * 21600000000,
-        |      (tus // 21600000000) * 21600000000,
-        |      21600000000)) AS w_start_us,
-        |    event_type, value
-        |  FROM ev)
-        |SELECT w_start_us, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM w GROUP BY w_start_us, event_type""".stripMargin,
+    // Batch and streaming hopping-window forms are held to the IDENTICAL
+    // truth — the two paths must agree under the driver gate.
+    "q_window_hopping" -> hoppingOracle,
+    "q_window_hopping_stream" -> hoppingOracle,
     // Exact truth columns recomputed; the Bloom-contract booleans are
     // guarantee constants (no false negative by construction; fp and
     // selectivity bounds hold with wide margin at every test scale).
@@ -1811,6 +1899,35 @@ object SparkEntry {
         |  TRUE AS fp_rate_ok,
         |  TRUE AS prune_selective
         |FROM t""".stripMargin,
+    // Chained-min truth for the one-shuffle funnel: each step is the min
+    // event time strictly after the previous step's first touch.
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, min(tus) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, min(tus) AS t2 FROM ev
+        |      JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tus > v.t1 GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, min(tus) AS t3 FROM ev
+        |      JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tus > c.t2 GROUP BY ev.user_id)
+        |SELECT v.user_id,
+        |  CASE WHEN p.t3 IS NOT NULL THEN 3
+        |       WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS reached,
+        |  v.t1 AS t1_us, c.t2 AS t2_us, p.t3 AS t3_us
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    // Distinct (user, week) activity against each user's first week.
+    "q_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+        |  count(*) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY f.cohort_wk, a.wk - f.cohort_wk""".stripMargin,
     // The salted two-phase plan must land on the plain GROUP BY truth.
     "q_salted_agg" ->
       """SELECT event_type,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("a", "b", "c")
+
+  /** In-memory model: chained strict-greater first-touch minima. */
+  private def model(events: Seq[(Long, Long, String)]): Map[Long, (Int, Seq[Option[Long]])] =
+    events.groupBy(_._1).flatMap { case (k, evs) =>
+      val byStep = steps.map(s => evs.filter(_._3 == s).map(_._2).sorted)
+      val touches = byStep.foldLeft(Seq.empty[Option[Long]]) { (acc, ts) =>
+        acc :+ (acc.lastOption match {
+          case None => ts.headOption // step 1: plain min
+          case Some(Some(prev)) => ts.find(_ > prev)
+          case Some(None) => None
+        })
+      }
+      touches.head.map { _ =>
+        val reached = touches.takeWhile(_.isDefined).size
+        k -> (reached, touches)
+      }
+    }
+
+  test("matches the chained-min model on randomized event sets") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val events = (0 until 4000).map { _ =>
+        (rnd.nextLong(60), rnd.nextLong(1000),
+          Seq("a", "b", "c", "noise")(rnd.nextInt(4)))
+      }
+      val df = events.toDF("k", "ts", "step")
+      val got = Funnel.firstTouch(df, "k", "ts", "step", steps)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), (0 until 3).map(i =>
+            if (r.isNullAt(i + 2)) None else Some(r.getLong(i + 2)))))
+        .toMap
+      assert(got == model(events), s"seed $seed")
+    }
+  }
+
+  test("strictly-after semantics: same-instant next step does not count") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 10L, "b"), (1L, 11L, "b"), (1L, 11L, "c"),
+      (2L, 5L, "b"), (2L, 6L, "c"), // no step-1 → no row
+      (3L, 7L, "a")
+    ).toDF("k", "ts", "step")
+    val got = Funnel.firstTouch(df, "k", "ts", "step", steps)
+      .orderBy("k").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val r1 = got(0)
+    assert(r1.getInt(1) == 2 && r1.getLong(2) == 10L && r1.getLong(3) == 11L
+      && r1.isNullAt(4)) // c at ts=11 not strictly after b at ts=11
+    assert(got(1).getInt(1) == 1)
+  }
+
+  test("result is partition-invariant") {
+    val rnd = new Random(99)
+    val events = (0 until 2000).map { _ =>
+      (rnd.nextLong(20), rnd.nextLong(300), Seq("a", "b", "c")(rnd.nextInt(3)))
+    }
+    def run(parts: Int) =
+      Funnel.firstTouch(events.toDF("k", "ts", "step").repartition(parts),
+        "k", "ts", "step", steps)
+        .collect().map(_.toSeq).toSet
+    assert(run(1) == run(7))
+  }
+}
