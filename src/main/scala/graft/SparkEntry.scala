@@ -1109,6 +1109,37 @@ object SparkEntry {
           (col("n_pass") < lit(0.5) * col("n_li")).as("prune_selective"))
     },
 
+    // Trailing time-range window aggregates: per user, the 1-hour trailing
+    // event count and cents sum AT EACH EVENT (RANGE frame over event time,
+    // peers included — deterministic under ts ties by definition). One
+    // shuffle by user_id + in-partition sort; the frame is a sliding
+    // pointer pass, never a per-row rescan.
+    "q_rolling_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3599999999L, 0) // [t - 1h, t], half-open start
+      eventsUsPrecision(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("cents")).over(w).as("cents_1h"))
+    },
+
+    // Pivot (crosstab) aggregation: per-user-bucket cents by event type.
+    // Pivot values are DECLARED, not discovered — the discovery variant
+    // runs a distinct job over the full input first, which is a needless
+    // extra pass at 100 TB.
+    "q_pivot" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", col("user_id") % 100)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(sum(col("cents")))
+    },
+
     // Ordered first-touch funnel (view → click → purchase per user): the
     // compose-built-ins form is 3 groupBy+join-back rounds; Funnel does it
     // in ONE shuffle with a per-key state machine over a sorted linear pass
@@ -1899,6 +1930,31 @@ object SparkEntry {
         |  TRUE AS fp_rate_ok,
         |  TRUE AS prune_selective
         |FROM t""".stripMargin,
+    // Same RANGE frame semantics over the shared micros domain; DuckDB's
+    // windowed sum(BIGINT) returns HUGEINT, hence the cast.
+    "q_rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Conditional aggregation is the portable spelling of PIVOT; absent
+    // (bucket, type) pairs are NULL on both sides.
+    "q_pivot" ->
+      """SELECT user_id % 100 AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id % 100""".stripMargin,
     // Chained-min truth for the one-shuffle funnel: each step is the min
     // event time strictly after the previous step's first touch.
     "q_funnel" ->
