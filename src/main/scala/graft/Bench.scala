@@ -83,7 +83,7 @@ object Bench {
       if (streamingRate > 0) ""
       else s""""streaming_ingest_error":"${jsonEscape(streamingErr)}","""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      """"notes":{"q_temporal_join_stream":"wall time ~= fixed local-mode micro-batch WAL/commit latency (same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
+      """"notes":{"streaming_rows":"q_temporal_join_stream / q_sessionize_stream / q_window_hopping_stream / q_dedup_windowed_stream wall time ~= fixed local-mode micro-batch WAL/commit latency (measured the same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
       f""""ingest_events_per_sec":$headline%.0f,""" +
       f""""ingest_pruned_schema_events_per_sec":$ingestPruned%.0f,""" +
       f""""ingest_streaming_events_per_sec":$streamingRate%.0f,""" +

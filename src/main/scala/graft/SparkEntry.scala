@@ -124,6 +124,51 @@ object SparkEntry {
           Seq("user_id"), "ts_ns", 3600L * 1000000000L, "event_id"))
     },
 
+    // A1 windowed dedup, STREAMING form: the flatMapGroupsWithState
+    // since-last-kept operator itself (reference dedup semantics) driven
+    // through MemoryStream under the driver gate. Millisecond event-time
+    // domain (flatMapGroupsWithState timestamps are ms), so the oracle
+    // reruns the recursive since-last-kept scan at ms precision; the
+    // event_id tie-break pins the kept row among equal-ms events.
+    "q_dedup_windowed_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = eventsUsPrecision(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("tus"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val ms = MemoryStream[(Long, Long, Long)]
+      ms.addData(rows.toSeq)
+      val events = ms.toDF.toDF("event_id", "user_id", "tus")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("tus")).as("ts"))
+      val deduped = operators.DedupOp.windowedStreamingExact(
+        Seq("user_id"), "ts", 3600L * 1000, tieBreak = Some("event_id"))(events)
+      val qn = s"dedup_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = deduped.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    },
+
     // J1 temporal join (batch analog): for each purchase, the LATEST view
     // by the same user within 24h — latest-right-wins, not all-pairs.
     // sortMerge: one shuffle per side, linear pass, no pair blow-up.
@@ -1087,23 +1132,28 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_extendedprice"))
       val bf = operators.BloomPrune.buildLong(urgent, "o_orderkey",
         expectedItems = urgent.count(), fpp = fpp)
-      val pruned = li.filter(
-        operators.BloomPrune.mightContainLong(li, bf, "l_orderkey"))
-      val cents = sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-      val truth = li.join(broadcast(urgent),
-          col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .agg(count(lit(1)).as("n_matched"), cents.as("revenue_cents"))
-      val afterPrune = pruned.join(broadcast(urgent),
-          col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .agg(count(lit(1)).as("n_after"), cents.as("cents_after"))
-      val prunedN = pruned.agg(count(lit(1)).as("n_pass"))
-      val totalN = li.agg(count(lit(1)).as("n_li"))
+      // single fact-side pass: per-row membership + bloom-pass flags, one
+      // aggregate over the flags (the earlier 5-aggregate form re-scanned
+      // lineitem and re-ran the probe three times)
+      val flagged = li
+        .join(broadcast(urgent.withColumn("__member", lit(1L))),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .withColumn("__pass",
+          operators.BloomPrune.mightContainLong(li, bf, "l_orderkey")
+            .cast("long"))
+        .withColumn("__cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
       val nUrgent = urgent.agg(count(lit(1)).as("n_urgent"))
-      truth.crossJoin(afterPrune).crossJoin(prunedN).crossJoin(totalN)
-        .crossJoin(nUrgent)
+      flagged.agg(
+          count(lit(1)).as("n_li"),
+          sum(coalesce(col("__member"), lit(0L))).as("n_matched"),
+          sum(when(col("__member").isNotNull, col("__cents")).otherwise(0L))
+            .as("revenue_cents"),
+          sum(col("__pass")).as("n_pass"),
+          sum(when(col("__member").isNotNull && col("__pass") === 0L, 1L)
+            .otherwise(0L)).as("n_missed"))
+        .crossJoin(broadcast(nUrgent))
         .select(col("n_urgent"), col("n_matched"), col("revenue_cents"),
-          (col("n_after") === col("n_matched") &&
-            col("cents_after") === col("revenue_cents")).as("no_false_negatives"),
+          (col("n_missed") === 0L).as("no_false_negatives"),
           ((col("n_pass") - col("n_matched")).cast("double")
             <= lit(5 * fpp) * (col("n_li") - col("n_matched"))).as("fp_rate_ok"),
           (col("n_pass") < lit(0.5) * col("n_li")).as("prune_selective"))
@@ -2147,6 +2197,27 @@ object SparkEntry {
         |         WHERE e.user_id = k.user_id AND e.ts_ns > k.ts_ns + 3600000000000) IS NOT NULL)
         |SELECT e.event_id, e.user_id, e.ts_ns
         |FROM kept JOIN e ON e.user_id = kept.user_id AND e.ts_ns = kept.ts_ns""".stripMargin,
+    // Since-last-kept truth at the streaming operator's ms precision; the
+    // QUALIFY pins the event_id-min row among equal-ms kept events (the
+    // operator's tie-break: first in (ms, event_id) order is kept, the
+    // rest fall inside the zero-length window).
+    "q_dedup_windowed_stream" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |d AS (SELECT DISTINCT user_id, ts_ms FROM e),
+        |kept AS (
+        |  SELECT user_id, min(ts_ms) AS ts_ms FROM d GROUP BY user_id
+        |  UNION ALL
+        |  SELECT k.user_id,
+        |    (SELECT min(d.ts_ms) FROM d
+        |     WHERE d.user_id = k.user_id AND d.ts_ms > k.ts_ms + 3600000) AS ts_ms
+        |  FROM kept k
+        |  WHERE (SELECT min(d.ts_ms) FROM d
+        |         WHERE d.user_id = k.user_id AND d.ts_ms > k.ts_ms + 3600000) IS NOT NULL)
+        |SELECT e.event_id, e.user_id, e.ts_ms
+        |FROM kept JOIN e ON e.user_id = kept.user_id AND e.ts_ms = kept.ts_ms
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY e.user_id, e.ts_ms ORDER BY e.event_id) = 1""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
         |           FROM events WHERE event_type = 'purchase'),

@@ -78,13 +78,17 @@ object DedupOp {
 
   /** Exact reference semantics in streaming: per-key last-kept-timestamp
     * state; a record is kept iff ts − lastKept > window; dropped records do
-    * NOT refresh the TTL. State expires via event-time timeout. */
+    * NOT refresh the TTL. State expires via event-time timeout.
+    * `tieBreak` (a long column) makes the kept row among equal-millisecond
+    * events deterministic; without it the winner is arrival order. */
   def windowedStreamingExact(keys: Seq[String], tsCol: String, windowMs: Long,
-                             watermarkDelay: String = "10 seconds")(df: DataFrame): DataFrame = {
+                             watermarkDelay: String = "10 seconds",
+                             tieBreak: Option[String] = None)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     val schema = df.schema
     val tsIdx = schema.fieldIndex(tsCol)
     val keyIdx = keys.map(schema.fieldIndex)
+    val tieIdx = tieBreak.map(schema.fieldIndex)
     implicit val stateEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
     def tsMillis(r: Row): Long = r.get(tsIdx) match {
@@ -98,7 +102,8 @@ object DedupOp {
         (_: String, it: Iterator[Row], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val events = it.toArray.sortBy(tsMillis)
+            val events = it.toArray.sortBy(r =>
+              (tsMillis(r), tieIdx.map(r.getLong).getOrElse(0L)))
             var lastKept = state.getOption.getOrElse(Long.MinValue)
             val out = events.filter { r =>
               val ts = tsMillis(r)
