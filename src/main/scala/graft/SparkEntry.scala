@@ -1159,6 +1159,54 @@ object SparkEntry {
           (col("n_pass") < lit(0.5) * col("n_li")).as("prune_selective"))
     },
 
+    // Quantile sketch under its rank-error contract — the third classic
+    // sketch row (HLL: q_approx_distinct; SpaceSaving: q_heavy_hitters_
+    // approx). percentile_approx at accuracy 100 (ε ≈ 1%) is one-pass,
+    // mergeable, fixed-size — vs the full sort an exact percentile costs at
+    // 100 TB. The sketch value's exact rank (recomputed over the data) must
+    // sit within p ± 5ε, and every returned value must be an actual element.
+    // Oracle states the guarantees as constants-on-truth plus the exact row
+    // count (the estimator is deterministic on fixed data, no RNG).
+    "q_quantile_sketch" -> { (s, dir) =>
+      val tol = 0.05 // 5 x (1/accuracy) safety, same margin style as HLL row
+      val ev = Tables.events(s, dir)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val sk = ev.agg(
+        expr("percentile_approx(cents, array(0.5D, 0.9D, 0.99D), 100)").as("q"),
+        count(lit(1)).as("n"))
+      val probes = Seq(0.5 -> 0, 0.9 -> 1, 0.99 -> 2)
+      val agg = ev.crossJoin(broadcast(sk)).agg(
+        first(col("n")).as("n_events"),
+        probes.flatMap { case (_, i) =>
+          Seq(
+            sum(when(col("cents") < col("q")(i), 1L).otherwise(0L)).as(s"lt_$i"),
+            sum(when(col("cents") <= col("q")(i), 1L).otherwise(0L)).as(s"le_$i"),
+            sum(when(col("cents") === col("q")(i), 1L).otherwise(0L)).as(s"eq_$i"))
+        }: _*)
+      val checks = probes.map { case (p, i) =>
+        ((col(s"lt_$i") <= (lit(p) + tol) * col("n_events")) &&
+          (col(s"le_$i") >= (lit(p) - tol) * col("n_events")))
+          .as(s"p${(p * 100).toInt}_ok")
+      }
+      val isElem = probes.map { case (_, i) => col(s"eq_$i") > 0L }
+        .reduce(_ && _).as("elements_ok")
+      agg.select((col("n_events") +: checks :+ isElem): _*)
+    },
+
+    // Per-label embedding centroid sums (class prototypes — the reduce step
+    // of k-means/SemDeDup) in fixed-point: integer sums per (label, dim)
+    // are partition-invariant where float sums are not, so the oracle and
+    // any cluster layout agree bit-for-bit. Map-side partial aggregation on
+    // (label, pos); the shuffle carries labels x dims partials, not vectors.
+    "q_embed_centroids" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        // double→long CAST truncates toward zero in Spark ≡ DuckDB trunc()
+        .withColumn("qv", expr("CAST(CAST(col AS DOUBLE) * 1000000 AS BIGINT)"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("qv")).as("sum_q"))
+    },
+
     // Trailing time-range window aggregates: per user, the 1-hour trailing
     // event count and cents sum AT EACH EVENT (RANGE frame over event time,
     // peers included — deterministic under ts ties by definition). One
@@ -1980,6 +2028,24 @@ object SparkEntry {
         |  TRUE AS fp_rate_ok,
         |  TRUE AS prune_selective
         |FROM t""".stripMargin,
+    // Rank-error guarantees as constants-on-truth; exact count pinned.
+    "q_quantile_sketch" ->
+      """SELECT count(*) AS n_events,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+        |  TRUE AS elements_ok
+        |FROM events""".stripMargin,
+    // Zipped unnest (DuckDB zips equal-length unnests in one SELECT) gives
+    // (element, 0-based pos) pairs matching Spark's posexplode; identical
+    // float→double→trunc fixed-point pipeline on both sides.
+    "q_embed_centroids" ->
+      """WITH x AS (SELECT label,
+        |    unnest(embedding) AS v,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings)
+        |SELECT label, pos, count(*) AS n_vecs,
+        |  CAST(sum(CAST(trunc(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_q
+        |FROM x GROUP BY label, pos""".stripMargin,
     // Same RANGE frame semantics over the shared micros domain; DuckDB's
     // windowed sum(BIGINT) returns HUGEINT, hence the cast.
     "q_rolling_window" ->
