@@ -1252,6 +1252,57 @@ object SparkEntry {
           col("ts_2").as("t2_us"), col("ts_3").as("t3_us"))
     },
 
+    // Funnel, STREAMING form: per-key buffered step events, finalized by
+    // the exact batch transition when the key goes inactive (event-time
+    // timeout) — so burst results match the batch operator independent of
+    // arrival order. Millisecond domain (flatMapGroupsWithState native
+    // precision), hence the ms-precision chained-min oracle; with the
+    // whole history in micro-batch 0 the single finalize covers it all.
+    "q_funnel_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = eventsUsPrecision(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+          col("event_type"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val maxTus = rows.map(_._2).max
+      val ms = MemoryStream[(Long, Long, String)]
+      ms.addData(rows.toSeq)
+      ms.addData((-1L, maxTus + 30L * 86400000000L, "view")) // watermark sentinel
+      val events = ms.toDF.toDF("user_id", "tus", "event_type")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+          col("event_type"))
+      val funnel = operators.Funnel.firstTouchStreaming(
+        events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), gapMs = 3600L * 1000,
+        watermarkDelay = "0 seconds")
+      val qn = s"funnel_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = funnel.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("reached"), col("ts_1").as("t1_ms"),
+          col("ts_2").as("t2_ms"), col("ts_3").as("t3_ms"))
+    },
+
     // Cohort retention: cohort = a user's first active epoch-week; one row
     // per (cohort, week offset) with the distinct-user count. Every shuffle
     // is keyed by user_id until the final tiny (cohort, offset) aggregate,
@@ -2088,6 +2139,26 @@ object SparkEntry {
         |  CASE WHEN p.t3 IS NOT NULL THEN 3
         |       WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS reached,
         |  v.t1 AS t1_us, c.t2 AS t2_us, p.t3 AS t3_us
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    // The streaming funnel's truth at its ms precision — same chained
+    // strict-greater minima as the batch funnel oracle.
+    "q_funnel_stream" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, min(tms) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, min(tms) AS t2 FROM ev
+        |      JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tms > v.t1 GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, min(tms) AS t3 FROM ev
+        |      JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tms > c.t2 GROUP BY ev.user_id)
+        |SELECT v.user_id,
+        |  CASE WHEN p.t3 IS NOT NULL THEN 3
+        |       WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS reached,
+        |  v.t1 AS t1_ms, c.t2 AS t2_ms, p.t3 AS t3_ms
         |FROM v
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,

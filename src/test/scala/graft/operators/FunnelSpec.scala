@@ -60,6 +60,36 @@ class FunnelSpec extends SparkSpec {
     assert(got(1).getInt(1) == 1)
   }
 
+  test("streaming form equals the batch operator on the same events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(41)
+    // millisecond-domain events, matching the streaming operator's precision
+    val events = (0 until 3000).map { _ =>
+      (rnd.nextLong(40), 1700000000000L + rnd.nextLong(1000000L),
+        Seq("a", "b", "c", "noise")(rnd.nextInt(4)))
+    }
+    val batch = Funnel.firstTouch(
+      events.toDF("k", "tsm", "step"), "k", "tsm", "step", steps)
+      .collect().map(_.toSeq).toSet
+    val ms = MemoryStream[(Long, Long, String)]
+    ms.addData(events)
+    ms.addData((-1L, 1700000000000L + 30000000L, "a")) // watermark sentinel
+    val stream = ms.toDF.toDF("k", "tsm", "step")
+      .select(col("k"), org.apache.spark.sql.functions.timestamp_millis(col("tsm")).as("ts"),
+        col("step"))
+    val out = Funnel.firstTouchStreaming(stream, "k", "ts", "step", steps,
+      gapMs = 3600000L, watermarkDelay = "0 seconds")
+    val qn = s"funnelspec_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", s"${sys.props("java.io.tmpdir")}/$qn")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(qn).filter(col("k") =!= -1L)
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+
   test("result is partition-invariant") {
     val rnd = new Random(99)
     val events = (0 until 2000).map { _ =>
