@@ -90,6 +90,78 @@ class FunnelSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming funnel runs under the RocksDB state store (production provider)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Long, String)]
+      ms.addData((1L, 1000L, "a"), (1L, 2000L, "b"), (1L, 3000L, "c"),
+        (2L, 1000L, "b")) // no step-1 → no row for key 2
+      ms.addData((-1L, 100000000L, "a")) // watermark sentinel
+      val stream = ms.toDF.toDF("k", "tsm", "step")
+        .select(col("k"),
+          org.apache.spark.sql.functions.timestamp_millis(col("tsm")).as("ts"),
+          col("step"))
+      val out = Funnel.firstTouchStreaming(stream, "k", "ts", "step", steps,
+        gapMs = 60000L, watermarkDelay = "0 seconds")
+      val qn = s"funnel_rocks_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", s"${sys.props("java.io.tmpdir")}/$qn")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(qn).filter(col("k") =!= -1L)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got == Seq((1L, 3)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("buffered funnel state survives a restart from checkpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // memory sink refuses checkpoint recovery; parquet supports it
+    val base = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
+    val (checkpoint, outDir) = (s"$base/ckpt", s"$base/out")
+    val ms = MemoryStream[(Long, Long, String)]
+    val stream = ms.toDF.toDF("k", "tsm", "step")
+      .select(col("k"),
+        org.apache.spark.sql.functions.timestamp_millis(col("tsm")).as("ts"),
+        col("step"))
+    val out = Funnel.firstTouchStreaming(stream, "k", "ts", "step", steps,
+      gapMs = 60000L, watermarkDelay = "0 seconds")
+    def startQuery() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+
+    // run 1: buffer steps a and b for key 1, then stop before any timeout
+    val q1 = startQuery()
+    ms.addData((1L, 1000L, "a"), (1L, 2000L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: step c arrives AFTER the restart, then the watermark passes —
+    // the emitted funnel must include the pre-restart a and b buffers
+    val q2 = startQuery()
+    ms.addData((1L, 3000L, "c"))
+    ms.addData((-1L, 100000000L, "a"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).filter(col("k") =!= -1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3, 1000L, 2000L, 3000L)),
+      s"pre-restart buffer lost: ${got.toList}")
+  }
+
   test("result is partition-invariant") {
     val rnd = new Random(99)
     val events = (0 until 2000).map { _ =>
