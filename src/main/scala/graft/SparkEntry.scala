@@ -1139,7 +1139,7 @@ object SparkEntry {
         .join(broadcast(urgent.withColumn("__member", lit(1L))),
           col("l_orderkey") === col("o_orderkey"), "left")
         .withColumn("__pass",
-          operators.BloomPrune.mightContainLong(li, bf, "l_orderkey")
+          operators.BloomPrune.mightContainLong(bf, "l_orderkey")
             .cast("long"))
         .withColumn("__cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
       val nUrgent = urgent.agg(count(lit(1)).as("n_urgent"))

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter join pruning (a hand-rolled runtime filter).
@@ -33,14 +35,20 @@ object BloomPrune {
                 fpp: Double = 0.01): BloomFilter =
     build.stat.bloomFilter(keyCol, math.max(expectedItems, 1L), fpp)
 
-  /** Membership predicate for the probe side; NULL keys never match (SQL
-    * join semantics). The filter is broadcast once per stage, and the probe
-    * runs as a scan-local predicate — no shuffle, no per-row JVM boxing
-    * beyond the long accessor. */
-  def mightContainLong(df: DataFrame, bf: BloomFilter, keyCol: String): Column = {
-    val bc = df.sparkSession.sparkContext.broadcast(bf)
-    val probe = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    probe(col(keyCol))
+  /** Membership predicate for the probe side: Spark's own codegen'd
+    * `BloomFilterMightContain` expression — the one `InjectRuntimeFilter`
+    * plants — over the serialized filter as a binary literal, so the probe
+    * stays inside whole-stage codegen instead of crossing a UDF boundary
+    * per row. NULL keys yield NULL, which a filter drops (SQL join
+    * semantics). The literal ships with the task binary — fine at runtime-
+    * filter sizes (~1.2 MB / 1M keys); beyond that, prune build-side keys
+    * first. */
+  def mightContainLong(bf: BloomFilter, keyCol: String): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      GraftColumnBridge.expression(col(keyCol))))
   }
 
   /** Inner equi-join with the probe side Bloom-pruned first. Build side is
@@ -50,7 +58,7 @@ object BloomPrune {
                  probeKey: String, buildKey: String,
                  expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = buildLong(build, buildKey, expectedItems, fpp)
-    probe.filter(mightContainLong(probe, bf, probeKey))
+    probe.filter(mightContainLong(bf, probeKey))
       .join(broadcast(build), col(probeKey) === col(buildKey))
   }
 }

@@ -14,7 +14,7 @@ class BloomPruneSpec extends SparkSpec {
     val build = keys.toDF("k")
     val bf = BloomPrune.buildLong(build, "k", keys.size.toLong, 0.01)
     val missed = build
-      .filter(!BloomPrune.mightContainLong(build, bf, "k")).count()
+      .filter(!BloomPrune.mightContainLong(bf, "k")).count()
     assert(missed == 0L)
   }
 
@@ -25,7 +25,7 @@ class BloomPruneSpec extends SparkSpec {
     val probes = Seq.fill(40000)(rnd.nextLong() | 1L).distinct
     val bf = BloomPrune.buildLong(members.toDF("k"), "k", members.size.toLong, 0.01)
     val pdf = probes.toDF("k")
-    val fp = pdf.filter(BloomPrune.mightContainLong(pdf, bf, "k")).count()
+    val fp = pdf.filter(BloomPrune.mightContainLong(bf, "k")).count()
     assert(fp.toDouble / probes.size < 0.05, s"fp rate ${fp.toDouble / probes.size}")
   }
 
