@@ -1159,6 +1159,27 @@ object SparkEntry {
           (col("n_pass") < lit(0.5) * col("n_li")).as("prune_selective"))
     },
 
+    // Corpus n-gram vocabulary: bigram occurrence totals + document
+    // frequencies with a min-df cutoff — the building block behind
+    // contamination checks, LM vocabularies, and top-gram boilerplate
+    // detection. Explode feeds a partial-aggregated groupBy; the shuffle
+    // carries (gram, doc) pairs for the distinct count, never raw text.
+    "q_ngram_counts" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      val t = TextFunctions.tokens(col("text"))
+      val grams = when(size(t) < 2,
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+        .filter(col("doc_freq") >= 3)
+    },
+
     // Quantile sketch under its rank-error contract — the third classic
     // sketch row (HLL: q_approx_distinct; SpaceSaving: q_heavy_hitters_
     // approx). percentile_approx at accuracy 100 (ε ≈ 1%) is one-pass,
@@ -2079,6 +2100,21 @@ object SparkEntry {
         |  TRUE AS fp_rate_ok,
         |  TRUE AS prune_selective
         |FROM t""".stripMargin,
+    // Same 1-based inclusive-slice bigram construction as the
+    // contamination oracle, without the per-doc distinct.
+    "q_ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])
+        |      AS gram
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT gram, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS doc_freq
+        |FROM g GROUP BY gram
+        |HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
     // Rank-error guarantees as constants-on-truth; exact count pinned.
     "q_quantile_sketch" ->
       """SELECT count(*) AS n_events,
