@@ -1159,6 +1159,26 @@ object SparkEntry {
           (col("n_pass") < lit(0.5) * col("n_li")).as("prune_selective"))
     },
 
+    // Corpus-mix weights APPLIED: deterministic weighted Bernoulli keep —
+    // acceptance probability = min(weight_micro/1e6, 1), decided by
+    // comparing the row's md5 hash draw against a per-row hex threshold
+    // (8-char zero-padded hex compares lexicographically = numerically, so
+    // both engines decide identically, integer-exact). Scan-local after the
+    // broadcast weight join; zero extra shuffles — the rejection-sampling
+    // path to a target language mix at 100 TB.
+    "q_weighted_sample" -> { (s, dir) =>
+      import graft.data.Sampling
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val w = Sampling.mixWeights(docs, "lang",
+        Map("en" -> 0.4, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.2))
+      val draw = Sampling.hashDraw(col("doc_id"), "wsamp")
+      val thr = least(expr("(weight_micro * 4294967296) div 1000000"),
+        lit(4294967296L))
+      w.filter(col("weight_micro") >= 1000000L ||
+          draw < lpad(lower(hex(thr)), 8, "0"))
+        .select(col("doc_id"), col("lang"), col("weight_micro"))
+    },
+
     // Corpus n-gram vocabulary: bigram occurrence totals + document
     // frequencies with a min-df cutoff — the building block behind
     // contamination checks, LM vocabularies, and top-gram boilerplate
@@ -2100,6 +2120,28 @@ object SparkEntry {
         |  TRUE AS fp_rate_ok,
         |  TRUE AS prune_selective
         |FROM t""".stripMargin,
+    // Same weight derivation as the q_mix_weights oracle, then the same
+    // hash-draw-vs-hex-threshold decision per row.
+    "q_weighted_sample" ->
+      """WITH sh AS (
+        |  SELECT lang,
+        |    count(*) / (SELECT count(*) FROM documents)::DOUBLE AS share
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, CAST(floor(
+        |    (CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2
+        |      WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.2 ELSE 0.0 END
+        |     / share) * 1000000.0) AS BIGINT) AS weight_micro
+        |  FROM sh),
+        |k AS (
+        |  SELECT d.doc_id, d.lang, w.weight_micro,
+        |    substring(md5('wsamp' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS draw,
+        |    least((w.weight_micro * 4294967296) // 1000000, 4294967296)
+        |      AS thr
+        |  FROM documents d JOIN w USING (lang))
+        |SELECT doc_id, lang, weight_micro FROM k
+        |WHERE weight_micro >= 1000000
+        |   OR draw < lpad(lower(hex(thr)), 8, '0')""".stripMargin,
     // Same 1-based inclusive-slice bigram construction as the
     // contamination oracle, without the per-doc distinct.
     "q_ngram_counts" ->
