@@ -1389,6 +1389,33 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     },
 
+    // CUBE aggregation (all grouping-set combinations of priority×status):
+    // same partial-agg-then-shuffle shape as ROLLUP, one extra expand
+    // factor — grouping_id disambiguates the NULL-as-total rows.
+    "q_cube" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          grouping_id().as("gid"))
+    },
+
+    // Full outer join: per-user purchase vs view cents — users appearing on
+    // either side survive with NULLs on the absent side. Both inputs are
+    // pre-aggregated per key BEFORE the join, so the wide join carries one
+    // row per (user, side), never raw events.
+    "q_full_outer" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      def side(t: String, out: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id").as(s"${out}_uid"))
+        .agg(sum(col("cents")).as(s"${out}_cents"))
+      side("purchase", "p").join(side("view", "v"),
+          col("p_uid") === col("v_uid"), "full_outer")
+        .select(coalesce(col("p_uid"), col("v_uid")).as("user_id"),
+          col("p_cents"), col("v_cents"))
+    },
+
     // Semi/anti joins: customers with ≥1 order but no order above 400k.
     "q_semi_anti" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
@@ -2261,6 +2288,27 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name)""".stripMargin,
+    // DuckDB GROUPING() composes the same bitmask as Spark's grouping_id
+    // (left operand = high bit).
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_full_outer" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_uid,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |v AS (
+        |  SELECT user_id AS v_uid,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id)
+        |SELECT coalesce(p_uid, v_uid) AS user_id, p_cents, v_cents
+        |FROM p FULL OUTER JOIN v ON p_uid = v_uid""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
