@@ -40,7 +40,7 @@ object SparkEntry {
       |  min(ts) AS session_start,
       |  max(ts) AS session_end,
       |  count(*) AS n_events,
-      |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
       |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
@@ -1652,7 +1652,7 @@ object SparkEntry {
         |    sum(n_tokens) OVER (ORDER BY h, CAST(doc_id AS VARCHAR)
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
-        |SELECT doc_id, n_tokens, cum - n_tokens AS token_offset,
+        |SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS token_offset,
         |  cum <= 25000 AS kept
         |FROM s""".stripMargin,
     "q_mix_weights" ->

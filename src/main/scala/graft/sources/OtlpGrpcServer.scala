@@ -85,9 +85,11 @@ final class OtlpGrpcServer(ingest: (String, Array[Byte]) => Long) {
           content.readBytes(chunk)
           body.write(chunk)
           // return the consumed bytes to the flow-control window, or the
-          // sender stalls after the initial 64 KiB
+          // sender stalls after the initial 64 KiB; must FLUSH mid-request —
+          // a write queued until respond() never reaches a client that is
+          // itself blocked waiting for window credit (mutual stall)
           if (d.initialFlowControlledBytes > 0)
-            ctx.write(new DefaultHttp2WindowUpdateFrame(d.initialFlowControlledBytes))
+            ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(d.initialFlowControlledBytes))
           if (d.isEndStream) respond(ctx)
         case _ => ()
       }

@@ -41,6 +41,21 @@ for name in names:
     scols = sorted(st.column_names); dcols = sorted(dt.column_names)
     if scols != dcols:
         print(f"  {name}: SCHEMA MISMATCH spark={scols} duck={dcols}"); fails += 1; continue
+    # Oracle-typing lint: DuckDB silently widens integer aggregates (sum(BIGINT)
+    # -> HUGEINT -> arrow decimal128). check.py's Python-value compare passes
+    # (Decimal == int) but the driver's hash is type-sensitive and goes red.
+    # This cost rows in rounds 3, 4 and 5 — make it impossible to reintroduce:
+    # hard-fail whenever the oracle column is decimal while Spark's is integral.
+    import pyarrow.types as pat
+    lint_bad = []
+    for c in scols:
+        sty = st.schema.field(c).type; dty = dt.schema.field(c).type
+        if pat.is_decimal(dty) and pat.is_integer(sty):
+            lint_bad.append(f"{c}: duck={dty} vs spark={sty} — add CAST(... AS BIGINT) in oracle SQL")
+        elif str(sty) != str(dty) and not (pat.is_floating(sty) and pat.is_floating(dty)):
+            print(f"  {name}: type-warn {c}: spark={sty} duck={dty}")
+    if lint_bad:
+        print(f"  {name}: ORACLE TYPE LINT: " + "; ".join(lint_bad)); fails += 1; continue
     if st.num_rows != dt.num_rows:
         print(f"  {name}: ROWCOUNT spark={st.num_rows} duck={dt.num_rows}"); fails += 1; continue
     def norm(t):
