@@ -61,12 +61,25 @@ object Dlq {
       def isDataArtifact(nm: String): Boolean =
         nm.startsWith("part-") || nm.startsWith(".part-") ||
           nm == "_SUCCESS" || nm == "._SUCCESS.crc"
+      // Crash-safe ordering: the queue directory must hold a complete copy
+      // at every instant. Stamped files move IN first under a dot prefix
+      // (invisible to parquet readers), originals are deleted only after
+      // every stamped file is inside the directory, and the final rename to
+      // visible names happens last — a crash at any point leaves either the
+      // originals intact or the full stamped set one rename from visible.
+      val staged = java.nio.file.Files.list(tmpDir).iterator().asScala.toSeq
+        .filter(f => isDataArtifact(f.getFileName.toString))
+        .map { f =>
+          val hidden = dir.resolve(".seq-migrate." + f.getFileName.toString)
+          java.nio.file.Files.move(f, hidden); hidden
+        }
       java.nio.file.Files.list(dir).iterator().asScala.toSeq
         .filter(f => isDataArtifact(f.getFileName.toString))
         .foreach(java.nio.file.Files.delete(_))
-      java.nio.file.Files.list(tmpDir).iterator().asScala.toSeq
-        .filter(f => isDataArtifact(f.getFileName.toString))
-        .foreach(f => java.nio.file.Files.move(f, dir.resolve(f.getFileName.toString)))
+      staged.foreach { h =>
+        val visible = h.getFileName.toString.stripPrefix(".seq-migrate.")
+        java.nio.file.Files.move(h, dir.resolve(visible))
+      }
       java.nio.file.Files.list(tmpDir).iterator().asScala.toSeq
         .foreach(java.nio.file.Files.deleteIfExists(_))
       java.nio.file.Files.deleteIfExists(tmpDir)

@@ -157,6 +157,34 @@ class OtlpGrpcSpec extends SparkSpec {
     } finally grpc.stop()
   }
 
+  test("export larger than the 64 KiB initial stream window completes") {
+    // The client codec respects HTTP/2 flow control: past 65,535 body bytes
+    // it sends nothing more until the server returns stream window credit.
+    // A server that queues its WINDOW_UPDATEs without flushing until
+    // end-of-stream deadlocks here (this call then times out at 30 s).
+    val spool = java.nio.file.Files.createTempDirectory("otlp_grpc_big").toString
+    val receiver = new OtlpReceiver(spark, spool)
+    val grpc = receiver.grpc()
+    val port = grpc.start()
+    try {
+      val bigBody = "x" * 200000
+      val record = cat(
+        f64(1, 1735725600000000000L),
+        str(3, "INFO"),
+        ld(5, str(1, bigBody)))
+      val resource = ld(1, ld(1, cat(str(1, "service"), ld(2, str(1, "api")))))
+      val request = ld(1, cat(resource,
+        ld(2, cat(ld(1, str(1, "biglogger")), ld(2, record)))))
+      assert(request.length > 65535, "request must exceed the initial stream window")
+      val reply = call(port,
+        "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
+        grpcFrame(request))
+      assert(reply.grpcStatus == 0, s"expected OK, got $reply")
+      assert(spark.read.parquet(s"$spool/logs").head()
+        .getAs[String]("body") == bigBody)
+    } finally grpc.stop()
+  }
+
   test("gRPC status machine: unknown method and non-identity encoding rejected") {
     val spool = java.nio.file.Files.createTempDirectory("otlp_grpc_err").toString
     val grpc = new OtlpReceiver(spark, spool).grpc()
