@@ -46,11 +46,20 @@ object TextFunctions {
   def urlHost(u: Column): Column =
     regexp_extract(u, "^https?://([^/?#]+)", 1)
 
-  /** Registered-domain heuristic: the last two dot labels of the host.
-    * (A public-suffix list is the production refinement — e.g. `co.uk` —
-    * but the two-label rule is the standard dependency-free baseline.) */
-  def registeredDomain(host: Column): Column =
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  /** Registered domain of a host: the last two dot labels, except under a
+    * known multi-label public suffix ([[PublicSuffixes]] — `co.uk`,
+    * `com.au`, …) where registration goes one label deeper. The suffix
+    * membership test is a Catalyst `In` over literal strings — scan-local
+    * and codegen'd, no lookup table shipped at runtime. A bare suffix host
+    * (`co.uk` itself) and unknown multi-label suffixes fall back to the
+    * two-label rule; wildcard city rules are out of scope (see
+    * [[PublicSuffixes]] doc). */
+  def registeredDomain(host: Column): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last2.isin(PublicSuffixes.twoLabel: _*) && last3 =!= "", last3)
+      .otherwise(last2)
+  }
 
   /** Standard text-cleaning pass for a scraped corpus, case-preserving:
     * Unicode NFC (composed/decomposed forms of the same text unify — else
