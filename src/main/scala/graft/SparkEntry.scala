@@ -573,13 +573,18 @@ object SparkEntry {
       val withUrl = Tables.documents(s, dir).select(col("doc_id"),
         concat(col("text"), lit(" see https://www.site"),
           pmod(col("doc_id"), lit(50)), lit(".org/p/"), col("doc_id"),
-          lit("?ref=x for more")).as("body"))
+          lit("?ref=x and https://cdn.shop"), pmod(col("doc_id"), lit(20)),
+          lit(".co.uk/a/"), col("doc_id"), lit(" for more")).as("body"))
       val url = element_at(extractUrls(col("body")), 1)
       val host = urlHost(url)
       val domain = registeredDomain(host)
+      // second URL sits under a multi-label public suffix — registered
+      // domain must be shopN.co.uk (three labels), not co.uk
+      val host2 = urlHost(element_at(extractUrls(col("body")), 2))
       withUrl.select(col("doc_id"), url.as("url"), host.as("host"),
         domain.as("domain"),
-        domain.isin((0 until 5).map(i => s"site$i.org"): _*).as("blocked"))
+        domain.isin((0 until 5).map(i => s"site$i.org"): _*).as("blocked"),
+        registeredDomain(host2).as("domain2"))
     },
 
     // End-to-end curation pipeline — the chain a real corpus run executes:
@@ -927,17 +932,29 @@ object SparkEntry {
         col("height").as("out_h"), col("mean_sample").as("out_mean"))
     },
 
-    // Frame sampling: every-30th index below the per-row frame count. The
-    // explosion arithmetic is exact and oracled; pixel extraction stays a
-    // stub seam (no video codec in this build).
+    // Frame sampling, both seams in one frame: every third doc is a
+    // synthetic ANIMATED GIF whose sampled frames decode to REAL pixels
+    // (count, dims and per-frame mean all come out of javax.imageio and
+    // must match the generative formula the oracle replays); the rest are
+    // video rows where no codec exists — index explosion off the metadata
+    // count, null pixel columns (the stub seam a real video codec fills).
     "q_frame_sample" -> { (s, dir) =>
       import graft.data.Multimodal
+      val gifUdf = udf { (id: Long) =>
+        val n = (1 + id % 6).toInt
+        Multimodal.syntheticGif((4 + id % 5).toInt, (5 + id % 4).toInt,
+          (0 until n).map(k => ((id * 31 + k * 7) % 256).toInt))
+      }
       val media = Tables.documents(s, dir).select(
         col("doc_id").as("media_id"),
-        lit("video/mp4").as("mime"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("image/gif"))
+          .otherwise(lit("video/mp4")).as("mime"),
+        when(pmod(col("doc_id"), lit(3)) === 0, gifUdf(col("doc_id")))
+          .otherwise(lit(null).cast("binary")).as("content"),
         (lit(1L) + pmod(col("doc_id"), lit(240))).as("n_frames"))
-      Multimodal.sampleFrames(media, 30, "n_frames")
-        .select(col("media_id"), col("frame_idx"))
+      Multimodal.sampleFramesDecoded(media, 3, "n_frames")
+        .select(col("media_id"), col("frame_idx"), col("frame_w"),
+          col("frame_h"), col("frame_mean"))
     },
 
     // ---- beyond-reference relational operators ----
@@ -1192,11 +1209,19 @@ object SparkEntry {
             org.apache.spark.sql.types.StringType)))
         .otherwise(transform(sequence(lit(1), size(t) - 1),
           i => concat_ws(" ", slice(t, i, lit(2)))))
+      // two-stage on purpose: the (gram, doc_id) pre-aggregate lets the
+      // map-side partial combine collapse per-OCCURRENCE rows to
+      // per-(gram, doc) rows before anything shuffles, and the second
+      // aggregate derives both outputs (sum n = occurrences, count rows =
+      // doc_freq) from that one compacted stream — vs countDistinct over
+      // raw occurrences, which carries every occurrence into the exchange
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("n"))
         .groupBy(col("gram"))
-        .agg(count(lit(1)).as("n_occurrences"),
-          countDistinct(col("doc_id")).as("doc_freq"))
+        .agg(sum(col("n")).as("n_occurrences"),
+          count(lit(1)).as("doc_freq"))
         .filter(col("doc_freq") >= 3)
     },
 
@@ -1593,16 +1618,24 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT doc_id,
         |    text || ' see https://www.site' || CAST(doc_id % 50 AS VARCHAR)
-        |         || '.org/p/' || CAST(doc_id AS VARCHAR) || '?ref=x for more' AS body
+        |         || '.org/p/' || CAST(doc_id AS VARCHAR)
+        |         || '?ref=x and https://cdn.shop' || CAST(doc_id % 20 AS VARCHAR)
+        |         || '.co.uk/a/' || CAST(doc_id AS VARCHAR) || ' for more' AS body
         |  FROM documents),
-        |u AS (SELECT doc_id,
+        |u AS (SELECT doc_id, body,
         |    regexp_extract_all(body, 'https?://[^\s]+')[1] AS url FROM b),
         |h AS (SELECT doc_id, url,
-        |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host FROM u)
+        |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+        |    regexp_extract(regexp_extract_all(body, 'https?://[^\s]+')[2],
+        |      '^https?://([^/?#]+)', 1) AS host2
+        |  FROM u)
         |SELECT doc_id, url, host,
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-        |    IN ('site0.org','site1.org','site2.org','site3.org','site4.org') AS blocked
+        |    IN ('site0.org','site1.org','site2.org','site3.org','site4.org') AS blocked,
+        |  CASE WHEN regexp_extract(host2, '([^.]+\.[^.]+)$', 1) = 'co.uk'
+        |       THEN regexp_extract(host2, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |       ELSE regexp_extract(host2, '([^.]+\.[^.]+)$', 1) END AS domain2
         |FROM h""".stripMargin,
     // The composed curation chain: cleaning, quality/langid (the
     // q_text_quality formulas over CLEANED text), gates, exact dedup of
@@ -2073,10 +2106,24 @@ object SparkEntry {
         |  CAST(GREATEST(1, FLOOR(h * sc)) AS INTEGER) AS out_h,
         |  CAST(media_id % 256 AS DOUBLE) AS out_mean
         |FROM s""".stripMargin,
+    // GIF rows: the oracle replays the synthetic generator's formula — the
+    // engine's values must come back through a REAL encode→decode round
+    // trip (lossless 256-gray palette makes the mean exact). Video rows:
+    // metadata-count explosion, null pixel columns.
     "q_frame_sample" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(unnest(range(0, 1 + doc_id % 240, 30)) AS BIGINT) AS frame_idx
-        |FROM documents""".stripMargin,
+      """WITH g AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 6, 3)) AS fi
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 240, 3)) AS fi
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(4 + doc_id % 5 AS INTEGER) AS frame_w,
+        |  CAST(5 + doc_id % 4 AS INTEGER) AS frame_h,
+        |  CAST((doc_id * 31 + fi * 7) % 256 AS DOUBLE) AS frame_mean
+        |FROM g
+        |UNION ALL
+        |SELECT doc_id, CAST(fi AS BIGINT), NULL, NULL, NULL FROM v""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey

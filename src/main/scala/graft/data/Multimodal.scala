@@ -129,6 +129,48 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic ANIMATED GIF: one constant-gray frame per
+    * element of `grays`. Frames are written `TYPE_BYTE_INDEXED` over an
+    * explicit 256-entry gray palette (entry i = rgb(i,i,i)) so encoding is
+    * LOSSLESS — no quantizer in the loop — and a decode of frame k yields
+    * exactly `grays(k)` at every pixel. Test and oracle fixture generator
+    * for the real frame-sampling path.
+    *
+    * Heights 2–4 are rejected: the JDK's GIF writer emits interlaced image
+    * data whose row sequence drops one row exactly at those heights
+    * (measured empirically on this JRE — one full row decodes as palette
+    * index 0), which would silently break the losslessness contract. */
+  def syntheticGif(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
+    require(height == 1 || height >= 5,
+      s"height $height hits the JDK GIF writer's interlace row-drop (2..4)")
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, g & 0xff); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Decode/feature-extract over partitions (the Scala analogue of a
     * mapInPandas batch UDF: one decoder instance per partition, rows
     * streamed). Appends [[featureSchema]] columns; decode failures yield
@@ -214,6 +256,97 @@ object Multimodal {
         explode(sequence(lit(0L), greatest(col(framesCol).cast("long"), lit(1L)) - 1,
           lit(every.toLong))))
       .withColumn("frame", lit(null).cast("binary"))
+
+  /** Columns [[sampleFramesDecoded]] appends per sampled frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("frame_w", IntegerType),
+    StructField("frame_h", IntegerType),
+    StructField("frame_mean", DoubleType),
+    StructField("frame", BinaryType)))
+
+  /** Frame sampling with REAL pixel extraction where the JRE has a codec:
+    * multi-frame images (animated GIF, via `javax.imageio`'s per-index
+    * `ImageReader.read(i)`) decode each sampled frame — frame count from
+    * the container itself, `frame` = the decoded frame re-encoded as PNG,
+    * `frame_mean` = mean over the frame's RGB samples. Containers with no
+    * installed codec (true video here) keep the stub seam: indices explode
+    * off the `framesCol` metadata count and the pixel columns stay null.
+    * One reader per row, streamed per partition — the explosion shape is
+    * identical in both paths, so swapping a real video codec into the seam
+    * changes no distribution property. */
+  def sampleFramesDecoded(df: DataFrame, every: Int, framesCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ frameSchema.fields)
+    val mimeIdx = inSchema.fieldIndex("mime")
+    val contentIdx = inSchema.fieldIndex("content")
+    val framesIdx = inSchema.fieldIndex(framesCol)
+    val step = math.max(1, every).toLong
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val mime = r.getString(mimeIdx)
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        def stubRows: Iterator[Row] = {
+          val n = math.max(1L, r.getLong(framesIdx))
+          (0L until n by step).iterator.map { i =>
+            new GenericRowWithSchema(
+              Array.tabulate[Any](inSchema.length)(r.get) ++
+                Array[Any](i, null, null, null, null), outSchema): Row
+          }
+        }
+        if (mime == null || !mime.startsWith("image/") || bytes == null || bytes.isEmpty)
+          stubRows
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); stubRows }
+          else {
+            val reader = readers.next()
+            // materialized per row (frame counts are small) so the reader
+            // and stream close deterministically, not at GC time
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0L until n.toLong by step).map { i =>
+                val img = reader.read(i.toInt)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sum = 0.0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val mean = if (w > 0 && h > 0) sum / (3.0 * w * h) else -1.0
+                // re-encode via an RGB copy: the JDK PNG writer mishandles
+                // palette-indexed sources (writes the palette INDEX as a
+                // scaled gray sample), which silently corrupts GIF frames
+                val rgbImg = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = rgbImg.createGraphics()
+                g2.drawImage(img, 0, 0, null)
+                g2.dispose()
+                val png = new ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(rgbImg, "png", png)
+                new GenericRowWithSchema(
+                  Array.tabulate[Any](inSchema.length)(r.get) ++
+                    Array[Any](i, w, h, mean, png.toByteArray), outSchema): Row
+              }.iterator
+            } catch {
+              case _: Exception => stubRows
+            } finally {
+              reader.dispose(); iis.close()
+            }
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Repartition so each task handles ~targetBytes of media content.
     * Total size comes from FILE METADATA when the frame is file-backed

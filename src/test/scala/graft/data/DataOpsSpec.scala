@@ -7,6 +7,58 @@ import graft.SparkSpec
 class DataOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("multimodal: animated GIF frames decode with exact per-frame pixels") {
+    val gif = Multimodal.syntheticGif(4, 5, Seq(10, 200, 37, 255))
+    val df = Seq((1L, "image/gif", gif, 99L))
+      .toDF("media_id", "mime", "content", "n_frames")
+    val out = Multimodal.sampleFramesDecoded(df, 1, "n_frames")
+      .select("frame_idx", "frame_w", "frame_h", "frame_mean").collect()
+      .sortBy(_.getLong(0))
+    // frame count comes from the container (4), NOT the metadata column (99)
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(r => r.getInt(1) == 4 && r.getInt(2) == 5))
+    // lossless gray palette: decoded per-frame mean is the exact fill value
+    assert(out.map(_.getDouble(3)).toSeq == Seq(10.0, 200.0, 37.0, 255.0))
+    // stride sampling picks indices 0 and 2
+    val sampled = Multimodal.sampleFramesDecoded(df, 2, "n_frames")
+      .select("frame_idx").collect().map(_.getLong(0)).sorted
+    assert(sampled.toSeq == Seq(0L, 2L))
+    // extracted frame bytes are themselves decodable PNGs with the right fill
+    val frame0 = Multimodal.sampleFramesDecoded(df, 1, "n_frames")
+      .filter(col("frame_idx") === 0).select("frame").head.getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame0))
+    assert(img.getWidth == 4 && img.getHeight == 5)
+    assert((img.getRGB(0, 0) & 0xff) == 10)
+    // no codec (video): stub seam — metadata count drives indices, pixels null
+    val vid = Seq((2L, "video/mp4", null.asInstanceOf[Array[Byte]], 7L))
+      .toDF("media_id", "mime", "content", "n_frames")
+    val vout = Multimodal.sampleFramesDecoded(vid, 3, "n_frames").collect()
+    assert(vout.map(_.getAs[Long]("frame_idx")).sorted.toSeq == Seq(0L, 3L, 6L))
+    assert(vout.forall(r => r.isNullAt(r.fieldIndex("frame_mean"))))
+  }
+
+  test("registeredDomain: two-label baseline plus public-suffix awareness") {
+    val hosts = Seq(
+      "www.example.com", "example.com", "deep.sub.example.org",
+      "www.example.co.uk", "example.co.uk", "shop.example.com.au",
+      "a.b.example.gov.uk", "co.uk", "localhost")
+    val out = hosts.toDF("host")
+      .select(col("host"), TextFunctions.registeredDomain(col("host")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("www.example.com") == "example.com")
+    assert(out("example.com") == "example.com")
+    assert(out("deep.sub.example.org") == "example.org")
+    // multi-label public suffixes: registration is one label deeper
+    assert(out("www.example.co.uk") == "example.co.uk")
+    assert(out("example.co.uk") == "example.co.uk")
+    assert(out("shop.example.com.au") == "example.com.au")
+    assert(out("a.b.example.gov.uk") == "example.gov.uk")
+    // a bare suffix host falls back to the two-label rule
+    assert(out("co.uk") == "co.uk")
+    // single-label host: no registered domain (regex yields empty)
+    assert(out("localhost") == "")
+  }
+
   test("contamination: distinct shared trigrams against a benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta eps"),   // contains bench trigram "alpha beta gamma"+"beta gamma delta"
