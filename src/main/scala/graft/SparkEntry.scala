@@ -663,6 +663,47 @@ object SparkEntry {
         Seq("spark", "query", "fast"))
     },
 
+    // Per-doc top-5 TF-IDF keywords via the mergeable k-item heap aggregate
+    // (shuffle carries ≤ k rows per doc per map task); hapax terms cut by
+    // minDf BEFORE the score join. Smoothed idf, milli fixed point.
+    "q_tfidf" -> { (s, dir) =>
+      graft.data.Relevance.tfidfTopK(Tables.documents(s, dir),
+        "doc_id", "text", k = 5, minDf = 2L)
+    },
+
+    // Edit-distance record linkage over 30-char document prefixes: lossless
+    // length-band blocking → hash join → exact levenshtein verify. The 25
+    // surviving pairs are exactly the corpus's near-duplicate structure —
+    // the linkage op recovers what the minhash row finds, via a different
+    // algorithm, with an exhaustive all-pairs oracle.
+    "q_fuzzy_join" -> { (s, dir) =>
+      graft.operators.FuzzyJoin.selfJoin(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix")),
+        "doc_id", "prefix", maxDist = 2)
+    },
+
+    // Shannon char-entropy gate (C4/Gopher low/high-entropy filter) in
+    // milli-bits over the printable-ASCII projection; one scan-local pass.
+    "q_char_entropy" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.charEntropyMilliUdf(col("text")).as("entropy_milli"))
+    },
+
+    // PageRank (3 fixed-point iterations, integer micro-units) over the
+    // customer→supplier trade graph — the domain-authority signal of a
+    // curation pipeline, bit-deterministic so the oracle can unroll the
+    // same three iterations in SQL.
+    "q_pagerank" -> { (s, dir) =>
+      val e = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.PageRank.fixedPoint(e, "src", "dst", iterations = 3)
+        .select(col("id"), col("rank_micro"))
+    },
+
     // PII detection + redaction. The corpus has no organic PII, so the
     // query builds a deterministic payload (same expression in the oracle)
     // carrying an email, an IPv4, and a phone per doc — the oracle then
@@ -1745,6 +1786,91 @@ object SparkEntry {
         |  GROUP BY tf.doc_id)
         |SELECT d.doc_id, CAST(coalesce(s.bm25_milli, 0) AS BIGINT) AS bm25_milli
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    // Heap tie-break is (score, term) struct-descending — mirrored as
+    // ORDER BY tfidf_milli DESC, term DESC.
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n FROM toks),
+        |tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |  GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc
+        |  GROUP BY term HAVING count(*) >= 2),
+        |scored AS (
+        |  SELECT tfc.doc_id, tfc.term, tfc.tf,
+        |    CAST(round(1000.0 * tfc.tf *
+        |      (ln(((SELECT n FROM stats) + 1.0) / (dfc.df + 1.0)) + 1.0))
+        |      AS BIGINT) AS tfidf_milli
+        |  FROM tfc JOIN dfc USING (term))
+        |SELECT doc_id, term, tf, tfidf_milli,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_milli DESC, term DESC) AS INTEGER) AS rk
+        |FROM scored
+        |QUALIFY rk <= 5""".stripMargin,
+    // Exhaustive all-pairs truth the banded join must reproduce exactly.
+    "q_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, substring(text, 1, 30) AS t FROM documents)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE abs(length(a.t) - length(b.t)) <= 2
+        |  AND levenshtein(a.t, b.t) <= 2""".stripMargin,
+    // Same printable-ASCII projection and H = log2(n) - sum(c*log2(c))/n.
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    regexp_replace(text, '[^\x20-\x7e]', '', 'g'), '')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+        |ent AS (
+        |  SELECT cnt.doc_id,
+        |    CAST(round(1000 * (log2(CAST(tot.n AS DOUBLE)) -
+        |      sum(cnt.k * log2(CAST(cnt.k AS DOUBLE))) / tot.n)) AS BIGINT)
+        |      AS entropy_milli
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id, tot.n)
+        |SELECT d.doc_id, CAST(coalesce(e.entropy_milli, 0) AS BIGINT) AS entropy_milli
+        |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin,
+    // Three unrolled fixed-point iterations; every step is integer
+    // arithmetic (// truncation ≡ Spark div on this non-negative domain),
+    // so the replay is exact. Integer sums CAST back from HUGEINT.
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS id, CAST(sum(r0.r // outdeg.deg) AS BIGINT) AS contrib
+        |  FROM e JOIN outdeg USING (src) JOIN r0 ON e.src = r0.id
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT nodes.id, 150000 // (SELECT n FROM nn)
+        |    + (85 * coalesce(c1.contrib, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c1 ON nodes.id = c1.id),
+        |c2 AS (
+        |  SELECT e.dst AS id, CAST(sum(r1.r // outdeg.deg) AS BIGINT) AS contrib
+        |  FROM e JOIN outdeg USING (src) JOIN r1 ON e.src = r1.id
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT nodes.id, 150000 // (SELECT n FROM nn)
+        |    + (85 * coalesce(c2.contrib, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c2 ON nodes.id = c2.id),
+        |c3 AS (
+        |  SELECT e.dst AS id, CAST(sum(r2.r // outdeg.deg) AS BIGINT) AS contrib
+        |  FROM e JOIN outdeg USING (src) JOIN r2 ON e.src = r2.id
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT nodes.id, 150000 // (SELECT n FROM nn)
+        |    + (85 * coalesce(c3.contrib, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin,
     "q_pii" ->
       """WITH p AS (
         |  SELECT doc_id,

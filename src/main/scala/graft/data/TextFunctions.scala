@@ -309,6 +309,42 @@ object TextFunctions {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Shannon entropy of the printable-ASCII character distribution, in
+    * integer milli-bits (H·1000, rounded) — the low/high-entropy gate
+    * (boilerplate and key-dump detection) from the C4/Gopher filter
+    * family. Scan-local JVM function for the same reason as
+    * [[curationGatesUdf]]: a histogram needs one tight pass, not a HOF
+    * chain. Restricted to bytes 0x20–0x7e so the character unit is
+    * unambiguous across engines (no grapheme/codepoint divergence);
+    * entropy via `H = log2(len) - Σ c·log2(c) / len` over counts — one
+    * transcendental call per DISTINCT character, ≤ 95 per row. */
+  val charEntropyMilliUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) 0L
+      else {
+        val counts = new Array[Long](95)
+        var n = 0L
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          if (c >= 0x20 && c <= 0x7e) { counts(c - 0x20) += 1; n += 1 }
+          i += 1
+        }
+        if (n == 0L) 0L
+        else {
+          val ln2 = math.log(2.0)
+          var acc = 0.0
+          var j = 0
+          while (j < 95) {
+            if (counts(j) > 0) acc += counts(j) * (math.log(counts(j).toDouble) / ln2)
+            j += 1
+          }
+          val h = math.log(n.toDouble) / ln2 - acc / n
+          math.round(h * 1000.0)
+        }
+      }
+    }
+
   private val PunctSet: Set[Char] = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
 
   /** One-pass curation gates: (clean_text, lang_pred, quality_milli,

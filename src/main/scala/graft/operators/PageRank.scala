@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Page/Brin/Motwani/Winograd 1999) over an edge frame, in
+  * BIT-DETERMINISTIC integer fixed point — the domain-authority signal a
+  * corpus curation pipeline feeds into per-URL quality weights.
+  *
+  * Ranks are probabilities scaled to micro-units (1e6) and every update is
+  * integer arithmetic: per-edge contribution `rank div outdeg`, damping
+  * `(85 * contribs) div 100`, teleport `150000 div n`. Integer sums are
+  * associative-commutative, so the result is partition- and
+  * merge-order-invariant — the same property that makes it expressible as
+  * an exact SQL oracle (truncation loses ≤ n·iterations micro-units of
+  * probability mass; fine for a ranking signal, and identical in any
+  * engine that truncates integer division toward zero on non-negatives).
+  *
+  * Scale shape per iteration: one hash join of edges against the current
+  * rank frame on `src` (both sides hash-partitioned on the same key — at
+  * scale, pre-bucket edges by `src` so the join is co-located and only the
+  * small rank frame moves), one keyed aggregate onto `dst` with map-side
+  * partial sums, one left join back to the node set. Dangling nodes keep
+  * the standard simplification (their mass exits; no uniform
+  * redistribution pass). Driver holds nothing but the node count.
+  */
+object PageRank {
+
+  /** `iterations` fixed-point steps over `edges(src, dst)` (duplicates
+    * dropped); returns `(id, rank_micro)` for every node. */
+  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                 iterations: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val teleport = 150000L / n
+    var rank = nodes.withColumn("rank_micro", lit(1000000L / n))
+    (1 to iterations).foreach { _ =>
+      val contribs = e
+        .join(outdeg, "src")
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr("rank_micro div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      rank = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr("85 * coalesce(contrib, 0L) div 100")).as("rank_micro"))
+    }
+    rank
+  }
+}
