@@ -7,18 +7,27 @@ import org.apache.spark.sql.functions._
   * are within `maxDist` Levenshtein edits, found WITHOUT the all-pairs
   * cross product.
   *
-  * Blocking is by length band and LOSSLESS for this predicate: an edit
-  * never changes string length by more than 1, so `dist(a,b) <= maxDist`
-  * implies `|len(a) - len(b)| <= maxDist`. With bucket width
-  * `w = maxDist + 1`, every partner of a record lies in one of the buckets
-  * `floor((len-maxDist)/w) .. floor((len+maxDist)/w)` — the record
-  * replicates to exactly that constant-size bucket range (at most 3
-  * buckets), partners anchor at their own single bucket, and the equi-join
-  * on bucket is a plain hash join. Candidates verify with the exact
-  * `levenshtein` (codegen'd built-in); multi-bucket replication dedups on
-  * the (smaller, larger) id pair. At 100 TB the shuffle is keyed by
-  * bucket — same-length skew (fixed-width codes) is the known hazard and
-  * takes the standard salt-the-hot-bucket treatment if it appears.
+  * Blocking is the PassJoin pigeonhole scheme (Li/Deng/Feng, VLDB'12 —
+  * public): split every string into k = maxDist+1 contiguous segments; if
+  * dist(a,b) <= maxDist then at least one segment of `a` carries ZERO
+  * edits, i.e. appears in `b` verbatim at a position shifted by at most
+  * maxDist. So `a` emits its k segments keyed by (len(a), segIdx,
+  * content), `b` emits the substrings any length-ℓ partner's segment
+  * could align to — ℓ over [len(b)-maxDist, len(b)+maxDist], each segIdx,
+  * each shift in [-maxDist, +maxDist] — and the equi-join on that key is
+  * a plain hash join whose selectivity follows CONTENT, not length.
+  * (Length banding alone is a trap: fixed-length keys — codes, prefixes,
+  * hashes — collapse into one bucket and the join degenerates to the
+  * cross product; measured 113 s at sf0.1 before this rewrite.)
+  * Candidates verify with the exact codegen'd `levenshtein` and dedup on
+  * the (smaller, larger) id pair.
+  *
+  * Constant fanout: k keys on the segment side; at most
+  * (2·maxDist+1)² · k substring keys on the probe side (75 for
+  * maxDist=2). Strings shorter than k can have empty segments, which the
+  * pigeonhole argument does not cover once filtered — they take a
+  * brute-force branch against the (equally short, by the length filter)
+  * partner set instead; in a realistic corpus that set is negligible.
   */
 object FuzzyJoin {
 
@@ -27,28 +36,69 @@ object FuzzyJoin {
   def selfJoin(records: DataFrame, idCol: String, textCol: String,
                maxDist: Int): DataFrame = {
     require(maxDist >= 0)
-    val w = maxDist + 1
+    val k = maxDist + 1
     val base = records.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("text"),
       length(col(textCol)).cast("long").as("len"))
-    // probe side: replicate to every bucket a partner could anchor in
-    // (integer `div` truncates toward zero, which coincides with floor on
-    // this non-negative bucket domain — a sub-maxDist length just clamps
-    // the range start to bucket 0, where the shortest partners anchor)
-    val probes = base.withColumn("bucket",
-      explode(sequence(expr(s"(len - $maxDist) div $w"),
-        expr(s"(len + $maxDist) div $w"))))
-    // anchor side: one bucket per record
-    val anchors = base
-      .withColumn("bucket", expr(s"len div $w"))
-      .select(col("bucket"), col("id").as("b_id"), col("text").as("b_text"),
-        col("len").as("b_len"))
-    probes
-      .join(anchors, Seq("bucket"))
-      .where(col("id") < col("b_id") &&
-        abs(col("len") - col("b_len")) <= maxDist &&
-        levenshtein(col("text"), col("b_text")) <= maxDist)
-      .select(col("id").as("a_id"), col("b_id"),
+
+    // even split of a length-l string: segment i of k has
+    //   segLen(l,i) = l div k + (1 if i < l mod k else 0)
+    //   segStart(l,i) = i * (l div k) + min(i, l mod k)       (0-based)
+    def segLen(l: String, i: String) =
+      s"($l div $k + (CASE WHEN $i < $l % $k THEN 1 ELSE 0 END))"
+    def segStart(l: String, i: String) =
+      s"($i * ($l div $k) + least($i, $l % $k))"
+
+    val long = base.where(col("len") >= k)
+    // anchor side: own k segments, keyed by own length
+    val segs = long
+      .select(col("id"), col("text"), col("len"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("i"))
+      .select(col("id"), col("text"), col("len"), col("len").as("lc"), col("i"),
+        expr(s"substring(text, CAST(${segStart("len", "i")} + 1 AS INT), " +
+          s"CAST(${segLen("len", "i")} AS INT))").as("seg"))
+      .where(length(col("seg")) >= 1)
+    // probe side: substrings a length-lc partner's segment i could equal,
+    // for every candidate partner length and alignment shift
+    val subs = long
+      .select(col("id").as("b_id"), col("text").as("b_text"),
+        col("len").as("b_len"),
+        explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("lc"))
+      .where(col("lc") >= k)
+      .select(col("b_id"), col("b_text"), col("b_len"), col("lc"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("i"))
+      .select(col("b_id"), col("b_text"), col("b_len"), col("lc"), col("i"),
+        explode(sequence(lit(-maxDist.toLong), lit(maxDist.toLong))).as("shift"))
+      .select(col("b_id"), col("b_text"), col("b_len"), col("lc"), col("i"),
+        (expr(segStart("lc", "i")) + col("shift")).as("pos"),
+        expr(segLen("lc", "i")).as("slen"))
+      .where(col("pos") >= 0 && col("pos") + col("slen") <= col("b_len") &&
+        col("slen") >= 1)
+      .select(col("b_id"), col("b_text"), col("b_len"), col("lc"), col("i"),
+        expr("substring(b_text, CAST(pos + 1 AS INT), CAST(slen AS INT))").as("seg"))
+    val longPairs = segs
+      .join(subs, Seq("lc", "i", "seg"))
+      .where(col("id") =!= col("b_id") &&
+        abs(col("len") - col("b_len")) <= maxDist)
+      .select(least(col("id"), col("b_id")).as("a_id"),
+        greatest(col("id"), col("b_id")).as("b_id"),
+        col("text"), col("b_text"))
+
+    // short strings (len < k): segments can be empty, pigeonhole does not
+    // apply — brute them against everything short enough to be a partner
+    val short = base.where(col("len") < k)
+    val shortPartners = base.where(col("len") < (k + maxDist).toLong)
+      .select(col("id").as("b_id"), col("text").as("b_text"))
+    val shortPairs = short
+      .crossJoin(shortPartners)
+      .where(col("id") =!= col("b_id"))
+      .select(least(col("id"), col("b_id")).as("a_id"),
+        greatest(col("id"), col("b_id")).as("b_id"),
+        col("text"), col("b_text"))
+
+    longPairs.union(shortPairs)
+      .where(levenshtein(col("text"), col("b_text")) <= maxDist)
+      .select(col("a_id"), col("b_id"),
         levenshtein(col("text"), col("b_text")).cast("long").as("dist"))
       .distinct()
   }

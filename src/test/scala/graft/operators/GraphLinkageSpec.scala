@@ -22,7 +22,8 @@ class GraphLinkageSpec extends SparkSpec {
         case _ => b.updated(rnd.nextInt(b.length), ('a' + rnd.nextInt(26)).toChar)
       }
       (i, mutated)
-    }
+    } ++ Seq( // shorter than k=3 segments: exercises the brute branch
+      (900L, "ab"), (901L, "a"), (902L, "ac"), (903L, "b"), (904L, ""))
     val df = rows.toDF("id", "t")
     val banded = FuzzyJoin.selfJoin(df, "id", "t", maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
