@@ -1611,12 +1611,160 @@ object SparkEntry {
       graft.data.Packing.packPlan(Tables.documents(s, dir), "doc_id",
         graft.data.TextFunctions.tokenCount(col("text")),
         seqLen = 512, nShards = 8)
+    },
+
+    // Wide→long melt (the inverse of q_pivot) via the native `unpivot`
+    // operator: four lineitem money columns become (metric, cents) rows
+    // BEFORE the aggregation, so the groupBy sees a single long column.
+    // Unpivot is a scan-local Expand — zero extra shuffles; the only
+    // exchange is the final (flag, metric) partial-agg'd groupBy.
+    "q_unpivot" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("quantity_cents"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("discount_cents"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_cents"))
+      li.unpivot(Array(col("l_returnflag")),
+          Array(col("quantity_cents"), col("price_cents"),
+            col("discount_cents"), col("tax_cents")),
+          "metric", "cents")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          max(col("cents")).as("max_cents"))
+    },
+
+    // Equi-width histogram over a column's full range — the numeric
+    // profiling primitive. Pass 1 computes global (min, max) — a 16-byte
+    // all-to-one partial agg; pass 2 buckets every row scan-locally
+    // against the broadcast bounds (integer arithmetic end to end, so
+    // bucket edges are bit-deterministic across engines). Two scans, one
+    // tiny broadcast, one 20-row groupBy — the shape that holds at 100 TB.
+    "q_histogram" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val bounds = li.agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+      li.crossJoin(broadcast(bounds))
+        .select(least(lit(19L),
+            expr("(cents - min_c) * 20 div (max_c - min_c + 1)")).as("bucket"),
+          col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    },
+
+    // Robust outlier gate (median/MAD, the Hampel filter): per event type,
+    // the discrete median of value-cents, the median absolute deviation,
+    // and how many events sit beyond 3×MAD. Discrete median = the element
+    // at rank (n+1)/2, exact and engine-portable where interpolated
+    // medians are float-fragile. Exact ranks need a per-key sort (two
+    // window passes over the key partitioning — ONE shuffle, reused);
+    // at 100 TB the same gate runs on approx_percentile and keeps this
+    // exact path for audit slices.
+    "q_mad_outliers" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val byKey = Window.partitionBy("event_type")
+      val med = ev
+        .withColumn("rn", row_number().over(byKey.orderBy("cents")))
+        .withColumn("cnt", count(lit(1)).over(byKey))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("cents").as("med_cents"))
+      val dev = ev.join(med, "event_type")
+        .withColumn("adev", abs(col("cents") - col("med_cents")))
+      val mad = dev
+        .withColumn("rn", row_number().over(byKey.orderBy("adev")))
+        .withColumn("cnt", count(lit(1)).over(byKey))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("adev").as("mad_cents"))
+      dev.join(mad, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med_cents")).as("med_cents"),
+          max(col("mad_cents")).as("mad_cents"),
+          sum(when(col("adev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+
+    // Deterministic corpus shuffle-shard for training: every doc gets a
+    // stable hash draw; the draw's first hex digit is its shard (16-way),
+    // its rank within the shard (by draw) is its position in the training
+    // stream. Reproducible global shuffle with NO global sort — ranking
+    // happens per shard after one hash repartition, and shard count is
+    // the write-parallelism knob at 100 TB.
+    "q_shard_shuffle" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("draw"))
+        .withColumn("shard",
+          expr("CAST(instr('0123456789abcdef', substring(draw, 1, 1)) - 1 AS BIGINT)"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("shard").orderBy("draw", "doc_id"))
+            .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
     }
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS quantity_cents,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS discount_cents,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_cents
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, 'quantity_cents' AS metric, quantity_cents AS cents FROM li
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_cents', price_cents FROM li
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount_cents', discount_cents FROM li
+        |  UNION ALL
+        |  SELECT l_returnflag, 'tax_cents', tax_cents FROM li)
+        |SELECT l_returnflag, metric, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  max(cents) AS max_cents
+        |FROM m GROUP BY l_returnflag, metric""".stripMargin,
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |mm AS (SELECT min(cents) AS min_c, max(cents) AS max_c FROM c)
+        |SELECT least(19, (cents - min_c) * 20 // (max_c - min_c + 1)) AS bucket,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c, mm GROUP BY 1""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+        |med AS (SELECT event_type, cents AS med_cents FROM r WHERE rn = (cnt + 1) // 2),
+        |d AS (SELECT e.event_type, med.med_cents,
+        |    abs(e.cents - med.med_cents) AS adev
+        |  FROM e JOIN med USING (event_type)),
+        |rd AS (SELECT event_type, adev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+        |mad AS (SELECT event_type, adev AS mad_cents FROM rd WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, count(*) AS n,
+        |  max(d.med_cents) AS med_cents,
+        |  max(mad.mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.adev > 3 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN mad USING (event_type) GROUP BY d.event_type""".stripMargin,
+    "q_shard_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents),
+        |s AS (SELECT doc_id, draw,
+        |    CAST(instr('0123456789abcdef', substring(draw, 1, 1)) - 1 AS BIGINT) AS shard
+        |  FROM d)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) AS BIGINT)
+        |    AS pos
+        |FROM s""".stripMargin,
     "q_versioned_transform" ->
       """SELECT
         |  CASE WHEN user_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS ver,
