@@ -1702,6 +1702,80 @@ object SparkEntry {
           row_number().over(Window.partitionBy("shard").orderBy("draw", "doc_id"))
             .cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
+    },
+
+    // Time-series resample: per-event-type hourly value-cents totals
+    // pushed onto each type's complete hourly grid, gaps forward-filled.
+    // One shuffle on the key, reused by the fill window; grid rows are
+    // exploded scan-locally from a 16-byte-per-key bounds aggregate.
+    "q_gapfill" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_ns div 3600000000000").as("hr"))
+        .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+          .as("cents"))
+      graft.operators.TimeSeries.gapFill(hourly, "event_type", "hr", "cents")
+    },
+
+    // SCD type-2 snapshot: each user's event_type stream collapsed to
+    // validity intervals [valid_from, valid_to) in exact nanoseconds,
+    // versioned per user. Change detection and interval stamping share
+    // one key partitioning — a single exchange.
+    "q_scd2" -> { (s, dir) =>
+      graft.operators.TimeSeries.scd2(
+          eventsUsPrecision(s, dir)
+            .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type")),
+          "user_id", Seq("ts_ns", "event_id"), Seq("event_type"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+    },
+
+    // Per-node triangle participation over the part co-occurrence graph
+    // (parts sharing an order). Degree-ordered orientation bounds the
+    // wedge intermediate at O(m^1.5) under any skew — the property that
+    // keeps this runnable on a 100 TB link graph.
+    "q_triangles" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      graft.operators.Graph.triangleCounts(edges, "a", "b")
+    },
+
+    // BPE merge learning: 3 iterations over the corpus word-frequency
+    // dict. The corpus is shuffled once (word counts); every training
+    // iteration is vocabulary-bounded. Output = the learned merge table.
+    "q_bpe_merges" -> { (s, dir) =>
+      val dict = graft.data.Bpe.wordFreq(Tables.documents(s, dir), "text")
+      val (merges, _) = graft.data.Bpe.learnMerges(dict, "word", "n", nMerges = 3)
+      graft.data.Bpe.mergeTable(s, merges)
+    },
+
+    // Key-skew profiler: the shuffle-planning diagnostic. Per-key counts
+    // of events by user, then distribution shape — max / exact discrete
+    // median / top-key share — in exact integers. The median comes from
+    // the count-of-counts HISTOGRAM (smallest count whose cumulative key
+    // frequency reaches rank (n+1)/2), so the only global sort runs over
+    // distinct count VALUES — a frame that stays tiny when keys number
+    // in the billions. One data-sized shuffle (the per-key count).
+    "q_key_skew" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val perKey = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val nKeys = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"), max(col("cnt")).as("max_n"))
+      val hist = perKey.groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+      val wcum = Window.orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = hist.withColumn("cum", sum(col("freq")).over(wcum))
+        .crossJoin(broadcast(nKeys))
+        .filter(col("cum") >= expr("(n_keys + 1) div 2"))
+        .agg(min(col("cnt")).as("med_n"))
+      nKeys.crossJoin(broadcast(med))
+        .select(col("n_keys"), col("total_rows"), col("max_n"), col("med_n"),
+          expr("max_n * 1000 div (total_rows div n_keys)").as("skew_ratio_milli"),
+          expr("max_n * 1000000 div total_rows").as("top_share_micro"))
     }
   )
 
@@ -1765,6 +1839,118 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) AS BIGINT)
         |    AS pos
         |FROM s""".stripMargin,
+    "q_gapfill" ->
+      """WITH obs AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM bounds),
+        |j AS (SELECT g.event_type, g.hr, o.cents
+        |  FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.hr = o.hr),
+        |f AS (SELECT event_type, hr, cents,
+        |    count(cents) OVER (PARTITION BY event_type ORDER BY hr) AS grp FROM j)
+        |SELECT event_type, hr, cents,
+        |  max(cents) OVER (PARTITION BY event_type, grp) AS filled_cents,
+        |  cents IS NULL AS is_gap
+        |FROM f""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events),
+        |m AS (SELECT user_id, event_id, ts_ns, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev
+        |  FROM e),
+        |c AS (SELECT user_id, event_id, ts_ns, event_type FROM m
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |    AS BIGINT) AS version,
+        |  event_type,
+        |  ts_ns AS valid_from,
+        |  lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to
+        |FROM c""".stripMargin,
+    "q_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |tri AS (
+        |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+        |  FROM und a JOIN und b ON a.hi = b.lo
+        |    JOIN und c ON c.lo = a.lo AND c.hi = b.hi)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri)
+        |GROUP BY id""".stripMargin,
+    "q_bpe_merges" ->
+      """WITH w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word HAVING count(*) >= 3),
+        |s0 AS (SELECT word, n, string_split(word, '') AS sym FROM w0),
+        |p0 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM s0, unnest(list_transform(generate_series(1, len(sym)-1),
+        |       i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u)
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT l, r, cnt FROM p0 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s1 AS (SELECT word, n,
+        |    list_reduce(list_transform(sym, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m0.l
+        |                        AND x[1] = m0.r
+        |                  THEN list_append(acc[1:len(acc)-1], m0.l || m0.r)
+        |                  ELSE list_concat(acc, x) END) AS sym
+        |  FROM s0, m0),
+        |p1 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM s1, unnest(list_transform(generate_series(1, len(sym)-1),
+        |       i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s2 AS (SELECT word, n,
+        |    list_reduce(list_transform(sym, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m1.l
+        |                        AND x[1] = m1.r
+        |                  THEN list_append(acc[1:len(acc)-1], m1.l || m1.r)
+        |                  ELSE list_concat(acc, x) END) AS sym
+        |  FROM s1, m1),
+        |p2 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM s2, unnest(list_transform(generate_series(1, len(sym)-1),
+        |       i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s3 AS (SELECT word, n,
+        |    list_reduce(list_transform(sym, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m2.l
+        |                        AND x[1] = m2.r
+        |                  THEN list_append(acc[1:len(acc)-1], m2.l || m2.r)
+        |                  ELSE list_concat(acc, x) END) AS sym
+        |  FROM s2, m2),
+        |v1 AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS v
+        |  FROM s1, unnest(sym) AS t(s)),
+        |v2 AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS v
+        |  FROM s2, unnest(sym) AS t(s)),
+        |v3 AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS v
+        |  FROM s3, unnest(sym) AS t(s))
+        |SELECT CAST(1 AS BIGINT) AS step, m0.l AS left_sym, m0.r AS right_sym,
+        |  m0.cnt AS pair_count, v1.v AS n_symbols_after FROM m0, v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), m1.l, m1.r, m1.cnt, v2.v FROM m1, v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), m2.l, m2.r, m2.cnt, v3.v FROM m2, v3""".stripMargin,
+    "q_key_skew" ->
+      """WITH pk AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS total_rows, max(cnt) AS max_n FROM pk),
+        |hist AS (SELECT cnt, CAST(count(*) AS BIGINT) AS freq FROM pk GROUP BY 1),
+        |cum AS (SELECT cnt, sum(freq) OVER (ORDER BY cnt) AS cum FROM hist),
+        |med AS (SELECT min(cnt) AS med_n FROM cum, agg
+        |  WHERE cum >= (n_keys + 1) // 2)
+        |SELECT n_keys, total_rows, max_n, med_n,
+        |  max_n * 1000 // (total_rows // n_keys) AS skew_ratio_milli,
+        |  max_n * 1000000 // total_rows AS top_share_micro
+        |FROM agg, med""".stripMargin,
     "q_versioned_transform" ->
       """SELECT
         |  CASE WHEN user_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS ver,

@@ -1,0 +1,83 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding merge learning (Sennrich et al., ACL 2016) — the
+  * tokenizer-training step of an LLM data pipeline, distributed the way BPE
+  * actually scales: the CORPUS is touched exactly once (word-frequency
+  * aggregation, one shuffle), and every merge iteration runs over the
+  * word-frequency DICT only — vocabulary-bounded work, independent of
+  * corpus size. 100 TB of text with a 10M-word vocabulary trains merges
+  * over 10M rows, not 100 TB.
+  *
+  * Per iteration: adjacent symbol pairs are exploded per dict word,
+  * weighted by the word's corpus count, and summed (one partial-agg'd
+  * shuffle over ≤ vocab × avg-word-len rows); the argmax pair — ties broken
+  * (count desc, left asc, right asc) for determinism — is a 1-row driver
+  * decision (inherently sequential: merge k+1 depends on k); the merge is
+  * applied scan-locally with the classical greedy left-to-right fold.
+  * Both the fold and the tie-break are engine-portable, so the whole
+  * training loop unrolls into an exact SQL oracle.
+  */
+object Bpe {
+
+  final case class LearnedMerge(step: Int, leftSym: String, rightSym: String,
+                                pairCount: Long, nSymbolsAfter: Long)
+
+  /** Corpus → word-frequency dict: lowercase `[a-z]+` tokens with corpus
+    * counts ≥ `minCount`. The one pass that sees the full corpus. */
+  def wordFreq(docs: DataFrame, textCol: String, minCount: Long = 3L): DataFrame =
+    docs
+      .select(explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  /** Run `nMerges` BPE iterations over `dict(word, n)`. Returns the merge
+    * table and the final per-word symbolization `(word, n, sym)`. */
+  def learnMerges(dict: DataFrame, wordCol: String, nCol: String,
+                  nMerges: Int): (Seq[LearnedMerge], DataFrame) = {
+    var syms = dict.select(col(wordCol).as("word"), col(nCol).cast("long").as("n"),
+        split(col(wordCol), "").as("sym"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[LearnedMerge]
+    (1 to nMerges).foreach { step =>
+      val top = syms.filter(size(col("sym")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(sym)-1), " +
+            "i -> struct(element_at(sym, i) AS l, element_at(sym, i+1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"no adjacent pairs left at merge step $step")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val prev = syms
+      // Greedy left-to-right merge: after a merge the new symbol can open
+      // the next match but never re-closes the one just consumed — the
+      // fold-with-list-accumulator below IS that semantics (symbols are
+      // [a-z]+ only, so inlining them into the lambda source is safe).
+      syms = prev.withColumn("sym", expr(
+          s"aggregate(sym, cast(array() as array<string>), (acc, x) -> " +
+            s"CASE WHEN size(acc) >= 1 AND element_at(acc, -1) = '$a' AND x = '$b' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+            s"ELSE concat(acc, array(x)) END)"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val vocabAfter = syms.select(explode(col("sym")).as("s"))
+        .agg(countDistinct(col("s"))).collect()(0).getLong(0)
+      prev.unpersist()
+      merges += LearnedMerge(step, a, b, cnt, vocabAfter)
+    }
+    (merges.result(), syms)
+  }
+
+  /** The merge table as a DataFrame (driver-built: `nMerges` rows of
+    * training decisions, not data). */
+  def mergeTable(spark: SparkSession, merges: Seq[LearnedMerge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("step", "left_sym", "right_sym", "pair_count", "n_symbols_after")
+      .select(col("step").cast("long").as("step"), col("left_sym"), col("right_sym"),
+        col("pair_count"), col("n_symbols_after"))
+  }
+}

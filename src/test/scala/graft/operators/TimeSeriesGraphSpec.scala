@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.data.Bpe
+
+/** TimeSeries (gap fill, SCD2), Graph (triangles), and Bpe (merge
+  * learning) — semantics pinned against hand-computable fixtures and
+  * in-memory reference scans. */
+class TimeSeriesGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFill: per-key grid spans only the key's own bounds, gaps carry forward") {
+    val obs = Seq(("a", 1L, 10L), ("a", 4L, 40L), ("b", 7L, 70L))
+      .toDF("k", "bucket", "v")
+    val out = TimeSeries.gapFill(obs, "k", "bucket", "v")
+      .orderBy("k", "bucket")
+      .select("k", "bucket", "v", "filled_v", "is_gap")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      ("a", 1L, Some(10L), 10L, false),
+      ("a", 2L, None, 10L, true),
+      ("a", 3L, None, 10L, true),
+      ("a", 4L, Some(40L), 40L, false),
+      // key b is a single bucket: no grid inflation past its own span
+      ("b", 7L, Some(70L), 70L, false)))
+  }
+
+  test("scd2: runs collapse, intervals chain, ties broken by the order column") {
+    val ev = Seq(
+      // user 1: A A B A — runs A[10,30) B[30,40) A[40,null)
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"), (1L, 3L, 30L, "B"), (1L, 4L, 40L, "A"),
+      // user 2: equal timestamps — event_id orders the run boundary
+      (2L, 10L, 100L, "X"), (2L, 11L, 100L, "Y"))
+      .toDF("user_id", "event_id", "ts", "attr")
+    val out = TimeSeries.scd2(ev, "user_id", Seq("ts", "event_id"), Seq("attr"))
+      .select("user_id", "version", "attr", "valid_from", "valid_to")
+      .orderBy("user_id", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "A", 10L, Some(30L)),
+      (1L, 2L, "B", 30L, Some(40L)),
+      (1L, 3L, "A", 40L, None),
+      (2L, 1L, "X", 100L, Some(100L)),
+      (2L, 2L, "Y", 100L, None)))
+  }
+
+  test("triangleCounts: oriented two-join equals brute-force enumeration") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    // and a disconnected edge (no triangles), duplicate + reversed +
+    // self-loop inputs to exercise canonicalization.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 3L), (4L, 5L), (8L, 9L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts on random graph equals in-memory brute force") {
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val got = Graph.triangleCounts(es.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val und = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      (u, v, w) = (nodes(i), nodes(j), nodes(k))
+      if und((u, v)) && und((v, w)) && und((u, w))
+    } { brute(u) += 1; brute(v) += 1; brute(w) += 1 }
+    assert(got === brute.toMap)
+  }
+
+  test("bpe: greedy fold merges left-to-right without re-consuming output") {
+    // dict {aaaa:2, aab:1}: pair (a,a) count = 2*3 + 1 = 7 wins.
+    // aaaa -> [aa, aa] (greedy non-overlap), aab -> [aa, b].
+    val dict = Seq(("aaaa", 2L), ("aab", 1L)).toDF("word", "n")
+    val (merges, syms) = Bpe.learnMerges(dict, "word", "n", nMerges = 1)
+    assert(merges.map(m => (m.step, m.leftSym, m.rightSym, m.pairCount)) ===
+      Seq((1, "a", "a", 7L)))
+    val after = syms.select("word", "sym").as[(String, Seq[String])]
+      .collect().toMap
+    assert(after("aaaa") === Seq("aa", "aa"))
+    assert(after("aab") === Seq("aa", "b"))
+    // vocab after merge 1: {aa, b} ∪ nothing else
+    assert(merges.head.nSymbolsAfter === 2L)
+  }
+
+  test("bpe: ties break lexicographically and merged symbols can chain") {
+    // "abab": pairs (a,b)x2, (b,a)x1 — (a,b) wins on count; next round
+    // pair (ab,ab) merges the merged symbol.
+    val dict = Seq(("abab", 1L)).toDF("word", "n")
+    val (merges, syms) = Bpe.learnMerges(dict, "word", "n", nMerges = 2)
+    assert(merges.map(m => (m.leftSym, m.rightSym)) ===
+      Seq(("a", "b"), ("ab", "ab")))
+    val fin = syms.select("sym").as[Seq[String]].collect().head
+    assert(fin === Seq("abab"))
+  }
+}
