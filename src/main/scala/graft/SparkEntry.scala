@@ -1776,6 +1776,62 @@ object SparkEntry {
         .select(col("n_keys"), col("total_rows"), col("max_n"), col("med_n"),
           expr("max_n * 1000 div (total_rows div n_keys)").as("skew_ratio_milli"),
           expr("max_n * 1000000 div total_rows").as("top_share_micro"))
+    },
+
+    // Interval-OVERLAP join (both sides carry an extent — the case the
+    // point-in-interval RangeJoin can't express): per-supplier shipment
+    // transit windows [shipdate, shipdate + derived transit days],
+    // overlapping pairs found via bucketed equi-join with the
+    // responsibility rule (pair counted only in the bucket holding the
+    // overlap start — no distinct pass). Aggregated per supplier.
+    "q_interval_join" -> { (s, dir) =>
+      val iv = Tables.lineitem(s, dir)
+        .withColumn("s",
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 1000000 div 86400"))
+        .select(col("l_suppkey").as("key"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+          col("s"),
+          (col("s") + expr("CAST(l_quantity AS BIGINT) % 20 + 3")).as("e"))
+      val pairs = graft.operators.IntervalJoin.overlapJoin(iv, iv, bucketWidth = 14L)
+        .filter(col("a_id") < col("b_id"))
+      pairs.groupBy(col("key").as("l_suppkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(sum(overlap_len) AS BIGINT)").as("sum_overlap_days"))
+        .select(col("l_suppkey"), col("n_pairs"), col("sum_overlap_days"))
+    },
+
+    // Duration-weighted mean (telemetry semantics: a reading holds until
+    // the next one): per event type, Σ cents·holding-µs div Σ holding-µs.
+    // One key shuffle shared by the lead() window and the aggregate.
+    "q_time_weighted" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("ts_ns div 1000").as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("dur_us", lead(col("tus"), 1).over(w) - col("tus"))
+        .filter(col("dur_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          expr("CAST(sum(dur_us) AS BIGINT)").as("total_us"),
+          expr("CAST(sum(cents * dur_us) AS BIGINT)").as("weighted_sum"),
+          expr("CAST(sum(cents * dur_us) div sum(dur_us) AS BIGINT)").as("twa_cents"))
+    },
+
+    // Per-key decile assignment (NTILE) + per-decile profile: the
+    // standard-SQL tile definition is engine-portable, and the window
+    // partitions by key so no global sort exists anywhere in the plan.
+    "q_ntile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
     }
   )
 
@@ -1951,6 +2007,45 @@ object SparkEntry {
         |  max_n * 1000 // (total_rows // n_keys) AS skew_ratio_milli,
         |  max_n * 1000000 // total_rows AS top_share_micro
         |FROM agg, med""".stripMargin,
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS key, l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS s,
+        |    CAST(epoch(l_shipdate) AS BIGINT) // 86400
+        |      + CAST(l_quantity AS BIGINT) % 20 + 3 AS e
+        |  FROM lineitem)
+        |SELECT a.key AS l_suppkey, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+        |    AS sum_overlap_days
+        |FROM iv a JOIN iv b
+        |  ON a.key = b.key AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY a.key""".stripMargin,
+    "q_time_weighted" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ns(ts) // 1000 AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT event_type, cents,
+        |    lead(tus) OVER (PARTITION BY event_type ORDER BY tus, event_id) - tus
+        |      AS dur_us
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dur_us) AS BIGINT) AS total_us,
+        |  CAST(sum(cents * dur_us) AS BIGINT) AS weighted_sum,
+        |  CAST(CAST(sum(cents * dur_us) AS BIGINT)
+        |    // CAST(sum(dur_us) AS BIGINT) AS BIGINT) AS twa_cents
+        |FROM d WHERE dur_us IS NOT NULL GROUP BY event_type""".stripMargin,
+    "q_ntile" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (SELECT event_type, cents,
+        |    CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY cents, event_id)
+        |      AS BIGINT) AS decile
+        |  FROM e)
+        |SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q_versioned_transform" ->
       """SELECT
         |  CASE WHEN user_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS ver,

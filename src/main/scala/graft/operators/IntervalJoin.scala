@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join: match pairs of INTERVALS `[s, e]` that overlap,
+  * within a key. The sibling of [[RangeJoin]] (point-in-interval): here
+  * BOTH sides carry an extent, so neither side can be treated as a point
+  * and a naive formulation degenerates to a per-key cross product with an
+  * overlap filter — a broadcast-nested-loop at scale.
+  *
+  * Bucketed equi-join instead: the day line is cut into fixed-width
+  * buckets; every interval is replicated to each bucket it touches
+  * (fan-out = len/width + 1, a constant chosen ≈ the typical interval
+  * length); candidates meet in a hash join on `(key, bucket)`. A pair
+  * overlapping across several shared buckets would match more than once,
+  * so each pair is counted exactly once by the RESPONSIBILITY rule: only
+  * the bucket containing `max(s_a, s_b)` — the start of the overlap —
+  * reports it. No post-hoc distinct, no second shuffle.
+  *
+  * Bounds must be non-negative integers (epoch days/hours); width trades
+  * replication against per-bucket candidate density — at 100 TB, set it
+  * to the median interval length and let AQE split residual hot buckets.
+  */
+object IntervalJoin {
+
+  /** Join two interval frames — each shaped `(key, id, s, e)` by prior
+    * `select` — on key equality and interval overlap. Returns one row per
+    * overlapping pair: `(key, a_id, b_id, overlap_len)` with
+    * `overlap_len = min(e) - max(s) + 1`. For a self-join pass the same
+    * frame twice and keep `a_id < b_id`. */
+  def overlapJoin(left: DataFrame, right: DataFrame, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def expand(df: DataFrame): DataFrame = df.select(
+      col("key"), col("id"), col("s"), col("e"),
+      explode(sequence(expr(s"s div ${bucketWidth}L"), expr(s"e div ${bucketWidth}L")))
+        .as("bucket"))
+    expand(left).as("a")
+      .join(expand(right).as("b"),
+        col("a.key") === col("b.key") && col("a.bucket") === col("b.bucket") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
+          col("a.bucket") === expr(s"greatest(a.s, b.s) div ${bucketWidth}L"))
+      .select(col("a.key").as("key"), col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (least(col("a.e"), col("b.e")) - greatest(col("a.s"), col("b.s")) + lit(1L))
+          .as("overlap_len"))
+  }
+}

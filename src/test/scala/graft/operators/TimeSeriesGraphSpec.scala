@@ -80,6 +80,25 @@ class TimeSeriesGraphSpec extends SparkSpec {
     assert(got === brute.toMap)
   }
 
+  test("intervalJoin: bucketed join equals brute-force overlap, each pair once") {
+    val rnd = new scala.util.Random(11)
+    val iv = (0L until 200L).map { i =>
+      val s = rnd.nextInt(300).toLong
+      (i % 3, i, s, s + rnd.nextInt(40).toLong) // key, id, s, e
+    }
+    val df = iv.toDF("key", "id", "s", "e")
+    for (width <- Seq(1L, 7L, 50L, 1000L)) { // incl. degenerate widths
+      val got = IntervalJoin.overlapJoin(df, df, bucketWidth = width)
+        .filter(col("a_id") < col("b_id"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val brute = for {
+        a <- iv; b <- iv
+        if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+      } yield (a._2, b._2, math.min(a._4, b._4) - math.max(a._3, b._3) + 1)
+      assert(got.sorted.toSeq === brute.sorted.toSeq, s"width=$width")
+    }
+  }
+
   test("bpe: greedy fold merges left-to-right without re-consuming output") {
     // dict {aaaa:2, aab:1}: pair (a,a) count = 2*3 + 1 = 7 wins.
     // aaaa -> [aa, aa] (greedy non-overlap), aab -> [aa, b].
