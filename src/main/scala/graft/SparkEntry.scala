@@ -1832,6 +1832,112 @@ object SparkEntry {
         .groupBy(col("event_type"), col("decile"))
         .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
           max(col("cents")).as("max_cents"))
+    },
+
+    // GROUPING SETS — the general multi-rollup (reference exposes only
+    // per-query GROUP BY; dashboards re-aggregate client-side). One Expand
+    // node feeds every grouping from a single scan, so the cost is one
+    // shuffle carrying (sets × rows) pre-aggregated partials — at 100 TB
+    // this replaces 4 separate full-scan queries with one pass.
+    "q_grouping_sets" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_linestatus"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(cents) AS BIGINT)").as("sum_cents"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("n"), col("sum_cents"))
+    },
+
+    // M4 time-series downsampling (Jugel et al., VLDB 2014): per series ×
+    // pixel-bucket keep min, max, first and last — the 4 values that make a
+    // line chart render pixel-identically to the full series. Two
+    // row_number() windows share ONE (series, bucket) exchange with the
+    // final aggregate; no global sort. At 100 TB this is the standard
+    // "100M points → 4k buckets" dashboard reduction, one shuffle total.
+    "q_m4_downsample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("bucket", expr("tus div 3600000000"))
+      val w = Window.partitionBy("event_type", "bucket")
+      ev.withColumn("rn_a", row_number().over(w.orderBy(col("tus"), col("event_id"))))
+        .withColumn("rn_d",
+          row_number().over(w.orderBy(col("tus").desc, col("event_id").desc)))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+          max(when(col("rn_a") === 1, col("cents"))).as("first_cents"),
+          max(when(col("rn_d") === 1, col("cents"))).as("last_cents"))
+    },
+
+    // Rolling z-score anomaly gate over the trailing 20 readings, evaluated
+    // entirely in integer arithmetic: |x−μ| > 3σ  ⇔  (n·x − S)² > 9·(n·SS − S²)
+    // with S/SS the windowed sums of cents and cents² — bit-deterministic
+    // where a float mean/stddev would flake across engines. The three ROWS
+    // windows and the final aggregate share one key exchange; state per row
+    // is O(window), per key O(1) after aggregation — scale-safe.
+    "q_rolling_zscore" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("tus"), col("event_id")).rowsBetween(-20, -1)
+      Tables.events(s, dir).select(col("event_type"), col("event_id"),
+          expr("ts_ns div 1000").as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("np", count(lit(1)).over(w))
+        .withColumn("s", sum(col("cents")).over(w))
+        .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+        .filter(col("np") >= 10)
+        .withColumn("anom",
+          expr("(np*cents - s)*(np*cents - s) > 9*(np*ss - s*s)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          expr("CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT)").as("n_anom"),
+          expr("CAST(sum(CASE WHEN anom THEN cents ELSE 0 END) AS BIGINT)")
+            .as("anom_cents"))
+    },
+
+    // Per-source document cap (the "max N pages per domain" curation rule —
+    // Gopher/C4 use it to stop boilerplate-heavy domains dominating the mix).
+    // Selection is a deterministic hash draw per doc ranked within source, so
+    // the SAME docs survive at any scale, partitioning or engine; one key
+    // shuffle, rank state O(1) per row.
+    "q_domain_cap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("draw"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("cap"), col("doc_id").cast("string"))).as("draw"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("rk"))
+    },
+
+    // Markov transition matrix over per-user event sequences: count of each
+    // (prev_type → type) adjacency plus the row-stochastic probability in
+    // integer micro-units (truncating div — bit-deterministic). The lag()
+    // window shuffles by user once; the 25-cell matrix aggregate is tiny.
+    // This is the session-flow model behind "what do users do after X".
+    "q_markov" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("tus"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy("prev_type")
+      trans.withColumn("row_total", sum(col("n")).over(wp))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          expr("CAST(n * 1000000 div row_total AS BIGINT)").as("p_micro"))
     }
   )
 
@@ -2046,6 +2152,72 @@ object SparkEntry {
         |SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
         |  min(cents) AS min_cents, max(cents) AS max_cents
         |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+        |  coalesce(l_linestatus, '<all>') AS lstatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_m4_downsample" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT *, tus // 3600000000 AS bucket,
+        |    row_number() OVER (PARTITION BY event_type, tus // 3600000000
+        |      ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, tus // 3600000000
+        |      ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  max(CASE WHEN rn_a = 1 THEN cents END) AS first_cents,
+        |  max(CASE WHEN rn_d = 1 THEN cents END) AS last_cents
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_rolling_zscore" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT event_type, cents,
+        |    count(*) OVER win AS np,
+        |    sum(cents) OVER win AS s,
+        |    sum(cents * cents) OVER win AS ss
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT *,
+        |    (np*cents - s)*(np*cents - s) > 9*(np*ss - s*s) AS anom
+        |  FROM w WHERE np >= 10)
+        |SELECT event_type, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+        |  CAST(sum(CASE WHEN anom THEN cents ELSE 0 END) AS BIGINT) AS anom_cents
+        |FROM f GROUP BY 1""".stripMargin,
+    "q_domain_cap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    md5('cap' || CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY draw, doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM d)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 10""".stripMargin,
+    "q_markov" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |t AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS prev_type
+        |  FROM e),
+        |c AS (SELECT prev_type, event_type, count(*) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS p_micro
+        |FROM c""".stripMargin,
     "q_versioned_transform" ->
       """SELECT
         |  CASE WHEN user_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS ver,

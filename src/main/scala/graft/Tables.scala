@@ -25,11 +25,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as a long (exact — no float
-    * round-trip) and expose both `ts_ns: Long` (exact, for windowed/stateful
-    * arithmetic) and `ts: Timestamp` (micros, `ns div 1000`, matching
-    * DuckDB's TIMESTAMP_NS→TIMESTAMP truncation). */
+  /** `events.parquet` has shipped `ts` in three encodings across driver
+    * regenerations: parquet TIMESTAMP(NANOS) (read as a long — exact, no
+    * float round-trip), naive micros (Spark infers TIMESTAMP_NTZ), and
+    * UTC-adjusted micros (TIMESTAMP). Normalize all three to the same two
+    * columns: `ts_ns: Long` (exact nanos, for windowed/stateful integer
+    * arithmetic) and `ts: Timestamp` (micros — matching DuckDB's TIMESTAMP).
+    * The NTZ→TIMESTAMP cast is instant-preserving because every session in
+    * this project pins spark.sql.session.timeZone=UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
@@ -39,6 +42,9 @@ object Tables {
       case LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
