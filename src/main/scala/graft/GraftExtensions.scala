@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.exprs.{CosineSim, FnvHash64, HeavyHitters, SimHash64Expr, TopKBy}
+import graft.exprs.{CosineSim, FnvHash64, HeavyHitters, InterleaveBits, SimHash64Expr, TopKBy}
 
 /** Cluster-wide installation point for graft's native Catalyst expressions:
   *
@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters", "heavy_hitters(item, k, capacity) - SpaceSaving frequent items; exact when distinct(item) <= capacity"),
       (children: Seq[Expression]) => HeavyHitters(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      info("interleave_bits", "interleave_bits(x, y) - Morton/Z-order key over the low 31 bits of each input"),
+      (children: Seq[Expression]) => InterleaveBits(children.head, children(1))))
   }
 }

@@ -1938,6 +1938,216 @@ object SparkEntry {
       trans.withColumn("row_total", sum(col("n")).over(wp))
         .select(col("prev_type"), col("event_type"), col("n"),
           expr("CAST(n * 1000000 div row_total AS BIGINT)").as("p_micro"))
+    },
+
+    // Gaps-and-islands: each event opens a 30-minute presence interval;
+    // overlapping intervals merge into maximal islands per user (the
+    // coverage/availability operator). One shuffle by key — see Intervals.
+    "q_interval_merge" -> { (s, dir) =>
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("s_us"))
+        .withColumn("e_us", col("s_us") + 1800000000L)
+      operators.Intervals.mergeIntervals(iv, Seq("user_id"), "s_us", "e_us")
+        .select(col("user_id"), col("island_start"), col("island_end"),
+          col("n_intervals"))
+    },
+
+    // Exact discrete quantiles per key via rank arithmetic: the value at
+    // 1-based index ceil(p·n/100) of the key's sorted multiset — engine-
+    // independent (no interpolation, no float), deterministic under ties
+    // because rank→value is a function of the sorted multiset. The rank
+    // window, the count window and the final aggregate all share ONE
+    // exchange by key.
+    "q_quantile_by_key" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("cents"))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(50*n + 99) div 100"), col("cents")))
+            .as("p50_cents"),
+          max(when(col("rn") === expr("(90*n + 99) div 100"), col("cents")))
+            .as("p90_cents"),
+          max(when(col("rn") === expr("(99*n + 99) div 100"), col("cents")))
+            .as("p99_cents"))
+    },
+
+    // Contribution analysis: each nation's share of its region's order
+    // revenue, in integer micro-units. Dimension joins are broadcasts
+    // (region/nation/customer are the small side by construction); the one
+    // real shuffle is the (region, nation) aggregate — 25 rows — and the
+    // share window runs on that aggregate, not on base data.
+    "q_share_of_total" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+          .as("cents"))
+      val w = Window.partitionBy("r_name")
+      rev.withColumn("region_cents", sum(col("cents")).over(w))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("CAST(cents * 1000000 div region_cents AS BIGINT)").as("share_micro"))
+    },
+
+    // Per-key least-squares trend over daily totals, entirely in integer
+    // arithmetic: slope_milli = 1000·(nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x =
+    // day offset from the key's first day (small numbers — every product is
+    // bounded far under int64 at any oracle SF) and y = the day's value in
+    // cents. The daily pre-aggregate shrinks the trend input to one row per
+    // (key, day) before any window runs; DuckDB's // and Spark's div both
+    // truncate toward zero, so negative slopes agree bit-for-bit.
+    "q_trend" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+      val w = Window.partitionBy("event_type")
+      daily.withColumn("x", col("day") - min(col("day")).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x*y")).as("sxy"), sum(expr("x*x")).as("sx2"))
+        .select(col("event_type"), col("n_days"), col("sx"), col("sy"),
+          expr("""CAST(CASE WHEN n_days*sx2 - sx*sx = 0 THEN 0
+                 ELSE (n_days*sxy - sx*sy) * 1000 div (n_days*sx2 - sx*sx)
+                 END AS BIGINT)""").as("slope_milli"))
+    },
+
+    // Column profiling (schema-drift audit): one aggregate pass computes
+    // every column's count/nulls/distinct/min/max simultaneously, then a
+    // literal stack reshapes the single row to long form — see Profiler.
+    "q_profile" -> { (s, dir) =>
+      graft.data.Profiler.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+
+    // Market-basket frequent pairs with A-priori singleton pruning —
+    // frequent items broadcast-semi-join the baskets BEFORE the quadratic
+    // within-basket pair expansion; see Basket for the 100 TB shape.
+    "q_item_pairs" -> { (s, dir) =>
+      graft.data.Basket.frequentPairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+    },
+
+    // Flesch-Kincaid-style readability in integer milli-units: words =
+    // whitespace tokens, sentences = terminal-punctuation runs (min 1),
+    // syllables = vowel-group runs (the standard cheap approximation).
+    // Pure scan-stage projections — regexp_count is codegen'd.
+    "q_readability" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      Tables.documents(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("words"),
+          greatest(expr("regexp_count(text, '[.!?]+')"), lit(1)).cast("long")
+            .as("sentences"),
+          expr("regexp_count(lower(text), '[aeiouy]+')").cast("long")
+            .as("syllables"))
+        .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+          expr("""CAST((390*words) div sentences + (11800*syllables) div words
+                 - 15590 AS BIGINT)""").as("fk_milli"))
+    },
+
+    // Morton/Z-order layout key (native codegen'd interleave_bits): the
+    // data-layout primitive behind ZORDER clustering — sorting 100 TB by z
+    // co-locates rows close in BOTH dimensions so min/max file stats prune
+    // 2-D predicates. Checked here by bucketing the curve and verifying
+    // every bucket's population and z-extent against a bit-exact oracle.
+    "q_zorder" -> { (s, dir) =>
+      import graft.exprs.ZOrder
+      val z = ZOrder.interleaveBits(
+        pmod(col("o_orderkey"), lit(2048)).cast("long"),
+        pmod(col("o_custkey"), lit(2048)).cast("long"))
+      Tables.orders(s, dir).select(z.as("z"))
+        .groupBy(expr("z div 4096").as("zbucket"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
+          max(col("z")).as("max_z"))
+    },
+
+    // CDC latest-wins merge: events as an upsert/delete changelog over
+    // per-user state ('error' = tombstone). max_by-struct compaction — the
+    // exchange carries one candidate per key per partition, never the raw
+    // changelog (see CdcMerge); the window-row_number oracle is the
+    // O(n log n) formulation this operator deliberately avoids.
+    "q_cdc_merge" -> { (s, dir) =>
+      val log = Tables.events(s, dir).select(col("user_id"),
+        expr("ts_ns div 1000").as("tus"), col("event_id"),
+        (col("event_type") === "error").as("del"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      operators.CdcMerge.applyChangelog(log, Seq("user_id"),
+          Seq("tus", "event_id"), "del", Seq("event_type", "cents"))
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_type"), col("cents"))
+    },
+
+    // CDC merge, STREAMING form: O(1) state per key (best seq + payload),
+    // finalized once the key passes the watermark — burst result equals
+    // the batch operator's, independent of arrival order. Payload rides as
+    // JSON through the state store and is re-projected after the sink.
+    "q_cdc_merge_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir).select(col("user_id"),
+          expr("ts_ns div 1000").as("tus"),
+          (col("event_type") === "error").as("del"),
+          to_json(struct(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))).as("pay"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+      val maxTus = rows.map(_._2).max
+      val ms = MemoryStream[(Long, Long, Boolean, String)]
+      ms.addData(rows.toSeq)
+      ms.addData((-1L, maxTus + 30L * 86400000000L, true, "{}")) // watermark push
+      val log = ms.toDF.toDF("user_id", "tus", "del", "pay")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+          col("tus"), col("del"), col("pay"))
+      val merged = operators.CdcMerge.applyChangelogStreaming(log, "user_id",
+        "ts", "tus", "del", "pay", gapMs = 3600L * 1000,
+        watermarkDelay = "0 seconds")
+      val qn = s"cdc_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = merged.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      s.table(qn).filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("tus"),
+          get_json_object(col("pay"), "$.event_type").as("event_type"),
+          get_json_object(col("pay"), "$.cents").cast("long").as("cents"))
+    },
+
+    // Mergeable-sketch rollup: per-(type, day) HLL sketches union up to
+    // per-type distinct-user estimates — the re-aggregation path that lets
+    // 100 TB dashboards sum daily sketches instead of rescanning raw data.
+    // Contract oracle (like q_quantile_sketch): the estimate must land
+    // within the sketch's documented error envelope of the exact count,
+    // which the oracle pins alongside exact truth.
+    "q_hll_merge" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("within_5pct"))
     }
   )
 
@@ -3374,6 +3584,152 @@ object SparkEntry {
         |  CAST(cum - n_tokens AS BIGINT) AS tok_start,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
         |  CAST((cum - 1) // 512 AS BIGINT) AS seq_last
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // Same running-max-end island construction; island membership is a set
+    // property of the endpoints, so tie order cannot change the output.
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 1800000000 AS e_us FROM events),
+        |w AS (SELECT user_id, s_us, e_us,
+        |    max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |f AS (SELECT user_id, s_us, e_us,
+        |    CAST(sum(CASE WHEN pme IS NULL OR s_us > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM w)
+        |SELECT user_id, min(s_us) AS island_start, max(e_us) AS island_end,
+        |  count(*) AS n_intervals
+        |FROM f GROUP BY user_id, island""".stripMargin,
+    // Value at 1-based rank ceil(p*n/100) of each key's sorted multiset —
+    // rank→value is tie-order independent.
+    "q_quantile_by_key" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (50*n + 99) // 100 THEN cents END) AS p50_cents,
+        |  max(CASE WHEN rn = (90*n + 99) // 100 THEN cents END) AS p90_cents,
+        |  max(CASE WHEN rn = (99*n + 99) // 100 THEN cents END) AS p99_cents
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, cents,
+        |  CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY r_name)
+        |    AS BIGINT) AS share_micro
+        |FROM rev""".stripMargin,
+    // Integer least-squares slope; DuckDB // and Spark div both truncate
+    // toward zero, so negative slopes agree exactly.
+    "q_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type,
+        |    day - min(day) OVER (PARTITION BY event_type) AS x, y FROM daily),
+        |a AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sx2
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n_days, sx, sy,
+        |  CAST(CASE WHEN n_days*sx2 - sx*sx = 0 THEN 0
+        |    ELSE (n_days*sxy - sx*sy) * 1000 // (n_days*sx2 - sx*sx)
+        |    END AS BIGINT) AS slope_milli
+        |FROM a""".stripMargin,
+    // One SELECT per profiled column, stacked long-form like the engine's
+    // single-pass stack (min/max rendered to string on the native type).
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR),
+        |  CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), min(o_orderstatus),
+        |  max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), min(o_orderpriority),
+        |  max(o_orderpriority) FROM orders""".stripMargin,
+    // A-priori level 2: distinct (basket, item), frequent-singleton prune,
+    // then the within-basket pair self-join with the same support cutoff.
+    "q_item_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+        |    l_partkey AS item FROM lineitem),
+        |freq AS (SELECT item FROM items GROUP BY item HAVING count(*) >= 2),
+        |pr AS (SELECT i.basket, i.item FROM items i JOIN freq USING (item))
+        |SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+        |FROM pr a JOIN pr b ON a.basket = b.basket AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // Same token/sentence/vowel-run counts; all divisions are positive//
+    // positive so truncation direction cannot differ.
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syllables
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT doc_id, words, sentences, syllables,
+        |  CAST((390*words) // sentences + (11800*syllables) // words - 15590
+        |    AS BIGINT) AS fk_milli
+        |FROM t""".stripMargin,
+    // Bit-exact Morton replay: spread each coordinate's bits with a list
+    // comprehension and sum the shifted bits.
+    "q_zorder" ->
+      """WITH m AS (SELECT o_orderkey % 2048 AS x, o_custkey % 2048 AS y
+        |  FROM orders),
+        |z AS (SELECT CAST(
+        |    list_sum([ ((x >> i) & 1) << (2*i) FOR i IN range(11) ]) +
+        |    list_sum([ ((y >> i) & 1) << (2*i + 1) FOR i IN range(11) ])
+        |    AS BIGINT) AS z
+        |  FROM m)
+        |SELECT z // 4096 AS zbucket, count(*) AS n,
+        |  min(z) AS min_z, max(z) AS max_z
+        |FROM z GROUP BY 1""".stripMargin,
+    // Latest change per user wins; a winning 'error' row tombstones the key.
+    "q_cdc_merge" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tus DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, tus, event_id, event_type, cents
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // Streaming CDC truth: identical latest-wins semantics ((user, ts)
+    // pairs are unique in this dataset, so tus alone totally orders each
+    // key's changes — verified, and the batch row q_cdc_merge would catch
+    // regressions in that assumption via its event_id tie-break).
+    "q_cdc_merge_stream" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tus DESC) AS rn FROM e)
+        |SELECT user_id, tus, event_type, cents
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // Sketch contract: exact distincts pinned; the engine must land its
+    // merged-sketch estimate inside the 5% envelope (HLL lgK=14 has
+    // ~0.8% relative standard error — 5% is > 6 sigma).
+    "q_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
