@@ -2148,6 +2148,112 @@ object SparkEntry {
         .select(col("event_type"), col("n_exact"),
           (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
             .as("within_5pct"))
+    },
+
+    // Deterministic negative sampling (contrastive-training pairs): 3
+    // pseudo-random negatives per doc via a Knuth multiplicative hash —
+    // same negatives at any scale/partitioning/engine, no RNG state. The
+    // candidate draw is scan-local (corpus size rides in as a broadcast
+    // 1-row aggregate); the only shuffle is the equi-join that resolves
+    // negative ids to their rows.
+    "q_negative_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val negs = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("neg_rank"),
+          col("n_docs"))
+        .withColumn("cand",
+          expr("((doc_id * 2654435761 + neg_rank * 40503) % 2147483647) % n_docs"))
+        .withColumn("neg_id",
+          expr("CASE WHEN cand = doc_id THEN (cand + 1) % n_docs ELSE cand END"))
+      negs.join(docs.select(col("doc_id").as("neg_id"),
+          col("lang").as("neg_lang")), "neg_id")
+        .select(col("doc_id"), col("neg_rank"), col("neg_id"), col("neg_lang"))
+    },
+
+    // Co-occurrence lift (PMI's ratio core, integer micro-units): how much
+    // more often a pair co-occurs than independence predicts. Singleton
+    // counts and the basket total are broadcast onto the pair aggregate —
+    // base data is never reshuffled beyond Basket's one pair-count exchange.
+    "q_lift" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+        .distinct()
+      val nb = items.select(countDistinct(col("basket")).as("n_baskets"))
+      val singles = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      graft.data.Basket.frequentPairs(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+        .join(broadcast(singles.select(col("item").as("item_a"),
+          col("cnt").as("cnt_a"))), "item_a")
+        .join(broadcast(singles.select(col("item").as("item_b"),
+          col("cnt").as("cnt_b"))), "item_b")
+        .crossJoin(broadcast(nb))
+        .select(col("item_a"), col("item_b"), col("support"),
+          expr("CAST(support * n_baskets * 1000000 div (cnt_a * cnt_b) AS BIGINT)")
+            .as("lift_micro"))
+    },
+
+    // Week-over-week change per series: weekly totals, then lag-delta and
+    // truncating per-mille change — the standard KPI trend row. The lag
+    // window runs on the weekly AGGREGATE (|series|×|weeks| rows), never
+    // base events.
+    "q_wow_change" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_ns div 604800000000000").as("wk"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("wk"))
+        .agg(expr("CAST(sum(cents) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("event_type").orderBy(col("wk"))
+      wk.withColumn("prev", lag(col("cents"), 1).over(w))
+        .select(col("event_type"), col("wk"), col("cents"),
+          (col("cents") - col("prev")).as("delta"),
+          expr("""CAST(CASE WHEN prev > 0 THEN (cents - prev) * 1000 div prev
+                 END AS BIGINT)""").as("pct_milli"))
+    },
+
+    // Dictionary encoding: stable dense integer codes for categorical
+    // combinations (feature-store/categorical-embedding prep). The window
+    // that assigns codes runs over the DISTINCT-combo aggregate — a few
+    // rows — never the corpus; the single-partition sort there is by
+    // construction bounded by the vocabulary, not the data.
+    "q_dict_encode" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.orderBy(col("lang"), col("source"))
+      g.withColumn("code", row_number().over(w).cast("long"))
+        .select(col("lang"), col("source"), col("code"), col("n_docs"))
+    },
+
+    // Percent-rank normalization in integer per-mille: rank() (not
+    // row_number — ties must share a value for engine-independence) scaled
+    // by (n−1). The rank window, count window and projection share one
+    // exchange by key. The feature-normalization row.
+    "q_rank_normalize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("cents"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("event_id"), col("cents"),
+          expr("""CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000 div (n - 1)
+                 ELSE 0 END AS BIGINT)""").as("prank_milli"))
+    },
+
+    // Integer exponential smoothing (α = 1/16): the self-referential
+    // recurrence no built-in window expresses — a genuine ordered per-key
+    // scan operator (see TimeSeries.ewmaInt); bit-deterministic because
+    // truncating integer division agrees across engines.
+    "q_ewma" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("ts_ns div 1000").as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      operators.TimeSeries.ewmaInt(ev, "user_id", "tus", "cents", k = 4)
     }
   )
 
@@ -3730,6 +3836,90 @@ object SparkEntry {
     "q_hll_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS within_5pct
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    // Same multiplicative-hash draw and self-collision bump.
+    "q_negative_sample" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |x AS (SELECT doc_id, CAST(unnest([1, 2, 3]) AS BIGINT) AS neg_rank
+        |  FROM documents),
+        |c AS (SELECT doc_id, neg_rank,
+        |    ((doc_id * 2654435761 + neg_rank * 40503) % 2147483647) % n_docs
+        |      AS cand, n_docs
+        |  FROM x, n),
+        |s AS (SELECT doc_id, neg_rank,
+        |    CASE WHEN cand = doc_id THEN (cand + 1) % n_docs ELSE cand END
+        |      AS neg_id
+        |  FROM c)
+        |SELECT s.doc_id, s.neg_rank, s.neg_id, d.lang AS neg_lang
+        |FROM s JOIN documents d ON d.doc_id = s.neg_id""".stripMargin,
+    // Lift = support·N / (cnt_a·cnt_b) in truncating micro-units over the
+    // same A-priori pair set.
+    "q_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+        |    l_partkey AS item FROM lineitem),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+        |singles AS (SELECT item, count(*) AS cnt FROM items GROUP BY item),
+        |freq AS (SELECT item FROM singles WHERE cnt >= 2),
+        |pr AS (SELECT i.basket, i.item FROM items i JOIN freq USING (item)),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    count(*) AS support
+        |  FROM pr a JOIN pr b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, support,
+        |  CAST(support * n_baskets * 1000000 // (sa.cnt * sb.cnt) AS BIGINT)
+        |    AS lift_micro
+        |FROM pairs
+        |JOIN singles sa ON sa.item = item_a
+        |JOIN singles sb ON sb.item = item_b
+        |CROSS JOIN nb""".stripMargin,
+    "q_wow_change" ->
+      """WITH wk AS (SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, wk, cents,
+        |    lag(cents) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+        |  FROM wk)
+        |SELECT event_type, wk, cents, cents - prev AS delta,
+        |  CAST(CASE WHEN prev > 0 THEN (cents - prev) * 1000 // prev END
+        |    AS BIGINT) AS pct_milli
+        |FROM l""".stripMargin,
+    // Codes assigned over the distinct-combo aggregate; (lang, source) is
+    // unique there so row_number is deterministic.
+    "q_dict_encode" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source,
+        |  CAST(row_number() OVER (ORDER BY lang, source) AS BIGINT) AS code,
+        |  n_docs
+        |FROM g""".stripMargin,
+    // rank() shares tie values, so the per-mille rank is a function of the
+    // sorted multiset — engine-independent.
+    "q_rank_normalize" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, event_id, cents,
+        |    rank() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, event_id, cents,
+        |  CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000 // (n - 1) ELSE 0 END
+        |    AS BIGINT) AS prank_milli
+        |FROM r""".stripMargin,
+    // The recurrence replayed exactly: recursive CTE stepping rn → rn+1
+    // per user with the same truncating // 16.
+    "q_ewma" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, tus, cents, rn, cents AS ewma
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.tus, e.cents, e.rn,
+        |    r.ewma + (e.cents - r.ewma) // 16
+        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, tus, cents, ewma FROM r""".stripMargin
   )
 }

@@ -78,4 +78,48 @@ object TimeSeries {
       .withColumn("version", row_number().over(wc).cast("long"))
       .drop("__first", "__chg")
   }
+
+  /** Integer exponential smoothing per key: `s₀ = x₀`, `sᵢ = sᵢ₋₁ +
+    * (xᵢ − sᵢ₋₁) / 2^k` (truncating division toward zero — DuckDB's `//`
+    * and Scala's `/` agree, so the recurrence is bit-deterministic across
+    * engines where a float EWMA is not).
+    *
+    * The recurrence is inherently sequential per key, so this is a genuine
+    * ordered-scan operator (the [[AsOfJoin.sortMerge]] shape, tier (d) of
+    * the custom-operator ladder — built-in windows can't express a
+    * self-referential running value): repartition by key, sort within
+    * partitions by (key, ts), one linear pass holding O(1) state per key.
+    * Keys are shared-nothing, so the pass parallelizes across partitions
+    * and survives any scale-up; nothing is collected.
+    *
+    * Input columns must be (`keyCol`: long, `tsCol`: long, `valueCol`:
+    * long); output appends `ewma`. Caller guarantees (key, ts) uniqueness
+    * (true for the event streams here) — equal timestamps would make any
+    * sequential smoothing order-ambiguous. */
+  def ewmaInt(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 0 && k < 63, s"k must be in [0, 62]: $k")
+    val div = 1L << k
+    val inSchema = df.select(col(keyCol), col(tsCol), col(valueCol)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "ewma", org.apache.spark.sql.types.LongType, nullable = false))
+    df.select(col(keyCol), col(tsCol), col(valueCol))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .mapPartitions { rows =>
+        var curKey = 0L
+        var haveKey = false
+        var s = 0L
+        rows.map { r =>
+          val key = r.getLong(0)
+          val x = r.getLong(2)
+          if (!haveKey || key != curKey) { curKey = key; haveKey = true; s = x }
+          else s = s + (x - s) / div
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](key, r.getLong(1), x, s), outSchema)
+            : org.apache.spark.sql.Row
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -124,4 +124,32 @@ class TimeSeriesGraphSpec extends SparkSpec {
     val fin = syms.select("sym").as[Seq[String]].collect().head
     assert(fin === Seq("abab"))
   }
+
+  test("ewmaInt replays the sequential recurrence per key, any partitioning") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (k <- 0L until 7L; i <- 0 until 40)
+      yield (k, i.toLong * 10 + k, rnd.nextInt(2001).toLong - 1000)
+    val df = rows.toDF("k", "ts", "v")
+    val want = rows.groupBy(_._1).flatMap { case (_, seq) =>
+      val sorted = seq.sortBy(_._2)
+      var s = 0L
+      sorted.zipWithIndex.map { case ((k, ts, v), i) =>
+        s = if (i == 0) v else s + (v - s) / 16
+        (k, ts, v, s)
+      }
+    }.toSeq.sorted
+    for (parts <- Seq(1, 5)) {
+      val got = TimeSeries.ewmaInt(df.repartition(parts), "k", "ts", "v", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
+  test("ewmaInt k=0 tracks the input exactly") {
+    val df = Seq((1L, 1L, 5L), (1L, 2L, 99L), (1L, 3L, -7L)).toDF("k", "ts", "v")
+    val got = TimeSeries.ewmaInt(df, "k", "ts", "v", k = 0)
+      .orderBy("ts").collect().map(_.getLong(3))
+    assert(got.toSeq === Seq(5L, 99L, -7L))
+  }
 }
