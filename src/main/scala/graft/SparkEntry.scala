@@ -2254,6 +2254,42 @@ object SparkEntry {
         expr("ts_ns div 1000").as("tus"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       operators.TimeSeries.ewmaInt(ev, "user_id", "tus", "cents", k = 4)
+    },
+
+    // Seasonal-baseline residuals (monitoring/forecasting): per (series,
+    // hour-of-week) integer mean as the seasonal-naive baseline, residual
+    // per event, 3×-baseline excess flag. Baseline is a tiny aggregate
+    // (|series|×168 rows) broadcast back onto the scan — residuals are
+    // scan-local; the only data shuffle is the baseline's partial agg.
+    "q_seasonal_residual" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        expr("(ts_ns div 3600000000000) % 168").as("how"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val base = ev.groupBy(col("event_type"), col("how"))
+        .agg(expr("CAST(sum(cents) div count(*) AS BIGINT)").as("baseline"))
+      ev.join(broadcast(base), Seq("event_type", "how"))
+        .select(col("event_type"), col("event_id"), col("how"), col("cents"),
+          (col("cents") - col("baseline")).as("residual"),
+          (abs(col("cents") - col("baseline")) > col("baseline") * 3)
+            .as("anomalous"))
+    },
+
+    // Rolling 7-day distinct actives per day (the DAU/WAU engagement
+    // curve): distinct (user, day) explodes into the ≤7 report days it
+    // contributes to, then one distinct-count per day. Constant 7× fan-out
+    // of the DEDUPED activity set (not raw events) — the window-DISTINCT
+    // that SQL windows can't express, as one explode + one aggregate.
+    "q_rolling_dau" -> { (s, dir) =>
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .distinct()
+      val bounds = act.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      act.withColumn("report_day",
+          explode(sequence(col("day"), col("day") + 6)))
+        .crossJoin(broadcast(bounds))
+        .filter(col("report_day") <= col("hi"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
     }
   )
 
@@ -3920,6 +3956,29 @@ object SparkEntry {
         |  SELECT e.user_id, e.tus, e.cents, e.rn,
         |    r.ewma + (e.cents - r.ewma) // 16
         |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-        |SELECT user_id, tus, cents, ewma FROM r""".stripMargin
+        |SELECT user_id, tus, cents, ewma FROM r""".stripMargin,
+    // Integer mean baseline per (series, hour-of-week); // and div both
+    // truncate (sums are non-negative here).
+    "q_seasonal_residual" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    (epoch_us(ts) // 3600000000) % 168 AS how,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, how,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS baseline
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_type, e.event_id, e.how, e.cents,
+        |  e.cents - b.baseline AS residual,
+        |  abs(e.cents - b.baseline) > b.baseline * 3 AS anomalous
+        |FROM e JOIN b ON e.event_type = b.event_type AND e.how = b.how""".stripMargin,
+    // Every active (user, day) contributes to report days day..day+6.
+    "q_rolling_dau" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |hi AS (SELECT max(day) AS hi FROM act),
+        |x AS (SELECT user_id, unnest(range(day, day + 7)) AS report_day
+        |  FROM act)
+        |SELECT report_day, count(DISTINCT user_id) AS active_users
+        |FROM x, hi WHERE report_day <= hi
+        |GROUP BY report_day""".stripMargin
   )
 }
