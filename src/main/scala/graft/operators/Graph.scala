@@ -39,6 +39,13 @@ object Graph {
       .distinct()
 
     // (degree, id) total order; orient every edge small-rank → large-rank.
+    // Deliberately NOT persisted even though `oriented` is referenced three
+    // times below: measured at sf0.1, caching it (MEMORY_AND_DISK) ran 50%
+    // SLOWER (29.9 s vs 19.5 s solo) — the InMemoryRelation blocks AQE's
+    // runtime-stats replanning of the wedge/closure joins and adds the
+    // cache build, which costs more than recomputing the O(m) orientation
+    // per reference. Recompute-with-AQE is the right default; a caller
+    // iterating many rounds over a static graph can persist upstream.
     val deg = und.select(col("lo").as("id")).union(und.select(col("hi")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val oriented = und
