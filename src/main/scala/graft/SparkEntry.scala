@@ -1735,11 +1735,17 @@ object SparkEntry {
     // wedge intermediate at O(m^1.5) under any skew — the property that
     // keeps this runnable on a 100 TB link graph.
     "q_triangles" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      // Edge build: per-order item set (ONE partial-agg'd shuffle — the
+      // map-side collect_set already dedups within partition) exploded to
+      // ordered pairs scan-locally, instead of a lineitem self-join that
+      // shuffles both sides and re-filters. Pair fan-out is quadratic per
+      // ORDER (baskets are small and bounded), never per part.
+      val sets = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val edges = sets.select(posexplode(col("ps")).as(Seq("i", "a")),
+          col("ps"))
+        .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
       graft.operators.Graph.triangleCounts(edges, "a", "b")
     },
 
