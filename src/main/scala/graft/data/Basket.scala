@@ -25,17 +25,29 @@ object Basket {
     * baskets, not occurrences. Output: `item_a < item_b`, `support`. */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
-    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
-    val frequent = items.groupBy(col("item"))
-      .agg(count(lit(1)).as("n"))
+    // One partial-agg'd shuffle builds the per-basket item SET (map-side
+    // collect_set dedups in place); singletons, the prune and the pair
+    // explosion all derive from it without ever self-joining the item
+    // table — pair fan-out is quadratic per basket (bounded), generated
+    // scan-locally after the in-basket prune.
+    val baskets = df
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+    val frequent = baskets.select(explode(col("its")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
       .select(col("item"))
-    val pruned = items.join(broadcast(frequent), "item")
-      .select(col("basket"), col("item"))
-    pruned.as("a").join(pruned.as("b"),
-        expr("a.basket = b.basket AND a.item < b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    val pruned = baskets
+      .select(col("basket"), explode(col("its")).as("item"))
+      .join(broadcast(frequent), "item")
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+    pruned
+      .select(posexplode(col("its")).as(Seq("i", "item_a")), col("its"))
+      .select(col("item_a"),
+        explode(expr("slice(its, i + 2, size(its))")).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
