@@ -45,7 +45,11 @@ object Bench {
     // time (observed: a run at 22% sys + nonzero steal measured 2.5× low
     // while identical neighbors measured ~440k) would otherwise poison the
     // recorded rate for the round.
-    val runs = Seq(forkedIngest(2000000L), forkedIngest(2000000L)).flatten
+    // Under SPARK_GRAFT_ONLY (profiling), skip the multi-minute ingest
+    // benches entirely — the caller wants one query's number, fast.
+    val runs =
+      if (only.isDefined) Nil
+      else Seq(forkedIngest(2000000L), forkedIngest(2000000L)).flatten
     val (ingestRate, ingestPruned) =
       if (runs.isEmpty) (-1.0, -1.0) else (runs.map(_._1).max, runs.map(_._2).max)
     // Max over two forked runs, same rationale as batch ingest: a single
@@ -53,7 +57,7 @@ object Bench {
     // contention (observed 258k vs 430k minutes apart on identical code).
     // A lost streaming number (r4) costs a round of parity evidence, so a
     // failed first attempt still gets the second as a retry.
-    val (streamingRate, streamingErr) = {
+    val (streamingRate, streamingErr) = if (only.isDefined) (-1.0, "skipped under SPARK_GRAFT_ONLY") else {
       val first = forkedStreamingIngest(70)
       if (first._1 <= 0)
         System.err.println(s"STREAMING BENCH FAILED (${first._2}); retrying once")
@@ -66,7 +70,8 @@ object Bench {
     if (streamingRate <= 0)
       System.err.println(s"STREAMING BENCH FAILED after retry: $streamingErr")
     val inSession =
-      try {
+      if (only.isDefined) -1.0
+      else try {
         spark.catalog.clearCache()
         System.gc()
         IngestBench.run(spark, 100000L, pruneToMapped = false)
