@@ -61,6 +61,24 @@ object SparkEntry {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM w GROUP BY w_start_us, event_type""".stripMargin
 
+  /** Shared truth for the batch AND streaming integer-EWMA forms: the
+    * recurrence replayed as a recursive CTE (`//` and Scala `/` both
+    * truncate toward zero, so the smoothing is bit-identical). */
+  private val ewmaOracle: String =
+    """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+      |      AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, tus, cents, rn, cents AS ewma
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.tus, e.cents, e.rn,
+      |    r.ewma + (e.cents - r.ewma) // 16
+      |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |SELECT user_id, tus, cents, ewma FROM r""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 expr-lang filter (reference filter/json/filter.go) compiled through
@@ -2296,6 +2314,160 @@ object SparkEntry {
         .filter(col("report_day") <= col("hi"))
         .groupBy(col("report_day"))
         .agg(countDistinct(col("user_id")).as("active_users"))
+    },
+
+    // Item-item collaborative-filtering neighborhoods (Sarwar WWW'01):
+    // cosine over basket co-occurrence in integer micro-units (cosine
+    // SQUARED — monotone on x ≥ 0, so ordering is identical and the score
+    // is bit-deterministic), top-5 per item through the mergeable k-item
+    // heap aggregate. Pair generation inherits the A-priori prune; the
+    // singleton-count join is a broadcast onto the PAIR aggregate.
+    "q_item_cosine" -> { (s, dir) =>
+      graft.data.Basket.cosineTopK(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2, k = 5)
+    },
+
+    // Integer EWMA, STREAMING form: per-key buffered samples finalized by
+    // replaying the exact batch recurrence on event-time inactivity — the
+    // buffer-then-finalize shape (q_funnel_stream, q_cdc_merge_stream), so
+    // burst results match the batch operator under any arrival order. Held
+    // to the IDENTICAL recursive-CTE oracle as q_ewma: batch and stream
+    // must agree row-for-row under the driver gate.
+    "q_ewma_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val maxTus = rows.map(_._2).max
+      val ms = MemoryStream[(Long, Long, Long)]
+      ms.addData(rows.toSeq)
+      ms.addData((-1L, maxTus + 30L * 86400000000L, 0L)) // watermark sentinel
+      val events = ms.toDF.toDF("user_id", "tus", "cents")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+          col("tus"), col("cents"))
+      val ewma = operators.TimeSeries.ewmaIntStreaming(
+        events, "user_id", "ts", "tus", "cents", k = 4,
+        gapMs = 3600L * 1000, watermarkDelay = "0 seconds")
+      val qn = s"ewma_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = ewma.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("tus"), col("cents"), col("ewma"))
+    },
+
+    // Conversion-lag distribution (time-to-convert): first purchase
+    // strictly after the first view per user — Funnel.firstTouch, ONE
+    // shuffle — then the lag histogram in power-of-two buckets computed as
+    // length(bin(lag)) = ⌊log₂⌋+1 in pure integer/string ops (no float
+    // log to flake at bucket edges). The histogram aggregate is tiny
+    // (≤ 64 rows).
+    "q_time_to_convert" -> { (s, dir) =>
+      val ev = eventsUsPrecision(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+          col("event_type"))
+      operators.Funnel.firstTouch(ev, "user_id", "tus", "event_type",
+          Seq("view", "purchase"))
+        .filter(col("reached") === 2)
+        .select((col("ts_2") - col("ts_1")).as("lag_us"))
+        .select(col("lag_us"),
+          length(bin(col("lag_us"))).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lag_us")).as("min_lag_us"),
+          max(col("lag_us")).as("max_lag_us"))
+    },
+
+    // Data-quality audit: referential integrity (FK orphans via one-pass
+    // left-join conditional counts), primary-key uniqueness, duplicate
+    // payloads, null rates — each check one aggregate pass reduced to a
+    // (check_name, violations, total) row. The documents dup check fires
+    // on the corpus's planted duplicate texts; the TPC-H FK checks hold
+    // clean — both directions of evidence under one oracle.
+    "q_integrity_audit" -> { (s, dir) =>
+      import graft.data.Integrity._
+      audit(Seq(
+        fkOrphans("fk_lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        fkOrphans("fk_orders_customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        fkOrphans("fk_events_user_customer", Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey"),
+        dupKeyRows("pk_orders", Tables.orders(s, dir), Seq("o_orderkey")),
+        dupKeyRows("dup_documents_text", Tables.documents(s, dir), Seq("text")),
+        nullCount("null_events_value", Tables.events(s, dir), "value")))
+    },
+
+    // Benford first-digit audit (fraud/data-entry anomaly screen): the
+    // leading significant digit of a naturally-spread positive amount
+    // follows log10(1+1/d). Digit extraction goes through the exact cents
+    // integer's decimal string (no float log10); expected shares are the
+    // fixed milli constants, deviation in integer milli. One partial-agg'd
+    // 9-row aggregate; the total joins back as a broadcast.
+    "q_benford" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val digits = Tables.lineitem(s, dir)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val benford = expr("""CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176
+        WHEN 3 THEN 124 WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66
+        WHEN 7 THEN 57 WHEN 8 THEN 51 ELSE 45 END AS BIGINT)""")
+      // total via a window over the 9-row AGGREGATE (never base data) —
+      // one scan of lineitem, no second pass for the denominator.
+      digits.withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .select(col("digit"), col("n"),
+          expr("n * 1000 div tot").as("share_milli"),
+          benford.as("benford_milli"),
+          (expr("n * 1000 div tot") - benford).as("dev_milli"))
+    },
+
+    // Point-in-time dimension join: the SCD2 snapshot (q_scd2's operator)
+    // consumed by an as-of join — every purchase event attributed to the
+    // dimension version valid at its timestamp. The composition is the
+    // point of the row: history build (2 windows, one key exchange) →
+    // AsOfJoin.sortMerge (one key exchange, O(1) probe state), never an
+    // interval cross product. Oracle = native DuckDB ASOF JOIN over the
+    // same SQL-built history.
+    "q_scd2_join" -> { (s, dir) =>
+      val ev = eventsUsPrecision(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      val dims = graft.operators.TimeSeries.scd2(
+          ev, "user_id", Seq("ts_ns", "event_id"), Seq("event_type"))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("dim_type"), col("valid_from"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      import operators.AsOfJoin.Projection
+      operators.AsOfJoin.sortMerge(
+        purchases, dims, "user_id", "user_id", "ts_ns", "valid_from",
+        Long.MaxValue / 2,
+        leftOut = Seq(Projection("event_id", "purchase_id"),
+          Projection("user_id", "user_id"),
+          Projection("ts_ns", "purchase_ts")),
+        rightOut = Seq(Projection("version", "version"),
+          Projection("dim_type", "dim_type")))
     }
   )
 
@@ -3949,20 +4121,10 @@ object SparkEntry {
         |FROM r""".stripMargin,
     // The recurrence replayed exactly: recursive CTE stepping rn → rn+1
     // per user with the same truncating // 16.
-    "q_ewma" ->
-      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
-        |    CAST(round(value * 100) AS BIGINT) AS cents,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
-        |      AS rn
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, tus, cents, rn, cents AS ewma
-        |  FROM e WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.tus, e.cents, e.rn,
-        |    r.ewma + (e.cents - r.ewma) // 16
-        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-        |SELECT user_id, tus, cents, ewma FROM r""".stripMargin,
+    "q_ewma" -> ewmaOracle,
+    // Shared truth for the batch AND streaming EWMA forms — both must
+    // replay the identical integer recurrence.
+    "q_ewma_stream" -> ewmaOracle,
     // Integer mean baseline per (series, hour-of-week); // and div both
     // truncate (sums are non-negative here).
     "q_seasonal_residual" ->
@@ -3985,6 +4147,117 @@ object SparkEntry {
         |  FROM act)
         |SELECT report_day, count(DISTINCT user_id) AS active_users
         |FROM x, hi WHERE report_day <= hi
-        |GROUP BY report_day""".stripMargin
+        |GROUP BY report_day""".stripMargin,
+    // A-priori prune (items with < 2 baskets can't reach pair support 2)
+    // mirrored exactly; cosine² in truncating integer micro-units; top-5
+    // by (sim² desc, partner) via QUALIFY.
+    "q_item_cosine" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM po GROUP BY 1),
+        |freq AS (SELECT i FROM cnt WHERE n >= 2),
+        |pp AS (SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS support
+        |  FROM po a JOIN po b ON a.b = b.b AND a.i < b.i
+        |  WHERE a.i IN (SELECT i FROM freq) AND b.i IN (SELECT i FROM freq)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT ia AS item, ib AS partner, support FROM pp
+        |  UNION ALL SELECT ib, ia, support FROM pp),
+        |sc AS (SELECT s.item, s.partner, s.support,
+        |    CAST(s.support * s.support * 1000000 // (na.n * nb.n) AS BIGINT)
+        |      AS sim2_micro
+        |  FROM sym s JOIN cnt na ON na.i = s.item
+        |    JOIN cnt nb ON nb.i = s.partner)
+        |SELECT item, partner, support, sim2_micro,
+        |  row_number() OVER (PARTITION BY item
+        |    ORDER BY sim2_micro DESC, partner) AS rn
+        |FROM sc QUALIFY rn <= 5""".stripMargin,
+    // First purchase STRICTLY after the first view (Funnel semantics);
+    // power-of-two bucket = length(bin(lag)) — integer/string ops only.
+    "q_time_to_convert" ->
+      """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t1.t1
+        |  GROUP BY 1),
+        |lg AS (SELECT t2.t2 - t1.t1 AS lag_us
+        |  FROM t1 JOIN t2 ON t1.user_id = t2.user_id)
+        |SELECT CAST(length(bin(lag_us)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  min(lag_us) AS min_lag_us, max(lag_us) AS max_lag_us
+        |FROM lg GROUP BY 1""".stripMargin,
+    // One row per audit check. count(*) is BIGINT everywhere; the dup-row
+    // sum is CAST to keep DuckDB's HUGEINT widening out of the schema.
+    "q_integrity_audit" ->
+      """SELECT 'fk_lineitem_orders' AS check_name,
+        |  count(*) FILTER (WHERE o.o_orderkey IS NULL) AS violations,
+        |  count(*) AS total
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        |  count(*) FILTER (WHERE c.c_custkey IS NULL), count(*)
+        |FROM orders od LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON od.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'fk_events_user_customer',
+        |  count(*) FILTER (WHERE c.c_custkey IS NULL), count(*)
+        |FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON e.user_id = c.c_custkey
+        |UNION ALL
+        |SELECT 'pk_orders',
+        |  CAST(coalesce(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n), 0) AS BIGINT)
+        |FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'dup_documents_text',
+        |  CAST(coalesce(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n), 0) AS BIGINT)
+        |FROM (SELECT text, count(*) AS n FROM documents GROUP BY 1)
+        |UNION ALL
+        |SELECT 'null_events_value',
+        |  count(*) FILTER (WHERE value IS NULL), count(*)
+        |FROM events""".stripMargin,
+    // Leading digit through the exact cents integer's decimal string;
+    // Benford milli constants = floor(log10(1+1/d)·1000), fixed.
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(
+        |      CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT) AS digit
+        |  FROM lineitem),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+        |SELECT digit, n,
+        |  CAST(n * 1000 // tot AS BIGINT) AS share_milli,
+        |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 124
+        |    WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66 WHEN 7 THEN 57
+        |    WHEN 8 THEN 51 ELSE 45 END AS BIGINT) AS benford_milli,
+        |  CAST(n * 1000 // tot - CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176
+        |    WHEN 3 THEN 124 WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66
+        |    WHEN 7 THEN 57 WHEN 8 THEN 51 ELSE 45 END AS BIGINT) AS dev_milli
+        |FROM g, t""".stripMargin,
+    // q_scd2's history CTE consumed by DuckDB's native ASOF JOIN — every
+    // purchase matched to the greatest valid_from ≤ its timestamp.
+    "q_scd2_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events),
+        |m AS (SELECT user_id, event_id, ts_ns, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev
+        |  FROM e),
+        |c AS (SELECT user_id, event_id, ts_ns, event_type FROM m
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |dims AS (SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |      AS BIGINT) AS version,
+        |    event_type AS dim_type,
+        |    ts_ns AS valid_from
+        |  FROM c),
+        |p AS (SELECT user_id, event_id, ts_ns FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  p.ts_ns AS purchase_ts, d.version AS version, d.dim_type AS dim_type
+        |FROM p ASOF JOIN dims d
+        |  ON p.user_id = d.user_id AND p.ts_ns >= d.valid_from""".stripMargin
   )
 }

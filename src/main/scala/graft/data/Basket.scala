@@ -51,4 +51,50 @@ object Basket {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** Item-item cosine similarity over basket co-occurrence — the classic
+    * item-based collaborative-filtering neighborhood (Sarwar et al.,
+    * WWW'01): treating each item as the binary vector of baskets it
+    * appears in, cos(a,b) = cooc(a,b) / √(n(a)·n(b)). Emitted as
+    * `sim2_micro = cooc² · 10⁶ / (n(a)·n(b))` — cosine SQUARED in
+    * truncating integer micro-units, so the score is bit-deterministic
+    * across engines (no float √, no summation-order sensitivity) while
+    * ordering identically to cosine (x² is monotone on x ≥ 0). Top-`k`
+    * neighbors per item, ties broken by partner id.
+    *
+    * Scale shape: pair generation inherits [[frequentPairs]]'s A-priori
+    * prune (quadratic only within a basket, and only over frequent
+    * items); singleton counts join the surviving PAIR aggregate — orders
+    * of magnitude smaller than the basket rows — as a broadcast; the
+    * top-k cut is the mergeable k-item heap aggregate
+    * ([[graft.exprs.TopKBy]]), so the final shuffle carries ≤ k rows per
+    * (item, map task), never a partition sort. */
+  def cosineTopK(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, k: Int): DataFrame = {
+    val pairs = frequentPairs(df, basketCol, itemCol, minSupport)
+    val counts = df
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+    // Symmetrize so every item sees its full neighbor list, then score.
+    val sym = pairs.select(col("item_a").as("item"), col("item_b").as("partner"),
+        col("support"))
+      .union(pairs.select(col("item_b"), col("item_a"), col("support")))
+    val scored = sym
+      .join(broadcast(counts.select(col("item"), col("n").as("n_i"))), Seq("item"))
+      .join(broadcast(counts.select(col("item").as("partner"), col("n").as("n_p"))),
+        Seq("partner"))
+      .select(col("item"), col("partner"), col("support"),
+        expr("support * support * 1000000 div (n_i * n_p)").as("sim2_micro"))
+    val top = graft.exprs.TopKBy.topKBy(
+      struct(col("sim2_micro"), (-col("partner")).as("neg")),
+      struct(col("partner"), col("support"), col("sim2_micro")), k)
+    scored.groupBy(col("item"))
+      .agg(top.as("top"))
+      .select(col("item"), posexplode(col("top")))
+      .select(col("item"), col("col.partner").as("partner"),
+        col("col.support").as("support"),
+        col("col.sim2_micro").as("sim2_micro"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
 }

@@ -122,4 +122,77 @@ object TimeSeries {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** STREAMING form of [[ewmaInt]]: per-key buffered `(ts, value)` samples,
+    * finalized by replaying the exact batch recurrence (sorted by `tusCol`)
+    * when the key goes inactive — event-time timeout `gapMs` past the
+    * key's latest sample, the [[Funnel.firstTouchStreaming]] shape. Burst
+    * results therefore match the batch operator under ANY arrival order:
+    * the smoothing order comes from the buffered timestamps, never from
+    * arrival.
+    *
+    * `tsCol` must be a timestamp column (drives watermark + timeout);
+    * `tusCol` a long micros column carried as payload so the emitted rows
+    * keep the full precision flatMapGroupsWithState's ms-domain timers
+    * don't (timers only decide WHEN to finalize — never feed arithmetic).
+    * Output: (key, tus, value, ewma) — identical to the batch operator.
+    *
+    * Scale shape: one keyed state-store exchange; state per key is the
+    * in-TTL sample buffer (bounded by the inactivity gap × event rate, the
+    * same bound every buffer-then-finalize operator here carries), and
+    * keys are shared-nothing. */
+  def ewmaIntStreaming(df: DataFrame, keyCol: String, tsCol: String,
+                       tusCol: String, valueCol: String, k: Int, gapMs: Long,
+                       watermarkDelay: String = "10 seconds"): DataFrame = {
+    require(k >= 0 && k < 63, s"k must be in [0, 62]: $k")
+    val div = 1L << k
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField(keyCol, LongType, nullable = true),
+      StructField(tusCol, LongType, nullable = true),
+      StructField(valueCol, LongType, nullable = true),
+      StructField("ewma", LongType, nullable = false)))
+    // State = parallel (ts, value) seqs — same product-encoded shape as
+    // Funnel.firstTouchStreaming's buffer.
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Seq[Long], Seq[Long])] =
+      Encoders.product[(Seq[Long], Seq[Long])]
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    df.select(col(keyCol).cast(LongType).as("__k"), col(tsCol).as("__ts"),
+        col(tusCol).cast(LongType).as("__tus"),
+        col(valueCol).cast(LongType).as("__v"))
+      .withWatermark("__ts", watermarkDelay)
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Seq[Long], Seq[Long]), Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[Row],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[Long], Seq[Long])]) =>
+          if (state.hasTimedOut) {
+            val (tss, vs) = state.get
+            state.remove()
+            val buf = tss.zip(vs).sortBy(_._1)
+            var s = 0L
+            var first = true
+            buf.iterator.map { case (tus, x) =>
+              if (first) { s = x; first = false } else s = s + (x - s) / div
+              new GenericRowWithSchema(
+                Array[Any](key, tus, x, s), outSchema): Row
+            }
+          } else {
+            val fresh = it.map(r => (r.getLong(2), r.getLong(3))).toSeq
+            val (tss, vs) = state.getOption.getOrElse((Seq.empty[Long], Seq.empty[Long]))
+            val merged = (tss ++ fresh.map(_._1), vs ++ fresh.map(_._2))
+            state.update(merged)
+            val lastMs = merged._1.max / 1000L
+            try state.setTimeoutTimestamp(lastMs + gapMs + 1)
+            catch { case _: IllegalArgumentException =>
+              try state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+              catch { case _: Exception => () }
+            }
+            Iterator.empty
+          }
+      }
+  }
 }

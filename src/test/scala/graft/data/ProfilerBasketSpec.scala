@@ -58,4 +58,37 @@ class ProfilerBasketSpec extends SparkSpec {
       .map { case ((a, b), n) => (a, b, n) }.toSeq.sorted
     assert(got.toSeq == want)
   }
+
+  test("cosineTopK matches in-memory brute-force cosine² top-k") {
+    val rnd = new scala.util.Random(41)
+    val rows = for (b <- 1L to 120L; _ <- 0 until 4)
+      yield (b, rnd.nextInt(25).toLong)
+    val df = rows.toDF("basket", "item")
+    val got = Basket.cosineTopK(df, "basket", "item", minSupport = 2, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+
+    // brute force over the distinct (basket, item) incidence
+    val inc = rows.distinct
+    val byItem = inc.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val items = byItem.keySet.toSeq
+    val pairs = for {
+      a <- items; b <- items if a < b
+      c = (byItem(a) & byItem(b)).size.toLong if c >= 2
+    } yield (a, b, c)
+    // both endpoints must individually clear minSupport (A-priori prune)
+    val freq = byItem.filter(_._2.size >= 2).keySet
+    val sym = pairs.filter(p => freq(p._1) && freq(p._2))
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (item, ps) =>
+      ps.map { case (_, partner, c) =>
+        val sim2 = c * c * 1000000L / (byItem(item).size.toLong * byItem(partner).size)
+        (item, partner, c, sim2)
+      }.sortBy { case (_, partner, _, sim2) => (-sim2, partner) }
+        .take(3).zipWithIndex
+        .map { case ((i, p, c, s2), rn) => (i, p, c, s2, rn + 1L) }
+    }.sorted
+    assert(got == want)
+  }
 }

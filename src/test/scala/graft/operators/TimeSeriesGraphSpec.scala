@@ -152,4 +152,34 @@ class TimeSeriesGraphSpec extends SparkSpec {
       .orderBy("ts").collect().map(_.getLong(3))
     assert(got.toSeq === Seq(5L, 99L, -7L))
   }
+
+  test("ewmaIntStreaming finalizes to the batch operator under scrambled arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    // (key, tus, value) — event time in micros, scrambled arrival order
+    val rows = rnd.shuffle(for (k <- 1L to 5L; i <- 0 until 30) yield
+      (k, 1000000L * (i * 7 + rnd.nextInt(5)) + k, rnd.nextInt(2001).toLong - 1000))
+      // ewma order is ambiguous on (key, tus) ties — keep the domain unique
+      .distinctBy(r => (r._1, r._2))
+    val batch = TimeSeries.ewmaInt(rows.toDF("k", "tus", "v"), "k", "tus", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val ms = MemoryStream[(Long, Long, Long)]
+    ms.addData(rows)
+    val maxTus = rows.map(_._2).max
+    ms.addData((-1L, maxTus + 10L * 86400000000L, 0L)) // watermark sentinel
+    val df = ms.toDF.toDF("k", "tus", "v")
+      .select(col("k"), timestamp_micros(col("tus")).as("ts"), col("tus"), col("v"))
+    val out = TimeSeries.ewmaIntStreaming(df, "k", "ts", "tus", "v", k = 4,
+      gapMs = 1000L, watermarkDelay = "0 seconds")
+    val qn = s"ewma_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table(qn).filter(col("k") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === batch)
+  }
 }
