@@ -2451,6 +2451,92 @@ object SparkEntry {
     // AsOfJoin.sortMerge (one key exchange, O(1) probe state), never an
     // interval cross product. Oracle = native DuckDB ASOF JOIN over the
     // same SQL-built history.
+    // OHLC candle bars per (series, hour): open/close via min_by/max_by
+    // on the (ts, event_id) struct — ONE partial-agg'd exchange where the
+    // window-function spelling (the oracle) sorts whole partitions. The
+    // lexicographic struct order makes open/close deterministic under
+    // same-instant trades.
+    "q_ohlc" -> { (s, dir) =>
+      val e = eventsUsPrecision(s, dir).select(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hr"),
+        expr("ts_ns div 1000").as("tus"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      e.groupBy(col("event_type"), col("hr"))
+        .agg(
+          min_by(col("cents"), struct(col("tus"), col("event_id"))).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), struct(col("tus"), col("event_id"))).as("close_cents"),
+          count(lit(1)).as("n_trades"),
+          sum(col("cents")).as("volume_cents"))
+    },
+
+    // Cumulative-distinct adoption curve: first-seen day per user (one
+    // keyed exchange), then per-day first-timer counts and the running
+    // total as a window over the ≤|days| aggregate — the cumulative
+    // DISTINCT that a naive per-day COUNT(DISTINCT ... WHERE day <= d)
+    // re-scan turns quadratic.
+    "q_cumulative_distinct" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    },
+
+    // Growth accounting (new / retained / resurrected / churned per
+    // week): the weekly active SET full-outer-joined with itself shifted
+    // one week, plus each user's first week — every exchange keyed by
+    // user until the final tiny per-week conditional-count aggregate.
+    "q_growth_accounting" -> { (s, dir) =>
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 604800000000000").as("w"))
+        .distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("w")).as("first_w"))
+      val prev = act.select(col("user_id"), (col("w") + 1).as("w"),
+        lit(1).as("was_active"))
+      act.withColumn("is_active", lit(1))
+        .join(prev, Seq("user_id", "w"), "full_outer")
+        .join(first, Seq("user_id"))
+        .groupBy(col("w"))
+        .agg(
+          count(when(col("is_active") === 1 && col("w") === col("first_w"),
+            lit(1))).as("n_new"),
+          count(when(col("is_active") === 1 && col("was_active") === 1,
+            lit(1))).as("n_retained"),
+          count(when(col("is_active") === 1 && col("was_active").isNull &&
+            col("w") > col("first_w"), lit(1))).as("n_resurrected"),
+          count(when(col("is_active").isNull && col("was_active") === 1,
+            lit(1))).as("n_churned"))
+    },
+
+    // Per-key winsorization (robust scaling): clamp to the exact discrete
+    // [P05, P95] of each key's sorted multiset — value at 1-based rank
+    // ⌈p·n⌉, the q_quantile_by_key rank rule, so no interpolation floats.
+    // The rank/count windows share one key exchange; the per-key clamp
+    // bounds come back as a broadcast of the tiny 2-value-per-key frame.
+    "q_winsorize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = eventsUsPrecision(s, dir).select(col("event_type"),
+        col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val wk = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val ranked = e
+        .withColumn("rn", row_number().over(wk))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val bounds = ranked
+        .filter(col("rn") === expr("(n * 5 + 99) div 100") ||
+          col("rn") === expr("(n * 95 + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(min(col("cents")).as("p05"), max(col("cents")).as("p95"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("event_id"), col("cents"),
+          greatest(col("p05"), least(col("p95"), col("cents"))).as("clamped"))
+    },
+
     "q_scd2_join" -> { (s, dir) =>
       val ev = eventsUsPrecision(s, dir)
         .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
@@ -4236,6 +4322,76 @@ object SparkEntry {
         |    WHEN 3 THEN 124 WHEN 4 THEN 96 WHEN 5 THEN 79 WHEN 6 THEN 66
         |    WHEN 7 THEN 57 WHEN 8 THEN 51 ELSE 45 END AS BIGINT) AS dev_milli
         |FROM g, t""".stripMargin,
+    // Window spelling of open/close (the plan the min_by/max_by operator
+    // avoids); deterministic under ties via (tus, event_id).
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr, epoch_us(ts) AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hr
+        |      ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, hr
+        |      ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, hr,
+        |  max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+        |  max(cents) AS high_cents, min(cents) AS low_cents,
+        |  max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+        |  CAST(count(*) AS BIGINT) AS n_trades,
+        |  CAST(sum(cents) AS BIGINT) AS volume_cents
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_cumulative_distinct" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        |FROM d""".stripMargin,
+    // Weekly active set vs itself shifted one week + each user's first
+    // week; the week-(max+1) churn row is intentional (everyone active in
+    // the final week churns out of the observed range).
+    "q_growth_accounting" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS w FROM events),
+        |first AS (SELECT user_id, min(w) AS first_w FROM act GROUP BY 1),
+        |prev AS (SELECT user_id, w + 1 AS w, 1 AS was_active FROM act),
+        |j AS (SELECT coalesce(a.user_id, p.user_id) AS user_id,
+        |    coalesce(a.w, p.w) AS w,
+        |    CASE WHEN a.user_id IS NOT NULL THEN 1 END AS is_active,
+        |    p.was_active
+        |  FROM act a FULL OUTER JOIN prev p
+        |    ON a.user_id = p.user_id AND a.w = p.w)
+        |SELECT j.w AS w,
+        |  count(*) FILTER (WHERE is_active = 1 AND j.w = f.first_w) AS n_new,
+        |  count(*) FILTER (WHERE is_active = 1 AND was_active = 1)
+        |    AS n_retained,
+        |  count(*) FILTER (WHERE is_active = 1 AND was_active IS NULL
+        |    AND j.w > f.first_w) AS n_resurrected,
+        |  count(*) FILTER (WHERE is_active IS NULL AND was_active = 1)
+        |    AS n_churned
+        |FROM j JOIN first f ON j.user_id = f.user_id
+        |GROUP BY 1""".stripMargin,
+    // Exact discrete [P05, P95] clamp — value at 1-based rank
+    // (n·p + 99) // 100 of the key's sorted multiset, all integer.
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |b AS (SELECT event_type,
+        |    min(cents) AS p05, max(cents) AS p95
+        |  FROM r
+        |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+        |  GROUP BY 1)
+        |SELECT e.event_type, e.event_id, e.cents,
+        |  greatest(b.p05, least(b.p95, e.cents)) AS clamped
+        |FROM e JOIN b ON e.event_type = b.event_type""".stripMargin,
     // q_scd2's history CTE consumed by DuckDB's native ASOF JOIN — every
     // purchase matched to the greatest valid_from ≤ its timestamp.
     "q_scd2_join" ->
