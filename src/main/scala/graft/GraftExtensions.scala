@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.exprs.{CosineSim, FnvHash64, HeavyHitters, InterleaveBits, SimHash64Expr, TopKBy}
+import graft.exprs.{CosineSim, FnvHash64, HeavyHitters, InterleaveBits, SimHash64Expr, SortedIntersect, TopKBy}
 
 /** Cluster-wide installation point for graft's native Catalyst expressions:
   *
@@ -55,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("interleave_bits"),
       info("interleave_bits", "interleave_bits(x, y) - Morton/Z-order key over the low 31 bits of each input"),
       (children: Seq[Expression]) => InterleaveBits(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect"),
+      info("sorted_intersect", "sorted_intersect(array<long>, array<long>) - two-pointer intersection of ascending-sorted null-free arrays"),
+      (children: Seq[Expression]) => SortedIntersect(children.head, children(1))))
   }
 }

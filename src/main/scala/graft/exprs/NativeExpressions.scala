@@ -86,6 +86,30 @@ object NativeFunctions {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Intersection of two ASCENDING-SORTED long arrays (null-free, as
+    * `sort_array(collect_list(...))` produces) by two-pointer merge —
+    * O(|a|+|b|) with zero hashing and one primitive-array allocation,
+    * where `array_intersect` builds a hash set per ROW. This is the inner
+    * loop of edge-iterator triangle counting (every edge intersects two
+    * adjacency lists), so per-call constants multiply by |E|. Duplicate
+    * values contribute min-multiplicity; on distinct inputs (the adjacency
+    * case) the result is the plain set intersection, identical to
+    * `array_intersect`. */
+  def sortedIntersectLong(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var o = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(o) = x; o += 1; i += 1; j += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, o))
+  }
+
   /** 64-bit SimHash over an array of strings (per-bit vote accumulation of
     * each element's fnv64). Null elements are skipped. */
   def simhash64(arr: ArrayData): Long = {
@@ -205,6 +229,34 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `sorted_intersect(array<long>, array<long>)` — codegen'd two-pointer
+  * intersection of ascending-sorted null-free long arrays (the adjacency
+  * arrays of [[graft.operators.Graph.triangleCounts]]); set-identical to
+  * `array_intersect` on distinct sorted inputs at a fraction of the
+  * per-row cost (no hash set build per row). */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect requires array<long>, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_intersect"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeFunctions.sortedIntersectLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.exprs.NativeFunctions.sortedIntersectLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeExpressions {
 
   def fnvHash64(c: Column): Column =
@@ -221,6 +273,10 @@ object NativeExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersect(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Register all for SQL use (`SELECT fnv_hash64(col) ...`). */
@@ -241,5 +297,7 @@ object NativeExpressions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs => HeavyHitters(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect", exprs => SortedIntersect(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -85,12 +85,16 @@ object Graph {
     // shuffled, and the edge set itself is never re-shuffled either. An
     // edge whose head v has no out-neighbors can close no triangle, so the
     // inner join dropping it is correct.
+    // sorted_intersect: codegen'd two-pointer merge over the pre-sorted
+    // adjacency arrays — array_intersect would build a hash set per EDGE,
+    // and this intersection runs |E| times.
     val withCommon = adj
       .select(col("id").as("u"), col("nbrs").as("nu"),
         explode(col("nbrs")).as("v"))
       .join(broadcast(adj.select(col("id").as("v"), col("nbrs").as("nv"))),
         Seq("v"))
-      .select(array_intersect(col("nu"), col("nv")).as("common"),
+      .select(graft.exprs.NativeExpressions.sortedIntersect(
+          col("nu"), col("nv")).as("common"),
         col("u"), col("v"))
       .filter(size(col("common")) > 0)
 

@@ -140,6 +140,33 @@ class NativeExprSpec extends SparkSpec {
     assert(cg.nonEmpty)
   }
 
+  test("sorted_intersect equals array_intersect on sorted distinct arrays") {
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 200).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      (arr(), arr())
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L)))
+    val df = cases.toDF("a", "b")
+    val out = df.select(
+      NativeExpressions.sortedIntersect(col("a"), col("b")).as("fast"),
+      array_intersect(col("a"), col("b")).as("ref")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"on $r")
+    }
+    // stays inside whole-stage codegen (range scan — LocalTableScan of the
+    // toDF frame above never wraps in codegen regardless of expression)
+    val cgDf = spark.range(10)
+      .select(sequence(lit(0L), col("id")).as("a"),
+        sequence(lit(2L), lit(8L)).as("b"))
+      .select(NativeExpressions.sortedIntersect(col("a"), col("b")).as("x"))
+    val cg = cgDf.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(cg.nonEmpty)
+    assert(cgDf.collect().last.getSeq[Long](0) == (2L to 8L))
+  }
+
   test("null safety: null input yields null, null array elements skipped") {
     val df = Seq((null.asInstanceOf[String], Seq("a", null, "b"))).toDF("s", "arr")
     val r = df.select(NativeExpressions.fnvHash64(col("s")).as("h"),
