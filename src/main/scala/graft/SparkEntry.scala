@@ -79,6 +79,26 @@ object SparkEntry {
       |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
       |SELECT user_id, tus, cents, ewma FROM r""".stripMargin
 
+  /** Shared truth for the batch AND streaming OHLC forms: open/close by
+    * dual row_number windows, deterministic under ties via (tus, id). */
+  private val ohlcOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_us(ts) // 3600000000 AS hr, epoch_us(ts) AS tus, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, hr
+      |      ORDER BY tus, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, hr
+      |      ORDER BY tus DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT event_type, hr,
+      |  max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+      |  max(cents) AS high_cents, min(cents) AS low_cents,
+      |  max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+      |  CAST(count(*) AS BIGINT) AS n_trades,
+      |  CAST(sum(cents) AS BIGINT) AS volume_cents
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 expr-lang filter (reference filter/json/filter.go) compiled through
@@ -2471,6 +2491,123 @@ object SparkEntry {
           sum(col("cents")).as("volume_cents"))
     },
 
+    // OHLC bars, STREAMING form: the identical min_by/max_by aggregate
+    // under a native tumbling window + watermark — append-mode emission
+    // when the watermark passes each hour. Held to the SAME oracle as
+    // q_ohlc: the streaming window aggregate must reproduce every batch
+    // bar exactly.
+    "q_ohlc_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = eventsUsPrecision(s, dir)
+        .select(expr("ts_ns div 1000").as("tus"), col("event_id"),
+          col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val maxTus = rows.map(_._1).max
+      val ms = MemoryStream[(Long, Long, String, Long)]
+      ms.addData(rows.toSeq)
+      ms.addData((maxTus + 3L * 86400000000L, -1L, "__sentinel", 0L))
+      val events = ms.toDF.toDF("tus", "event_id", "event_type", "cents")
+        .select(timestamp_micros(col("tus")).as("ts"), col("tus"),
+          col("event_id"), col("event_type"), col("cents"))
+        .withWatermark("ts", "0 seconds")
+      val agg = events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          min_by(col("cents"), struct(col("tus"), col("event_id"))).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), struct(col("tus"), col("event_id"))).as("close_cents"),
+          count(lit(1)).as("n_trades"),
+          sum(col("cents")).as("volume_cents"))
+        .select(col("event_type"),
+          expr("unix_micros(window.start) div 3600000000").as("hr"),
+          col("open_cents"), col("high_cents"), col("low_cents"),
+          col("close_cents"), col("n_trades"), col("volume_cents"))
+      val qn = s"ohlc_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("event_type") =!= "__sentinel")
+    },
+
+    // Chi-square independence audit (event_type × day-of-week): the
+    // association screen run over landed event tables. Expected counts and
+    // the statistic in scaled integer arithmetic — e_milli = row·col·1000
+    // div N, contribution = (1000·o − e_milli)² div (1000·e_milli) — so
+    // the decision is bit-deterministic. One partial-agg'd exchange of the
+    // 35-cell contingency table; margins via windows over the AGGREGATE.
+    "q_chisq" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts_ns div 86400000000000) % 7").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      val withMargins = cells
+        .withColumn("row_n", sum(col("o")).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("col_n", sum(col("o")).over(
+          Window.partitionBy(col("dow"))))
+        .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      withMargins
+        .select(col("event_type"), col("dow"), col("o"),
+          expr("row_n * col_n * 1000 div n").as("e_milli"),
+          expr("""(1000 * o - row_n * col_n * 1000 div n)
+                  * (1000 * o - row_n * col_n * 1000 div n)
+                  div (1000 * (row_n * col_n * 1000 div n))""")
+            .as("chi2_contrib_milli"))
+    },
+
+    // Correlation profiling: Pearson corr SQUARED in micro-units between
+    // two bounded-domain columns — corr²μ = 10⁶·cov²/(varx·vary), the
+    // same monotone-square trick as q_item_cosine (no sqrt). The moment
+    // sums (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT int64 (domains bounded:
+    // quantity ≤ 50, discount·100 ≤ 10, so n·Σxy stays ≲ 10¹⁴ even at
+    // 10⁹ rows); only the final squares go through double — a fixed
+    // scalar IEEE expression over one row, identical in both engines,
+    // with none of a float SUM's order sensitivity. One 48-byte
+    // all-to-one partial aggregate: the profiling shape for 100 TB.
+    "q_corr" -> { (s, dir) =>
+      val m = Tables.lineitem(s, dir)
+        .select(expr("CAST(l_quantity AS BIGINT)").as("x"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      m.select(col("n"), col("sx"), col("sy"),
+        expr("n * sxy - sx * sy").as("cov_n2"),
+        expr("n * sxx - sx * sx").as("varx_n2"),
+        expr("n * syy - sy * sy").as("vary_n2"),
+        // floor, not a bare cast: DuckDB ROUNDS on double→int casts while
+        // Spark truncates — floor is the one spelling both agree on.
+        expr("""CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                / (CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)""")
+          .as("corr2_micro"))
+    },
+
     // Cumulative-distinct adoption curve: first-seen day per user (one
     // keyed exchange), then per-day first-timer counts and the running
     // total as a window over the ≤|days| aggregate — the cumulative
@@ -4323,24 +4460,47 @@ object SparkEntry {
         |    WHEN 7 THEN 57 WHEN 8 THEN 51 ELSE 45 END AS BIGINT) AS dev_milli
         |FROM g, t""".stripMargin,
     // Window spelling of open/close (the plan the min_by/max_by operator
-    // avoids); deterministic under ties via (tus, event_id).
-    "q_ohlc" ->
-      """WITH e AS (SELECT event_type,
-        |    epoch_us(ts) // 3600000000 AS hr, epoch_us(ts) AS tus, event_id,
-        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |r AS (SELECT *,
-        |    row_number() OVER (PARTITION BY event_type, hr
-        |      ORDER BY tus, event_id) AS rn_a,
-        |    row_number() OVER (PARTITION BY event_type, hr
-        |      ORDER BY tus DESC, event_id DESC) AS rn_d
-        |  FROM e)
-        |SELECT event_type, hr,
-        |  max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
-        |  max(cents) AS high_cents, min(cents) AS low_cents,
-        |  max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
-        |  CAST(count(*) AS BIGINT) AS n_trades,
-        |  CAST(sum(cents) AS BIGINT) AS volume_cents
-        |FROM r GROUP BY 1, 2""".stripMargin,
+    // avoids); deterministic under ties via (tus, event_id). Shared by
+    // the batch and streaming forms — both must produce identical bars.
+    "q_ohlc" -> ohlcOracle,
+    "q_ohlc_stream" -> ohlcOracle,
+    "q_chisq" ->
+      """WITH cells AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, dow, o,
+        |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+        |    CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT event_type, dow, o,
+        |  row_n * col_n * 1000 // n AS e_milli,
+        |  (1000 * o - row_n * col_n * 1000 // n)
+        |    * (1000 * o - row_n * col_n * 1000 // n)
+        |    // (1000 * (row_n * col_n * 1000 // n)) AS chi2_contrib_milli
+        |FROM m""".stripMargin,
+    // floor, not a bare double→int cast (DuckDB rounds, Spark truncates);
+    // moment sums exact int64, only the squares pass through double.
+    "q_corr" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS y FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM b)
+        |SELECT n, sx, sy,
+        |  n * sxy - sx * sy AS cov_n2,
+        |  n * sxx - sx * sx AS varx_n2,
+        |  n * syy - sy * sy AS vary_n2,
+        |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |    AS corr2_micro
+        |FROM m""".stripMargin,
     "q_cumulative_distinct" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
         |  FROM events GROUP BY 1),
