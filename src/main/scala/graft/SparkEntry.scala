@@ -2549,6 +2549,53 @@ object SparkEntry {
       s.table(qn).filter(col("event_type") =!= "__sentinel")
     },
 
+    // Mergeable QUANTILE rollup (Datasketches KLL, Karnin/Lang/Liberty
+    // FOCS'16) — the third mergeable-sketch family beside HLL and
+    // SpaceSaving: per-(type, day) sketches union-merged to per-type
+    // percentile estimates without rescanning raw data. KLL is
+    // randomized (compaction coin flips), so this is a CONTRACT row:
+    // output = exact discrete quantiles (the q_quantile_by_key rank
+    // rule) plus booleans asserting the estimates' true ranks land
+    // inside ±2.5% — ~7σ of k=400's published ~0.87%@99% single-sided
+    // rank error, so a red row means a real defect, not sketch noise.
+    // The exact-rank recomputation is oracle scaffolding; the OPERATOR
+    // is the two sketch aggregates (fixed-KB state per group through
+    // every exchange).
+    "q_kll_merge" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.exprs.KllQuantiles
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(KllQuantiles.sketchAgg(col("cents"), 400).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(KllQuantiles.mergeAgg(col("sk"), 400).as("sk"))
+        .select(col("event_type"),
+          KllQuantiles.quantile(col("sk"), 0.5).as("q50_est"),
+          KllQuantiles.quantile(col("sk"), 0.95).as("q95_est"))
+      val checked = ev.join(broadcast(merged), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("cents") <= col("q50_est"), lit(1))).as("r50"),
+          count(when(col("cents") <= col("q95_est"), lit(1))).as("r95"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"))))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val exact = ranked
+        .filter(col("rn") === expr("(nn * 50 + 99) div 100") ||
+          col("rn") === expr("(nn * 95 + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(min(col("cents")).as("q50_exact"), max(col("cents")).as("q95_exact"))
+      checked.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("q50_exact"), col("q95_exact"),
+          (abs(lit(1000) * col("r50") - lit(500) * col("n")) <= lit(25) * col("n"))
+            .as("q50_in_envelope"),
+          (abs(lit(1000) * col("r95") - lit(950) * col("n")) <= lit(25) * col("n"))
+            .as("q95_in_envelope"))
+    },
+
     // Chi-square independence audit (event_type × day-of-week): the
     // association screen run over landed event tables. Expected counts and
     // the statistic in scaled integer arithmetic — e_milli = row·col·1000
@@ -4464,6 +4511,22 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Contract oracle (q_hll_merge pattern): exact quantiles + n pinned
+    // to real values, envelope booleans must come out TRUE — the sketch
+    // side recomputes true ranks and asserts the KLL error contract.
+    "q_kll_merge" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM e)
+        |SELECT event_type, CAST(max(nn) AS BIGINT) AS n,
+        |  min(cents) AS q50_exact, max(cents) AS q95_exact,
+        |  TRUE AS q50_in_envelope, TRUE AS q95_in_envelope
+        |FROM r
+        |WHERE rn = (nn * 50 + 99) // 100 OR rn = (nn * 95 + 99) // 100
+        |GROUP BY 1""".stripMargin,
     "q_chisq" ->
       """WITH cells AS (SELECT event_type,
         |    (epoch_us(ts) // 86400000000) % 7 AS dow,
