@@ -2549,6 +2549,45 @@ object SparkEntry {
       s.table(qn).filter(col("event_type") =!= "__sentinel")
     },
 
+    // Word-bigram LM table (next-word counts + probabilities): the n-gram
+    // language-model estimation pass of a text pipeline. Adjacent word
+    // pairs explode scan-locally; the pair aggregate is partial-agg'd;
+    // left-word totals derive from the PAIR aggregate (never a second
+    // corpus pass); top-3 continuations per word ride the mergeable
+    // k-item heap. Probabilities in truncating milli units.
+    "q_word_bigram" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      val t = TextFunctions.tokens(col("text"))
+      val pairs = when(size(t) < 2, array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("w1",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("w2",
+                org.apache.spark.sql.types.StringType))))))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      val big = Tables.documents(s, dir)
+        .select(explode(pairs).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val withTot = big.withColumn("w1_n",
+        sum(col("n")).over(Window.partitionBy(col("w1"))))
+      // bottom-k on (-n, w2): count desc then w2 lexicographic — a total
+      // order the oracle mirrors with ORDER BY n DESC, w2
+      val top = graft.exprs.TopKBy.bottomKBy(
+        struct((-col("n")).as("negn"), col("w2")),
+        struct(col("w2"), col("n"), col("w1_n")), 3)
+      withTot
+        .filter(col("w1_n") >= 20)
+        .groupBy(col("w1")).agg(top.as("top"))
+        .select(col("w1"), posexplode(col("top")))
+        .select(col("w1"), col("col.w2").as("w2"), col("col.n").as("n"),
+          expr("CAST(col.n * 1000 div col.w1_n AS BIGINT)").as("p_milli"),
+          (col("pos") + 1).cast("long").as("rn"))
+    },
+
     // Mergeable QUANTILE rollup (Datasketches KLL, Karnin/Lang/Liberty
     // FOCS'16) — the third mergeable-sketch family beside HLL and
     // SpaceSaving: per-(type, day) sketches union-merged to per-type
@@ -4511,6 +4550,25 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Same tokenization as q_ngram_counts; totals from the pair
+    // aggregate; top-3 continuations by (n DESC, w2).
+    "q_word_bigram" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |b AS (
+        |  SELECT u.w1, u.w2 FROM toks,
+        |    unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))])
+        |      AS s(u)
+        |  WHERE len(t) >= 2),
+        |cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT *, CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT)
+        |    AS w1_n FROM cnt)
+        |SELECT w1, w2, n, CAST(n * 1000 // w1_n AS BIGINT) AS p_milli,
+        |  row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rn
+        |FROM tot WHERE w1_n >= 20
+        |QUALIFY rn <= 3""".stripMargin,
     // Contract oracle (q_hll_merge pattern): exact quantiles + n pinned
     // to real values, envelope booleans must come out TRUE — the sketch
     // side recomputes true ranks and asserts the KLL error contract.
