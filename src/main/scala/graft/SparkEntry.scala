@@ -2549,6 +2549,33 @@ object SparkEntry {
       s.table(qn).filter(col("event_type") =!= "__sentinel")
     },
 
+    // Tokenizer train→APPLY round trip: learn 3 BPE merges from the
+    // corpus dict (q_bpe_merges' operator), then ENCODE every document —
+    // per-doc word/char/BPE-token counts and the compression ratio.
+    // Application is embarrassingly parallel where training is
+    // sequential: each merge folds once over the DISTINCT-vocabulary
+    // frame, and the corpus pays only its word explode plus one
+    // vocabulary join — documents are never folded per merge.
+    "q_bpe_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dict = graft.data.Bpe.wordFreq(docs, "text")
+      val (merges, _) = graft.data.Bpe.learnMerges(dict, "word", "n", nMerges = 3)
+      val docWords = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      val symCounts = graft.data.Bpe.applySymbolCounts(
+        docWords.select(col("word")).distinct(), "word",
+        merges.map(m => (m.leftSym, m.rightSym)))
+      docWords.join(symCounts, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_bpe_tokens"),
+          expr("CAST(n_bpe_tokens * 1000 div n_chars AS BIGINT)")
+            .as("compression_milli"))
+    },
+
     // Word-bigram LM table (next-word counts + probabilities): the n-gram
     // language-model estimation pass of a text pipeline. Adjacent word
     // pairs explode scan-locally; the pair aggregate is partial-agg'd;
@@ -2939,6 +2966,82 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), m1.l, m1.r, m1.cnt, v2.v FROM m1, v2
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), m2.l, m2.r, m2.cnt, v3.v FROM m2, v3""".stripMargin,
+    // q_bpe_merges' learning CTEs (w0..m2) reused verbatim, then the
+    // merge table applied to the FULL distinct vocabulary and joined back
+    // onto per-doc word streams.
+    "q_bpe_encode" ->
+      """WITH w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word HAVING count(*) >= 3),
+        |s0 AS (SELECT word, n, string_split(word, '') AS sym FROM w0),
+        |p0 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM s0, unnest(list_transform(generate_series(1, len(sym)-1),
+        |       i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u)
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT l, r, cnt FROM p0 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s1 AS (SELECT word, n,
+        |    list_reduce(list_transform(sym, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m0.l
+        |                        AND x[1] = m0.r
+        |                  THEN list_append(acc[1:len(acc)-1], m0.l || m0.r)
+        |                  ELSE list_concat(acc, x) END) AS sym
+        |  FROM s0, m0),
+        |p1 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM s1, unnest(list_transform(generate_series(1, len(sym)-1),
+        |       i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s2 AS (SELECT word, n,
+        |    list_reduce(list_transform(sym, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m1.l
+        |                        AND x[1] = m1.r
+        |                  THEN list_append(acc[1:len(acc)-1], m1.l || m1.r)
+        |                  ELSE list_concat(acc, x) END) AS sym
+        |  FROM s1, m1),
+        |p2 AS (SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM s2, unnest(list_transform(generate_series(1, len(sym)-1),
+        |       i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |wall AS (SELECT DISTINCT word
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)),
+        |a0 AS (SELECT word, string_split(word, '') AS sym FROM wall),
+        |a1 AS (SELECT word,
+        |    list_reduce(list_transform(sym, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m0.l
+        |                        AND x[1] = m0.r
+        |                  THEN list_append(acc[1:len(acc)-1], m0.l || m0.r)
+        |                  ELSE list_concat(acc, x) END) AS sym
+        |  FROM a0, m0),
+        |a2 AS (SELECT word,
+        |    list_reduce(list_transform(sym, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m1.l
+        |                        AND x[1] = m1.r
+        |                  THEN list_append(acc[1:len(acc)-1], m1.l || m1.r)
+        |                  ELSE list_concat(acc, x) END) AS sym
+        |  FROM a1, m1),
+        |a3 AS (SELECT word,
+        |    list_reduce(list_transform(sym, s -> [s]),
+        |      (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m2.l
+        |                        AND x[1] = m2.r
+        |                  THEN list_append(acc[1:len(acc)-1], m2.l || m2.r)
+        |                  ELSE list_concat(acc, x) END) AS sym
+        |  FROM a2, m2),
+        |cnts AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_sym FROM a3),
+        |dw AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents)
+        |SELECT dw.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+        |  CAST(sum(c.n_sym) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(c.n_sym) * 1000 // sum(length(dw.word)) AS BIGINT)
+        |    AS compression_milli
+        |FROM dw JOIN cnts c ON dw.word = c.word
+        |GROUP BY dw.doc_id""".stripMargin,
     "q_key_skew" ->
       """WITH pk AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),

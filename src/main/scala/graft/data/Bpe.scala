@@ -54,15 +54,7 @@ object Bpe {
       require(top.nonEmpty, s"no adjacent pairs left at merge step $step")
       val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       val prev = syms
-      // Greedy left-to-right merge: after a merge the new symbol can open
-      // the next match but never re-closes the one just consumed — the
-      // fold-with-list-accumulator below IS that semantics (symbols are
-      // [a-z]+ only, so inlining them into the lambda source is safe).
-      syms = prev.withColumn("sym", expr(
-          s"aggregate(sym, cast(array() as array<string>), (acc, x) -> " +
-            s"CASE WHEN size(acc) >= 1 AND element_at(acc, -1) = '$a' AND x = '$b' " +
-            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
-            s"ELSE concat(acc, array(x)) END)"))
+      syms = prev.withColumn("sym", mergeFold(a, b))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val vocabAfter = syms.select(explode(col("sym")).as("s"))
         .agg(countDistinct(col("s"))).collect()(0).getLong(0)
@@ -71,6 +63,32 @@ object Bpe {
     }
     (merges.result(), syms)
   }
+
+  /** Greedy left-to-right application of one merge `(a, b) → ab` over a
+    * `sym` array column: after a merge the new symbol can open the next
+    * match but never re-closes the one just consumed — the
+    * fold-with-list-accumulator below IS that semantics (symbols are
+    * [a-z]+ only, so inlining them into the lambda source is safe). */
+  private def mergeFold(a: String, b: String): org.apache.spark.sql.Column = expr(
+    s"aggregate(sym, cast(array() as array<string>), (acc, x) -> " +
+      s"CASE WHEN size(acc) >= 1 AND element_at(acc, -1) = '$a' AND x = '$b' " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+      s"ELSE concat(acc, array(x)) END)")
+
+  /** Tokenizer APPLY: run an ordered merge table over every word of
+    * `words(wordCol)` and return `(word, n_sym)` — the post-BPE token
+    * count per word. Unlike training, application is embarrassingly
+    * parallel: each merge is one scan-local fold over the (distinct)
+    * vocabulary frame, so encoding 100 TB of text costs the corpus word
+    * explode plus a vocabulary-sized join — the corpus itself is never
+    * folded per merge. */
+  def applySymbolCounts(words: DataFrame, wordCol: String,
+                        merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+        words.select(col(wordCol).as("word"), split(col(wordCol), "").as("sym"))) {
+        case (df, (a, b)) => df.withColumn("sym", mergeFold(a, b))
+      }
+      .select(col("word"), size(col("sym")).cast("long").as("n_sym"))
 
   /** The merge table as a DataFrame (driver-built: `nMerges` rows of
     * training decisions, not data). */
