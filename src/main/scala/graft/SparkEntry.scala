@@ -625,6 +625,29 @@ object SparkEntry {
         registeredDomain(host2).as("domain2"))
     },
 
+    // URL-level dedup (the CommonCrawl-style FIRST dedup pass, upstream
+    // of any content hashing): canonicalize — strip fragment/query/
+    // trailing slash, lowercase scheme+host — then keep the minimum
+    // doc_id per canonical URL. Injected variants (query-string,
+    // trailing-slash, host-case, fragment) of the same page must
+    // collapse. Canonicalization is scan-local regex projection; the
+    // dedup is one partial-agg'd exchange keyed by canonical URL.
+    "q_url_dedup" -> { (s, dir) =>
+      import graft.data.TextFunctions.canonicalUrl
+      val raw = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(4)) === 2, lit("https://WWW.Site"))
+            .otherwise(lit("https://www.site")),
+          pmod(col("doc_id"), lit(50)), lit(".org/p/"),
+          pmod(col("doc_id"), lit(100)),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("?utm=1#frag"))
+            .when(pmod(col("doc_id"), lit(4)) === 1, lit("/"))
+            .otherwise(lit(""))).as("url"))
+      raw.select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("kept_doc_id"))
+    },
+
     // End-to-end curation pipeline — the chain a real corpus run executes:
     // clean (NFC+controls+ws) → language gate → quality gate → exact dedup
     // of the survivors (keep min doc_id per fingerprint). Each stage is the
@@ -2565,7 +2588,11 @@ object SparkEntry {
       val symCounts = graft.data.Bpe.applySymbolCounts(
         docWords.select(col("word")).distinct(), "word",
         merges.map(m => (m.leftSym, m.rightSym)))
-      docWords.join(symCounts, Seq("word"))
+      // explicit broadcast: symCounts is vocabulary-bounded (the same
+      // bound every BPE stage rides on), but its stats sit behind a
+      // distinct + 3 folds, so AQE can't see that and would plan a
+      // shuffle join of the full word stream
+      docWords.join(broadcast(symCounts), Seq("word"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"),
           sum(length(col("word"))).cast("long").as("n_chars"),
@@ -2598,16 +2625,20 @@ object SparkEntry {
         .select(explode(pairs).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-      import org.apache.spark.sql.expressions.Window
-      val withTot = big.withColumn("w1_n",
-        sum(col("n")).over(Window.partitionBy(col("w1"))))
+      // left-word totals as a second-level aggregate of the PAIR frame
+      // (vocabulary-sized), broadcast back — a window over the pair
+      // aggregate would re-shuffle and partition-sort every pair row; the
+      // w1_n >= 20 cut also prunes rare-head pairs BEFORE the heap
+      // (measured 6.3 s → 2.6 s at sf0.1)
+      val totals = big.groupBy(col("w1"))
+        .agg(sum(col("n")).as("w1_n"))
+        .filter(col("w1_n") >= 20)
       // bottom-k on (-n, w2): count desc then w2 lexicographic — a total
       // order the oracle mirrors with ORDER BY n DESC, w2
       val top = graft.exprs.TopKBy.bottomKBy(
         struct((-col("n")).as("negn"), col("w2")),
         struct(col("w2"), col("n"), col("w1_n")), 3)
-      withTot
-        .filter(col("w1_n") >= 20)
+      big.join(broadcast(totals), Seq("w1"))
         .groupBy(col("w1")).agg(top.as("top"))
         .select(col("w1"), posexplode(col("top")))
         .select(col("w1"), col("col.w2").as("w2"), col("col.n").as("n"),
@@ -4653,6 +4684,26 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Same injected variants; canonicalization = the identical regex
+    // sequence (fragment, query, trailing slash, lower scheme+host).
+    "q_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 2 THEN 'https://WWW.Site'
+        |          ELSE 'https://www.site' END)
+        |    || CAST(doc_id % 50 AS VARCHAR) || '.org/p/'
+        |    || CAST(doc_id % 100 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm=1#frag'
+        |             WHEN doc_id % 4 = 1 THEN '/'
+        |             ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(s, '^(https?://[^/]*)', 1))
+        |      || regexp_extract(s, '^https?://[^/]*(.*)$', 1) AS canonical_url
+        |  FROM (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |      url, '#.*$', ''), '\?.*$', ''), '/$', '') AS s FROM raw))
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS kept_doc_id
+        |FROM c GROUP BY 1""".stripMargin,
     // Same tokenization as q_ngram_counts; totals from the pair
     // aggregate; top-3 continuations by (n DESC, w2).
     "q_word_bigram" ->

@@ -61,6 +61,19 @@ object TextFunctions {
       .otherwise(last2)
   }
 
+  /** Canonical form of a URL for URL-level dedup — the CommonCrawl-style
+    * first dedup key, applied before any content hashing: strip fragment,
+    * strip query string, strip one trailing slash, lowercase the
+    * scheme+host (the case-insensitive part of a URL; paths stay
+    * case-sensitive). Pure regexp/scan projections, engine-portable — the
+    * oracle replays the identical regex sequence. */
+  def canonicalUrl(u: Column): Column = {
+    val stripped = regexp_replace(regexp_replace(
+      regexp_replace(u, "#.*$", ""), "\\?.*$", ""), "/$", "")
+    concat(lower(regexp_extract(stripped, "^(https?://[^/]*)", 1)),
+      regexp_extract(stripped, "^https?://[^/]*(.*)$", 1))
+  }
+
   /** Standard text-cleaning pass for a scraped corpus, case-preserving:
     * Unicode NFC (composed/decomposed forms of the same text unify — else
     * they defeat exact dedup and token matching), C0/DEL control characters
