@@ -1810,6 +1810,23 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(edges, "a", "b")
     },
 
+    // k-core decomposition (Seidman 1983) over the part co-occurrence
+    // graph: iterated degree peel to fixpoint — the dense-community /
+    // spam-farm signal beside triangles (local) and PageRank (global).
+    // Each round: one partial-agg'd degree aggregate + two semi-joins
+    // against the node-sized keep set; the edge frame only shrinks. The
+    // oracle unrolls 8 peel rounds (convergence at sf0.01 is 3; further
+    // unrolled rounds are idempotent once converged).
+    "q_kcore" -> { (s, dir) =>
+      val sets = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val edges = sets.select(posexplode(col("ps")).as(Seq("i", "a")),
+          col("ps"))
+        .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      graft.operators.Graph.kCore(edges, "a", "b", k = 70)
+    },
+
     // BPE merge learning: 3 iterations over the corpus word-frequency
     // dict. The corpus is shuffled once (word counts); every training
     // iteration is vocabulary-bounded. Output = the learned merge table.
@@ -2997,6 +3014,30 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), m1.l, m1.r, m1.cnt, v2.v FROM m1, v2
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), m2.l, m2.r, m2.cnt, v3.v FROM m2, v3""".stripMargin,
+    // 8 peel rounds unrolled (fixpoint is idempotent, so any unroll depth
+    // ≥ the convergence depth — 3 at sf0.01 — produces the k-core).
+    "q_kcore" -> {
+      // MATERIALIZED is load-bearing: each CTE references its predecessor
+      // several times, and DuckDB's default CTE inlining would expand the
+      // 8-round chain exponentially.
+      val rounds = (1 to 8).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT id FROM (
+           |  SELECT id, count(*) AS d FROM (
+           |    SELECT lo AS id FROM e${i - 1} UNION ALL SELECT hi FROM e${i - 1})
+           |  GROUP BY 1) WHERE d >= 70),
+           |e$i AS MATERIALIZED (SELECT lo, hi FROM e${i - 1}
+           |  WHERE lo IN (SELECT id FROM n$i) AND hi IN (SELECT id FROM n$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |$rounds
+         |SELECT id, CAST(count(*) AS BIGINT) AS deg
+         |FROM (SELECT lo AS id FROM e8 UNION ALL SELECT hi FROM e8)
+         |GROUP BY 1""".stripMargin
+    },
     // q_bpe_merges' learning CTEs (w0..m2) reused verbatim, then the
     // merge table applied to the FULL distinct vocabulary and joined back
     // onto per-doc word streams.

@@ -38,6 +38,59 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** k-core decomposition (Seidman 1983): the maximal subgraph in which
+    * every node has degree ≥ k, computed by iterated peeling — drop all
+    * nodes with degree < k, recompute degrees, repeat to fixpoint.
+    * Returns `(id, deg)` for every surviving node with its in-core
+    * degree. The spam-farm / dense-community signal that complements
+    * [[triangleCounts]]' local clustering and PageRank's global
+    * authority.
+    *
+    * Scale shape: each round is one partial-agg'd degree aggregate over
+    * the surviving edge set plus two semi-joins against the keep set
+    * (node-sized — broadcast at dimension scale, shuffle-keyed beyond);
+    * the edge frame only ever SHRINKS. The per-round fixpoint check is a
+    * 1-row driver action — the Pregel-loop shape shared with
+    * [[graft.data.Clustering]]'s large-star rounds; round count is
+    * bounded by the peel depth (log-ish in practice), never by |V|. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("lo").as("id")).union(e.select(col("hi")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var cur = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = cur.count()
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val keep = degrees(cur).filter(col("deg") >= k).select(col("id"))
+      val next = cur
+        .join(keep.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = next.count()
+      if (m == nEdges) {
+        // converged: next ≡ cur. Return degrees over the PERSISTED frame
+        // (unpersisting first would silently recompute the whole peel
+        // lineage when the caller materializes); the one retained block
+        // is released by Spark's LRU like any other cached frame.
+        if (cur ne next) cur.unpersist()
+        return degrees(next)
+      }
+      cur.unpersist()
+      cur = next
+      nEdges = m
+      rounds += 1
+    }
+    throw new IllegalStateException(s"k-core did not converge in $maxRounds rounds")
+  }
+
   /** Per-node triangle participation counts over `edges(aCol, bCol)`
     * (direction and duplicates ignored, self-loops dropped). Returns
     * `(id, n_triangles)` for every node with ≥1 triangle. */

@@ -153,6 +153,36 @@ class TimeSeriesGraphSpec extends SparkSpec {
     assert(got.toSeq === Seq(5L, 99L, -7L))
   }
 
+  test("kCore equals an in-memory peel on a random graph") {
+    val rnd = new scala.util.Random(61)
+    val edges = (0 until 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val k = 8
+    // in-memory peel to fixpoint
+    var cur = edges.toSet
+    var done = false
+    while (!done) {
+      val deg = cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = cur.filter { case (a, b) => keep(a) && keep(b) }
+      done = next == cur
+      cur = next
+    }
+    val wantDeg = cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = wantDeg.toSeq.sorted
+    val got = Graph.kCore(edges.toDF("a", "b"), "a", "b", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want)
+  }
+
+  test("kCore with k above the max degree returns an empty core") {
+    val got = Graph.kCore(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b", 5)
+    assert(got.count() == 0)
+  }
+
   test("ewmaIntStreaming finalizes to the batch operator under scrambled arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
