@@ -625,6 +625,63 @@ object SparkEntry {
         registeredDomain(host2).as("domain2"))
     },
 
+    // Distinct-count sketch in STREAMING state: per-day unique users via
+    // hll_sketch_agg under a native tumbling window + watermark — the
+    // sketch buffer IS the streaming aggregation state, so per-window
+    // state is fixed-KB regardless of how many distinct users a day
+    // sees (exact streaming distinct would hold every user id in
+    // state). Contract row: exact counts pinned (batch recompute), the
+    // streaming estimate must land in the HLL 5% envelope (≈6σ at
+    // lgK 14).
+    "q_hll_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(expr("ts_ns div 1000").as("tus"), col("user_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val maxTus = rows.map(_._1).max
+      val ms = MemoryStream[(Long, Long)]
+      ms.addData(rows.toSeq)
+      ms.addData((maxTus + 3L * 86400000000L, -1L)) // watermark sentinel
+      val events = ms.toDF.toDF("tus", "user_id")
+        .select(timestamp_micros(col("tus")).as("ts"), col("user_id"))
+        .withWatermark("ts", "0 seconds")
+      val agg = events
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+        .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+          col("est"))
+      val qn = s"hlls_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      val exact = Tables.events(s, dir)
+        .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_exact"))
+      // drop the sentinel's synthetic day before comparing
+      s.table(qn).join(exact, Seq("day"))
+        .select(col("day"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("within_5pct"))
+    },
+
     // URL-level dedup (the CommonCrawl-style FIRST dedup pass, upstream
     // of any content hashing): canonicalize — strip fragment/query/
     // trailing slash, lowercase scheme+host — then keep the minimum
@@ -4725,6 +4782,13 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Contract oracle: exact per-day distincts pinned, the streaming
+    // sketch estimate must land inside the envelope (TRUE literal).
+    "q_hll_stream" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
     // Same injected variants; canonicalization = the identical regex
     // sequence (fragment, query, trailing slash, lower scheme+host).
     "q_url_dedup" ->
