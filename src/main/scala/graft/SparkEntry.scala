@@ -625,6 +625,15 @@ object SparkEntry {
         registeredDomain(host2).as("domain2"))
     },
 
+    // Sorted-neighborhood near-dup detection (Hernández/Stolfo SIGMOD'95)
+    // — the sort-based alternative to MinHash/SimHash blocking, ranked
+    // within prefix blocks (block-keyed exchange, NO global sort) and
+    // exact-verified with word-set Jaccard.
+    "q_sorted_neighborhood" -> { (s, dir) =>
+      graft.data.SortedNeighborhood.pairs(
+        Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // Distinct-count sketch in STREAMING state: per-day unique users via
     // hll_sketch_agg under a native tumbling window + watermark — the
     // sketch buffer IS the streaming aggregation state, so per-window
@@ -4782,6 +4791,28 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Same key/block/window/verify pipeline in SQL; list_intersect and
+    // list_distinct are set-semantics like Spark's array_intersect/union.
+    "q_sorted_neighborhood" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |k AS (SELECT doc_id, t,
+        |    substring(regexp_replace(t, '[^a-z0-9]+', '', 'g'), 1, 24) AS sk
+        |  FROM d),
+        |b AS (SELECT doc_id, t, sk, substring(sk, 1, 6) AS blk,
+        |    row_number() OVER (PARTITION BY substring(sk, 1, 6)
+        |      ORDER BY sk, doc_id) AS rn
+        |  FROM k),
+        |p AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id, a.t AS ta, b2.t AS tb
+        |  FROM b a JOIN b b2
+        |    ON a.blk = b2.blk AND b2.rn - a.rn BETWEEN 1 AND 3),
+        |v AS (SELECT a_id, b_id,
+        |    len(list_intersect(list_distinct(string_split_regex(ta, '\s+')),
+        |        list_distinct(string_split_regex(tb, '\s+')))) AS i,
+        |    len(list_distinct(list_concat(string_split_regex(ta, '\s+'),
+        |        string_split_regex(tb, '\s+')))) AS u
+        |  FROM p)
+        |SELECT a_id, b_id, CAST(i * 1000 // u AS BIGINT) AS jacc_milli
+        |FROM v WHERE i * 100 >= u * 80""".stripMargin,
     // Contract oracle: exact per-day distincts pinned, the streaming
     // sketch estimate must land inside the envelope (TRUE literal).
     "q_hll_stream" ->
