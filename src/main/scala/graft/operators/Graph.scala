@@ -55,17 +55,24 @@ object Graph {
     * bounded by the peel depth (log-ish in practice), never by |V|. */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             maxRounds: Int = 100): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     def degrees(e: DataFrame): DataFrame =
       e.select(col("lo").as("id")).union(e.select(col("hi")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
+    // localCheckpoint (not persist): each round's frame references the
+    // previous one THREE times (the edge set itself + the keep set on
+    // both join sides), so carrying lineage would grow the logical plan
+    // 3^rounds — plan rendering and analysis blow up long before
+    // execution does. Checkpointing truncates lineage to a flat scan per
+    // round; the eager materialization doubles as the fixpoint count's
+    // job. On a cluster where executor loss must be survivable, swap for
+    // reliable checkpoint(dir) — same shape, durable storage.
     var cur = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var nEdges = cur.count()
     var rounds = 0
     while (rounds < maxRounds) {
@@ -73,17 +80,9 @@ object Graph {
       val next = cur
         .join(keep.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
         .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val m = next.count()
-      if (m == nEdges) {
-        // converged: next ≡ cur. Return degrees over the PERSISTED frame
-        // (unpersisting first would silently recompute the whole peel
-        // lineage when the caller materializes); the one retained block
-        // is released by Spark's LRU like any other cached frame.
-        if (cur ne next) cur.unpersist()
-        return degrees(next)
-      }
-      cur.unpersist()
+      if (m == nEdges) return degrees(next)
       cur = next
       nEdges = m
       rounds += 1
