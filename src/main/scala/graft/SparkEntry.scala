@@ -625,6 +625,24 @@ object SparkEntry {
         registeredDomain(host2).as("domain2"))
     },
 
+    // Temperature-scaled (α = 1/2) multilingual rebalancing: head
+    // languages downsampled toward n^α shares, the most-upweighted
+    // stratum kept whole. All weight math is truncating integers after
+    // one floored sqrt (the only IEEE-correctly-rounded power), so the
+    // kept set is bit-deterministic across engines; the keep decision is
+    // the scan-local md5-vs-threshold Bernoulli of q_weighted_sample.
+    "q_temperature_sample" -> { (s, dir) =>
+      import graft.data.Sampling
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val w = Sampling.temperatureWeights(docs, "lang")
+      val draw = Sampling.hashDraw(col("doc_id"), "temp")
+      val thr = least(expr("(keep_prob_micro * 4294967296) div 1000000"),
+        lit(4294967296L))
+      w.filter(col("keep_prob_micro") >= 1000000L ||
+          draw < lpad(lower(hex(thr)), 8, "0"))
+        .select(col("doc_id"), col("lang"), col("keep_prob_micro"))
+    },
+
     // Sorted-neighborhood near-dup detection (Hernández/Stolfo SIGMOD'95)
     // — the sort-based alternative to MinHash/SimHash blocking, ranked
     // within prefix blocks (block-keyed exchange, NO global sort) and
@@ -4791,6 +4809,30 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // floor(sqrt·1000) then pure integer truncating arithmetic — the
+    // identical fixed-point pipeline.
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |c2 AS (SELECT lang, n,
+        |    CAST(floor(sqrt(n) * 1000) AS BIGINT) AS sm FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(sm) AS BIGINT) AS ss FROM c2),
+        |f AS (SELECT lang,
+        |    (sm * 1000000 // ss) * 1000000 // (n * 1000000 // nn) AS f_micro
+        |  FROM c2, t),
+        |fn AS (SELECT lang,
+        |    CAST(f_micro * 1000000 // (SELECT max(f_micro) FROM f) AS BIGINT)
+        |      AS keep_prob_micro
+        |  FROM f),
+        |k AS (SELECT d.doc_id, d.lang, fn.keep_prob_micro,
+        |    substring(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS draw,
+        |    least((fn.keep_prob_micro * 4294967296) // 1000000, 4294967296)
+        |      AS thr
+        |  FROM documents d JOIN fn USING (lang))
+        |SELECT doc_id, lang, keep_prob_micro FROM k
+        |WHERE keep_prob_micro >= 1000000
+        |   OR draw < lpad(lower(hex(thr)), 8, '0')""".stripMargin,
     // Same key/block/window/verify pipeline in SQL; list_intersect and
     // list_distinct are set-semantics like Spark's array_intersect/union.
     "q_sorted_neighborhood" ->

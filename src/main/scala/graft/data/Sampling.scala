@@ -120,6 +120,37 @@ object Sampling {
     * the corpus itself is scanned once and never shuffled. Weights are
     * micro-ints (floor of 1e6·w) so results hash identically across
     * engines. */
+  /** Temperature-scaled (α = 1/2) corpus rebalancing weights — the
+    * multilingual-LM mixing rule (Lample & Conneau 2019 family): target
+    * share ∝ n^α flattens the head languages without letting tail
+    * languages dominate. Per stratum the keep probability is
+    * `(targetShare/actualShare)` normalized so the most-upweighted
+    * stratum keeps everything (downsample-only).
+    *
+    * α is FIXED at 1/2 because sqrt is the one power IEEE 754 requires
+    * correctly rounded — `pow(n, 0.7)` is libm-dependent and can differ
+    * by an ulp between engines, flipping a threshold-boundary document.
+    * After flooring sqrt to milli units every later step is truncating
+    * integer arithmetic: order-free sums, bit-identical across engines
+    * and partitionings. Output: input columns + `keep_prob_micro`.
+    *
+    * Scale shape: one partial-agg'd stratum count (|strata| rows), all
+    * weight math over that aggregate, weights broadcast back; the
+    * Bernoulli keep decision is scan-local (see q_temperature_sample). */
+  def temperatureWeights(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__sm", expr("CAST(floor(sqrt(__n) * 1000) AS BIGINT)"))
+    val tot = counts.agg(sum(col("__n")).as("__nn"), sum(col("__sm")).as("__ss"))
+    val f = counts.crossJoin(broadcast(tot))
+      .withColumn("__f_micro", expr(
+        "(__sm * 1000000 div __ss) * 1000000 div (__n * 1000000 div __nn)"))
+    val fn = f
+      .withColumn("__maxf", max(col("__f_micro")).over(Window.partitionBy()))
+      .select(col(stratumCol),
+        expr("__f_micro * 1000000 div __maxf").as("keep_prob_micro"))
+    df.join(broadcast(fn), Seq(stratumCol))
+  }
+
   def mixWeights(df: DataFrame, stratumCol: String,
                  targetShares: Map[String, Double]): DataFrame = {
     val shares = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))

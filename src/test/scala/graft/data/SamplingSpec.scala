@@ -164,4 +164,26 @@ class SamplingSpec extends SparkSpec {
     val keptMax = a.filter(_._3).map(_._2).max
     assert(a.filter(!_._3).forall(_._2 > keptMax))
   }
+
+  test("temperatureWeights: downsample-only, flattens the head, partition-invariant") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(d => (d, if (d <= 280) "en" else if (d <= 360) "de" else "fr"))
+    for (parts <- Seq(1, 7)) {
+      val w = Sampling.temperatureWeights(
+          rows.toDF("doc_id", "lang").repartition(parts), "lang")
+        .select("lang", "keep_prob_micro").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every weight is a probability; the most-upweighted stratum keeps all
+      assert(w.values.forall(v => v >= 0 && v <= 1000000L))
+      assert(w.values.max == 1000000L)
+      // α=1/2 flattening: the head stratum keeps the smallest fraction
+      assert(w("en") < w("de") && w("de") <= w("fr"))
+      // expected fixed-point replay for the head stratum
+      def sm(n: Long) = math.floor(math.sqrt(n.toDouble) * 1000).toLong
+      val (nn, ss) = (400L, sm(280) + sm(80) + sm(40))
+      def f(n: Long) = (sm(n) * 1000000L / ss) * 1000000L / (n * 1000000L / nn)
+      val maxf = Seq(280L, 80L, 40L).map(f).max
+      assert(w("en") == f(280) * 1000000L / maxf)
+    }
+  }
 }
