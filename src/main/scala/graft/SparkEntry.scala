@@ -625,6 +625,60 @@ object SparkEntry {
         registeredDomain(host2).as("domain2"))
     },
 
+    // RAG-style document chunking: fixed 64-token windows at stride 48
+    // (16-token overlap) — the retrieval-index preparation pass. Pure
+    // scan-local array arithmetic (slice + join per chunk, integer chunk
+    // count, no float ceil); output carries the chunk text itself, so
+    // the oracle hash-checks every chunk boundary byte-for-byte.
+    "q_chunk" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      val t = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .filter(size(col("t")) >= 1)
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("n_chunks",
+          expr("CASE WHEN n <= 64 THEN 1 ELSE (n - 17) div 48 + 1 END"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          expr("slice(t, CAST(k * 48 + 1 AS INT), 64)").as("ct"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ct")).cast("long").as("n_tokens"),
+          array_join(col("ct"), " ").as("chunk_text"))
+    },
+
+    // Embedding L2-normalize + int8 quantization — the vector-index
+    // preparation pass (what a vector store ingests). The squared-norm
+    // fold is a LEFT fold over the array (deterministic summation order,
+    // unlike a float SUM aggregate); sqrt is IEEE-correctly-rounded;
+    // per-element (x / norm) * 127 floored. All scan-local projections —
+    // zero shuffles in the whole plan.
+    "q_embed_quantize" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("""sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""")
+            .as("norm"), col("embedding"))
+        .filter(col("norm") > 0)
+        .select(col("vec_id"),
+          expr("CAST(floor(norm * 1000000) AS BIGINT)").as("scale_micro"),
+          expr("""transform(embedding,
+                  x -> CAST(floor((CAST(x AS DOUBLE) / norm) * 127) AS BIGINT))""")
+            .as("q"))
+        // the quantized vector pinned through SCALAR columns (dims, sum,
+        // L1 mass, endpoints) — no list column reaches the driver compare,
+        // whose hash behavior on nested types is unproven
+        .select(col("vec_id"), col("scale_micro"),
+          size(col("q")).cast("long").as("n_dims"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            .as("checksum"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))")
+            .as("l1"),
+          expr("element_at(q, 1)").as("q_first"),
+          expr("element_at(q, -1)").as("q_last"))
+    },
+
     // Temperature-scaled (α = 1/2) multilingual rebalancing: head
     // languages downsampled toward n^α shares, the most-upweighted
     // stratum kept whole. All weight math is truncating integers after
@@ -4809,6 +4863,41 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Inclusive-slice spelling of the same 64/48 window; integer chunk
+    // count, chunk text byte-for-byte.
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks
+        |  WHERE len(t) >= 1),
+        |c AS (SELECT doc_id, t, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE (n - 17) // 48 + 1 END AS n_chunks
+        |  FROM d),
+        |x AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS k FROM c)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  CAST(len(t[(k * 48 + 1):(k * 48 + 64)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(t[(k * 48 + 1):(k * 48 + 64)], ' ') AS chunk_text
+        |FROM x""".stripMargin,
+    // Same left-fold norm, correctly-rounded sqrt, identical
+    // (x / norm) * 127 floor per element.
+    "q_embed_quantize" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (acc, x) -> acc + x)) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    CAST(floor(norm * 1000000) AS BIGINT) AS scale_micro,
+        |    list_transform(embedding,
+        |      x -> CAST(floor((CAST(x AS DOUBLE) / norm) * 127) AS BIGINT)) AS q
+        |  FROM n WHERE norm > 0)
+        |SELECT vec_id, scale_micro, CAST(len(q) AS BIGINT) AS n_dims,
+        |  CAST(list_reduce(q, (acc, x) -> acc + x) AS BIGINT) AS checksum,
+        |  CAST(list_reduce(list_transform(q, x -> abs(x)),
+        |    (acc, x) -> acc + x) AS BIGINT) AS l1,
+        |  q[1] AS q_first, q[-1] AS q_last
+        |FROM q""".stripMargin,
     // floor(sqrt·1000) then pure integer truncating arithmetic — the
     // identical fixed-point pipeline.
     "q_temperature_sample" ->
