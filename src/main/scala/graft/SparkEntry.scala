@@ -625,6 +625,33 @@ object SparkEntry {
         registeredDomain(host2).as("domain2"))
     },
 
+    // Train/valid/test LEAKAGE audit: near-duplicate pairs that straddle
+    // split boundaries — the evaluation-hygiene check an LLM data
+    // pipeline runs before a split ships (a test doc with a train-side
+    // near-dup invalidates the eval). Pure composition of two
+    // already-oracled operators: the deterministic md5 split rule
+    // (q_sample_split) and MinHash+LSH near-dup pairs (q_minhash_dedup);
+    // the audit itself is two broadcast-able joins of the tiny pair set
+    // plus a ≤9-row aggregate.
+    "q_split_leakage" -> { (s, dir) =>
+      import graft.data.{MinHashDedup, Sampling}
+      val docs = Tables.documents(s, dir)
+      val draw = Sampling.hashDraw(col("doc_id"), "cut")
+      val assign = docs.select(col("doc_id"),
+        when(draw < lit("cccccccc"), "train")
+          .when(draw < lit("e6666666"), "valid")
+          .otherwise("test").as("split"))
+      val pairs = MinHashDedup.duplicatePairs(docs, "doc_id", "text")
+      pairs
+        .join(assign.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+          Seq("id_a"))
+        .join(assign.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+          Seq("id_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", col("split_a") =!= col("split_b"))
+    },
+
     // RAG-style document chunking: fixed 64-token windows at stride 48
     // (16-token overlap) — the retrieval-index preparation pass. Pure
     // scan-local array arithmetic (slice + join per chunk, integer chunk
@@ -4863,6 +4890,35 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Exhaustive exact-Jaccard pairs (the q_minhash_dedup truth) split by
+    // the q_sample_split md5 rule — an LSH miss OR a split drift goes red.
+    "q_split_leakage" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+        |     for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |        FROM documents)
+        |  WHERE len(tokens) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        |      / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        |asg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5('cut' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |              < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5('cut' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |              < 'e6666666' THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT sa.split AS split_a, sb.split AS split_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  sa.split <> sb.split AS is_leak
+        |FROM p JOIN asg sa ON p.id_a = sa.doc_id
+        |  JOIN asg sb ON p.id_b = sb.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // Inclusive-slice spelling of the same 64/48 window; integer chunk
     // count, chunk text byte-for-byte.
     "q_chunk" ->
