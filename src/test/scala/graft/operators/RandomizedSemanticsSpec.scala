@@ -210,4 +210,39 @@ class RandomizedSemanticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("sorted-neighborhood pairs match an in-memory model on a synthetic dup corpus") {
+    import spark.implicits._
+    val rnd = new Random(83)
+    val words = Vector("alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa")
+    def doc() = Seq.fill(6 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" ")
+    // base docs plus near-dup copies with one word appended (same prefix)
+    val base = (1L to 60L).map(i => (i, doc()))
+    val dups = base.take(20).map { case (i, t) => (i + 1000L, t + " extra") }
+    val all = rnd.shuffle(base ++ dups)
+    val got = graft.data.SortedNeighborhood.pairs(
+        all.toDF("doc_id", "text"), "doc_id", "text",
+        keyLen = 24, blockLen = 6, window = 4, jaccardPctMin = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+    // in-memory replay of key/block/rank/window/verify
+    def norm(t: String) = t.toLowerCase.trim
+    def key(t: String) = norm(t).replaceAll("[^a-z0-9]+", "").take(24)
+    val keyed = all.map { case (id, t) => (id, norm(t), key(t)) }
+    val want = keyed.groupBy(_._3.take(6)).toSeq.flatMap { case (_, g) =>
+      val ranked = g.sortBy(r => (r._3, r._1)).zipWithIndex
+      for {
+        ((aId, ta, _), ra) <- ranked
+        ((bId, tb, _), rb) <- ranked
+        if rb - ra >= 1 && rb - ra <= 3
+        wa = ta.split("\\s+").toSet
+        wb = tb.split("\\s+").toSet
+        i = (wa & wb).size.toLong
+        u = (wa | wb).size.toLong
+        if i * 100 >= u * 70
+      } yield (aId, bId, i * 1000 / u)
+    }.sorted
+    assert(got == want)
+    assert(got.nonEmpty) // the planted same-prefix dups must surface
+  }
 }
