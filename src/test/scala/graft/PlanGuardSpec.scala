@@ -29,6 +29,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_histogram", // global (min, max) bucket bounds
     "q_negative_sample", // corpus-size scalar
     "q_rolling_dau", // global max(day) bound
+    "q_temperature_sample", // (Σn, Σsqrt-milli) 1-row totals attach
     // algorithm-constant broadcast side:
     "q_semantic_dedup", // k-centroid frame (SemDeDup Lloyd assignment)
     "q_fuzzy_join" // PassJoin short-string brute subset (len < k + maxDist)
