@@ -625,6 +625,22 @@ object SparkEntry {
         registeredDomain(host2).as("domain2"))
     },
 
+    // Spatial radius self-join via uniform grid cells: all point pairs
+    // within 20k micro-degrees — candidates meet in a HASH join on cell
+    // id (3×3 neighborhood replication of the smaller-id side, each pair
+    // exactly once by construction) instead of the all-pairs cross
+    // product a raw distance predicate plans to. Squared-distance
+    // verification in pure int64 — no sqrt, no float.
+    "q_spatial_join" -> { (s, dir) =>
+      val pts = Tables.events(s, dir)
+        .filter(expr("event_id % 5 = 0"))
+        .select(col("event_id").as("id"),
+          expr("(event_id * 2654435761) % 1000000").as("x"),
+          expr("(event_id * 40503 + 7919) % 1000000").as("y"))
+      graft.operators.SpatialJoin.radiusPairs(
+        pts, "id", "x", "y", radius = 20000L, cellWidth = 20000L)
+    },
+
     // Train/valid/test LEAKAGE audit: near-duplicate pairs that straddle
     // split boundaries — the evaluation-hygiene check an LLM data
     // pipeline runs before a split ships (a test doc with a train-side
@@ -4890,6 +4906,17 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Exhaustive all-pairs scan — a grid-cell candidate miss goes red.
+    "q_spatial_join" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    (event_id * 2654435761) % 1000000 AS x,
+        |    (event_id * 40503 + 7919) % 1000000 AS y
+        |  FROM events WHERE event_id % 5 = 0)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 400000000""".stripMargin,
     // Exhaustive exact-Jaccard pairs (the q_minhash_dedup truth) split by
     // the q_sample_split md5 rule — an LSH miss OR a split drift goes red.
     "q_split_leakage" ->
