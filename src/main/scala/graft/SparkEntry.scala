@@ -641,6 +641,27 @@ object SparkEntry {
         pts, "id", "x", "y", radius = 20000L, cellWidth = 20000L)
     },
 
+    // Nearest neighbor within radius: the radiusPairs candidates
+    // symmetrized, then ONE partial-agg'd min-struct per point — nearest
+    // partner with deterministic (dist², id) tie-break, never a per-point
+    // sort. The grid join bounds the work; points with no neighbor in
+    // range simply have no row (the semantics of a radius-bounded NN).
+    "q_spatial_nn" -> { (s, dir) =>
+      val pts = Tables.events(s, dir)
+        .filter(expr("event_id % 5 = 0"))
+        .select(col("event_id").as("id"),
+          expr("(event_id * 2654435761) % 1000000").as("x"),
+          expr("(event_id * 40503 + 7919) % 1000000").as("y"))
+      val pairs = graft.operators.SpatialJoin.radiusPairs(
+        pts, "id", "x", "y", radius = 20000L, cellWidth = 20000L)
+      pairs.select(col("a_id").as("id"), col("b_id").as("nbr"), col("dist2"))
+        .union(pairs.select(col("b_id"), col("a_id"), col("dist2")))
+        .groupBy(col("id"))
+        .agg(min(struct(col("dist2"), col("nbr"))).as("m"))
+        .select(col("id"), col("m.nbr").as("nearest_id"),
+          col("m.dist2").as("dist2"))
+    },
+
     // Train/valid/test LEAKAGE audit: near-duplicate pairs that straddle
     // split boundaries — the evaluation-hygiene check an LLM data
     // pipeline runs before a split ships (a test doc with a train-side
@@ -747,6 +768,72 @@ object SparkEntry {
     "q_sorted_neighborhood" -> { (s, dir) =>
       graft.data.SortedNeighborhood.pairs(
         Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // Quantile sketch in STREAMING state: per-day cents median via
+    // kll_sketch_agg under a native tumbling window + watermark — same
+    // fixed-KB-state argument as q_hll_stream, for the percentile family
+    // (exact streaming quantiles would buffer every value). Contract row:
+    // exact per-day discrete medians pinned, the streaming estimate's
+    // true rank asserted inside ±2.5% (≈7σ of k=400's published error).
+    "q_kll_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(expr("ts_ns div 1000").as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val maxTus = rows.map(_._1).max
+      val ms = MemoryStream[(Long, Long)]
+      ms.addData(rows.toSeq)
+      ms.addData((maxTus + 3L * 86400000000L, 0L)) // watermark sentinel
+      val events = ms.toDF.toDF("tus", "cents")
+        .select(timestamp_micros(col("tus")).as("ts"), col("cents"))
+        .withWatermark("ts", "0 seconds")
+      val agg = events
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(graft.exprs.KllQuantiles.sketchAgg(col("cents"), 400).as("sk"))
+        .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+          graft.exprs.KllQuantiles.quantile(col("sk"), 0.5).as("q50_est"))
+      val qn = s"klls_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(expr("ts_ns div 86400000000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val ranked = daily
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("day")).orderBy(col("cents"))))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("day"))))
+      val exact = ranked.filter(col("rn") === expr("(nn * 50 + 99) div 100"))
+        .select(col("day"), col("nn").as("n"), col("cents").as("q50_exact"))
+      // true rank of the streaming estimate, checked against the envelope
+      val checked = daily.join(broadcast(s.table(qn)), Seq("day"))
+        .groupBy(col("day"))
+        .agg(count(when(col("cents") <= col("q50_est"), lit(1))).as("r50"))
+      exact.join(checked, Seq("day"))
+        .select(col("day"), col("n"), col("q50_exact"),
+          (abs(lit(1000) * col("r50") - lit(500) * col("n")) <= lit(25) * col("n"))
+            .as("q50_in_envelope"))
     },
 
     // Distinct-count sketch in STREAMING state: per-day unique users via
@@ -4906,6 +4993,21 @@ object SparkEntry {
     // the batch and streaming forms — both must produce identical bars.
     "q_ohlc" -> ohlcOracle,
     "q_ohlc_stream" -> ohlcOracle,
+    // Exhaustive directed pair scan, nearest by (dist², id).
+    "q_spatial_nn" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    (event_id * 2654435761) % 1000000 AS x,
+        |    (event_id * 40503 + 7919) % 1000000 AS y
+        |  FROM events WHERE event_id % 5 = 0),
+        |pr AS (SELECT a.id AS id, b.id AS nbr,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |  FROM p a JOIN p b ON a.id <> b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |        <= 400000000)
+        |SELECT id, nbr AS nearest_id, dist2
+        |FROM pr
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, nbr) = 1"""
+        .stripMargin,
     // Exhaustive all-pairs scan — a grid-cell candidate miss goes red.
     "q_spatial_join" ->
       """WITH p AS (SELECT event_id AS id,
@@ -5027,6 +5129,18 @@ object SparkEntry {
         |  FROM p)
         |SELECT a_id, b_id, CAST(i * 1000 // u AS BIGINT) AS jacc_milli
         |FROM v WHERE i * 100 >= u * 80""".stripMargin,
+    // Contract oracle: exact per-day discrete medians pinned, the
+    // streaming sketch's rank envelope must hold (TRUE literal).
+    "q_kll_stream" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY day ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY day) AS nn
+        |  FROM e)
+        |SELECT day, CAST(nn AS BIGINT) AS n, cents AS q50_exact,
+        |  TRUE AS q50_in_envelope
+        |FROM r WHERE rn = (nn * 50 + 99) // 100""".stripMargin,
     // Contract oracle: exact per-day distincts pinned, the streaming
     // sketch estimate must land inside the envelope (TRUE literal).
     "q_hll_stream" ->
