@@ -3120,6 +3120,165 @@ object SparkEntry {
           Projection("ts_ns", "purchase_ts")),
         rightOut = Seq(Projection("version", "version"),
           Projection("dim_type", "dim_type")))
+    },
+
+    // Snapshot differencing (inverse CDC): recover the I/U/D changelog
+    // between two latest-state-per-user snapshots built from different
+    // retention windows (days [0,15) vs [10,30) of Jan 2024). Each
+    // snapshot is a max_by compaction (map-side combine ships one
+    // candidate per key per partition); the diff itself is ONE full-outer
+    // join keyed by user with a codegen'd null-safe changed filter — the
+    // incremental-export primitive for stores that only produce full
+    // snapshots.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val e = eventsUsPrecision(s, dir).select(col("user_id"),
+        col("event_id"), col("ts_ns"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("ts_ns div 86400000000000").as("day"),
+        lit(false).as("del"))
+      def snap(lo: Long, hi: Long) = graft.operators.CdcMerge.applyChangelog(
+          e.filter(col("day") >= lo && col("day") < hi),
+          Seq("user_id"), Seq("ts_ns", "event_id"), "del",
+          Seq("event_type", "cents"))
+        .select(col("user_id"), col("event_type"), col("cents"))
+      graft.operators.CdcMerge.snapshotDiff(
+        snap(19723L, 19738L), snap(19733L, 19753L),
+        Seq("user_id"), Seq("event_type", "cents"))
+    },
+
+    // SpaceSaving frequent-items sketch in STREAMING aggregation state —
+    // completing the mergeable-sketch streaming trio (HLL distincts,
+    // KLL quantiles, SpaceSaving top-k): per-day top-3 event types under
+    // a native tumbling window + watermark. State per window is the
+    // fixed `capacity`-counter buffer regardless of stream cardinality.
+    // At 5 distinct types ≪ capacity 32 the exactness contract holds, so
+    // the oracle hash-matches EXACT counts (the approximate regime's
+    // inequality contract is covered by q_heavy_hitters_approx).
+    "q_heavy_hitters_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(expr("ts_ns div 1000").as("tus"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val maxTus = rows.map(_._1).max
+      val maxDay = maxTus / 86400000000L
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(rows.toSeq)
+      ms.addData((maxTus + 3L * 86400000000L, "__sentinel__"))
+      val events = ms.toDF.toDF("tus", "event_type")
+        .select(timestamp_micros(col("tus")).as("ts"), col("event_type"))
+        .withWatermark("ts", "0 seconds")
+      val agg = events
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(graft.exprs.HeavyHitters.heavyHitters(
+          col("event_type"), 3, 32).as("hh"))
+        .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+          posexplode(col("hh")))
+        .select(col("day"), col("col.item").as("event_type"),
+          col("col.count").as("n"), (col("pos") + 1).cast("long").as("rn"))
+      val qn = s"hhs_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("day") <= maxDay)
+    },
+
+    // Equi-depth (quantile-bucketed) histogram — the partner profile to
+    // q_histogram's equi-width buckets: decile edges from the exact
+    // discrete multiset (edge_i = min value whose cumulative count
+    // reaches rank ⌈i·n/10⌉), bucket(x) = #edges < x. Edges come from
+    // the count-of-counts frame, so the only global sort is over DISTINCT
+    // VALUES (the q_key_skew trick), never rows; the 9-edge array rides a
+    // 1-row cross join and every row buckets scan-locally. Deterministic
+    // under ties where NTILE (row-order tie split) is not.
+    "q_equidepth_histogram" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = eventsUsPrecision(s, dir)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val vc = e.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      val cum = vc.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nRow = e.agg(count(lit(1)).as("n"))
+      val edges = cum.crossJoin(nRow)
+        .select(col("cents"), col("cum"), col("n"),
+          explode(sequence(lit(1), lit(9))).as("i"))
+        .filter(col("cum") >= expr("(i * n + 9) div 10"))
+        .groupBy(col("i")).agg(min(col("cents")).as("edge"))
+        .agg(sort_array(collect_list(col("edge"))).as("edges"))
+      e.crossJoin(edges)
+        .select(col("cents"),
+          size(filter(col("edges"), x => x < col("cents")))
+            .cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    },
+
+    // Join-size / blowup estimator — the shuffle-planning diagnostic run
+    // BEFORE committing to a join: per-key counts on both sides (partial
+    // agg'd, so the exchanges carry |keys| rows, never data rows), one
+    // key-frame join, then exact output cardinality Σ nₐ·n_b, the max
+    // single-key contribution and its argmax key, here for the quadratic
+    // lineitem⋈lineitem self-join on l_partkey. A planner reads this one
+    // row and decides broadcast / salt / rethink-the-key.
+    "q_join_size" -> { (s, dir) =>
+      val cnt = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("na"))
+      cnt.select(col("l_partkey"), (col("na") * col("na")).as("prod"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("prod")).cast("long").as("est_join_rows"),
+          // struct max: prod first, then NEGATED key — ties resolve to the
+          // SMALLEST key deterministically (max_by's tie order is not pinned)
+          max(struct(col("prod").as("p"), (-col("l_partkey")).as("nk"))).as("mx"))
+        .select(col("n_keys"), col("est_join_rows"),
+          col("mx.p").cast("long").as("max_key_rows"),
+          (-col("mx.nk")).cast("long").as("argmax_key"))
+    },
+
+    // One-sided integer CUSUM change-point statistic (Page 1954) per user
+    // with a 3-sigma-ish alarm line: the reset (max(0,·)) makes the
+    // recurrence non-linear — no built-in window expresses it — so it
+    // runs on the ewmaInt ordered-scan tier: one repartition by key,
+    // sorted linear pass, O(1) state, shared-nothing keys.
+    "q_cusum" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("ts_ns div 1000").as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      operators.TimeSeries.cusumInt(ev, "user_id", "tus", "cents",
+          drift = 30000L)
+        .withColumn("alarm", col("cusum") >= lit(200000L))
+    },
+
+    // Label-propagation communities (Raghavan 2007) over the part
+    // co-occurrence graph — 3 synchronous rounds with the deterministic
+    // (plurality, then min-label) rule; per round one edge-keyed join +
+    // two partial-agg'd aggregates, label frame stays |V|-sized.
+    "q_label_prop" -> { (s, dir) =>
+      val sets = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val edges = sets.select(posexplode(col("ps")).as(Seq("i", "a")),
+          col("ps"))
+        .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      graft.operators.Graph.labelPropagation(edges, "a", "b", rounds = 3)
     }
   )
 
@@ -5313,6 +5472,109 @@ object SparkEntry {
         |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
         |  p.ts_ns AS purchase_ts, d.version AS version, d.dim_type AS dim_type
         |FROM p ASOF JOIN dims d
-        |  ON p.user_id = d.user_id AND p.ts_ns >= d.valid_from""".stripMargin
+        |  ON p.user_id = d.user_id AND p.ts_ns >= d.valid_from""".stripMargin,
+    // Latest-state snapshots at two retention windows; full-outer diff
+    // with null-safe changed filter (IS DISTINCT FROM ≡ Spark's <=>).
+    "q_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) * 1000 AS ts_ns,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |o AS (SELECT user_id, event_type, cents FROM e
+        |  WHERE day >= 19723 AND day < 19738
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_ns DESC, event_id DESC) = 1),
+        |n AS (SELECT user_id, event_type, cents FROM e
+        |  WHERE day >= 19733 AND day < 19753
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_ns DESC, event_id DESC) = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'I'
+        |       WHEN n.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  o.event_type AS old_event_type, n.event_type AS new_event_type,
+        |  o.cents AS old_cents, n.cents AS new_cents
+        |FROM o FULL JOIN n ON o.user_id = n.user_id
+        |WHERE o.user_id IS NULL OR n.user_id IS NULL
+        |   OR o.event_type IS DISTINCT FROM n.event_type
+        |   OR o.cents IS DISTINCT FROM n.cents""".stripMargin,
+    // Exact-regime contract: 5 distinct types ≪ capacity 32, so the
+    // streaming sketch's counts are exact and the hash must match the
+    // plain GROUP BY truth; top order is (n DESC, item ASC) on both sides.
+    "q_heavy_hitters_stream" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        |  CAST(row_number() OVER (PARTITION BY day
+        |    ORDER BY n DESC, event_type) AS BIGINT) AS rn
+        |FROM c QUALIFY rn <= 3""".stripMargin,
+    // Decile edges from the cumulative count-of-counts; bucket = #edges
+    // strictly below the value — deterministic under ties where NTILE
+    // (row-order tie split) is not.
+    "q_equidepth_histogram" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |vc AS (SELECT cents, count(*) AS c FROM e GROUP BY 1),
+        |cum AS (SELECT cents, sum(c) OVER (ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM vc),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |edges AS (SELECT i, min(cents) AS edge
+        |  FROM cum, nn, range(1, 10) r(i)
+        |  WHERE cum >= (i * n + 9) // 10 GROUP BY i)
+        |SELECT CAST((SELECT count(*) FROM edges WHERE edge < e.cents)
+        |    AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(cents) AS lo, max(cents) AS hi
+        |FROM e GROUP BY 1""".stripMargin,
+    // Exact join-output cardinality of the lineitem self-join on
+    // l_partkey from per-key counts; argmax key pinned to the smallest
+    // key among maxima.
+    "q_join_size" ->
+      """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS na
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT l_partkey, na * na AS prod FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(prod) AS BIGINT) AS est_join_rows,
+        |  CAST(max(prod) AS BIGINT) AS max_key_rows,
+        |  CAST(min(l_partkey) FILTER (
+        |    WHERE prod = (SELECT max(prod) FROM p)) AS BIGINT) AS argmax_key
+        |FROM p""".stripMargin,
+    // The CUSUM recurrence replayed as a recursive CTE (the ewmaOracle
+    // pattern); greatest() and integer arithmetic agree bit-for-bit.
+    "q_cusum" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, tus, cents, rn,
+        |    greatest(0, cents - 30000) AS cusum
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.tus, e.cents, e.rn,
+        |    greatest(0, r.cusum + e.cents - 30000)
+        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, tus, cents, cusum, cusum >= 200000 AS alarm
+        |FROM r""".stripMargin,
+    // 3 synchronous LPA rounds unrolled over the q_kcore edge CTE;
+    // plurality-then-min-label via the (c DESC, label) row_number rule.
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT s.u, l.label, count(*) AS c
+           |  FROM sym s JOIN l${i - 1} l ON s.v = l.id GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT u AS id, label FROM (
+           |  SELECT u, label, row_number() OVER (PARTITION BY u
+           |    ORDER BY c DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |sym AS MATERIALIZED (SELECT lo AS u, hi AS v FROM e0
+         |  UNION ALL SELECT hi, lo FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym),
+         |$rounds
+         |SELECT id, label FROM l3""".stripMargin
+    }
   )
 }

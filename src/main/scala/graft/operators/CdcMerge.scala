@@ -39,6 +39,41 @@ object CdcMerge {
         (seqCols ++ payloadCols).map(c => col(s"_w.$c").as(c)): _*)
   }
 
+  /** Snapshot differencing — the INVERSE of [[applyChangelog]]: given two
+    * keyed snapshots of the same entity set, emit the changelog that turns
+    * `oldSnap` into `newSnap` (`op` = I/U/D; unchanged keys are dropped).
+    * The incremental-export / reverse-ETL primitive: a warehouse that can
+    * only produce full snapshots still needs deltas to feed downstream
+    * systems, and diffing two snapshots is how those deltas are recovered.
+    *
+    * Output: key columns, `op`, then `old_<attr>` / `new_<attr>` per attr
+    * (null on the absent side of an insert/delete). Attribute comparison is
+    * null-safe, so a null→value transition is a genuine update.
+    *
+    * Scale shape: ONE full-outer sort-merge/hash join keyed by the snapshot
+    * key — both sides shuffle once on the same key, nothing else moves.
+    * Unchanged keys (the overwhelming majority of a day-over-day diff) are
+    * filtered scan-side post-join, so the output is delta-sized, and the
+    * filter is a codegen'd null-safe struct compare, not a UDF. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(keyCols.map(col) ++
+      attrCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__in_old"): _*)
+    val n = newSnap.select(keyCols.map(col) ++
+      attrCols.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__in_new"): _*)
+    val changed = attrCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, lit("I"))
+          .when(col("__in_new").isNull, lit("D"))
+          .otherwise(lit("U")))
+      .filter(col("op") =!= "U" || changed)
+      .select(keyCols.map(col) ++ (col("op") +:
+        attrCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c")))): _*)
+  }
+
   /** STREAMING latest-wins state: per key, hold only (best seq vector,
     * payload) — O(1) state per key regardless of how many changes arrive —
     * and emit the final surviving row once the key goes inactive past the

@@ -90,6 +90,57 @@ object Graph {
     throw new IllegalStateException(s"k-core did not converge in $maxRounds rounds")
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, Phys. Rev. E 76)
+    * over an undirected edge frame — near-linear-time community detection,
+    * the coarse-community signal between connected components (too coarse)
+    * and k-core / triangles (local density only). Every node starts
+    * labeled with its own id; each round, every node adopts the label
+    * carried by the plurality of its neighbors. Ties resolve
+    * DETERMINISTICALLY to the smallest label among the maximal-count
+    * candidates (classic LPA breaks ties randomly, which would make
+    * results partition-dependent; with min-label ties this is a pure
+    * function of the graph and the round count).
+    *
+    * Runs a FIXED `rounds` of synchronous updates (asynchronous LPA is
+    * inherently order-dependent and unreproducible distributed). Returns
+    * `(id, label)` per node.
+    *
+    * Scale shape: per round ONE hash join of the symmetric edge list
+    * against the node-sized label frame plus two partial-agg'd aggregates
+    * ((u, label) counts, then per-u argmax) — the shuffle carries at most
+    * the edge list, and the label frame stays |V|-sized. The symmetric
+    * edge frame is localCheckpoint'ed once (reused every round) and each
+    * round's labels are checkpointed to truncate lineage — the
+    * [[kCore]] Pregel-loop shape; swap for reliable checkpoint(dir) where
+    * executor loss must be survivable. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val sym = und.select(col("lo").as("u"), col("hi").as("v"))
+      .union(und.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var r = 0
+    while (r < rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        // struct max on (count, −label): plurality label, ties to SMALLEST
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("mx"))
+        .select(col("u").as("id"), (-col("mx.nl")).as("label"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels
+  }
+
   /** Per-node triangle participation counts over `edges(aCol, bCol)`
     * (direction and duplicates ignored, self-loops dropped). Returns
     * `(id, n_triangles)` for every node with ≥1 triangle. */

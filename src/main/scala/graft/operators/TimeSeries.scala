@@ -123,6 +123,45 @@ object TimeSeries {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** One-sided integer CUSUM change-point statistic per key (Page 1954):
+    * `s₀ = max(0, x₀ − drift)`, `sᵢ = max(0, sᵢ₋₁ + xᵢ − drift)` — the
+    * classic upward-shift detector: the statistic accumulates excess over
+    * the `drift` allowance and resets at zero, so a sustained level shift
+    * grows `s` linearly while in-control noise keeps it pinned near zero.
+    * Pure integer arithmetic — bit-deterministic across engines and
+    * partitionings where a float CUSUM is not.
+    *
+    * The reset (`max(0, ·)`) makes the recurrence non-linear, so no
+    * built-in window expresses it — same genuine ordered-scan tier as
+    * [[ewmaInt]]: repartition by key, sort within partitions, one linear
+    * pass with O(1) state per key; keys are shared-nothing, nothing is
+    * collected. Input columns (`keyCol`: long, `tsCol`: long, `valueCol`:
+    * long) with (key, ts) unique; output appends `cusum`. */
+  def cusumInt(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      drift: Long): DataFrame = {
+    val inSchema = df.select(col(keyCol), col(tsCol), col(valueCol)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "cusum", org.apache.spark.sql.types.LongType, nullable = false))
+    df.select(col(keyCol), col(tsCol), col(valueCol))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .mapPartitions { rows =>
+        var curKey = 0L
+        var haveKey = false
+        var s = 0L
+        rows.map { r =>
+          val key = r.getLong(0)
+          val x = r.getLong(2)
+          if (!haveKey || key != curKey) { curKey = key; haveKey = true; s = 0L }
+          s = math.max(0L, s + x - drift)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](key, r.getLong(1), x, s), outSchema)
+            : org.apache.spark.sql.Row
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** STREAMING form of [[ewmaInt]]: per-key buffered `(ts, value)` samples,
     * finalized by replaying the exact batch recurrence (sorted by `tusCol`)
     * when the key goes inactive — event-time timeout `gapMs` past the

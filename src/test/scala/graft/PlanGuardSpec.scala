@@ -30,6 +30,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_negative_sample", // corpus-size scalar
     "q_rolling_dau", // global max(day) bound
     "q_temperature_sample", // (Σn, Σsqrt-milli) 1-row totals attach
+    "q_equidepth_histogram", // 1-row global n + 1-row 9-edge array attach
     // algorithm-constant broadcast side:
     "q_semantic_dedup", // k-centroid frame (SemDeDup Lloyd assignment)
     "q_fuzzy_join" // PassJoin short-string brute subset (len < k + maxDist)

@@ -96,4 +96,30 @@ class IntervalsCdcSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(res.toSeq == Seq((1L, 3000L, """{"v":"c"}""")))
   }
+  test("snapshotDiff emits I/U/D with null-safe attr compare, drops unchanged") {
+    val old = Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)
+    ).toDF("k", "t", "v")
+    val neu = Seq(
+      (1L, "a", 10L),           // unchanged -> dropped
+      (2L, "B", 20L),           // attr change -> U
+      (4L, "d", 41L),           // value change -> U
+      (5L, "e", 50L)            // new key -> I; key 3 missing -> D
+    ).toDF("k", "t", "v")
+    for (parts <- Seq(1, 5)) {
+      val out = CdcMerge.snapshotDiff(old.repartition(parts),
+          neu.repartition(parts), Seq("k"), Seq("t", "v"))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(out.toSeq == Seq((2L, "U"), (3L, "D"), (4L, "U"), (5L, "I")),
+        s"parts=$parts")
+    }
+    // null -> value is a genuine update (null-safe compare)
+    val o2 = Seq((1L, Option.empty[String], 1L)).toDF("k", "t", "v")
+    val n2 = Seq((1L, Option("x"), 1L)).toDF("k", "t", "v")
+    val u = CdcMerge.snapshotDiff(o2, n2, Seq("k"), Seq("t", "v")).collect()
+    assert(u.length == 1 && u.head.getString(1) == "U")
+    assert(u.head.getAs[String]("old_t") == null)
+    assert(u.head.getAs[String]("new_t") == "x")
+  }
 }

@@ -212,4 +212,44 @@ class TimeSeriesGraphSpec extends SparkSpec {
       .toSeq.sorted
     assert(got === batch)
   }
+  test("cusumInt matches hand-computed statistic and an in-memory replay") {
+    // drift 5; key 1: [3,10,2,9] -> [0,5,2,6]; key 2: [7] -> [2]
+    val df = Seq((1L, 1L, 3L), (1L, 2L, 10L), (1L, 3L, 2L), (1L, 4L, 9L),
+      (2L, 1L, 7L)).toDF("k", "t", "v")
+    val out = TimeSeries.cusumInt(df, "k", "t", "v", drift = 5L)
+      .orderBy("k", "t").collect().map(_.getLong(3))
+    assert(out.toSeq == Seq(0L, 5L, 2L, 6L, 2L))
+
+    // randomized parity vs a sequential in-memory replay, any partitioning
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map(i =>
+      (rnd.nextInt(7).toLong, i.toLong, rnd.nextInt(2000).toLong - 400L))
+    val drift = 300L
+    val model = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var s = 0L
+      rs.sortBy(_._2).map { case (_, t, v) =>
+        s = math.max(0L, s + v - drift); (k, t, s) }
+    }.toSeq.sorted
+    for (parts <- Seq(1, 13)) {
+      val got = TimeSeries.cusumInt(
+          rows.toDF("k", "t", "v").repartition(parts), "k", "t", "v", drift)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .toSeq.sorted
+      assert(got == model, s"parts=$parts")
+    }
+  }
+
+  test("labelPropagation: two triangles over a bridge settle into two communities") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; 3 sync min-label rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // deterministic under repartitioning and edge direction/duplication
+    val noisy = edges.union(Seq((2L, 1L), (4L, 3L)).toDF("a", "b")).repartition(9)
+    val got2 = Graph.labelPropagation(noisy, "a", "b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == got)
+  }
 }
