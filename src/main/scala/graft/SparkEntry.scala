@@ -3279,6 +3279,32 @@ object SparkEntry {
           col("ps"))
         .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
       graft.operators.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+    },
+
+    // Theta-sketch set algebra (4th mergeable-sketch family): audience
+    // overlap of clickers vs purchasers — |A|, |B|, |A∩B|, |A∪B|, |A\B|
+    // from TWO sketches built in ONE scan pass (null-skipping conditional
+    // update), no distinct self-joins. HLL can union but not intersect or
+    // difference; Theta's retained-hash samples can. Exact-regime
+    // contract: 150 users ≪ nominalEntries 4096, so every estimate —
+    // through the whole set-op chain — is exact and hash-checked.
+    "q_theta_setops" -> { (s, dir) =>
+      import graft.exprs.ThetaSketch
+      Tables.events(s, dir)
+        .agg(
+          ThetaSketch.sketchAgg(
+            when(col("event_type") === "click", col("user_id")), 4096).as("sk_a"),
+          ThetaSketch.sketchAgg(
+            when(col("event_type") === "purchase", col("user_id")), 4096).as("sk_b"))
+        .select(
+          ThetaSketch.estimate(col("sk_a")).as("n_click"),
+          ThetaSketch.estimate(col("sk_b")).as("n_purchase"),
+          ThetaSketch.estimate(ThetaSketch.intersect(col("sk_a"), col("sk_b")))
+            .as("n_both"),
+          ThetaSketch.estimate(ThetaSketch.union(col("sk_a"), col("sk_b")))
+            .as("n_either"),
+          ThetaSketch.estimate(ThetaSketch.aNotB(col("sk_a"), col("sk_b")))
+            .as("n_click_only"))
     }
   )
 
@@ -5575,6 +5601,21 @@ object SparkEntry {
          |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym),
          |$rounds
          |SELECT id, label FROM l3""".stripMargin
-    }
+    },
+    // Exact set-algebra truth: distinct ≪ nominalEntries keeps the Theta
+    // chain out of estimation mode, so counts hash-match exactly.
+    "q_theta_setops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c JOIN p USING (user_id))
+        |    AS n_both,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_either,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c ANTI JOIN p USING (user_id))
+        |    AS n_click_only""".stripMargin
   )
 }
