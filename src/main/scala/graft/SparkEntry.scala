@@ -3305,6 +3305,80 @@ object SparkEntry {
             .as("n_either"),
           ThetaSketch.estimate(ThetaSketch.aNotB(col("sk_a"), col("sk_b")))
             .as("n_click_only"))
+    },
+
+    // Bigram-LM pseudo-perplexity quality filter (the CCNet / Wenzek 2020
+    // shape: score a crawl against an LM trained on a reference corpus
+    // and keep low-perplexity docs). LM = conditional bigram table
+    // trained on the even-doc_id half; every doc then pays
+    // Σ cost(w1→w2) / n_transitions in MILLI-BITS, where cost =
+    // 21 − ⌊log₂ p_micro⌋ via length(bin(x)) — integer bit-length, no
+    // float log — and unseen transitions pay the 21-bit smoothing
+    // penalty. Scale shape: pair explode is scan-local; the (w1,w2)
+    // lookup join is partial-agg'd on the build side; one doc-keyed
+    // aggregate finishes. Everything integer → bit-deterministic.
+    "q_lm_score" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      val t = TextFunctions.tokens(col("text"))
+      val pairs = when(size(t) < 2, array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("w1",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("w2",
+                org.apache.spark.sql.types.StringType))))))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      val trans = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val lm = trans.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val tot = lm.groupBy(col("w1")).agg(sum(col("n")).as("w1_n"))
+      val lmp = lm.join(tot, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          expr("greatest(n * 1000000 div w1_n, 1L)").as("p_micro"))
+      trans.join(lmp, Seq("w1", "w2"), "left")
+        .select(col("doc_id"),
+          when(col("p_micro").isNull, lit(21L))
+            .otherwise(lit(21L) - length(bin(col("p_micro"))).cast("long"))
+            .as("cost"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trans"),
+          expr("CAST(sum(cost) * 1000 div count(1) AS BIGINT)").as("bits_milli"))
+        .withColumn("keep", col("bits_milli") < 15000L)
+    },
+
+    // Distributed power iteration: the corpus embedding matrix's top
+    // principal direction WITHOUT materializing the d×d covariance —
+    // v ← Σ_rows x·(xᵀv) is one broadcast of the 64-long direction
+    // vector + one partial-agg'd per-dim aggregate per iteration (the
+    // matrix never shuffles; 16-byte-per-dim partials do). Fixed-point
+    // integer arithmetic with truncating renormalization to max-abs
+    // 10⁴ per iteration — bit-deterministic under any partitioning
+    // (float dot-product sums are not); bounds: |contrib| ≤ 5300·(64·
+    // 5300·10⁴/2¹³) ≈ 2.2e9 per row, safe past 10⁹ rows in int64.
+    "q_power_iteration" -> { (s, dir) =>
+      val x = Tables.embeddings(s, dir).select(
+        expr("transform(embedding, e -> CAST(CAST(e AS DOUBLE) * 10000 AS BIGINT))")
+          .as("xi"))
+      def iterate(v: DataFrame): DataFrame =
+        x.crossJoin(v)
+          .select(col("xi"),
+            expr("aggregate(zip_with(xi, v, (a, b) -> a * b), 0L, " +
+              "(acc, y) -> acc + y) div 8192").as("d2"))
+          .select(posexplode(expr("transform(xi, a -> a * d2)"))
+            .as(Seq("pos", "c")))
+          .groupBy(col("pos")).agg(sum(col("c")).as("w"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)")
+            .as("warr"))
+          .select(expr("transform(warr, x -> x * 10000 div " +
+            "array_max(transform(warr, y -> abs(y))))").as("v"))
+      val v0 = s.range(1)
+        .select(expr("transform(sequence(1, 64), i -> 10000L)").as("v"))
+      iterate(iterate(v0))
+        .select(posexplode(col("v")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"), col("v"))
     }
   )
 
@@ -5616,6 +5690,57 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM
         |    (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_either,
         |  (SELECT CAST(count(*) AS BIGINT) FROM c ANTI JOIN p USING (user_id))
-        |    AS n_click_only""".stripMargin
+        |    AS n_click_only""".stripMargin,
+    // Same tokenization as q_word_bigram; LM from the even-doc_id half;
+    // cost = 21 − bit_length(p_micro) with the 21-bit unseen penalty.
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |b AS (
+        |  SELECT doc_id, u.w1, u.w2 FROM toks,
+        |    unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))])
+        |      AS s(u)
+        |  WHERE len(t) >= 2),
+        |lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        |  FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |tot AS (SELECT w1, CAST(sum(n) AS BIGINT) AS w1_n FROM lm GROUP BY 1),
+        |p AS (SELECT lm.w1, lm.w2,
+        |    greatest(n * 1000000 // w1_n, 1) AS p_micro
+        |  FROM lm JOIN tot USING (w1)),
+        |sc AS (SELECT b.doc_id,
+        |    CASE WHEN p.p_micro IS NULL THEN 21
+        |         ELSE 21 - length(bin(p.p_micro)) END AS cost
+        |  FROM b LEFT JOIN p ON b.w1 = p.w1 AND b.w2 = p.w2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |  CAST(sum(cost) * 1000 // count(*) AS BIGINT) AS bits_milli,
+        |  (sum(cost) * 1000 // count(*)) < 15000 AS keep
+        |FROM sc GROUP BY 1""".stripMargin,
+    // Two unrolled power-iteration rounds in exact integer arithmetic;
+    // trunc-toward-zero CAST/`//` matches Spark CAST/`div`.
+    "q_power_iteration" ->
+      """WITH x AS (SELECT
+        |    [CAST(trunc(CAST(e AS DOUBLE) * 10000) AS BIGINT)
+        |      for e in embedding] AS xi
+        |  FROM embeddings),
+        |d1 AS (SELECT xi,
+        |    list_sum([xi[i] * 10000 for i in range(1, len(xi) + 1)]) // 8192
+        |      AS d2 FROM x),
+        |e1 AS (SELECT
+        |    unnest([xi[i] * d2 for i in range(1, len(xi) + 1)]) AS cv,
+        |    unnest(range(len(xi))) AS pos FROM d1),
+        |w1 AS (SELECT pos, CAST(sum(cv) AS BIGINT) AS w FROM e1 GROUP BY pos),
+        |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        |v1 AS (SELECT list(w * 10000 // m ORDER BY pos) AS v FROM w1, m1),
+        |dd AS (SELECT x.xi,
+        |    list_sum([x.xi[i] * v1.v[i] for i in range(1, len(x.xi) + 1)])
+        |      // 8192 AS d2 FROM x, v1),
+        |e2 AS (SELECT
+        |    unnest([xi[i] * d2 for i in range(1, len(xi) + 1)]) AS cv,
+        |    unnest(range(len(xi))) AS pos FROM dd),
+        |w2 AS (SELECT pos, CAST(sum(cv) AS BIGINT) AS w FROM e2 GROUP BY pos),
+        |m2 AS (SELECT max(abs(w)) AS m FROM w2)
+        |SELECT CAST(pos AS BIGINT) AS dim, CAST(w * 10000 // m AS BIGINT) AS v
+        |FROM w2, m2""".stripMargin
   )
 }
