@@ -3379,6 +3379,40 @@ object SparkEntry {
       iterate(iterate(v0))
         .select(posexplode(col("v")).as(Seq("dim", "v")))
         .select(col("dim").cast("long").as("dim"), col("v"))
+    },
+
+    // Incremental view maintenance: yesterday's MATERIALIZED partial
+    // state (n, sum, min, max per key — the mergeable/algebraic forms;
+    // avg is NOT mergeable, which is exactly why the state stores (n,
+    // sum) and derives it) merged with today's delta partials by
+    // re-aggregation — the delta-refresh shape where only new data is
+    // scanned and the exchange carries |keys| partial rows, never
+    // history. Oracle = the full-scan truth: the merge must be lossless.
+    "q_incremental_agg" -> { (s, dir) =>
+      val e = eventsUsPrecision(s, dir).select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      def partials(f: DataFrame) = f.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val state = partials(e.filter(col("day") < 19743))  // materialized view
+      val delta = partials(e.filter(col("day") >= 19743)) // new arrivals only
+      state.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"))
+        .withColumn("avg_cents", expr("CAST(sum_cents div n AS BIGINT)"))
+    },
+
+    // Holt double-exponential smoothing (level + trend) per user — the
+    // one-step forecasting recurrence on the ewmaInt ordered-scan tier;
+    // two coupled carried states, bit-deterministic integers.
+    "q_holt" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("ts_ns div 1000").as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      operators.TimeSeries.holtInt(ev, "user_id", "tus", "cents", a = 3, c = 4)
     }
   )
 
@@ -5741,6 +5775,36 @@ object SparkEntry {
         |w2 AS (SELECT pos, CAST(sum(cv) AS BIGINT) AS w FROM e2 GROUP BY pos),
         |m2 AS (SELECT max(abs(w)) AS m FROM w2)
         |SELECT CAST(pos AS BIGINT) AS dim, CAST(w * 10000 // m AS BIGINT) AS v
-        |FROM w2, m2""".stripMargin
+        |FROM w2, m2""".stripMargin,
+    // Full-scan truth the state+delta merge must reproduce losslessly.
+    "q_incremental_agg" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+        |FROM e GROUP BY 1""".stripMargin,
+    // The coupled level/trend recurrence replayed as a recursive CTE;
+    // shifts a=3 (÷8), c=4 (÷16), truncating division on both engines.
+    "q_holt" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, tus, cents, rn,
+        |    cents AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.tus, e.cents, e.rn,
+        |    (r.level + r.trend) + (e.cents - r.level - r.trend) // 8,
+        |    r.trend + ((r.level + r.trend)
+        |      + (e.cents - r.level - r.trend) // 8
+        |      - r.level - r.trend) // 16
+        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, tus, cents, level, trend, level + trend AS forecast
+        |FROM r""".stripMargin
   )
 }

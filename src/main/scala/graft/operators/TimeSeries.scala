@@ -162,6 +162,59 @@ object TimeSeries {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Integer Holt double-exponential smoothing per key (Holt 1957): level
+    * AND trend state, the one-step forecasting recurrence —
+    * `s₀ = x₀, b₀ = 0`; then
+    * `sᵢ = sᵢ₋₁ + bᵢ₋₁ + (xᵢ − sᵢ₋₁ − bᵢ₋₁) / 2^a` and
+    * `bᵢ = bᵢ₋₁ + (sᵢ − sᵢ₋₁ − bᵢ₋₁) / 2^c` (truncating division), with
+    * the one-step-ahead forecast `sᵢ + bᵢ` emitted per row. [[ewmaInt]]
+    * tracks level only and lags any trending series by a constant; the
+    * trend term closes that lag — the standard next-step capacity /
+    * load-forecast shape.
+    *
+    * Same genuine ordered-scan tier as [[ewmaInt]] (two coupled carried
+    * states — no built-in window): repartition by key, in-partition sort,
+    * one linear pass, O(1) state, shared-nothing keys, bit-deterministic
+    * integers. Output appends `level`, `trend`, `forecast`. */
+  def holtInt(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      a: Int, c: Int): DataFrame = {
+    require(a >= 0 && a < 63 && c >= 0 && c < 63, s"shifts in [0,62]: $a, $c")
+    val da = 1L << a
+    val dc = 1L << c
+    val inSchema = df.select(col(keyCol), col(tsCol), col(valueCol)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("level",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("trend",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("forecast",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    df.select(col(keyCol), col(tsCol), col(valueCol))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .mapPartitions { rows =>
+        var curKey = 0L
+        var haveKey = false
+        var sL = 0L
+        var bT = 0L
+        rows.map { r =>
+          val key = r.getLong(0)
+          val x = r.getLong(2)
+          if (!haveKey || key != curKey) {
+            curKey = key; haveKey = true; sL = x; bT = 0L
+          } else {
+            val base = sL + bT
+            val sNew = base + (x - base) / da
+            bT = bT + (sNew - base) / dc
+            sL = sNew
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](key, r.getLong(1), x, sL, bT, sL + bT), outSchema)
+            : org.apache.spark.sql.Row
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** STREAMING form of [[ewmaInt]]: per-key buffered `(ts, value)` samples,
     * finalized by replaying the exact batch recurrence (sorted by `tusCol`)
     * when the key goes inactive — event-time timeout `gapMs` past the

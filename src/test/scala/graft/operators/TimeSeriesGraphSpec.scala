@@ -252,4 +252,38 @@ class TimeSeriesGraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got2 == got)
   }
+  test("holtInt matches hand-computed level/trend and an in-memory replay") {
+    // a=c=1 (both /2); x=[10,20,30] -> (s,b,f): (10,0,10),(15,2,17),(23,5,28)
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L)).toDF("k", "t", "v")
+    val out = TimeSeries.holtInt(df, "k", "t", "v", a = 1, c = 1)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((10L, 0L, 10L), (15L, 2L, 17L), (23L, 5L, 28L)))
+
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(3000).toLong - 500L))
+    val model = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var s = 0L; var b = 0L; var first = true
+      rs.sortBy(_._2).map { case (_, t, x) =>
+        if (first) { s = x; b = 0L; first = false }
+        else {
+          val base = s + b
+          val sN = base + (x - base) / 8
+          b = b + (sN - base) / 16
+          s = sN
+        }
+        (k, t, s, b, s + b)
+      }
+    }.toSeq.sorted
+    for (parts <- Seq(1, 11)) {
+      val got = TimeSeries.holtInt(
+          rows.toDF("k", "t", "v").repartition(parts), "k", "t", "v", 3, 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+        .toSeq.sorted
+      assert(got == model, s"parts=$parts")
+    }
+  }
 }
