@@ -79,6 +79,26 @@ object SparkEntry {
       |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
       |SELECT user_id, tus, cents, ewma FROM r""".stripMargin
 
+  /** Shared truth for the batch AND streaming CUSUM forms: the reset
+    * recurrence replayed as a recursive CTE (the ewmaOracle pattern);
+    * greatest() and integer arithmetic agree bit-for-bit. */
+  private val cusumOracle: String =
+    """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+      |      AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, tus, cents, rn,
+      |    greatest(0, cents - 30000) AS cusum
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.tus, e.cents, e.rn,
+      |    greatest(0, r.cusum + e.cents - 30000)
+      |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |SELECT user_id, tus, cents, cusum, cusum >= 200000 AS alarm
+      |FROM r""".stripMargin
+
   /** Shared truth for the batch AND streaming OHLC forms: open/close by
     * dual row_number windows, deterministic under ties via (tus, id). */
   private val ohlcOracle: String =
@@ -3413,6 +3433,113 @@ object SparkEntry {
         expr("ts_ns div 1000").as("tus"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       operators.TimeSeries.holtInt(ev, "user_id", "tus", "cents", a = 3, c = 4)
+    },
+
+    // STREAMING CUSUM — the cusumInt recurrence replayed by the shared
+    // buffer-then-finalize state core; burst result must equal the batch
+    // operator under any arrival order (SHARED oracle with q_cusum).
+    "q_cusum_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val maxTus = rows.map(_._2).max
+      val ms = MemoryStream[(Long, Long, Long)]
+      ms.addData(rows.toSeq)
+      ms.addData((-1L, maxTus + 30L * 86400000000L, 0L)) // watermark sentinel
+      val events = ms.toDF.toDF("user_id", "tus", "cents")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+          col("tus"), col("cents"))
+      val cus = operators.TimeSeries.cusumIntStreaming(
+        events, "user_id", "ts", "tus", "cents", drift = 30000L,
+        gapMs = 3600L * 1000, watermarkDelay = "0 seconds")
+      val qn = s"cusum_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = cus.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("tus"), col("cents"), col("cusum"),
+          (col("cusum") >= lit(200000L)).as("alarm"))
+    },
+
+    // A/B cohort comparison (Welch's t²): exact integer moments (n, Σx,
+    // Σx²) from ONE conditional-aggregation scan pass — the shuffle
+    // carries one 48-byte partial per cohort — then the statistic as
+    // SCALAR double arithmetic over those six integers. Scalar +,−,×,÷
+    // are IEEE correctly rounded and the expression tree is spelled
+    // identically in the oracle, so the result is bit-deterministic
+    // (only float SUMS over data are order-dependent; there are none).
+    // At ~10¹⁰ rows/cohort Σx² approaches int64 — shard into per-day
+    // cohort moments first (mergeable) or widen to decimal.
+    "q_ab_test" -> { (s, dir) =>
+      val m = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .agg(
+          count(when(col("event_type") === "click", lit(1))).as("n_a"),
+          sum(when(col("event_type") === "click", col("cents"))).as("s_a"),
+          sum(when(col("event_type") === "click",
+            col("cents") * col("cents"))).as("ss_a"),
+          count(when(col("event_type") === "view", lit(1))).as("n_b"),
+          sum(when(col("event_type") === "view", col("cents"))).as("s_b"),
+          sum(when(col("event_type") === "view",
+            col("cents") * col("cents"))).as("ss_b"))
+      m.select(col("n_a"), col("n_b"),
+          expr("CAST(s_a * 1000 div n_a AS BIGINT)").as("mean_a_milli"),
+          expr("CAST(s_b * 1000 div n_b AS BIGINT)").as("mean_b_milli"),
+          expr("CAST(floor(1000000 * (((CAST(s_a AS DOUBLE) / n_a - " +
+            "CAST(s_b AS DOUBLE) / n_b) * (CAST(s_a AS DOUBLE) / n_a - " +
+            "CAST(s_b AS DOUBLE) / n_b)) / (((CAST(ss_a AS DOUBLE) - " +
+            "CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1)) " +
+            "/ n_a + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * " +
+            "CAST(s_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b))) AS BIGINT)")
+            .as("t2_micro"))
+        .withColumn("significant", col("t2_micro") > 3841459L)
+    },
+
+    // Percent-of-parent hierarchical rollup (region → nation revenue
+    // shares): three BROADCAST dim joins onto the orders scan, one
+    // partial-agg'd (region, nation) aggregate, then the share windows
+    // run over the 25-row AGGREGATE — never base data. Integer milli.
+    "q_share_hierarchy" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("cents")).as("cents"))
+      rev.withColumn("share_of_region_milli",
+          expr("CAST(cents * 1000 div sum(cents) OVER " +
+            "(PARTITION BY r_name) AS BIGINT)"))
+        .withColumn("share_of_total_milli",
+          expr("CAST(cents * 1000 div sum(cents) OVER () AS BIGINT)"))
     }
   )
 
@@ -5673,22 +5800,9 @@ object SparkEntry {
         |FROM p""".stripMargin,
     // The CUSUM recurrence replayed as a recursive CTE (the ewmaOracle
     // pattern); greatest() and integer arithmetic agree bit-for-bit.
-    "q_cusum" ->
-      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
-        |    CAST(round(value * 100) AS BIGINT) AS cents,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
-        |      AS rn
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, tus, cents, rn,
-        |    greatest(0, cents - 30000) AS cusum
-        |  FROM e WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.tus, e.cents, e.rn,
-        |    greatest(0, r.cusum + e.cents - 30000)
-        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-        |SELECT user_id, tus, cents, cusum, cusum >= 200000 AS alarm
-        |FROM r""".stripMargin,
+    "q_cusum" -> cusumOracle,
+    // Batch and stream must replay the identical recurrence.
+    "q_cusum_stream" -> cusumOracle,
     // 3 synchronous LPA rounds unrolled over the q_kcore edge CTE;
     // plurality-then-min-label via the (c DESC, label) row_number rule.
     "q_label_prop" -> {
@@ -5805,6 +5919,55 @@ object SparkEntry {
         |      - r.level - r.trend) // 16
         |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
         |SELECT user_id, tus, cents, level, trend, level + trend AS forecast
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // Identical expression tree over the same six exact integer moments;
+    // scalar double ops are IEEE-deterministic on both engines.
+    "q_ab_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(cents) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |      AS s_a,
+        |    CAST(sum(cents * cents) FILTER (WHERE event_type = 'click')
+        |      AS BIGINT) AS ss_a,
+        |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(cents) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |      AS s_b,
+        |    CAST(sum(cents * cents) FILTER (WHERE event_type = 'view')
+        |      AS BIGINT) AS ss_b
+        |  FROM e),
+        |t AS (SELECT n_a, n_b,
+        |    CAST(s_a * 1000 // n_a AS BIGINT) AS mean_a_milli,
+        |    CAST(s_b * 1000 // n_b AS BIGINT) AS mean_b_milli,
+        |    CAST(floor(1000000 * (((CAST(s_a AS DOUBLE) / n_a -
+        |      CAST(s_b AS DOUBLE) / n_b) * (CAST(s_a AS DOUBLE) / n_a -
+        |      CAST(s_b AS DOUBLE) / n_b)) / (((CAST(ss_a AS DOUBLE) -
+        |      CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1))
+        |      / n_a + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) *
+        |      CAST(s_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b))) AS BIGINT)
+        |      AS t2_micro
+        |  FROM m)
+        |SELECT n_a, n_b, mean_a_milli, mean_b_milli, t2_micro,
+        |  t2_micro > 3841459 AS significant
+        |FROM t""".stripMargin,
+    // Shares computed over the 25-row aggregate; // ≡ div on BIGINT.
+    "q_share_hierarchy" ->
+      """WITH rev AS (SELECT r.r_name, n.n_name,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, cents,
+        |  CAST(cents * 1000 // CAST(sum(cents) OVER (PARTITION BY r_name)
+        |    AS BIGINT) AS BIGINT) AS share_of_region_milli,
+        |  CAST(cents * 1000 // CAST(sum(cents) OVER () AS BIGINT)
+        |    AS BIGINT) AS share_of_total_milli
+        |FROM rev""".stripMargin
   )
 }

@@ -238,6 +238,35 @@ object TimeSeries {
                        watermarkDelay: String = "10 seconds"): DataFrame = {
     require(k >= 0 && k < 63, s"k must be in [0, 62]: $k")
     val div = 1L << k
+    replayStreaming(df, keyCol, tsCol, tusCol, valueCol, "ewma", gapMs,
+      watermarkDelay)(init = x => x, step = (s, x) => s + (x - s) / div)
+  }
+
+  /** STREAMING form of [[cusumInt]] — the same buffer-then-finalize shape
+    * as [[ewmaIntStreaming]] (per-key in-TTL sample buffer, exact batch
+    * recurrence replayed on event-time inactivity, arrival-order
+    * independent); shares the batch operator's oracle. */
+  def cusumIntStreaming(df: DataFrame, keyCol: String, tsCol: String,
+                        tusCol: String, valueCol: String, drift: Long,
+                        gapMs: Long,
+                        watermarkDelay: String = "10 seconds"): DataFrame =
+    replayStreaming(df, keyCol, tsCol, tusCol, valueCol, "cusum", gapMs,
+      watermarkDelay)(init = x => math.max(0L, x - drift),
+      step = (s, x) => math.max(0L, s + x - drift))
+
+  /** Shared buffer-then-finalize core for single-long-state recurrences
+    * ([[ewmaIntStreaming]], [[cusumIntStreaming]]): per-key buffered
+    * `(tus, value)` samples, finalized by replaying
+    * `init`/`step` over the buffer sorted by `tusCol` when the key goes
+    * inactive `gapMs` past its latest sample. Timers only decide WHEN to
+    * finalize — the replay order comes from the buffered micros payload,
+    * never from arrival, so burst results match the batch operator under
+    * ANY arrival order. State per key is the in-TTL sample buffer
+    * (bounded by inactivity gap × event rate); keys are shared-nothing. */
+  private def replayStreaming(df: DataFrame, keyCol: String, tsCol: String,
+      tusCol: String, valueCol: String, outName: String, gapMs: Long,
+      watermarkDelay: String)(
+      init: Long => Long, step: (Long, Long) => Long): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -246,7 +275,7 @@ object TimeSeries {
       StructField(keyCol, LongType, nullable = true),
       StructField(tusCol, LongType, nullable = true),
       StructField(valueCol, LongType, nullable = true),
-      StructField("ewma", LongType, nullable = false)))
+      StructField(outName, LongType, nullable = false)))
     // State = parallel (ts, value) seqs — same product-encoded shape as
     // Funnel.firstTouchStreaming's buffer.
     implicit val stateEnc: org.apache.spark.sql.Encoder[(Seq[Long], Seq[Long])] =
@@ -268,7 +297,7 @@ object TimeSeries {
             var s = 0L
             var first = true
             buf.iterator.map { case (tus, x) =>
-              if (first) { s = x; first = false } else s = s + (x - s) / div
+              if (first) { s = init(x); first = false } else s = step(s, x)
               new GenericRowWithSchema(
                 Array[Any](key, tus, x, s), outSchema): Row
             }

@@ -286,4 +286,31 @@ class TimeSeriesGraphSpec extends SparkSpec {
       assert(got == model, s"parts=$parts")
     }
   }
+  test("cusumIntStreaming finalizes to the batch recurrence under scrambled arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val rows = rnd.shuffle((0 until 200).map(i =>
+      ((i % 4).toLong, 1000000L + i.toLong * 1000L, rnd.nextInt(900).toLong)))
+    val batch = TimeSeries.cusumInt(rows.toDF("k", "tus", "v"), "k", "tus", "v",
+        drift = 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq.sorted
+    val ms = MemoryStream[(Long, Long, Long)]
+    ms.addData(rows)
+    val maxTus = rows.map(_._2).max
+    ms.addData((-1L, maxTus + 10L * 86400000000L, 0L)) // watermark sentinel
+    val df = ms.toDF.toDF("k", "tus", "v")
+      .select(col("k"), timestamp_micros(col("tus")).as("ts"), col("tus"), col("v"))
+    val out = TimeSeries.cusumIntStreaming(df, "k", "ts", "tus", "v",
+      drift = 400L, gapMs = 1000L, watermarkDelay = "0 seconds")
+    val qn = s"cusum_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table(qn).filter(col("k") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === batch)
+  }
 }
