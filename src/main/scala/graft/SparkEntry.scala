@@ -3540,6 +3540,23 @@ object SparkEntry {
             "(PARTITION BY r_name) AS BIGINT)"))
         .withColumn("share_of_total_milli",
           expr("CAST(cents * 1000 div sum(cents) OVER () AS BIGINT)"))
+    },
+
+    // Entity resolution end-to-end: blocked fuzzy match (PassJoin
+    // pigeonhole segments — LOSSLESS, no candidate missed) → transitive
+    // closure (large-star/small-star CC with the bounded union-find fast
+    // path) → per-entity canonical rollup. The operators-compose story:
+    // match edges are delta-sized, the cluster map is bounded by matched
+    // records, and the final rollup is one |entities|-keyed aggregate.
+    "q_entity_resolution" -> { (s, dir) =>
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+      val pairs = graft.operators.FuzzyJoin.selfJoin(
+        recs, "doc_id", "prefix", maxDist = 2)
+      graft.data.Clustering.assignClusters(recs, "doc_id",
+          pairs.select(col("a_id").as("id_a"), col("b_id").as("id_b")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
     }
   )
 
@@ -5968,6 +5985,27 @@ object SparkEntry {
         |    AS BIGINT) AS BIGINT) AS share_of_region_milli,
         |  CAST(cents * 1000 // CAST(sum(cents) OVER () AS BIGINT)
         |    AS BIGINT) AS share_of_total_milli
-        |FROM rev""".stripMargin
+        |FROM rev""".stripMargin,
+    // Exhaustive levenshtein pairs (a blocking miss turns the row red) →
+    // recursive-CTE closure → per-entity rollup.
+    "q_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id AS id, substring(text, 1, 30) AS t FROM documents),
+        |pr AS (SELECT a.id AS ia, b.id AS ib
+        |  FROM p a JOIN p b ON a.id < b.id
+        |  WHERE abs(length(a.t) - length(b.t)) <= 2
+        |    AND levenshtein(a.t, b.t) <= 2),
+        |e AS (SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr),
+        |reach(n, r) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u
+        |    WHERE e.v <> reach.n),
+        |comp AS (SELECT n, least(n, min(r)) AS cid FROM reach GROUP BY n),
+        |asg AS (SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  max(doc_id) AS max_member
+        |FROM asg GROUP BY 1""".stripMargin
   )
 }
