@@ -3557,6 +3557,87 @@ object SparkEntry {
           pairs.select(col("a_id").as("id_a"), col("b_id").as("id_b")))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+    },
+
+    // RFM customer segmentation: one user-keyed aggregate (recency /
+    // frequency / monetary), then exact discrete quintile bands via rank
+    // windows OVER THE AGGREGATE (|users| rows, never events), ties
+    // pinned by user_id so bands are a pure function of the data. Band
+    // arithmetic: quint(rank) = (rank−1)·5 div n + 1; best band scores 5.
+    "q_rfm" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val per = eventsUsPrecision(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(expr("ts_ns div 86400000000000")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary"))
+      val withRanks = per
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("r_rank", row_number().over(
+          Window.orderBy(col("last_day").desc, col("user_id"))))
+        .withColumn("f_rank", row_number().over(
+          Window.orderBy(col("frequency").desc, col("user_id"))))
+        .withColumn("m_rank", row_number().over(
+          Window.orderBy(col("monetary").desc, col("user_id"))))
+      withRanks.select(col("user_id"), col("last_day"), col("frequency"),
+          col("monetary"),
+          expr("6 - ((r_rank - 1) * 5 div nn + 1)").as("r_score"),
+          expr("6 - ((f_rank - 1) * 5 div nn + 1)").as("f_score"),
+          expr("6 - ((m_rank - 1) * 5 div nn + 1)").as("m_score"))
+        .withColumn("rfm_code",
+          expr("r_score * 100 + f_score * 10 + m_score"))
+    },
+
+    // Linear multi-touch attribution: each purchase's cents split equally
+    // across the user's view/click touches in the trailing 7 days (the
+    // whole purchase credited to UNATTRIBUTED when no touch precedes
+    // it). One user-keyed join with an in-key time predicate, touch
+    // counts as a window over the purchase partition (same exchange),
+    // final credit rollup is a ≤3-row aggregate. Integer milli-cents.
+    "q_attribution" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = eventsUsPrecision(s, dir)
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_ns").as("ptus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts_ns").as("ttus"),
+          col("event_type").as("touch_type"))
+      val j = purch.join(touches,
+        purch("user_id") === touches("user_id") &&
+          col("ttus") <= col("ptus") &&
+          col("ttus") > col("ptus") - lit(7L * 86400000000000L), "left")
+      val counted = j.withColumn("n_touch",
+        count(col("touch_type")).over(Window.partitionBy(col("purchase_id"))))
+      counted
+        .withColumn("bucket", coalesce(col("touch_type"), lit("UNATTRIBUTED")))
+        .withColumn("credit_milli",
+          expr("cents * 1000 div greatest(n_touch, 1)"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("credit_milli")).cast("long").as("credit_milli"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Cardinality-capped rollup (top-N + OTHER): the dashboard pattern
+    // that bounds result width no matter how many distinct keys exist.
+    // Ranks come from the per-(day,type) AGGREGATE (count-of-counts
+    // sized), the relabel is scan-local on that aggregate, and the final
+    // regroup is ≤ (N+1)·days rows. Ties pinned (n DESC, type).
+    "q_topn_other" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = eventsUsPrecision(s, dir)
+        .groupBy(expr("ts_ns div 86400000000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy(col("day"))
+            .orderBy(col("n").desc, col("event_type"))))
+        .withColumn("bucket",
+          when(col("rn") <= 2, col("event_type")).otherwise(lit("OTHER")))
+        .groupBy(col("day"), col("bucket"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("cents"))
     }
   )
 
@@ -6006,6 +6087,58 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id)
         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
         |  max(doc_id) AS max_member
-        |FROM asg GROUP BY 1""".stripMargin
+        |FROM asg GROUP BY 1""".stripMargin,
+    // Quintile bands over the per-user aggregate; ties pinned by user_id.
+    "q_rfm" ->
+      """WITH per AS (SELECT user_id,
+        |    max(epoch_us(ts) // 86400000000) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, count(*) OVER () AS nn,
+        |    row_number() OVER (ORDER BY last_day DESC, user_id) AS r_rank,
+        |    row_number() OVER (ORDER BY frequency DESC, user_id) AS f_rank,
+        |    row_number() OVER (ORDER BY monetary DESC, user_id) AS m_rank
+        |  FROM per)
+        |SELECT user_id, last_day, frequency, monetary,
+        |  CAST(6 - ((r_rank - 1) * 5 // nn + 1) AS BIGINT) AS r_score,
+        |  CAST(6 - ((f_rank - 1) * 5 // nn + 1) AS BIGINT) AS f_score,
+        |  CAST(6 - ((m_rank - 1) * 5 // nn + 1) AS BIGINT) AS m_score,
+        |  CAST((6 - ((r_rank - 1) * 5 // nn + 1)) * 100
+        |    + (6 - ((f_rank - 1) * 5 // nn + 1)) * 10
+        |    + (6 - ((m_rank - 1) * 5 // nn + 1)) AS BIGINT) AS rfm_code
+        |FROM r""".stripMargin,
+    // Trailing-7-day touch window, equal split, UNATTRIBUTED fallback.
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) * 1000 AS tns,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, tns AS ptus, cents
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, tns AS ttus, event_type AS touch_type
+        |  FROM e WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.purchase_id, p.cents, t.touch_type
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.ttus <= p.ptus AND t.ttus > p.ptus - 604800000000000),
+        |c AS (SELECT *, count(touch_type) OVER (PARTITION BY purchase_id)
+        |    AS n_touch FROM j)
+        |SELECT coalesce(touch_type, 'UNATTRIBUTED') AS bucket,
+        |  CAST(sum(cents * 1000 // greatest(n_touch, 1)) AS BIGINT)
+        |    AS credit_milli,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1""".stripMargin,
+    // Top-2-per-day relabel on the aggregate, ties (n DESC, type).
+    "q_topn_other" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY day
+        |    ORDER BY n DESC, event_type) AS rn FROM c)
+        |SELECT day, CASE WHEN rn <= 2 THEN event_type ELSE 'OTHER' END
+        |    AS bucket,
+        |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM r GROUP BY 1, 2""".stripMargin
   )
 }
