@@ -3638,6 +3638,40 @@ object SparkEntry {
         .groupBy(col("day"), col("bucket"))
         .agg(sum(col("n")).cast("long").as("n"),
           sum(col("cents")).cast("long").as("cents"))
+    },
+
+    // Decision-stump split scoring (CART Gini impurity): 9 candidate
+    // thresholds explode scan-locally and partial-agg to four exact
+    // integer counts each; the weighted impurity is then SCALAR IEEE
+    // double over those integers (the q_ab_test determinism argument —
+    // no float ever sums over data), with the argmin pinned by
+    // (impurity, threshold) via a window over the 9-row aggregate.
+    // The feature-engineering primitive behind "which cut of this metric
+    // separates converters" questions.
+    "q_gini_split" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = eventsUsPrecision(s, dir).select(
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (col("event_type") === "purchase").as("y"))
+      val cand = e.select(col("cents"), col("y"),
+        explode(expr("array(5000L, 10000L, 15000L, 20000L, 25000L, " +
+          "30000L, 35000L, 40000L, 45000L)")).as("thr"))
+      val agg = cand.groupBy(col("thr")).agg(
+        sum(when(col("cents") <= col("thr") && col("y"), 1L)
+          .otherwise(0L)).as("pl"),
+        sum(when(col("cents") <= col("thr") && !col("y"), 1L)
+          .otherwise(0L)).as("nl"),
+        sum(when(col("cents") > col("thr") && col("y"), 1L)
+          .otherwise(0L)).as("pr"),
+        sum(when(col("cents") > col("thr") && !col("y"), 1L)
+          .otherwise(0L)).as("nr"))
+      val scored = agg.withColumn("gini_micro",
+        expr("CAST(floor(1000000 * (((pl + nl) - (CAST(pl AS DOUBLE) * pl " +
+          "+ CAST(nl AS DOUBLE) * nl) / (pl + nl)) + ((pr + nr) - " +
+          "(CAST(pr AS DOUBLE) * pr + CAST(nr AS DOUBLE) * nr) / (pr + nr)))" +
+          " / (pl + nl + pr + nr)) AS BIGINT)"))
+      scored.withColumn("is_best",
+        row_number().over(Window.orderBy(col("gini_micro"), col("thr"))) === 1)
     }
   )
 
@@ -6139,6 +6173,32 @@ object SparkEntry {
         |SELECT day, CASE WHEN rn <= 2 THEN event_type ELSE 'OTHER' END
         |    AS bucket,
         |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
-        |FROM r GROUP BY 1, 2""".stripMargin
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    // Identical scalar-double impurity over the same exact counts.
+    "q_gini_split" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    event_type = 'purchase' AS y FROM events),
+        |cand AS (SELECT cents, y, unnest([5000, 10000, 15000, 20000,
+        |    25000, 30000, 35000, 40000, 45000]) AS thr FROM e),
+        |agg AS (SELECT CAST(thr AS BIGINT) AS thr,
+        |    CAST(sum(CASE WHEN cents <= thr AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pl,
+        |    CAST(sum(CASE WHEN cents <= thr AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nl,
+        |    CAST(sum(CASE WHEN cents > thr AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pr,
+        |    CAST(sum(CASE WHEN cents > thr AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nr
+        |  FROM cand GROUP BY 1),
+        |sc AS (SELECT *,
+        |    CAST(floor(1000000 * (((pl + nl) - (CAST(pl AS DOUBLE) * pl
+        |      + CAST(nl AS DOUBLE) * nl) / (pl + nl)) + ((pr + nr) -
+        |      (CAST(pr AS DOUBLE) * pr + CAST(nr AS DOUBLE) * nr)
+        |      / (pr + nr))) / (pl + nl + pr + nr)) AS BIGINT)
+        |      AS gini_micro
+        |  FROM agg)
+        |SELECT thr, pl, nl, pr, nr, gini_micro,
+        |  row_number() OVER (ORDER BY gini_micro, thr) = 1 AS is_best
+        |FROM sc""".stripMargin
   )
 }
