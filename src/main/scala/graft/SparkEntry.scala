@@ -3672,6 +3672,87 @@ object SparkEntry {
           " / (pl + nl + pr + nr)) AS BIGINT)"))
       scored.withColumn("is_best",
         row_number().over(Window.orderBy(col("gini_micro"), col("thr"))) === 1)
+    },
+
+    // SLO error-budget burn rate (the SRE fast-burn alert): per-hour
+    // error share against a 1% budget in integer micro/milli units —
+    // ONE partial-agg'd exchange keyed by hour, alert thresholds the
+    // Google SRE 14.4× fast-burn multiplier. The observability rollup
+    // that consumes the OTLP tier's flattened events.
+    "q_slo_burn" -> { (s, dir) =>
+      eventsUsPrecision(s, dir)
+        .groupBy(expr("ts_ns div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("event_type") === "error", lit(1))).as("n_err"))
+        .withColumn("err_rate_micro",
+          expr("n_err * 1000000 div n_total"))
+        .withColumn("burn_milli",
+          expr("err_rate_micro * 1000 div 10000")) // budget = 1% = 10000µ
+        .withColumn("fast_burn", col("burn_milli") > 14400L)
+    },
+
+    // NATIVE stream-stream interval join (Spark's built-in watermarked
+    // join, complementing the custom TemporalJoin operator): purchases
+    // attributed to the same user's clicks at most 1 h earlier. Both
+    // sides carry watermarks, so the state store evicts rows as event
+    // time advances — bounded state, the built-in mechanism the custom
+    // operator re-implements with different TTL semantics.
+    "q_stream_stream_join" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("tus"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4)))
+      val maxTus = rows.map(_._3).max
+      val ms = MemoryStream[(Long, Long, Long, String, Long)]
+      ms.addData(rows.toSeq)
+      ms.addData((-1L, -1L, maxTus + 30L * 86400000000L, "click", 0L))
+      val both = ms.toDF.toDF("user_id", "event_id", "tus", "event_type",
+        "cents")
+      val clicks = both.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          timestamp_micros(col("tus")).as("c_ts"), col("tus").as("c_tus"))
+        .withWatermark("c_ts", "0 seconds")
+      val purchases = both.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          timestamp_micros(col("tus")).as("p_ts"), col("tus").as("p_tus"),
+          col("cents"))
+        .withWatermark("p_ts", "0 seconds")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("purchase_id"), col("click_id"),
+          col("p_user").as("user_id"), col("p_tus"), col("c_tus"),
+          col("cents"))
+      val qn = s"ssj_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("user_id") =!= -1L)
     }
   )
 
@@ -6199,6 +6280,35 @@ object SparkEntry {
         |  FROM agg)
         |SELECT thr, pl, nl, pr, nr, gini_micro,
         |  row_number() OVER (ORDER BY gini_micro, thr) = 1 AS is_best
-        |FROM sc""".stripMargin
+        |FROM sc""".stripMargin,
+    // Integer burn-rate arithmetic; budget 1% = 10000 micro.
+    "q_slo_burn" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+        |      AS n_err
+        |  FROM events GROUP BY 1)
+        |SELECT hr, n_total, n_err,
+        |  CAST(n_err * 1000000 // n_total AS BIGINT) AS err_rate_micro,
+        |  CAST((n_err * 1000000 // n_total) * 1000 // 10000 AS BIGINT)
+        |    AS burn_milli,
+        |  ((n_err * 1000000 // n_total) * 1000 // 10000) > 14400
+        |    AS fast_burn
+        |FROM h""".stripMargin,
+    // The watermarked native join must reproduce the batch interval
+    // join exactly (inner join, 1 h lookback, micros domain).
+    "q_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS c_tus
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_tus, cents
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, c.click_id, p.user_id, p.p_tus, c.c_tus,
+        |  p.cents
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_tus <= p.p_tus
+        |  AND c.c_tus >= p.p_tus - 3600000000""".stripMargin
   )
 }
