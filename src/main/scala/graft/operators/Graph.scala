@@ -77,9 +77,14 @@ object Graph {
     var rounds = 0
     while (rounds < maxRounds) {
       val keep = degrees(cur).filter(col("deg") >= k).select(col("id"))
+      // keep is node-sized; the edge frame is checkpointed (no stats), so
+      // unhinted AQE plans BOTH per-round semi-joins as sort-merge joins
+      // of the full edge list — the label-propagation finding (measured
+      // 7.0 s → 4.1 s at sf0.1 from the two hints). Beyond tens of
+      // millions of surviving nodes, drop the hint for the keyed shuffle.
       val next = cur
-        .join(keep.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
-        .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("id", "lo")), Seq("lo"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("id", "hi")), Seq("hi"), "left_semi")
         .localCheckpoint()
       val m = next.count()
       if (m == nEdges) return degrees(next)
