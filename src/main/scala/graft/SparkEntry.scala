@@ -3779,6 +3779,55 @@ object SparkEntry {
         s.conf.set("spark.sql.shuffle.partitions", priorParts)
       }
       s.table(qn).filter(col("user_id") =!= -1L)
+    },
+
+    // NATIVE bounded-state streaming dedup (dropDuplicatesWithinWatermark
+    // — beside the custom DedupOp variants): per-(user, type, day) first
+    // arrival wins; the watermark bounds how long a key's fingerprint
+    // stays in the state store, which is what separates this from plain
+    // streaming dropDuplicates' unbounded state. Output is the KEY SET
+    // (arrival order can't affect it), so the batch DISTINCT is an exact
+    // oracle.
+    "q_dedup_native_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+          col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val maxTus = rows.map(_._2).max
+      val ms = MemoryStream[(Long, Long, String)]
+      ms.addData(rows.toSeq)
+      ms.addData((-1L, maxTus + 30L * 86400000000L, "__sentinel__"))
+      val events = ms.toDF.toDF("user_id", "tus", "event_type")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+          expr("tus div 86400000000").as("day"), col("event_type"))
+        .withWatermark("ts", "0 seconds")
+      val deduped = events
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .select(col("user_id"), col("event_type"), col("day"))
+      val qn = s"ddw_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = deduped.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("user_id") =!= -1L)
     }
   )
 
@@ -6335,6 +6384,11 @@ object SparkEntry {
         |  p.cents
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_tus <= p.p_tus
-        |  AND c.c_tus >= p.p_tus - 3600000000""".stripMargin
+        |  AND c.c_tus >= p.p_tus - 3600000000""".stripMargin,
+    // The key set the bounded-state streaming dedup must emit exactly.
+    "q_dedup_native_stream" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  epoch_us(ts) // 86400000000 AS day
+        |FROM events""".stripMargin
   )
 }
