@@ -3828,6 +3828,46 @@ object SparkEntry {
         s.conf.set("spark.sql.shuffle.partitions", priorParts)
       }
       s.table(qn).filter(col("user_id") =!= -1L)
+    },
+
+    // Session quality stats (bounce rate / entry-exit analysis): the
+    // product-analytics rollup OVER sessionization — 12 h gap sessions,
+    // entry/exit types via the ohlc dual-row_number rule (deterministic
+    // under ties by (tus, event_id)), bounce = single-event session.
+    // Every window partitions by user — ONE key exchange shared by all
+    // four window passes — and the final rollup runs on the per-session
+    // aggregate, never events.
+    "q_session_stats" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = eventsUsPrecision(s, dir).select(col("user_id"),
+        expr("ts_ns div 1000").as("tus"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val marked = e.withColumn("new_s",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) >= 43200000000L, 1)
+          .otherwise(0))
+      val sess = marked.withColumn("session_no",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ws = Window.partitionBy(col("user_id"), col("session_no"))
+      val ranked = sess
+        .withColumn("rn_a", row_number().over(
+          ws.orderBy(col("tus"), col("event_id"))))
+        .withColumn("rn_d", row_number().over(
+          ws.orderBy(col("tus").desc, col("event_id").desc)))
+      val g = ranked.groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("rn_a") === 1, col("event_type"))).as("entry_type"),
+          max(when(col("rn_d") === 1, col("event_type"))).as("exit_type"),
+          (max(col("tus")) - min(col("tus"))).as("duration_us"))
+      g.groupBy(col("entry_type"), col("exit_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          expr("CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000 " +
+            "div count(1) AS BIGINT)").as("bounce_milli"),
+          expr("CAST(sum(duration_us) div count(1) AS BIGINT)")
+            .as("avg_duration_us"),
+          expr("CAST(sum(n_events) div count(1) AS BIGINT)").as("avg_events"))
     }
   )
 
@@ -6389,6 +6429,39 @@ object SparkEntry {
     "q_dedup_native_stream" ->
       """SELECT DISTINCT user_id, event_type,
         |  epoch_us(ts) // 86400000000 AS day
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // sessionizeOracle's session construction + the ohlc dual-row_number
+    // entry/exit rule, rolled up per entry type.
+    "q_session_stats" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                 >= 43200000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM m),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, session_no
+        |      ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, session_no
+        |      ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM s),
+        |g AS (SELECT user_id, session_no, CAST(count(*) AS BIGINT)
+        |      AS n_events,
+        |    max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+        |    max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+        |    max(tus) - min(tus) AS duration_us
+        |  FROM r GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, CAST(count(*) AS BIGINT)
+        |    AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS bounce_milli,
+        |  CAST(sum(duration_us) // count(*) AS BIGINT) AS avg_duration_us,
+        |  CAST(sum(n_events) // count(*) AS BIGINT) AS avg_events
+        |FROM g GROUP BY 1, 2""".stripMargin
   )
 }
