@@ -3868,6 +3868,49 @@ object SparkEntry {
           expr("CAST(sum(duration_us) div count(1) AS BIGINT)")
             .as("avg_duration_us"),
           expr("CAST(sum(n_events) div count(1) AS BIGINT)").as("avg_events"))
+    },
+
+    // Z-order file-skipping effectiveness: the measurement that justifies
+    // the ZORDER primitive — simulate 250-row files under (a) insertion
+    // order and (b) z-order, compute per-file (min,max) column stats, and
+    // count how many files a 2-D box query must touch under each layout.
+    // The global row_number is the SIMULATION harness (assigning rows to
+    // hypothetical files), not a production shape — real writes get this
+    // ordering from sortWithinPartitions on the z key at write time.
+    "q_zorder_skipping" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.exprs.ZOrder
+      // both axes scaled onto 8 bits: Morton interleave only tiles the
+      // space when the axes carry comparable bit-widths — with raw day
+      // numbers (5 bits) under 8-bit user ids, the id's high bits
+      // dominate the order and files degenerate to id-slices.
+      // Two query shapes probe each layout: a TIME slice (y in [87,175],
+      // any id — the shape insertion order serves) and an ID slice
+      // (x in [40,80], any day — the shape that forces a time-ordered
+      // layout to touch EVERY file). Z-order's value is bounding the
+      // worst case across both. The global row_number is the SIMULATION
+      // harness (assigning rows to hypothetical 250-row files); real
+      // writes get the ordering from sortWithinPartitions on the z key.
+      val base = eventsUsPrecision(s, dir).select(
+        pmod(col("user_id"), lit(256)).cast("long").as("x"),
+        expr("(ts_ns div 86400000000000 - 19723) * 255 div 29").as("y"),
+        col("event_id"))
+        .withColumn("z", ZOrder.interleaveBits(col("x"), col("y")))
+      def simulate(name: String, ord: Column) = base
+        .withColumn("rk", row_number().over(Window.orderBy(ord, col("event_id"))))
+        .withColumn("file_id", expr("(rk - 1) div 250"))
+        .groupBy(col("file_id"))
+        .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("min_y") <= 175 && col("max_y") >= 87, 1L)
+            .otherwise(0L)).as("touched_time_box"),
+          sum(when(col("min_x") <= 80 && col("max_x") >= 40, 1L)
+            .otherwise(0L)).as("touched_id_box"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("touched_time_box"), col("touched_id_box"))
+      simulate("linear", col("event_id"))
+        .unionByName(simulate("zorder", col("z")))
     }
   )
 
@@ -6462,6 +6505,40 @@ object SparkEntry {
         |    // count(*) AS BIGINT) AS bounce_milli,
         |  CAST(sum(duration_us) // count(*) AS BIGINT) AS avg_duration_us,
         |  CAST(sum(n_events) // count(*) AS BIGINT) AS avg_events
-        |FROM g GROUP BY 1, 2""".stripMargin
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    // Same bit-spread as the q_zorder oracle; file simulation by global
+    // rank under each ordering; box-intersection skipping rule.
+    "q_zorder_skipping" ->
+      """WITH base AS (SELECT user_id % 256 AS x,
+        |    (epoch_us(ts) // 86400000000 - 19723) * 255 // 29 AS y,
+        |    event_id
+        |  FROM events),
+        |z AS (SELECT x, y, event_id, CAST(
+        |    list_sum([ ((x >> i) & 1) << (2*i) FOR i IN range(9) ]) +
+        |    list_sum([ ((y >> i) & 1) << (2*i + 1) FOR i IN range(9) ])
+        |    AS BIGINT) AS z
+        |  FROM base),
+        |lin AS (SELECT x, y, (row_number() OVER (ORDER BY event_id) - 1)
+        |    // 250 AS file_id FROM z),
+        |linf AS (SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+        |    min(y) AS min_y, max(y) AS max_y FROM lin GROUP BY 1),
+        |lint AS (SELECT 'linear' AS layout,
+        |    CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN min_y <= 175 AND max_y >= 87
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS touched_time_box,
+        |    CAST(sum(CASE WHEN min_x <= 80 AND max_x >= 40
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS touched_id_box FROM linf),
+        |zo AS (SELECT x, y, (row_number() OVER (ORDER BY z, event_id) - 1)
+        |    // 250 AS file_id FROM z),
+        |zof AS (SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+        |    min(y) AS min_y, max(y) AS max_y FROM zo GROUP BY 1),
+        |zot AS (SELECT 'zorder' AS layout,
+        |    CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN min_y <= 175 AND max_y >= 87
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS touched_time_box,
+        |    CAST(sum(CASE WHEN min_x <= 80 AND max_x >= 40
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS touched_id_box FROM zof)
+        |SELECT * FROM lint UNION ALL SELECT * FROM zot"""
+        .stripMargin
   )
 }
