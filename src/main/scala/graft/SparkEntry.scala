@@ -79,6 +79,27 @@ object SparkEntry {
       |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
       |SELECT user_id, tus, cents, ewma FROM r""".stripMargin
 
+  /** Shared Holt level/trend recursive-CTE replay (q_holt and the
+    * backtest row build their final SELECT on top of it). */
+  private val holtCte: String =
+    """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+      |      AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, tus, cents, rn,
+      |    cents AS level, CAST(0 AS BIGINT) AS trend
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.tus, e.cents, e.rn,
+      |    (r.level + r.trend) + (e.cents - r.level - r.trend) // 8,
+      |    r.trend + ((r.level + r.trend)
+      |      + (e.cents - r.level - r.trend) // 8
+      |      - r.level - r.trend) // 16
+      |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)"""
+      .stripMargin
+
   /** Shared truth for the batch AND streaming CUSUM forms: the reset
     * recurrence replayed as a recursive CTE (the ewmaOracle pattern);
     * greatest() and integer arithmetic agree bit-for-bit. */
@@ -3911,6 +3932,54 @@ object SparkEntry {
           col("touched_time_box"), col("touched_id_box"))
       simulate("linear", col("event_id"))
         .unionByName(simulate("zorder", col("z")))
+    },
+
+    // One-step forecast backtest: Holt's per-row forecast scored against
+    // the key's NEXT observation with naive carry-forward as baseline —
+    // the model-evaluation loop closed over the holtInt operator. The
+    // lead window reuses holtInt's user partitioning; MAE in exact
+    // integer cents.
+    "q_forecast_backtest" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("ts_ns div 1000").as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val h = operators.TimeSeries.holtInt(ev, "user_id", "tus", "cents",
+        a = 3, c = 4)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      h.withColumn("next_cents", lead(col("cents"), 1).over(w))
+        .filter(col("next_cents").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(abs(forecast - next_cents)) div count(1) " +
+            "AS BIGINT)").as("mae_holt"),
+          expr("CAST(sum(abs(cents - next_cents)) div count(1) " +
+            "AS BIGINT)").as("mae_naive"))
+        .withColumn("holt_wins", col("mae_holt") < col("mae_naive"))
+    },
+
+    // Recency-weighted sampling (training-data freshness bias): keep
+    // probability halves per week of age — weight_milli = 1000 >> weeks
+    // — decided by the same deterministic hash-Bernoulli draw as
+    // q_weighted_sample (scan-local; same survivors at any scale or
+    // partitioning). The 1-row global max-day attach rides a bounded
+    // broadcast (q_rolling_dau shape).
+    "q_recency_sample" -> { (s, dir) =>
+      import graft.data.Sampling
+      val e = eventsUsPrecision(s, dir).select(col("event_id"),
+        expr("ts_ns div 86400000000000").as("day"))
+      val mx = e.agg(max(col("day")).as("max_day"))
+      val w = e.crossJoin(mx)
+        .withColumn("age_weeks", expr("(max_day - day) div 7"))
+        .withColumn("weight_milli",
+          expr("CAST(1000 div shiftleft(1, CAST(least(age_weeks, 10) " +
+            "AS INT)) AS BIGINT)"))
+      val draw = Sampling.hashDraw(col("event_id"), "recency")
+      w.filter(col("weight_milli") >= 1000L ||
+          draw < lpad(lower(hex(
+            expr("(weight_milli * 4294967296) div 1000"))), 8, "0"))
+        .select(col("event_id"), col("day"), col("age_weeks"),
+          col("weight_milli"))
     }
   )
 
@@ -6272,25 +6341,27 @@ object SparkEntry {
         |FROM e GROUP BY 1""".stripMargin,
     // The coupled level/trend recurrence replayed as a recursive CTE;
     // shifts a=3 (÷8), c=4 (÷16), truncating division on both engines.
-    "q_holt" ->
-      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tus,
-        |    CAST(round(value * 100) AS BIGINT) AS cents,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
-        |      AS rn
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, tus, cents, rn,
-        |    cents AS level, CAST(0 AS BIGINT) AS trend
-        |  FROM e WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.tus, e.cents, e.rn,
-        |    (r.level + r.trend) + (e.cents - r.level - r.trend) // 8,
-        |    r.trend + ((r.level + r.trend)
-        |      + (e.cents - r.level - r.trend) // 8
-        |      - r.level - r.trend) // 16
-        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+    "q_holt" -> (holtCte +
+      """
         |SELECT user_id, tus, cents, level, trend, level + trend AS forecast
-        |FROM r""".stripMargin,
+        |FROM r""".stripMargin),
+    // One-step-ahead evaluation over the same recurrence: each row's
+    // forecast is scored against the key's NEXT observation, with the
+    // naive carry-forward forecast as the baseline.
+    "q_forecast_backtest" -> (holtCte +
+      """,
+        |n AS (SELECT *, level + trend AS forecast,
+        |    lead(cents) OVER (PARTITION BY user_id ORDER BY tus)
+        |      AS next_cents
+        |  FROM r)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(abs(forecast - next_cents)) // count(*) AS BIGINT)
+        |    AS mae_holt,
+        |  CAST(sum(abs(cents - next_cents)) // count(*) AS BIGINT)
+        |    AS mae_naive,
+        |  (sum(abs(forecast - next_cents)) // count(*))
+        |    < (sum(abs(cents - next_cents)) // count(*)) AS holt_wins
+        |FROM n WHERE next_cents IS NOT NULL GROUP BY 1""".stripMargin),
     // Identical expression tree over the same six exact integer moments;
     // scalar double ops are IEEE-deterministic on both engines.
     "q_ab_test" ->
@@ -6539,6 +6610,23 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN min_x <= 80 AND max_x >= 40
         |      THEN 1 ELSE 0 END) AS BIGINT) AS touched_id_box FROM zof)
         |SELECT * FROM lint UNION ALL SELECT * FROM zot"""
-        .stripMargin
+        .stripMargin,
+    // Same md5 draw / hex-threshold rule as q_weighted_sample; weight
+    // halves per week of age.
+    "q_recency_sample" ->
+      """WITH e AS (SELECT event_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM e),
+        |w AS (SELECT event_id, day,
+        |    (max_day - day) // 7 AS age_weeks,
+        |    CAST(1000 // (1 << least((max_day - day) // 7, 10)) AS BIGINT)
+        |      AS weight_milli,
+        |    substring(md5('recency' || CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS draw
+        |  FROM e, mx)
+        |SELECT event_id, day, age_weeks, weight_milli FROM w
+        |WHERE weight_milli >= 1000
+        |   OR draw < lpad(lower(hex((weight_milli * 4294967296) // 1000)),
+        |        8, '0')""".stripMargin
   )
 }

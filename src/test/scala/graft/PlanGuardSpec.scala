@@ -32,6 +32,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_temperature_sample", // (Σn, Σsqrt-milli) 1-row totals attach
     "q_equidepth_histogram", // 1-row global n + 1-row 9-edge array attach
     "q_power_iteration", // 1-row 64-long direction-vector attach (per iteration)
+    "q_recency_sample", // 1-row global max-day attach
     // algorithm-constant broadcast side:
     "q_semantic_dedup", // k-centroid frame (SemDeDup Lloyd assignment)
     "q_fuzzy_join" // PassJoin short-string brute subset (len < k + maxDist)
