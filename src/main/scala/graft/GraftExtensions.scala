@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect"),
       info("sorted_intersect", "sorted_intersect(array<long>, array<long>) - two-pointer intersection of ascending-sorted null-free arrays"),
       (children: Seq[Expression]) => SortedIntersect(children.head, children(1))))
+    // optimizer rule: `levenshtein(a, b) <= k` → the Ukkonen-banded
+    // threshold form (O(k·n) with early exit instead of the full O(n²)
+    // table) — see graft.plans.RewriteBandedLevenshtein
+    ext.injectOptimizerRule(_ => graft.plans.RewriteBandedLevenshtein)
   }
 }

@@ -35,4 +35,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prior.foreach(SparkSession.setDefaultSession)
     }
   }
+  test("levenshtein comparisons rewrite to the banded threshold form") {
+    SparkSpec.spark
+    val prior = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      // parquet-backed so the filter survives optimization (a local
+      // relation would be constant-folded away, hiding the rewrite)
+      val dir = java.nio.file.Files.createTempDirectory("lev").toString
+      Seq(("kitten", "sitten"), ("kitten", "sitting"),
+        ("abc", "abc"), ("abc", "xyzabc"), (null, "abc"))
+        .toDF("a", "b").write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).createOrReplaceTempView("lev_t")
+      val q = s.sql("SELECT a, b FROM lev_t WHERE levenshtein(a, b) <= 2")
+      // the optimized plan must carry the three-argument threshold form
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("levenshtein(a#") && opt.contains("Some(2)"), opt)
+      // and the rewrite is semantics-preserving (boundary, miss, null)
+      val got = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("kitten", "sitten"), ("abc", "abc")))
+      // reversed orientation and strict form rewrite too
+      val q2 = s.sql(
+        "SELECT count(*) FROM lev_t WHERE 3 > levenshtein(a, b)")
+      assert(q2.queryExecution.optimizedPlan.toString.contains("Some(2)"))
+      assert(q2.head.getLong(0) == 2L) // sitten (1) and abc (0)
+    } finally {
+      prior.foreach(SparkSession.setActiveSession)
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
