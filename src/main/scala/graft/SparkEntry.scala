@@ -3980,6 +3980,62 @@ object SparkEntry {
             expr("(weight_milli * 4294967296) div 1000"))), 8, "0"))
         .select(col("event_id"), col("day"), col("age_weeks"),
           col("weight_milli"))
+    },
+
+    // TPC-H Q3 (shipping priority), adapted to this schema: revenue in
+    // exact integer cent·pct units (cents × (100 − disc_pct)) so the
+    // top-10 is hash-stable where the float formulation is not; ties at
+    // the cut pinned by l_orderkey. Plan shape: both fact filters reach
+    // the scans, the BUILDING customer key set broadcasts (AQE), the
+    // lineitem⋈orders join shuffles on orderkey, and the top-10 is a
+    // TakeOrdered — no global sort materialization.
+    "q_tpch_q3" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))").as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).as("revenue_unit"))
+        .orderBy(col("revenue_unit").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 (local supplier volume): the 6-table join with the
+    // customer-and-supplier-same-nation constraint. nation and region
+    // broadcast explicitly (true dimensions); the year filter reaches
+    // the orders scan; everything else is declarative — AQE picks
+    // broadcast vs shuffle per side from runtime sizes.
+    "q_tpch_q5" -> { (s, dir) =>
+      val asia = broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100) AS BIGINT))").as("rev"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("long").as("revenue_unit"))
     }
   )
 
@@ -6627,6 +6683,35 @@ object SparkEntry {
         |SELECT event_id, day, age_weeks, weight_milli FROM w
         |WHERE weight_milli >= 1000
         |   OR draw < lpad(lower(hex((weight_milli * 4294967296) // 1000)),
-        |        8, '0')""".stripMargin
+        |        8, '0')""".stripMargin,
+    // Classic Q3 with integer cent·pct revenue; tie at the cut pinned.
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_unit,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_unit DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // Classic Q5 with the same-nation constraint.
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_unit
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin
   )
 }
