@@ -79,6 +79,18 @@ object SparkEntry {
       |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
       |SELECT user_id, tus, cents, ewma FROM r""".stripMargin
 
+  /** Shared truth for the operator-level AND Catalyst-native as-of joins. */
+  private val asofOracle: String =
+    """WITH l AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+      |           FROM events WHERE event_type = 'purchase'),
+      |     r AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+      |           FROM events WHERE event_type = 'view')
+      |SELECT l.event_id AS purchase_id, l.user_id AS user_id,
+      |       l.value AS purchase_value, l.ts_ns AS purchase_ts,
+      |       r.event_id AS view_id, r.value AS view_value
+      |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns
+      |WHERE l.ts_ns - r.ts_ns <= 86400000000000""".stripMargin
+
   /** Shared Holt level/trend recursive-CTE replay (q_holt and the
     * backtest row build their final SELECT on top of it). */
   private val holtCte: String =
@@ -4036,6 +4048,26 @@ object SparkEntry {
         .join(asia, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("rev")).cast("long").as("revenue_unit"))
+    },
+
+    // The Catalyst-NATIVE as-of join (graft.plans: logical node + planner
+    // strategy + physical exec that DECLARES its distribution/ordering
+    // requirements, so EnsureRequirements reuses upstream layouts instead
+    // of always paying a repartition+sort) — held to the SAME oracle as
+    // the operator-level q_asof_join.
+    "q_asof_native" -> { (s, dir) =>
+      val ev = eventsUsPrecision(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("value").as("purchase_value"), col("ts_ns").as("purchase_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("value").as("view_value"), col("ts_ns").as("view_ts"))
+      graft.plans.NativeAsOfJoin.join(purchases, views,
+          "user_id", "purchase_ts", "v_user", "view_ts",
+          86400L * 1000000000L)
+        .select(col("purchase_id"), col("user_id"), col("purchase_value"),
+          col("purchase_ts"), col("view_id"), col("view_value"))
     }
   )
 
@@ -5453,16 +5485,10 @@ object SparkEntry {
         |FROM kept JOIN e ON e.user_id = kept.user_id AND e.ts_ms = kept.ts_ms
         |QUALIFY row_number() OVER (
         |  PARTITION BY e.user_id, e.ts_ms ORDER BY e.event_id) = 1""".stripMargin,
-    "q_asof_join" ->
-      """WITH l AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
-        |           FROM events WHERE event_type = 'purchase'),
-        |     r AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
-        |           FROM events WHERE event_type = 'view')
-        |SELECT l.event_id AS purchase_id, l.user_id AS user_id,
-        |       l.value AS purchase_value, l.ts_ns AS purchase_ts,
-        |       r.event_id AS view_id, r.value AS view_value
-        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns
-        |WHERE l.ts_ns - r.ts_ns <= 86400000000000""".stripMargin,
+    "q_asof_join" -> asofOracle,
+    // The Catalyst-native exec must reproduce the operator-level as-of
+    // join exactly (shared truth).
+    "q_asof_native" -> asofOracle,
     "q_sink_typecast" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS TINYINT) AS k8,
