@@ -56,4 +56,43 @@ class BucketingSpec extends SparkSpec {
       if (warehouse.exists()) rm(warehouse)
     }
   }
+  test("NativeAsOfJoin on bucketed inputs plans no shuffle exchange") {
+    // the exec DECLARES ClusteredDistribution instead of repartitioning,
+    // so bucket-aligned scans satisfy it and EnsureRequirements inserts
+    // only the in-partition sorts — the claim that separates the
+    // Catalyst-native operator from the DataFrame-level sortMerge
+    try {
+      spark.range(2000)
+        .selectExpr("id % 40 AS k", "id * 13 % 5000 AS t", "id AS lid")
+        .write.bucketBy(8, "k").sortBy("k", "t")
+        .mode("overwrite").saveAsTable("b_asof_l")
+      spark.range(1500)
+        .selectExpr("id % 40 AS rk", "id * 17 % 5000 + 1 AS rt", "id AS rid")
+        .write.bucketBy(8, "rk").sortBy("rk", "rt")
+        .mode("overwrite").saveAsTable("b_asof_r")
+      val j = graft.plans.NativeAsOfJoin.join(
+        spark.table("b_asof_l"), spark.table("b_asof_r"),
+        "k", "t", "rk", "rt", 100000L)
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed as-of join should not shuffle:\n${j.queryExecution.executedPlan}")
+      // parity against the unbucketed plan (which does shuffle)
+      val direct = graft.plans.NativeAsOfJoin.join(
+        spark.range(2000).selectExpr("id % 40 AS k", "id * 13 % 5000 AS t",
+          "id AS lid"),
+        spark.range(1500).selectExpr("id % 40 AS rk",
+          "id * 17 % 5000 + 1 AS rt", "id AS rid"),
+        "k", "t", "rk", "rt", 100000L)
+      assert(j.selectExpr("lid", "rid").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSet ==
+        direct.selectExpr("lid", "rid").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_asof_l")
+      spark.sql("DROP TABLE IF EXISTS b_asof_r")
+      ()
+    }
+  }
 }
