@@ -4068,6 +4068,28 @@ object SparkEntry {
           86400L * 1000000000L)
         .select(col("purchase_id"), col("user_id"), col("purchase_value"),
           col("purchase_ts"), col("view_id"), col("view_value"))
+    },
+
+    // DAU/MAU stickiness — the engagement-depth ratio completing the
+    // rolling-distinct family (q_rolling_dau's 7-day WAU shape, 30-day
+    // fanout): the deduped (user, day) frame explodes once per report
+    // day in its trailing window; the only shuffle is the per-report-day
+    // distinct aggregate. Stickiness in integer milli.
+    "q_dau_mau" -> { (s, dir) =>
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .distinct()
+      val bounds = act.agg(max(col("day")).as("hi"))
+      val dau = act.groupBy(col("day").as("report_day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = act.withColumn("report_day",
+          explode(sequence(col("day"), col("day") + 29)))
+        .crossJoin(broadcast(bounds))
+        .filter(col("report_day") <= col("hi"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, Seq("report_day"))
+        .withColumn("stickiness_milli", expr("CAST(dau * 1000 div mau AS BIGINT)"))
     }
   )
 
@@ -6725,6 +6747,24 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_unit DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    // DAU joined to the trailing-30-day distinct actives; stickiness in
+    // integer milli.
+    "q_dau_mau" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |hi AS (SELECT max(day) AS hi FROM act),
+        |dau AS (SELECT day AS report_day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM act GROUP BY 1),
+        |mau AS (SELECT report_day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM (SELECT user_id,
+        |      unnest(generate_series(day, day + 29)) AS report_day
+        |    FROM act), hi
+        |  WHERE report_day <= hi GROUP BY 1)
+        |SELECT report_day, dau, mau,
+        |  CAST(dau * 1000 // mau AS BIGINT) AS stickiness_milli
+        |FROM dau JOIN mau USING (report_day)""".stripMargin,
     // Classic Q5 with the same-nation constraint.
     "q_tpch_q5" ->
       """SELECT n_name,
