@@ -4090,6 +4090,36 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("mau"))
       dau.join(mau, Seq("report_day"))
         .withColumn("stickiness_milli", expr("CAST(dau * 1000 div mau AS BIGINT)"))
+    },
+
+    // REAL audio decode end to end: per doc a deterministic 16-bit PCM
+    // WAV is assembled (RIFF bytes for an integer sawtooth), then parsed
+    // back by the RIFF/PCM decoder — sample rate, bit depth, channel
+    // count and frame count all come from the CONTAINER BYTES, and the
+    // mean |amplitude| from the PCM payload, so any header or sample
+    // mis-parse turns the row red against the closed-form oracle. The
+    // audio analog of q_multimodal's javax.imageio leg; scan-local
+    // (binary build + parse inside the projection, no shuffle).
+    "q_audio_decode" -> { (s, dir) =>
+      import graft.data.Multimodal
+      val wavUdf = udf((n: Int, step: Int) => Multimodal.syntheticWav(n, step))
+      val decUdf = udf((b: Array[Byte]) =>
+        Multimodal.WavDecoder.decode("audio/wav", b)
+          .map(d => (d.width, d.height, d.channels, d.nFrames, d.meanSample)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("CAST(2000 + (doc_id % 50) * 40 AS INT)").as("n"),
+          expr("CAST(17 + (doc_id % 13) * 2 AS INT)").as("step"))
+        .withColumn("wav", wavUdf(col("n"), col("step")))
+        .withColumn("d", decUdf(col("wav")))
+        .select(col("doc_id"),
+          col("d._4").cast("long").as("n_frames"),
+          col("d._1").cast("long").as("sample_rate"),
+          col("d._2").cast("long").as("bits"),
+          col("d._3").cast("long").as("channels"),
+          expr("CAST(d._4 * 1000 div d._1 AS BIGINT)").as("duration_ms"),
+          expr("CAST(floor(d._5 * 1000) AS BIGINT)").as("mean_abs_milli"),
+          length(col("wav")).cast("long").as("n_bytes"))
     }
   )
 
@@ -6747,6 +6777,27 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_unit DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    // Closed-form truth for the sawtooth PCM payload: mean |s| replayed
+    // exactly per doc; header fields are constants of the builder the
+    // decoder must read back from the bytes.
+    "q_audio_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(2000 + (doc_id % 50) * 40 AS BIGINT) AS n,
+        |    CAST(17 + (doc_id % 13) * 2 AS BIGINT) AS step
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, step, unnest(range(n)) AS i FROM p),
+        |a AS (SELECT doc_id,
+        |    CAST(sum(abs(((i * step) % 2000) - 1000)) AS BIGINT) AS sa
+        |  FROM s GROUP BY 1)
+        |SELECT p.doc_id, p.n AS n_frames,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(p.n * 1000 // 16000 AS BIGINT) AS duration_ms,
+        |  CAST(floor((CAST(a.sa AS DOUBLE) / p.n) * 1000) AS BIGINT)
+        |    AS mean_abs_milli,
+        |  CAST(44 + p.n * 2 AS BIGINT) AS n_bytes
+        |FROM p JOIN a USING (doc_id)""".stripMargin,
     // DAU joined to the trailing-30-day distinct actives; stickiness in
     // integer milli.
     "q_dau_mau" ->

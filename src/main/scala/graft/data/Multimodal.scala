@@ -101,12 +101,95 @@ object Multimodal {
     }
   }
 
-  /** Default decode chain: real `javax.imageio` decode first, the
-    * deterministic stub for whatever no installed codec accepts
-    * (audio/video in this build). */
+  /** Default decode chain: real `javax.imageio` image decode, real
+    * RIFF/PCM WAV audio decode, the deterministic stub for whatever no
+    * installed codec accepts (video in this build). */
   object DefaultDecoder extends Decoder {
     def decode(mime: String, bytes: Array[Byte]): Option[Decoded] =
-      ImageIoDecoder.decode(mime, bytes).orElse(StubDecoder.decode(mime, bytes))
+      ImageIoDecoder.decode(mime, bytes)
+        .orElse(WavDecoder.decode(mime, bytes))
+        .orElse(StubDecoder.decode(mime, bytes))
+  }
+
+  /** REAL audio decode: RIFF/WAVE PCM parse with zero added dependencies
+    * (the container format is a public byte layout — no codec library
+    * needed for uncompressed PCM). Validates the RIFF/WAVE magic, walks
+    * chunks to `fmt ` (must be PCM format 1, 16-bit) and `data`, and
+    * computes frames plus the mean ABSOLUTE sample amplitude (exact
+    * integer sum / n, one IEEE division). Decoded mapping for audio:
+    * `width` carries the sample rate, `height` the bits per sample,
+    * `nFrames` the per-channel sample frames, `meanSample` the mean |s|.
+    * Closes the audio leg of the multimodal tier the same way
+    * javax.imageio closed images — the stub now stands in for video
+    * codecs only. */
+  object WavDecoder extends Decoder {
+    def decode(mime: String, bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes == null || bytes.length < 44) return None
+      if (mime == null || !mime.startsWith("audio/")) return None
+      def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      try {
+        if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+        var off = 12
+        var channels = 0
+        var rate = 0
+        var bits = 0
+        var dataOff = -1
+        var dataLen = 0
+        while (off + 8 <= bytes.length && (dataOff < 0 || bits == 0)) {
+          val id = tag(off)
+          val len = u32(off + 4).toInt
+          if (id == "fmt ") {
+            if (u16(off + 8) != 1) return None // PCM only
+            channels = u16(off + 10)
+            rate = u32(off + 12).toInt
+            bits = u16(off + 22)
+          } else if (id == "data") {
+            dataOff = off + 8
+            dataLen = math.min(len, bytes.length - dataOff)
+          }
+          off += 8 + len + (len & 1)
+        }
+        if (bits != 16 || channels <= 0 || dataOff < 0) return None
+        val nSamples = dataLen / 2
+        var sumAbs = 0L
+        var i = 0
+        while (i < nSamples) {
+          val o = dataOff + i * 2
+          val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+          sumAbs += math.abs(s)
+          i += 1
+        }
+        val frames = nSamples / channels
+        Some(Decoded(rate, bits, channels, frames,
+          if (nSamples > 0) sumAbs.toDouble / nSamples else -1.0))
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Deterministic synthetic 16-bit mono PCM WAV: sample i is the integer
+    * sawtooth `((i * step) % 2000) - 1000` — pure integer waveform, so
+    * expected decode stats are an exact function of (nSamples, step) that
+    * an oracle replicates in SQL. */
+  def syntheticWav(nSamples: Int, step: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      out.putShort((((i.toLong * step) % 2000) - 1000).toShort)
+      i += 1
+    }
+    out.array()
   }
 
   /** Deterministic synthetic PNG — a constant-gray `width`×`height` RGB

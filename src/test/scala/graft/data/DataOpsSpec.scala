@@ -549,4 +549,22 @@ class DataOpsSpec extends SparkSpec {
       assert(nSeq * 128 == total + pad)
     }
   }
+  test("WavDecoder parses real RIFF/PCM bytes and rejects malformed input") {
+    // round trip: header fields and frame count come from the bytes
+    val wav = Multimodal.syntheticWav(nSamples = 2000, step = 1)
+    val d = Multimodal.WavDecoder.decode("audio/wav", wav).get
+    assert((d.width, d.height, d.channels, d.nFrames) == ((16000, 16, 1, 2000)))
+    // full-period sawtooth step=1: mean |s| over -1000..999 is exactly 500.0
+    assert(d.meanSample == 500.0)
+    // non-audio mime, truncated header, corrupted magic -> None
+    assert(Multimodal.WavDecoder.decode("image/png", wav).isEmpty)
+    assert(Multimodal.WavDecoder.decode("audio/wav", wav.take(20)).isEmpty)
+    val bad = wav.clone(); bad(9) = 'X'.toByte
+    assert(Multimodal.WavDecoder.decode("audio/wav", bad).isEmpty)
+    // non-PCM format code rejected (byte 20 = audio format LE)
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(Multimodal.WavDecoder.decode("audio/wav", nonPcm).isEmpty)
+    // the default chain now resolves audio through the REAL decoder
+    assert(Multimodal.DefaultDecoder.decode("audio/wav", wav).get.nFrames == 2000)
+  }
 }
