@@ -4120,6 +4120,35 @@ object SparkEntry {
           expr("CAST(d._4 * 1000 div d._1 AS BIGINT)").as("duration_ms"),
           expr("CAST(floor(d._5 * 1000) AS BIGINT)").as("mean_abs_milli"),
           length(col("wav")).cast("long").as("n_bytes"))
+    },
+
+    // Cohort LTV curves: cumulative purchase revenue per signup-week
+    // cohort by week age, normalized per cohort member — the
+    // monetization view q_cohort_retention's activity view pairs with.
+    // All shuffles are user- or cohort-keyed; the cumulative window runs
+    // over the (cohort × age) AGGREGATE, never events.
+    "q_ltv_cohort" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = eventsUsPrecision(s, dir).select(col("user_id"),
+        expr("ts_ns div 604800000000000").as("week"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val first = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_w"))
+      val size = first.groupBy(col("cohort_w"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val rev = e.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort_w"), (col("week") - col("cohort_w")).as("age_w"))
+        .agg(sum(col("cents")).as("cents"))
+      rev.join(broadcast(size), Seq("cohort_w"))
+        .withColumn("cum_cents",
+          sum(col("cents")).over(Window.partitionBy(col("cohort_w"))
+            .orderBy(col("age_w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .withColumn("ltv_milli_per_user",
+          expr("CAST(cum_cents * 1000 div cohort_users AS BIGINT)"))
+        .select(col("cohort_w"), col("age_w"), col("cents").cast("long").as("cents"),
+          col("cum_cents"), col("cohort_users"), col("ltv_milli_per_user"))
     }
   )
 
@@ -6798,6 +6827,27 @@ object SparkEntry {
         |    AS mean_abs_milli,
         |  CAST(44 + p.n * 2 AS BIGINT) AS n_bytes
         |FROM p JOIN a USING (doc_id)""".stripMargin,
+    // Cohort-week grid from first-seen weeks; cumulative window over the
+    // aggregate; per-member normalization in integer milli.
+    "q_ltv_cohort" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS week, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_w FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM f GROUP BY 1),
+        |rev AS (SELECT f.cohort_w, e.week - f.cohort_w AS age_w,
+        |    CAST(sum(e.cents) AS BIGINT) AS cents
+        |  FROM e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT rev.*, sz.cohort_users,
+        |    CAST(sum(cents) OVER (PARTITION BY rev.cohort_w ORDER BY age_w
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM rev JOIN sz USING (cohort_w))
+        |SELECT cohort_w, age_w, cents, cum_cents, cohort_users,
+        |  CAST(cum_cents * 1000 // cohort_users AS BIGINT)
+        |    AS ltv_milli_per_user
+        |FROM c""".stripMargin,
     // DAU joined to the trailing-30-day distinct actives; stickiness in
     // integer milli.
     "q_dau_mau" ->
