@@ -4149,6 +4149,32 @@ object SparkEntry {
           expr("CAST(cum_cents * 1000 div cohort_users AS BIGINT)"))
         .select(col("cohort_w"), col("age_w"), col("cents").cast("long").as("cents"),
           col("cum_cents"), col("cohort_users"), col("ltv_milli_per_user"))
+    },
+
+    // Funnel step-conversion rates: the dashboard rollup over the
+    // Funnel.firstTouch operator — per step, users reaching it, the
+    // step-over-step conversion and the overall share, all from a ≤3-row
+    // aggregate (the explode fans each user into one row per step
+    // reached, partial-agg'd before the exchange). Integer milli.
+    "q_funnel_rates" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsUsPrecision(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+          col("event_type"))
+      val f = operators.Funnel.firstTouch(ev, "user_id", "tus", "event_type",
+        Seq("view", "click", "purchase"))
+      val st = f.select(explode(sequence(lit(1), col("reached"))).as("step"))
+        .groupBy(col("step")).agg(count(lit(1)).as("n_reached"))
+      val w = Window.orderBy(col("step"))
+      st.withColumn("prev", lag(col("n_reached"), 1).over(w))
+        .withColumn("base", first(col("n_reached")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("step").cast("long").as("step"), col("n_reached"),
+          expr("CAST(CASE WHEN prev IS NULL THEN 1000 " +
+            "ELSE n_reached * 1000 div prev END AS BIGINT)")
+            .as("conv_from_prev_milli"),
+          expr("CAST(n_reached * 1000 div base AS BIGINT)")
+            .as("overall_milli"))
     }
   )
 
@@ -6827,6 +6853,39 @@ object SparkEntry {
         |    AS mean_abs_milli,
         |  CAST(44 + p.n * 2 AS BIGINT) AS n_bytes
         |FROM p JOIN a USING (doc_id)""".stripMargin,
+    // The q_funnel chained-min CTEs rolled up to per-step counts and
+    // conversion shares.
+    "q_funnel_rates" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, min(tus) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, min(tus) AS t2 FROM ev
+        |      JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tus > v.t1 GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, min(tus) AS t3 FROM ev
+        |      JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tus > c.t2
+        |      GROUP BY ev.user_id),
+        |f AS (SELECT CASE WHEN p.t3 IS NOT NULL THEN 3
+        |       WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS reached
+        |  FROM v
+        |  LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id),
+        |st AS (SELECT s.step, CAST(count(*) AS BIGINT) AS n_reached
+        |  FROM f, unnest(generate_series(1, reached)) AS s(step)
+        |  GROUP BY 1),
+        |w AS (SELECT step, n_reached,
+        |    lag(n_reached) OVER (ORDER BY step) AS prev,
+        |    first_value(n_reached) OVER (ORDER BY step
+        |      ROWS UNBOUNDED PRECEDING) AS base
+        |  FROM st)
+        |SELECT CAST(step AS BIGINT) AS step, n_reached,
+        |  CAST(CASE WHEN prev IS NULL THEN 1000
+        |    ELSE n_reached * 1000 // prev END AS BIGINT)
+        |    AS conv_from_prev_milli,
+        |  CAST(n_reached * 1000 // base AS BIGINT) AS overall_milli
+        |FROM w""".stripMargin,
     // Cohort-week grid from first-seen weeks; cumulative window over the
     // aggregate; per-member normalization in integer milli.
     "q_ltv_cohort" ->
