@@ -313,4 +313,45 @@ class TimeSeriesGraphSpec extends SparkSpec {
       .toSeq.sorted
     assert(got === batch)
   }
+  test("streaming CUSUM buffer survives a RocksDB-backed restart from checkpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_cusum_ckpt").toString
+    val (checkpoint, outDir) = (s"$base/ckpt", s"$base/out")
+    try {
+      val ms = MemoryStream[(Long, Long, Long)]
+      val df = ms.toDF.toDF("k", "tus", "v")
+        .select(col("k"), timestamp_micros(col("tus")).as("ts"),
+          col("tus"), col("v"))
+      val out = TimeSeries.cusumIntStreaming(df, "k", "ts", "tus", "v",
+        drift = 10L, gapMs = 60000L, watermarkDelay = "0 seconds")
+      def startQuery() = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", checkpoint)
+        .outputMode("append").start()
+      // run 1: two samples buffered, stop before any timeout fires
+      val q1 = startQuery()
+      ms.addData((1L, 1000000L, 25L), (1L, 2000000L, 5L))
+      q1.processAllAvailable(); q1.stop()
+      // run 2: a third sample lands after the restart, then the watermark
+      // passes — the replay must include the pre-restart buffer:
+      // s = max(0,25-10)=15; 15+5-10=10; 10+30-10=30
+      val q2 = startQuery()
+      ms.addData((1L, 3000000L, 30L))
+      ms.addData((-1L, 10L * 86400000000L, 0L))
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(outDir).filter(col("k") =!= -1L)
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq.sorted
+      assert(got == Seq((1000000L, 15L), (2000000L, 10L), (3000000L, 30L)),
+        s"pre-restart buffer lost or wrong replay: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
