@@ -4175,6 +4175,50 @@ object SparkEntry {
             .as("conv_from_prev_milli"),
           expr("CAST(n_reached * 1000 div base AS BIGINT)")
             .as("overall_milli"))
+    },
+
+    // Lag-k autocorrelation of the daily revenue series (lags 1 and 7 —
+    // momentum and weekly seasonality): exact integer moment sums over
+    // the ~30-row DAILY AGGREGATE (events pay one partial-agg'd exchange,
+    // everything after runs on the aggregate), Pearson r in scalar IEEE
+    // double (the q_ab_test determinism argument — sqrt is correctly
+    // rounded, no float ever sums over data).
+    "q_autocorr" -> { (s, dir) =>
+      val daily = eventsUsPrecision(s, dir)
+        .groupBy(expr("ts_ns div 86400000000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      def lagged(k: Long) = daily.select(col("day"), col("c").as("x"))
+        .join(daily.select((col("day") - k).as("day"), col("c").as("y")),
+          Seq("day"))
+        .agg(lit(k).as("lag"), count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      lagged(1L).unionByName(lagged(7L))
+        .select(col("lag"), col("n_pairs"),
+          expr("CAST(floor(1000000 * ((CAST(n_pairs AS DOUBLE) * sxy - " +
+            "CAST(sx AS DOUBLE) * sy) / sqrt((CAST(n_pairs AS DOUBLE) * sxx " +
+            "- CAST(sx AS DOUBLE) * sx) * (CAST(n_pairs AS DOUBLE) * syy - " +
+            "CAST(sy AS DOUBLE) * sy)))) AS BIGINT)").as("r_micro"))
+    },
+
+    // Day-of-week seasonality index: per-dow mean vs overall mean as the
+    // exact integer cross ratio (sum_d·n_total·1000) div (n_d·sum_total)
+    // — no float averages; dow = epoch-day mod 7, the engine-portable
+    // convention (named-weekday functions disagree across engines).
+    "q_seasonality_index" -> { (s, dir) =>
+      val e = eventsUsPrecision(s, dir).select(
+        expr("(ts_ns div 86400000000000) % 7").as("dow"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val per = e.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      val tot = per.agg(sum(col("n")).as("n_total"),
+        sum(col("sum_cents")).as("sum_total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n"), col("sum_cents").cast("long").as("sum_cents"),
+          expr("CAST(sum_cents * n_total * 1000 div (n * sum_total) AS BIGINT)")
+            .as("index_milli"))
     }
   )
 
@@ -6853,6 +6897,38 @@ object SparkEntry {
         |    AS mean_abs_milli,
         |  CAST(44 + p.n * 2 AS BIGINT) AS n_bytes
         |FROM p JOIN a USING (doc_id)""".stripMargin,
+    // Identical moment sums and scalar-double Pearson spelling.
+    "q_autocorr" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT k.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.c) AS BIGINT) AS sy,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+        |    CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+        |    CAST(sum(b.c * b.c) AS BIGINT) AS syy
+        |  FROM (VALUES (1), (7)) k(lag)
+        |  JOIN daily a ON TRUE
+        |  JOIN daily b ON b.day = a.day + k.lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST(floor(1000000 * ((CAST(n_pairs AS DOUBLE) * sxy -
+        |    CAST(sx AS DOUBLE) * sy) / sqrt((CAST(n_pairs AS DOUBLE) * sxx
+        |    - CAST(sx AS DOUBLE) * sx) * (CAST(n_pairs AS DOUBLE) * syy -
+        |    CAST(sy AS DOUBLE) * sy)))) AS BIGINT) AS r_micro
+        |FROM l""".stripMargin,
+    // Exact integer cross-ratio; dow = epoch-day mod 7 on both engines.
+    "q_seasonality_index" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |per AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(sum_cents) AS BIGINT) AS sum_total FROM per)
+        |SELECT dow, n, sum_cents,
+        |  CAST(sum_cents * n_total * 1000 // (n * sum_total) AS BIGINT)
+        |    AS index_milli
+        |FROM per, tot""".stripMargin,
     // The q_funnel chained-min CTEs rolled up to per-step counts and
     // conversion shares.
     "q_funnel_rates" ->

@@ -30,6 +30,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_negative_sample", // corpus-size scalar
     "q_rolling_dau", // global max(day) bound
     "q_dau_mau", // global max(day) bound
+    "q_seasonality_index", // 1-row global totals attach
     "q_temperature_sample", // (Σn, Σsqrt-milli) 1-row totals attach
     "q_equidepth_histogram", // 1-row global n + 1-row 9-edge array attach
     "q_power_iteration", // 1-row 64-long direction-vector attach (per iteration)
