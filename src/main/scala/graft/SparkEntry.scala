@@ -4219,6 +4219,31 @@ object SparkEntry {
         .select(col("dow"), col("n"), col("sum_cents").cast("long").as("sum_cents"),
           expr("CAST(sum_cents * n_total * 1000 div (n * sum_total) AS BIGINT)")
             .as("index_milli"))
+    },
+
+    // Vocabulary drift between two corpus slices (the token-distribution
+    // monitoring pass that catches a crawl source going stale or a
+    // scraper breaking): per-token share in each half in integer micro,
+    // delta ranked. ONE token-keyed exchange; the share denominators are
+    // windows over the VOCABULARY aggregate (hundreds of rows), never
+    // occurrences; min-count cut before output.
+    "q_vocab_drift" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      val counts = Tables.documents(s, dir)
+        .select((col("doc_id") % 2 === 0).as("in_a"),
+          TextFunctions.tokens(col("text")).as("t"))
+        .select(col("in_a"), explode(col("t")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(when(col("in_a"), lit(1))).as("n_a"),
+          count(when(!col("in_a"), lit(1))).as("n_b"))
+      counts
+        .withColumn("share_a_micro",
+          expr("CAST(n_a * 1000000 div sum(n_a) OVER () AS BIGINT)"))
+        .withColumn("share_b_micro",
+          expr("CAST(n_b * 1000000 div sum(n_b) OVER () AS BIGINT)"))
+        .withColumn("delta_micro",
+          col("share_a_micro") - col("share_b_micro"))
+        .filter(col("n_a") + col("n_b") >= 20)
     }
   )
 
@@ -6917,6 +6942,24 @@ object SparkEntry {
         |    - CAST(sx AS DOUBLE) * sx) * (CAST(n_pairs AS DOUBLE) * syy -
         |    CAST(sy AS DOUBLE) * sy)))) AS BIGINT) AS r_micro
         |FROM l""".stripMargin,
+    // Same tokenization; shares over the vocabulary aggregate.
+    "q_vocab_drift" ->
+      """WITH toks AS (SELECT doc_id % 2 = 0 AS in_a,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT tok,
+        |    CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS n_b
+        |  FROM toks GROUP BY 1),
+        |sh AS (SELECT tok, n_a, n_b,
+        |    CAST(n_a * 1000000 // CAST(sum(n_a) OVER () AS BIGINT)
+        |      AS BIGINT) AS share_a_micro,
+        |    CAST(n_b * 1000000 // CAST(sum(n_b) OVER () AS BIGINT)
+        |      AS BIGINT) AS share_b_micro
+        |  FROM c)
+        |SELECT tok, n_a, n_b, share_a_micro, share_b_micro,
+        |  share_a_micro - share_b_micro AS delta_micro
+        |FROM sh WHERE n_a + n_b >= 20""".stripMargin,
     // Exact integer cross-ratio; dow = epoch-day mod 7 on both engines.
     "q_seasonality_index" ->
       """WITH e AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
