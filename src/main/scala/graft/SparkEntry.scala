@@ -79,6 +79,21 @@ object SparkEntry {
       |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
       |SELECT user_id, tus, cents, ewma FROM r""".stripMargin
 
+  /** Shared truth for the batch AND streaming SLO burn-rate forms. */
+  private val sloBurnOracle: String =
+    """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+      |      AS n_err
+      |  FROM events GROUP BY 1)
+      |SELECT hr, n_total, n_err,
+      |  CAST(n_err * 1000000 // n_total AS BIGINT) AS err_rate_micro,
+      |  CAST((n_err * 1000000 // n_total) * 1000 // 10000 AS BIGINT)
+      |    AS burn_milli,
+      |  ((n_err * 1000000 // n_total) * 1000 // 10000) > 14400
+      |    AS fast_burn
+      |FROM h""".stripMargin
+
   /** Shared truth for the operator-level AND Catalyst-native as-of joins. */
   private val asofOracle: String =
     """WITH l AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
@@ -4244,6 +4259,57 @@ object SparkEntry {
         .withColumn("delta_micro",
           col("share_a_micro") - col("share_b_micro"))
         .filter(col("n_a") + col("n_b") >= 20)
+    },
+
+    // STREAMING SLO burn rate: the fast-burn alert as a live tumbling
+    // window + watermark query (alerts are streaming by nature — an
+    // hourly batch job discovers a burn an hour late). Per-window state
+    // is two counters; SHARED oracle with the batch row.
+    "q_slo_burn_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(expr("ts_ns div 1000").as("tus"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val maxTus = rows.map(_._1).max
+      val maxHr = maxTus / 3600000000L
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(rows.toSeq)
+      ms.addData((maxTus + 3L * 86400000000L, "__sentinel__"))
+      val events = ms.toDF.toDF("tus", "event_type")
+        .select(timestamp_micros(col("tus")).as("ts"), col("event_type"))
+        .withWatermark("ts", "0 seconds")
+      val agg = events
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("event_type") === "error", lit(1))).as("n_err"))
+        .select(expr("unix_micros(window.start) div 3600000000").as("hr"),
+          col("n_total"), col("n_err"))
+        .withColumn("err_rate_micro", expr("n_err * 1000000 div n_total"))
+        .withColumn("burn_milli", expr("err_rate_micro * 1000 div 10000"))
+        .withColumn("fast_burn", col("burn_milli") > 14400L)
+      val qn = s"slo_${System.nanoTime()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
+      s.table(qn).filter(col("hr") <= maxHr)
     }
   )
 
@@ -6768,20 +6834,10 @@ object SparkEntry {
         |SELECT thr, pl, nl, pr, nr, gini_micro,
         |  row_number() OVER (ORDER BY gini_micro, thr) = 1 AS is_best
         |FROM sc""".stripMargin,
-    // Integer burn-rate arithmetic; budget 1% = 10000 micro.
-    "q_slo_burn" ->
-      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
-        |    CAST(count(*) AS BIGINT) AS n_total,
-        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
-        |      AS n_err
-        |  FROM events GROUP BY 1)
-        |SELECT hr, n_total, n_err,
-        |  CAST(n_err * 1000000 // n_total AS BIGINT) AS err_rate_micro,
-        |  CAST((n_err * 1000000 // n_total) * 1000 // 10000 AS BIGINT)
-        |    AS burn_milli,
-        |  ((n_err * 1000000 // n_total) * 1000 // 10000) > 14400
-        |    AS fast_burn
-        |FROM h""".stripMargin,
+    // Integer burn-rate arithmetic; budget 1% = 10000 micro. SHARED by
+    // the batch row and the streaming tumbling-window form.
+    "q_slo_burn" -> sloBurnOracle,
+    "q_slo_burn_stream" -> sloBurnOracle,
     // The watermarked native join must reproduce the batch interval
     // join exactly (inner join, 1 h lookback, micros domain).
     "q_stream_stream_join" ->
