@@ -4310,6 +4310,31 @@ object SparkEntry {
         s.conf.set("spark.sql.shuffle.partitions", priorParts)
       }
       s.table(qn).filter(col("hr") <= maxHr)
+    },
+
+    // Period-over-period revenue bridge (the FP&A waterfall): decompose
+    // each type's revenue delta between the first and second fortnight
+    // into volume effect ((n₂−n₁)·p̄₁), price effect (n₂·(p̄₂−p̄₁)) and
+    // the exact integer residual closing the bridge — truncating integer
+    // means keep every term exact and the identity auditable. One
+    // conditional-aggregation scan pass, 5-row output.
+    "q_revenue_bridge" -> { (s, dir) =>
+      eventsUsPrecision(s, dir)
+        .select(col("event_type"),
+          (expr("ts_ns div 86400000000000") < 19738L).as("p1"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("p1"), lit(1))).as("n1"),
+          sum(when(col("p1"), col("cents")).otherwise(0L)).as("t1"),
+          count(when(!col("p1"), lit(1))).as("n2"),
+          sum(when(!col("p1"), col("cents")).otherwise(0L)).as("t2"))
+        .select(col("event_type"), col("n1"), col("t1").cast("long").as("t1"),
+          col("n2"), col("t2").cast("long").as("t2"),
+          expr("CAST(t2 - t1 AS BIGINT)").as("delta_cents"),
+          expr("CAST((n2 - n1) * (t1 div n1) AS BIGINT)").as("volume_effect"),
+          expr("CAST(n2 * (t2 div n2 - t1 div n1) AS BIGINT)").as("price_effect"),
+          expr("CAST((t2 - t1) - (n2 - n1) * (t1 div n1) " +
+            "- n2 * (t2 div n2 - t1 div n1) AS BIGINT)").as("residual"))
     }
   )
 
@@ -6998,6 +7023,25 @@ object SparkEntry {
         |    - CAST(sx AS DOUBLE) * sx) * (CAST(n_pairs AS DOUBLE) * syy -
         |    CAST(sy AS DOUBLE) * sy)))) AS BIGINT) AS r_micro
         |FROM l""".stripMargin,
+    // Same truncating-integer bridge identity.
+    "q_revenue_bridge" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 < 19738 AS p1,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(count(*) FILTER (WHERE p1) AS BIGINT) AS n1,
+        |    CAST(coalesce(sum(cents) FILTER (WHERE p1), 0) AS BIGINT) AS t1,
+        |    CAST(count(*) FILTER (WHERE NOT p1) AS BIGINT) AS n2,
+        |    CAST(coalesce(sum(cents) FILTER (WHERE NOT p1), 0) AS BIGINT)
+        |      AS t2
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n1, t1, n2, t2,
+        |  CAST(t2 - t1 AS BIGINT) AS delta_cents,
+        |  CAST((n2 - n1) * (t1 // n1) AS BIGINT) AS volume_effect,
+        |  CAST(n2 * (t2 // n2 - t1 // n1) AS BIGINT) AS price_effect,
+        |  CAST((t2 - t1) - (n2 - n1) * (t1 // n1)
+        |    - n2 * (t2 // n2 - t1 // n1) AS BIGINT) AS residual
+        |FROM a""".stripMargin,
     // Same tokenization; shares over the vocabulary aggregate.
     "q_vocab_drift" ->
       """WITH toks AS (SELECT doc_id % 2 = 0 AS in_a,
