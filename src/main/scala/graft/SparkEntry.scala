@@ -4335,6 +4335,116 @@ object SparkEntry {
           expr("CAST(n2 * (t2 div n2 - t1 div n1) AS BIGINT)").as("price_effect"),
           expr("CAST((t2 - t1) - (n2 - n1) * (t1 div n1) " +
             "- n2 * (t2 div n2 - t1 div n1) AS BIGINT)").as("residual"))
+    },
+
+    // Asymmetric CONTAINMENT near-dup pairs (Broder SEQUENCES '97:
+    // resemblance vs containment): directed (sub → super) where ≥ 4/5 of
+    // the sub's bigrams sit inside the super's. Jaccard misses exactly
+    // these — a doc embedded in a 10× longer one. Candidate generation is
+    // prefix-filtered on the SUB side only (its rare-first 1/5 of grams),
+    // full postings on the super side; exact integer re-verify on raw
+    // text. The oracle is the exhaustive all-pairs truth.
+    "q_containment" -> { (s, dir) =>
+      graft.data.NgramJaccard.containmentPairs(
+        Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // k-NN label transfer over embeddings (majority of the 10 nearest,
+    // self excluded) — the embedding-space label-propagation primitive a
+    // curation pipeline uses to spread a few thousand human quality
+    // labels across the corpus. Similarity is an INTEGER dot product over
+    // trunc(x·10⁶) fixed-point components, so neighbor ranking
+    // (dot desc, id asc) and the vote (votes desc, label asc) have no
+    // float boundary and the exhaustive SQL oracle replays the whole
+    // contract bit-for-bit. Corpus broadcast once as primitive arrays;
+    // one scan, no pair shuffle (beyond the broadcast ceiling the same
+    // classify step runs on IVF/LSH candidates).
+    "q_knn_classify" -> { (s, dir) =>
+      graft.data.EmbeddingOps.knnClassify(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", 10)
+    },
+
+    // Out-of-vocabulary rate per document against the corpus top-20
+    // vocabulary (count desc, word asc — a total order, so the cut is
+    // deterministic). The tokenizer-coverage signal: docs whose tokens
+    // fall outside the head vocabulary cost disproportionate subword
+    // splits. Vocabulary is vocabulary-sized → broadcast; the token
+    // explode is scan-local; one groupBy(doc_id) shuffle.
+    "q_oov_rate" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+          .as("word"))
+      val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)
+        .select(col("word"), lit(1).as("inv"))
+      tok.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("CAST(1000000 * n_oov div n_tokens AS BIGINT)").as("oov_ppm"))
+    },
+
+    // Window-5 co-occurrence collocations scored by the Dice coefficient
+    // (2·c_pair/(c_x+c_y), in ppm — integer arithmetic, no overflow, no
+    // float boundary; Smadja CL'93 uses Dice for exactly this). Distinct
+    // from q_word_bigram: pairs co-occur within a 5-token window in
+    // either order, not only adjacent. Pair generation is scan-local
+    // (token array materialized ONCE before the nested lambda — the
+    // q_ngram_counts lesson), then one groupBy(pair) shuffle; unigram
+    // totals are vocabulary-sized and broadcast back.
+    "q_cooccur_lift" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      val t = col("t")
+      val pairStruct = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("w1",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("w2",
+            org.apache.spark.sql.types.StringType))))
+      val windowPairs = when(size(t) < 2, array().cast(pairStruct))
+        .otherwise(flatten(transform(sequence(lit(1), size(t) - 1), i =>
+          transform(sequence(i + 1, least(i + 5, size(t))), j =>
+            struct(
+              least(element_at(t, i), element_at(t, j)).as("w1"),
+              greatest(element_at(t, i), element_at(t, j)).as("w2"))))))
+      val docs = Tables.documents(s, dir)
+        .select(TextFunctions.tokens(col("text")).as("t"))
+      val pairs = docs.select(explode(windowPairs).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+      val uni = docs.select(explode(t).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      pairs
+        .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_1"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_2"))),
+          Seq("w2"))
+        .filter(col("c_pair") >= 50)
+        .select(col("w1"), col("w2"), col("c_pair"),
+          expr("CAST(2000000 * c_pair div (c_1 + c_2) AS BIGINT)")
+            .as("dice_ppm"))
+    },
+
+    // TPC-H Q18 (large-volume customer): the HAVING-subquery shape. The
+    // qualifying-order set is an aggregate of lineitem joined back —
+    // Catalyst plans the big lineitem↔orders join as a shuffle join and
+    // AQE broadcasts the (tiny) qualifying set; quantities are integral
+    // by construction, so the sum is exact BIGINT.
+    "q_tpch_q18" -> { (s, dir) =>
+      val qty = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables.orders(s, dir)
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"),
+          col("sum_qty").cast("long").as("sum_qty"))
     }
   )
 
@@ -7157,6 +7267,97 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+    // Exhaustive all-pairs containment truth (directed; exact integer
+    // counts — the engine's prefix-filtered path must reproduce it).
+    "q_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(
+        |    [tokens[i] || ' ' || tokens[i+1] for i in range(1, len(tokens))]) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |        FROM documents)
+        |  WHERE len(tokens) >= 2)
+        |SELECT id_sub, id_super, inter, sz_sub FROM (
+        |  SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS INTEGER) AS inter,
+        |    CAST(len(a.grams) AS INTEGER) AS sz_sub
+        |  FROM g a JOIN g b ON a.doc_id <> b.doc_id)
+        |WHERE inter * 5 >= sz_sub * 4""".stripMargin,
+    // Full replay of the kNN contract in SQL: same trunc(x·10⁶)
+    // fixed-point quantization, integer dot, (dot desc, id) neighbor
+    // order, (votes desc, label) majority — every tie-break is integral,
+    // so the oracle is exact, not approximate.
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT a.vec_id AS qid, a.label AS qlabel,
+        |    b.vec_id AS nid, b.label AS nlabel,
+        |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+        |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+        |top AS (
+        |  SELECT qid, qlabel, nlabel,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rk
+        |  FROM d),
+        |votes AS (
+        |  SELECT qid, qlabel, nlabel, CAST(count(*) AS BIGINT) AS v
+        |  FROM top WHERE rk <= 10 GROUP BY qid, qlabel, nlabel),
+        |best AS (
+        |  SELECT qid, qlabel, nlabel, v,
+        |    row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel) AS rk
+        |  FROM votes)
+        |SELECT qid AS vec_id, CAST(qlabel AS INTEGER) AS label,
+        |  CAST(nlabel AS INTEGER) AS predicted, v AS n_votes,
+        |  qlabel = nlabel AS correct
+        |FROM best WHERE rk = 1""".stripMargin,
+    // Top-20 vocabulary by (count desc, word) — a total order, so the
+    // LIMIT is deterministic; OOV in integer ppm.
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |vocab AS (SELECT word FROM tok GROUP BY word
+        |  ORDER BY count(*) DESC, word LIMIT 20)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+        |    AS BIGINT) AS n_oov,
+        |  CAST(1000000 * count(*) FILTER (
+        |      WHERE word NOT IN (SELECT word FROM vocab)) // count(*)
+        |    AS BIGINT) AS oov_ppm
+        |FROM tok GROUP BY doc_id""".stripMargin,
+    // Window-5 co-occurrence pairs (unordered, both directions folded via
+    // least/greatest) with integer-ppm Dice scores.
+    "q_cooccur_lift" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (
+        |  SELECT least(toks[i], toks[j]) AS w1,
+        |    greatest(toks[i], toks[j]) AS w2
+        |  FROM t, unnest(range(1, len(toks))) AS a(i),
+        |    unnest(range(1, len(toks) + 1)) AS b(j)
+        |  WHERE j > i AND j <= i + 5),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+        |  FROM p GROUP BY w1, w2),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w)
+        |SELECT w1, w2, c_pair,
+        |  CAST(2000000 * c_pair // (u1.c_w + u2.c_w) AS BIGINT) AS dice_ppm
+        |FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w
+        |WHERE c_pair >= 50""".stripMargin,
+    // TPC-H Q18 with the HAVING subquery spelled as written; integral
+    // quantities so the sum is exact BIGINT.
+    "q_tpch_q18" ->
+      """WITH qty AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  sum_qty
+        |FROM orders JOIN qty ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin
   )
 }

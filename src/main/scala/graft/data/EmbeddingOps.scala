@@ -379,4 +379,91 @@ object EmbeddingOps {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  /** k-NN label transfer: predict every vector's label from the majority
+    * vote of its k nearest neighbors (self excluded) — the standard
+    * embedding-space label-propagation / quality-classifier primitive for
+    * corpus curation (label a few seeds, transfer to the rest).
+    *
+    * Determinism contract: similarity is an INTEGER dot product over
+    * per-element fixed-point quantization `trunc(x · 10⁶)` (float32 →
+    * double is exact, trunc matches on every engine), so neighbor ranking
+    * — ordered by (dot desc, id asc) — and the majority vote — ordered by
+    * (votes desc, label asc) — involve no float boundary anywhere and an
+    * exhaustive SQL oracle can replay the whole contract bit-for-bit.
+    *
+    * Scale shape (100 TB): the corpus is broadcast once as primitive
+    * arrays (dim·8 bytes per vector — ~1 GB per 2M vectors at dim 64) and
+    * each partition scores its own queries in a tight integer loop: one
+    * scan, no pair shuffle, no driver loop. Beyond the broadcast ceiling
+    * the same contract runs on [[ivfTopK]]/[[lshRadius]] candidates with
+    * integer re-ranking — the classify step is unchanged. */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast(LongType), col(vecCol),
+        col(labelCol).cast(IntegerType))
+      .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val labels = new Array[Int](n)
+    val qvecs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i)._1
+      labels(i) = rows(i)._3
+      val s = rows(i)._2
+      val q = new Array[Long](s.length)
+      var j = 0
+      while (j < q.length) { q(j) = (s(j).toDouble * 1e6).toLong; j += 1 }
+      qvecs(i) = q
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast((ids, labels, qvecs))
+    spark.range(n.toLong).map { qi =>
+      val (ids, labels, qvecs) = bc.value
+      val me = qi.toInt
+      val a = qvecs(me)
+      // top-k by (dot desc, id asc): insertion into a k-slot array —
+      // k is small, the corpus scan dominates.
+      val topDot = new Array[Long](k)
+      val topIdx = new Array[Int](k)
+      var filled = 0
+      var c = 0
+      while (c < ids.length) {
+        if (c != me) {
+          val b = qvecs(c)
+          var dot = 0L; var j = 0
+          while (j < a.length) { dot += a(j) * b(j); j += 1 }
+          // better than the current worst slot?
+          if (filled < k || dot > topDot(filled - 1) ||
+              (dot == topDot(filled - 1) && ids(c) < ids(topIdx(filled - 1)))) {
+            var p = if (filled < k) filled else k - 1
+            while (p > 0 && (topDot(p - 1) < dot ||
+                (topDot(p - 1) == dot && ids(topIdx(p - 1)) > ids(c)))) {
+              topDot(p) = topDot(p - 1); topIdx(p) = topIdx(p - 1); p -= 1
+            }
+            topDot(p) = dot; topIdx(p) = c
+            if (filled < k) filled += 1
+          }
+        }
+        c += 1
+      }
+      // majority vote by (votes desc, label asc)
+      val votes = new java.util.TreeMap[Int, Int]()
+      var v = 0
+      while (v < filled) {
+        val l = labels(topIdx(v))
+        votes.merge(l, 1, (x, y) => x + y)
+        v += 1
+      }
+      var (bestLabel, bestVotes) = (Int.MaxValue, -1)
+      votes.forEach { (l, cnt) =>
+        if (cnt > bestVotes) { bestLabel = l; bestVotes = cnt }
+      }
+      (ids(me), labels(me), bestLabel, bestVotes.toLong,
+        labels(me) == bestLabel)
+    }.toDF("vec_id", "label", "predicted", "n_votes", "correct")
+  }
 }

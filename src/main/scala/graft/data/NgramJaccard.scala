@@ -227,4 +227,84 @@ object NgramJaccard {
         col("s").as("inter"), col("s").as("uni"))
     crossPairs.unionByName(withinPairs)
   }
+
+  /** Asymmetric CONTAINMENT pairs: directed (id_sub → id_super) where the
+    * sub-document's gram set sits (almost) inside the super-document's —
+    * `|G(sub) ∩ G(super)| · den ≥ |G(sub)| · num`, sub ≠ super. Jaccard
+    * misses exactly these (a page embedded in a 10× longer page has
+    * J ≈ 0.1 but containment 1.0); boilerplate-wrapped copies and
+    * quote-expansions are the common web-corpus case. Broder's resemblance
+    * vs containment distinction (SEQUENCES '97) is the published basis.
+    *
+    * Scale shape (100 TB): candidate generation is prefix-filtered on the
+    * SUB side only — a pair at containment ≥ t must share a gram inside
+    * the sub's rare-first prefix of length `sz − ceil(t·sz) + 1` (for
+    * t = 4/5 that is ~sz/5 of its grams), while the super side indexes
+    * every gram. Both sides shuffle by gram (no all-pairs stage), the
+    * candidate set is deduplicated before the exact re-verify on raw
+    * text, and every comparison is integer arithmetic — no float
+    * boundary. Skew note: a stop-gram whose posting list would pair
+    * everything is impossible on the sub side (prefix keeps only each
+    * doc's RAREST grams); the super side's list length is bounded by the
+    * corpus df of those rare grams.
+    *
+    * Output is exact: `inter` and `sz_sub` are string-gram counts. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2, thresholdNum: Int = 4,
+                       thresholdDen: Int = 5): DataFrame = {
+    val (tn, td) = (thresholdNum, thresholdDen)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val hashSet = udf { text: String =>
+      val toks = if (text == null || text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+")
+      if (toks.length < n) Array.empty[Long]
+      else {
+        val hs = toks.sliding(n).map { w =>
+          val g = w.mkString(" ")
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < g.length) { h ^= g.charAt(i); h *= 0x100000001b3L; i += 1 }
+          h
+        }.toArray
+        java.util.Arrays.sort(hs)
+        var (r, w) = (1, 1)
+        while (r < hs.length) {
+          if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(hs, w)
+      }
+    }
+    val hashed = base.select(col("id"), hashSet(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sz", size(col("hs")))
+    val exploded = hashed.select(col("id"), col("sz"),
+      explode(col("hs")).as("h"))
+    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    // Sub-side prefix postings (rare-first; ceil via integer arithmetic).
+    val subPrefix = exploded.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .filter(col("rk") <= col("sz") - expr(s"(sz * $tn + $td - 1) div $td") + 1)
+      .select(col("h"), col("id").as("id_sub"))
+    val superAll = exploded.select(col("h"), col("id").as("id_super"))
+    val candidates = subPrefix.join(superAll, "h")
+      .filter(col("id_sub") =!= col("id_super"))
+      .select("id_sub", "id_super").distinct()
+    // Exact re-verify on raw text: containment is directional, so the
+    // emitted counts are |G(sub) ∩ G(super)| and |G(sub)|.
+    val interSub = udf { (a: String, b: String) =>
+      val (sa, sb) = (gramSet(a, n), gramSet(b, n))
+      ((sa & sb).size, sa.size)
+    }
+    candidates
+      .join(base.select(col("id").as("id_sub"), col("text").as("text_sub")),
+        "id_sub")
+      .join(base.select(col("id").as("id_super"), col("text").as("text_super")),
+        "id_super")
+      .withColumn("is", interSub(col("text_sub"), col("text_super")))
+      .select(col("id_sub"), col("id_super"),
+        col("is._1").as("inter"), col("is._2").as("sz_sub"))
+      .filter(col("inter") * td >= col("sz_sub") * tn)
+  }
 }

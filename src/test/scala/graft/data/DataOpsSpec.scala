@@ -567,4 +567,53 @@ class DataOpsSpec extends SparkSpec {
     // the default chain now resolves audio through the REAL decoder
     assert(Multimodal.DefaultDecoder.decode("audio/wav", wav).get.nFrames == 2000)
   }
+
+  test("containment prefix filter is exact and complete vs brute force (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = NgramJaccard.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // brute-force directed containment on the same bigram sets
+    val g = MinHashDedup.withShingles(docs, "doc_id", "text", 2)
+      .filter(size(col("shingles")) > 0)
+    val exact = g.alias("a").join(g.alias("b"), col("a.id") =!= col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("sz_sub", size(col("a.shingles")))
+      .filter(col("inter") * 5 >= col("sz_sub") * 4)
+      .select(col("a.id"), col("b.id"), col("inter"), col("sz_sub"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(exact.nonEmpty, "test data should contain containment pairs")
+    assert(got == exact)
+    // directionality: a strict subset document must point AT its superset
+    val sub = Seq((1L, "a b c d e f"), (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val dir = NgramJaccard.containmentPairs(sub, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dir == Set((1L, 2L)))
+  }
+
+  test("knn label transfer: planted clusters classify exactly; ties break on (dot desc, id), (votes desc, label)") {
+    // two orthogonal clusters -> every vector's neighbors are its own
+    // cluster, so predicted == label for all rows
+    val dim = 8
+    def vec(hot: Int, scale: Float): Array[Float] = {
+      val v = new Array[Float](dim); v(hot) = scale; v
+    }
+    val rows = (0 until 20).map { i =>
+      (i.toLong, vec(if (i < 10) 0 else 4, 1f + (i % 5) * 0.1f), i / 10)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.knnClassify(df, "vec_id", "embedding", "label", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 20)
+    assert(out.forall { case (_, l, p, v, c) => p == l && v == 3L && c })
+    // vote tie: k=2 with one neighbor from each label -> smaller label wins
+    val tri = Seq(
+      (0L, Array(1f, 0f), 5), // query
+      (1L, Array(1f, 0f), 9), // dot 1e12 with query
+      (2L, Array(1f, 0f), 4)  // dot 1e12 with query -> tie, label 4 < 9
+    ).toDF("vec_id", "embedding", "label")
+    val t = EmbeddingOps.knnClassify(tri, "vec_id", "embedding", "label", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(t(0L) == 4) // (votes desc, label asc): 1-1 tie -> label 4
+  }
 }
