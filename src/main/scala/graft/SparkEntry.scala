@@ -4445,6 +4445,71 @@ object SparkEntry {
           col("o_orderdate"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"),
           col("sum_qty").cast("long").as("sum_qty"))
+    },
+
+    // k-anonymity audit (Sweeney 2002) over the release-shaped event
+    // projection: quasi-identifiers (event_type, day, $10 value bucket);
+    // every equivalence class below k=5 is re-identifiable and flagged.
+    // One keyed aggregate — the audit costs a GROUP BY.
+    "q_k_anonymity" -> { (s, dir) =>
+      val e = eventsUsPrecision(s, dir)
+        .select(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT) div 1000")
+            .as("value_bucket"))
+      graft.data.Pii.kAnonymity(e, Seq("event_type", "day", "value_bucket"), 5)
+    },
+
+    // EXACT-size-k uniform sample (k=100): rank by the md5 hash draw, keep
+    // the first k — a guaranteed-count eval/annotation batch, vs the
+    // expected-fraction Bernoulli rows. Plans as TakeOrdered: per-partition
+    // k-heaps, no global sort.
+    "q_exact_k_sample" -> { (s, dir) =>
+      graft.data.Sampling.exactKSample(
+          Tables.documents(s, dir), "doc_id", "ek1", 100)
+        .select(col("doc_id"), col("draw"), col("lang"))
+    },
+
+    // TextRank keyword scores (Mihalcea & Tarau EMNLP'04): PageRank over
+    // the word adjacency graph (undirected → both directed edges), reusing
+    // the bit-deterministic integer fixed-point PageRank operator — words
+    // are dictionary-encoded to ids (row_number over the vocabulary, a
+    // vocabulary-sized frame) and decoded back after 3 iterations. The
+    // oracle unrolls the same integer recurrence on word keys directly.
+    "q_textrank" -> { (s, dir) =>
+      import graft.data.TextFunctions
+      val t = col("t")
+      val adjacent = when(size(t) < 2, array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("w1",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("w2",
+                org.apache.spark.sql.types.StringType))))))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"),
+            element_at(t, i + 1).as("w2"))))
+      val pairs = Tables.documents(s, dir)
+        .select(TextFunctions.tokens(col("text")).as("t"))
+        .select(explode(adjacent).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val und = pairs
+        .unionByName(pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+        .distinct()
+      val words = und.select(col("w1").as("word"))
+        .union(und.select(col("w2"))).distinct()
+        .withColumn("wid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("word")))
+          .cast("long"))
+      val e = und
+        .join(broadcast(words.select(col("word").as("w1b"), col("wid").as("src"))),
+          col("w1") === col("w1b"))
+        .join(broadcast(words.select(col("word").as("w2b"), col("wid").as("dst"))),
+          col("w2") === col("w2b"))
+      graft.operators.PageRank.fixedPoint(e, "src", "dst", 3)
+        .join(broadcast(words), col("id") === col("wid"))
+        .select(col("word"), col("rank_micro"))
     }
   )
 
@@ -7358,6 +7423,61 @@ object SparkEntry {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
         |  sum_qty
         |FROM orders JOIN qty ON o_orderkey = l_orderkey
-        |JOIN customer ON o_custkey = c_custkey""".stripMargin
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // Equivalence-class sizes over the quasi-identifier tuple; values are
+    // non-negative so Spark's trunc-div and DuckDB's floor-div agree.
+    "q_k_anonymity" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(round(value * 100) AS BIGINT) // 1000 AS value_bucket,
+        |  CAST(count(*) AS BIGINT) AS group_k,
+        |  count(*) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // (draw, doc_id) is a total order, so the LIMIT is deterministic.
+    "q_exact_k_sample" ->
+      """SELECT doc_id,
+        |  substring(md5('ek1' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw,
+        |  lang
+        |FROM documents
+        |ORDER BY draw, doc_id LIMIT 100""".stripMargin,
+    // The q_pagerank integer recurrence unrolled on word keys: adjacency
+    // edges both directions, teleport 150000//n, damping 85//100, three
+    // iterations — bit-identical to the operator's fixed point.
+    "q_textrank" ->
+      """WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bp AS (SELECT toks[i] AS a, toks[i+1] AS b
+        |  FROM tk, unnest(range(1, len(toks))) AS x(i)
+        |  WHERE toks[i] <> toks[i+1]),
+        |e AS (SELECT DISTINCT a AS src, b AS dst FROM bp
+        |  UNION SELECT DISTINCT b, a FROM bp),
+        |nodes AS (SELECT src AS word FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT word, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS word, CAST(sum(r0.r // outdeg.deg) AS BIGINT) AS contrib
+        |  FROM e JOIN outdeg USING (src) JOIN r0 ON e.src = r0.word
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT nodes.word, 150000 // (SELECT n FROM nn)
+        |    + (85 * coalesce(c1.contrib, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c1 ON nodes.word = c1.word),
+        |c2 AS (
+        |  SELECT e.dst AS word, CAST(sum(r1.r // outdeg.deg) AS BIGINT) AS contrib
+        |  FROM e JOIN outdeg USING (src) JOIN r1 ON e.src = r1.word
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT nodes.word, 150000 // (SELECT n FROM nn)
+        |    + (85 * coalesce(c2.contrib, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c2 ON nodes.word = c2.word),
+        |c3 AS (
+        |  SELECT e.dst AS word, CAST(sum(r2.r // outdeg.deg) AS BIGINT) AS contrib
+        |  FROM e JOIN outdeg USING (src) JOIN r2 ON e.src = r2.word
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT nodes.word, 150000 // (SELECT n FROM nn)
+        |    + (85 * coalesce(c3.contrib, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN c3 ON nodes.word = c3.word)
+        |SELECT word, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin
   )
 }

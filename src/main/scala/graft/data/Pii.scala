@@ -30,4 +30,18 @@ object Pii {
         regexp_replace(c, emailRe, "<EMAIL>"),
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
+
+  /** k-anonymity audit (Sweeney IJUFKS 2002): group the frame by its
+    * quasi-identifier columns and flag every equivalence class smaller
+    * than k — rows in those classes are re-identifiable by an adversary
+    * who knows the quasi-identifiers, so a release pipeline must suppress
+    * or generalize them. One keyed aggregate with map-side partial counts;
+    * the QI tuple is the shuffle key, so the audit costs the same as any
+    * GROUP BY at 100 TB and the per-class output is bounded by the QI
+    * domain, not the row count. */
+  def kAnonymity(df: org.apache.spark.sql.DataFrame, qiCols: Seq[String],
+                 k: Int): org.apache.spark.sql.DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_k"))
+      .withColumn("at_risk", col("group_k") < k)
 }

@@ -161,4 +161,22 @@ object Sampling {
         / col("__share") * 1e6).cast(LongType).as("weight_micro"))
     df.join(broadcast(weighted), Seq(stratumCol))
   }
+
+  /** EXACT-size-k deterministic uniform sample: rank rows by their 32-bit
+    * hash draw (ties broken by key — a total order) and keep the first k.
+    * The Bernoulli variants above give an expected fraction; this gives a
+    * guaranteed count — what a fixed-budget eval set or human-annotation
+    * batch needs.
+    *
+    * Scale shape (100 TB): `orderBy(draw).limit(k)` plans as TakeOrdered —
+    * each partition keeps a local k-heap and only k rows per partition
+    * reach the single merge, so there is no global sort and no full
+    * shuffle; cost is one scan plus k·partitions rows of movement. The
+    * draw is a pure function of the key, so re-runs and engines agree row
+    * for row. */
+  def exactKSample(df: DataFrame, keyCol: String, salt: String,
+                   k: Int): DataFrame =
+    df.withColumn("draw", hashDraw(col(keyCol), salt))
+      .orderBy(col("draw"), col(keyCol))
+      .limit(k)
 }
