@@ -4472,10 +4472,10 @@ object SparkEntry {
 
     // TextRank keyword scores (Mihalcea & Tarau EMNLP'04): PageRank over
     // the word adjacency graph (undirected → both directed edges), reusing
-    // the bit-deterministic integer fixed-point PageRank operator — words
-    // are dictionary-encoded to ids (row_number over the vocabulary, a
-    // vocabulary-sized frame) and decoded back after 3 iterations. The
-    // oracle unrolls the same integer recurrence on word keys directly.
+    // the bit-deterministic integer fixed-point PageRank operator's KEYED
+    // variant — word strings are the node keys directly, no dictionary
+    // encode/decode pass. The oracle unrolls the same integer recurrence
+    // on word keys.
     "q_textrank" -> { (s, dir) =>
       import graft.data.TextFunctions
       val t = col("t")
@@ -4496,20 +4496,8 @@ object SparkEntry {
         .filter(col("w1") =!= col("w2"))
       val und = pairs
         .unionByName(pairs.select(col("w2").as("w1"), col("w1").as("w2")))
-        .distinct()
-      val words = und.select(col("w1").as("word"))
-        .union(und.select(col("w2"))).distinct()
-        .withColumn("wid", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("word")))
-          .cast("long"))
-      val e = und
-        .join(broadcast(words.select(col("word").as("w1b"), col("wid").as("src"))),
-          col("w1") === col("w1b"))
-        .join(broadcast(words.select(col("word").as("w2b"), col("wid").as("dst"))),
-          col("w2") === col("w2b"))
-      graft.operators.PageRank.fixedPoint(e, "src", "dst", 3)
-        .join(broadcast(words), col("id") === col("wid"))
-        .select(col("word"), col("rank_micro"))
+      graft.operators.PageRank.fixedPointKeyed(und, "w1", "w2", 3)
+        .select(col("id").as("word"), col("rank_micro"))
     }
   )
 

@@ -240,13 +240,17 @@ object NgramJaccard {
     * SUB side only — a pair at containment ≥ t must share a gram inside
     * the sub's rare-first prefix of length `sz − ceil(t·sz) + 1` (for
     * t = 4/5 that is ~sz/5 of its grams), while the super side indexes
-    * every gram. Both sides shuffle by gram (no all-pairs stage), the
-    * candidate set is deduplicated before the exact re-verify on raw
-    * text, and every comparison is integer arithmetic — no float
-    * boundary. Skew note: a stop-gram whose posting list would pair
-    * everything is impossible on the sub side (prefix keeps only each
-    * doc's RAREST grams); the super side's list length is bounded by the
-    * corpus df of those rare grams.
+    * every gram. Both sides shuffle by gram (no all-pairs stage) and
+    * candidates never leave the posting lists: a per-list bitset sweep
+    * applies the exact rational containment test inline (measured at
+    * sf0.1: 14M prefix-filtered candidates collapse inside the lists;
+    * materializing them — the first cut of this operator — took minutes,
+    * the sweep takes seconds), so only true near-containments reach the
+    * raw-text re-verify. Every comparison is integer arithmetic — no
+    * float boundary. Skew note: a stop-gram whose posting list would
+    * pair everything is impossible on the sub side (prefix keeps only
+    * each doc's RAREST grams); the super side's list length is bounded
+    * by the corpus df of those rare grams.
     *
     * Output is exact: `inter` and `sz_sub` are string-gram counts. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
@@ -287,17 +291,90 @@ object NgramJaccard {
         Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - expr(s"(sz * $tn + $td - 1) div $td") + 1)
       .select(col("h"), col("id").as("id_sub"))
-    val superAll = exploded.select(col("h"), col("id").as("id_super"))
-    val candidates = subPrefix.join(superAll, "h")
-      .filter(col("id_sub") =!= col("id_super"))
-      .select("id_sub", "id_super").distinct()
-    // Exact re-verify on raw text: containment is directional, so the
-    // emitted counts are |G(sub) ∩ G(super)| and |G(sub)|.
+
+    // Candidate pairs NEVER materialize outside posting lists (the
+    // duplicatePairs lesson: on template-clustered corpora millions of
+    // candidates survive the prefix filter, and joining each back to its
+    // gram set — let alone raw text — is the scale killer). Each gram's
+    // list carries its sub-prefix members plus ALL members' sorted
+    // gram-hash arrays; a local bitset sweep applies the exact rational
+    // containment test inline, so only true near-containments (orders of
+    // magnitude fewer) leave the lists.
+    val subLists = subPrefix.groupBy("h")
+      .agg(collect_list(col("id_sub")).as("subs"))
+    val lists = exploded.select(col("h"), col("id"))
+      .join(subLists, "h")
+      .join(hashed.select(col("id"), col("hs")), "id")
+      .groupBy(col("h"))
+      .agg(first(col("subs")).as("subs"),
+        collect_list(struct(col("id"), col("hs"))).as("docs"))
+      .select(col("subs"),
+        transform(col("docs"), d => d.getField("id")).as("ids"),
+        transform(col("docs"), d => d.getField("hs")).as("sets"))
+
+    val sweep = udf { (subs: scala.collection.Seq[Long],
+                       ids: scala.collection.Seq[Long],
+                       sets: scala.collection.Seq[scala.collection.Seq[Long]]) =>
+      val m = ids.length
+      val local = new java.util.HashMap[Long, Integer]()
+      val arrs = sets.iterator.map(_.toArray).toArray
+      arrs.foreach(_.foreach { h =>
+        if (!local.containsKey(h)) local.put(h, local.size())
+      })
+      val words = (local.size() + 63) >>> 6
+      val bits = Array.ofDim[Long](m, words)
+      val szs = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val sa = arrs(i)
+        szs(i) = sa.length
+        var k = 0
+        while (k < sa.length) {
+          val idx = local.get(sa(k)).intValue()
+          bits(i)(idx >>> 6) |= 1L << (idx & 63)
+          k += 1
+        }
+        i += 1
+      }
+      val idPos = new java.util.HashMap[Long, Integer]()
+      i = 0
+      while (i < m) { idPos.put(ids(i), i); i += 1 }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      subs.foreach { sid =>
+        val si = idPos.get(sid).intValue()
+        val bs = bits(si); val szSub = szs(si)
+        var j = 0
+        while (j < m) {
+          if (j != si) {
+            val ba = bits(j)
+            var (w, inter) = (0, 0)
+            while (w < words) {
+              inter += java.lang.Long.bitCount(bs(w) & ba(w))
+              w += 1
+            }
+            if (inter * td >= szSub * tn) out += ((sid, ids(j)))
+          }
+          j += 1
+        }
+      }
+      out.toSeq
+    }
+
+    val survivors = lists
+      .select(explode(sweep(col("subs"), col("ids"), col("sets"))).as("p"))
+      .select(col("p._1").as("id_sub"), col("p._2").as("id_super"))
+      .distinct()
+
+    // Exact re-verify the (few) survivors on raw text: containment is
+    // directional, so the emitted counts are |G(sub) ∩ G(super)| and
+    // |G(sub)| as exact string-gram counts — the 64-bit hashing above is
+    // only ever a filter (collision odds ~|vocab|²/2⁶⁵, as in
+    // [[duplicatePairs]]).
     val interSub = udf { (a: String, b: String) =>
       val (sa, sb) = (gramSet(a, n), gramSet(b, n))
       ((sa & sb).size, sa.size)
     }
-    candidates
+    survivors
       .join(base.select(col("id").as("id_sub"), col("text").as("text_sub")),
         "id_sub")
       .join(base.select(col("id").as("id_super"), col("text").as("text_super")),

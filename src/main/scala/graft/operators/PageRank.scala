@@ -29,9 +29,20 @@ object PageRank {
   /** `iterations` fixed-point steps over `edges(src, dst)` (duplicates
     * dropped); returns `(id, rank_micro)` for every node. */
   def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-                 iterations: Int): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+                 iterations: Int): DataFrame =
+    fixedPointKeyed(edges.select(col(srcCol).cast("long").as(srcCol),
+      col(dstCol).cast("long").as(dstCol)), srcCol, dstCol, iterations)
+
+  /** [[fixedPoint]] over nodes of ANY key type (strings for word graphs —
+    * TextRank — or URLs/domains before an id dictionary exists): the
+    * recurrence only ever uses the node key as a join/group key, so no
+    * encode/decode pass is needed. At very large scale a dictionary-encoded
+    * long key shuffles fewer bytes — that is a caller-side optimization,
+    * not a semantic requirement. */
+  def fixedPointKeyed(edges: DataFrame, srcCol: String, dstCol: String,
+                      iterations: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val n = nodes.count()
