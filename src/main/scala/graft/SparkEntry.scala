@@ -4498,6 +4498,70 @@ object SparkEntry {
         .unionByName(pairs.select(col("w2").as("w1"), col("w1").as("w2")))
       graft.operators.PageRank.fixedPointKeyed(und, "w1", "w2", 3)
         .select(col("id").as("word"), col("rank_micro"))
+    },
+
+    // Two-sample Kolmogorov–Smirnov drift test (view vs click value
+    // distributions): D = max |F1 − F2| as the exact integer
+    // max |ca·n2 − cb·n1| over the merged value domain — no float
+    // anywhere until the reported ppm. Scale shape: the row-level work is
+    // one distributed groupBy(value) count; the cumulative pass runs over
+    // the VALUE-DOMAIN aggregate (bounded by distinct cents, not row
+    // count). The scaled products stay in int64 up to ~3·10⁹ rows per
+    // side; beyond that, decimal(38) — noted, not silently wrong.
+    "q_ks_test" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("cents"))
+        .agg(count(when(col("event_type") === "view", 1)).as("a"),
+          count(when(col("event_type") === "click", 1)).as("b"))
+      val cumW = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.withColumn("ca", sum(col("a")).over(cumW))
+        .withColumn("cb", sum(col("b")).over(cumW))
+        .withColumn("n1", sum(col("a")).over(Window.partitionBy()))
+        .withColumn("n2", sum(col("b")).over(Window.partitionBy()))
+        .select(col("cents").as("d_at_cents"), col("n1"), col("n2"),
+          abs(col("ca") * col("n2") - col("cb") * col("n1")).as("d_scaled"))
+        .orderBy(col("d_scaled").desc, col("d_at_cents"))
+        .limit(1)
+        .select(col("n1"), col("n2"), col("d_scaled"),
+          expr("CAST(1000000 * d_scaled div (n1 * n2) AS BIGINT)")
+            .as("d_ppm"),
+          col("d_at_cents"))
+    },
+
+    // Mann–Whitney U rank-sum test on the same two samples — sensitive to
+    // location shift where KS is sensitive to any CDF gap. Tie handling
+    // is the textbook average rank, kept integral by working in DOUBLED
+    // ranks: a value covering combined ranks [s, s+c−1] contributes
+    // 2·avg = 2s + c − 1 per member. Same scale shape as q_ks_test: one
+    // distributed value-domain aggregate, cumulative pass over the
+    // bounded domain frame.
+    "q_mann_whitney" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("cents"))
+        .agg(count(when(col("event_type") === "view", 1)).as("a"),
+          count(when(col("event_type") === "click", 1)).as("b"))
+      val cumW = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.withColumn("cum", sum(col("a") + col("b")).over(cumW))
+        .select(col("a"), col("b"), col("cum"))
+        .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+          // start rank s = cum − (a+b) + 1; 2·rank-sum contribution of A
+          sum(col("a") * (lit(2) * (col("cum") - col("a") - col("b")) +
+            col("a") + col("b") + 1)).as("r1_2x"))
+        .select(col("n1"), col("n2"), col("r1_2x"),
+          expr("CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_2x AS BIGINT)")
+            .as("u1_2x"),
+          expr("CAST((2 * n1 * n2 + n1 * (n1 + 1) - r1_2x) * 1000 " +
+            "div (2 * n1 * n2) AS BIGINT)").as("auc_milli"))
     }
   )
 
@@ -7466,6 +7530,52 @@ object SparkEntry {
         |  SELECT nodes.word, 150000 // (SELECT n FROM nn)
         |    + (85 * coalesce(c3.contrib, 0)) // 100 AS r
         |  FROM nodes LEFT JOIN c3 ON nodes.word = c3.word)
-        |SELECT word, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin
+        |SELECT word, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin,
+    // Exact integer KS statistic over the merged value domain; ties in
+    // the argmax break toward the smallest value on both engines.
+    "q_ks_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT cents,
+        |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS a,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS b
+        |  FROM e GROUP BY 1),
+        |cum AS (SELECT cents,
+        |    CAST(sum(a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cb,
+        |    CAST(sum(a) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(b) OVER () AS BIGINT) AS n2
+        |  FROM c)
+        |SELECT n1, n2,
+        |  CAST(abs(ca * n2 - cb * n1) AS BIGINT) AS d_scaled,
+        |  CAST(1000000 * abs(ca * n2 - cb * n1) // (n1 * n2) AS BIGINT)
+        |    AS d_ppm,
+        |  cents AS d_at_cents
+        |FROM cum ORDER BY abs(ca * n2 - cb * n1) DESC, cents LIMIT 1""".stripMargin,
+    // Doubled-rank integer Mann–Whitney with textbook tie averaging.
+    "q_mann_whitney" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT cents,
+        |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS a,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS b
+        |  FROM e GROUP BY 1),
+        |cum AS (SELECT a, b,
+        |    CAST(sum(a + b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM c),
+        |agg AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |    CAST(sum(b) AS BIGINT) AS n2,
+        |    CAST(sum(a * (2 * (cum - a - b) + a + b + 1)) AS BIGINT) AS r1_2x
+        |  FROM cum)
+        |SELECT n1, n2, r1_2x,
+        |  CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_2x AS BIGINT) AS u1_2x,
+        |  CAST((2 * n1 * n2 + n1 * (n1 + 1) - r1_2x) * 1000
+        |    // (2 * n1 * n2) AS BIGINT) AS auc_milli
+        |FROM agg""".stripMargin
   )
 }
