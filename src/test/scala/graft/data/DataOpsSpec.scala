@@ -616,4 +616,25 @@ class DataOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
     assert(t(0L) == 4) // (votes desc, label asc): 1-1 tie -> label 4
   }
+
+  test("dHash56: brightness invariance, PNG round trip, band recall") {
+    // same seed, shifted brightness -> identical hash (differences cancel)
+    val h0 = Multimodal.dHash56(Multimodal.gradientPng(42L, 0))
+    val h3 = Multimodal.dHash56(Multimodal.gradientPng(42L, 3))
+    assert(h0 == h3)
+    assert(h0 >= 0L, "56-bit hash must stay in positive int64")
+    // different seeds -> far hashes (slope mixing, not phase-only)
+    val pairsFar = (0L until 40L).map(s => Multimodal.dHash56(Multimodal.gradientPng(s, 0)))
+    val minHam = pairsFar.combinations(2)
+      .map { case Seq(a, b) => java.lang.Long.bitCount(a ^ b) }.min
+    assert(minHam > 3, s"cross-seed hamming $minHam should exceed the dup radius")
+    // banding finds exactly the planted (seed-equal) pairs
+    val df = ((0L until 40L).map(s => (s, s, 0)) ++ Seq((1000L, 7L, 3), (1001L, 13L, 2)))
+      .toDF("id", "seed", "off")
+      .withColumn("content", udf { (s: Long, o: Int) => Multimodal.gradientPng(s, o) }
+        .apply(col("seed"), col("off")))
+    val got = Multimodal.dhashPairs(df, "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((7L, 1000L, 0L), (13L, 1001L, 0L)))
+  }
 }
