@@ -4589,6 +4589,23 @@ object SparkEntry {
       val imgs = base.unionByName(planted)
         .withColumn("content", pngUdf(col("seed"), col("off")))
       Multimodal.dhashPairs(imgs, "id", "content")
+    },
+
+    // Semi-structured extraction: parse the JSON `props` payload with a
+    // declared schema (from_json — codegen'd, scan-local, malformed rows
+    // become NULL not failures) and aggregate the extracted field. The
+    // everyday "pull a typed field out of a JSON column" op; at 100 TB
+    // the parse is pruned to the accessed fields by Catalyst (same
+    // mechanism the ingest path measures) and the only shuffle is the
+    // final keyed aggregate.
+    "q_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("from_json(props, 'k INT').k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }
   )
 
@@ -7635,6 +7652,17 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.id < b.id
-        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS n_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
