@@ -4606,6 +4606,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
           sum(col("k")).cast("long").as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
+    // Multi-source BFS distances (≤ 3 hops) over the undirected
+    // customer–supplier graph from seeds id % 97 == 0 — frontier
+    // expansion with an anti-join against the settled set, so each node
+    // is emitted once at its first (= shortest) layer. The graph
+    // primitive beside the fixed-point tier: reachability/propagation
+    // radius, exact integer layers.
+    "q_bfs_distance" -> { (s, dir) =>
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      val nodes = e.select(col("u").as("id")).distinct()
+      val seeds = nodes.filter(pmod(col("id"), lit(97)) === 0)
+      graft.operators.Bfs.distances(e, "u", "v", seeds, "id", 3)
     }
   )
 
@@ -7663,6 +7679,28 @@ object SparkEntry {
         |    AS min_k,
         |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
         |    AS max_k
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    // Three unrolled frontier rounds; a node's first appearance is its
+    // shortest depth, replicated with min() over the union of layers.
+    "q_bfs_distance" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT u AS id FROM e),
+        |d0 AS (SELECT id, 0 AS d FROM nodes WHERE id % 97 = 0),
+        |d1 AS (SELECT id, min(d) AS d FROM (
+        |    SELECT id, d FROM d0
+        |    UNION ALL
+        |    SELECT e.v, d0.d + 1 FROM e JOIN d0 ON e.u = d0.id) GROUP BY id),
+        |d2 AS (SELECT id, min(d) AS d FROM (
+        |    SELECT id, d FROM d1
+        |    UNION ALL
+        |    SELECT e.v, d1.d + 1 FROM e JOIN d1 ON e.u = d1.id) GROUP BY id),
+        |d3 AS (SELECT id, min(d) AS d FROM (
+        |    SELECT id, d FROM d2
+        |    UNION ALL
+        |    SELECT e.v, d2.d + 1 FROM e JOIN d2 ON e.u = d2.id) GROUP BY id)
+        |SELECT id, CAST(d AS BIGINT) AS dist FROM d3 WHERE d <= 3""".stripMargin
   )
 }
