@@ -87,4 +87,22 @@ class GraphLinkageSpec extends SparkSpec {
     // doc 3 has no df>=2 terms: absent entirely
     assert(!out.keys.exists(_._1 == 3L))
   }
+
+  test("BFS distances: frontier layers, shortest wins, depth bound, unreached absent") {
+    // path 0-1-2-3-4 plus shortcut 0-3; undirected
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (7L, 8L))
+      .toDF("u", "v")
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val seeds = Seq(0L).toDF("id")
+    val got = Bfs.distances(e, "u", "v", seeds, "id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 3 via the shortcut (dist 1), 4 via shortcut+1 (dist 2); 2 at dist 2
+    assert(got == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L))
+    // depth bound: maxDepth 1 stops after the first layer
+    val shallow = Bfs.distances(e, "u", "v", seeds, "id", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(shallow == Map(0L -> 0L, 1L -> 1L, 3L -> 1L))
+    // disconnected component (7,8) never appears
+    assert(!got.contains(7L) && !got.contains(8L))
+  }
 }
