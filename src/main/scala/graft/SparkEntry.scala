@@ -4622,6 +4622,34 @@ object SparkEntry {
       val nodes = e.select(col("u").as("id")).distinct()
       val seeds = nodes.filter(pmod(col("id"), lit(97)) === 0)
       graft.operators.Bfs.distances(e, "u", "v", seeds, "id", 3)
+    },
+
+    // Inter-arrival gap quantiles per event type (user temporal-behavior
+    // profile: burstiness / polling cadence): consecutive-event gaps via
+    // lag over the user timeline (deterministic (ts, event_id) order),
+    // then the exact rank-position quantile spelling of
+    // q_quantile_by_key. Two keyed exchanges: user for the lag window,
+    // event_type for the quantile window.
+    "q_gap_quantiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val uw = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val gaps = eventsUsPrecision(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("tus"))
+        .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(uw))
+        .filter(col("gap_us").isNotNull)
+      val qw = Window.partitionBy("event_type").orderBy(col("gap_us"))
+      gaps
+        .withColumn("rn", row_number().over(qw).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("event_type")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(50*n + 99) div 100"), col("gap_us")))
+            .as("p50_gap_us"),
+          max(when(col("rn") === expr("(90*n + 99) div 100"), col("gap_us")))
+            .as("p90_gap_us"))
     }
   )
 
@@ -7701,6 +7729,22 @@ object SparkEntry {
         |    SELECT id, d FROM d2
         |    UNION ALL
         |    SELECT e.v, d2.d + 1 FROM e JOIN d2 ON e.u = d2.id) GROUP BY id)
-        |SELECT id, CAST(d AS BIGINT) AS dist FROM d3 WHERE d <= 3""".stripMargin
+        |SELECT id, CAST(d AS BIGINT) AS dist FROM d3 WHERE d <= 3""".stripMargin,
+    // Same deterministic (ts, event_id) lag order and rank-position
+    // quantile spelling as q_quantile_by_key.
+    "q_gap_quantiles" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+        |r AS (SELECT event_type, gap_us,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM f)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (50*n + 99) // 100 THEN gap_us END) AS p50_gap_us,
+        |  max(CASE WHEN rn = (90*n + 99) // 100 THEN gap_us END) AS p90_gap_us
+        |FROM r GROUP BY event_type""".stripMargin
   )
 }
