@@ -60,17 +60,28 @@ object ErrorClassifier {
     else if (permanentCodes(code)) Permanent
     else Unknown
 
-  /** Classify from an exception message containing "Code: NNN" (the
-    * ClickHouse server error format surfaced through JDBC). */
+  /** Classify from an exception containing "Code: NNN" (the ClickHouse
+    * server error format surfaced through JDBC). The whole cause chain is
+    * examined — foreachBatch surfaces executor-side SQLExceptions wrapped
+    * in a SparkException — but keyword matching looks only at each
+    * exception's FIRST message line: Spark embeds the task's full stack
+    * trace in its message, and frame names in that dump
+    * (EmbedConnection.handleException, ConnectionChild, ...) would
+    * false-match "connection" and misclassify a permanent data fault as
+    * retryable. */
   def classify(t: Throwable): Class = {
-    val msg = Option(t.getMessage).getOrElse("")
-    val m = "Code:\\s*(\\d+)".r.findFirstMatchIn(msg)
-    m.map(g => classify(g.group(1).toInt)).getOrElse {
-      // network-level failures with no CH code are retryable
-      val lower = msg.toLowerCase
-      if (lower.contains("timeout") || lower.contains("connection") ||
-        lower.contains("connect") || lower.contains("broken pipe")) Retryable
-      else Unknown
-    }
+    val chain = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(16).toSeq
+    val msgs = chain.map(e => Option(e.getMessage).getOrElse(""))
+    msgs.flatMap("Code:\\s*(\\d+)".r.findFirstMatchIn(_)).headOption
+      .map(g => classify(g.group(1).toInt)).getOrElse {
+        // network-level failures with no CH code are retryable
+        val firstLines = msgs.map(_.linesIterator.nextOption().getOrElse("")
+          .toLowerCase)
+        if (firstLines.exists(l => l.contains("timeout") ||
+          l.contains("connection") || l.contains("connect") ||
+          l.contains("broken pipe"))) Retryable
+        else Unknown
+      }
   }
 }

@@ -85,9 +85,13 @@ final class OtlpGrpcServer(ingest: (String, Array[Byte]) => Long) {
           content.readBytes(chunk)
           body.write(chunk)
           // return the consumed bytes to the flow-control window, or the
-          // sender stalls after the initial 64 KiB; must FLUSH mid-request —
-          // a write queued until respond() never reaches a client that is
-          // itself blocked waiting for window credit (mutual stall)
+          // sender stalls after the initial 64 KiB. Flushing eagerly gets
+          // the credit out in the same read loop; Netty's stream channel
+          // would also flush a plain write() at channelReadComplete
+          // (verified: the >64 KiB OtlpGrpcSpec case passes either way),
+          // so the flush here buys latency, not correctness — but the
+          // mid-request credit itself is load-bearing: without any
+          // WINDOW_UPDATE the client deadlocks at 65,535 bytes.
           if (d.initialFlowControlledBytes > 0)
             ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(d.initialFlowControlledBytes))
           if (d.isEndStream) respond(ctx)

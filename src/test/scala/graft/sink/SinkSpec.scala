@@ -22,6 +22,15 @@ class SinkSpec extends SparkSpec {
     assert(classify(new RuntimeException("Code: 53. DB::Exception: Type mismatch")) == Permanent)
     assert(classify(new RuntimeException("connection refused")) == Retryable)
     assert(classify(new RuntimeException("something odd")) == Unknown)
+    // the CH code is found through a wrapper (foreachBatch surfaces
+    // executor errors wrapped in a SparkException)
+    assert(classify(new RuntimeException("Job aborted",
+      new RuntimeException("Code: 241. DB::Exception: Memory limit"))) == Retryable)
+    // a stack trace EMBEDDED in the outer message must not keyword-match:
+    // Derby/CH driver frames like ConnectionChild would otherwise turn a
+    // permanent data fault into an infinite retry loop
+    assert(classify(new RuntimeException(
+      "Job aborted: truncation error\n\tat org.x.jdbc.ConnectionChild.handleException")) == Unknown)
   }
 
   test("insert sql uses mapping-declared column order") {

@@ -160,8 +160,12 @@ class OtlpGrpcSpec extends SparkSpec {
   test("export larger than the 64 KiB initial stream window completes") {
     // The client codec respects HTTP/2 flow control: past 65,535 body bytes
     // it sends nothing more until the server returns stream window credit.
-    // A server that queues its WINDOW_UPDATEs without flushing until
-    // end-of-stream deadlocks here (this call then times out at 30 s).
+    // A server that never issues mid-request stream WINDOW_UPDATEs
+    // deadlocks here (this call then times out at 30 s). Note the eager
+    // flush in OtlpGrpcServer is NOT what this guards (measured: a plain
+    // write() also passes — Netty stream channels flush pending writes at
+    // channelReadComplete); the guarded behavior is that consumed bytes
+    // are credited back at all while the request is still in flight.
     val spool = java.nio.file.Files.createTempDirectory("otlp_grpc_big").toString
     val receiver = new OtlpReceiver(spark, spool)
     val grpc = receiver.grpc()
