@@ -4568,7 +4568,9 @@ object SparkEntry {
     // for re-encode / brightness-shift duplicates): per-doc 32×32 gradient
     // PNGs from an integer pixel formula (every doc a distinct seed;
     // every 50th doc gets a +3-brightness re-encode planted under
-    // id+10⁶), REAL PNG encode + javax.imageio decode in the engine,
+    // id + 2⁴⁰ — a high bit outside any realistic doc_id domain, so
+    // planted ids can never collide with genuine ones at larger sf, where
+    // a fixed 10⁶ offset would), REAL PNG encode + javax.imageio decode,
     // 4×4 integer block means → 56-bit difference hash → 4×14-bit band
     // buckets (pigeonhole recall guarantee at hamming ≤ 3) → popcount
     // verify. The oracle replays the pixel formula and hash in SQL and
@@ -4584,7 +4586,7 @@ object SparkEntry {
       val base = docs.select(col("doc_id").as("id"),
         col("doc_id").as("seed"), lit(0).as("off"))
       val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-        .select((col("doc_id") + 1000000L).as("id"),
+        .select((col("doc_id") + (1L << 40)).as("id"),
           col("doc_id").as("seed"), lit(3).as("off"))
       val imgs = base.unionByName(planted)
         .withColumn("content", pngUdf(col("seed"), col("off")))
@@ -4601,7 +4603,10 @@ object SparkEntry {
     "q_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),
-          expr("from_json(props, 'k INT').k").cast("long").as("k"))
+          // BIGINT, not INT: the DuckDB oracle CASTs json_extract to
+          // BIGINT, so an int64-range k must agree on both sides — an
+          // int32 parse would silently NULL values the oracle keeps
+          expr("from_json(props, 'k BIGINT').k").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
           sum(col("k")).cast("long").as("sum_k"),
@@ -7679,7 +7684,7 @@ object SparkEntry {
       """WITH ids AS (
         |  SELECT doc_id AS id, doc_id AS seed, 0 AS off FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id, 3 FROM documents
+        |  SELECT doc_id + (1::BIGINT << 40), doc_id, 3 FROM documents
         |  WHERE doc_id % 50 = 0),
         |px AS (
         |  SELECT id, r, c, CAST(sum(

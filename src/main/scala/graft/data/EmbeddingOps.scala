@@ -395,9 +395,14 @@ object EmbeddingOps {
     * Scale shape (100 TB): the corpus is broadcast once as primitive
     * arrays (dim·8 bytes per vector — ~1 GB per 2M vectors at dim 64) and
     * each partition scores its own queries in a tight integer loop: one
-    * scan, no pair shuffle, no driver loop. Beyond the broadcast ceiling
-    * the same contract runs on [[ivfTopK]]/[[lshRadius]] candidates with
-    * integer re-ranking — the classify step is unchanged. */
+    * scan, no pair shuffle, no driver loop at score time. The BINDING
+    * ceiling is the DRIVER: the broadcast is assembled via collect(), so
+    * the whole corpus (plus its boxed Row form, transiently ~2×)
+    * must fit in driver heap before the executor-side ~1 GB/2M-vector
+    * broadcast figure is ever reached — size driver memory accordingly,
+    * and past either limit the same contract runs on
+    * [[ivfTopK]]/[[lshRadius]] candidates with integer re-ranking — the
+    * classify step is unchanged. */
   def knnClassify(df: DataFrame, idCol: String, vecCol: String,
                   labelCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession

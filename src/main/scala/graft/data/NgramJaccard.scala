@@ -247,15 +247,26 @@ object NgramJaccard {
     * materializing them — the first cut of this operator — took minutes,
     * the sweep takes seconds), so only true near-containments reach the
     * raw-text re-verify. Every comparison is integer arithmetic — no
-    * float boundary. Skew note: a stop-gram whose posting list would
-    * pair everything is impossible on the sub side (prefix keeps only
-    * each doc's RAREST grams); the super side's list length is bounded
-    * by the corpus df of those rare grams.
+    * float boundary.
+    *
+    * Skew guard: the prefix keeps only each doc's RAREST grams, but
+    * "rarest" is relative — a short doc composed entirely of
+    * corpus-common grams still puts a high-df gram in its prefix, and
+    * that gram's grouped list would hold a corpus-scale slice of docs
+    * WITH their full gram arrays (single-row OOM + one-task O(m²)
+    * sweep). So grams with df > `hotGramDf` never enter a posting list:
+    * their (sub, super) candidates are materialized as plain id pairs
+    * and fed straight to the exact raw-text re-verify the cold path also
+    * ends in — same output, no recall trade. The hot volume is bounded
+    * by |subs whose prefix reaches into stop-grams| × df — linear, not
+    * quadratic, in the corpus — and such subs are rare by construction
+    * (their RAREST gram is corpus-common).
     *
     * Output is exact: `inter` and `sz_sub` are string-gram counts. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 2, thresholdNum: Int = 4,
-                       thresholdDen: Int = 5): DataFrame = {
+                       thresholdDen: Int = 5,
+                       hotGramDf: Int = 1024): DataFrame = {
     val (tn, td) = (thresholdNum, thresholdDen)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val hashSet = udf { text: String =>
@@ -286,11 +297,22 @@ object NgramJaccard {
       explode(col("hs")).as("h"))
     val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
     // Sub-side prefix postings (rare-first; ceil via integer arithmetic).
-    val subPrefix = exploded.join(dfreq, "h")
+    val subPrefixAll = exploded.join(dfreq, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - expr(s"(sz * $tn + $td - 1) div $td") + 1)
-      .select(col("h"), col("id").as("id_sub"))
+      .select(col("h"), col("id").as("id_sub"), col("df"))
+    val subPrefix = subPrefixAll.filter(col("df") <= hotGramDf)
+      .select("h", "id_sub")
+    // Hot grams (df above the cap) skip the posting-list sweep entirely:
+    // plain candidate pairs, deduped, exact-verified below with the cold
+    // survivors. Every list the sweep sees is then ≤ hotGramDf docs wide.
+    val hotPairs = subPrefixAll.filter(col("df") > hotGramDf)
+      .select(col("h"), col("id_sub"))
+      .join(exploded.select(col("h"), col("id").as("id_super")), "h")
+      .filter(col("id_sub") =!= col("id_super"))
+      .select("id_sub", "id_super")
+      .distinct()
 
     // Candidate pairs NEVER materialize outside posting lists (the
     // duplicatePairs lesson: on template-clustered corpora millions of
@@ -363,6 +385,8 @@ object NgramJaccard {
     val survivors = lists
       .select(explode(sweep(col("subs"), col("ids"), col("sets"))).as("p"))
       .select(col("p._1").as("id_sub"), col("p._2").as("id_super"))
+      .distinct()
+      .unionByName(hotPairs)
       .distinct()
 
     // Exact re-verify the (few) survivors on raw text: containment is

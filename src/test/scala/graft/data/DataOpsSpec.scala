@@ -589,6 +589,19 @@ class DataOpsSpec extends SparkSpec {
     val dir = NgramJaccard.containmentPairs(sub, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dir == Set((1L, 2L)))
+    // hot-gram fallback: with the df cap forced to 0 EVERY prefix gram
+    // routes through the materialized-pair path instead of the sweep —
+    // output must be identical (the exact re-verify is shared), proving
+    // the skew guard trades no recall
+    val hot = NgramJaccard.containmentPairs(docs, "doc_id", "text",
+        hotGramDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(hot == exact)
+    // and a mid cap exercises BOTH paths at once
+    val mixed = NgramJaccard.containmentPairs(docs, "doc_id", "text",
+        hotGramDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(mixed == exact)
   }
 
   test("knn label transfer: planted clusters classify exactly; ties break on (dot desc, id), (votes desc, label)") {
