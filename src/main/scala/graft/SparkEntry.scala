@@ -4633,6 +4633,24 @@ object SparkEntry {
       graft.operators.Bfs.distances(e, "u", "v", seeds, "id", 3)
     },
 
+    // Bounded-hop WEIGHTED shortest distances (3 unrolled Bellman-Ford
+    // relaxations) over the customer–supplier graph, edge weight =
+    // lineitem quantity — "cheapest ≤3-hop route" beside q_bfs_distance's
+    // hop counts. Parallel edges feed the min-relaxation directly (no
+    // edge dedup needed); per round one hash join against the cached
+    // key-partitioned edges + one map-side-combined min aggregate.
+    "q_sssp" -> { (s, dir) =>
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_suppkey").as("v"),
+          col("l_quantity").cast("long").as("w"))
+      val e = e0.unionByName(
+        e0.select(col("v").as("u"), col("u").as("v"), col("w"))).persist()
+      val seeds = e.select(col("u").as("id")).distinct()
+        .filter(pmod(col("id"), lit(97)) === 0)
+      graft.operators.Bfs.ssspBounded(e, "u", "v", "w", seeds, "id", 3)
+    },
+
     // Inter-arrival gap quantiles per event type (user temporal-behavior
     // profile: burstiness / polling cadence): consecutive-event gaps via
     // lag over the user timeline (deterministic (ts, event_id) order),
@@ -7739,6 +7757,30 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT e.v, d2.d + 1 FROM e JOIN d2 ON e.u = d2.id) GROUP BY id)
         |SELECT id, CAST(d AS BIGINT) AS dist FROM d3 WHERE d <= 3""".stripMargin,
+    // Three unrolled WEIGHTED min-relaxations (Bellman-Ford), edge weight
+    // = lineitem quantity; exact integer distances.
+    "q_sssp" ->
+      """WITH e0 AS (
+        |  SELECT o_custkey AS u, l_suppkey AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT u, v, w FROM e0
+        |      UNION ALL SELECT v, u, w FROM e0),
+        |d0 AS (SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS d FROM e
+        |       WHERE u % 97 = 0),
+        |d1 AS (SELECT id, min(d) AS d FROM (
+        |    SELECT id, d FROM d0
+        |    UNION ALL
+        |    SELECT e.v, d0.d + e.w FROM e JOIN d0 ON e.u = d0.id) GROUP BY id),
+        |d2 AS (SELECT id, min(d) AS d FROM (
+        |    SELECT id, d FROM d1
+        |    UNION ALL
+        |    SELECT e.v, d1.d + e.w FROM e JOIN d1 ON e.u = d1.id) GROUP BY id),
+        |d3 AS (SELECT id, min(d) AS d FROM (
+        |    SELECT id, d FROM d2
+        |    UNION ALL
+        |    SELECT e.v, d2.d + e.w FROM e JOIN d2 ON e.u = d2.id) GROUP BY id)
+        |SELECT id, CAST(d AS BIGINT) AS dist FROM d3""".stripMargin,
     // Same deterministic (ts, event_id) lag order and rank-position
     // quantile spelling as q_quantile_by_key.
     "q_gap_quantiles" ->

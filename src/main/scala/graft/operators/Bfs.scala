@@ -80,4 +80,42 @@ object Bfs {
     e.unpersist(false)
     settled
   }
+
+  /** Bounded-hop WEIGHTED shortest distances: `rounds` unrolled
+    * Bellman-Ford relaxations from `seeds(id)` over DIRECTED
+    * `edges(srcCol, dstCol, weightCol)` — "cheapest way to reach each
+    * node using at most k hops". Exact integer distances (weights cast
+    * to long), so the result is partition-invariant and an unrolled SQL
+    * oracle replays it; k-hop-bounded is the CONTRACT, not an
+    * approximation, so there is no convergence probe to pay for.
+    *
+    * Scale shape (100 TB): per round ONE hash join of the node-sized
+    * distance frame against the cached edge frame (partitioned by the
+    * join key — only the distance side exchanges) and ONE keyed min
+    * aggregate with map-side combine (the shuffle carries one candidate
+    * per node per map task, not the relaxation fan-out). The distance
+    * frame localCheckpoints each round — same lineage argument as
+    * [[distances]]. Parallel edges need no dedup: the min-aggregate is
+    * exactly the relaxation, so extra candidates only add combine work. */
+  def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, seeds: DataFrame, seedCol: String,
+                  rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w"))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val relaxed = dist.join(e, col("id") === col("u"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    dist
+  }
 }

@@ -117,4 +117,18 @@ class GraphLinkageSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == (0L to 25L).map(i => i -> i).toMap)
   }
+
+  test("bounded-hop weighted SSSP: multi-hop beats direct edge, hop bound binds, parallel edges relax") {
+    // 0→1 direct costs 10; 0→2→1 costs 1+2=3 but needs 2 hops; a parallel
+    // 0→2 edge at weight 5 must lose to the weight-1 edge
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 1L), (0L, 2L, 5L), (2L, 1L, 2L),
+      (7L, 8L, 1L)).toDF("u", "v", "w")
+    val seeds = Seq(0L).toDF("id")
+    def run(r: Int) = Bfs.ssspBounded(e, "u", "v", "w", seeds, "id", r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // 1 round: only direct edges relaxed
+    assert(run(1) == Map(0L -> 0L, 1L -> 10L, 2L -> 1L))
+    // 2 rounds: the cheaper 2-hop path wins; disconnected (7,8) absent
+    assert(run(2) == Map(0L -> 0L, 1L -> 3L, 2L -> 1L))
+  }
 }
