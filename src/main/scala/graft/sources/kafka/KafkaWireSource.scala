@@ -25,17 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's front door (glassflow-api/internal/kafka/consumer.go) far
   * beyond an options-builder unit test.
   *
-  * Options: `brokers` (host:port[,host:port…] — first is used for control
-  * requests), `topic`, `startingOffsets` (earliest|latest, micro-batch
-  * default earliest), `maxOffsetsPerTrigger` (admission control: per-batch
-  * row cap distributed over partitions proportional to lag, the stock
-  * source's policy).
+  * Options: `brokers` (host:port[,host:port…] — first reachable one serves
+  * control requests; FETCHES go to each partition's LEADER from Metadata),
+  * `topic`, `startingOffsets` (earliest|latest, micro-batch default
+  * earliest), `maxOffsetsPerTrigger` (admission control: per-batch row cap
+  * distributed over partitions proportional to lag, the stock source's
+  * policy), `sasl.mechanism` (PLAIN|SCRAM-SHA-256|SCRAM-SHA-512) +
+  * `sasl.username`/`sasl.password` (reference SASL legs:
+  * consumer.go:141-210).
   *
   * Scale shape: one [[InputPartition]] per Kafka partition per batch; each
-  * Spark task opens its own socket and fetch-loops over its offset range
-  * only — reads parallelize by topic partition exactly as the stock source,
-  * and nothing about a partition's data ever passes through the driver
-  * (the driver sees offsets only: int64s per partition).
+  * Spark task opens its own socket TO THAT PARTITION'S LEADER and
+  * fetch-loops over its offset range only — reads parallelize by topic
+  * partition exactly as the stock source, and nothing about a partition's
+  * data ever passes through the driver (the driver sees offsets only:
+  * int64s per partition).
   */
 final class KafkaWireSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kafka"
@@ -57,7 +61,10 @@ object KafkaWireSource {
 
   private[kafka] final case class Endpoint(host: String, port: Int)
 
-  private[kafka] def parseOptions(opts: Map[String, String]): (Endpoint, String) = {
+  private[kafka] final case class Options(
+    endpoint: Endpoint, topic: String, sasl: Option[WireClient.SaslConfig])
+
+  private[kafka] def parseOptions(opts: Map[String, String]): Options = {
     val ci = opts.map { case (k, v) => k.toLowerCase -> v }
     val brokers = ci.getOrElse("brokers",
       throw new IllegalArgumentException("graft-kafka: 'brokers' option is required"))
@@ -68,7 +75,14 @@ object KafkaWireSource {
       case -1 => throw new IllegalArgumentException(s"graft-kafka: broker '$first' is not host:port")
       case i => (first.substring(0, i), first.substring(i + 1).toInt)
     }
-    (Endpoint(h, p), topic)
+    val sasl = ci.get("sasl.mechanism").map { mech =>
+      WireClient.SaslConfig(mech.toUpperCase,
+        ci.getOrElse("sasl.username",
+          throw new IllegalArgumentException("graft-kafka: sasl.mechanism set but sasl.username missing")),
+        ci.getOrElse("sasl.password",
+          throw new IllegalArgumentException("graft-kafka: sasl.mechanism set but sasl.password missing")))
+    }
+    Options(Endpoint(h, p), topic, sasl)
   }
 
   /** {"0":12,"7":3} — partition → next offset to read. Hand-rolled because
@@ -78,6 +92,17 @@ object KafkaWireSource {
 
   private[kafka] def offsetsFromJson(s: String): Map[Int, Long] =
     """"(\d+)":(\d+)""".r.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+
+  /** Partition → leader endpoint from a Metadata response; a partition
+    * whose leader id is absent from the broker list (-1 = leaderless
+    * election in progress) falls back to the control endpoint, which
+    * will surface the broker's own NOT_LEADER error rather than guess. */
+  private[kafka] def leaderEndpoints(meta: WireClient.ClusterMeta,
+                                     fallback: Endpoint): Map[Int, Endpoint] = {
+    val byId = meta.brokers.map(b => b.nodeId -> Endpoint(b.host, b.port)).toMap
+    meta.topic.partitions.map(pm =>
+      pm.partition -> byId.getOrElse(pm.leader, fallback)).toMap
+  }
 }
 
 private[kafka] final class KafkaWireTable(opts: Map[String, String]) extends Table with SupportsRead {
@@ -108,26 +133,26 @@ private[kafka] final case class KafkaWireOffset(offsets: Map[Int, Long]) extends
 private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   extends MicroBatchStream with SupportsAdmissionControl {
 
-  private val (endpoint, topic) = KafkaWireSource.parseOptions(opts)
+  private val o = KafkaWireSource.parseOptions(opts)
   private val startingOffsets =
     opts.map { case (k, v) => k.toLowerCase -> v }.getOrElse("startingoffsets", "earliest")
   private val maxOffsetsPerTrigger =
     opts.map { case (k, v) => k.toLowerCase -> v }.get("maxoffsetspertrigger").map(_.toLong)
 
   // Control-plane client: driver-side only, offsets in/out — never records.
-  private lazy val client = new WireClient(endpoint.host, endpoint.port)
+  private lazy val client = new WireClient(o.endpoint.host, o.endpoint.port, sasl = o.sasl)
 
-  private def partitions(): Seq[Int] = {
-    val meta = client.metadata(topic)
-    if (meta.errorCode != 0)
-      throw new java.io.IOException(s"graft-kafka: metadata error ${meta.errorCode} for $topic")
-    meta.partitions.map(_.partition).sorted
+  private def clusterMeta(): WireClient.ClusterMeta = {
+    val meta = client.metadata(o.topic)
+    if (meta.topic.errorCode != 0)
+      throw new java.io.IOException(s"graft-kafka: metadata error ${meta.topic.errorCode} for ${o.topic}")
+    meta
   }
 
   override def initialOffset(): Offset = {
-    val parts = partitions()
+    val parts = clusterMeta().topic.partitions.map(_.partition).sorted
     val ts = if (startingOffsets == "latest") -1L else -2L
-    KafkaWireOffset(client.listOffsets(topic, parts, ts))
+    KafkaWireOffset(client.listOffsets(o.topic, parts, ts))
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -137,9 +162,20 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
+  /** Partitions absent from a checkpointed start map were CREATED after
+    * the checkpoint — they start from EARLIEST (the stock source's
+    * policy); defaulting them to their log-end would silently skip every
+    * row already in them. */
+  private def effectiveStart(startMap: Map[Int, Long], parts: Seq[Int]): Map[Int, Long] = {
+    val missing = parts.filterNot(startMap.contains)
+    if (missing.isEmpty) startMap
+    else startMap ++ client.listOffsets(o.topic, missing, -2L)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startMap = start.asInstanceOf[KafkaWireOffset].offsets
-    val latest = client.listOffsets(topic, partitions(), -1L)
+    val parts = clusterMeta().topic.partitions.map(_.partition).sorted
+    val startMap = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, parts)
+    val latest = client.listOffsets(o.topic, parts, -1L)
     limit match {
       case mr: ReadMaxRows =>
         // Distribute the row cap over partitions proportional to lag —
@@ -164,12 +200,15 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     KafkaWireOffset(KafkaWireSource.offsetsFromJson(json))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[KafkaWireOffset].offsets
     val e = end.asInstanceOf[KafkaWireOffset].offsets
+    val s = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, e.keys.toSeq)
+    val leaders = KafkaWireSource.leaderEndpoints(clusterMeta(), o.endpoint)
     e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
       val startOff = s.getOrElse(p, endOff)
+      val leader = leaders.getOrElse(p, o.endpoint)
       if (endOff > startOff)
-        Some(KafkaWirePartition(endpoint.host, endpoint.port, topic, p, startOff, endOff): InputPartition)
+        Some(KafkaWirePartition(leader.host, leader.port, o.topic, p, startOff, endOff,
+          o.sasl): InputPartition)
       else None
     }.toArray
   }
@@ -180,16 +219,20 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
 }
 
 private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Batch {
-  private val (endpoint, topic) = KafkaWireSource.parseOptions(opts)
+  private val o = KafkaWireSource.parseOptions(opts)
   override def planInputPartitions(): Array[InputPartition] = {
-    val client = new WireClient(endpoint.host, endpoint.port)
+    val client = new WireClient(o.endpoint.host, o.endpoint.port, sasl = o.sasl)
     try {
-      val parts = client.metadata(topic).partitions.map(_.partition).sorted
-      val earliest = client.listOffsets(topic, parts, -2L)
-      val latest = client.listOffsets(topic, parts, -1L)
+      val meta = client.metadata(o.topic)
+      val leaders = KafkaWireSource.leaderEndpoints(meta, o.endpoint)
+      val parts = meta.topic.partitions.map(_.partition).sorted
+      val earliest = client.listOffsets(o.topic, parts, -2L)
+      val latest = client.listOffsets(o.topic, parts, -1L)
       parts.flatMap { p =>
         val (s, e) = (earliest(p), latest(p))
-        if (e > s) Some(KafkaWirePartition(endpoint.host, endpoint.port, topic, p, s, e): InputPartition)
+        val leader = leaders.getOrElse(p, o.endpoint)
+        if (e > s) Some(KafkaWirePartition(leader.host, leader.port, o.topic, p, s, e,
+          o.sasl): InputPartition)
         else None
       }.toArray
     } finally client.close()
@@ -199,7 +242,8 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
 
 private[kafka] final case class KafkaWirePartition(
   host: String, port: Int, topic: String, partition: Int,
-  startOffset: Long, endOffset: Long) extends InputPartition
+  startOffset: Long, endOffset: Long,
+  sasl: Option[WireClient.SaslConfig]) extends InputPartition
 
 private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -207,11 +251,12 @@ private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
 }
 
 /** Executor-side fetch loop over [startOffset, endOffset): one socket per
-  * task, records surfaced in offset order, CRC verified in the codec. */
+  * task to the partition's leader, records surfaced in offset order, CRC
+  * verified in the codec, control batches skipped without stalling. */
 private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
   extends PartitionReader[InternalRow] {
 
-  private val client = new WireClient(p.host, p.port)
+  private val client = new WireClient(p.host, p.port, sasl = p.sasl)
   private val topicUtf8 = UTF8String.fromString(p.topic)
   private var buffer: Iterator[Records.Record] = Iterator.empty
   private var nextOffset = p.startOffset
@@ -220,10 +265,11 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
   override def next(): Boolean = {
     while (!buffer.hasNext && nextOffset < p.endOffset) {
       val res = client.fetch(p.topic, p.partition, nextOffset)
-      if (res.records.isEmpty) {
+      if (res.records.isEmpty && res.nextOffset < 0) {
         // Range was planned from a live log-end offset, so data below
-        // endOffset must exist; an empty fetch below the HWM means the
-        // requested offset aged out (retention) — surface it, don't spin.
+        // endOffset must exist; an empty fetch (no batch decoded at all)
+        // below the HWM means the requested offset aged out (retention) —
+        // surface it, don't spin.
         if (nextOffset < res.highWatermark)
           throw new java.io.IOException(
             s"graft-kafka: empty fetch at offset $nextOffset below hwm ${res.highWatermark} " +
@@ -234,7 +280,18 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
       // granularity) or beyond our planned end — trim to the range.
       buffer = res.records.iterator
         .filter(r => r.offset >= nextOffset && r.offset < p.endOffset)
-      nextOffset = math.max(nextOffset, res.records.map(_.offset).max + 1)
+      // Advance by the BATCH-LEVEL cursor, not record offsets: a control
+      // batch decodes to zero records, and on compacted topics every
+      // record at/after the fetch offset within a batch may be gone while
+      // the batch header still spans them — record-offset advance would
+      // re-fetch the same batch forever in both cases.
+      val advanced = math.max(res.nextOffset,
+        if (res.records.nonEmpty) res.records.map(_.offset).max + 1 else Long.MinValue)
+      if (advanced <= nextOffset)
+        throw new java.io.IOException(
+          s"graft-kafka: fetch at offset $nextOffset did not advance " +
+            s"(batch cursor $advanced, partition ${p.partition}) — refusing to spin")
+      nextOffset = advanced
     }
     if (buffer.hasNext) { current = buffer.next(); true } else false
   }
@@ -248,7 +305,7 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
       p.partition,
       r.offset,
       r.timestampMs * 1000L, // ms → µs
-      0)                     // CreateTime
+      r.timestampType)       // 0 = CreateTime, 1 = LogAppendTime (batch attr bit 3)
   }
 
   override def close(): Unit = client.close()

@@ -139,7 +139,9 @@ private[kafka] object Wire {
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3
+  val ApiSaslHandshake = 17
   val ApiVersions = 18
+  val ApiSaslAuthenticate = 36
 
   /** Request header v1: api_key, api_version, correlation_id, client_id. */
   def requestHeader(w: Writer, apiKey: Int, apiVersion: Int, correlationId: Int, clientId: String): Unit = {

@@ -1,17 +1,22 @@
 package graft.sources.kafka
 
 import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
 
 /** Minimal blocking Kafka client over [[Wire]] — exactly what a consumer
-  * needs: ApiVersions (handshake sanity), Metadata v1 (partition discovery),
-  * ListOffsets v1 (earliest/latest), Fetch v4 (record batch v2 payloads).
-  * One socket per client; [[KafkaWireSource]] opens one per Spark task, the
-  * same connection shape as the real consumer's per-partition fetch streams
-  * (reference: glassflow-api/internal/kafka/consumer.go fetch config,
+  * needs: ApiVersions (handshake sanity), Metadata v1 (brokers + partition
+  * leaders), ListOffsets v1 (earliest/latest), Fetch v4 (record batch v2
+  * payloads), and SASL (Handshake v1 + Authenticate v0; PLAIN and
+  * SCRAM-SHA-256/512 per RFC 5802/7677). One socket per client;
+  * [[KafkaWireSource]] opens one per Spark task, the same connection shape
+  * as the real consumer's per-partition fetch streams (reference:
+  * glassflow-api/internal/kafka/consumer.go fetch + SASL config,
   * internal/constants.go:250-259 min 100 KB / max 1 MB / max wait 750 ms —
   * the same defaults used here).
   */
-final class WireClient(host: String, port: Int, clientId: String = "graft") extends AutoCloseable {
+final class WireClient(host: String, port: Int, clientId: String = "graft",
+                       sasl: Option[WireClient.SaslConfig] = None) extends AutoCloseable {
+  import WireClient._
 
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), 10000)
@@ -21,8 +26,7 @@ final class WireClient(host: String, port: Int, clientId: String = "graft") exte
   private val out = new java.io.BufferedOutputStream(socket.getOutputStream)
   private var correlation = 0
 
-  final case class PartitionMeta(partition: Int, leader: Int, errorCode: Int)
-  final case class TopicMeta(name: String, errorCode: Int, partitions: Seq[PartitionMeta])
+  sasl.foreach(authenticate)
 
   private def roundTrip(apiKey: Int, apiVersion: Int)(body: Wire.Writer => Unit): Wire.Reader =
     synchronized {
@@ -39,6 +43,67 @@ final class WireClient(host: String, port: Int, clientId: String = "graft") exte
       r
     }
 
+  /** SaslHandshake v1 (mechanism negotiation) then the mechanism's
+    * challenge/response turns over SaslAuthenticate v0 — the framed
+    * post-KIP-152 flow every modern broker speaks. */
+  private def authenticate(cfg: SaslConfig): Unit = {
+    val hs = roundTrip(Wire.ApiSaslHandshake, 1)(w => { w.string(cfg.mechanism); () })
+    val hsErr = hs.int16()
+    if (hsErr != 0) {
+      val offered = (0 until hs.int32()).map(_ => hs.string()).mkString(", ")
+      throw new java.io.IOException(
+        s"SASL handshake rejected (error $hsErr); broker offers: $offered")
+    }
+    def turn(payload: Array[Byte]): Array[Byte] = {
+      val r = roundTrip(Wire.ApiSaslAuthenticate, 0)(w => { w.bytes(payload); () })
+      val err = r.int16()
+      val msg = r.string()
+      val back = r.bytes()
+      if (err != 0)
+        throw new java.io.IOException(s"SASL authentication failed (error $err): $msg")
+      back
+    }
+    cfg.mechanism match {
+      case "PLAIN" =>
+        // RFC 4616: [authzid] NUL authcid NUL passwd
+        val tok = ("\u0000" + cfg.username + "\u0000" + cfg.password)
+          .getBytes(StandardCharsets.UTF_8)
+        turn(tok)
+        ()
+      case m @ ("SCRAM-SHA-256" | "SCRAM-SHA-512") =>
+        val alg = if (m.endsWith("512")) "SHA-512" else "SHA-256"
+        val cnonce = Scram.freshNonce()
+        val clientFirstBare = s"n=${Scram.saslName(cfg.username)},r=$cnonce"
+        val serverFirst = new String(
+          turn(("n,," + clientFirstBare).getBytes(StandardCharsets.UTF_8)),
+          StandardCharsets.UTF_8)
+        val attrs = Scram.parseAttrs(serverFirst)
+        val nonce = attrs("r")
+        if (!nonce.startsWith(cnonce))
+          throw new java.io.IOException("SCRAM: server nonce does not extend client nonce")
+        val salt = java.util.Base64.getDecoder.decode(attrs("s"))
+        val iters = attrs("i").toInt
+        val clientFinalNoProof = s"c=biws,r=$nonce"
+        val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
+        val sp = Scram.saltedPassword(alg, cfg.password, salt, iters)
+        val proof = Scram.clientProof(alg, sp, authMessage)
+        val expectedServerSig = Scram.serverSignature(alg, sp, authMessage)
+        val serverFinal = new String(
+          turn((clientFinalNoProof + ",p=" +
+            java.util.Base64.getEncoder.encodeToString(proof))
+            .getBytes(StandardCharsets.UTF_8)),
+          StandardCharsets.UTF_8)
+        val v = Scram.parseAttrs(serverFinal).getOrElse("v",
+          throw new java.io.IOException(s"SCRAM: server-final carries no verifier: $serverFinal"))
+        if (!java.util.Arrays.equals(java.util.Base64.getDecoder.decode(v), expectedServerSig))
+          throw new java.io.IOException(
+            "SCRAM: server signature mismatch — peer does not know the password (MITM?)")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported SASL mechanism '$other' " +
+          "(supported: PLAIN, SCRAM-SHA-256, SCRAM-SHA-512)")
+    }
+  }
+
   /** ApiVersions v0 → (apiKey → (min, max)). */
   def apiVersions(): Map[Int, (Int, Int)] = {
     val r = roundTrip(Wire.ApiVersions, 0)(_ => ())
@@ -50,14 +115,19 @@ final class WireClient(host: String, port: Int, clientId: String = "graft") exte
     }.toMap
   }
 
-  /** Metadata v1 for one topic. */
-  def metadata(topic: String): TopicMeta = {
+  /** Metadata v1 for one topic — brokers are kept, not skipped: partition
+    * leadership routes each fetch to the RIGHT broker (fetching from a
+    * non-leader fails with error 6 on any multi-broker cluster). */
+  def metadata(topic: String): ClusterMeta = {
     val r = roundTrip(Wire.ApiMetadata, 1) { w =>
       w.int32(1); w.string(topic); ()
     }
-    val brokerCount = r.int32()
-    (0 until brokerCount).foreach { _ =>
-      r.int32(); r.string(); r.int32(); r.string() // node, host, port, rack
+    val brokers = (0 until r.int32()).map { _ =>
+      val nodeId = r.int32()
+      val host = r.string()
+      val port = r.int32()
+      r.string() // rack
+      BrokerMeta(nodeId, host, port)
     }
     r.int32() // controller id
     val topicCount = r.int32()
@@ -75,12 +145,14 @@ final class WireClient(host: String, port: Int, clientId: String = "graft") exte
       }
       TopicMeta(name, err, parts)
     }
-    topics.find(_.name == topic).getOrElse(
+    val t = topics.find(_.name == topic).getOrElse(
       throw new java.io.IOException(s"topic $topic absent from metadata response"))
+    ClusterMeta(brokers, t)
   }
 
   /** ListOffsets v1: timestamp -1 = latest (log end), -2 = earliest. */
   def listOffsets(topic: String, partitions: Seq[Int], timestamp: Long): Map[Int, Long] = {
+    if (partitions.isEmpty) return Map.empty
     val r = roundTrip(Wire.ApiListOffsets, 1) { w =>
       w.int32(-1) // replica_id
       w.int32(1); w.string(topic)
@@ -102,10 +174,10 @@ final class WireClient(host: String, port: Int, clientId: String = "graft") exte
     out.result()
   }
 
-  final case class FetchResult(highWatermark: Long, records: Seq[Records.Record])
-
   /** Fetch v4 from one partition at `offset`. Returns decoded records
-    * (CRC-verified) and the partition high watermark. */
+    * (CRC-verified, control batches skipped), the partition high watermark,
+    * and the offset after the last complete batch (advance cursor — may
+    * exceed the last record's offset on control/compacted batches). */
   def fetch(topic: String, partition: Int, offset: Long,
             maxBytes: Int = 1 << 20, maxWaitMs: Int = 750, minBytes: Int = 1): FetchResult = {
     val r = roundTrip(Wire.ApiFetch, 4) { w =>
@@ -132,9 +204,12 @@ final class WireClient(host: String, port: Int, clientId: String = "graft") exte
         (0 until math.max(abortedCount, 0)).foreach(_ => { r.int64(); r.int64() })
         val recordSet = r.bytes()
         if (err != 0) throw new java.io.IOException(s"Fetch error $err on partition $pid")
-        if (pid == partition)
-          result = FetchResult(hwm,
-            if (recordSet == null || recordSet.isEmpty) Nil else Records.decodeAll(recordSet))
+        if (pid == partition) {
+          val dec =
+            if (recordSet == null || recordSet.isEmpty) Records.Decoded(Nil, -1L)
+            else Records.decodeAll(recordSet)
+          result = FetchResult(hwm, dec.records, dec.nextOffset)
+        }
       }
     }
     if (result == null)
@@ -145,4 +220,17 @@ final class WireClient(host: String, port: Int, clientId: String = "graft") exte
   override def close(): Unit = {
     try socket.close() catch { case _: Throwable => () }
   }
+}
+
+object WireClient {
+  final case class SaslConfig(mechanism: String, username: String, password: String)
+  final case class BrokerMeta(nodeId: Int, host: String, port: Int)
+  final case class PartitionMeta(partition: Int, leader: Int, errorCode: Int)
+  final case class TopicMeta(name: String, errorCode: Int, partitions: Seq[PartitionMeta])
+  final case class ClusterMeta(brokers: Seq[BrokerMeta], topic: TopicMeta)
+  /** `nextOffset` = offset after the last COMPLETE batch in the response
+    * (-1 when none decoded); the correct cursor advance even when every
+    * record was filtered out (control batch / compacted tail). */
+  final case class FetchResult(highWatermark: Long, records: Seq[Records.Record],
+                               nextOffset: Long)
 }

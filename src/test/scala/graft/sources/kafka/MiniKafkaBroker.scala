@@ -1,0 +1,337 @@
+package graft.sources.kafka
+
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+/** In-process Kafka broker speaking exactly the protocol slice
+  * [[WireClient]] consumes — ApiVersions v0, Metadata v1, ListOffsets v1,
+  * Fetch v4, SaslHandshake v1, SaslAuthenticate v0 — over a REAL
+  * ServerSocket, so the DataSource V2 path (offset planning → leader
+  * routing → fetch loop → CRC'd record batches → checkpoint commit) is
+  * driven end-to-end without a container. Several brokers can share one
+  * [[MiniKafkaBroker.Cluster]]: each answers Metadata with the full broker
+  * list but serves Fetch ONLY for partitions it leads (error 6 otherwise),
+  * which is how the leader-routing test catches a client that fetches
+  * from the control broker.
+  */
+object MiniKafkaBroker {
+
+  /** One appended record batch: pre-encoded wire bytes + offset span.
+    * `lastOffset` can exceed the last record's offset (compaction). */
+  final case class LogBatch(baseOffset: Long, lastOffset: Long, bytes: Array[Byte])
+
+  final class PartitionLog(@volatile var leader: Int) {
+    val batches = mutable.ArrayBuffer[LogBatch]()
+    @volatile var logStart = 0L
+    def logEnd: Long = synchronized {
+      batches.lastOption.map(_.lastOffset + 1).getOrElse(logStart)
+    }
+  }
+
+  final case class SaslUser(username: String, password: String)
+
+  /** Shared cluster state. Thread-safe enough for test use: appends and
+    * reads synchronize on the partition log. */
+  final class Cluster(val sasl: Option[SaslUser] = None) {
+    val topics = new java.util.concurrent.ConcurrentHashMap[String, mutable.Map[Int, PartitionLog]]()
+    private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
+
+    def addBroker(): MiniKafkaBroker = synchronized {
+      val b = new MiniKafkaBroker(this, brokers.size)
+      brokers += b
+      b
+    }
+    def brokerList: Seq[MiniKafkaBroker] = synchronized(brokers.toSeq)
+
+    def addPartition(topic: String, partition: Int, leader: Int = 0): PartitionLog = {
+      val parts = topics.computeIfAbsent(topic, _ => mutable.Map[Int, PartitionLog]())
+      parts.synchronized {
+        parts.getOrElseUpdate(partition, new PartitionLog(leader))
+      }
+    }
+
+    /** Append key/value pairs as one record batch at the log end. */
+    def append(topic: String, partition: Int, kvs: Seq[(String, String)],
+               timestampMs: Long = 1700000000000L, attributes: Int = 0): Unit = {
+      val log = addPartition(topic, partition) // keeps existing leader if present
+      log.synchronized {
+        val base = log.logEnd
+        val recs = kvs.zipWithIndex.map { case ((k, v), i) =>
+          Records.Record(base + i, timestampMs + i,
+            if (k == null) null else k.getBytes(StandardCharsets.UTF_8),
+            if (v == null) null else v.getBytes(StandardCharsets.UTF_8))
+        }
+        log.batches += LogBatch(base, base + kvs.size - 1,
+          Records.encodeBatch(base, recs, attributes))
+      }
+    }
+
+    /** Append a pre-built batch (for control / compacted-shape fixtures). */
+    def appendRaw(topic: String, partition: Int, baseOffset: Long, lastOffset: Long,
+                  bytes: Array[Byte]): Unit = {
+      val log = topics.get(topic)(partition)
+      log.synchronized { log.batches += LogBatch(baseOffset, lastOffset, bytes) }
+    }
+
+    def stop(): Unit = brokerList.foreach(_.stop())
+  }
+}
+
+final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, val nodeId: Int) {
+  import MiniKafkaBroker._
+
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+  val host: String = "127.0.0.1"
+  val port: Int = server.getLocalPort
+  def address: String = s"$host:$port"
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => serve(s), s"mini-kafka-$nodeId-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => () }
+    }
+  }, s"mini-kafka-$nodeId-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: Throwable => () }
+  }
+
+  // ---- per-connection protocol loop -------------------------------------
+
+  private final class ConnState {
+    var authenticated: Boolean = cluster.sasl.isEmpty
+    var scramServerFirst: String = null
+    var scramClientFirstBare: String = null
+    var scramAlg: String = null
+    var scramSalt: Array[Byte] = null
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    val st = new ConnState
+    try {
+      var open = true
+      while (open && running) {
+        Wire.tryReadFrame(in) match {
+          case None => open = false
+          case Some(frame) =>
+            val r = new Wire.Reader(frame)
+            val apiKey = r.int16()
+            val apiVersion = r.int16()
+            val correlationId = r.int32()
+            r.string() // clientId
+            val w = new Wire.Writer
+            w.int32(correlationId)
+            apiKey match {
+              case Wire.ApiVersions => apiVersionsResp(w)
+              case Wire.ApiSaslHandshake => saslHandshake(r, w)
+              case Wire.ApiSaslAuthenticate => saslAuthenticate(r, w, st)
+              case _ if !st.authenticated =>
+                // A SASL listener kills connections that skip the handshake.
+                open = false
+              case Wire.ApiMetadata => metadataResp(r, w)
+              case Wire.ApiListOffsets => listOffsetsResp(r, w)
+              case Wire.ApiFetch => fetchResp(r, w, apiVersion)
+              case other =>
+                throw new IllegalStateException(s"mini broker: unsupported api $other")
+            }
+            if (open) Wire.writeFrame(out, w.toArray)
+        }
+      }
+    } catch { case _: Throwable => () }
+    finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  private def apiVersionsResp(w: Wire.Writer): Unit = {
+    w.int16(0)
+    val apis = Seq(Wire.ApiFetch -> (0, 4), Wire.ApiListOffsets -> (0, 1),
+      Wire.ApiMetadata -> (0, 1), Wire.ApiSaslHandshake -> (0, 1),
+      Wire.ApiVersions -> (0, 0), Wire.ApiSaslAuthenticate -> (0, 0))
+    w.int32(apis.size)
+    apis.foreach { case (k, (mn, mx)) => w.int16(k).int16(mn).int16(mx) }
+    ()
+  }
+
+  private val Mechanisms = Seq("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+
+  private def saslHandshake(r: Wire.Reader, w: Wire.Writer): Unit = {
+    val mech = r.string()
+    val ok = Mechanisms.contains(mech)
+    w.int16(if (ok) 0 else 33) // 33 = UNSUPPORTED_SASL_MECHANISM
+    w.int32(Mechanisms.size)
+    Mechanisms.foreach(w.string)
+    ()
+  }
+
+  private def authFail(w: Wire.Writer, msg: String): Unit = {
+    w.int16(58) // SASL_AUTHENTICATION_FAILED
+    w.string(msg)
+    w.bytes(Array.emptyByteArray)
+    ()
+  }
+
+  private def saslAuthenticate(r: Wire.Reader, w: Wire.Writer, st: ConnState): Unit = {
+    val payload = r.bytes()
+    val expected = cluster.sasl.getOrElse(SaslUser("", ""))
+    val text = new String(payload, StandardCharsets.UTF_8)
+    if (text.startsWith("n,,")) {
+      // SCRAM client-first. Mechanism's hash isn't re-stated here; accept
+      // proof for either — the client signs the alg into the proof anyway.
+      st.scramClientFirstBare = text.substring(3)
+      val attrs = Scram.parseAttrs(st.scramClientFirstBare)
+      val user = Scram.unescapeSaslName(attrs("n"))
+      if (user != expected.username) { authFail(w, s"unknown user $user"); return }
+      st.scramAlg = "SHA-256"
+      st.scramSalt = "mini-broker-salt".getBytes(StandardCharsets.UTF_8)
+      val snonce = "srvNONCE01"
+      st.scramServerFirst =
+        s"r=${attrs("r")}$snonce,s=${java.util.Base64.getEncoder.encodeToString(st.scramSalt)},i=4096"
+      w.int16(0); w.string(null)
+      w.bytes(st.scramServerFirst.getBytes(StandardCharsets.UTF_8))
+      ()
+    } else if (st.scramServerFirst != null) {
+      // SCRAM client-final
+      val attrs = Scram.parseAttrs(text)
+      val noProof = text.substring(0, text.lastIndexOf(",p="))
+      val authMessage = s"${st.scramClientFirstBare},${st.scramServerFirst},$noProof"
+      val sp = Scram.saltedPassword(st.scramAlg, expected.password, st.scramSalt, 4096)
+      val storedK = Scram.storedKey(st.scramAlg, Scram.clientKey(st.scramAlg, sp))
+      val proof = java.util.Base64.getDecoder.decode(attrs("p"))
+      if (!Scram.verifyClientProof(st.scramAlg, storedK, authMessage, proof)) {
+        st.scramServerFirst = null
+        authFail(w, "SCRAM proof mismatch")
+      } else {
+        st.authenticated = true
+        st.scramServerFirst = null
+        val sig = Scram.serverSignature(st.scramAlg, sp, authMessage)
+        w.int16(0); w.string(null)
+        w.bytes(("v=" + java.util.Base64.getEncoder.encodeToString(sig))
+          .getBytes(StandardCharsets.UTF_8))
+        ()
+      }
+    } else {
+      // PLAIN: authzid NUL authcid NUL passwd
+      val parts = text.split('\u0000')
+      if (parts.length == 3 && parts(1) == expected.username && parts(2) == expected.password) {
+        st.authenticated = true
+        w.int16(0); w.string(null); w.bytes(Array.emptyByteArray)
+        ()
+      } else authFail(w, "PLAIN credentials rejected")
+    }
+  }
+
+  private def metadataResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    val reqCount = r.int32()
+    val wanted = (0 until math.max(reqCount, 0)).map(_ => r.string())
+    val bs = cluster.brokerList
+    w.int32(bs.size)
+    bs.foreach { b => w.int32(b.nodeId).string(b.host).int32(b.port).string(null) }
+    w.int32(0) // controller id
+    val names =
+      if (reqCount <= 0) { import scala.jdk.CollectionConverters._; cluster.topics.keySet.asScala.toSeq }
+      else wanted
+    w.int32(names.size)
+    names.foreach { name =>
+      val parts = Option(cluster.topics.get(name))
+      w.int16(if (parts.isDefined) 0 else 3) // 3 = UNKNOWN_TOPIC_OR_PARTITION
+      w.string(name)
+      w.int8(0) // is_internal
+      val pm = parts.map(m => m.synchronized(m.toSeq.sortBy(_._1))).getOrElse(Nil)
+      w.int32(pm.size)
+      pm.foreach { case (pid, log) =>
+        w.int16(0).int32(pid).int32(log.leader)
+        w.int32(1).int32(log.leader) // replicas
+        w.int32(1).int32(log.leader) // isr
+      }
+    }
+    ()
+  }
+
+  private def listOffsetsResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    r.int32() // replica_id
+    val topicCount = r.int32()
+    val req = (0 until topicCount).map { _ =>
+      val name = r.string()
+      val parts = (0 until r.int32()).map(_ => (r.int32(), r.int64()))
+      name -> parts
+    }
+    w.int32(req.size)
+    req.foreach { case (name, parts) =>
+      w.string(name)
+      w.int32(parts.size)
+      parts.foreach { case (pid, ts) =>
+        val log = Option(cluster.topics.get(name)).flatMap(m => m.synchronized(m.get(pid)))
+        log match {
+          case None => w.int32(pid).int16(3).int64(-1L).int64(-1L)
+          case Some(l) =>
+            val off = if (ts == -2L) l.logStart else l.logEnd
+            w.int32(pid).int16(0).int64(-1L).int64(off)
+        }
+        ()
+      }
+    }
+    ()
+  }
+
+  private def fetchResp(r: Wire.Reader, w: Wire.Writer, version: Int): Unit = {
+    r.int32() // replica_id
+    r.int32() // max_wait
+    r.int32() // min_bytes
+    val respMaxBytes = if (version >= 3) r.int32() else Int.MaxValue
+    if (version >= 4) r.int8() // isolation
+    val topicCount = r.int32()
+    val req = (0 until topicCount).map { _ =>
+      val name = r.string()
+      val parts = (0 until r.int32()).map { _ =>
+        val pid = r.int32(); val off = r.int64(); val pmax = r.int32()
+        (pid, off, pmax)
+      }
+      name -> parts
+    }
+    w.int32(0) // throttle
+    w.int32(req.size)
+    req.foreach { case (name, parts) =>
+      w.string(name)
+      w.int32(parts.size)
+      parts.foreach { case (pid, off, pmax) =>
+        val logOpt = Option(cluster.topics.get(name)).flatMap(m => m.synchronized(m.get(pid)))
+        logOpt match {
+          case None =>
+            w.int32(pid).int16(3).int64(-1L).int64(-1L).int32(0).bytes(null)
+          case Some(log) if log.leader != nodeId =>
+            // The defining multi-broker behavior: a non-leader refuses.
+            w.int32(pid).int16(6).int64(-1L).int64(-1L).int32(0).bytes(null)
+          case Some(log) =>
+            val (hwm, payload) = log.synchronized {
+              val cap = math.min(pmax.toLong, respMaxBytes.toLong).toInt
+              val hits = log.batches.filter(_.lastOffset >= off)
+              val buf = new Wire.Writer
+              var budget = cap
+              var first = true
+              hits.takeWhile { b =>
+                val fits = first || b.bytes.length <= budget
+                if (fits) { buf.bytesRaw(b.bytes); budget -= b.bytes.length; first = false }
+                fits
+              }.size
+              (log.logEnd, buf.toArray)
+            }
+            w.int32(pid).int16(0).int64(hwm).int64(hwm).int32(0)
+            w.bytes(if (payload.isEmpty) null else payload)
+        }
+        ()
+      }
+    }
+    ()
+  }
+}
