@@ -62,7 +62,9 @@ object KafkaWireSource {
   private[kafka] final case class Endpoint(host: String, port: Int)
 
   private[kafka] final case class Options(
-    endpoint: Endpoint, topic: String, sasl: Option[WireClient.SaslConfig])
+    endpoints: Seq[Endpoint], topic: String, sasl: Option[WireClient.SaslConfig]) {
+    def endpoint: Endpoint = endpoints.head
+  }
 
   private[kafka] def parseOptions(opts: Map[String, String]): Options = {
     val ci = opts.map { case (k, v) => k.toLowerCase -> v }
@@ -70,11 +72,14 @@ object KafkaWireSource {
       throw new IllegalArgumentException("graft-kafka: 'brokers' option is required"))
     val topic = ci.getOrElse("topic",
       throw new IllegalArgumentException("graft-kafka: 'topic' option is required"))
-    val first = brokers.split(',').head.trim
-    val (h, p) = first.lastIndexOf(':') match {
-      case -1 => throw new IllegalArgumentException(s"graft-kafka: broker '$first' is not host:port")
-      case i => (first.substring(0, i), first.substring(i + 1).toInt)
+    val endpoints = brokers.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { b =>
+      b.lastIndexOf(':') match {
+        case -1 => throw new IllegalArgumentException(s"graft-kafka: broker '$b' is not host:port")
+        case i => Endpoint(b.substring(0, i), b.substring(i + 1).toInt)
+      }
     }
+    if (endpoints.isEmpty)
+      throw new IllegalArgumentException("graft-kafka: 'brokers' option is empty")
     val sasl = ci.get("sasl.mechanism").map { mech =>
       WireClient.SaslConfig(mech.toUpperCase,
         ci.getOrElse("sasl.username",
@@ -82,7 +87,29 @@ object KafkaWireSource {
         ci.getOrElse("sasl.password",
           throw new IllegalArgumentException("graft-kafka: sasl.mechanism set but sasl.password missing")))
     }
-    Options(Endpoint(h, p), topic, sasl)
+    Options(endpoints, topic, sasl)
+  }
+
+  /** Control-plane client with connect failover across the brokers list:
+    * the first broker that ACCEPTS the connection serves metadata/offset
+    * requests. Only connect-level failures fail over — a SASL rejection is
+    * a credential problem and every broker would refuse identically, so it
+    * surfaces immediately instead of being retried N times. */
+  private[kafka] def connectControl(o: Options): WireClient = {
+    var last: Throwable = null
+    o.endpoints.foreach { e =>
+      val sock = try {
+        Some(new WireClient(e.host, e.port, sasl = o.sasl))
+      } catch {
+        case t @ (_: java.net.ConnectException | _: java.net.SocketTimeoutException |
+                  _: java.net.UnknownHostException | _: java.net.NoRouteToHostException) =>
+          last = t; None
+      }
+      sock.foreach(c => return c)
+    }
+    throw new java.io.IOException(
+      s"graft-kafka: no broker reachable among ${o.endpoints.map(e => s"${e.host}:${e.port}").mkString(",")}",
+      last)
   }
 
   /** {"0":12,"7":3} — partition → next offset to read. Hand-rolled because
@@ -140,7 +167,7 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     opts.map { case (k, v) => k.toLowerCase -> v }.get("maxoffsetspertrigger").map(_.toLong)
 
   // Control-plane client: driver-side only, offsets in/out — never records.
-  private lazy val client = new WireClient(o.endpoint.host, o.endpoint.port, sasl = o.sasl)
+  private lazy val client = KafkaWireSource.connectControl(o)
 
   private def clusterMeta(): WireClient.ClusterMeta = {
     val meta = client.metadata(o.topic)
@@ -221,7 +248,7 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
 private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Batch {
   private val o = KafkaWireSource.parseOptions(opts)
   override def planInputPartitions(): Array[InputPartition] = {
-    val client = new WireClient(o.endpoint.host, o.endpoint.port, sasl = o.sasl)
+    val client = KafkaWireSource.connectControl(o)
     try {
       val meta = client.metadata(o.topic)
       val leaders = KafkaWireSource.leaderEndpoints(meta, o.endpoint)

@@ -54,6 +54,8 @@ object Scram {
     hmac(alg, saltedPwd, "Server Key".getBytes(StandardCharsets.UTF_8))
 
   def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length,
+      s"SCRAM xor operands differ in length (${a.length} vs ${b.length})")
     val out = new Array[Byte](a.length)
     var i = 0
     while (i < a.length) { out(i) = (a(i) ^ b(i)).toByte; i += 1 }
@@ -79,6 +81,9 @@ object Scram {
   def verifyClientProof(alg: String, storedK: Array[Byte], authMessage: String,
                         proof: Array[Byte]): Boolean = {
     val sig = hmac(alg, storedK, authMessage.getBytes(StandardCharsets.UTF_8))
+    // The proof is peer-controlled: a wrong-length one is simply a failed
+    // authentication, never an ArrayIndexOutOfBounds from xor.
+    if (proof == null || proof.length != sig.length) return false
     val ck = xor(proof, sig)
     java.security.MessageDigest.isEqual(hash(alg, ck), storedK)
   }

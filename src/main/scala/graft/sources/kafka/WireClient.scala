@@ -223,7 +223,11 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
 }
 
 object WireClient {
-  final case class SaslConfig(mechanism: String, username: String, password: String)
+  final case class SaslConfig(mechanism: String, username: String, password: String) {
+    /** InputPartition instances (which embed this) surface in Spark plan
+      * descriptions and task-failure messages — never print the secret. */
+    override def toString: String = s"SaslConfig($mechanism,$username,*********)"
+  }
   final case class BrokerMeta(nodeId: Int, host: String, port: Int)
   final case class PartitionMeta(partition: Int, leader: Int, errorCode: Int)
   final case class TopicMeta(name: String, errorCode: Int, partitions: Seq[PartitionMeta])

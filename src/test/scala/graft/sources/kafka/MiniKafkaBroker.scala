@@ -35,6 +35,10 @@ object MiniKafkaBroker {
   /** Shared cluster state. Thread-safe enough for test use: appends and
     * reads synchronize on the partition log. */
   final class Cluster(val sasl: Option[SaslUser] = None) {
+    /** When set, the SCRAM server-final `v=` signature is corrupted — models
+      * a MITM that intercepted the exchange but does not know the password;
+      * the client MUST reject the connection (WireClient.scala MITM check). */
+    @volatile var tamperScramServerSignature: Boolean = false
     val topics = new java.util.concurrent.ConcurrentHashMap[String, mutable.Map[Int, PartitionLog]]()
     private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
 
@@ -110,6 +114,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
 
   private final class ConnState {
     var authenticated: Boolean = cluster.sasl.isEmpty
+    var mechanism: String = null // negotiated in SaslHandshake
     var scramServerFirst: String = null
     var scramClientFirstBare: String = null
     var scramAlg: String = null
@@ -135,7 +140,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
             w.int32(correlationId)
             apiKey match {
               case Wire.ApiVersions => apiVersionsResp(w)
-              case Wire.ApiSaslHandshake => saslHandshake(r, w)
+              case Wire.ApiSaslHandshake => saslHandshake(r, w, st)
               case Wire.ApiSaslAuthenticate => saslAuthenticate(r, w, st)
               case _ if !st.authenticated =>
                 // A SASL listener kills connections that skip the handshake.
@@ -165,9 +170,10 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
 
   private val Mechanisms = Seq("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
-  private def saslHandshake(r: Wire.Reader, w: Wire.Writer): Unit = {
+  private def saslHandshake(r: Wire.Reader, w: Wire.Writer, st: ConnState): Unit = {
     val mech = r.string()
     val ok = Mechanisms.contains(mech)
+    if (ok) st.mechanism = mech
     w.int16(if (ok) 0 else 33) // 33 = UNSUPPORTED_SASL_MECHANISM
     w.int32(Mechanisms.size)
     Mechanisms.foreach(w.string)
@@ -186,13 +192,14 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
     val expected = cluster.sasl.getOrElse(SaslUser("", ""))
     val text = new String(payload, StandardCharsets.UTF_8)
     if (text.startsWith("n,,")) {
-      // SCRAM client-first. Mechanism's hash isn't re-stated here; accept
-      // proof for either — the client signs the alg into the proof anyway.
+      // SCRAM client-first. The hash is fixed by the mechanism negotiated
+      // in SaslHandshake: SaltedPassword/StoredKey are hash-specific, so a
+      // SCRAM-SHA-512 exchange verified with SHA-256 math can never pass.
       st.scramClientFirstBare = text.substring(3)
       val attrs = Scram.parseAttrs(st.scramClientFirstBare)
       val user = Scram.unescapeSaslName(attrs("n"))
       if (user != expected.username) { authFail(w, s"unknown user $user"); return }
-      st.scramAlg = "SHA-256"
+      st.scramAlg = if (st.mechanism == "SCRAM-SHA-512") "SHA-512" else "SHA-256"
       st.scramSalt = "mini-broker-salt".getBytes(StandardCharsets.UTF_8)
       val snonce = "srvNONCE01"
       st.scramServerFirst =
@@ -215,6 +222,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
         st.authenticated = true
         st.scramServerFirst = null
         val sig = Scram.serverSignature(st.scramAlg, sp, authMessage)
+        if (cluster.tamperScramServerSignature) sig(0) = (sig(0) ^ 0x01).toByte
         w.int16(0); w.string(null)
         w.bytes(("v=" + java.util.Base64.getEncoder.encodeToString(sig))
           .getBytes(StandardCharsets.UTF_8))
