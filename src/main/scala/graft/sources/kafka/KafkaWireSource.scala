@@ -305,8 +305,12 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
       }
       // A fetch may return records below the requested offset (batch
       // granularity) or beyond our planned end — trim to the range.
+      // `from` pins the bound: the iterator is LAZY and `nextOffset` is
+      // advanced below before the filter ever runs — closing over the var
+      // would filter against the post-advance cursor and drop every record.
+      val from = nextOffset
       buffer = res.records.iterator
-        .filter(r => r.offset >= nextOffset && r.offset < p.endOffset)
+        .filter(r => r.offset >= from && r.offset < p.endOffset)
       // Advance by the BATCH-LEVEL cursor, not record offsets: a control
       // batch decodes to zero records, and on compacted topics every
       // record at/after the fetch offset within a batch may be gone while

@@ -1,0 +1,321 @@
+package graft.sources.kafka
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkSpec
+import MiniKafkaBroker.{Cluster, SaslUser}
+
+/** End-to-end spec for `format("graft-kafka")` over [[MiniKafkaBroker]]'s
+  * REAL sockets: offset planning → leader-routed fetches → CRC'd record
+  * batches → checkpoint commit, plus the SASL legs. This is the executable
+  * counterpart of the reference's consumer behavior
+  * (glassflow-api/internal/kafka/consumer.go:102-210,
+  * tests/features/ingestor/ingestor.feature). */
+class KafkaWireSpec extends SparkSpec {
+
+  private def withCluster(sasl: Option[SaslUser] = None, brokers: Int = 1)
+                         (f: Cluster => Unit): Unit = {
+    val c = new Cluster(sasl)
+    (0 until brokers).foreach(_ => c.addBroker())
+    try f(c) finally c.stop()
+  }
+
+  private def brokerList(c: Cluster): String = c.brokerList.map(_.address).mkString(",")
+
+  private def readBatch(brokers: String, topic: String,
+                        extra: Map[String, String] = Map.empty): DataFrame =
+    extra.foldLeft(
+      spark.read.format("graft-kafka").option("brokers", brokers).option("topic", topic)
+    ) { case (r, (k, v)) => r.option(k, v) }.load()
+
+  private def valueStr(r: Row): String =
+    new String(r.getAs[Array[Byte]]("value"), StandardCharsets.UTF_8)
+
+  /** Drain a streaming query through foreachBatch (memory sink cannot
+    * recover from a checkpoint; foreachBatch can), recording
+    * (batchId, partition, offset, value). */
+  private def runStream(brokers: String, topic: String, checkpoint: String,
+                        sink: ConcurrentLinkedQueue[(Long, Int, Long, String)],
+                        extra: Map[String, String] = Map.empty): Unit = {
+    val src = extra.foldLeft(
+      spark.readStream.format("graft-kafka").option("brokers", brokers).option("topic", topic)
+    ) { case (r, (k, v)) => r.option(k, v) }.load()
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.selectExpr("partition", "offset", "cast(value as string) as v")
+          .collect()
+          .foreach(r => sink.add((id, r.getInt(0), r.getLong(1), r.getString(2))))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-kafka-$tag").toString
+
+  // --- plain batch read ----------------------------------------------------
+
+  test("batch read: all partitions, stock-source schema, CreateTime timestamps") {
+    withCluster() { c =>
+      c.addPartition("t", 0); c.addPartition("t", 1)
+      c.append("t", 0, Seq("k0" -> "a", "k1" -> "b"), timestampMs = 1700000000123L)
+      c.append("t", 1, Seq((null, "c")), timestampMs = 1700000000456L)
+      val df = readBatch(brokerList(c), "t")
+      assert(df.schema == KafkaWireSource.Schema)
+      val rows = df.collect().sortBy(r => (r.getInt(3), r.getLong(4)))
+      assert(rows.map(valueStr).toSeq == Seq("a", "b", "c"))
+      assert(rows.map(_.getInt(3)).toSeq == Seq(0, 0, 1))
+      assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 1L, 0L))
+      // CreateTime: per-record producer timestamps, type 0
+      assert(rows.map(_.getInt(6)).forall(_ == 0))
+      assert(rows.head.getTimestamp(5).getTime == 1700000000123L)
+      assert(rows(2).getAs[Array[Byte]]("key") == null) // null key survives
+    }
+  }
+
+  test("LogAppendTime batches surface timestampType=1 and the broker append time") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "v1", "k" -> "v2"),
+        timestampMs = 1700000005000L, attributes = 0x08)
+      val rows = readBatch(brokerList(c), "t").collect().sortBy(_.getLong(4))
+      assert(rows.map(_.getInt(6)).toSeq == Seq(1, 1))
+      // LogAppendTime: every record carries the batch maxTimestamp
+      assert(rows.map(_.getTimestamp(5).getTime).toSeq ==
+        Seq(1700000005001L, 1700000005001L))
+    }
+  }
+
+  // --- multi-broker leader routing -----------------------------------------
+
+  test("fetches route to each partition's leader, never the control broker") {
+    withCluster(brokers = 2) { c =>
+      // split leadership: p0 on broker 0, p1 on broker 1
+      c.addPartition("t", 0, leader = 0)
+      c.addPartition("t", 1, leader = 1)
+      c.append("t", 0, (0 until 5).map(i => s"k$i" -> s"b0-$i"))
+      c.append("t", 1, (0 until 7).map(i => s"k$i" -> s"b1-$i"))
+      // brokers option lists ONLY broker 0 — partition 1's rows are served
+      // exclusively by broker 1, found via Metadata. A client that fetched
+      // from the control broker would die on error 6 (NOT_LEADER).
+      val only0 = c.brokerList.head.address
+      val rows = readBatch(only0, "t").collect()
+      assert(rows.length == 12)
+      assert(rows.count(_.getInt(3) == 1) == 7)
+    }
+  }
+
+  test("control-plane failover: dead first broker in the list is skipped") {
+    // A port with nothing listening: bind + close to reserve a dead address.
+    val dead = {
+      val ss = new java.net.ServerSocket(0)
+      val p = ss.getLocalPort
+      ss.close()
+      s"127.0.0.1:$p"
+    }
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "alive"))
+      val rows = readBatch(s"$dead,${brokerList(c)}", "t").collect()
+      assert(rows.map(valueStr).toSeq == Seq("alive"))
+    }
+  }
+
+  // --- control / compacted batches ------------------------------------------
+
+  test("control batches and compacted tails advance the cursor without spinning") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      // offsets 0-1: data
+      c.append("t", 0, Seq("k" -> "d0", "k" -> "d1"))
+      // offset 2: transaction control marker (attributes bit 5) — no rows
+      c.appendRaw("t", 0, 2, 2,
+        Records.encodeBatch(2, Seq(Records.Record(2, 1700000000000L,
+          Array[Byte](0, 0), Array[Byte](0))), attributes = 0x20))
+      // offsets 3-7: compacted batch — records 3,4 survive, header spans to 7
+      c.appendRaw("t", 0, 3, 7,
+        Records.encodeBatch(3,
+          Seq(Records.Record(3, 1700000000003L, null, "d3".getBytes),
+              Records.Record(4, 1700000000004L, null, "d4".getBytes)),
+          lastOffsetDeltaOverride = 4))
+      // offsets 8-9: data after the gap
+      c.append("t", 0, Seq("k" -> "d8", "k" -> "d9"))
+      val rows = readBatch(brokerList(c), "t").collect().sortBy(_.getLong(4))
+      assert(rows.map(valueStr).toSeq == Seq("d0", "d1", "d3", "d4", "d8", "d9"))
+      assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 1L, 3L, 4L, 8L, 9L))
+    }
+  }
+
+  // --- streaming: admission control, checkpointing, new partitions ----------
+
+  test("maxOffsetsPerTrigger distributes the row cap proportional to lag") {
+    withCluster() { c =>
+      c.addPartition("t", 0); c.addPartition("t", 1)
+      c.append("t", 0, (0 until 80).map(i => s"k$i" -> s"p0-$i"))
+      c.append("t", 1, (0 until 20).map(i => s"k$i" -> s"p1-$i"))
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", tempDir("admission"), seen,
+        Map("maxOffsetsPerTrigger" -> "50"))
+      val all = seen.asScala.toSeq
+      assert(all.size == 100)
+      assert(all.map(t => (t._2, t._3)).distinct.size == 100) // no dups
+      // first micro-batch honors the cap, split 80:20 → 40 + 10
+      val first = all.filter(_._1 == 0L)
+      assert(first.size == 50)
+      assert(first.count(_._2 == 0) == 40)
+      assert(first.count(_._2 == 1) == 10)
+      assert(all.map(_._1).max >= 1L) // the rest arrived in later batches
+    }
+  }
+
+  test("checkpoint stop/resume: no loss, no duplicates across restarts") {
+    withCluster() { c =>
+      c.addPartition("t", 0); c.addPartition("t", 1)
+      c.append("t", 0, (0 until 6).map(i => s"k$i" -> s"a$i"))
+      c.append("t", 1, (0 until 4).map(i => s"k$i" -> s"b$i"))
+      val ckpt = tempDir("resume")
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", ckpt, seen)
+      assert(seen.size == 10)
+      // new data lands while the query is DOWN
+      c.append("t", 0, (6 until 9).map(i => s"k$i" -> s"a$i"))
+      c.append("t", 1, (4 until 5).map(i => s"k$i" -> s"b$i"))
+      runStream(brokerList(c), "t", ckpt, seen)
+      val all = seen.asScala.toSeq
+      assert(all.size == 14, "restart must deliver exactly the 4 new rows")
+      assert(all.map(t => (t._2, t._3)).distinct.size == 14)
+      assert(all.map(_._4).toSet ==
+        ((0 until 9).map(i => s"a$i") ++ (0 until 5).map(i => s"b$i")).toSet)
+    }
+  }
+
+  test("partition created after the checkpoint is read from earliest") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "old0", "k" -> "old1"))
+      val ckpt = tempDir("newpart")
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", ckpt, seen)
+      assert(seen.size == 2)
+      // p1 appears (with pre-existing rows) only after the checkpoint
+      c.addPartition("t", 1)
+      c.append("t", 1, Seq("k" -> "new0", "k" -> "new1", "k" -> "new2"))
+      runStream(brokerList(c), "t", ckpt, seen)
+      val p1 = seen.asScala.toSeq.filter(_._2 == 1)
+      assert(p1.map(_._3).sorted == Seq(0L, 1L, 2L),
+        "new partition must start from offset 0, not its log end")
+      assert(seen.size == 5)
+    }
+  }
+
+  test("startingOffsets=latest skips pre-existing rows in streaming mode") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "pre0", "k" -> "pre1"))
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      val src = spark.readStream.format("graft-kafka")
+        .option("brokers", brokerList(c)).option("topic", "t")
+        .option("startingOffsets", "latest").load()
+      val q = src.writeStream
+        .option("checkpointLocation", tempDir("latest"))
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.selectExpr("partition", "offset", "cast(value as string) as v").collect()
+            .foreach(r => seen.add((id, r.getInt(0), r.getLong(1), r.getString(2))))
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(seen.isEmpty, "latest start must not read the backlog")
+        c.append("t", 0, Seq("k" -> "live"))
+        q.processAllAvailable()
+        assert(seen.asScala.map(_._4).toSeq == Seq("live"))
+      } finally q.stop()
+    }
+  }
+
+  // --- SASL end-to-end -------------------------------------------------------
+
+  private val saslExtras = Map("sasl.username" -> "svc", "sasl.password" -> "s3cr3t!")
+
+  for (mech <- Seq("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")) {
+    test(s"SASL $mech: authenticated read end-to-end") {
+      withCluster(sasl = Some(SaslUser("svc", "s3cr3t!")), brokers = 2) { c =>
+        c.addPartition("t", 0, leader = 0)
+        c.addPartition("t", 1, leader = 1)
+        c.append("t", 0, Seq("k" -> "auth0"))
+        c.append("t", 1, Seq("k" -> "auth1"))
+        val rows = readBatch(brokerList(c), "t",
+          saslExtras + ("sasl.mechanism" -> mech)).collect()
+        assert(rows.map(valueStr).toSet == Set("auth0", "auth1"))
+      }
+    }
+  }
+
+  test("SASL wrong password fails with a clean auth error, not a hang or OOB") {
+    withCluster(sasl = Some(SaslUser("svc", "s3cr3t!"))) { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "v"))
+      for (mech <- Seq("PLAIN", "SCRAM-SHA-256")) {
+        val ex = intercept[Exception] {
+          readBatch(brokerList(c), "t",
+            Map("sasl.mechanism" -> mech, "sasl.username" -> "svc",
+              "sasl.password" -> "WRONG")).collect()
+        }
+        val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+        assert(msgs.contains("SASL authentication failed") ||
+          msgs.contains("SCRAM proof mismatch"), s"$mech: $msgs")
+      }
+    }
+  }
+
+  test("unauthenticated connections cannot fetch from a SASL listener") {
+    withCluster(sasl = Some(SaslUser("svc", "s3cr3t!"))) { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "v"))
+      val b = c.brokerList.head
+      intercept[Exception] {
+        val cl = new WireClient(b.host, b.port) // no sasl config
+        try cl.metadata("t") finally cl.close()
+      }
+      ()
+    }
+  }
+
+  test("tampered SCRAM server signature is rejected as a MITM") {
+    withCluster(sasl = Some(SaslUser("svc", "s3cr3t!"))) { c =>
+      c.tamperScramServerSignature = true
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "v"))
+      val ex = intercept[Exception] {
+        readBatch(brokerList(c), "t",
+          saslExtras + ("sasl.mechanism" -> "SCRAM-SHA-256")).collect()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("server signature mismatch"), msgs)
+    }
+  }
+
+  test("SaslConfig never prints the password (plan descriptions, task logs)") {
+    val cfg = WireClient.SaslConfig("PLAIN", "svc", "hunter2")
+    assert(!cfg.toString.contains("hunter2"))
+    val part = KafkaWirePartition("h", 1, "t", 0, 0L, 1L, Some(cfg))
+    assert(!part.toString.contains("hunter2"))
+  }
+
+  // --- offset codec ----------------------------------------------------------
+
+  test("checkpoint offset JSON round-trips") {
+    val m = Map(0 -> 12L, 7 -> 3L, 12 -> 0L)
+    val json = KafkaWireSource.offsetsToJson(m)
+    assert(json == """{"0":12,"7":3,"12":0}""")
+    assert(KafkaWireSource.offsetsFromJson(json) == m)
+    assert(KafkaWireSource.offsetsFromJson("{}") == Map.empty[Int, Long])
+  }
+}
