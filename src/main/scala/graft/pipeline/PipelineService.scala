@@ -149,12 +149,12 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
     * `SourceConfig`/`SinkConfig`, the DLQ is the pipeline's own
     * `<dlqRoot>/<id>` queue, and the checkpoint lives under
     * `<checkpointRoot>/<id>` so stop→resume keeps offset/state continuity.
-    * Join pipelines need two live sources and stay on the programmatic
-    * [[start]]. */
+    * Join pipelines route to [[startJoinFromConfig]], which builds one
+    * source stream per join side. */
   def startFromConfig(id: String): Either[String, Unit] = withPipeline(id) { d =>
     val cfg = d.config
     val kind = cfg.source.kind.getOrElse("kafka")
-    if (cfg.join.exists(_.enabled)) Left("config start does not support join pipelines (two live sources); use start")
+    if (cfg.join.exists(_.enabled)) startJoinFromConfig(id, d)
     else (cfg.source.topics.headOption, cfg.sink) match {
       case (None, _) => Left("source: no topics configured")
       case (_, None) => Left("sink: not configured")
@@ -192,23 +192,75 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
           case other => Left(s"config start supports kafka/otlp sources; got $other")
         }
         sourceE.flatMap { source =>
-          val chCfg = ClickHouseSink.Config(
-            url = sc.url.get,
-            database = sc.database,
-            table = sc.table,
-            username = sc.username.getOrElse("default"),
-            password = sc.password.getOrElse(""),
-            mappings = sc.tableMapping.map(m =>
-              ColumnMapping(m.fieldName, m.columnName, m.columnType)),
-            maxBatchSize = sc.maxBatchSize.getOrElse(100000L),
-            maxDelaySeconds = sc.maxDelaySeconds.getOrElse(60))
-          val checkpoint = s"${checkpointRoot.getOrElse(
-            sys.props("java.io.tmpdir") + "/graft_ckpt")}/$id"
-          val dlqFn: DataFrame => Unit = dlqRoot match {
-            case Some(r) => Dlq.writeParquet(s"$r/$id") _
-            case None => _ => ()
+          start(id, source,
+            df => sinkAttach(df, chConfigOf(sc), checkpointOf(id), dlqOf(id)).start())
+        }
+    }
+  }
+
+  private def chConfigOf(sc: SinkConfig): ClickHouseSink.Config =
+    ClickHouseSink.Config(
+      url = sc.url.get,
+      database = sc.database,
+      table = sc.table,
+      username = sc.username.getOrElse("default"),
+      password = sc.password.getOrElse(""),
+      mappings = sc.tableMapping.map(m =>
+        ColumnMapping(m.fieldName, m.columnName, m.columnType)),
+      maxBatchSize = sc.maxBatchSize.getOrElse(100000L),
+      maxDelaySeconds = sc.maxDelaySeconds.getOrElse(60))
+
+  private def checkpointOf(id: String): String =
+    s"${checkpointRoot.getOrElse(sys.props("java.io.tmpdir") + "/graft_ckpt")}/$id"
+
+  private def dlqOf(id: String): DataFrame => Unit = dlqRoot match {
+    case Some(r) => Dlq.writeParquet(s"$r/$id") _
+    case None => _ => ()
+  }
+
+  /** Config-only start for a JOIN pipeline (the reference's
+    * tests/features/join/join.feature shape: two kafka source topics, a
+    * temporal join, a ClickHouse sink): one source stream per join side via
+    * the source factory, compiled through
+    * [[PipelineCompiler.streamingJoin]]. No starter is retained — resume
+    * goes back through this method, rebuilding both sources from config. */
+  private def startJoinFromConfig(id: String, d: Deployed): Either[String, Unit] = {
+    val cfg = d.config
+    val kind = cfg.source.kind.getOrElse("kafka")
+    val j = cfg.join.get
+    cfg.sink match {
+      case None => Left("sink: not configured")
+      case Some(sc) if sc.url.isEmpty => Left("sink: url required for config start")
+      case Some(sc) =>
+        if (kind != "kafka")
+          Left(s"config start supports kafka sources for join pipelines; got $kind")
+        else if (cfg.source.brokers.forall(_.isEmpty))
+          Left("source: brokers required for config start")
+        else {
+          // join.sources reference source topics by id — every side needs
+          // a configured topic (consumer group and dedup live there)
+          val wanted = j.sources.map(_.sourceId)
+          val missing = wanted.filterNot(sid => cfg.source.topics.exists(_.name == sid))
+          if (missing.nonEmpty)
+            Left(s"join: no source topic configured for ${missing.mkString(", ")}")
+          else if (d.status == Running) Left(s"pipeline $id already running")
+          else try {
+            val sources = wanted.map { sid =>
+              val t = cfg.source.topics.find(_.name == sid).get
+              sid -> sourceReader(spark, KafkaSource.Config(
+                brokers = cfg.source.brokers.get,
+                topic = t.name,
+                consumerGroup = t.consumerGroup.getOrElse(s"graft-$id")))
+            }.toMap
+            val q = sinkAttach(PipelineCompiler.streamingJoin(cfg, sources),
+              chConfigOf(sc), checkpointOf(id), dlqOf(id)).start()
+            registry.put(id, d.copy(query = Some(q), status = Running, starter = None))
+            Right(())
+          } catch {
+            case e: Exception =>
+              registry.put(id, d.copy(status = Failed))
+              Left(Option(e.getMessage).getOrElse(e.toString))
           }
-          start(id, source, df => sinkAttach(df, chCfg, checkpoint, dlqFn).start())
         }
     }
   }
