@@ -62,7 +62,8 @@ object KafkaWireSource {
   private[kafka] final case class Endpoint(host: String, port: Int)
 
   private[kafka] final case class Options(
-    endpoints: Seq[Endpoint], topic: String, sasl: Option[WireClient.SaslConfig]) {
+    endpoints: Seq[Endpoint], topic: String, sasl: Option[WireClient.SaslConfig],
+    tls: Option[WireClient.TlsConfig]) {
     def endpoint: Endpoint = endpoints.head
   }
 
@@ -87,7 +88,19 @@ object KafkaWireSource {
         ci.getOrElse("sasl.password",
           throw new IllegalArgumentException("graft-kafka: sasl.mechanism set but sasl.password missing")))
     }
-    Options(endpoints, topic, sasl)
+    // TLS option spellings mirror the reference config fields
+    // (models/configs.go: root_ca / tls_cert / tls_key / skip_tls_verify):
+    // values are base64-encoded PEM, exactly as the reference transports them
+    val tlsOn = ci.get("tls").exists(_.toBoolean) ||
+      Seq("tls.root_ca", "tls.skip_verify", "tls.client_cert").exists(ci.contains)
+    val tls =
+      if (!tlsOn) None
+      else Some(WireClient.TlsConfig(
+        rootCaPemB64 = ci.get("tls.root_ca"),
+        skipVerify = ci.get("tls.skip_verify").exists(_.toBoolean),
+        clientCertPemB64 = ci.get("tls.client_cert"),
+        clientKeyPemB64 = ci.get("tls.client_key")))
+    Options(endpoints, topic, sasl, tls)
   }
 
   /** Control-plane client with connect failover across the brokers list:
@@ -99,7 +112,7 @@ object KafkaWireSource {
     var last: Throwable = null
     o.endpoints.foreach { e =>
       val sock = try {
-        Some(new WireClient(e.host, e.port, sasl = o.sasl))
+        Some(new WireClient(e.host, e.port, sasl = o.sasl, tls = o.tls))
       } catch {
         case t @ (_: java.net.ConnectException | _: java.net.SocketTimeoutException |
                   _: java.net.UnknownHostException | _: java.net.NoRouteToHostException) =>
@@ -235,7 +248,7 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
       val leader = leaders.getOrElse(p, o.endpoint)
       if (endOff > startOff)
         Some(KafkaWirePartition(leader.host, leader.port, o.topic, p, startOff, endOff,
-          o.sasl): InputPartition)
+          o.sasl, o.tls): InputPartition)
       else None
     }.toArray
   }
@@ -259,7 +272,7 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
         val (s, e) = (earliest(p), latest(p))
         val leader = leaders.getOrElse(p, o.endpoint)
         if (e > s) Some(KafkaWirePartition(leader.host, leader.port, o.topic, p, s, e,
-          o.sasl): InputPartition)
+          o.sasl, o.tls): InputPartition)
         else None
       }.toArray
     } finally client.close()
@@ -270,7 +283,8 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
 private[kafka] final case class KafkaWirePartition(
   host: String, port: Int, topic: String, partition: Int,
   startOffset: Long, endOffset: Long,
-  sasl: Option[WireClient.SaslConfig]) extends InputPartition
+  sasl: Option[WireClient.SaslConfig],
+  tls: Option[WireClient.TlsConfig] = None) extends InputPartition
 
 private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -283,7 +297,7 @@ private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
 private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
   extends PartitionReader[InternalRow] {
 
-  private val client = new WireClient(p.host, p.port, sasl = p.sasl)
+  private val client = new WireClient(p.host, p.port, sasl = p.sasl, tls = p.tls)
   private val topicUtf8 = UTF8String.fromString(p.topic)
   private var buffer: Iterator[Records.Record] = Iterator.empty
   private var nextOffset = p.startOffset

@@ -15,13 +15,30 @@ import java.nio.charset.StandardCharsets
   * the same defaults used here).
   */
 final class WireClient(host: String, port: Int, clientId: String = "graft",
-                       sasl: Option[WireClient.SaslConfig] = None) extends AutoCloseable {
+                       sasl: Option[WireClient.SaslConfig] = None,
+                       tls: Option[WireClient.TlsConfig] = None) extends AutoCloseable {
   import WireClient._
 
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), 10000)
-  socket.setSoTimeout(30000)
-  socket.setTcpNoDelay(true)
+  private val socket: Socket = {
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(host, port), 10000)
+    plain.setSoTimeout(30000)
+    plain.setTcpNoDelay(true)
+    tls match {
+      case None => plain
+      case Some(cfg) =>
+        // TLS over the connected socket (server-name set for SNI +
+        // hostname verification); handshake up front so a certificate
+        // the client does not trust fails HERE, not mid-fetch.
+        val s = cfg.sslContext.getSocketFactory
+          .createSocket(plain, host, port, true).asInstanceOf[javax.net.ssl.SSLSocket]
+        val params = s.getSSLParameters
+        if (!cfg.skipVerify) params.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(params)
+        s.startHandshake()
+        s
+    }
+  }
   private val in = new java.io.BufferedInputStream(socket.getInputStream)
   private val out = new java.io.BufferedOutputStream(socket.getOutputStream)
   private var correlation = 0
@@ -223,6 +240,100 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
 }
 
 object WireClient {
+
+  /** TLS settings mirroring the reference's surface
+    * (internal/kafka/tls_conf.go MakeTLSConfigFromStrings +
+    * consumer.go:200-210): base64-encoded PEM root CA, optional base64 PEM
+    * client cert/key (mTLS), and skip-verify. Carried inside
+    * InputPartitions, so it is Serializable and the SSLContext rebuilds
+    * lazily per task. */
+  final case class TlsConfig(rootCaPemB64: Option[String] = None,
+                             skipVerify: Boolean = false,
+                             clientCertPemB64: Option[String] = None,
+                             clientKeyPemB64: Option[String] = None) extends Serializable {
+    override def toString: String =
+      s"TlsConfig(rootCa=${rootCaPemB64.isDefined},skipVerify=$skipVerify," +
+        s"clientCert=${clientCertPemB64.isDefined},clientKey=${if (clientKeyPemB64.isDefined) "*****" else "none"})"
+
+    @transient lazy val sslContext: javax.net.ssl.SSLContext = {
+      val tms: Array[javax.net.ssl.TrustManager] =
+        if (skipVerify) Array(TrustAll)
+        else rootCaPemB64 match {
+          case None => null // JVM default trust store
+          case Some(b64) =>
+            val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+            ks.load(null, null)
+            Tls.pemCertificates(b64).zipWithIndex.foreach { case (c, i) =>
+              ks.setCertificateEntry(s"ca$i", c)
+            }
+            val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+              javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+            tmf.init(ks)
+            tmf.getTrustManagers
+        }
+      val kms: Array[javax.net.ssl.KeyManager] = (clientCertPemB64, clientKeyPemB64) match {
+        case (Some(certB64), Some(keyB64)) =>
+          val chain = Tls.pemCertificates(certB64).toArray[java.security.cert.Certificate]
+          val key = Tls.pemPrivateKey(keyB64)
+          val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+          ks.load(null, null)
+          ks.setKeyEntry("client", key, Array.emptyCharArray, chain)
+          val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+            javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+          kmf.init(ks, Array.emptyCharArray)
+          kmf.getKeyManagers
+        case (None, None) => null
+        case _ => throw new IllegalArgumentException(
+          "TLS client auth needs BOTH tls.client_cert and tls.client_key")
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLSv1.2") // reference MinVersion
+      ctx.init(kms, tms, new java.security.SecureRandom())
+      ctx
+    }
+  }
+
+  private object TrustAll extends javax.net.ssl.X509TrustManager {
+    override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+    override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+    override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+  }
+
+  /** PEM plumbing for the base64-of-PEM strings the reference config
+    * carries (models/configs.go:73-77 root_ca / tls_cert / tls_key). */
+  private[kafka] object Tls {
+    private def pemBlocks(pem: String, kind: String): Seq[Array[Byte]] = {
+      val re = ("-----BEGIN " + kind + "-----([A-Za-z0-9+/=\\s]+?)-----END " + kind + "-----").r
+      re.findAllMatchIn(pem).map(m =>
+        java.util.Base64.getMimeDecoder.decode(m.group(1).trim)).toSeq
+    }
+
+    def pemCertificates(b64: String): Seq[java.security.cert.X509Certificate] = {
+      val pem = new String(java.util.Base64.getDecoder.decode(b64),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val blocks = pemBlocks(pem, "CERTIFICATE")
+      if (blocks.isEmpty)
+        throw new IllegalArgumentException("no CERTIFICATE blocks in PEM")
+      blocks.map(der => cf.generateCertificate(
+        new java.io.ByteArrayInputStream(der)).asInstanceOf[java.security.cert.X509Certificate])
+    }
+
+    /** PKCS#8 ("PRIVATE KEY") DER → RSA or EC key. */
+    def pemPrivateKey(b64: String): java.security.PrivateKey = {
+      val pem = new String(java.util.Base64.getDecoder.decode(b64),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val der = pemBlocks(pem, "PRIVATE KEY").headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "no PKCS#8 PRIVATE KEY block in PEM (PKCS#1 'RSA PRIVATE KEY' unsupported — re-wrap with openssl pkcs8)"))
+      val spec = new java.security.spec.PKCS8EncodedKeySpec(der)
+      Seq("RSA", "EC", "Ed25519").view.flatMap { alg =>
+        try Some(java.security.KeyFactory.getInstance(alg).generatePrivate(spec))
+        catch { case _: java.security.spec.InvalidKeySpecException => None }
+      }.headOption.getOrElse(
+        throw new IllegalArgumentException("PKCS#8 key is not RSA/EC/Ed25519"))
+    }
+  }
+
   final case class SaslConfig(mechanism: String, username: String, password: String) {
     /** InputPartition instances (which embed this) surface in Spark plan
       * descriptions and task-failure messages — never print the secret. */

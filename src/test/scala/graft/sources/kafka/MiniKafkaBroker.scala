@@ -42,8 +42,8 @@ object MiniKafkaBroker {
     val topics = new java.util.concurrent.ConcurrentHashMap[String, mutable.Map[Int, PartitionLog]]()
     private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
 
-    def addBroker(): MiniKafkaBroker = synchronized {
-      val b = new MiniKafkaBroker(this, brokers.size)
+    def addBroker(tls: Option[javax.net.ssl.SSLContext] = None): MiniKafkaBroker = synchronized {
+      val b = new MiniKafkaBroker(this, brokers.size, tls)
       brokers += b
       b
     }
@@ -83,10 +83,15 @@ object MiniKafkaBroker {
   }
 }
 
-final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, val nodeId: Int) {
+final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, val nodeId: Int,
+                                            tls: Option[javax.net.ssl.SSLContext] = None) {
   import MiniKafkaBroker._
 
-  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  private val server: ServerSocket = tls match {
+    case None => new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    case Some(ctx) => ctx.getServerSocketFactory
+      .createServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  }
   @volatile private var running = true
   val host: String = "127.0.0.1"
   val port: Int = server.getLocalPort
