@@ -19,9 +19,15 @@ package graft.sources.kafka
   * varint offsetDelta, varint keyLen (+key), varint valueLen (+value),
   * varint headerCount (+ headers). All varints zigzag-encoded.
   *
-  * Compression (attributes bits 0-2) is out of scope — both ends of the
-  * in-repo wire pair send uncompressed batches, and the decode REJECTS
-  * compressed attributes loudly rather than mis-parsing.
+  * Compression (attributes bits 0-2): the records block after the 61-byte
+  * batch header is compressed AS ONE UNIT with the codec named in the
+  * attributes — gzip (1), snappy (2, xerial stream framing), lz4 (3,
+  * standard LZ4 frame), zstd (4) — exactly the four codecs Kafka's
+  * CompressionType enumerates; the header itself (through recordCount)
+  * and the CRC are over the stored (compressed) bytes. All four decode
+  * here via libraries Spark itself ships (snappy-java, lz4-java,
+  * zstd-jni), so a topic produced with any standard codec reads without
+  * broker-side recompression; an unknown codec id fails loudly.
   */
 object Records {
 
@@ -45,6 +51,39 @@ object Records {
   private val CompressionMask = 0x07
   private val LogAppendTimeBit = 0x08
   private val ControlBit = 0x20
+
+  /** Codec ids (attributes bits 0-2), per Kafka's CompressionType. */
+  val CodecNone = 0
+  val CodecGzip = 1
+  val CodecSnappy = 2
+  val CodecLz4 = 3
+  val CodecZstd = 4
+
+  private def compress(codec: Int, raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val out: java.io.OutputStream = codec match {
+      case CodecGzip => new java.util.zip.GZIPOutputStream(bos)
+      case CodecSnappy => new org.xerial.snappy.SnappyOutputStream(bos)
+      case CodecLz4 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case CodecZstd => new com.github.luben.zstd.ZstdOutputStream(bos)
+      case other => throw new IllegalArgumentException(s"unsupported record-batch codec $other")
+    }
+    out.write(raw); out.close()
+    bos.toByteArray
+  }
+
+  private def decompress(codec: Int, packed: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val bis = new java.io.ByteArrayInputStream(packed, off, len)
+    val in: java.io.InputStream = codec match {
+      case CodecGzip => new java.util.zip.GZIPInputStream(bis)
+      case CodecSnappy => new org.xerial.snappy.SnappyInputStream(bis)
+      case CodecLz4 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case CodecZstd => new com.github.luben.zstd.ZstdInputStream(bis)
+      case other => throw new java.io.IOException(
+        s"record batch uses unknown compression codec $other (attributes bits 0-2)")
+    }
+    try in.readAllBytes() finally in.close()
+  }
 
   /** Encode one uncompressed batch. Offsets are assigned from `baseOffset`
     * in order; timestamps carried per record (CreateTime semantics).
@@ -75,6 +114,7 @@ object Records {
     w.int16(-1)                   // producerEpoch
     w.int32(-1)                   // baseSequence
     w.int32(records.size)
+    val recs = new Wire.Writer
     records.foreach { r =>
       val body = new Wire.Writer
       body.int8(0)                               // record attributes
@@ -84,9 +124,12 @@ object Records {
       if (r.value == null) body.varint(-1) else { body.varint(r.value.length); body.bytesRaw(r.value) }
       body.varint(0)                             // headers
       val bytes = body.toArray
-      w.varint(bytes.length)
-      w.bytesRaw(bytes)
+      recs.varint(bytes.length)
+      recs.bytesRaw(bytes)
     }
+    val codec = attributes & CompressionMask
+    val recBytes = recs.toArray
+    w.bytesRaw(if (codec == CodecNone) recBytes else compress(codec, recBytes))
     w.patchInt32(lenAt, w.size - lenAt - 4)
     w.patchInt32(crcAt, w.crc32c(crcFrom).toInt)
     w.toArray
@@ -126,8 +169,7 @@ object Records {
           throw new java.io.IOException(
             f"record batch CRC mismatch at offset $baseOffset: wire=0x$crc%08x computed=0x${crcCheck.getValue}%08x")
         val attributes = r.int16()
-        if ((attributes & CompressionMask) != 0)
-          throw new java.io.IOException(s"compressed record batch (attributes=$attributes) unsupported")
+        val codec = attributes & CompressionMask
         val logAppendTime = (attributes & LogAppendTimeBit) != 0
         val isControl = (attributes & ControlBit) != 0
         val lastOffsetDelta = r.int32()
@@ -135,25 +177,29 @@ object Records {
         val maxTs = r.int64()
         r.skip(8 + 2 + 4) // producerId, producerEpoch, baseSequence
         val count = r.int32()
+        // the records block (everything after recordCount, up to the batch
+        // end) is compressed as one unit; the header above never is
+        val rr = if (codec == CodecNone) r
+          else new Wire.Reader(decompress(codec, recordSet, r.pos, end - r.pos))
         var i = 0
         while (i < count) {
-          val len = r.varint()
-          val bodyEnd = r.pos + len
+          val len = rr.varint()
+          val bodyEnd = rr.pos + len
           if (!isControl) {
-            r.skip(1) // record attributes
-            val tsDelta = r.varlong()
-            val offDelta = r.varint()
-            val keyLen = r.varint()
-            val key = if (keyLen < 0) null else r.raw(keyLen)
-            val valLen = r.varint()
-            val value = if (valLen < 0) null else r.raw(valLen)
+            rr.skip(1) // record attributes
+            val tsDelta = rr.varlong()
+            val offDelta = rr.varint()
+            val keyLen = rr.varint()
+            val key = if (keyLen < 0) null else rr.raw(keyLen)
+            val valLen = rr.varint()
+            val value = if (valLen < 0) null else rr.raw(valLen)
             // LogAppendTime batches carry the broker's append time in
             // maxTimestamp; per-record deltas are producer noise then.
             val ts = if (logAppendTime) maxTs else baseTs + tsDelta
             out += Record(baseOffset + offDelta, ts, key, value,
               if (logAppendTime) 1 else 0)
           }
-          r.pos = bodyEnd // headers (and any future fields) skipped wholesale
+          rr.pos = bodyEnd // headers (and any future fields) skipped wholesale
           i += 1
         }
         next = math.max(next, baseOffset + lastOffsetDelta + 1)
