@@ -32,7 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * distributed over partitions proportional to lag, the stock source's
   * policy), `sasl.mechanism` (PLAIN|SCRAM-SHA-256|SCRAM-SHA-512) +
   * `sasl.username`/`sasl.password` (reference SASL legs:
-  * consumer.go:141-210).
+  * consumer.go:141-210), `tls`/`tls.root_ca`/`tls.skip_verify`/
+  * `tls.client_cert`/`tls.client_key` (base64 PEM — the reference's TLS
+  * surface, tls_conf.go), `fetch.min_bytes`/`fetch.max_bytes`/
+  * `fetch.max_wait_ms` (fetch tuning; reference defaults
+  * constants.go:250-259).
   *
   * Scale shape: one [[InputPartition]] per Kafka partition per batch; each
   * Spark task opens its own socket TO THAT PARTITION'S LEADER and
@@ -63,9 +67,18 @@ object KafkaWireSource {
 
   private[kafka] final case class Options(
     endpoints: Seq[Endpoint], topic: String, sasl: Option[WireClient.SaslConfig],
-    tls: Option[WireClient.TlsConfig]) {
+    tls: Option[WireClient.TlsConfig],
+    fetch: FetchTuning = FetchTuning()) {
     def endpoint: Endpoint = endpoints.head
   }
+
+  /** Fetch request knobs; defaults are the reference consumer's
+    * (internal/constants.go:250-259 — min 100 KB, max 1 MB, wait 750 ms).
+    * minBytes/maxWaitMs trade latency for fetch-count on a quiet topic;
+    * maxBytes bounds a single response (a batch larger than maxBytes still
+    * arrives alone — Kafka always returns at least one batch). */
+  private[kafka] final case class FetchTuning(
+    minBytes: Int = 1, maxBytes: Int = 1 << 20, maxWaitMs: Int = 750)
 
   private[kafka] def parseOptions(opts: Map[String, String]): Options = {
     val ci = opts.map { case (k, v) => k.toLowerCase -> v }
@@ -100,7 +113,17 @@ object KafkaWireSource {
         skipVerify = ci.get("tls.skip_verify").exists(_.toBoolean),
         clientCertPemB64 = ci.get("tls.client_cert"),
         clientKeyPemB64 = ci.get("tls.client_key")))
-    Options(endpoints, topic, sasl, tls)
+    // fetch tuning (reference knob surface; minBytes defaults to 1 rather
+    // than the reference's 100 KB because this source reads BOUNDED offset
+    // ranges — a large min on the final partial fetch would just park the
+    // task for maxWait on the broker)
+    val fetch = FetchTuning(
+      minBytes = ci.get("fetch.min_bytes").map(_.toInt).getOrElse(1),
+      maxBytes = ci.get("fetch.max_bytes").map(_.toInt).getOrElse(1 << 20),
+      maxWaitMs = ci.get("fetch.max_wait_ms").map(_.toInt).getOrElse(750))
+    require(fetch.maxBytes > 0 && fetch.minBytes >= 0 && fetch.maxWaitMs >= 0,
+      s"graft-kafka: invalid fetch tuning $fetch")
+    Options(endpoints, topic, sasl, tls, fetch)
   }
 
   /** Control-plane client with connect failover across the brokers list:
@@ -248,7 +271,7 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
       val leader = leaders.getOrElse(p, o.endpoint)
       if (endOff > startOff)
         Some(KafkaWirePartition(leader.host, leader.port, o.topic, p, startOff, endOff,
-          o.sasl, o.tls): InputPartition)
+          o.sasl, o.tls, o.fetch): InputPartition)
       else None
     }.toArray
   }
@@ -272,7 +295,7 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
         val (s, e) = (earliest(p), latest(p))
         val leader = leaders.getOrElse(p, o.endpoint)
         if (e > s) Some(KafkaWirePartition(leader.host, leader.port, o.topic, p, s, e,
-          o.sasl, o.tls): InputPartition)
+          o.sasl, o.tls, o.fetch): InputPartition)
         else None
       }.toArray
     } finally client.close()
@@ -284,7 +307,8 @@ private[kafka] final case class KafkaWirePartition(
   host: String, port: Int, topic: String, partition: Int,
   startOffset: Long, endOffset: Long,
   sasl: Option[WireClient.SaslConfig],
-  tls: Option[WireClient.TlsConfig] = None) extends InputPartition
+  tls: Option[WireClient.TlsConfig] = None,
+  fetch: KafkaWireSource.FetchTuning = KafkaWireSource.FetchTuning()) extends InputPartition
 
 private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -305,7 +329,9 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
 
   override def next(): Boolean = {
     while (!buffer.hasNext && nextOffset < p.endOffset) {
-      val res = client.fetch(p.topic, p.partition, nextOffset)
+      val res = client.fetch(p.topic, p.partition, nextOffset,
+        maxBytes = p.fetch.maxBytes, maxWaitMs = p.fetch.maxWaitMs,
+        minBytes = p.fetch.minBytes)
       if (res.records.isEmpty && res.nextOffset < 0) {
         // Range was planned from a live log-end offset, so data below
         // endOffset must exist; an empty fetch (no batch decoded at all)

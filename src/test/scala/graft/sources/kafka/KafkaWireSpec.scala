@@ -309,6 +309,30 @@ class KafkaWireSpec extends SparkSpec {
     assert(!part.toString.contains("hunter2"))
   }
 
+  test("tiny fetch.max_bytes forces batch-at-a-time fetches without losing rows") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      // 6 separate batches, each ~90 wire bytes — a 100-byte response cap
+      // admits exactly one per fetch (the first batch always fits), so the
+      // reader must loop 6 times and still surface every row in order
+      (0 until 6).foreach(i => c.append("t", 0, Seq(s"k$i" -> s"v$i")))
+      val rows = readBatch(brokerList(c), "t",
+        Map("fetch.max_bytes" -> "100", "fetch.min_bytes" -> "1",
+          "fetch.max_wait_ms" -> "10")).collect().sortBy(_.getLong(4))
+      assert(rows.map(valueStr).toSeq == (0 until 6).map(i => s"v$i"))
+    }
+  }
+
+  test("fetch tuning options parse and reject nonsense") {
+    val o = KafkaWireSource.parseOptions(Map(
+      "brokers" -> "h:1", "topic" -> "t",
+      "fetch.min_bytes" -> "102400", "fetch.max_bytes" -> "1048576",
+      "fetch.max_wait_ms" -> "750"))
+    assert(o.fetch == KafkaWireSource.FetchTuning(102400, 1048576, 750))
+    assertThrows[IllegalArgumentException](KafkaWireSource.parseOptions(Map(
+      "brokers" -> "h:1", "topic" -> "t", "fetch.max_bytes" -> "0")))
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips") {
