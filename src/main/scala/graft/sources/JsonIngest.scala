@@ -41,8 +41,14 @@ object JsonIngest {
     * present but null is NOT corrupt — from_json cannot distinguish
     * explicit null from absent, so presence is checked via
     * json_object_keys only on the rare all-null rows (the && short-circuits
-    * in codegen; the second parse never runs on the hot path). */
-  def parse(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
+    * in codegen; the second parse never runs on the hot path).
+    *
+    * `keep` names source columns carried through UNCHANGED alongside the
+    * parsed fields — Kafka lineage/meta columns (timestamp, partition,
+    * offset) that downstream dedup windows and audit trails need; the
+    * reference's processor passes its message context the same way. */
+  def parse(df: DataFrame, jsonCol: String, schema: StructType,
+            keep: Seq[String] = Nil): DataFrame = {
     val corruptField = "__corrupt_rec"
     val parseSchema = StructType(schema.fields :+ StructField(corruptField, StringType))
     val parsed = df.withColumn("__parsed",
@@ -62,8 +68,8 @@ object JsonIngest {
           col("__parsed").getField(corruptField).isNotNull ||
           (allNull && !coalesce(anyDeclaredKey, lit(false)))))
       .withColumn("__raw", col(jsonCol))
-      .select(schema.fieldNames.map(f => col("__parsed").getField(f).as(f)) :+
-        col("__raw") :+ col("__corrupt"): _*)
+      .select(schema.fieldNames.map(f => col("__parsed").getField(f).as(f)) ++
+        keep.map(col) :+ col("__raw") :+ col("__corrupt"): _*)
   }
 
   /** Narrow a declared schema to the fields a pipeline actually references
@@ -77,10 +83,12 @@ object JsonIngest {
     StructType(schema.fields.filter(f => keep.contains(f.name)))
   }
 
-  /** Full ingest split: (valid rows with schema columns, DLQ rows). */
-  def ingest(df: DataFrame, jsonCol: String, schema: StructType): (DataFrame, DataFrame) = {
-    val parsed = parse(df, jsonCol, schema)
+  /** Full ingest split: (valid rows with schema [+ kept] columns, DLQ
+    * rows — the raw payload plus any kept lineage columns). */
+  def ingest(df: DataFrame, jsonCol: String, schema: StructType,
+             keep: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val parsed = parse(df, jsonCol, schema, keep)
     (parsed.filter(!col("__corrupt")).drop("__corrupt", "__raw"),
-      parsed.filter(col("__corrupt")).select(col("__raw")))
+      parsed.filter(col("__corrupt")).select(col("__raw") +: keep.map(col): _*))
   }
 }
