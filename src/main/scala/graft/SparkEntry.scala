@@ -2543,11 +2543,25 @@ object SparkEntry {
       val qn = s"cdc_${System.nanoTime()}"
       val priorParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // tmpfs checkpoint like every other streaming entry: the WAL/commit
+      // fsyncs per micro-batch are the wall-clock floor here, not state
+      val shm = new java.io.File("/dev/shm")
+      val ck = if (shm.isDirectory && shm.canWrite) s"/dev/shm/$qn"
+               else s"${sys.props("java.io.tmpdir")}/$qn"
       try {
         val q = merged.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      } finally {
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(ck))
+        } catch { case _: Exception => () }
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
+      }
       s.table(qn).filter(col("user_id") =!= -1L)
         .select(col("user_id"), col("tus"),
           get_json_object(col("pay"), "$.event_type").as("event_type"),
