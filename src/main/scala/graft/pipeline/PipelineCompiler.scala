@@ -81,12 +81,22 @@ object PipelineCompiler {
   /** Streaming compile for a single-source pipeline: same chain with
     * streaming dedup; returns the transformed streaming DataFrame (attach a
     * sink with ClickHouseSink.attach). */
+  /** Streaming dedup needs an event-time column for its watermark. The
+    * reference's dedup configs declare none — its windows run on ARRIVAL
+    * time — so when the frame carries the Kafka record `timestamp` (config
+    * starts parse it through with the payload) that is the arrival time
+    * and becomes the default; only a frame with neither errors. */
+  private def dedupTimeField(d: DedupConfig, df: DataFrame): String =
+    d.timeField
+      .orElse(if (df.columns.contains("timestamp")) Some("timestamp") else None)
+      .getOrElse(throw new IllegalArgumentException(
+        "streaming dedup requires time_field (or a kafka 'timestamp' column)"))
+
   def streaming(cfg: PipelineConfig, source: DataFrame): DataFrame = {
     val t = cfg.source.topics.head
     val filtered = cfg.filter.fold(source)(f => FilterOp(f.expression)(source))
     val deduped = t.deduplication.filter(_.enabled).fold(filtered) { d =>
-      val tf = d.timeField.getOrElse(
-        throw new IllegalArgumentException("streaming dedup requires time_field"))
+      val tf = dedupTimeField(d, filtered)
       val win = PipelineConfig.windowMillis(d.timeWindow)
       DedupOp.windowedStreaming(Seq(d.idField), tf, s"$win milliseconds")(filtered)
     }
@@ -119,8 +129,7 @@ object PipelineCompiler {
         .fold(df0)(f => FilterOp(f.expression)(df0))
       cfg.source.topics.find(_.name == id).flatMap(_.deduplication)
         .filter(_.enabled).fold(filtered) { d =>
-          val tf = d.timeField.getOrElse(
-            throw new IllegalArgumentException("streaming dedup requires time_field"))
+          val tf = dedupTimeField(d, filtered)
           val win = PipelineConfig.windowMillis(d.timeWindow)
           DedupOp.windowedStreaming(Seq(d.idField), tf, s"$win milliseconds")(filtered)
         }

@@ -191,9 +191,12 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
           }
           case other => Left(s"config start supports kafka/otlp sources; got $other")
         }
-        sourceE.flatMap { source =>
+        sourceE.flatMap { src0 =>
+          val (source, badOpt) =
+            if (kind == "kafka") parseIfRaw(src0, topic) else (src0, None)
           start(id, source,
             df => sinkAttach(df, chConfigOf(sc), checkpointOf(id), dlqOf(id)).start())
+            .map { ok => badOpt.foreach(attachValidationDlq(id, _)); ok }
         }
     }
   }
@@ -216,6 +219,54 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
   private def dlqOf(id: String): DataFrame => Unit = dlqRoot match {
     case Some(r) => Dlq.writeParquet(s"$r/$id") _
     case None => _ => ()
+  }
+
+  /** The ingestor leg for a RAW Kafka frame (reference:
+    * internal/ingestor/processor.go — validate against the declared topic
+    * schema, split failures to the DLQ): when the source delivers the
+    * stock key/value-binary Kafka shape AND the topic declares schema
+    * fields, strip any Schema-Registry prefix and parse, returning the
+    * valid-rows stream plus (when a DLQ root exists) the corrupt-rows
+    * stream. A seam-injected ALREADY-PARSED frame passes through untouched
+    * — field-level filters/transforms compiled downstream require parsed
+    * columns either way; without this, a real-cluster config start would
+    * hand binary frames to the compiler and fail on the first field
+    * reference. */
+  private def parseIfRaw(raw: DataFrame, topic: TopicConfig):
+      (DataFrame, Option[DataFrame]) = {
+    import org.apache.spark.sql.functions.col
+    val isRawFrame = topic.schemaFields.nonEmpty &&
+      raw.columns.contains("value") &&
+      raw.schema("value").dataType == org.apache.spark.sql.types.BinaryType
+    if (!isRawFrame) (raw, None)
+    else {
+      val (payload, _) = graft.sources.JsonIngest.stripSchemaRegistryPrefix(col("value"))
+      val schema = graft.types.EngineSchema.structFor(
+        topic.schemaFields.map(f => f.name -> f.`type`))
+      val keep = Seq("timestamp", "partition", "offset").filter(raw.columns.contains)
+      val parsed = graft.sources.JsonIngest.parse(
+        raw.withColumn("__payload", payload), "__payload", schema, keep)
+      val good = parsed.filter(!col("__corrupt")).drop("__corrupt", "__raw")
+      val bad = parsed.filter(col("__corrupt")).select(col("__raw"))
+      (good, if (dlqRoot.isDefined) Some(bad) else None)
+    }
+  }
+
+  /** Start the validation-DLQ companion stream for `bad` rows and record
+    * it on the pipeline so stop/terminate halt it with the main query. */
+  private def attachValidationDlq(id: String, bad: DataFrame): Unit = {
+    val dlqFn = dlqOf(id)
+    val q = bad.writeStream
+      .option("checkpointLocation", s"${checkpointOf(id)}_validation_dlq")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          dlqFn(Dlq.envelope("ingestor",
+            "failed to validate data against the declared schema")(
+            b.withColumnRenamed("__raw", "raw")))
+      }
+      .start()
+    registry.computeIfPresent(id, (_, dd) => dd.copy(sideQueries = dd.sideQueries :+ q))
+    ()
   }
 
   /** Config-only start for a JOIN pipeline (the reference's
@@ -245,16 +296,22 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
             Left(s"join: no source topic configured for ${missing.mkString(", ")}")
           else if (d.status == Running) Left(s"pipeline $id already running")
           else try {
-            val sources = wanted.map { sid =>
+            val built = wanted.map { sid =>
               val t = cfg.source.topics.find(_.name == sid).get
-              sid -> sourceReader(spark, KafkaSource.Config(
+              val raw = sourceReader(spark, KafkaSource.Config(
                 brokers = cfg.source.brokers.get,
                 topic = t.name,
                 consumerGroup = t.consumerGroup.getOrElse(s"graft-$id")))
-            }.toMap
+              val (good, bad) = parseIfRaw(raw, t)
+              ((sid, good), bad)
+            }
+            val sources = built.map(_._1).toMap
             val q = sinkAttach(PipelineCompiler.streamingJoin(cfg, sources),
               chConfigOf(sc), checkpointOf(id), dlqOf(id)).start()
             registry.put(id, d.copy(query = Some(q), status = Running, starter = None))
+            val bads = built.flatMap(_._2)
+            if (bads.nonEmpty)
+              attachValidationDlq(id, bads.reduce(_.unionByName(_)))
             Right(())
           } catch {
             case e: Exception =>
@@ -350,14 +407,16 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
   /** Stop: halt the query, keep config + checkpoint (resumable). */
   def stop(id: String): Either[String, Unit] = withPipeline(id) { d =>
     d.query.foreach(_.stop())
-    registry.put(id, d.copy(query = None, status = Stopped))
+    d.sideQueries.foreach(q => try q.stop() catch { case _: Exception => () })
+    registry.put(id, d.copy(query = None, sideQueries = Nil, status = Stopped))
     Right(())
   }
 
   /** Terminate: stop and drop from the registry. */
   def terminate(id: String): Either[String, Unit] = withPipeline(id) { d =>
     d.query.foreach(_.stop())
-    registry.put(id, d.copy(query = None, status = Terminated))
+    d.sideQueries.foreach(q => try q.stop() catch { case _: Exception => () })
+    registry.put(id, d.copy(query = None, sideQueries = Nil, status = Terminated))
     Right(())
   }
 
@@ -543,5 +602,8 @@ object PipelineService {
     query: Option[StreamingQuery],
     status: Status,
     starter: Option[(DataFrame, DataFrame => StreamingQuery)] = None,
-    resources: Map[String, Resources] = DefaultResources)
+    resources: Map[String, Resources] = DefaultResources,
+    // companion queries owned by the pipeline (e.g. the validation-DLQ
+    // stream a raw-Kafka config start attaches); stopped with the main one
+    sideQueries: Seq[StreamingQuery] = Nil)
 }
