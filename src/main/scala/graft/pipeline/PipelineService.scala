@@ -196,7 +196,16 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
             if (kind == "kafka") parseIfRaw(src0, topic) else (src0, None)
           start(id, source,
             df => sinkAttach(df, chConfigOf(sc), checkpointOf(id), dlqOf(id)).start())
-            .map { ok => badOpt.foreach(attachValidationDlq(id, _)); ok }
+            .map { ok =>
+              badOpt.foreach { bad =>
+                attachValidationDlq(id, bad)
+                // with a companion stream in play, resume must rebuild BOTH
+                // queries from config — a retained single-query starter
+                // would silently drop the validation DLQ on restart
+                registry.computeIfPresent(id, (_, dd) => dd.copy(starter = None))
+              }
+              ok
+            }
         }
     }
   }

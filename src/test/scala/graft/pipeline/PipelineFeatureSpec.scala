@@ -169,6 +169,50 @@ class PipelineFeatureSpec extends SparkSpec {
     } finally c.stop()
   }
 
+  test("pipeline.feature: stop → new events (incl. bad) → resume rebuilds main AND validation DLQ") {
+    val dlqRoot = Files.createTempDirectory("graft_pf_dlq2").toString
+    val c = new Cluster(); c.addBroker(); c.addPartition("t", 0)
+    c.append("t", 0, Seq("1" -> """{"id": "1", "name": "Ada"}"""))
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    markExisting()
+    val svc = new PipelineService(spark,
+      dlqRoot = Some(dlqRoot),
+      checkpointRoot = Some(Files.createTempDirectory("graft_pf_ckpt2").toString),
+      sourceReader = wireReader(c.brokerList.head.address),
+      sinkAttach = (df, _, checkpoint, _) => df.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("id", "name").collect()
+            .foreach(r => rows.add((r.getString(0), r.getString(1))))
+        })
+    try {
+      assert(svc.create(ReferenceConfig.fromJson(baseCfg("pf-resume", dedup = false))).isRight)
+      assert(svc.startFromConfig("pf-resume").isRight)
+      drainAll()
+      assert(rows.size == 1)
+      assert(svc.stop("pf-resume").isRight)
+      // events land while the pipeline is DOWN — one of them invalid
+      c.append("t", 0, Seq(
+        "2" -> """{"id": "2", "name": "Grace"}""",
+        "3" -> """broken {"""))
+      assert(svc.resume("pf-resume").isRight)
+      drainAll()
+      import scala.jdk.CollectionConverters._
+      assert(rows.asScala.toSet == Set("1" -> "Ada", "2" -> "Grace"),
+        "checkpointed resume delivers exactly the new valid row, no dups")
+      val deadline = System.currentTimeMillis() + 30000
+      def dlqCount() = try spark.read.parquet(s"$dlqRoot/pf-resume").count()
+        catch { case _: Exception => 0L }
+      while (dlqCount() == 0 && System.currentTimeMillis() < deadline) {
+        drainAll(); Thread.sleep(200)
+      }
+      assert(dlqCount() == 1, "the rebuilt validation-DLQ stream caught the bad row")
+    } finally {
+      try svc.terminate("pf-resume") catch { case _: Exception => () }
+      c.stop()
+    }
+  }
+
   test("pipeline.feature: Kafka to ClickHouse pipeline with join only (config start, raw frames)") {
     val cfg =
       """{"pipeline_id": "pf-join",
