@@ -59,6 +59,19 @@ class RecordsCodecSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknown compression codec 5"), ex.getMessage)
   }
 
+  test("a truncated trailing batch is dropped cleanly and re-fetched from its offset") {
+    // real brokers cut the LAST batch of a response at the byte cap; the
+    // decoder must surface the complete batches and set the cursor so the
+    // next fetch re-reads the partial one — not throw, not emit junk
+    val full = Records.encodeBatch(0L, recs(3))
+    val next = Records.encodeBatch(3L, recs(2).map(r => r.copy(offset = r.offset + 3)))
+    val truncated = java.util.Arrays.copyOf(next, next.length / 2)
+    val wire = full ++ truncated
+    val dec = Records.decodeAll(wire)
+    assert(dec.records.map(_.offset) == (0L until 3L))
+    assert(dec.nextOffset == 3L, "cursor stops at the last COMPLETE batch")
+  }
+
   test("mixed codec batches in one partition read end-to-end through spark") {
     val c = new Cluster()
     val b = c.addBroker()
