@@ -27,7 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options: `brokers` (host:port[,host:port…] — first reachable one serves
   * control requests; FETCHES go to each partition's LEADER from Metadata),
-  * `topic`, `startingOffsets` (earliest|latest, micro-batch default
+  * `topic`/`topics`/`subscribe` (comma-separated list — one query can read
+  * several topics, the stock source's subscribe semantics; checkpoints use
+  * its nested topic→partition→offset JSON), `startingOffsets`
+  * (earliest|latest, micro-batch default
   * earliest), `maxOffsetsPerTrigger` (admission control: per-batch row cap
   * distributed over partitions proportional to lag, the stock source's
   * policy), `sasl.mechanism` (PLAIN|SCRAM-SHA-256|SCRAM-SHA-512) +
@@ -66,11 +69,14 @@ object KafkaWireSource {
   private[kafka] final case class Endpoint(host: String, port: Int)
 
   private[kafka] final case class Options(
-    endpoints: Seq[Endpoint], topic: String, sasl: Option[WireClient.SaslConfig],
+    endpoints: Seq[Endpoint], topics: Seq[String], sasl: Option[WireClient.SaslConfig],
     tls: Option[WireClient.TlsConfig],
     fetch: FetchTuning = FetchTuning()) {
     def endpoint: Endpoint = endpoints.head
   }
+
+  /** One Kafka partition across topics (multi-topic subscribe). */
+  private[kafka] type TP = (String, Int)
 
   /** Fetch request knobs; defaults are the reference consumer's
     * (internal/constants.go:250-259 — min 100 KB, max 1 MB, wait 750 ms).
@@ -84,8 +90,14 @@ object KafkaWireSource {
     val ci = opts.map { case (k, v) => k.toLowerCase -> v }
     val brokers = ci.getOrElse("brokers",
       throw new IllegalArgumentException("graft-kafka: 'brokers' option is required"))
-    val topic = ci.getOrElse("topic",
-      throw new IllegalArgumentException("graft-kafka: 'topic' option is required"))
+    // `topic`, `topics`, or the stock source's `subscribe` — all accept a
+    // comma-separated list; one query can read several topics exactly like
+    // format("kafka")'s subscribe
+    val topics = ci.get("topic").orElse(ci.get("topics")).orElse(ci.get("subscribe"))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-kafka: 'topic' (or 'topics'/'subscribe') option is required"))
     val endpoints = brokers.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { b =>
       b.lastIndexOf(':') match {
         case -1 => throw new IllegalArgumentException(s"graft-kafka: broker '$b' is not host:port")
@@ -123,7 +135,7 @@ object KafkaWireSource {
       maxWaitMs = ci.get("fetch.max_wait_ms").map(_.toInt).getOrElse(750))
     require(fetch.maxBytes > 0 && fetch.minBytes >= 0 && fetch.maxWaitMs >= 0,
       s"graft-kafka: invalid fetch tuning $fetch")
-    Options(endpoints, topic, sasl, tls, fetch)
+    Options(endpoints, topics, sasl, tls, fetch)
   }
 
   /** Control-plane client with connect failover across the brokers list:
@@ -148,28 +160,42 @@ object KafkaWireSource {
       last)
   }
 
-  /** {"0":12,"7":3} — partition → next offset to read. Hand-rolled because
-    * the shape is flat and the checkpoint format must stay stable. */
-  private[kafka] def offsetsToJson(m: Map[Int, Long]): String =
-    m.toSeq.sortBy(_._1).map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+  /** {"events":{"0":12,"7":3},"audit":{"0":5}} — topic → partition → next
+    * offset to read: the STOCK Kafka source's checkpoint shape, so offsets
+    * stay human-auditable and migration-familiar. Hand-rolled because the
+    * format must stay byte-stable across Spark upgrades. Kafka topic names
+    * are restricted to [a-zA-Z0-9._-], so no JSON escaping is needed. */
+  private[kafka] def offsetsToJson(m: Map[TP, Long]): String =
+    m.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, ps) =>
+      val inner = ps.toSeq.sortBy(_._1._2)
+        .map { case ((_, p), o) => s""""$p":$o""" }.mkString("{", ",", "}")
+      s""""$t":$inner"""
+    }.mkString("{", ",", "}")
 
-  private[kafka] def offsetsFromJson(s: String): Map[Int, Long] =
-    """"(\d+)":(\d+)""".r.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+  private[kafka] def offsetsFromJson(s: String): Map[TP, Long] =
+    """"([A-Za-z0-9._-]+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(s).flatMap { tm =>
+      val topic = tm.group(1)
+      """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(tm.group(2)).map(pm =>
+        (topic, pm.group(1).toInt) -> pm.group(2).toLong)
+    }.toMap
 
-  /** Partition → leader endpoint from a Metadata response; a partition
-    * whose leader id is absent from the broker list (-1 = leaderless
-    * election in progress) falls back to the control endpoint, which
-    * will surface the broker's own NOT_LEADER error rather than guess. */
+  /** (topic, partition) → leader endpoint from a Metadata response; a
+    * partition whose leader id is absent from the broker list (-1 =
+    * leaderless election in progress) falls back to the control endpoint,
+    * which will surface the broker's own NOT_LEADER error rather than
+    * guess. */
   private[kafka] def leaderEndpoints(meta: WireClient.ClusterMeta,
-                                     fallback: Endpoint): Map[Int, Endpoint] = {
+                                     fallback: Endpoint): Map[TP, Endpoint] = {
     val byId = meta.brokers.map(b => b.nodeId -> Endpoint(b.host, b.port)).toMap
-    meta.topic.partitions.map(pm =>
-      pm.partition -> byId.getOrElse(pm.leader, fallback)).toMap
+    meta.topics.flatMap(t => t.partitions.map(pm =>
+      (t.name, pm.partition) -> byId.getOrElse(pm.leader, fallback))).toMap
   }
 }
 
 private[kafka] final class KafkaWireTable(opts: Map[String, String]) extends Table with SupportsRead {
-  override def name(): String = s"graft-kafka:${opts.getOrElse("topic", "?")}"
+  override def name(): String = "graft-kafka:" + opts.collectFirst {
+    case (k, v) if Set("topic", "topics", "subscribe")(k.toLowerCase) => v
+  }.getOrElse("?")
   override def schema(): StructType = KafkaWireSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
@@ -187,14 +213,16 @@ private[kafka] final class KafkaWireScan(opts: Map[String, String]) extends Scan
   override def toBatch: Batch = new KafkaWireBatch(opts)
 }
 
-/** Streaming offsets: partition → NEXT offset to read (exclusive end of
-  * what's been planned), the stock source's convention. */
-private[kafka] final case class KafkaWireOffset(offsets: Map[Int, Long]) extends Offset {
+/** Streaming offsets: (topic, partition) → NEXT offset to read (exclusive
+  * end of what's been planned); serialized in the stock source's nested
+  * topic → partition → offset JSON shape. */
+private[kafka] final case class KafkaWireOffset(offsets: Map[KafkaWireSource.TP, Long]) extends Offset {
   override def json(): String = KafkaWireSource.offsetsToJson(offsets)
 }
 
 private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   extends MicroBatchStream with SupportsAdmissionControl {
+  import KafkaWireSource.TP
 
   private val o = KafkaWireSource.parseOptions(opts)
   private val startingOffsets =
@@ -206,16 +234,24 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   private lazy val client = KafkaWireSource.connectControl(o)
 
   private def clusterMeta(): WireClient.ClusterMeta = {
-    val meta = client.metadata(o.topic)
-    if (meta.topic.errorCode != 0)
-      throw new java.io.IOException(s"graft-kafka: metadata error ${meta.topic.errorCode} for ${o.topic}")
+    val meta = client.metadata(o.topics)
+    meta.topics.filter(_.errorCode != 0).foreach(t =>
+      throw new java.io.IOException(s"graft-kafka: metadata error ${t.errorCode} for ${t.name}"))
     meta
   }
 
+  private def allTps(meta: WireClient.ClusterMeta): Seq[TP] =
+    meta.topics.flatMap(t => t.partitions.map(p => (t.name, p.partition))).sorted
+
+  /** ListOffsets for a TP set, one request per topic. */
+  private def listOffsets(tps: Seq[TP], ts: Long): Map[TP, Long] =
+    tps.groupBy(_._1).flatMap { case (topic, g) =>
+      client.listOffsets(topic, g.map(_._2), ts).map { case (p, off) => (topic, p) -> off }
+    }
+
   override def initialOffset(): Offset = {
-    val parts = clusterMeta().topic.partitions.map(_.partition).sorted
     val ts = if (startingOffsets == "latest") -1L else -2L
-    KafkaWireOffset(client.listOffsets(o.topic, parts, ts))
+    KafkaWireOffset(listOffsets(allTps(clusterMeta()), ts))
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -229,31 +265,31 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     * the checkpoint — they start from EARLIEST (the stock source's
     * policy); defaulting them to their log-end would silently skip every
     * row already in them. */
-  private def effectiveStart(startMap: Map[Int, Long], parts: Seq[Int]): Map[Int, Long] = {
-    val missing = parts.filterNot(startMap.contains)
+  private def effectiveStart(startMap: Map[TP, Long], tps: Seq[TP]): Map[TP, Long] = {
+    val missing = tps.filterNot(startMap.contains)
     if (missing.isEmpty) startMap
-    else startMap ++ client.listOffsets(o.topic, missing, -2L)
+    else startMap ++ listOffsets(missing, -2L)
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val parts = clusterMeta().topic.partitions.map(_.partition).sorted
-    val startMap = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, parts)
-    val latest = client.listOffsets(o.topic, parts, -1L)
+    val tps = allTps(clusterMeta())
+    val startMap = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, tps)
+    val latest = listOffsets(tps, -1L)
     limit match {
       case mr: ReadMaxRows =>
         // Distribute the row cap over partitions proportional to lag —
         // the stock source's rate-limit policy: a hot partition gets more
         // of the budget but no partition is starved outright.
-        val lags = latest.map { case (p, end) =>
-          p -> math.max(0L, end - startMap.getOrElse(p, end))
+        val lags = latest.map { case (tp, end) =>
+          tp -> math.max(0L, end - startMap.getOrElse(tp, end))
         }
         val total = lags.values.sum
         val cap = mr.maxRows()
         if (total <= cap) KafkaWireOffset(latest)
-        else KafkaWireOffset(latest.map { case (p, end) =>
-          val lag = lags(p)
+        else KafkaWireOffset(latest.map { case (tp, end) =>
+          val lag = lags(tp)
           val share = if (total == 0) 0L else cap * lag / total
-          p -> math.min(end, startMap.getOrElse(p, end) + share)
+          tp -> math.min(end, startMap.getOrElse(tp, end) + share)
         })
       case _ => KafkaWireOffset(latest)
     }
@@ -266,11 +302,11 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     val e = end.asInstanceOf[KafkaWireOffset].offsets
     val s = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, e.keys.toSeq)
     val leaders = KafkaWireSource.leaderEndpoints(clusterMeta(), o.endpoint)
-    e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
-      val startOff = s.getOrElse(p, endOff)
-      val leader = leaders.getOrElse(p, o.endpoint)
+    e.toSeq.sortBy(_._1).flatMap { case (tp @ (topic, p), endOff) =>
+      val startOff = s.getOrElse(tp, endOff)
+      val leader = leaders.getOrElse(tp, o.endpoint)
       if (endOff > startOff)
-        Some(KafkaWirePartition(leader.host, leader.port, o.topic, p, startOff, endOff,
+        Some(KafkaWirePartition(leader.host, leader.port, topic, p, startOff, endOff,
           o.sasl, o.tls, o.fetch): InputPartition)
       else None
     }.toArray
@@ -286,15 +322,17 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
   override def planInputPartitions(): Array[InputPartition] = {
     val client = KafkaWireSource.connectControl(o)
     try {
-      val meta = client.metadata(o.topic)
+      val meta = client.metadata(o.topics)
       val leaders = KafkaWireSource.leaderEndpoints(meta, o.endpoint)
-      val parts = meta.topic.partitions.map(_.partition).sorted
-      val earliest = client.listOffsets(o.topic, parts, -2L)
-      val latest = client.listOffsets(o.topic, parts, -1L)
-      parts.flatMap { p =>
-        val (s, e) = (earliest(p), latest(p))
-        val leader = leaders.getOrElse(p, o.endpoint)
-        if (e > s) Some(KafkaWirePartition(leader.host, leader.port, o.topic, p, s, e,
+      val tps = meta.topics.flatMap(t => t.partitions.map(p => (t.name, p.partition))).sorted
+      val earliest = tps.groupBy(_._1).flatMap { case (t, g) =>
+        client.listOffsets(t, g.map(_._2), -2L).map { case (p, off) => (t, p) -> off } }
+      val latest = tps.groupBy(_._1).flatMap { case (t, g) =>
+        client.listOffsets(t, g.map(_._2), -1L).map { case (p, off) => (t, p) -> off } }
+      tps.flatMap { case tp @ (topic, p) =>
+        val (s, e) = (earliest(tp), latest(tp))
+        val leader = leaders.getOrElse(tp, o.endpoint)
+        if (e > s) Some(KafkaWirePartition(leader.host, leader.port, topic, p, s, e,
           o.sasl, o.tls, o.fetch): InputPartition)
         else None
       }.toArray

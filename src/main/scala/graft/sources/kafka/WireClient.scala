@@ -132,12 +132,18 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     }.toMap
   }
 
-  /** Metadata v1 for one topic — brokers are kept, not skipped: partition
+  /** Metadata v1 for one topic (convenience). */
+  def metadata(topic: String): ClusterMeta = metadata(Seq(topic))
+
+  /** Metadata v1 for a topic set — brokers are kept, not skipped: partition
     * leadership routes each fetch to the RIGHT broker (fetching from a
-    * non-leader fails with error 6 on any multi-broker cluster). */
-  def metadata(topic: String): ClusterMeta = {
+    * non-leader fails with error 6 on any multi-broker cluster). Every
+    * requested topic must be present in the response. */
+  def metadata(wanted: Seq[String]): ClusterMeta = {
     val r = roundTrip(Wire.ApiMetadata, 1) { w =>
-      w.int32(1); w.string(topic); ()
+      w.int32(wanted.size)
+      wanted.foreach(w.string)
+      ()
     }
     val brokers = (0 until r.int32()).map { _ =>
       val nodeId = r.int32()
@@ -162,9 +168,11 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
       }
       TopicMeta(name, err, parts)
     }
-    val t = topics.find(_.name == topic).getOrElse(
-      throw new java.io.IOException(s"topic $topic absent from metadata response"))
-    ClusterMeta(brokers, t)
+    val missing = wanted.filterNot(t => topics.exists(_.name == t))
+    if (missing.nonEmpty)
+      throw new java.io.IOException(
+        s"topics ${missing.mkString(", ")} absent from metadata response")
+    ClusterMeta(brokers, wanted.map(t => topics.find(_.name == t).get))
   }
 
   /** ListOffsets v1: timestamp -1 = latest (log end), -2 = earliest. */
@@ -342,7 +350,10 @@ object WireClient {
   final case class BrokerMeta(nodeId: Int, host: String, port: Int)
   final case class PartitionMeta(partition: Int, leader: Int, errorCode: Int)
   final case class TopicMeta(name: String, errorCode: Int, partitions: Seq[PartitionMeta])
-  final case class ClusterMeta(brokers: Seq[BrokerMeta], topic: TopicMeta)
+  final case class ClusterMeta(brokers: Seq[BrokerMeta], topics: Seq[TopicMeta]) {
+    /** Single-topic convenience for the common one-topic read. */
+    def topic: TopicMeta = topics.head
+  }
   /** `nextOffset` = offset after the last COMPLETE batch in the response
     * (-1 when none decoded); the correct cursor advance even when every
     * record was filtered out (control batch / compacted tail). */

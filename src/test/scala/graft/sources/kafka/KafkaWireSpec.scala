@@ -335,11 +335,52 @@ class KafkaWireSpec extends SparkSpec {
 
   // --- offset codec ----------------------------------------------------------
 
-  test("checkpoint offset JSON round-trips") {
-    val m = Map(0 -> 12L, 7 -> 3L, 12 -> 0L)
+  test("checkpoint offset JSON round-trips in the stock nested shape") {
+    val m = Map(("events", 0) -> 12L, ("events", 7) -> 3L, ("audit.v2", 12) -> 0L)
     val json = KafkaWireSource.offsetsToJson(m)
-    assert(json == """{"0":12,"7":3,"12":0}""")
+    assert(json == """{"audit.v2":{"12":0},"events":{"0":12,"7":3}}""")
     assert(KafkaWireSource.offsetsFromJson(json) == m)
-    assert(KafkaWireSource.offsetsFromJson("{}") == Map.empty[Int, Long])
+    assert(KafkaWireSource.offsetsFromJson("{}") ==
+      Map.empty[(String, Int), Long])
+  }
+
+  test("multi-topic subscribe: one query reads several topics, batch and streaming") {
+    withCluster() { c =>
+      c.addPartition("ta", 0); c.addPartition("tb", 0); c.addPartition("tb", 1)
+      c.append("ta", 0, Seq("k" -> "a0", "k" -> "a1"))
+      c.append("tb", 0, Seq("k" -> "b0"))
+      c.append("tb", 1, Seq("k" -> "b1", "k" -> "b2"))
+      // batch over a subscribe list (stock-source option spelling)
+      val rows = spark.read.format("graft-kafka")
+        .option("brokers", brokerList(c)).option("subscribe", "ta,tb").load()
+        .collect()
+      assert(rows.length == 5)
+      assert(rows.map(r => (r.getString(2), r.getInt(3))).toSet ==
+        Set(("ta", 0), ("tb", 0), ("tb", 1)))
+      // streaming: both topics drain, checkpoint carries both, a restart
+      // delivers only rows appended while down — across topics
+      val ckpt = tempDir("multitopic")
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      def streamBoth(): Unit = {
+        val src = spark.readStream.format("graft-kafka")
+          .option("brokers", brokerList(c)).option("topics", "ta,tb").load()
+        val q = src.writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.selectExpr("partition", "offset", "concat(topic, ':', cast(value as string)) as v")
+              .collect()
+              .foreach(r => seen.add((id, r.getInt(0), r.getLong(1), r.getString(2))))
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      streamBoth()
+      assert(seen.size == 5)
+      c.append("ta", 0, Seq("k" -> "a2"))
+      c.append("tb", 1, Seq("k" -> "b3"))
+      streamBoth()
+      val vals = seen.asScala.map(_._4).toSeq
+      assert(seen.size == 7, "restart delivers exactly the 2 new rows")
+      assert(vals.count(_ == "ta:a2") == 1 && vals.count(_ == "tb:b3") == 1)
+      assert(vals.toSet == Set("ta:a0", "ta:a1", "ta:a2", "tb:b0", "tb:b1", "tb:b2", "tb:b3"))
+    }
   }
 }
