@@ -179,6 +179,43 @@ object KafkaWireSource {
         (topic, pm.group(1).toInt) -> pm.group(2).toLong)
     }.toMap
 
+  /** Resolve a startingOffsets/endingOffsets option value against the live
+    * topic set (stock-source semantics): "earliest" / "latest", or an
+    * explicit offset JSON in the same nested shape the checkpoint uses —
+    * with per-partition sentinels -2 (earliest) and -1 (latest), and
+    * partitions ABSENT from the JSON defaulting to earliest for a start
+    * bound / latest for an end bound. Explicit offsets must name known
+    * partitions. `list(tps, ts)` is the ListOffsets callback. */
+  private[kafka] def resolveBound(spec: String, tps: Seq[TP],
+                                  list: (Seq[TP], Long) => Map[TP, Long],
+                                  defaultLatest: Boolean): Map[TP, Long] = {
+    val trimmed = spec.trim
+    trimmed match {
+      case "earliest" => list(tps, -2L)
+      case "latest" => list(tps, -1L)
+      case j if j.startsWith("{") =>
+        val explicit = offsetsFromJson(j) ++
+          // sentinels inside the JSON: "-1"/"-2" values need a sign-aware parse
+          """"([A-Za-z0-9._-]+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(j).flatMap { tm =>
+            """"(\d+)"\s*:\s*(-\d+)""".r.findAllMatchIn(tm.group(2)).map(pm =>
+              (tm.group(1), pm.group(1).toInt) -> pm.group(2).toLong)
+          }.toMap
+        val unknown = explicit.keys.filterNot(tps.contains)
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"graft-kafka: offsets name unknown partitions ${unknown.mkString(", ")}")
+        val sentinelTs = explicit.collect { case (tp, v) if v < 0 => tp -> v }
+        val resolvedSentinels = sentinelTs.groupBy(_._2).flatMap { case (ts, g) =>
+          list(g.keys.toSeq, ts)
+        }
+        val absent = tps.filterNot(explicit.contains)
+        val absentResolved = list(absent, if (defaultLatest) -1L else -2L)
+        explicit.filter(_._2 >= 0) ++ resolvedSentinels ++ absentResolved
+      case other => throw new IllegalArgumentException(
+        s"graft-kafka: offsets must be earliest, latest, or an offset JSON; got '$other'")
+    }
+  }
+
   /** (topic, partition) → leader endpoint from a Metadata response; a
     * partition whose leader id is absent from the broker list (-1 =
     * leaderless election in progress) falls back to the control endpoint,
@@ -249,10 +286,9 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
       client.listOffsets(topic, g.map(_._2), ts).map { case (p, off) => (topic, p) -> off }
     }
 
-  override def initialOffset(): Offset = {
-    val ts = if (startingOffsets == "latest") -1L else -2L
-    KafkaWireOffset(listOffsets(allTps(clusterMeta()), ts))
-  }
+  override def initialOffset(): Offset =
+    KafkaWireOffset(KafkaWireSource.resolveBound(
+      startingOffsets, allTps(clusterMeta()), listOffsets, defaultLatest = false))
 
   override def getDefaultReadLimit: ReadLimit =
     maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -319,16 +355,21 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
 
 private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Batch {
   private val o = KafkaWireSource.parseOptions(opts)
+  private val ci = opts.map { case (k, v) => k.toLowerCase -> v }
   override def planInputPartitions(): Array[InputPartition] = {
     val client = KafkaWireSource.connectControl(o)
     try {
       val meta = client.metadata(o.topics)
       val leaders = KafkaWireSource.leaderEndpoints(meta, o.endpoint)
       val tps = meta.topics.flatMap(t => t.partitions.map(p => (t.name, p.partition))).sorted
-      val earliest = tps.groupBy(_._1).flatMap { case (t, g) =>
-        client.listOffsets(t, g.map(_._2), -2L).map { case (p, off) => (t, p) -> off } }
-      val latest = tps.groupBy(_._1).flatMap { case (t, g) =>
-        client.listOffsets(t, g.map(_._2), -1L).map { case (p, off) => (t, p) -> off } }
+      def list(ts2: Seq[KafkaWireSource.TP], ts: Long): Map[KafkaWireSource.TP, Long] =
+        ts2.groupBy(_._1).flatMap { case (t, g) =>
+          client.listOffsets(t, g.map(_._2), ts).map { case (p, off) => (t, p) -> off } }
+      // bounded batch reads (backfill/replay): stock-source option surface
+      val earliest = KafkaWireSource.resolveBound(
+        ci.getOrElse("startingoffsets", "earliest"), tps, list, defaultLatest = false)
+      val latest = KafkaWireSource.resolveBound(
+        ci.getOrElse("endingoffsets", "latest"), tps, list, defaultLatest = true)
       tps.flatMap { case tp @ (topic, p) =>
         val (s, e) = (earliest(tp), latest(tp))
         val leader = leaders.getOrElse(tp, o.endpoint)

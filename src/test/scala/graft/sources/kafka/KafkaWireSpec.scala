@@ -333,6 +333,37 @@ class KafkaWireSpec extends SparkSpec {
       "brokers" -> "h:1", "topic" -> "t", "fetch.max_bytes" -> "0")))
   }
 
+  test("bounded batch read: explicit starting/ending offset JSON (backfill surface)") {
+    withCluster() { c =>
+      c.addPartition("t", 0); c.addPartition("t", 1)
+      c.append("t", 0, (0 until 10).map(i => s"k$i" -> s"p0-$i"))
+      c.append("t", 1, (0 until 6).map(i => s"k$i" -> s"p1-$i"))
+      // window [2, 7) on p0; p1 from sentinel -2 (earliest) to absent (latest)
+      val rows = readBatch(brokerList(c), "t", Map(
+        "startingOffsets" -> """{"t":{"0":2,"1":-2}}""",
+        "endingOffsets" -> """{"t":{"0":7}}""")).collect()
+      val p0 = rows.filter(_.getInt(3) == 0).map(_.getLong(4)).sorted
+      val p1 = rows.filter(_.getInt(3) == 1).map(_.getLong(4)).sorted
+      assert(p0.toSeq == (2L until 7L), "p0 reads exactly the requested window")
+      assert(p1.toSeq == (0L until 6L), "p1 defaults earliest→latest")
+      // unknown partition in the JSON is a loud error, not silence
+      intercept[Exception](readBatch(brokerList(c), "t",
+        Map("startingOffsets" -> """{"t":{"9":0}}""")).collect())
+      ()
+    }
+  }
+
+  test("streaming startingOffsets as explicit JSON skips the pre-window backlog") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, (0 until 8).map(i => s"k$i" -> s"v$i"))
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", tempDir("startjson"), seen,
+        Map("startingOffsets" -> """{"t":{"0":5}}"""))
+      assert(seen.asScala.map(_._4).toSeq.sorted == Seq("v5", "v6", "v7"))
+    }
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips in the stock nested shape") {
