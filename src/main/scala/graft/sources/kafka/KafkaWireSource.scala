@@ -179,6 +179,31 @@ object KafkaWireSource {
         (topic, pm.group(1).toInt) -> pm.group(2).toLong)
     }.toMap
 
+  /** Split planned (start, end) ranges into at least `minPartitions` input
+    * splits (stock-source option): without this, a 10-partition topic can
+    * never use more than 10 Spark tasks — on a wide cluster a backfill
+    * leaves almost every core idle. Ranges are divided proportionally to
+    * their row span, largest first, and a reader serves a sub-range with
+    * the same bounded fetch loop (offsets are dense within a range, so a
+    * split at `start + span*k/n` is exact). */
+  private[kafka] def splitRanges(ranges: Seq[(TP, Long, Long)], minParts: Int):
+      Seq[(TP, Long, Long)] = {
+    if (ranges.isEmpty || ranges.size >= minParts) return ranges
+    val total = ranges.map { case (_, s, e) => e - s }.sum.toDouble
+    if (total <= 0) return ranges
+    ranges.flatMap { case (tp, s, e) =>
+      val span = e - s
+      // proportional share of the target split count, at least 1
+      val n = math.max(1, math.min(span,
+        math.round(minParts * (span / total)).toLong).toInt)
+      (0 until n).map { k =>
+        val a = s + span * k / n
+        val b = s + span * (k + 1) / n
+        (tp, a, b)
+      }.filter { case (_, a, b) => b > a }
+    }
+  }
+
   /** Resolve a startingOffsets/endingOffsets option value against the live
     * topic set (stock-source semantics): "earliest" / "latest", or an
     * explicit offset JSON in the same nested shape the checkpoint uses —
@@ -266,6 +291,8 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     opts.map { case (k, v) => k.toLowerCase -> v }.getOrElse("startingoffsets", "earliest")
   private val maxOffsetsPerTrigger =
     opts.map { case (k, v) => k.toLowerCase -> v }.get("maxoffsetspertrigger").map(_.toLong)
+  private val minPartitions =
+    opts.map { case (k, v) => k.toLowerCase -> v }.get("minpartitions").map(_.toInt).getOrElse(0)
 
   // Control-plane client: driver-side only, offsets in/out — never records.
   private lazy val client = KafkaWireSource.connectControl(o)
@@ -338,13 +365,14 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     val e = end.asInstanceOf[KafkaWireOffset].offsets
     val s = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, e.keys.toSeq)
     val leaders = KafkaWireSource.leaderEndpoints(clusterMeta(), o.endpoint)
-    e.toSeq.sortBy(_._1).flatMap { case (tp @ (topic, p), endOff) =>
+    val ranges = e.toSeq.sortBy(_._1).flatMap { case (tp, endOff) =>
       val startOff = s.getOrElse(tp, endOff)
-      val leader = leaders.getOrElse(tp, o.endpoint)
-      if (endOff > startOff)
-        Some(KafkaWirePartition(leader.host, leader.port, topic, p, startOff, endOff,
-          o.sasl, o.tls, o.fetch): InputPartition)
-      else None
+      if (endOff > startOff) Some((tp, startOff, endOff)) else None
+    }
+    KafkaWireSource.splitRanges(ranges, minPartitions).map { case ((topic, p), a, b) =>
+      val leader = leaders.getOrElse((topic, p), o.endpoint)
+      KafkaWirePartition(leader.host, leader.port, topic, p, a, b,
+        o.sasl, o.tls, o.fetch): InputPartition
     }.toArray
   }
 
@@ -370,12 +398,15 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
         ci.getOrElse("startingoffsets", "earliest"), tps, list, defaultLatest = false)
       val latest = KafkaWireSource.resolveBound(
         ci.getOrElse("endingoffsets", "latest"), tps, list, defaultLatest = true)
-      tps.flatMap { case tp @ (topic, p) =>
+      val ranges = tps.flatMap { case tp =>
         val (s, e) = (earliest(tp), latest(tp))
-        val leader = leaders.getOrElse(tp, o.endpoint)
-        if (e > s) Some(KafkaWirePartition(leader.host, leader.port, topic, p, s, e,
-          o.sasl, o.tls, o.fetch): InputPartition)
-        else None
+        if (e > s) Some((tp, s, e)) else None
+      }
+      val minParts = ci.get("minpartitions").map(_.toInt).getOrElse(0)
+      KafkaWireSource.splitRanges(ranges, minParts).map { case ((topic, p), a, b) =>
+        val leader = leaders.getOrElse((topic, p), o.endpoint)
+        KafkaWirePartition(leader.host, leader.port, topic, p, a, b,
+          o.sasl, o.tls, o.fetch): InputPartition
       }.toArray
     } finally client.close()
   }

@@ -364,6 +364,40 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("minPartitions splits offset ranges so few Kafka partitions can use many cores") {
+    // pure split math: 2 ranges of 100 and 10 rows → ≥8 splits, exact cover
+    val ranges = Seq((("t", 0), 0L, 100L), (("t", 1), 50L, 60L))
+    val split = KafkaWireSource.splitRanges(ranges, 8)
+    assert(split.size >= 8)
+    for (tp <- Seq(("t", 0), ("t", 1))) {
+      val rs = split.filter(_._1 == tp).sortBy(_._2)
+      val (origStart, origEnd) = ranges.find(_._1 == tp).map(r => (r._2, r._3)).get
+      assert(rs.head._2 == origStart && rs.last._3 == origEnd)
+      rs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 == b._2, "splits must tile without gap/overlap")
+        case _ => ()
+      }
+    }
+    // ranges already ≥ minPartitions pass through untouched
+    assert(KafkaWireSource.splitRanges(ranges, 2) == ranges)
+    // a 1-row range cannot split below one row
+    assert(KafkaWireSource.splitRanges(Seq((("t", 0), 5L, 6L)), 4) ==
+      Seq((("t", 0), 5L, 6L)))
+
+    // end-to-end: a single hot partition read with minPartitions=4 still
+    // yields every row exactly once
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, (0 until 40).map(i => s"k$i" -> s"v$i"))
+      val rows = readBatch(brokerList(c), "t", Map("minPartitions" -> "4")).collect()
+      assert(rows.map(_.getLong(4)).sorted.toSeq == (0L until 40L))
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", tempDir("minparts"), seen,
+        Map("minPartitions" -> "4"))
+      assert(seen.asScala.map(_._3).toSeq.sorted == (0L until 40L))
+    }
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips in the stock nested shape") {
