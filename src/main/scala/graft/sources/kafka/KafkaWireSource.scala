@@ -50,7 +50,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class KafkaWireSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kafka"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KafkaWireSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaWireSource.schemaFor(KafkaWireSource.includeHeaders(options.asScala.toMap))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new KafkaWireTable(properties.asScala.toMap)
@@ -66,12 +67,27 @@ object KafkaWireSource {
     StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
+  /** The stock source's headers column: array<struct<key:string,value:binary>>,
+    * appended only when includeHeaders=true so the default schema stays
+    * byte-identical to format("kafka")'s. */
+  val HeadersField: StructField = StructField("headers",
+    ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", BinaryType)))))
+
+  private[kafka] def includeHeaders(opts: Map[String, String]): Boolean =
+    opts.collectFirst { case (k, v) if k.toLowerCase == "includeheaders" => v.toBoolean }
+      .getOrElse(false)
+
+  private[kafka] def schemaFor(headers: Boolean): StructType =
+    if (headers) StructType(Schema.fields :+ HeadersField) else Schema
+
   private[kafka] final case class Endpoint(host: String, port: Int)
 
   private[kafka] final case class Options(
     endpoints: Seq[Endpoint], topics: Seq[String], sasl: Option[WireClient.SaslConfig],
     tls: Option[WireClient.TlsConfig],
-    fetch: FetchTuning = FetchTuning()) {
+    fetch: FetchTuning = FetchTuning(),
+    headers: Boolean = false) {
     def endpoint: Endpoint = endpoints.head
   }
 
@@ -135,7 +151,7 @@ object KafkaWireSource {
       maxWaitMs = ci.get("fetch.max_wait_ms").map(_.toInt).getOrElse(750))
     require(fetch.maxBytes > 0 && fetch.minBytes >= 0 && fetch.maxWaitMs >= 0,
       s"graft-kafka: invalid fetch tuning $fetch")
-    Options(endpoints, topics, sasl, tls, fetch)
+    Options(endpoints, topics, sasl, tls, fetch, includeHeaders(opts))
   }
 
   /** Control-plane client with connect failover across the brokers list:
@@ -258,7 +274,8 @@ private[kafka] final class KafkaWireTable(opts: Map[String, String]) extends Tab
   override def name(): String = "graft-kafka:" + opts.collectFirst {
     case (k, v) if Set("topic", "topics", "subscribe")(k.toLowerCase) => v
   }.getOrElse("?")
-  override def schema(): StructType = KafkaWireSource.Schema
+  override def schema(): StructType =
+    KafkaWireSource.schemaFor(KafkaWireSource.includeHeaders(opts))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -268,7 +285,8 @@ private[kafka] final class KafkaWireTable(opts: Map[String, String]) extends Tab
 }
 
 private[kafka] final class KafkaWireScan(opts: Map[String, String]) extends Scan {
-  override def readSchema(): StructType = KafkaWireSource.Schema
+  override def readSchema(): StructType =
+    KafkaWireSource.schemaFor(KafkaWireSource.includeHeaders(opts))
   override def description(): String = "graft-kafka wire-protocol scan"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaWireMicroBatchStream(opts)
@@ -372,7 +390,7 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     KafkaWireSource.splitRanges(ranges, minPartitions).map { case ((topic, p), a, b) =>
       val leader = leaders.getOrElse((topic, p), o.endpoint)
       KafkaWirePartition(leader.host, leader.port, topic, p, a, b,
-        o.sasl, o.tls, o.fetch): InputPartition
+        o.sasl, o.tls, o.fetch, o.headers): InputPartition
     }.toArray
   }
 
@@ -406,7 +424,7 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
       KafkaWireSource.splitRanges(ranges, minParts).map { case ((topic, p), a, b) =>
         val leader = leaders.getOrElse((topic, p), o.endpoint)
         KafkaWirePartition(leader.host, leader.port, topic, p, a, b,
-          o.sasl, o.tls, o.fetch): InputPartition
+          o.sasl, o.tls, o.fetch, o.headers): InputPartition
       }.toArray
     } finally client.close()
   }
@@ -418,7 +436,8 @@ private[kafka] final case class KafkaWirePartition(
   startOffset: Long, endOffset: Long,
   sasl: Option[WireClient.SaslConfig],
   tls: Option[WireClient.TlsConfig] = None,
-  fetch: KafkaWireSource.FetchTuning = KafkaWireSource.FetchTuning()) extends InputPartition
+  fetch: KafkaWireSource.FetchTuning = KafkaWireSource.FetchTuning(),
+  includeHeaders: Boolean = false) extends InputPartition
 
 private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -479,7 +498,7 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
 
   override def get(): InternalRow = {
     val r = current
-    InternalRow(
+    val base = Seq[Any](
       r.key,
       r.value,
       topicUtf8,
@@ -487,6 +506,11 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
       r.offset,
       r.timestampMs * 1000L, // ms → µs
       r.timestampType)       // 0 = CreateTime, 1 = LogAppendTime (batch attr bit 3)
+    if (!p.includeHeaders) InternalRow(base: _*)
+    else InternalRow(base :+ new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      r.headers.map { case (hk, hv) =>
+        InternalRow(UTF8String.fromString(hk), hv)
+      }.toArray[Any]): _*)
   }
 
   override def close(): Unit = client.close()

@@ -36,7 +36,8 @@ object Records {
     timestampMs: Long,
     key: Array[Byte],   // null = no key
     value: Array[Byte], // null = tombstone
-    timestampType: Int = 0) // 0 = CreateTime, 1 = LogAppendTime (batch attr bit 3)
+    timestampType: Int = 0, // 0 = CreateTime, 1 = LogAppendTime (batch attr bit 3)
+    headers: Seq[(String, Array[Byte])] = Nil) // record headers (value null allowed)
 
   /** Result of decoding a Fetch record set: the data records (control
     * batches excluded) plus the offset AFTER the last COMPLETE batch —
@@ -122,7 +123,12 @@ object Records {
       body.varint((r.offset - baseOffset).toInt) // offsetDelta
       if (r.key == null) body.varint(-1) else { body.varint(r.key.length); body.bytesRaw(r.key) }
       if (r.value == null) body.varint(-1) else { body.varint(r.value.length); body.bytesRaw(r.value) }
-      body.varint(0)                             // headers
+      body.varint(r.headers.size)
+      r.headers.foreach { case (hk, hv) =>
+        val kb = hk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        body.varint(kb.length); body.bytesRaw(kb)
+        if (hv == null) body.varint(-1) else { body.varint(hv.length); body.bytesRaw(hv) }
+      }
       val bytes = body.toArray
       recs.varint(bytes.length)
       recs.bytesRaw(bytes)
@@ -193,11 +199,18 @@ object Records {
             val key = if (keyLen < 0) null else rr.raw(keyLen)
             val valLen = rr.varint()
             val value = if (valLen < 0) null else rr.raw(valLen)
+            val headerCount = rr.varint()
+            val headers = (0 until math.max(headerCount, 0)).map { _ =>
+              val hk = new String(rr.raw(rr.varint()),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val hvLen = rr.varint()
+              hk -> (if (hvLen < 0) null else rr.raw(hvLen))
+            }
             // LogAppendTime batches carry the broker's append time in
             // maxTimestamp; per-record deltas are producer noise then.
             val ts = if (logAppendTime) maxTs else baseTs + tsDelta
             out += Record(baseOffset + offDelta, ts, key, value,
-              if (logAppendTime) 1 else 0)
+              if (logAppendTime) 1 else 0, headers)
           }
           rr.pos = bodyEnd // headers (and any future fields) skipped wholesale
           i += 1

@@ -398,6 +398,35 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("includeHeaders surfaces record headers as the stock source's column") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      val recs = Seq(
+        Records.Record(0L, 1700000000000L, null, "h0".getBytes(StandardCharsets.UTF_8),
+          headers = Seq("trace-id" -> "abc123".getBytes(StandardCharsets.UTF_8),
+            "null-h" -> null)),
+        Records.Record(1L, 1700000000001L, null, "h1".getBytes(StandardCharsets.UTF_8)))
+      // headers must also survive a compressed batch
+      c.appendRaw("t", 0, 0, 1,
+        Records.encodeBatch(0L, recs, attributes = Records.CodecGzip))
+      val df = spark.read.format("graft-kafka")
+        .option("brokers", brokerList(c)).option("topic", "t")
+        .option("includeHeaders", "true").load()
+      assert(df.schema.fieldNames.last == "headers")
+      val rows = df.collect().sortBy(_.getLong(4))
+      val h0 = rows(0).getAs[scala.collection.Seq[Row]]("headers")
+      assert(h0.map(_.getString(0)).toSeq == Seq("trace-id", "null-h"))
+      assert(new String(h0.head.getAs[Array[Byte]](1), StandardCharsets.UTF_8) == "abc123")
+      assert(h0(1).get(1) == null, "null header values survive")
+      assert(rows(1).getAs[scala.collection.Seq[Row]]("headers").isEmpty)
+      // without the option the schema stays byte-identical to the stock default
+      val plain = spark.read.format("graft-kafka")
+        .option("brokers", brokerList(c)).option("topic", "t").load()
+      assert(!plain.schema.fieldNames.contains("headers"))
+      assert(plain.count() == 2)
+    }
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips in the stock nested shape") {
