@@ -87,7 +87,8 @@ object KafkaWireSource {
     endpoints: Seq[Endpoint], topics: Seq[String], sasl: Option[WireClient.SaslConfig],
     tls: Option[WireClient.TlsConfig],
     fetch: FetchTuning = FetchTuning(),
-    headers: Boolean = false) {
+    headers: Boolean = false,
+    pattern: Option[scala.util.matching.Regex] = None) {
     def endpoint: Endpoint = endpoints.head
   }
 
@@ -108,12 +109,22 @@ object KafkaWireSource {
       throw new IllegalArgumentException("graft-kafka: 'brokers' option is required"))
     // `topic`, `topics`, or the stock source's `subscribe` — all accept a
     // comma-separated list; one query can read several topics exactly like
-    // format("kafka")'s subscribe
+    // format("kafka")'s subscribe. `subscribePattern` instead resolves the
+    // topic set by regex against the broker's full topic list — and in
+    // streaming mode the pattern RE-RESOLVES each trigger, so topics
+    // created mid-stream that match start flowing from earliest.
+    val pattern = ci.get("subscribepattern").map(_.r)
     val topics = ci.get("topic").orElse(ci.get("topics")).orElse(ci.get("subscribe"))
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
-      .getOrElse(throw new IllegalArgumentException(
-        "graft-kafka: 'topic' (or 'topics'/'subscribe') option is required"))
+      .getOrElse {
+        if (pattern.isDefined) Nil
+        else throw new IllegalArgumentException(
+          "graft-kafka: 'topic' (or 'topics'/'subscribe'/'subscribePattern') option is required")
+      }
+    if (pattern.isDefined && topics.nonEmpty)
+      throw new IllegalArgumentException(
+        "graft-kafka: 'subscribePattern' and an explicit topic list are mutually exclusive")
     val endpoints = brokers.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { b =>
       b.lastIndexOf(':') match {
         case -1 => throw new IllegalArgumentException(s"graft-kafka: broker '$b' is not host:port")
@@ -151,8 +162,19 @@ object KafkaWireSource {
       maxWaitMs = ci.get("fetch.max_wait_ms").map(_.toInt).getOrElse(750))
     require(fetch.maxBytes > 0 && fetch.minBytes >= 0 && fetch.maxWaitMs >= 0,
       s"graft-kafka: invalid fetch tuning $fetch")
-    Options(endpoints, topics, sasl, tls, fetch, includeHeaders(opts))
+    Options(endpoints, topics, sasl, tls, fetch, includeHeaders(opts), pattern)
   }
+
+  /** Fetch metadata for the options' topic set: an explicit list verbatim;
+    * a subscribePattern resolves against the broker's full topic list at
+    * CALL time (so each streaming trigger sees newly created matches). */
+  private[kafka] def metadataFor(client: WireClient, o: Options): WireClient.ClusterMeta =
+    o.pattern match {
+      case None => client.metadata(o.topics)
+      case Some(re) =>
+        val all = client.metadata(Seq.empty)
+        all.copy(topics = all.topics.filter(t => re.pattern.matcher(t.name).matches()))
+    }
 
   /** Control-plane client with connect failover across the brokers list:
     * the first broker that ACCEPTS the connection serves metadata/offset
@@ -272,7 +294,7 @@ object KafkaWireSource {
 
 private[kafka] final class KafkaWireTable(opts: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "graft-kafka:" + opts.collectFirst {
-    case (k, v) if Set("topic", "topics", "subscribe")(k.toLowerCase) => v
+    case (k, v) if Set("topic", "topics", "subscribe", "subscribepattern")(k.toLowerCase) => v
   }.getOrElse("?")
   override def schema(): StructType =
     KafkaWireSource.schemaFor(KafkaWireSource.includeHeaders(opts))
@@ -316,7 +338,7 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   private lazy val client = KafkaWireSource.connectControl(o)
 
   private def clusterMeta(): WireClient.ClusterMeta = {
-    val meta = client.metadata(o.topics)
+    val meta = KafkaWireSource.metadataFor(client, o)
     meta.topics.filter(_.errorCode != 0).foreach(t =>
       throw new java.io.IOException(s"graft-kafka: metadata error ${t.errorCode} for ${t.name}"))
     meta
@@ -405,7 +427,7 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
   override def planInputPartitions(): Array[InputPartition] = {
     val client = KafkaWireSource.connectControl(o)
     try {
-      val meta = client.metadata(o.topics)
+      val meta = KafkaWireSource.metadataFor(client, o)
       val leaders = KafkaWireSource.leaderEndpoints(meta, o.endpoint)
       val tps = meta.topics.flatMap(t => t.partitions.map(p => (t.name, p.partition))).sorted
       def list(ts2: Seq[KafkaWireSource.TP], ts: Long): Map[KafkaWireSource.TP, Long] =

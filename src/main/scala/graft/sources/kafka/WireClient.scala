@@ -138,7 +138,9 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
   /** Metadata v1 for a topic set — brokers are kept, not skipped: partition
     * leadership routes each fetch to the RIGHT broker (fetching from a
     * non-leader fails with error 6 on any multi-broker cluster). Every
-    * requested topic must be present in the response. */
+    * requested topic must be present in the response. An EMPTY `wanted`
+    * asks the broker for ALL topics (the protocol's list-everything form —
+    * what subscribePattern resolution needs). */
   def metadata(wanted: Seq[String]): ClusterMeta = {
     val r = roundTrip(Wire.ApiMetadata, 1) { w =>
       w.int32(wanted.size)
@@ -168,11 +170,14 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
       }
       TopicMeta(name, err, parts)
     }
-    val missing = wanted.filterNot(t => topics.exists(_.name == t))
-    if (missing.nonEmpty)
-      throw new java.io.IOException(
-        s"topics ${missing.mkString(", ")} absent from metadata response")
-    ClusterMeta(brokers, wanted.map(t => topics.find(_.name == t).get))
+    if (wanted.isEmpty) ClusterMeta(brokers, topics.sortBy(_.name))
+    else {
+      val missing = wanted.filterNot(t => topics.exists(_.name == t))
+      if (missing.nonEmpty)
+        throw new java.io.IOException(
+          s"topics ${missing.mkString(", ")} absent from metadata response")
+      ClusterMeta(brokers, wanted.map(t => topics.find(_.name == t).get))
+    }
   }
 
   /** ListOffsets v1: timestamp -1 = latest (log end), -2 = earliest. */

@@ -427,6 +427,45 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("subscribePattern: regex topic discovery; mid-stream topics join from earliest") {
+    withCluster() { c =>
+      c.addPartition("events.a", 0); c.addPartition("events.b", 0)
+      c.addPartition("audit", 0)
+      c.append("events.a", 0, Seq("k" -> "ea"))
+      c.append("events.b", 0, Seq("k" -> "eb"))
+      c.append("audit", 0, Seq("k" -> "au"))
+      // batch: pattern resolves against the broker's full topic list
+      val rows = spark.read.format("graft-kafka")
+        .option("brokers", brokerList(c))
+        .option("subscribePattern", "events\\..*").load().collect()
+      assert(rows.map(valueStr).toSet == Set("ea", "eb"), "audit must not match")
+      // streaming: the pattern re-resolves per trigger — a topic created
+      // while the query RUNS starts flowing from earliest
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      val src = spark.readStream.format("graft-kafka")
+        .option("brokers", brokerList(c))
+        .option("subscribePattern", "events\\..*").load()
+      val q = src.writeStream
+        .option("checkpointLocation", tempDir("pattern"))
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.selectExpr("partition", "offset", "cast(value as string) as v").collect()
+            .foreach(r => seen.add((id, r.getInt(0), r.getLong(1), r.getString(2))))
+        }.start()
+      try {
+        q.processAllAvailable()
+        assert(seen.asScala.map(_._4).toSet == Set("ea", "eb"))
+        c.addPartition("events.c", 0)
+        c.append("events.c", 0, Seq("k" -> "ec0", "k" -> "ec1"))
+        q.processAllAvailable()
+        assert(seen.asScala.map(_._4).toSet == Set("ea", "eb", "ec0", "ec1"),
+          "the new matching topic's backlog flows from offset 0")
+      } finally q.stop()
+      // pattern + explicit list is a config error, not a silent preference
+      assertThrows[IllegalArgumentException](KafkaWireSource.parseOptions(Map(
+        "brokers" -> "h:1", "topic" -> "t", "subscribepattern" -> "x.*")))
+    }
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips in the stock nested shape") {
