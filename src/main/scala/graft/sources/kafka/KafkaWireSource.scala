@@ -88,7 +88,8 @@ object KafkaWireSource {
     tls: Option[WireClient.TlsConfig],
     fetch: FetchTuning = FetchTuning(),
     headers: Boolean = false,
-    pattern: Option[scala.util.matching.Regex] = None) {
+    pattern: Option[scala.util.matching.Regex] = None,
+    failOnDataLoss: Boolean = true) {
     def endpoint: Endpoint = endpoints.head
   }
 
@@ -162,7 +163,8 @@ object KafkaWireSource {
       maxWaitMs = ci.get("fetch.max_wait_ms").map(_.toInt).getOrElse(750))
     require(fetch.maxBytes > 0 && fetch.minBytes >= 0 && fetch.maxWaitMs >= 0,
       s"graft-kafka: invalid fetch tuning $fetch")
-    Options(endpoints, topics, sasl, tls, fetch, includeHeaders(opts), pattern)
+    Options(endpoints, topics, sasl, tls, fetch, includeHeaders(opts), pattern,
+      failOnDataLoss = ci.get("failondataloss").forall(_.toBoolean))
   }
 
   /** Fetch metadata for the options' topic set: an explicit list verbatim;
@@ -412,7 +414,7 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     KafkaWireSource.splitRanges(ranges, minPartitions).map { case ((topic, p), a, b) =>
       val leader = leaders.getOrElse((topic, p), o.endpoint)
       KafkaWirePartition(leader.host, leader.port, topic, p, a, b,
-        o.sasl, o.tls, o.fetch, o.headers): InputPartition
+        o.sasl, o.tls, o.fetch, o.headers, o.failOnDataLoss): InputPartition
     }.toArray
   }
 
@@ -446,7 +448,7 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
       KafkaWireSource.splitRanges(ranges, minParts).map { case ((topic, p), a, b) =>
         val leader = leaders.getOrElse((topic, p), o.endpoint)
         KafkaWirePartition(leader.host, leader.port, topic, p, a, b,
-          o.sasl, o.tls, o.fetch, o.headers): InputPartition
+          o.sasl, o.tls, o.fetch, o.headers, o.failOnDataLoss): InputPartition
       }.toArray
     } finally client.close()
   }
@@ -459,7 +461,8 @@ private[kafka] final case class KafkaWirePartition(
   sasl: Option[WireClient.SaslConfig],
   tls: Option[WireClient.TlsConfig] = None,
   fetch: KafkaWireSource.FetchTuning = KafkaWireSource.FetchTuning(),
-  includeHeaders: Boolean = false) extends InputPartition
+  includeHeaders: Boolean = false,
+  failOnDataLoss: Boolean = true) extends InputPartition
 
 private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -478,42 +481,68 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
   private var nextOffset = p.startOffset
   private var current: Records.Record = _
 
+  /** failOnDataLoss=false: rows in [nextOffset, log start) are gone to
+    * retention — acknowledge the loss and continue from the log start
+    * (the stock source's policy); true (default) surfaces it. */
+  private def skipLossOrThrow(cause: Throwable): Unit = {
+    if (p.failOnDataLoss)
+      throw new java.io.IOException(
+        s"graft-kafka: offsets from $nextOffset lost on ${p.topic}-${p.partition} " +
+          "(set failOnDataLoss=false to skip the gap)", cause)
+    val earliest = client.listOffsets(p.topic, Seq(p.partition), -2L)(p.partition)
+    if (earliest <= nextOffset)
+      throw new java.io.IOException(
+        s"graft-kafka: offset $nextOffset rejected but log starts at $earliest " +
+          s"on ${p.topic}-${p.partition} — refusing to spin", cause)
+    nextOffset = math.min(earliest, p.endOffset)
+  }
+
   override def next(): Boolean = {
     while (!buffer.hasNext && nextOffset < p.endOffset) {
-      val res = client.fetch(p.topic, p.partition, nextOffset,
-        maxBytes = p.fetch.maxBytes, maxWaitMs = p.fetch.maxWaitMs,
-        minBytes = p.fetch.minBytes)
-      if (res.records.isEmpty && res.nextOffset < 0) {
-        // Range was planned from a live log-end offset, so data below
-        // endOffset must exist; an empty fetch (no batch decoded at all)
-        // below the HWM means the requested offset aged out (retention) —
-        // surface it, don't spin.
-        if (nextOffset < res.highWatermark)
-          throw new java.io.IOException(
-            s"graft-kafka: empty fetch at offset $nextOffset below hwm ${res.highWatermark} " +
-              s"(partition ${p.partition}) — data lost to retention?")
-        return false
+      // A broker answers a retention-truncated offset with error 1
+      // (OFFSET_OUT_OF_RANGE) — route it through the failOnDataLoss
+      // policy, then refetch from wherever the policy moved the cursor.
+      val resOpt = try {
+        Some(client.fetch(p.topic, p.partition, nextOffset,
+          maxBytes = p.fetch.maxBytes, maxWaitMs = p.fetch.maxWaitMs,
+          minBytes = p.fetch.minBytes))
+      } catch {
+        case e: WireClient.OffsetOutOfRange => skipLossOrThrow(e); None
       }
-      // A fetch may return records below the requested offset (batch
-      // granularity) or beyond our planned end — trim to the range.
-      // `from` pins the bound: the iterator is LAZY and `nextOffset` is
-      // advanced below before the filter ever runs — closing over the var
-      // would filter against the post-advance cursor and drop every record.
-      val from = nextOffset
-      buffer = res.records.iterator
-        .filter(r => r.offset >= from && r.offset < p.endOffset)
-      // Advance by the BATCH-LEVEL cursor, not record offsets: a control
-      // batch decodes to zero records, and on compacted topics every
-      // record at/after the fetch offset within a batch may be gone while
-      // the batch header still spans them — record-offset advance would
-      // re-fetch the same batch forever in both cases.
-      val advanced = math.max(res.nextOffset,
-        if (res.records.nonEmpty) res.records.map(_.offset).max + 1 else Long.MinValue)
-      if (advanced <= nextOffset)
-        throw new java.io.IOException(
-          s"graft-kafka: fetch at offset $nextOffset did not advance " +
-            s"(batch cursor $advanced, partition ${p.partition}) — refusing to spin")
-      nextOffset = advanced
+      resOpt match {
+        case None => () // jumped past a retention gap; loop refetches
+        case Some(res) if res.records.isEmpty && res.nextOffset < 0 =>
+          // Range was planned from a live log-end offset, so data below
+          // endOffset must exist; an empty response (no batch decoded at
+          // all) below the HWM means the offset aged out on a broker that
+          // answers with emptiness instead of error 1 — same policy.
+          if (nextOffset < res.highWatermark) skipLossOrThrow(
+            new java.io.IOException(
+              s"empty fetch at offset $nextOffset below hwm ${res.highWatermark}"))
+          else return false
+        case Some(res) =>
+          // A fetch may return records below the requested offset (batch
+          // granularity) or beyond our planned end — trim to the range.
+          // `from` pins the bound: the iterator is LAZY and `nextOffset` is
+          // advanced below before the filter ever runs — closing over the
+          // var would filter against the post-advance cursor and drop
+          // every record.
+          val from = nextOffset
+          buffer = res.records.iterator
+            .filter(r => r.offset >= from && r.offset < p.endOffset)
+          // Advance by the BATCH-LEVEL cursor, not record offsets: a
+          // control batch decodes to zero records, and on compacted topics
+          // every record at/after the fetch offset within a batch may be
+          // gone while the batch header still spans them — record-offset
+          // advance would re-fetch the same batch forever in both cases.
+          val advanced = math.max(res.nextOffset,
+            if (res.records.nonEmpty) res.records.map(_.offset).max + 1 else Long.MinValue)
+          if (advanced <= nextOffset)
+            throw new java.io.IOException(
+              s"graft-kafka: fetch at offset $nextOffset did not advance " +
+                s"(batch cursor $advanced, partition ${p.partition}) — refusing to spin")
+          nextOffset = advanced
+      }
     }
     if (buffer.hasNext) { current = buffer.next(); true } else false
   }

@@ -233,6 +233,8 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
         val abortedCount = r.int32()
         (0 until math.max(abortedCount, 0)).foreach(_ => { r.int64(); r.int64() })
         val recordSet = r.bytes()
+        if (err == 1) throw new WireClient.OffsetOutOfRange(
+          s"fetch offset $offset out of range on $topic-$pid (log truncated by retention?)")
         if (err != 0) throw new java.io.IOException(s"Fetch error $err on partition $pid")
         if (pid == partition) {
           val dec =
@@ -253,6 +255,11 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
 }
 
 object WireClient {
+
+  /** Kafka error 1: the requested offset precedes the log start (retention
+    * truncated it) or exceeds the log end. Typed so the reader can apply
+    * the failOnDataLoss policy instead of dying on a generic IO error. */
+  final class OffsetOutOfRange(msg: String) extends java.io.IOException(msg)
 
   /** TLS settings mirroring the reference's surface
     * (internal/kafka/tls_conf.go MakeTLSConfigFromStrings +

@@ -466,6 +466,47 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("failOnDataLoss: retention-truncated offsets fail loudly or skip to the log start") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, (0 until 4).map(i => s"k$i" -> s"v$i")) // batch 0-3
+      c.append("t", 0, (4 until 8).map(i => s"k$i" -> s"v$i")) // batch 4-7
+      c.truncateTo("t", 0, 4)
+      val b = c.brokerList.head
+      def reader(fdl: Boolean) = KafkaWireReaderFactory.createReader(
+        KafkaWirePartition(b.host, b.port, "t", 0, 0L, 8L, None,
+          failOnDataLoss = fdl))
+      // default: a planned-but-retained range is a loud failure
+      val r1 = reader(fdl = true)
+      val ex = intercept[java.io.IOException](r1.next())
+      assert(ex.getMessage.contains("failOnDataLoss"), ex.getMessage)
+      r1.close()
+      // opt-in: acknowledge the gap and continue from the log start
+      val r2 = reader(fdl = false)
+      val got = Seq.newBuilder[Long]
+      while (r2.next()) got += r2.get().getLong(4)
+      r2.close()
+      assert(got.result() == (4L until 8L), "offsets 0-3 skipped, 4-7 delivered")
+    }
+  }
+
+  test("failOnDataLoss=false end-to-end: checkpointed stream survives retention while down") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, (0 until 4).map(i => s"k$i" -> s"v$i"))
+      val ckpt = tempDir("retention")
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", ckpt, seen, Map("failOnDataLoss" -> "false"))
+      assert(seen.size == 4)
+      // while the query is down: new data lands AND retention eats part of it
+      c.append("t", 0, (4 until 8).map(i => s"k$i" -> s"v$i"))
+      c.truncateTo("t", 0, 6)
+      runStream(brokerList(c), "t", ckpt, seen, Map("failOnDataLoss" -> "false"))
+      assert(seen.asScala.map(_._3).toSeq.sorted == (0L until 4L) ++ (6L until 8L),
+        "the retained gap 4-5 is skipped; 6-7 delivered exactly once")
+    }
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips in the stock nested shape") {

@@ -72,6 +72,18 @@ object MiniKafkaBroker {
       }
     }
 
+    /** Simulate retention: drop batches whose last offset precedes `to`
+      * and raise the log start — fetches below it then answer error 1. */
+    def truncateTo(topic: String, partition: Int, to: Long): Unit = {
+      val log = topics.get(topic)(partition)
+      log.synchronized {
+        val keep = log.batches.filter(_.lastOffset >= to)
+        log.batches.clear()
+        log.batches ++= keep
+        log.logStart = to
+      }
+    }
+
     /** Append a pre-built batch (for control / compacted-shape fixtures). */
     def appendRaw(topic: String, partition: Int, baseOffset: Long, lastOffset: Long,
                   bytes: Array[Byte]): Unit = {
@@ -325,6 +337,10 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
           case Some(log) if log.leader != nodeId =>
             // The defining multi-broker behavior: a non-leader refuses.
             w.int32(pid).int16(6).int64(-1L).int64(-1L).int32(0).bytes(null)
+          case Some(log) if off < log.logStart =>
+            // error 1 OFFSET_OUT_OF_RANGE: retention truncated the log
+            // below the requested offset — what a real broker answers.
+            w.int32(pid).int16(1).int64(-1L).int64(-1L).int32(0).bytes(null)
           case Some(log) =>
             val (hwm, payload) = log.synchronized {
               val cap = math.min(pmax.toLong, respMaxBytes.toLong).toInt
