@@ -89,7 +89,8 @@ object KafkaWireSource {
     fetch: FetchTuning = FetchTuning(),
     headers: Boolean = false,
     pattern: Option[scala.util.matching.Regex] = None,
-    failOnDataLoss: Boolean = true) {
+    failOnDataLoss: Boolean = true,
+    assign: Option[Set[TP]] = None) {
     def endpoint: Endpoint = endpoints.head
   }
 
@@ -115,17 +116,30 @@ object KafkaWireSource {
     // streaming mode the pattern RE-RESOLVES each trigger, so topics
     // created mid-stream that match start flowing from earliest.
     val pattern = ci.get("subscribepattern").map(_.r)
+    // `assign`: the stock source's explicit-partition JSON
+    // {"topicA":[0,2],"topicB":[1]} — read ONLY those partitions
+    val assign = ci.get("assign").map { j =>
+      """"([A-Za-z0-9._-]+)"\s*:\s*\[([0-9,\s]*)\]""".r.findAllMatchIn(j).flatMap { m =>
+        m.group(2).split(',').map(_.trim).filter(_.nonEmpty)
+          .map(p => (m.group(1), p.toInt))
+      }.toSet
+    }.filter(_.nonEmpty)
     val topics = ci.get("topic").orElse(ci.get("topics")).orElse(ci.get("subscribe"))
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
+      .orElse(assign.map(_.map(_._1).toSeq.distinct.sorted))
       .getOrElse {
         if (pattern.isDefined) Nil
         else throw new IllegalArgumentException(
-          "graft-kafka: 'topic' (or 'topics'/'subscribe'/'subscribePattern') option is required")
+          "graft-kafka: 'topic' (or 'topics'/'subscribe'/'subscribePattern'/'assign') option is required")
       }
     if (pattern.isDefined && topics.nonEmpty)
       throw new IllegalArgumentException(
         "graft-kafka: 'subscribePattern' and an explicit topic list are mutually exclusive")
+    if (assign.isDefined && (pattern.isDefined ||
+        ci.contains("topic") || ci.contains("topics") || ci.contains("subscribe")))
+      throw new IllegalArgumentException(
+        "graft-kafka: 'assign' and subscribe/subscribePattern are mutually exclusive")
     val endpoints = brokers.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { b =>
       b.lastIndexOf(':') match {
         case -1 => throw new IllegalArgumentException(s"graft-kafka: broker '$b' is not host:port")
@@ -164,19 +178,34 @@ object KafkaWireSource {
     require(fetch.maxBytes > 0 && fetch.minBytes >= 0 && fetch.maxWaitMs >= 0,
       s"graft-kafka: invalid fetch tuning $fetch")
     Options(endpoints, topics, sasl, tls, fetch, includeHeaders(opts), pattern,
-      failOnDataLoss = ci.get("failondataloss").forall(_.toBoolean))
+      failOnDataLoss = ci.get("failondataloss").forall(_.toBoolean),
+      assign = assign)
   }
 
   /** Fetch metadata for the options' topic set: an explicit list verbatim;
     * a subscribePattern resolves against the broker's full topic list at
     * CALL time (so each streaming trigger sees newly created matches). */
-  private[kafka] def metadataFor(client: WireClient, o: Options): WireClient.ClusterMeta =
-    o.pattern match {
+  private[kafka] def metadataFor(client: WireClient, o: Options): WireClient.ClusterMeta = {
+    val meta = o.pattern match {
       case None => client.metadata(o.topics)
       case Some(re) =>
         val all = client.metadata(Seq.empty)
         all.copy(topics = all.topics.filter(t => re.pattern.matcher(t.name).matches()))
     }
+    o.assign match {
+      case None => meta
+      case Some(set) =>
+        // explicit assignment: every named partition must exist, and only
+        // the named ones are read
+        val known = meta.topics.flatMap(t => t.partitions.map(pm => (t.name, pm.partition))).toSet
+        val missing = set.diff(known)
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"graft-kafka: assigned partitions do not exist: ${missing.toSeq.sorted.mkString(", ")}")
+        meta.copy(topics = meta.topics.map(t =>
+          t.copy(partitions = t.partitions.filter(pm => set((t.name, pm.partition))))))
+    }
+  }
 
   /** Control-plane client with connect failover across the brokers list:
     * the first broker that ACCEPTS the connection serves metadata/offset

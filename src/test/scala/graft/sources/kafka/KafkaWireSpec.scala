@@ -507,6 +507,31 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("assign: explicit partition JSON reads only the named partitions") {
+    withCluster() { c =>
+      c.addPartition("ta", 0); c.addPartition("ta", 1); c.addPartition("tb", 0)
+      c.append("ta", 0, Seq("k" -> "a0"))
+      c.append("ta", 1, Seq("k" -> "a1"))
+      c.append("tb", 0, Seq("k" -> "b0"))
+      val rows = spark.read.format("graft-kafka")
+        .option("brokers", brokerList(c))
+        .option("assign", """{"ta":[1],"tb":[0]}""").load().collect()
+      assert(rows.map(valueStr).toSet == Set("a1", "b0"), "ta-0 must be excluded")
+      // assigning a partition that does not exist is loud
+      val ex = intercept[Exception] {
+        spark.read.format("graft-kafka")
+          .option("brokers", brokerList(c))
+          .option("assign", """{"ta":[7]}""").load().collect()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("do not exist"), msgs)
+      // assign + subscribe is a config error
+      assertThrows[IllegalArgumentException](KafkaWireSource.parseOptions(Map(
+        "brokers" -> "h:1", "topic" -> "t", "assign" -> """{"t":[0]}""")))
+    }
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips in the stock nested shape") {
