@@ -360,10 +360,28 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   private val o = KafkaWireSource.parseOptions(opts)
   private val startingOffsets =
     opts.map { case (k, v) => k.toLowerCase -> v }.getOrElse("startingoffsets", "earliest")
-  private val maxOffsetsPerTrigger =
-    opts.map { case (k, v) => k.toLowerCase -> v }.get("maxoffsetspertrigger").map(_.toLong)
-  private val minPartitions =
-    opts.map { case (k, v) => k.toLowerCase -> v }.get("minpartitions").map(_.toInt).getOrElse(0)
+  private val ciOpts = opts.map { case (k, v) => k.toLowerCase -> v }
+  private val maxOffsetsPerTrigger = ciOpts.get("maxoffsetspertrigger").map(_.toLong)
+  private val minOffsetsPerTrigger = ciOpts.get("minoffsetspertrigger").map(_.toLong)
+  // "30s"/"5m"/"1h" or bare millis — the stock option's duration spelling
+  private val maxTriggerDelayMs = ciOpts.get("maxtriggerdelay").map { d =>
+    val t = d.trim
+    val (num, unit) = t.span(c => c.isDigit || c == '.')
+    require(num.nonEmpty, s"graft-kafka: bad maxTriggerDelay '$d'")
+    (num.toDouble * (unit.trim match {
+      case "" | "ms" => 1d
+      case "s" => 1000d
+      case "m" => 60000d
+      case "h" => 3600000d
+      case u => throw new IllegalArgumentException(s"graft-kafka: bad maxTriggerDelay unit '$u'")
+    })).toLong
+  }.getOrElse(15L * 60000) // stock default 15m
+  private val minPartitions = ciOpts.get("minpartitions").map(_.toInt).getOrElse(0)
+
+  /** When the min-rows gate defers a trigger, this records the moment the
+    * WAIT began, so maxTriggerDelay bounds staleness, not inter-batch
+    * gaps. Driver-side state only (admission control runs on the driver). */
+  private var waitingSinceMs: Long = -1L
 
   // Control-plane client: driver-side only, offsets in/out — never records.
   private lazy val client = KafkaWireSource.connectControl(o)
@@ -388,8 +406,16 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     KafkaWireOffset(KafkaWireSource.resolveBound(
       startingOffsets, allTps(clusterMeta()), listOffsets, defaultLatest = false))
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      minOffsetsPerTrigger.map(ReadLimit.minRows(_, maxTriggerDelayMs)),
+      maxOffsetsPerTrigger.map(ReadLimit.maxRows(_))).flatten
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -409,15 +435,40 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     val tps = allTps(clusterMeta())
     val startMap = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, tps)
     val latest = listOffsets(tps, -1L)
-    limit match {
-      case mr: ReadMaxRows =>
+    val lags = latest.map { case (tp, end) =>
+      tp -> math.max(0L, end - startMap.getOrElse(tp, end))
+    }
+    val total = lags.values.sum
+    val limits = limit match {
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.toSeq
+      case l => Seq(l)
+    }
+    // min-rows gate (stock minOffsetsPerTrigger): too little lag defers the
+    // trigger — unless the data has waited maxTriggerDelay already, which
+    // bounds staleness on a quiet topic.
+    val deferred = limits.collectFirst {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMinRows => m
+    }.exists { m =>
+      val now = System.currentTimeMillis()
+      if (total >= m.minRows()) { waitingSinceMs = -1L; false }
+      else if (total == 0) { waitingSinceMs = -1L; true }
+      else {
+        if (waitingSinceMs < 0) waitingSinceMs = now
+        if (now - waitingSinceMs >= m.maxTriggerDelayMs()) { waitingSinceMs = -1L; false }
+        else true
+      }
+    }
+    // a deferred trigger reports the start map UNCHANGED — no batch planned,
+    // no offsets invented, nothing dropped for temporarily-missing topics
+    if (deferred) KafkaWireOffset(startMap)
+    else limits.collectFirst {
+      case mr: ReadMaxRows => mr
+    } match {
+      case Some(mr) =>
         // Distribute the row cap over partitions proportional to lag —
         // the stock source's rate-limit policy: a hot partition gets more
         // of the budget but no partition is starved outright.
-        val lags = latest.map { case (tp, end) =>
-          tp -> math.max(0L, end - startMap.getOrElse(tp, end))
-        }
-        val total = lags.values.sum
         val cap = mr.maxRows()
         if (total <= cap) KafkaWireOffset(latest)
         else KafkaWireOffset(latest.map { case (tp, end) =>
@@ -425,7 +476,7 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
           val share = if (total == 0) 0L else cap * lag / total
           tp -> math.min(end, startMap.getOrElse(tp, end) + share)
         })
-      case _ => KafkaWireOffset(latest)
+      case None => KafkaWireOffset(latest)
     }
   }
 

@@ -532,6 +532,41 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("minOffsetsPerTrigger defers small batches; maxTriggerDelay bounds staleness") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      val seen = new ConcurrentLinkedQueue[String]
+      val src = spark.readStream.format("graft-kafka")
+        .option("brokers", brokerList(c)).option("topic", "t")
+        .option("minOffsetsPerTrigger", "5")
+        .option("maxTriggerDelay", "2s")
+        .load()
+      val q = src.writeStream
+        .option("checkpointLocation", tempDir("minrows"))
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.selectExpr("cast(value as string) as v").collect()
+            .foreach(r => seen.add(r.getString(0)))
+        }.start()
+      def awaitCount(n: Int, ms: Long): Boolean = {
+        val deadline = System.currentTimeMillis() + ms
+        while (seen.size < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        seen.size >= n
+      }
+      try {
+        // 6 rows ≥ min(5): flows promptly
+        c.append("t", 0, (0 until 6).map(i => s"k$i" -> s"a$i"))
+        assert(awaitCount(6, 15000), s"batch >= min must flow; got ${seen.size}")
+        // 2 rows < min: deferred at first, but maxTriggerDelay=2s bounds
+        // the wait — they must arrive without ever reaching the minimum
+        c.append("t", 0, Seq("k" -> "late0", "k" -> "late1"))
+        assert(awaitCount(8, 20000),
+          s"maxTriggerDelay must flush a sub-minimum batch; got ${seen.size}")
+        assert(seen.asScala.toSet ==
+          ((0 until 6).map(i => s"a$i").toSet ++ Set("late0", "late1")))
+      } finally q.stop()
+    }
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips in the stock nested shape") {
