@@ -323,18 +323,27 @@ object KafkaWireSource {
   }
 }
 
-private[kafka] final class KafkaWireTable(opts: Map[String, String]) extends Table with SupportsRead {
+private[kafka] final class KafkaWireTable(opts: Map[String, String])
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = "graft-kafka:" + opts.collectFirst {
     case (k, v) if Set("topic", "topics", "subscribe", "subscribepattern")(k.toLowerCase) => v
   }.getOrElse("?")
   override def schema(): StructType =
     KafkaWireSource.schemaFor(KafkaWireSource.includeHeaders(opts))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      // the write schema is the producer's row contract (value/key/topic/
+      // partition/headers), not the read schema — accept it as-is
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = opts ++ options.asScala
     new ScanBuilder { override def build(): Scan = new KafkaWireScan(merged) }
   }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KafkaWireWriteBuilder(opts ++ info.options().asScala, info)
 }
 
 private[kafka] final class KafkaWireScan(opts: Map[String, String]) extends Scan {

@@ -1,0 +1,215 @@
+package graft.sources.kafka
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+/** The WRITE side of `format("graft-kafka")` — a Kafka producer speaking
+  * Produce v3 over [[WireClient]], with the stock Kafka SINK's column
+  * contract: `value` (binary/string, required), optional `key`
+  * (binary/string), optional `topic` (string — required unless the `topic`
+  * option names one), optional `partition` (int), optional `headers`
+  * (array<struct<key:string,value:binary>>). Partitionless rows route by
+  * murmur-style key hash (keyed rows stay ordered per key, the semantics
+  * compaction and downstream dedup rely on) or round-robin when keyless.
+  *
+  * Scale shape: each Spark task buffers records PER (topic, partition) and
+  * produces one record batch per flush DIRECTLY TO THAT PARTITION'S LEADER
+  * (metadata resolved once on the driver, shipped to tasks) — writes
+  * parallelize by Spark partition with no driver involvement, and a flush
+  * threshold bounds task memory. Delivery is at-least-once: batches flush
+  * on commit; a task retry re-produces its rows (Kafka's own producer
+  * contract without idempotence enabled). */
+private[kafka] final class KafkaWireWriteBuilder(opts: Map[String, String],
+                                                 info: LogicalWriteInfo)
+  extends WriteBuilder {
+  override def build(): Write = new KafkaWireWrite(opts, info.schema())
+}
+
+private[kafka] final class KafkaWireWrite(opts: Map[String, String], schema: StructType)
+  extends Write {
+
+  /** Driver-side plan: resolve leaders + partition counts once; tasks get
+    * plain serializable maps. */
+  private def plan(): KafkaWireWriterFactory = {
+    val o = KafkaWireSource.parseOptions(opts +
+      // the write side tolerates a missing topic option when every row
+      // carries a topic column — parseOptions demands SOME topic source,
+      // so feed it a placeholder that is never used for routing
+      ("topic" -> opts.collectFirst {
+        case (k, v) if Set("topic", "topics", "subscribe")(k.toLowerCase) => v
+      }.getOrElse("__graft_dynamic")))
+    val defaultTopic = opts.collectFirst {
+      case (k, v) if k.toLowerCase == "topic" => v.split(',').head.trim
+    }
+    val client = KafkaWireSource.connectControl(o)
+    val meta = try {
+      // dynamic-topic writes discover leaders lazily per task; a declared
+      // topic resolves now so misconfiguration fails on the driver
+      if (defaultTopic.contains("__graft_dynamic")) None
+      else Some(client.metadata(o.topics))
+    } finally client.close()
+    val leaders: Map[(String, Int), (String, Int)] = meta match {
+      case None => Map.empty
+      case Some(m) =>
+        val byId = m.brokers.map(b => b.nodeId -> (b.host, b.port)).toMap
+        m.topics.flatMap(t => t.partitions.map(pm =>
+          (t.name, pm.partition) ->
+            byId.getOrElse(pm.leader, (o.endpoint.host, o.endpoint.port)))).toMap
+    }
+    val counts: Map[String, Int] = meta match {
+      case None => Map.empty
+      case Some(m) => m.topics.map(t => t.name -> t.partitions.size).toMap
+    }
+    new KafkaWireWriterFactory(schema, defaultTopic.filterNot(_ == "__graft_dynamic"),
+      o.endpoints.map(e => (e.host, e.port)), leaders, counts, o.sasl, o.tls,
+      flushRecords = opts.collectFirst {
+        case (k, v) if k.toLowerCase == "flush.records" => v.toInt
+      }.getOrElse(16 * 1024))
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val factory = plan()
+    override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = factory
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    private val factory = plan()
+    override def createStreamingWriterFactory(pi: PhysicalWriteInfo): StreamingDataWriterFactory = factory
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+private[kafka] final case class KafkaWriteDone(records: Long)
+  extends WriterCommitMessage
+
+/** Serializable task-side factory: everything is strings/ints. */
+private[kafka] final class KafkaWireWriterFactory(
+    schema: StructType,
+    defaultTopic: Option[String],
+    controlEndpoints: Seq[(String, Int)],
+    leaders: Map[(String, Int), (String, Int)],
+    partitionCounts: Map[String, Int],
+    sasl: Option[WireClient.SaslConfig],
+    tls: Option[WireClient.TlsConfig],
+    flushRecords: Int)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KafkaWireDataWriter(schema, defaultTopic, controlEndpoints, leaders,
+      partitionCounts, sasl, tls, flushRecords)
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
+}
+
+private[kafka] final class KafkaWireDataWriter(
+    schema: StructType,
+    defaultTopic: Option[String],
+    controlEndpoints: Seq[(String, Int)],
+    var leaders: Map[(String, Int), (String, Int)],
+    var partitionCounts: Map[String, Int],
+    sasl: Option[WireClient.SaslConfig],
+    tls: Option[WireClient.TlsConfig],
+    flushRecords: Int)
+  extends DataWriter[InternalRow] {
+
+  private def idx(name: String): Int = schema.fieldNames.indexOf(name)
+  private val valueIdx = {
+    val i = idx("value")
+    require(i >= 0, "graft-kafka writer: a 'value' column is required")
+    i
+  }
+  private val keyIdx = idx("key")
+  private val topicIdx = idx("topic")
+  private val partitionIdx = idx("partition")
+  private val headersIdx = idx("headers")
+  require(topicIdx >= 0 || defaultTopic.isDefined,
+    "graft-kafka writer: set the 'topic' option or provide a topic column")
+
+  private def binaryAt(row: InternalRow, i: Int): Array[Byte] =
+    if (i < 0 || row.isNullAt(i)) null
+    else schema(i).dataType match {
+      case BinaryType => row.getBinary(i)
+      case StringType => row.getUTF8String(i).getBytes
+      case other => throw new IllegalArgumentException(
+        s"graft-kafka writer: column ${schema(i).name} must be binary or string, got $other")
+    }
+
+  private val buffers = mutable.Map[(String, Int), mutable.ArrayBuffer[Records.Record]]()
+  private val clients = mutable.Map[(String, Int), WireClient]()
+  private var written = 0L
+  private var roundRobin = 0
+
+  private def clientFor(ep: (String, Int)): WireClient =
+    clients.getOrElseUpdate(ep, new WireClient(ep._1, ep._2, sasl = sasl, tls = tls))
+
+  /** Partition counts / leaders for a topic first seen in a `topic` column:
+    * one control-plane metadata call, cached for the task's lifetime. */
+  private def ensureTopic(topic: String): Unit =
+    if (!partitionCounts.contains(topic)) {
+      val control = clientFor(controlEndpoints.head)
+      val meta = control.metadata(topic)
+      val byId = meta.brokers.map(b => b.nodeId -> (b.host, b.port)).toMap
+      partitionCounts += topic -> meta.topic.partitions.size
+      leaders ++= meta.topic.partitions.map(pm =>
+        (topic, pm.partition) -> byId.getOrElse(pm.leader, controlEndpoints.head))
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val topic =
+      if (topicIdx >= 0 && !row.isNullAt(topicIdx)) row.getUTF8String(topicIdx).toString
+      else defaultTopic.getOrElse(
+        throw new IllegalArgumentException("graft-kafka writer: null topic and no topic option"))
+    ensureTopic(topic)
+    val n = partitionCounts(topic)
+    val key = binaryAt(row, keyIdx)
+    val part =
+      if (partitionIdx >= 0 && !row.isNullAt(partitionIdx)) row.getInt(partitionIdx)
+      else if (key != null) math.floorMod(java.util.Arrays.hashCode(key), n)
+      else { roundRobin += 1; math.floorMod(roundRobin, n) }
+    require(part >= 0 && part < n,
+      s"graft-kafka writer: partition $part out of range for $topic ($n partitions)")
+    val headers: Seq[(String, Array[Byte])] =
+      if (headersIdx < 0 || row.isNullAt(headersIdx)) Nil
+      else {
+        val arr = row.getArray(headersIdx)
+        (0 until arr.numElements()).map { i =>
+          val h = arr.getStruct(i, 2)
+          h.getUTF8String(0).toString -> (if (h.isNullAt(1)) null else h.getBinary(1))
+        }
+      }
+    val buf = buffers.getOrElseUpdate((topic, part), mutable.ArrayBuffer.empty)
+    buf += Records.Record(buf.size.toLong, System.currentTimeMillis(),
+      key, binaryAt(row, valueIdx), headers = headers)
+    written += 1
+    if (buf.size >= flushRecords) flush(topic, part)
+  }
+
+  private def flush(topic: String, part: Int): Unit = {
+    val buf = buffers((topic, part))
+    if (buf.nonEmpty) {
+      val leader = leaders.getOrElse((topic, part), controlEndpoints.head)
+      clientFor(leader).produce(topic, part, buf.toSeq)
+      buf.clear()
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    buffers.keys.toSeq.foreach { case (t, p) => flush(t, p) }
+    KafkaWriteDone(written)
+  }
+
+  override def abort(): Unit = buffers.clear()
+
+  override def close(): Unit = {
+    clients.values.foreach(c => try c.close() catch { case _: Throwable => () })
+    clients.clear()
+  }
+}

@@ -136,6 +136,7 @@ private[kafka] object Wire {
     try Some(readFrame(in)) catch { case _: EOFException => None }
 
   // API keys (public constants from the protocol guide)
+  val ApiProduce = 0
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3

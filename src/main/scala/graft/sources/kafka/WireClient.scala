@@ -121,6 +121,43 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     }
   }
 
+  /** Produce v3 (the record-batch-v2 era, pre-flexible): one batch to one
+    * partition; returns the broker-assigned base offset. acks=-1 waits for
+    * full ISR acknowledgement (the durable default). The record offsets in
+    * `records` are relative (0..n-1) — the broker assigns the real ones. */
+  def produce(topic: String, partition: Int, records: Seq[Records.Record],
+              acks: Int = -1, timeoutMs: Int = 30000): Long = {
+    val batch = Records.encodeBatch(0L,
+      records.zipWithIndex.map { case (rec, i) => rec.copy(offset = i.toLong) })
+    val r = roundTrip(Wire.ApiProduce, 3) { w =>
+      w.string(null)      // transactional_id
+      w.int16(acks)
+      w.int32(timeoutMs)
+      w.int32(1); w.string(topic)
+      w.int32(1)
+      w.int32(partition)
+      w.bytes(batch)
+      ()
+    }
+    var base = -1L
+    (0 until r.int32()).foreach { _ =>
+      r.string()
+      (0 until r.int32()).foreach { _ =>
+        val pid = r.int32()
+        val err = r.int16()
+        val off = r.int64()
+        r.int64() // log_append_time
+        if (err != 0)
+          throw new java.io.IOException(s"Produce error $err on $topic-$pid")
+        if (pid == partition) base = off
+      }
+    }
+    r.int32() // throttle_time_ms (tail position in Produce v1-v5)
+    if (base < 0)
+      throw new java.io.IOException(s"Produce response missing $topic-$partition")
+    base
+  }
+
   /** ApiVersions v0 → (apiKey → (min, max)). */
   def apiVersions(): Map[Int, (Int, Int)] = {
     val r = roundTrip(Wire.ApiVersions, 0)(_ => ())

@@ -1,0 +1,157 @@
+package graft.sources.kafka
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import MiniKafkaBroker.Cluster
+
+/** WRITE side of `format("graft-kafka")` over real sockets: batch saves and
+  * streaming sinks produce v2 record batches to the broker fixture via
+  * Produce v3, then everything is read BACK through the source — a full
+  * produce→consume round trip on the same wire pair. */
+class KafkaWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCluster(brokers: Int = 1)(f: Cluster => Unit): Unit = {
+    val c = new Cluster()
+    (0 until brokers).foreach(_ => c.addBroker())
+    try f(c) finally c.stop()
+  }
+
+  private def addr(c: Cluster): String = c.brokerList.map(_.address).mkString(",")
+
+  private def readBack(c: Cluster, topic: String): Seq[(String, String, Int, Long)] =
+    spark.read.format("graft-kafka")
+      .option("brokers", addr(c)).option("topic", topic).load()
+      .collect()
+      .map { r =>
+        val k = Option(r.getAs[Array[Byte]]("key"))
+          .map(new String(_, StandardCharsets.UTF_8)).orNull
+        val v = new String(r.getAs[Array[Byte]]("value"), StandardCharsets.UTF_8)
+        (k, v, r.getInt(3), r.getLong(4))
+      }.toSeq
+
+  test("batch write: value/key rows produce to the topic and read back") {
+    withCluster() { c =>
+      c.addPartition("out", 0)
+      Seq(("k1", "v1"), ("k2", "v2"), (null, "v3"))
+        .toDF("key", "value")
+        .write.mode("append").format("graft-kafka")
+        .option("brokers", addr(c)).option("topic", "out")
+        .save()
+      val rows = readBack(c, "out")
+      assert(rows.map(_._2).toSet == Set("v1", "v2", "v3"))
+      assert(rows.find(_._2 == "v1").get._1 == "k1")
+      assert(rows.find(_._2 == "v3").get._1 == null, "null keys survive")
+    }
+  }
+
+  test("keyed rows land on a stable key-hashed partition; per-key order holds") {
+    withCluster() { c =>
+      (0 until 4).foreach(p => c.addPartition("out", p))
+      val rows = (0 until 100).map(i => (s"user${i % 10}", s"ev$i"))
+      rows.toDF("key", "value")
+        .repartition(8) // several Spark tasks, same key-routing everywhere
+        .write.mode("append").format("graft-kafka")
+        .option("brokers", addr(c)).option("topic", "out")
+        .save()
+      val got = readBack(c, "out")
+      assert(got.size == 100)
+      // a key maps to exactly one partition regardless of which task wrote it
+      got.groupBy(_._1).foreach { case (k, rs) =>
+        assert(rs.map(_._3).distinct.size == 1, s"key $k split across partitions")
+      }
+      assert(got.map(_._3).distinct.size > 1, "keys should spread over partitions")
+    }
+  }
+
+  test("explicit partition and topic columns route rows; headers round-trip") {
+    withCluster() { c =>
+      c.addPartition("ta", 0); c.addPartition("ta", 1); c.addPartition("tb", 0)
+      val df = Seq(
+        ("ta", 0, "a0", "h-a0"),
+        ("ta", 1, "a1", "h-a1"),
+        ("tb", 0, "b0", "h-b0"))
+        .toDF("topic", "partition", "v", "hv")
+        .select(col("topic"), col("partition"),
+          col("v").cast("binary").as("value"),
+          array(struct(lit("origin").as("key"),
+            col("hv").cast("binary").as("value"))).as("headers"))
+      // no 'topic' option: routing comes entirely from the column
+      df.write.mode("append").format("graft-kafka").option("brokers", addr(c)).save()
+      for ((t, p, v, hv) <- Seq(("ta", 0, "a0", "h-a0"), ("ta", 1, "a1", "h-a1"),
+        ("tb", 0, "b0", "h-b0"))) {
+        val rows = spark.read.format("graft-kafka")
+          .option("brokers", addr(c)).option("topic", t)
+          .option("includeHeaders", "true").load()
+          .filter(col("partition") === p).collect()
+        assert(rows.length == 1, s"$t-$p")
+        assert(new String(rows.head.getAs[Array[Byte]]("value"),
+          StandardCharsets.UTF_8) == v)
+        val hs = rows.head.getAs[scala.collection.Seq[Row]]("headers")
+        assert(hs.map(_.getString(0)).toSeq == Seq("origin"))
+        assert(new String(hs.head.getAs[Array[Byte]](1), StandardCharsets.UTF_8) == hv)
+      }
+    }
+  }
+
+  test("multi-broker: produced batches go to each partition's leader") {
+    withCluster(brokers = 2) { c =>
+      c.addPartition("out", 0, leader = 0)
+      c.addPartition("out", 1, leader = 1)
+      (0 until 20).map(i => (s"k$i", s"v$i")).toDF("key", "value")
+        .write.mode("append").format("graft-kafka")
+        .option("brokers", c.brokerList.head.address) // only broker 0 listed
+        .option("topic", "out").save()
+      assert(readBack(c, "out").size == 20,
+        "rows on partition 1 require producing to broker 1 (error 6 otherwise)")
+    }
+  }
+
+  test("streaming sink: micro-batches produce to the topic as they arrive") {
+    withCluster() { c =>
+      c.addPartition("out", 0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, String)]
+      val q = mem.toDF.toDF("key", "value")
+        .select(col("key").cast("binary"), col("value").cast("binary"))
+        .writeStream.format("graft-kafka")
+        .option("brokers", addr(c)).option("topic", "out")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ksink").toString)
+        .start()
+      try {
+        mem.addData(("k1", "s1"), ("k2", "s2"))
+        q.processAllAvailable()
+        assert(readBack(c, "out").map(_._2).toSet == Set("s1", "s2"))
+        mem.addData(("k3", "s3"))
+        q.processAllAvailable()
+        assert(readBack(c, "out").map(_._2).toSet == Set("s1", "s2", "s3"))
+      } finally q.stop()
+    }
+  }
+
+  test("a write without value column or topic fails loudly") {
+    withCluster() { c =>
+      c.addPartition("out", 0)
+      val noValue = intercept[Exception] {
+        Seq("x").toDF("notvalue").write.mode("append").format("graft-kafka")
+          .option("brokers", addr(c)).option("topic", "out").save()
+      }
+      val msgs1 = Iterator.iterate(noValue: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs1.contains("'value' column"), msgs1)
+      val noTopic = intercept[Exception] {
+        Seq("x").toDF("value").select(col("value").cast("binary"))
+          .write.mode("append").format("graft-kafka").option("brokers", addr(c)).save()
+      }
+      val msgs2 = Iterator.iterate(noTopic: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs2.contains("topic"), msgs2)
+    }
+  }
+}

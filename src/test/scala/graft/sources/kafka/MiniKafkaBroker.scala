@@ -165,6 +165,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
               case Wire.ApiMetadata => metadataResp(r, w)
               case Wire.ApiListOffsets => listOffsetsResp(r, w)
               case Wire.ApiFetch => fetchResp(r, w, apiVersion)
+              case Wire.ApiProduce => produceResp(r, w)
               case other =>
                 throw new IllegalStateException(s"mini broker: unsupported api $other")
             }
@@ -177,7 +178,8 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
 
   private def apiVersionsResp(w: Wire.Writer): Unit = {
     w.int16(0)
-    val apis = Seq(Wire.ApiFetch -> (0, 4), Wire.ApiListOffsets -> (0, 1),
+    val apis = Seq(Wire.ApiProduce -> (0, 3), Wire.ApiFetch -> (0, 4),
+      Wire.ApiListOffsets -> (0, 1),
       Wire.ApiMetadata -> (0, 1), Wire.ApiSaslHandshake -> (0, 1),
       Wire.ApiVersions -> (0, 0), Wire.ApiSaslAuthenticate -> (0, 0))
     w.int32(apis.size)
@@ -306,6 +308,55 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
         ()
       }
     }
+    ()
+  }
+
+  /** Produce v3: decode the client batch, append at the log end with
+    * re-based offsets (headers/timestamps preserved), answer the assigned
+    * base offset. A non-leader refuses with error 6; an unknown partition
+    * with error 3 — the same contract the Fetch side enforces. */
+  private def produceResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    r.string() // transactional_id
+    r.int16()  // acks
+    r.int32()  // timeout_ms
+    val topicCount = r.int32()
+    val req = (0 until topicCount).map { _ =>
+      val name = r.string()
+      val parts = (0 until r.int32()).map { _ =>
+        val pid = r.int32()
+        val recordSet = r.bytes()
+        (pid, recordSet)
+      }
+      name -> parts
+    }
+    w.int32(req.size)
+    req.foreach { case (name, parts) =>
+      w.string(name)
+      w.int32(parts.size)
+      parts.foreach { case (pid, recordSet) =>
+        val logOpt = Option(cluster.topics.get(name)).flatMap(m => m.synchronized(m.get(pid)))
+        logOpt match {
+          case None =>
+            w.int32(pid).int16(3).int64(-1L).int64(-1L)
+          case Some(log) if log.leader != nodeId =>
+            w.int32(pid).int16(6).int64(-1L).int64(-1L)
+          case Some(log) =>
+            val dec = Records.decodeAll(recordSet)
+            val base = log.synchronized {
+              val b = log.logEnd
+              val rebased = dec.records.zipWithIndex.map { case (rec, i) =>
+                rec.copy(offset = b + i)
+              }
+              log.batches += LogBatch(b, b + rebased.size - 1,
+                Records.encodeBatch(b, rebased))
+              b
+            }
+            w.int32(pid).int16(0).int64(base).int64(-1L)
+        }
+        ()
+      }
+    }
+    w.int32(0) // throttle_time_ms — tail position in Produce v1-v5
     ()
   }
 
