@@ -21,6 +21,18 @@ object Dlq {
       to_json(struct(df.columns.map(col): _*)).as("original_message"),
       current_timestamp().as("failed_at"))
 
+  /** Produce a DLQ frame to a Kafka topic via `format("graft-kafka")` —
+    * the reference's actual DLQ shape (a stream, not files:
+    * dlq_processor.go publishes envelopes to a NATS stream; here the
+    * broker IS Kafka). Each envelope row becomes one JSON-valued record;
+    * re-consume is a normal `format("graft-kafka")` read of the topic.
+    * Usable as the `dlqFn` everywhere `writeParquet` is. */
+  def writeKafka(brokers: String, topic: String)(df: DataFrame): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+      .write.mode("append").format("graft-kafka")
+      .option("brokers", brokers).option("topic", topic)
+      .save()
+
   /** Append a DLQ frame to a parquet path, stamping each row with a
     * monotonic `seq` (contiguous from 1 across appends, tracked in a
     * hidden side file). Consumers page by seq RANGE — a filter + top-n —

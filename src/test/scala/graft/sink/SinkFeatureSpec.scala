@@ -109,6 +109,30 @@ class SinkFeatureSpec extends SparkSpec {
       "pipeline B dead-letters all 4 events without disturbing pipeline A")
   }
 
+  test("dlq.feature: DLQ as a Kafka topic — envelopes produce and re-consume over the wire") {
+    // the reference's DLQ is a STREAM (dlq_processor publishes envelopes
+    // to NATS); with the wire producer the DLQ can be a real Kafka topic:
+    // permanent sink fault → envelopes produced → read back via the source
+    val c = new graft.sources.kafka.MiniKafkaBroker.Cluster()
+    val b = c.addBroker()
+    c.addPartition("pipeline-dlq", 0)
+    try {
+      val handler = ClickHouseSink.foreachBatchHandler(cfg(),
+        Dlq.writeKafka(b.address, "pipeline-dlq"),
+        write = Some { _ => throw chError(6) })
+      handler(events(3), 1L)
+      val consumed = spark.read.format("graft-kafka")
+        .option("brokers", b.address).option("topic", "pipeline-dlq").load()
+        .selectExpr("cast(value as string) as v").collect().map(_.getString(0))
+      assert(consumed.length == 3)
+      consumed.foreach { j =>
+        assert(j.contains(""""component":"sink""""), j)
+        assert(j.contains("Code: 6"), j)
+        assert(j.contains("event_id"), j)
+      }
+    } finally c.stop()
+  }
+
   test("dlq.feature: sink against an incompatible table dead-letters everything (real driver)") {
     // the genuine JDBC leg (Spark's JDBC writer auto-creates a MISSING
     // table, so the feature's wrong-table fault is modeled as an existing
