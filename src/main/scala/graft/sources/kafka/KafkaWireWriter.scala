@@ -196,7 +196,23 @@ private[kafka] final class KafkaWireDataWriter(
     val buf = buffers((topic, part))
     if (buf.nonEmpty) {
       val leader = leaders.getOrElse((topic, part), controlEndpoints.head)
-      clientFor(leader).produce(topic, part, buf.toSeq)
+      try clientFor(leader).produce(topic, part, buf.toSeq)
+      catch {
+        // error 6 NOT_LEADER: leadership moved since the driver resolved
+        // it (or since this task cached it). Refresh from the control
+        // plane and retry ONCE at the new leader — the stock producer's
+        // metadata-refresh-on-error behavior; a second failure is real.
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("error 6") =>
+          clients.remove(leader).foreach(c => try c.close() catch { case _: Throwable => () })
+          val control = clientFor(controlEndpoints.head)
+          val meta = control.metadata(topic)
+          val byId = meta.brokers.map(br => br.nodeId -> (br.host, br.port)).toMap
+          leaders ++= meta.topic.partitions.map(pm =>
+            (topic, pm.partition) -> byId.getOrElse(pm.leader, controlEndpoints.head))
+          val fresh = leaders.getOrElse((topic, part), controlEndpoints.head)
+          clientFor(fresh).produce(topic, part, buf.toSeq)
+      }
       buf.clear()
     }
   }

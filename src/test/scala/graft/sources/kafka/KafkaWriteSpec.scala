@@ -111,6 +111,31 @@ class KafkaWriteSpec extends SparkSpec {
     }
   }
 
+  test("leadership change between plan and flush: writer refreshes and retries once") {
+    withCluster(brokers = 2) { c =>
+      c.addPartition("out", 0, leader = 1)
+      // a writer whose cached leader map is STALE (points at broker 0,
+      // which answers error 6): the flush must refresh from the control
+      // plane and land the batch on the true leader, broker 1
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("key", BinaryType), StructField("value", BinaryType)))
+      val eps = c.brokerList.map(b => (b.host, b.port))
+      val staleLeaders = Map(("out", 0) -> eps.head) // broker 0 — wrong
+      val factory = new KafkaWireWriterFactory(schema, Some("out"), eps,
+        staleLeaders, Map("out" -> 1), None, None, flushRecords = 1024)
+      val w = factory.createWriter(0, 0L)
+      import org.apache.spark.sql.catalyst.InternalRow
+      w.write(InternalRow("k1".getBytes(StandardCharsets.UTF_8),
+        "v1".getBytes(StandardCharsets.UTF_8)))
+      w.write(InternalRow("k2".getBytes(StandardCharsets.UTF_8),
+        "v2".getBytes(StandardCharsets.UTF_8)))
+      w.commit()
+      w.close()
+      assert(readBack(c, "out").map(_._2).toSet == Set("v1", "v2"))
+    }
+  }
+
   test("streaming sink: micro-batches produce to the topic as they arrive") {
     withCluster() { c =>
       c.addPartition("out", 0)
