@@ -564,8 +564,24 @@ private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
 private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
   extends PartitionReader[InternalRow] {
 
-  private val client = new WireClient(p.host, p.port, sasl = p.sasl, tls = p.tls)
+  private var client = new WireClient(p.host, p.port, sasl = p.sasl, tls = p.tls)
+  private var leaderRetried = false
   private val topicUtf8 = UTF8String.fromString(p.topic)
+
+  /** NOT_LEADER mid-range: leadership moved after the driver planned this
+    * partition (a task RETRY reuses the same InputPartition, so without
+    * this the stale leader is permanent). Re-resolve via the current
+    * connection — metadata answers on any broker — and reconnect to the
+    * new leader, once; a second NOT_LEADER is surfaced. */
+  private def reconnectToLeader(cause: WireClient.NotLeader): Unit = {
+    if (leaderRetried) throw cause
+    leaderRetried = true
+    val meta = client.metadata(p.topic)
+    val pm = meta.topic.partitions.find(_.partition == p.partition).getOrElse(throw cause)
+    val ep = meta.brokers.find(_.nodeId == pm.leader).getOrElse(throw cause)
+    try client.close() catch { case _: Throwable => () }
+    client = new WireClient(ep.host, ep.port, sasl = p.sasl, tls = p.tls)
+  }
   private var buffer: Iterator[Records.Record] = Iterator.empty
   private var nextOffset = p.startOffset
   private var current: Records.Record = _
@@ -597,6 +613,7 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
           minBytes = p.fetch.minBytes))
       } catch {
         case e: WireClient.OffsetOutOfRange => skipLossOrThrow(e); None
+        case e: WireClient.NotLeader => reconnectToLeader(e); None
       }
       resOpt match {
         case None => () // jumped past a retention gap; loop refetches

@@ -198,12 +198,11 @@ private[kafka] final class KafkaWireDataWriter(
       val leader = leaders.getOrElse((topic, part), controlEndpoints.head)
       try clientFor(leader).produce(topic, part, buf.toSeq)
       catch {
-        // error 6 NOT_LEADER: leadership moved since the driver resolved
-        // it (or since this task cached it). Refresh from the control
-        // plane and retry ONCE at the new leader — the stock producer's
+        // NOT_LEADER: leadership moved since the driver resolved it (or
+        // since this task cached it). Refresh from the control plane and
+        // retry ONCE at the new leader — the stock producer's
         // metadata-refresh-on-error behavior; a second failure is real.
-        case e: java.io.IOException if e.getMessage != null &&
-            e.getMessage.contains("error 6") =>
+        case _: WireClient.NotLeader =>
           clients.remove(leader).foreach(c => try c.close() catch { case _: Throwable => () })
           val control = clientFor(controlEndpoints.head)
           val meta = control.metadata(topic)

@@ -147,6 +147,9 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
         val err = r.int16()
         val off = r.int64()
         r.int64() // log_append_time
+        if (err == 6)
+          throw new WireClient.NotLeader(
+            s"this broker is not the leader for $topic-$pid (leadership moved?)")
         if (err != 0)
           throw new java.io.IOException(s"Produce error $err on $topic-$pid")
         if (pid == partition) base = off
@@ -272,6 +275,8 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
         val recordSet = r.bytes()
         if (err == 1) throw new WireClient.OffsetOutOfRange(
           s"fetch offset $offset out of range on $topic-$pid (log truncated by retention?)")
+        if (err == 6) throw new WireClient.NotLeader(
+          s"this broker is not the leader for $topic-$pid (leadership moved?)")
         if (err != 0) throw new java.io.IOException(s"Fetch error $err on partition $pid")
         if (pid == partition) {
           val dec =
@@ -297,6 +302,10 @@ object WireClient {
     * truncated it) or exceeds the log end. Typed so the reader can apply
     * the failOnDataLoss policy instead of dying on a generic IO error. */
   final class OffsetOutOfRange(msg: String) extends java.io.IOException(msg)
+
+  /** Kafka error 6: fetched/produced to a broker that no longer leads the
+    * partition — the cue to refresh metadata and go to the new leader. */
+  final class NotLeader(msg: String) extends java.io.IOException(msg)
 
   /** TLS settings mirroring the reference's surface
     * (internal/kafka/tls_conf.go MakeTLSConfigFromStrings +

@@ -567,6 +567,30 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("reader reconnects to the new leader when leadership moves mid-range") {
+    withCluster(brokers = 2) { c =>
+      val log = c.addPartition("t", 0, leader = 1)
+      c.append("t", 0, (0 until 5).map(i => s"k$i" -> s"v$i"))
+      // InputPartition planned when broker 0 led (task retries reuse it) —
+      // the reader must follow leadership to broker 1 via metadata
+      val b0 = c.brokerList.head
+      val rdr = KafkaWireReaderFactory.createReader(
+        KafkaWirePartition(b0.host, b0.port, "t", 0, 0L, 5L, None))
+      val got = Seq.newBuilder[String]
+      while (rdr.next()) got += new String(
+        rdr.get().getBinary(1), StandardCharsets.UTF_8)
+      rdr.close()
+      assert(got.result() == (0 until 5).map(i => s"v$i"))
+      // a leaderless partition (id absent from the broker list) still
+      // fails rather than spinning: second NOT_LEADER surfaces
+      log.leader = 99
+      val rdr2 = KafkaWireReaderFactory.createReader(
+        KafkaWirePartition(b0.host, b0.port, "t", 0, 0L, 5L, None))
+      intercept[Exception](while (rdr2.next()) ())
+      rdr2.close()
+    }
+  }
+
   // --- offset codec ----------------------------------------------------------
 
   test("checkpoint offset JSON round-trips in the stock nested shape") {
