@@ -39,7 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `tls.client_cert`/`tls.client_key` (base64 PEM — the reference's TLS
   * surface, tls_conf.go), `fetch.min_bytes`/`fetch.max_bytes`/
   * `fetch.max_wait_ms` (fetch tuning; reference defaults
-  * constants.go:250-259).
+  * constants.go:250-259), `kafka.group.id` (observational consumer-group
+  * offset commits after each completed batch — the reference consumer's
+  * CommitRecords behavior, consumer.go:318 — so kafka-side lag tooling
+  * tracks the pipeline; restart positions stay checkpoint-owned).
   *
   * Scale shape: one [[InputPartition]] per Kafka partition per batch; each
   * Spark task opens its own socket TO THAT PARTITION'S LEADER and
@@ -90,7 +93,8 @@ object KafkaWireSource {
     headers: Boolean = false,
     pattern: Option[scala.util.matching.Regex] = None,
     failOnDataLoss: Boolean = true,
-    assign: Option[Set[TP]] = None) {
+    assign: Option[Set[TP]] = None,
+    groupId: Option[String] = None) {
     def endpoint: Endpoint = endpoints.head
   }
 
@@ -179,7 +183,13 @@ object KafkaWireSource {
       s"graft-kafka: invalid fetch tuning $fetch")
     Options(endpoints, topics, sasl, tls, fetch, includeHeaders(opts), pattern,
       failOnDataLoss = ci.get("failondataloss").forall(_.toBoolean),
-      assign = assign)
+      assign = assign,
+      // stock-source spelling `kafka.group.id` (plus bare `group.id`): when
+      // set, each completed micro-batch commits its end offsets to this
+      // consumer group — PURELY observational (external lag monitoring, the
+      // reference's CommitRecords behavior); the checkpoint stays the only
+      // source of truth for restart positions.
+      groupId = ci.get("kafka.group.id").orElse(ci.get("group.id")))
   }
 
   /** Fetch metadata for the options' topic set: an explicit list verbatim;
@@ -508,8 +518,40 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory = KafkaWireReaderFactory
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = try client.close() catch { case _: Throwable => () }
+
+  /** Cached connection to the group coordinator (kafka.group.id set);
+    * dropped on any commit failure so the next batch re-resolves — the
+    * coordinator can move between batches. */
+  private var coordClient: WireClient = null
+
+  /** With kafka.group.id set, a COMPLETED batch's end offsets (each the
+    * next-to-read offset — Kafka's committed-offset convention) are
+    * committed to the group, mirroring the reference consumer's
+    * post-processing commit (consumer.go:318/:357) so kafka-side lag
+    * tooling sees this pipeline's progress. Best-effort BY DESIGN: restart
+    * positions come from the Spark checkpoint alone, so a failed commit
+    * must never fail the batch — it is swallowed and retried next batch
+    * on a fresh coordinator lookup. */
+  override def commit(end: Offset): Unit = o.groupId.foreach { gid =>
+    try {
+      if (coordClient == null) {
+        val c = client.findCoordinator(gid)
+        coordClient = new WireClient(c.host, c.port, sasl = o.sasl, tls = o.tls)
+      }
+      coordClient.offsetCommit(gid, end.asInstanceOf[KafkaWireOffset].offsets)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        if (coordClient != null) {
+          try coordClient.close() catch { case _: Throwable => () }
+          coordClient = null
+        }
+    }
+  }
+
+  override def stop(): Unit = {
+    if (coordClient != null) try coordClient.close() catch { case _: Throwable => () }
+    try client.close() catch { case _: Throwable => () }
+  }
 }
 
 private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Batch {

@@ -140,6 +140,9 @@ private[kafka] object Wire {
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3
+  val ApiOffsetCommit = 8
+  val ApiOffsetFetch = 9
+  val ApiFindCoordinator = 10
   val ApiSaslHandshake = 17
   val ApiVersions = 18
   val ApiSaslAuthenticate = 36

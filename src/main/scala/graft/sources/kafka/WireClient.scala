@@ -244,6 +244,81 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     out.result()
   }
 
+  /** FindCoordinator v0: which broker coordinates `groupId` — OffsetCommit/
+    * OffsetFetch must go THERE; any other broker answers error 16
+    * (NOT_COORDINATOR). */
+  def findCoordinator(groupId: String): BrokerMeta = {
+    val r = roundTrip(Wire.ApiFindCoordinator, 0)(w => { w.string(groupId); () })
+    val err = r.int16()
+    if (err != 0) throw new java.io.IOException(s"FindCoordinator error $err for group $groupId")
+    BrokerMeta(r.int32(), r.string(), r.int32())
+  }
+
+  /** OffsetCommit v2 (Kafka-storage era): record `offsets` — each the NEXT
+    * offset to consume, Kafka's committed-offset convention — under
+    * `groupId`. Generation -1 / empty member = simple (non-rebalancing)
+    * commit, exactly the reference consumer's shape: its processed-offset
+    * commits (consumer.go:318 CommitRecords, :357 CommitUncommittedOffsets)
+    * exist so external lag tooling sees progress; correctness lives in the
+    * Spark checkpoint, not here. */
+  def offsetCommit(groupId: String, offsets: Map[(String, Int), Long]): Unit = {
+    if (offsets.isEmpty) return
+    val byTopic = offsets.groupBy(_._1._1).toSeq.sortBy(_._1)
+    val r = roundTrip(Wire.ApiOffsetCommit, 2) { w =>
+      w.string(groupId)
+      w.int32(-1)     // generation_id: not a rebalancing group member
+      w.string("")    // member_id
+      w.int64(-1L)    // retention_time: broker default
+      w.int32(byTopic.size)
+      byTopic.foreach { case (topic, ps) =>
+        w.string(topic)
+        w.int32(ps.size)
+        ps.toSeq.sortBy(_._1._2).foreach { case ((_, p), off) =>
+          w.int32(p).int64(off).string(null) // metadata
+        }
+      }
+    }
+    (0 until r.int32()).foreach { _ =>
+      val topic = r.string()
+      (0 until r.int32()).foreach { _ =>
+        val pid = r.int32()
+        val err = r.int16()
+        if (err != 0)
+          throw new java.io.IOException(s"OffsetCommit error $err on $topic-$pid (group $groupId)")
+      }
+    }
+  }
+
+  /** OffsetFetch v1 (Kafka-storage era): the group's committed offset per
+    * partition, -1 when nothing is committed yet. */
+  def offsetFetch(groupId: String, tps: Seq[(String, Int)]): Map[(String, Int), Long] = {
+    if (tps.isEmpty) return Map.empty
+    val byTopic = tps.groupBy(_._1).toSeq.sortBy(_._1)
+    val r = roundTrip(Wire.ApiOffsetFetch, 1) { w =>
+      w.string(groupId)
+      w.int32(byTopic.size)
+      byTopic.foreach { case (topic, ps) =>
+        w.string(topic)
+        w.int32(ps.size)
+        ps.foreach(tp => w.int32(tp._2))
+      }
+    }
+    val out = Map.newBuilder[(String, Int), Long]
+    (0 until r.int32()).foreach { _ =>
+      val topic = r.string()
+      (0 until r.int32()).foreach { _ =>
+        val pid = r.int32()
+        val off = r.int64()
+        r.string() // metadata
+        val err = r.int16()
+        if (err != 0)
+          throw new java.io.IOException(s"OffsetFetch error $err on $topic-$pid (group $groupId)")
+        out += (topic, pid) -> off
+      }
+    }
+    out.result()
+  }
+
   /** Fetch v4 from one partition at `offset`. Returns decoded records
     * (CRC-verified, control batches skipped), the partition high watermark,
     * and the offset after the last complete batch (advance cursor — may

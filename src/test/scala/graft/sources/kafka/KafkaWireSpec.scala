@@ -641,4 +641,84 @@ class KafkaWireSpec extends SparkSpec {
       assert(vals.toSet == Set("ta:a0", "ta:a1", "ta:a2", "tb:b0", "tb:b1", "tb:b2", "tb:b3"))
     }
   }
+
+  // --- consumer-group offset commits (kafka.group.id) -----------------------
+
+  // Spark's source-commit cadence: MicroBatchStream.commit(N) fires when
+  // batch N+1 (with data) STARTS, or when a restart recovers batch N from
+  // the commit log — never on graceful stop. The group offset therefore
+  // trails the checkpoint by at most one batch; both tests below drive a
+  // follow-up batch to make the trailing commit deterministic.
+
+  test("kafka.group.id: completed batches commit group offsets, visible via OffsetFetch") {
+    withCluster(brokers = 2) { c =>
+      c.addPartition("t", 0, leader = 0)
+      c.addPartition("t", 1, leader = 1)
+      c.append("t", 0, (0 until 5).map(i => s"k$i" -> s"b0-$i"))
+      c.append("t", 1, (0 until 7).map(i => s"k$i" -> s"b1-$i"))
+      val tps = Seq(("t", 0), ("t", 1))
+      val ckpt = tempDir("groupid")
+      val probe = new WireClient(c.brokerList.head.host, c.brokerList.head.port)
+      try {
+        // nothing committed yet: Kafka's "no committed offset" sentinel
+        assert(probe.offsetFetch("graft-cg", tps).values.toSet == Set(-1L))
+
+        val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+        runStream(brokerList(c), "t", ckpt, seen,
+          extra = Map("kafka.group.id" -> "graft-cg"))
+        assert(seen.size == 12)
+
+        // batch 0's commit fires when batch 1 starts: append one more row
+        // and restart on the same checkpoint
+        c.append("t", 0, Seq("k" -> "tail"))
+        runStream(brokerList(c), "t", ckpt, seen,
+          extra = Map("kafka.group.id" -> "graft-cg"))
+        assert(seen.size == 13)
+
+        // the coordinator (FindCoordinator → first broker) now holds batch
+        // 0's end — each partition's NEXT offset, i.e. the pre-tail log ends
+        val coord = probe.findCoordinator("graft-cg")
+        assert(coord.nodeId == c.brokerList.head.nodeId)
+        assert(probe.offsetFetch("graft-cg", tps) ==
+          Map(("t", 0) -> 5L, ("t", 1) -> 7L))
+        // other groups are unaffected
+        assert(probe.offsetFetch("other-group", tps).values.toSet == Set(-1L))
+      } finally probe.close()
+
+      // a commit sent to a NON-coordinator is refused with error 16 — the
+      // contract that makes FindCoordinator mandatory
+      val wrong = new WireClient(c.brokerList(1).host, c.brokerList(1).port)
+      try {
+        val ex = intercept[java.io.IOException] {
+          wrong.offsetCommit("graft-cg", Map(("t", 0) -> 99L))
+        }
+        assert(ex.getMessage.contains("error 16"))
+      } finally wrong.close()
+    }
+  }
+
+  test("kafka.group.id commits are observational: restart position comes from the checkpoint") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "v0", "k" -> "v1"))
+      val ckpt = tempDir("groupid-ckpt")
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", ckpt, seen, extra = Map("kafka.group.id" -> "cg2"))
+      assert(seen.size == 2)
+      // sabotage the group offset: rewind it to 0 — if restart consulted the
+      // GROUP instead of the checkpoint, v0/v1 would replay
+      c.groupOffsets.put(("cg2", "t", 0), 0L)
+      c.append("t", 0, Seq("k" -> "v2"))
+      runStream(brokerList(c), "t", ckpt, seen, extra = Map("kafka.group.id" -> "cg2"))
+      assert(seen.asScala.map(_._4).toSeq.sorted == Seq("v0", "v1", "v2"),
+        "restart read exactly the one new row — checkpoint owned the position")
+      // batch 0 (end=2) re-committed over the sabotage when batch 1 started
+      assert(c.groupOffsets.get(("cg2", "t", 0)) == 2L)
+      // one more data-bearing batch commits batch 1's end=3
+      c.append("t", 0, Seq("k" -> "v3"))
+      runStream(brokerList(c), "t", ckpt, seen, extra = Map("kafka.group.id" -> "cg2"))
+      assert(seen.size == 4)
+      assert(c.groupOffsets.get(("cg2", "t", 0)) == 3L)
+    }
+  }
 }

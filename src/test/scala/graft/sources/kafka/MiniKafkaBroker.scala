@@ -40,6 +40,11 @@ object MiniKafkaBroker {
       * the client MUST reject the connection (WireClient.scala MITM check). */
     @volatile var tamperScramServerSignature: Boolean = false
     val topics = new java.util.concurrent.ConcurrentHashMap[String, mutable.Map[Int, PartitionLog]]()
+    /** Consumer-group offset store: (group, topic, partition) → committed
+      * offset. The FIRST broker coordinates every group (FindCoordinator);
+      * commits on any other broker answer error 16 (NOT_COORDINATOR), so a
+      * client that skips coordinator lookup is caught. */
+    val groupOffsets = new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Long]()
     private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
 
     def addBroker(tls: Option[javax.net.ssl.SSLContext] = None): MiniKafkaBroker = synchronized {
@@ -166,6 +171,9 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
               case Wire.ApiListOffsets => listOffsetsResp(r, w)
               case Wire.ApiFetch => fetchResp(r, w, apiVersion)
               case Wire.ApiProduce => produceResp(r, w)
+              case Wire.ApiFindCoordinator => findCoordinatorResp(r, w)
+              case Wire.ApiOffsetCommit => offsetCommitResp(r, w)
+              case Wire.ApiOffsetFetch => offsetFetchResp(r, w)
               case other =>
                 throw new IllegalStateException(s"mini broker: unsupported api $other")
             }
@@ -181,7 +189,9 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
     val apis = Seq(Wire.ApiProduce -> (0, 3), Wire.ApiFetch -> (0, 4),
       Wire.ApiListOffsets -> (0, 1),
       Wire.ApiMetadata -> (0, 1), Wire.ApiSaslHandshake -> (0, 1),
-      Wire.ApiVersions -> (0, 0), Wire.ApiSaslAuthenticate -> (0, 0))
+      Wire.ApiVersions -> (0, 0), Wire.ApiSaslAuthenticate -> (0, 0),
+      Wire.ApiOffsetCommit -> (0, 2), Wire.ApiOffsetFetch -> (0, 1),
+      Wire.ApiFindCoordinator -> (0, 0))
     w.int32(apis.size)
     apis.foreach { case (k, (mn, mx)) => w.int16(k).int16(mn).int16(mx) }
     ()
@@ -357,6 +367,73 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
       }
     }
     w.int32(0) // throttle_time_ms — tail position in Produce v1-v5
+    ()
+  }
+
+  /** FindCoordinator v0: the first cluster broker coordinates every group —
+    * a fixed assignment is all the client contract needs (it must ASK, then
+    * commit THERE). */
+  private def findCoordinatorResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    r.string() // group id
+    val coord = cluster.brokerList.head
+    w.int16(0).int32(coord.nodeId).string(coord.host).int32(coord.port)
+    ()
+  }
+
+  /** OffsetCommit v2: store per-partition committed offsets under the
+    * group. A non-coordinator answers error 16 NOT_COORDINATOR — the
+    * mistake FindCoordinator exists to prevent. */
+  private def offsetCommitResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    val group = r.string()
+    r.int32()  // generation_id
+    r.string() // member_id
+    r.int64()  // retention_time
+    val isCoordinator = cluster.brokerList.head.nodeId == nodeId
+    val topicCount = r.int32()
+    val req = (0 until topicCount).map { _ =>
+      val name = r.string()
+      val parts = (0 until r.int32()).map { _ =>
+        val pid = r.int32(); val off = r.int64(); r.string() // metadata
+        (pid, off)
+      }
+      name -> parts
+    }
+    w.int32(req.size)
+    req.foreach { case (name, parts) =>
+      w.string(name)
+      w.int32(parts.size)
+      parts.foreach { case (pid, off) =>
+        if (!isCoordinator) w.int32(pid).int16(16) // NOT_COORDINATOR
+        else {
+          cluster.groupOffsets.put((group, name, pid), off)
+          w.int32(pid).int16(0)
+        }
+        ()
+      }
+    }
+    ()
+  }
+
+  /** OffsetFetch v1: committed offset per requested partition, -1 when the
+    * group never committed one. */
+  private def offsetFetchResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    val group = r.string()
+    val topicCount = r.int32()
+    val req = (0 until topicCount).map { _ =>
+      val name = r.string()
+      val parts = (0 until r.int32()).map(_ => r.int32())
+      name -> parts
+    }
+    w.int32(req.size)
+    req.foreach { case (name, parts) =>
+      w.string(name)
+      w.int32(parts.size)
+      parts.foreach { pid =>
+        val off = cluster.groupOffsets.getOrDefault((group, name, pid), -1L)
+        w.int32(pid).int64(off).string(null).int16(0)
+        ()
+      }
+    }
     ()
   }
 
