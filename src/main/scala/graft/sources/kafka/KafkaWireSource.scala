@@ -42,7 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * constants.go:250-259), `kafka.group.id` (observational consumer-group
   * offset commits after each completed batch — the reference consumer's
   * CommitRecords behavior, consumer.go:318 — so kafka-side lag tooling
-  * tracks the pipeline; restart positions stay checkpoint-owned).
+  * tracks the pipeline; restart positions stay checkpoint-owned),
+  * `kafka.isolation.level` (read_uncommitted default | read_committed —
+  * the stock source's transactional-read switch: offsets plan against the
+  * last stable offset and aborted transactions' batches are filtered
+  * during decode, so EXACTLY the rows a committed-transactions consumer
+  * sees flow through).
   *
   * Scale shape: one [[InputPartition]] per Kafka partition per batch; each
   * Spark task opens its own socket TO THAT PARTITION'S LEADER and
@@ -94,7 +99,8 @@ object KafkaWireSource {
     pattern: Option[scala.util.matching.Regex] = None,
     failOnDataLoss: Boolean = true,
     assign: Option[Set[TP]] = None,
-    groupId: Option[String] = None) {
+    groupId: Option[String] = None,
+    isolation: Int = 0) { // 0 read_uncommitted / 1 read_committed
     def endpoint: Endpoint = endpoints.head
   }
 
@@ -189,7 +195,17 @@ object KafkaWireSource {
       // consumer group — PURELY observational (external lag monitoring, the
       // reference's CommitRecords behavior); the checkpoint stays the only
       // source of truth for restart positions.
-      groupId = ci.get("kafka.group.id").orElse(ci.get("group.id")))
+      groupId = ci.get("kafka.group.id").orElse(ci.get("group.id")),
+      // stock-source spelling kafka.isolation.level (plus bare
+      // isolation.level): read_committed hides rows written by aborted or
+      // still-open transactions — offsets plan against the LAST STABLE
+      // OFFSET and fetches filter aborted producers' batches.
+      isolation = ci.get("kafka.isolation.level").orElse(ci.get("isolation.level")) match {
+        case None | Some("read_uncommitted") => 0
+        case Some("read_committed") => 1
+        case Some(other) => throw new IllegalArgumentException(
+          s"graft-kafka: isolation.level must be read_uncommitted or read_committed, got '$other'")
+      })
   }
 
   /** Fetch metadata for the options' topic set: an explicit list verbatim;
@@ -415,10 +431,13 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   private def allTps(meta: WireClient.ClusterMeta): Seq[TP] =
     meta.topics.flatMap(t => t.partitions.map(p => (t.name, p.partition))).sorted
 
-  /** ListOffsets for a TP set, one request per topic. */
+  /** ListOffsets for a TP set, one request per topic. Under read_committed
+    * a "latest" (-1) answer is the LSO, so planned ranges never cross an
+    * open transaction. */
   private def listOffsets(tps: Seq[TP], ts: Long): Map[TP, Long] =
     tps.groupBy(_._1).flatMap { case (topic, g) =>
-      client.listOffsets(topic, g.map(_._2), ts).map { case (p, off) => (topic, p) -> off }
+      client.listOffsets(topic, g.map(_._2), ts, isolation = o.isolation)
+        .map { case (p, off) => (topic, p) -> off }
     }
 
   override def initialOffset(): Offset =
@@ -513,7 +532,8 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     KafkaWireSource.splitRanges(ranges, minPartitions).map { case ((topic, p), a, b) =>
       val leader = leaders.getOrElse((topic, p), o.endpoint)
       KafkaWirePartition(leader.host, leader.port, topic, p, a, b,
-        o.sasl, o.tls, o.fetch, o.headers, o.failOnDataLoss): InputPartition
+        o.sasl, o.tls, o.fetch, o.headers, o.failOnDataLoss,
+        isolation = o.isolation): InputPartition
     }.toArray
   }
 
@@ -565,7 +585,8 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
       val tps = meta.topics.flatMap(t => t.partitions.map(p => (t.name, p.partition))).sorted
       def list(ts2: Seq[KafkaWireSource.TP], ts: Long): Map[KafkaWireSource.TP, Long] =
         ts2.groupBy(_._1).flatMap { case (t, g) =>
-          client.listOffsets(t, g.map(_._2), ts).map { case (p, off) => (t, p) -> off } }
+          client.listOffsets(t, g.map(_._2), ts, isolation = o.isolation)
+            .map { case (p, off) => (t, p) -> off } }
       // bounded batch reads (backfill/replay): stock-source option surface
       val earliest = KafkaWireSource.resolveBound(
         ci.getOrElse("startingoffsets", "earliest"), tps, list, defaultLatest = false)
@@ -579,7 +600,8 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
       KafkaWireSource.splitRanges(ranges, minParts).map { case ((topic, p), a, b) =>
         val leader = leaders.getOrElse((topic, p), o.endpoint)
         KafkaWirePartition(leader.host, leader.port, topic, p, a, b,
-          o.sasl, o.tls, o.fetch, o.headers, o.failOnDataLoss): InputPartition
+          o.sasl, o.tls, o.fetch, o.headers, o.failOnDataLoss,
+          isolation = o.isolation): InputPartition
       }.toArray
     } finally client.close()
   }
@@ -593,7 +615,8 @@ private[kafka] final case class KafkaWirePartition(
   tls: Option[WireClient.TlsConfig] = None,
   fetch: KafkaWireSource.FetchTuning = KafkaWireSource.FetchTuning(),
   includeHeaders: Boolean = false,
-  failOnDataLoss: Boolean = true) extends InputPartition
+  failOnDataLoss: Boolean = true,
+  isolation: Int = 0) extends InputPartition
 
 private[kafka] object KafkaWireReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -652,7 +675,7 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
       val resOpt = try {
         Some(client.fetch(p.topic, p.partition, nextOffset,
           maxBytes = p.fetch.maxBytes, maxWaitMs = p.fetch.maxWaitMs,
-          minBytes = p.fetch.minBytes))
+          minBytes = p.fetch.minBytes, isolation = p.isolation))
       } catch {
         case e: WireClient.OffsetOutOfRange => skipLossOrThrow(e); None
         case e: WireClient.NotLeader => reconnectToLeader(e); None
@@ -662,9 +685,12 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
         case Some(res) if res.records.isEmpty && res.nextOffset < 0 =>
           // Range was planned from a live log-end offset, so data below
           // endOffset must exist; an empty response (no batch decoded at
-          // all) below the HWM means the offset aged out on a broker that
-          // answers with emptiness instead of error 1 — same policy.
-          if (nextOffset < res.highWatermark) skipLossOrThrow(
+          // all) below the read ceiling (HWM, or LSO under read_committed —
+          // rows behind an open transaction are legitimately absent) means
+          // the offset aged out on a broker that answers with emptiness
+          // instead of error 1 — same policy.
+          val ceiling = if (p.isolation == 1) res.lastStableOffset else res.highWatermark
+          if (nextOffset < ceiling) skipLossOrThrow(
             new java.io.IOException(
               s"empty fetch at offset $nextOffset below hwm ${res.highWatermark}"))
           else return false

@@ -51,7 +51,8 @@ object Records {
   /** Batch attributes bits (protocol guide "Record Batch" attributes). */
   private val CompressionMask = 0x07
   private val LogAppendTimeBit = 0x08
-  private val ControlBit = 0x20
+  val TransactionalBit = 0x10
+  val ControlBit = 0x20
 
   /** Codec ids (attributes bits 0-2), per Kafka's CompressionType. */
   val CodecNone = 0
@@ -93,7 +94,7 @@ object Records {
     * `lastOffsetDeltaOverride` (when >= 0) lets tests model a compacted
     * batch whose header still spans offsets the records no longer cover. */
   def encodeBatch(baseOffset: Long, records: Seq[Record], attributes: Int = 0,
-                  lastOffsetDeltaOverride: Int = -1): Array[Byte] = {
+                  lastOffsetDeltaOverride: Int = -1, producerId: Long = -1L): Array[Byte] = {
     require(records.nonEmpty, "record batch must carry at least one record")
     val baseTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max
@@ -111,8 +112,8 @@ object Records {
             else records.size - 1) // lastOffsetDelta
     w.int64(baseTs)
     w.int64(maxTs)
-    w.int64(-1L)                  // producerId
-    w.int16(-1)                   // producerEpoch
+    w.int64(producerId)
+    w.int16(if (producerId >= 0) 0 else -1) // producerEpoch
     w.int32(-1)                   // baseSequence
     w.int32(records.size)
     val recs = new Wire.Writer
@@ -141,6 +142,19 @@ object Records {
     w.toArray
   }
 
+  /** Encode a transaction-marker CONTROL batch (attributes bits 4+5) for
+    * `producerId` at `offset`: one record whose key is (version:int16=0,
+    * type:int16 — 1 COMMIT / 0 ABORT), the public control-record schema.
+    * Brokers write these when a transaction ends; clients never see their
+    * payload as rows, but read_committed clients use the ABORT marker to
+    * know an aborted producer's batches have all been seen. */
+  def encodeControl(offset: Long, producerId: Long, commit: Boolean,
+                    timestampMs: Long = 1700000000000L): Array[Byte] = {
+    val key = Array[Byte](0, 0, 0, if (commit) 1 else 0)
+    encodeBatch(offset, Seq(Record(offset, timestampMs, key, Array.emptyByteArray)),
+      attributes = ControlBit | TransactionalBit, producerId = producerId)
+  }
+
   /** Decode every batch in a Fetch record set, VERIFYING each CRC32C —
     * a flipped bit on the wire must surface as an error, not bad rows.
     * Batches truncated by the broker's byte cap (a legal Fetch artifact:
@@ -149,11 +163,26 @@ object Records {
     * CONTROL batches (attributes bit 5 — transaction commit/abort markers
     * on transactional topics) are skipped but still advance `nextOffset`:
     * emitting their marker payloads as rows would be silent corruption
-    * (the stock Kafka source skips them the same way). */
-  def decodeAll(recordSet: Array[Byte]): Decoded = {
+    * (the stock Kafka source skips them the same way).
+    *
+    * read_committed (`readCommitted=true` + the Fetch response's
+    * `aborted` list of (producerId, firstOffset)): a transactional data
+    * batch whose producer appears in `aborted` with firstOffset ≤ the
+    * batch's baseOffset is DROPPED — its rows were written by a
+    * transaction that aborted — until that producer's ABORT control
+    * marker is passed, which ends the aborted span. This is the public
+    * client-side filtering algorithm (KafkaConsumer's aborted-transaction
+    * index search); offsets still advance over dropped batches, so
+    * checkpoint positions are identical in both isolation modes. */
+  def decodeAll(recordSet: Array[Byte], aborted: Seq[(Long, Long)] = Nil,
+                readCommitted: Boolean = false): Decoded = {
     val out = Vector.newBuilder[Record]
     var at = 0
     var next = -1L
+    // aborted txns not yet reached, cheapest-first; producers currently
+    // inside an aborted span
+    var pending = aborted.sortBy(_._2).toList
+    val activeAborted = scala.collection.mutable.Set[Long]()
     while (recordSet.length - at >= 12) {
       val head = new Wire.Reader(recordSet, at)
       val baseOffset = head.int64()
@@ -178,11 +207,22 @@ object Records {
         val codec = attributes & CompressionMask
         val logAppendTime = (attributes & LogAppendTimeBit) != 0
         val isControl = (attributes & ControlBit) != 0
+        val isTransactional = (attributes & TransactionalBit) != 0
         val lastOffsetDelta = r.int32()
         val baseTs = r.int64()
         val maxTs = r.int64()
-        r.skip(8 + 2 + 4) // producerId, producerEpoch, baseSequence
+        val producerId = r.int64()
+        r.skip(2 + 4) // producerEpoch, baseSequence
         val count = r.int32()
+        if (readCommitted) {
+          // aborted txns whose first offset precedes this batch are now live
+          while (pending.nonEmpty && pending.head._2 <= baseOffset) {
+            activeAborted += pending.head._1
+            pending = pending.tail
+          }
+        }
+        val dropAborted = readCommitted && isTransactional && !isControl &&
+          activeAborted.contains(producerId)
         // the records block (everything after recordCount, up to the batch
         // end) is compressed as one unit; the header above never is
         val rr = if (codec == CodecNone) r
@@ -191,7 +231,19 @@ object Records {
         while (i < count) {
           val len = rr.varint()
           val bodyEnd = rr.pos + len
-          if (!isControl) {
+          if (isControl && readCommitted) {
+            // control-record key: version int16, type int16 (0 ABORT /
+            // 1 COMMIT) — an ABORT marker closes its producer's aborted span
+            rr.skip(1)   // record attributes
+            rr.varlong() // timestampDelta
+            rr.varint()  // offsetDelta
+            val keyLen = rr.varint()
+            val key = if (keyLen < 0) null else rr.raw(keyLen)
+            if (key != null && key.length >= 4) {
+              val markerType = ((key(2) & 0xff) << 8) | (key(3) & 0xff)
+              if (markerType == 0) activeAborted -= producerId
+            }
+          } else if (!isControl && !dropAborted) {
             rr.skip(1) // record attributes
             val tsDelta = rr.varlong()
             val offDelta = rr.varint()

@@ -221,14 +221,21 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
   }
 
   /** ListOffsets v1: timestamp -1 = latest (log end), -2 = earliest. */
-  def listOffsets(topic: String, partitions: Seq[Int], timestamp: Long): Map[Int, Long] = {
+  def listOffsets(topic: String, partitions: Seq[Int], timestamp: Long,
+                  isolation: Int = 0): Map[Int, Long] = {
     if (partitions.isEmpty) return Map.empty
-    val r = roundTrip(Wire.ApiListOffsets, 1) { w =>
+    // v2 (Kafka 0.11+) carries the isolation level: under read_committed
+    // the "latest" (-1) answer is the LAST STABLE OFFSET, not the log end —
+    // which is what keeps offset planning from promising rows that sit
+    // behind an open transaction.
+    val r = roundTrip(Wire.ApiListOffsets, 2) { w =>
       w.int32(-1) // replica_id
+      w.int8(isolation)
       w.int32(1); w.string(topic)
       w.int32(partitions.size)
       partitions.foreach { p => w.int32(p).int64(timestamp) }
     }
+    r.int32() // throttle_time_ms (v2+)
     val out = Map.newBuilder[Int, Long]
     (0 until r.int32()).foreach { _ =>
       r.string()
@@ -322,15 +329,19 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
   /** Fetch v4 from one partition at `offset`. Returns decoded records
     * (CRC-verified, control batches skipped), the partition high watermark,
     * and the offset after the last complete batch (advance cursor — may
-    * exceed the last record's offset on control/compacted batches). */
+    * exceed the last record's offset on control/compacted batches).
+    * `isolation` 1 = read_committed: the broker bounds the response at the
+    * last stable offset and names aborted transactions overlapping the
+    * range; their batches are filtered out during decode. */
   def fetch(topic: String, partition: Int, offset: Long,
-            maxBytes: Int = 1 << 20, maxWaitMs: Int = 750, minBytes: Int = 1): FetchResult = {
+            maxBytes: Int = 1 << 20, maxWaitMs: Int = 750, minBytes: Int = 1,
+            isolation: Int = 0): FetchResult = {
     val r = roundTrip(Wire.ApiFetch, 4) { w =>
       w.int32(-1)          // replica_id
       w.int32(maxWaitMs)
       w.int32(minBytes)
       w.int32(maxBytes)    // response-level cap (v3+)
-      w.int8(0)            // isolation_level: read_uncommitted
+      w.int8(isolation)    // 0 read_uncommitted / 1 read_committed
       w.int32(1); w.string(topic)
       w.int32(1)
       w.int32(partition).int64(offset).int32(maxBytes)
@@ -344,9 +355,9 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
         val pid = r.int32()
         val err = r.int16()
         val hwm = r.int64()
-        r.int64() // last_stable_offset
+        val lso = r.int64() // last_stable_offset (-1 when not tracked)
         val abortedCount = r.int32()
-        (0 until math.max(abortedCount, 0)).foreach(_ => { r.int64(); r.int64() })
+        val aborted = (0 until math.max(abortedCount, 0)).map(_ => (r.int64(), r.int64()))
         val recordSet = r.bytes()
         if (err == 1) throw new WireClient.OffsetOutOfRange(
           s"fetch offset $offset out of range on $topic-$pid (log truncated by retention?)")
@@ -356,8 +367,9 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
         if (pid == partition) {
           val dec =
             if (recordSet == null || recordSet.isEmpty) Records.Decoded(Nil, -1L)
-            else Records.decodeAll(recordSet)
-          result = FetchResult(hwm, dec.records, dec.nextOffset)
+            else Records.decodeAll(recordSet, aborted, readCommitted = isolation == 1)
+          result = FetchResult(hwm, dec.records, dec.nextOffset,
+            lastStableOffset = if (lso >= 0) lso else hwm)
         }
       }
     }
@@ -490,6 +502,8 @@ object WireClient {
   /** `nextOffset` = offset after the last COMPLETE batch in the response
     * (-1 when none decoded); the correct cursor advance even when every
     * record was filtered out (control batch / compacted tail). */
+  /** `lastStableOffset` = `highWatermark` unless the broker tracks open
+    * transactions below it; under read_committed it is the read ceiling. */
   final case class FetchResult(highWatermark: Long, records: Seq[Records.Record],
-                               nextOffset: Long)
+                               nextOffset: Long, lastStableOffset: Long = -1L)
 }

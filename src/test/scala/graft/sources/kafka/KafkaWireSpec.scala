@@ -721,4 +721,92 @@ class KafkaWireSpec extends SparkSpec {
       assert(c.groupOffsets.get(("cg2", "t", 0)) == 3L)
     }
   }
+
+  // --- transactional isolation (kafka.isolation.level) ----------------------
+
+  private val readCommitted = Map("kafka.isolation.level" -> "read_committed")
+
+  test("read_committed hides open transactions; commit releases the rows") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "d0", "k" -> "d1"))                    // 0-1 settled
+      c.appendTransactional("t", 0, 9L, Seq("k" -> "tx0", "k" -> "tx1")) // 2-3 OPEN
+      // read_uncommitted (the default) sees everything, open txn included
+      assert(readBatch(brokerList(c), "t").collect().map(valueStr).sorted.toSeq ==
+        Seq("d0", "d1", "tx0", "tx1"))
+      // read_committed plans against the LSO → only the settled prefix
+      assert(readBatch(brokerList(c), "t", readCommitted).collect()
+        .map(valueStr).toSeq == Seq("d0", "d1"))
+      // the COMMIT marker settles the txn: rows flow; the marker itself
+      // emits no row but its offset is accounted for
+      c.endTxn("t", 0, 9L, commit = true)
+      val rows = readBatch(brokerList(c), "t", readCommitted).collect()
+        .sortBy(_.getLong(4))
+      assert(rows.map(valueStr).toSeq == Seq("d0", "d1", "tx0", "tx1"))
+      assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 1L, 2L, 3L))
+    }
+  }
+
+  test("aborted transactions are invisible under read_committed, visible under read_uncommitted") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.appendTransactional("t", 0, 7L, Seq("k" -> "bad0", "k" -> "bad1")) // 0-1
+      c.append("t", 0, Seq("k" -> "good2"))                                // 2 interleaved
+      c.endTxn("t", 0, 7L, commit = false)                                 // 3 ABORT
+      c.append("t", 0, Seq("k" -> "good4"))                                // 4
+      val rows = readBatch(brokerList(c), "t", readCommitted).collect()
+        .sortBy(_.getLong(4))
+      assert(rows.map(valueStr).toSeq == Seq("good2", "good4"),
+        "aborted rows filtered; interleaved non-transactional rows kept")
+      assert(rows.map(_.getLong(4)).toSeq == Seq(2L, 4L))
+      // the same log under read_uncommitted surfaces the aborted rows
+      assert(readBatch(brokerList(c), "t").collect().map(valueStr).sorted.toSeq ==
+        Seq("bad0", "bad1", "good2", "good4"))
+    }
+  }
+
+  test("interleaved producers: only the committed producer's rows survive read_committed") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.appendTransactional("t", 0, 1L, Seq("k" -> "a0")) // 0, producer 1 (will abort)
+      c.appendTransactional("t", 0, 2L, Seq("k" -> "b1")) // 1, producer 2 (will commit)
+      c.appendTransactional("t", 0, 1L, Seq("k" -> "a2")) // 2, producer 1 again
+      c.endTxn("t", 0, 1L, commit = false)                // 3 ABORT(p1)
+      c.endTxn("t", 0, 2L, commit = true)                 // 4 COMMIT(p2)
+      val rows = readBatch(brokerList(c), "t", readCommitted).collect()
+      assert(rows.map(valueStr).toSeq == Seq("b1"))
+      assert(rows.map(_.getLong(4)).toSeq == Seq(1L))
+    }
+  }
+
+  test("streaming read_committed: the LSO gates admission; commit releases buffered rows") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "s0"))                // 0
+      c.appendTransactional("t", 0, 5L, Seq("k" -> "tx")) // 1 OPEN
+      val ckpt = tempDir("readcommitted")
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", ckpt, seen, readCommitted)
+      assert(seen.asScala.map(_._4).toSeq == Seq("s0"),
+        "rows behind an open transaction must not flow")
+      c.endTxn("t", 0, 5L, commit = true)               // 2 COMMIT
+      c.append("t", 0, Seq("k" -> "s3"))                // 3
+      runStream(brokerList(c), "t", ckpt, seen, readCommitted)
+      assert(seen.asScala.map(_._4).toSeq.sorted == Seq("s0", "s3", "tx"))
+      // offsets line up with the log: the control marker produced no row
+      // but its offset (2) was stepped over, not replanned
+      assert(seen.asScala.map(_._3).toSeq.sorted == Seq(0L, 1L, 3L))
+    }
+  }
+
+  test("isolation.level option: stock spellings parse; nonsense is loud") {
+    val base = Map("brokers" -> "h:1", "topic" -> "t")
+    assert(KafkaWireSource.parseOptions(base).isolation == 0)
+    assert(KafkaWireSource.parseOptions(
+      base + ("kafka.isolation.level" -> "read_committed")).isolation == 1)
+    assert(KafkaWireSource.parseOptions(
+      base + ("isolation.level" -> "read_uncommitted")).isolation == 0)
+    assertThrows[IllegalArgumentException](
+      KafkaWireSource.parseOptions(base + ("isolation.level" -> "serializable")))
+  }
 }

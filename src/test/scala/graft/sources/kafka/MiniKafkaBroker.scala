@@ -25,8 +25,19 @@ object MiniKafkaBroker {
   final class PartitionLog(@volatile var leader: Int) {
     val batches = mutable.ArrayBuffer[LogBatch]()
     @volatile var logStart = 0L
+    /** producerId → first offset of its OPEN transaction. */
+    val openTxns = mutable.Map[Long, Long]()
+    /** Completed ABORTED transactions: (producerId, firstOffset), the
+      * fetch-response aborted_transactions source. */
+    val abortedTxns = mutable.ArrayBuffer[(Long, Long)]()
     def logEnd: Long = synchronized {
       batches.lastOption.map(_.lastOffset + 1).getOrElse(logStart)
+    }
+    /** Last stable offset: everything below it is transaction-settled —
+      * the first offset of the earliest still-open transaction, or the
+      * log end when none is open. */
+    def lastStable: Long = synchronized {
+      if (openTxns.isEmpty) logEnd else math.min(openTxns.values.min, logEnd)
     }
   }
 
@@ -74,6 +85,41 @@ object MiniKafkaBroker {
         }
         log.batches += LogBatch(base, base + kvs.size - 1,
           Records.encodeBatch(base, recs, attributes))
+      }
+    }
+
+    /** Append key/value pairs as one TRANSACTIONAL batch under `producerId`
+      * — the transaction stays OPEN (holding the LSO at its first offset)
+      * until [[endTxn]] writes its control marker. */
+    def appendTransactional(topic: String, partition: Int, producerId: Long,
+                            kvs: Seq[(String, String)],
+                            timestampMs: Long = 1700000000000L): Unit = {
+      val log = addPartition(topic, partition)
+      log.synchronized {
+        val base = log.logEnd
+        val recs = kvs.zipWithIndex.map { case ((k, v), i) =>
+          Records.Record(base + i, timestampMs + i,
+            if (k == null) null else k.getBytes(StandardCharsets.UTF_8),
+            if (v == null) null else v.getBytes(StandardCharsets.UTF_8))
+        }
+        log.batches += LogBatch(base, base + kvs.size - 1,
+          Records.encodeBatch(base, recs, attributes = 0x10 /* transactional */,
+            producerId = producerId))
+        if (!log.openTxns.contains(producerId)) log.openTxns(producerId) = base
+      }
+    }
+
+    /** End `producerId`'s open transaction with a COMMIT or ABORT control
+      * marker at the log end; an abort is recorded for read_committed
+      * fetch responses. */
+    def endTxn(topic: String, partition: Int, producerId: Long, commit: Boolean): Unit = {
+      val log = topics.get(topic)(partition)
+      log.synchronized {
+        val at = log.logEnd
+        log.batches += LogBatch(at, at, Records.encodeControl(at, producerId, commit))
+        log.openTxns.remove(producerId).foreach { first =>
+          if (!commit) log.abortedTxns += ((producerId, first))
+        }
       }
     }
 
@@ -168,7 +214,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
                 // A SASL listener kills connections that skip the handshake.
                 open = false
               case Wire.ApiMetadata => metadataResp(r, w)
-              case Wire.ApiListOffsets => listOffsetsResp(r, w)
+              case Wire.ApiListOffsets => listOffsetsResp(r, w, apiVersion)
               case Wire.ApiFetch => fetchResp(r, w, apiVersion)
               case Wire.ApiProduce => produceResp(r, w)
               case Wire.ApiFindCoordinator => findCoordinatorResp(r, w)
@@ -187,7 +233,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
   private def apiVersionsResp(w: Wire.Writer): Unit = {
     w.int16(0)
     val apis = Seq(Wire.ApiProduce -> (0, 3), Wire.ApiFetch -> (0, 4),
-      Wire.ApiListOffsets -> (0, 1),
+      Wire.ApiListOffsets -> (0, 2),
       Wire.ApiMetadata -> (0, 1), Wire.ApiSaslHandshake -> (0, 1),
       Wire.ApiVersions -> (0, 0), Wire.ApiSaslAuthenticate -> (0, 0),
       Wire.ApiOffsetCommit -> (0, 2), Wire.ApiOffsetFetch -> (0, 1),
@@ -295,14 +341,18 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
     ()
   }
 
-  private def listOffsetsResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+  private def listOffsetsResp(r: Wire.Reader, w: Wire.Writer, version: Int): Unit = {
     r.int32() // replica_id
+    // v2 carries the isolation level: under read_committed (1) a "latest"
+    // (-1) query answers the LAST STABLE OFFSET, not the log end.
+    val isolation = if (version >= 2) r.int8() else 0: Byte
     val topicCount = r.int32()
     val req = (0 until topicCount).map { _ =>
       val name = r.string()
       val parts = (0 until r.int32()).map(_ => (r.int32(), r.int64()))
       name -> parts
     }
+    if (version >= 2) w.int32(0) // throttle_time_ms
     w.int32(req.size)
     req.foreach { case (name, parts) =>
       w.string(name)
@@ -312,7 +362,10 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
         log match {
           case None => w.int32(pid).int16(3).int64(-1L).int64(-1L)
           case Some(l) =>
-            val off = if (ts == -2L) l.logStart else l.logEnd
+            val off =
+              if (ts == -2L) l.logStart
+              else if (isolation == 1) l.lastStable
+              else l.logEnd
             w.int32(pid).int16(0).int64(-1L).int64(off)
         }
         ()
@@ -442,7 +495,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
     r.int32() // max_wait
     r.int32() // min_bytes
     val respMaxBytes = if (version >= 3) r.int32() else Int.MaxValue
-    if (version >= 4) r.int8() // isolation
+    val isolation = if (version >= 4) r.int8() else 0: Byte
     val topicCount = r.int32()
     val req = (0 until topicCount).map { _ =>
       val name = r.string()
@@ -470,9 +523,13 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
             // below the requested offset — what a real broker answers.
             w.int32(pid).int16(1).int64(-1L).int64(-1L).int32(0).bytes(null)
           case Some(log) =>
-            val (hwm, payload) = log.synchronized {
+            val (hwm, lso, aborted, payload) = log.synchronized {
               val cap = math.min(pmax.toLong, respMaxBytes.toLong).toInt
-              val hits = log.batches.filter(_.lastOffset >= off)
+              val stable = log.lastStable
+              // read_committed never serves rows at/above the LSO — they sit
+              // behind a still-open transaction.
+              val hits = log.batches.filter(b => b.lastOffset >= off &&
+                (isolation != 1 || b.baseOffset < stable))
               val buf = new Wire.Writer
               var budget = cap
               var first = true
@@ -481,9 +538,17 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
                 if (fits) { buf.bytesRaw(b.bytes); budget -= b.bytes.length; first = false }
                 fits
               }.size
-              (log.logEnd, buf.toArray)
+              // Over-reporting aborted txns is safe (the client's filter only
+              // acts when it actually sees that producer's data batches), so
+              // the fake skips the txn-index overlap math and names them all.
+              val ab = if (isolation == 1) log.abortedTxns.toSeq else Nil
+              (log.logEnd, stable, ab, buf.toArray)
             }
-            w.int32(pid).int16(0).int64(hwm).int64(hwm).int32(0)
+            w.int32(pid).int16(0).int64(hwm).int64(lso)
+            w.int32(aborted.size)
+            aborted.foreach { case (producerId, firstOffset) =>
+              w.int64(producerId).int64(firstOffset)
+            }
             w.bytes(if (payload.isEmpty) null else payload)
         }
         ()
