@@ -43,7 +43,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * offset commits after each completed batch — the reference consumer's
   * CommitRecords behavior, consumer.go:318 — so kafka-side lag tooling
   * tracks the pipeline; restart positions stay checkpoint-owned),
-  * `kafka.isolation.level` (read_uncommitted default | read_committed —
+  * `startingTimestamp`/`startingOffsetsByTimestamp` (+`…Strategy`) and
+  * `endingTimestamp`/`endingOffsetsByTimestamp` (replay from a wall-clock
+  * point: ListOffsets resolves each partition to the first offset
+  * at-or-after the ms timestamp), `kafka.isolation.level`
+  * (read_uncommitted default | read_committed —
   * the stock source's transactional-read switch: offsets plan against the
   * last stable offset and aborted transactions' batches are filtered
   * during decode, so EXACTLY the rows a committed-transactions consumer
@@ -336,6 +340,74 @@ object KafkaWireSource {
     }
   }
 
+  /** Parsed starting-timestamp options (stock spellings), validated:
+    * positional startingOffsets and any timestamp start are exclusive —
+    * two replay points is a config bug, not a preference order. */
+  private[kafka] final case class TsBound(global: Option[Long], json: Option[String],
+                                          errorOnNoMatch: Boolean)
+
+  private[kafka] def timestampBoundOptions(ci: Map[String, String]): TsBound = {
+    val b = TsBound(
+      ci.get("startingtimestamp").map(_.trim.toLong),
+      ci.get("startingoffsetsbytimestamp"),
+      ci.getOrElse("startingoffsetsbytimestampstrategy", "error") match {
+        case "error" => true
+        case "latest" => false
+        case other => throw new IllegalArgumentException(
+          s"graft-kafka: startingOffsetsByTimestampStrategy must be error or latest, got '$other'")
+      })
+    if ((b.global.nonEmpty || b.json.nonEmpty) && ci.contains("startingoffsets"))
+      throw new IllegalArgumentException(
+        "graft-kafka: startingOffsets and startingTimestamp/startingOffsetsByTimestamp are exclusive")
+    b
+  }
+
+  /** Timestamp-based bound resolution — the stock source's
+    * `startingTimestamp` / `startingOffsetsByTimestamp` (and `ending*`)
+    * surface for replaying from a wall-clock point. Each partition resolves
+    * to the FIRST offset whose record timestamp is >= the requested ms
+    * (ListOffsets with a real timestamp). Returns None when neither option
+    * is present, letting the positional startingOffsets path run.
+    *
+    * A partition with NO such record (requested time is past its newest
+    * row) follows the stock strategy switch: `errorOnNoMatch=true` (the
+    * stock `startingOffsetsByTimestampStrategy=error` default) fails
+    * loudly; false resolves it to latest — which is also the fixed stock
+    * rule for ending bounds. Partitions absent from a byTimestamp JSON
+    * keep the positional default (earliest for a start bound, latest for
+    * an end bound). */
+  private[kafka] def resolveTimestamps(global: Option[Long], json: Option[String],
+                                       tps: Seq[TP],
+                                       list: (Seq[TP], Long) => Map[TP, Long],
+                                       errorOnNoMatch: Boolean,
+                                       defaultLatest: Boolean): Option[Map[TP, Long]] = {
+    if (global.isEmpty && json.isEmpty) return None
+    require(global.isEmpty || json.isEmpty,
+      "graft-kafka: a global timestamp and a per-partition timestamp JSON are exclusive")
+    val wanted: Map[TP, Long] = global match {
+      case Some(ts) => tps.map(_ -> ts).toMap
+      case None =>
+        val m = offsetsFromJson(json.get)
+        val unknown = m.keys.filterNot(tps.contains)
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"graft-kafka: timestamps name unknown partitions ${unknown.mkString(", ")}")
+        m
+    }
+    val byTs = wanted.groupBy(_._2).flatMap { case (ts, g) => list(g.keys.toSeq, ts) }
+    val misses = byTs.collect { case (tp, off) if off < 0 => tp }.toSeq
+    val missResolved =
+      if (misses.isEmpty) Map.empty[TP, Long]
+      else if (errorOnNoMatch) throw new java.io.IOException(
+        s"graft-kafka: no record at-or-after the requested timestamp in " +
+          s"${misses.sorted.mkString(", ")} (startingOffsetsByTimestampStrategy=error; " +
+          "use 'latest' to start at the log end instead)")
+      else list(misses, -1L)
+    val absent = tps.filterNot(wanted.contains)
+    val absentResolved = list(absent, if (defaultLatest) -1L else -2L)
+    Some(byTs.filter(_._2 >= 0) ++ missResolved ++ absentResolved)
+  }
+
   /** (topic, partition) → leader endpoint from a Metadata response; a
     * partition whose leader id is absent from the broker list (-1 =
     * leaderless election in progress) falls back to the control endpoint,
@@ -393,9 +465,9 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   import KafkaWireSource.TP
 
   private val o = KafkaWireSource.parseOptions(opts)
-  private val startingOffsets =
-    opts.map { case (k, v) => k.toLowerCase -> v }.getOrElse("startingoffsets", "earliest")
   private val ciOpts = opts.map { case (k, v) => k.toLowerCase -> v }
+  private val startingOffsets = ciOpts.getOrElse("startingoffsets", "earliest")
+  private val startTs = KafkaWireSource.timestampBoundOptions(ciOpts)
   private val maxOffsetsPerTrigger = ciOpts.get("maxoffsetspertrigger").map(_.toLong)
   private val minOffsetsPerTrigger = ciOpts.get("minoffsetspertrigger").map(_.toLong)
   // "30s"/"5m"/"1h" or bare millis — the stock option's duration spelling
@@ -440,9 +512,14 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
         .map { case (p, off) => (topic, p) -> off }
     }
 
-  override def initialOffset(): Offset =
-    KafkaWireOffset(KafkaWireSource.resolveBound(
-      startingOffsets, allTps(clusterMeta()), listOffsets, defaultLatest = false))
+  override def initialOffset(): Offset = {
+    val tps = allTps(clusterMeta())
+    KafkaWireOffset(
+      KafkaWireSource.resolveTimestamps(startTs.global, startTs.json, tps,
+          listOffsets, startTs.errorOnNoMatch, defaultLatest = false)
+        .getOrElse(KafkaWireSource.resolveBound(
+          startingOffsets, tps, listOffsets, defaultLatest = false)))
+  }
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = Seq(
@@ -587,11 +664,25 @@ private[kafka] final class KafkaWireBatch(opts: Map[String, String]) extends Bat
         ts2.groupBy(_._1).flatMap { case (t, g) =>
           client.listOffsets(t, g.map(_._2), ts, isolation = o.isolation)
             .map { case (p, off) => (t, p) -> off } }
-      // bounded batch reads (backfill/replay): stock-source option surface
-      val earliest = KafkaWireSource.resolveBound(
-        ci.getOrElse("startingoffsets", "earliest"), tps, list, defaultLatest = false)
-      val latest = KafkaWireSource.resolveBound(
-        ci.getOrElse("endingoffsets", "latest"), tps, list, defaultLatest = true)
+      // bounded batch reads (backfill/replay): stock-source option surface,
+      // positional offsets or wall-clock timestamps per bound
+      val startTs = KafkaWireSource.timestampBoundOptions(ci)
+      if (ci.contains("endingoffsets") &&
+          (ci.contains("endingtimestamp") || ci.contains("endingoffsetsbytimestamp")))
+        throw new IllegalArgumentException(
+          "graft-kafka: endingOffsets and endingTimestamp/endingOffsetsByTimestamp are exclusive")
+      val earliest = KafkaWireSource.resolveTimestamps(
+          startTs.global, startTs.json, tps, list, startTs.errorOnNoMatch,
+          defaultLatest = false)
+        .getOrElse(KafkaWireSource.resolveBound(
+          ci.getOrElse("startingoffsets", "earliest"), tps, list, defaultLatest = false))
+      // an end timestamp past a partition's newest row means "everything":
+      // no-match resolves to latest, the stock ending-bound rule
+      val latest = KafkaWireSource.resolveTimestamps(
+          ci.get("endingtimestamp").map(_.trim.toLong), ci.get("endingoffsetsbytimestamp"),
+          tps, list, errorOnNoMatch = false, defaultLatest = true)
+        .getOrElse(KafkaWireSource.resolveBound(
+          ci.getOrElse("endingoffsets", "latest"), tps, list, defaultLatest = true))
       val ranges = tps.flatMap { case tp =>
         val (s, e) = (earliest(tp), latest(tp))
         if (e > s) Some((tp, s, e)) else None

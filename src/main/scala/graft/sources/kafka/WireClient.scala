@@ -220,7 +220,9 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     }
   }
 
-  /** ListOffsets v1: timestamp -1 = latest (log end), -2 = earliest. */
+  /** ListOffsets v2: timestamp -1 = latest (log end; LSO under
+    * read_committed), -2 = earliest, >= 0 = first offset whose record
+    * timestamp is at-or-after it (-1 offset when none is). */
   def listOffsets(topic: String, partitions: Seq[Int], timestamp: Long,
                   isolation: Int = 0): Map[Int, Long] = {
     if (partitions.isEmpty) return Map.empty

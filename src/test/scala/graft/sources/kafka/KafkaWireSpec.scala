@@ -799,6 +799,91 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  // --- timestamp-based offset bounds ----------------------------------------
+
+  test("startingTimestamp/endingTimestamp: batch replay window from wall-clock points") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      // offsets 0-4 at t=1000,2000,...,5000
+      (0 until 5).foreach(i =>
+        c.append("t", 0, Seq(s"k$i" -> s"v$i"), timestampMs = 1000L * (i + 1)))
+      // start at-or-after 2500ms → first match is offset 2 (t=3000)
+      val from = readBatch(brokerList(c), "t", Map("startingTimestamp" -> "2500"))
+        .collect().sortBy(_.getLong(4))
+      assert(from.map(valueStr).toSeq == Seq("v2", "v3", "v4"))
+      // window [2000ms, 4000ms): ending bound is the first offset >= 4000 — EXCLUSIVE
+      val window = readBatch(brokerList(c), "t",
+        Map("startingTimestamp" -> "2000", "endingTimestamp" -> "4000"))
+        .collect().sortBy(_.getLong(4))
+      assert(window.map(valueStr).toSeq == Seq("v1", "v2"))
+      // an end time past the newest record means "everything from start"
+      val openEnd = readBatch(brokerList(c), "t",
+        Map("startingTimestamp" -> "4500", "endingTimestamp" -> "99999"))
+        .collect()
+      assert(openEnd.map(valueStr).toSeq == Seq("v4"))
+    }
+  }
+
+  test("startingOffsetsByTimestamp: per-partition times; no-match follows the strategy") {
+    withCluster() { c =>
+      c.addPartition("t", 0); c.addPartition("t", 1)
+      (0 until 4).foreach(i =>
+        c.append("t", 0, Seq(s"k$i" -> s"p0-$i"), timestampMs = 1000L * (i + 1)))
+      c.append("t", 1, Seq("k" -> "p1-0"), timestampMs = 500L)
+      // p0 from 3000ms (offset 2); p1 absent from the JSON → earliest
+      val rows = readBatch(brokerList(c), "t",
+        Map("startingOffsetsByTimestamp" -> """{"t":{"0":3000}}""")).collect()
+      assert(rows.map(valueStr).toSet == Set("p0-2", "p0-3", "p1-0"))
+      // a start time past p0's newest record: loud by default...
+      val ex = intercept[Exception] {
+        readBatch(brokerList(c), "t",
+          Map("startingOffsetsByTimestamp" -> """{"t":{"0":9999}}""")).collect()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("no record at-or-after"), msgs)
+      // ...strategy=latest starts those partitions at the log end instead
+      val lenient = readBatch(brokerList(c), "t", Map(
+        "startingOffsetsByTimestamp" -> """{"t":{"0":9999,"1":0}}""",
+        "startingOffsetsByTimestampStrategy" -> "latest")).collect()
+      assert(lenient.map(valueStr).toSeq == Seq("p1-0"))
+    }
+  }
+
+  test("streaming startingTimestamp: backlog before the requested time never flows") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "old"), timestampMs = 1000L)
+      c.append("t", 0, Seq("k" -> "new0", "k" -> "new1"), timestampMs = 5000L)
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      runStream(brokerList(c), "t", tempDir("startts"), seen,
+        Map("startingTimestamp" -> "5000"))
+      assert(seen.asScala.map(_._4).toSeq.sorted == Seq("new0", "new1"))
+    }
+  }
+
+  test("timestamp bound options: conflicting replay points are config errors") {
+    val base = Map("brokers" -> "h:1", "topic" -> "t")
+    // two start specs
+    assertThrows[IllegalArgumentException](KafkaWireSource.timestampBoundOptions(
+      Map("startingoffsets" -> "earliest", "startingtimestamp" -> "1000")))
+    // global + per-partition timestamps
+    assertThrows[IllegalArgumentException](KafkaWireSource.resolveTimestamps(
+      Some(1L), Some("{}"), Nil, (_, _) => Map.empty, errorOnNoMatch = true,
+      defaultLatest = false))
+    // bad strategy spelling
+    assertThrows[IllegalArgumentException](KafkaWireSource.timestampBoundOptions(
+      Map("startingoffsetsbytimestampstrategy" -> "whatever")))
+    // batch: endingOffsets + endingTimestamp
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      assertThrows[IllegalArgumentException](readBatch(brokerList(c), "t",
+        Map("endingOffsets" -> "latest", "endingTimestamp" -> "1")).collect())
+    }
+    base.size // silence unused warning
+    ()
+  }
+
   test("isolation.level option: stock spellings parse; nonsense is loud") {
     val base = Map("brokers" -> "h:1", "topic" -> "t")
     assert(KafkaWireSource.parseOptions(base).isolation == 0)

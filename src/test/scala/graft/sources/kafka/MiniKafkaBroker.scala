@@ -364,8 +364,13 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
           case Some(l) =>
             val off =
               if (ts == -2L) l.logStart
-              else if (isolation == 1) l.lastStable
-              else l.logEnd
+              else if (ts == -1L) { if (isolation == 1) l.lastStable else l.logEnd }
+              else l.synchronized {
+                // real timestamp query: FIRST offset whose record timestamp
+                // is >= ts; -1 when the time is past the newest record
+                l.batches.iterator.flatMap(b => Records.decodeAll(b.bytes).records)
+                  .find(_.timestampMs >= ts).map(_.offset).getOrElse(-1L)
+              }
             w.int32(pid).int16(0).int64(-1L).int64(off)
         }
         ()
