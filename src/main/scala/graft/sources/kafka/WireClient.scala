@@ -126,9 +126,10 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     * full ISR acknowledgement (the durable default). The record offsets in
     * `records` are relative (0..n-1) — the broker assigns the real ones. */
   def produce(topic: String, partition: Int, records: Seq[Records.Record],
-              acks: Int = -1, timeoutMs: Int = 30000): Long = {
+              acks: Int = -1, timeoutMs: Int = 30000, codec: Int = 0): Long = {
     val batch = Records.encodeBatch(0L,
-      records.zipWithIndex.map { case (rec, i) => rec.copy(offset = i.toLong) })
+      records.zipWithIndex.map { case (rec, i) => rec.copy(offset = i.toLong) },
+      attributes = codec)
     val r = roundTrip(Wire.ApiProduce, 3) { w =>
       w.string(null)      // transactional_id
       w.int16(acks)

@@ -160,6 +160,44 @@ class KafkaWriteSpec extends SparkSpec {
     }
   }
 
+  test("compression.type: produced batches carry the codec on the wire and round-trip") {
+    for (codecName <- Seq("gzip", "snappy", "lz4", "zstd")) {
+      withCluster() { c =>
+        c.addPartition("out", 0)
+        (0 until 30).map(i => (s"k$i", s"v$i-" + ("x" * 50))).toDF("key", "value")
+          .coalesce(1)
+          .write.mode("append").format("graft-kafka")
+          .option("brokers", addr(c)).option("topic", "out")
+          .option("kafka.compression.type", codecName)
+          .save()
+        val expectedId = Map("gzip" -> 1, "snappy" -> 2, "lz4" -> 3, "zstd" -> 4)(codecName)
+        import scala.jdk.CollectionConverters._
+        assert(c.producedCodecs.asScala.toSet == Set(expectedId),
+          s"$codecName batches must be compressed ON THE WIRE, not just declared")
+        assert(readBack(c, "out").map(_._2).toSet ==
+          (0 until 30).map(i => s"v$i-" + ("x" * 50)).toSet)
+      }
+    }
+    // default stays uncompressed; nonsense codec is a loud error
+    withCluster() { c =>
+      c.addPartition("out", 0)
+      Seq(("k", "v")).toDF("key", "value")
+        .write.mode("append").format("graft-kafka")
+        .option("brokers", addr(c)).option("topic", "out").save()
+      import scala.jdk.CollectionConverters._
+      assert(c.producedCodecs.asScala.toSet == Set(0))
+      val ex = intercept[Exception] {
+        Seq(("k", "v")).toDF("key", "value")
+          .write.mode("append").format("graft-kafka")
+          .option("brokers", addr(c)).option("topic", "out")
+          .option("compression.type", "brotli").save()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("compression.type"), msgs)
+    }
+  }
+
   test("a write without value column or topic fails loudly") {
     withCluster() { c =>
       c.addPartition("out", 0)

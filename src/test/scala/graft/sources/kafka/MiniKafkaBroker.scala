@@ -56,6 +56,9 @@ object MiniKafkaBroker {
       * commits on any other broker answer error 16 (NOT_COORDINATOR), so a
       * client that skips coordinator lookup is caught. */
     val groupOffsets = new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Long]()
+    /** Codec ids (attributes bits 0-2) of every produced batch, in arrival
+      * order — lets specs assert the producer actually compressed. */
+    val producedCodecs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
 
     def addBroker(tls: Option[javax.net.ssl.SSLContext] = None): MiniKafkaBroker = synchronized {
@@ -409,6 +412,10 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
           case Some(log) if log.leader != nodeId =>
             w.int32(pid).int16(6).int64(-1L).int64(-1L)
           case Some(log) =>
+            // attributes int16 sits at bytes 21-22 of a v2 batch (after
+            // baseOffset+length+epoch+magic+crc); bits 0-2 name the codec
+            if (recordSet != null && recordSet.length > 22)
+              cluster.producedCodecs.add(((recordSet(21) & 0xff) << 8 | (recordSet(22) & 0xff)) & 0x07)
             val dec = Records.decodeAll(recordSet)
             val base = log.synchronized {
               val b = log.logEnd
