@@ -83,7 +83,15 @@ private[kafka] final class KafkaWireWrite(opts: Map[String, String], schema: Str
         case "zstd" => Records.CodecZstd
         case other => throw new IllegalArgumentException(
           s"graft-kafka writer: compression.type must be none/gzip/snappy/lz4/zstd, got '$other'")
-      }.getOrElse(Records.CodecNone))
+      }.getOrElse(Records.CodecNone),
+      // producer-config spelling enable.idempotence: each task claims a
+      // broker-assigned producer id and stamps batches with per-partition
+      // sequence numbers, so a RETRY of a delivered-but-unacked batch is
+      // deduplicated broker-side instead of doubling rows
+      idempotent = opts.collectFirst {
+        case (k, v) if Set("kafka.enable.idempotence", "enable.idempotence")(k.toLowerCase) =>
+          v.trim.toBoolean
+      }.getOrElse(false))
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -114,12 +122,13 @@ private[kafka] final class KafkaWireWriterFactory(
     sasl: Option[WireClient.SaslConfig],
     tls: Option[WireClient.TlsConfig],
     flushRecords: Int,
-    codec: Int = Records.CodecNone)
+    codec: Int = Records.CodecNone,
+    idempotent: Boolean = false)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaWireDataWriter(schema, defaultTopic, controlEndpoints, leaders,
-      partitionCounts, sasl, tls, flushRecords, codec)
+      partitionCounts, sasl, tls, flushRecords, codec, idempotent)
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
@@ -134,7 +143,8 @@ private[kafka] final class KafkaWireDataWriter(
     sasl: Option[WireClient.SaslConfig],
     tls: Option[WireClient.TlsConfig],
     flushRecords: Int,
-    codec: Int = Records.CodecNone)
+    codec: Int = Records.CodecNone,
+    idempotent: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private def idx(name: String): Int = schema.fieldNames.indexOf(name)
@@ -163,6 +173,20 @@ private[kafka] final class KafkaWireDataWriter(
   private val clients = mutable.Map[(String, Int), WireClient]()
   private var written = 0L
   private var roundRobin = 0
+
+  /** Idempotence state: one broker-assigned producer id per task (claimed
+    * lazily on the first flush — exactly a Kafka producer's lifecycle) and
+    * a per-partition sequence counter bumped only AFTER a successful
+    * produce, so the NotLeader retry below re-sends the SAME sequence and
+    * the broker can recognize a duplicate. */
+  private var producerId = -1L
+  private val nextSeq = mutable.Map[(String, Int), Int]()
+
+  private def claimProducerId(): Long = {
+    if (producerId < 0)
+      producerId = clientFor(controlEndpoints.head).initProducerId()._1
+    producerId
+  }
 
   private def clientFor(ep: (String, Int)): WireClient =
     clients.getOrElseUpdate(ep, new WireClient(ep._1, ep._2, sasl = sasl, tls = tls))
@@ -212,13 +236,20 @@ private[kafka] final class KafkaWireDataWriter(
   private def flush(topic: String, part: Int): Unit = {
     val buf = buffers((topic, part))
     if (buf.nonEmpty) {
+      val (pid, seq) =
+        if (!idempotent) (-1L, -1)
+        else (claimProducerId(), nextSeq.getOrElse((topic, part), 0))
       val leader = leaders.getOrElse((topic, part), controlEndpoints.head)
-      try clientFor(leader).produce(topic, part, buf.toSeq, codec = codec)
+      try clientFor(leader).produce(topic, part, buf.toSeq, codec = codec,
+        producerId = pid, baseSequence = seq)
       catch {
         // NOT_LEADER: leadership moved since the driver resolved it (or
         // since this task cached it). Refresh from the control plane and
         // retry ONCE at the new leader — the stock producer's
         // metadata-refresh-on-error behavior; a second failure is real.
+        // Under idempotence the retry carries the SAME sequence, so a
+        // batch the old leader already replicated is deduplicated, not
+        // doubled.
         case _: WireClient.NotLeader =>
           clients.remove(leader).foreach(c => try c.close() catch { case _: Throwable => () })
           val control = clientFor(controlEndpoints.head)
@@ -227,8 +258,10 @@ private[kafka] final class KafkaWireDataWriter(
           leaders ++= meta.topic.partitions.map(pm =>
             (topic, pm.partition) -> byId.getOrElse(pm.leader, controlEndpoints.head))
           val fresh = leaders.getOrElse((topic, part), controlEndpoints.head)
-          clientFor(fresh).produce(topic, part, buf.toSeq, codec = codec)
+          clientFor(fresh).produce(topic, part, buf.toSeq, codec = codec,
+            producerId = pid, baseSequence = seq)
       }
+      if (idempotent) nextSeq((topic, part)) = seq + buf.size
       buf.clear()
     }
   }

@@ -94,7 +94,8 @@ object Records {
     * `lastOffsetDeltaOverride` (when >= 0) lets tests model a compacted
     * batch whose header still spans offsets the records no longer cover. */
   def encodeBatch(baseOffset: Long, records: Seq[Record], attributes: Int = 0,
-                  lastOffsetDeltaOverride: Int = -1, producerId: Long = -1L): Array[Byte] = {
+                  lastOffsetDeltaOverride: Int = -1, producerId: Long = -1L,
+                  baseSequence: Int = -1): Array[Byte] = {
     require(records.nonEmpty, "record batch must carry at least one record")
     val baseTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max
@@ -114,7 +115,7 @@ object Records {
     w.int64(maxTs)
     w.int64(producerId)
     w.int16(if (producerId >= 0) 0 else -1) // producerEpoch
-    w.int32(-1)                   // baseSequence
+    w.int32(baseSequence)
     w.int32(records.size)
     val recs = new Wire.Writer
     records.foreach { r =>

@@ -145,6 +145,7 @@ private[kafka] object Wire {
   val ApiFindCoordinator = 10
   val ApiSaslHandshake = 17
   val ApiVersions = 18
+  val ApiInitProducerId = 22
   val ApiSaslAuthenticate = 36
 
   /** Request header v1: api_key, api_version, correlation_id, client_id. */

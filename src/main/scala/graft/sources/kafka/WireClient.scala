@@ -125,11 +125,27 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     * partition; returns the broker-assigned base offset. acks=-1 waits for
     * full ISR acknowledgement (the durable default). The record offsets in
     * `records` are relative (0..n-1) — the broker assigns the real ones. */
+  /** InitProducerId v0: a broker-assigned (producerId, epoch) pair — the
+    * identity that makes produce retries idempotent (the broker dedups on
+    * (producerId, epoch, baseSequence) per partition). */
+  def initProducerId(timeoutMs: Int = 30000): (Long, Int) = {
+    val r = roundTrip(Wire.ApiInitProducerId, 0) { w =>
+      w.string(null) // transactional_id: idempotence only, no transactions
+      w.int32(timeoutMs)
+      ()
+    }
+    r.int32() // throttle_time_ms
+    val err = r.int16()
+    if (err != 0) throw new java.io.IOException(s"InitProducerId error $err")
+    (r.int64(), r.int16())
+  }
+
   def produce(topic: String, partition: Int, records: Seq[Records.Record],
-              acks: Int = -1, timeoutMs: Int = 30000, codec: Int = 0): Long = {
+              acks: Int = -1, timeoutMs: Int = 30000, codec: Int = 0,
+              producerId: Long = -1L, baseSequence: Int = -1): Long = {
     val batch = Records.encodeBatch(0L,
       records.zipWithIndex.map { case (rec, i) => rec.copy(offset = i.toLong) },
-      attributes = codec)
+      attributes = codec, producerId = producerId, baseSequence = baseSequence)
     val r = roundTrip(Wire.ApiProduce, 3) { w =>
       w.string(null)      // transactional_id
       w.int16(acks)
@@ -151,6 +167,11 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
         if (err == 6)
           throw new WireClient.NotLeader(
             s"this broker is not the leader for $topic-$pid (leadership moved?)")
+        if (err == 45)
+          throw new java.io.IOException(
+            s"Produce error 45 OUT_OF_ORDER_SEQUENCE_NUMBER on $topic-$pid: " +
+              "the batch sequence does not follow the broker's last accepted one " +
+              "(a lost batch in between, or a second producer instance reusing this id)")
         if (err != 0)
           throw new java.io.IOException(s"Produce error $err on $topic-$pid")
         if (pid == partition) base = off

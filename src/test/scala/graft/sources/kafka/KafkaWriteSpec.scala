@@ -198,6 +198,67 @@ class KafkaWriteSpec extends SparkSpec {
     }
   }
 
+  test("enable.idempotence: an exact retry of a delivered batch is deduplicated broker-side") {
+    withCluster() { c =>
+      c.addPartition("out", 0)
+      val b = c.brokerList.head
+      val cl = new WireClient(b.host, b.port)
+      try {
+        val (pid, epoch) = cl.initProducerId()
+        assert(pid >= 1000L && epoch == 0)
+        def recs(tag: String, n: Int) = (0 until n).map(i =>
+          Records.Record(i.toLong, 7L, null, s"$tag$i".getBytes(StandardCharsets.UTF_8)))
+        // batch at sequence 0 lands at offset 0
+        assert(cl.produce("out", 0, recs("a", 3), producerId = pid, baseSequence = 0) == 0L)
+        // the retry case idempotence exists for: delivered but un-acked →
+        // client re-sends the SAME sequence → broker answers the ORIGINAL
+        // offset and appends nothing
+        assert(cl.produce("out", 0, recs("a", 3), producerId = pid, baseSequence = 0) == 0L)
+        assert(readBack(c, "out").size == 3, "the retry must not double rows")
+        // next batch continues at sequence 3
+        assert(cl.produce("out", 0, recs("b", 2), producerId = pid, baseSequence = 3) == 3L)
+        assert(readBack(c, "out").size == 5)
+        // a sequence GAP (a batch went missing) is a loud error 45
+        val ex = intercept[java.io.IOException] {
+          cl.produce("out", 0, recs("c", 1), producerId = pid, baseSequence = 9)
+        }
+        assert(ex.getMessage.contains("OUT_OF_ORDER_SEQUENCE_NUMBER"), ex.getMessage)
+        // a second producer id has its own sequence space
+        val (pid2, _) = cl.initProducerId()
+        assert(pid2 != pid)
+        assert(cl.produce("out", 0, recs("d", 1), producerId = pid2, baseSequence = 0) == 5L)
+      } finally cl.close()
+    }
+  }
+
+  test("enable.idempotence end-to-end: writer sequences survive the NotLeader retry") {
+    withCluster(brokers = 2) { c =>
+      c.addPartition("out", 0, leader = 1)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("key", BinaryType), StructField("value", BinaryType)))
+      val eps = c.brokerList.map(b => (b.host, b.port))
+      // stale leader map → first flush hits broker 0, gets error 6, retries
+      // at broker 1 with the SAME sequence
+      val factory = new KafkaWireWriterFactory(schema, Some("out"), eps,
+        Map(("out", 0) -> eps.head), Map("out" -> 1), None, None,
+        flushRecords = 2, idempotent = true)
+      val w = factory.createWriter(0, 0L)
+      import org.apache.spark.sql.catalyst.InternalRow
+      (0 until 5).foreach { i =>
+        w.write(InternalRow(s"k$i".getBytes(StandardCharsets.UTF_8),
+          s"v$i".getBytes(StandardCharsets.UTF_8)))
+      }
+      w.commit()
+      w.close()
+      assert(readBack(c, "out").map(_._2).sorted == (0 until 5).map(i => s"v$i"),
+        "five rows exactly once across three sequenced flushes and a leader retry")
+      // the broker tracked this producer's sequence progression
+      val log = c.topics.get("out")(0)
+      assert(log.producerSeqs.values.map(_._1).max == 5, "next expected sequence is 5")
+    }
+  }
+
   test("a write without value column or topic fails loudly") {
     withCluster() { c =>
       c.addPartition("out", 0)

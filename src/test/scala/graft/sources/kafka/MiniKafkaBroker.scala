@@ -30,6 +30,10 @@ object MiniKafkaBroker {
     /** Completed ABORTED transactions: (producerId, firstOffset), the
       * fetch-response aborted_transactions source. */
     val abortedTxns = mutable.ArrayBuffer[(Long, Long)]()
+    /** Idempotent-producer state: producerId → (nextExpectedSeq,
+      * lastAcceptedSeq, baseOffset answered for it) — enough to dedup an
+      * exact retry of the last batch and reject sequence gaps. */
+    val producerSeqs = mutable.Map[Long, (Int, Int, Long)]()
     def logEnd: Long = synchronized {
       batches.lastOption.map(_.lastOffset + 1).getOrElse(logStart)
     }
@@ -59,6 +63,8 @@ object MiniKafkaBroker {
     /** Codec ids (attributes bits 0-2) of every produced batch, in arrival
       * order — lets specs assert the producer actually compressed. */
     val producedCodecs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    /** InitProducerId assignment counter. */
+    val nextProducerId = new java.util.concurrent.atomic.AtomicLong(1000L)
     private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
 
     def addBroker(tls: Option[javax.net.ssl.SSLContext] = None): MiniKafkaBroker = synchronized {
@@ -223,6 +229,10 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
               case Wire.ApiFindCoordinator => findCoordinatorResp(r, w)
               case Wire.ApiOffsetCommit => offsetCommitResp(r, w)
               case Wire.ApiOffsetFetch => offsetFetchResp(r, w)
+              case Wire.ApiInitProducerId =>
+                r.string(); r.int32() // transactional_id, timeout
+                w.int32(0).int16(0).int64(cluster.nextProducerId.getAndIncrement()).int16(0)
+                ()
               case other =>
                 throw new IllegalStateException(s"mini broker: unsupported api $other")
             }
@@ -240,7 +250,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
       Wire.ApiMetadata -> (0, 1), Wire.ApiSaslHandshake -> (0, 1),
       Wire.ApiVersions -> (0, 0), Wire.ApiSaslAuthenticate -> (0, 0),
       Wire.ApiOffsetCommit -> (0, 2), Wire.ApiOffsetFetch -> (0, 1),
-      Wire.ApiFindCoordinator -> (0, 0))
+      Wire.ApiFindCoordinator -> (0, 0), Wire.ApiInitProducerId -> (0, 0))
     w.int32(apis.size)
     apis.foreach { case (k, (mn, mx)) => w.int16(k).int16(mn).int16(mx) }
     ()
@@ -416,17 +426,37 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
             // baseOffset+length+epoch+magic+crc); bits 0-2 name the codec
             if (recordSet != null && recordSet.length > 22)
               cluster.producedCodecs.add(((recordSet(21) & 0xff) << 8 | (recordSet(22) & 0xff)) & 0x07)
+            // idempotence header fields: producerId at byte 43,
+            // baseSequence at 53 (fixed v2 header layout)
+            val hdr = new Wire.Reader(recordSet, 43)
+            val producerId = hdr.int64()
+            hdr.skip(2) // producerEpoch
+            val baseSeq = hdr.int32()
             val dec = Records.decodeAll(recordSet)
-            val base = log.synchronized {
-              val b = log.logEnd
-              val rebased = dec.records.zipWithIndex.map { case (rec, i) =>
-                rec.copy(offset = b + i)
+            log.synchronized {
+              val state = if (producerId >= 0 && baseSeq >= 0)
+                log.producerSeqs.get(producerId) else None
+              val expected = state.map(_._1).getOrElse(0)
+              if (producerId >= 0 && baseSeq >= 0 && state.exists(_._2 == baseSeq)) {
+                // exact retry of the last accepted batch: answer the SAME
+                // base offset, append nothing — the dedup idempotence buys
+                w.int32(pid).int16(0).int64(state.get._3).int64(-1L)
+              } else if (producerId >= 0 && baseSeq >= 0 && baseSeq != expected) {
+                // 45 OUT_OF_ORDER_SEQUENCE_NUMBER: a gap (lost batch) or a
+                // stale re-send older than the last accepted one
+                w.int32(pid).int16(45).int64(-1L).int64(-1L)
+              } else {
+                val b = log.logEnd
+                val rebased = dec.records.zipWithIndex.map { case (rec, i) =>
+                  rec.copy(offset = b + i)
+                }
+                log.batches += LogBatch(b, b + rebased.size - 1,
+                  Records.encodeBatch(b, rebased))
+                if (producerId >= 0 && baseSeq >= 0)
+                  log.producerSeqs(producerId) = (baseSeq + dec.records.size, baseSeq, b)
+                w.int32(pid).int16(0).int64(b).int64(-1L)
               }
-              log.batches += LogBatch(b, b + rebased.size - 1,
-                Records.encodeBatch(b, rebased))
-              b
             }
-            w.int32(pid).int16(0).int64(base).int64(-1L)
         }
         ()
       }
