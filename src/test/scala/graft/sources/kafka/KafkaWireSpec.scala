@@ -884,6 +884,45 @@ class KafkaWireSpec extends SparkSpec {
     ()
   }
 
+  test("soak: concurrent appends + leadership flaps + restarts deliver exactly once") {
+    withCluster(brokers = 2) { c =>
+      val log0 = c.addPartition("t", 0, leader = 0)
+      val log1 = c.addPartition("t", 1, leader = 1)
+      val perPartition = 150
+      @volatile var writerDone = false
+      val writer = new Thread(() => {
+        (0 until perPartition).foreach { i =>
+          c.append("t", 0, Seq(s"k$i" -> s"p0-$i"))
+          c.append("t", 1, Seq(s"k$i" -> s"p1-$i"))
+          // leadership moves WHILE the query reads: readers must follow
+          // via metadata, planners must re-resolve per batch
+          if (i % 20 == 10) { log0.leader = 1 - log0.leader; log1.leader = 1 - log1.leader }
+          if (i % 5 == 0) Thread.sleep(1)
+        }
+        writerDone = true
+      }, "soak-writer")
+      val ckpt = tempDir("soak")
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      writer.start()
+      // several bounded runs RACING the writer — each restart recovers from
+      // the checkpoint mid-stream; small triggers force many micro-batches
+      var runs = 0
+      while (!writerDone || runs < 2) {
+        runStream(brokerList(c), "t", ckpt, seen, Map("maxOffsetsPerTrigger" -> "37"))
+        runs += 1
+      }
+      writer.join()
+      runStream(brokerList(c), "t", ckpt, seen, Map("maxOffsetsPerTrigger" -> "37"))
+      val all = seen.asScala.toSeq
+      val expected = (0 until perPartition).flatMap(i => Seq(s"p0-$i", s"p1-$i")).toSet
+      assert(all.map(t => (t._2, t._3)).distinct.size == all.size,
+        s"duplicate (partition, offset) deliveries in ${all.size} rows")
+      assert(all.map(_._4).toSet == expected,
+        s"got ${all.size} rows over $runs+1 runs; missing " +
+          (expected -- all.map(_._4).toSet).take(5).mkString(", "))
+    }
+  }
+
   test("isolation.level option: stock spellings parse; nonsense is loud") {
     val base = Map("brokers" -> "h:1", "topic" -> "t")
     assert(KafkaWireSource.parseOptions(base).isolation == 0)
