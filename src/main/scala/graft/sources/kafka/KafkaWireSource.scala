@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -461,8 +461,22 @@ private[kafka] final case class KafkaWireOffset(offsets: Map[KafkaWireSource.TP,
 }
 
 private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   import KafkaWireSource.TP
+
+  /** Trigger.AvailableNow: the log ends captured ONCE at query start —
+    * every batch this run plans toward (and never past) this frontier, so
+    * the query drains a bounded backlog in read-limit-sized batches and
+    * terminates even while producers keep appending. Partitions created
+    * after the capture wait for the next run. */
+  private var availableNowEnd: Map[TP, Long] = null
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowEnd = listOffsets(allTps(clusterMeta()), -1L)
+  }
+
+  override def reportLatestOffset(): Offset =
+    if (availableNowEnd == null) null else KafkaWireOffset(availableNowEnd)
 
   private val o = KafkaWireSource.parseOptions(opts)
   private val ciOpts = opts.map { case (k, v) => k.toLowerCase -> v }
@@ -547,9 +561,13 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val tps = allTps(clusterMeta())
+    // AvailableNow: the frontier is the prepared snapshot, not the live log
+    // end — the run must terminate even under concurrent producers
+    val tps = if (availableNowEnd != null) availableNowEnd.keys.toSeq.sorted
+              else allTps(clusterMeta())
     val startMap = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, tps)
-    val latest = listOffsets(tps, -1L)
+    val latest = if (availableNowEnd != null) availableNowEnd
+                 else listOffsets(tps, -1L)
     val lags = latest.map { case (tp, end) =>
       tp -> math.max(0L, end - startMap.getOrElse(tp, end))
     }
@@ -561,8 +579,10 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     }
     // min-rows gate (stock minOffsetsPerTrigger): too little lag defers the
     // trigger — unless the data has waited maxTriggerDelay already, which
-    // bounds staleness on a quiet topic.
-    val deferred = limits.collectFirst {
+    // bounds staleness on a quiet topic. Never under AvailableNow: a
+    // sub-minimum tail is the END of a bounded run, not data worth waiting
+    // on — deferring would stall termination for maxTriggerDelay.
+    val deferred = availableNowEnd == null && limits.collectFirst {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMinRows => m
     }.exists { m =>
       val now = System.currentTimeMillis()

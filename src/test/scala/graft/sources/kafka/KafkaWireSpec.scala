@@ -884,6 +884,41 @@ class KafkaWireSpec extends SparkSpec {
     ()
   }
 
+  test("Trigger.AvailableNow: bounded catch-up drains the backlog in capped batches, then stops") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, (0 until 20).map(i => s"k$i" -> s"v$i"))
+      val ckpt = tempDir("availnow")
+      val seen = new ConcurrentLinkedQueue[(Long, Int, Long, String)]
+      def runAvailableNow(): Int = {
+        val src = spark.readStream.format("graft-kafka")
+          .option("brokers", brokerList(c)).option("topic", "t")
+          .option("maxOffsetsPerTrigger", "7").load()
+        val q = src.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.selectExpr("partition", "offset", "cast(value as string) as v").collect()
+              .foreach(r => seen.add((id, r.getInt(0), r.getLong(1), r.getString(2))))
+          }.start()
+        // AvailableNow terminates ITSELF once the captured end is reached
+        assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+        seen.asScala.map(_._1).toSet.size
+      }
+      val batches = runAvailableNow()
+      assert(seen.size == 20)
+      assert(batches >= 3, s"a 7-row cap over 20 rows needs >=3 micro-batches, got $batches")
+      // rows appended after termination wait for the NEXT run...
+      c.append("t", 0, Seq("k" -> "late0", "k" -> "late1"))
+      assert(seen.size == 20)
+      // ...which resumes from the checkpoint and reads exactly them
+      runAvailableNow()
+      assert(seen.asScala.map(_._4).toSeq.sorted ==
+        ((0 until 20).map(i => s"v$i") ++ Seq("late0", "late1")).sorted)
+      assert(seen.asScala.map(t => (t._2, t._3)).toSeq.distinct.size == 22)
+    }
+  }
+
   test("soak: concurrent appends + leadership flaps + restarts deliver exactly once") {
     withCluster(brokers = 2) { c =>
       val log0 = c.addPartition("t", 0, leader = 0)
