@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   * produces one record batch per flush DIRECTLY TO THAT PARTITION'S LEADER
   * (metadata resolved once on the driver, shipped to tasks) — writes
   * parallelize by Spark partition with no driver involvement, and a flush
-  * threshold bounds task memory. Delivery is at-least-once: batches flush
-  * on commit; a task retry re-produces its rows (Kafka's own producer
-  * contract without idempotence enabled). */
+  * threshold bounds task memory. Delivery is at-least-once by default:
+  * batches flush on commit; a task retry re-produces its rows (Kafka's own
+  * producer contract without idempotence enabled). `enable.idempotence`
+  * adds broker-side sequence dedup for network-level retries;
+  * `transactional.id` wraps each task's rows in one transaction (committed
+  * at task commit, aborted at task abort), so read_committed consumers
+  * never see rows from failed or speculative task attempts. */
 private[kafka] final class KafkaWireWriteBuilder(opts: Map[String, String],
                                                  info: LogicalWriteInfo)
   extends WriteBuilder {
@@ -91,7 +95,15 @@ private[kafka] final class KafkaWireWrite(opts: Map[String, String], schema: Str
       idempotent = opts.collectFirst {
         case (k, v) if Set("kafka.enable.idempotence", "enable.idempotence")(k.toLowerCase) =>
           v.trim.toBoolean
-      }.getOrElse(false))
+      }.getOrElse(false),
+      // producer-config spelling transactional.id: each task wraps its rows
+      // in ONE transaction committed at task commit and aborted at task
+      // abort — so failed/speculative task attempts never surface rows to
+      // read_committed consumers (task-retry dedup beyond what sequence
+      // numbers cover)
+      transactionalId = opts.collectFirst {
+        case (k, v) if Set("kafka.transactional.id", "transactional.id")(k.toLowerCase) => v
+      })
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -123,12 +135,16 @@ private[kafka] final class KafkaWireWriterFactory(
     tls: Option[WireClient.TlsConfig],
     flushRecords: Int,
     codec: Int = Records.CodecNone,
-    idempotent: Boolean = false)
+    idempotent: Boolean = false,
+    transactionalId: Option[String] = None)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaWireDataWriter(schema, defaultTopic, controlEndpoints, leaders,
-      partitionCounts, sasl, tls, flushRecords, codec, idempotent)
+      partitionCounts, sasl, tls, flushRecords, codec, idempotent,
+      // per-task transactional id — two tasks sharing one id would fence
+      // each other; suffixing by task identity is the standard pattern
+      transactionalId.map(base => s"$base-$partitionId-$taskId"))
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
@@ -144,8 +160,11 @@ private[kafka] final class KafkaWireDataWriter(
     tls: Option[WireClient.TlsConfig],
     flushRecords: Int,
     codec: Int = Records.CodecNone,
-    idempotent: Boolean = false)
+    idempotent: Boolean = false,
+    transactionalId: Option[String] = None)
   extends DataWriter[InternalRow] {
+
+  private def transactional: Boolean = transactionalId.isDefined
 
   private def idx(name: String): Int = schema.fieldNames.indexOf(name)
   private val valueIdx = {
@@ -181,10 +200,13 @@ private[kafka] final class KafkaWireDataWriter(
     * the broker can recognize a duplicate. */
   private var producerId = -1L
   private val nextSeq = mutable.Map[(String, Int), Int]()
+  /** Partitions declared to the transaction coordinator (txn mode only). */
+  private val txnDeclared = mutable.Set[(String, Int)]()
 
   private def claimProducerId(): Long = {
     if (producerId < 0)
-      producerId = clientFor(controlEndpoints.head).initProducerId()._1
+      producerId = clientFor(controlEndpoints.head)
+        .initProducerId(transactionalId = transactionalId.orNull)._1
     producerId
   }
 
@@ -237,11 +259,18 @@ private[kafka] final class KafkaWireDataWriter(
     val buf = buffers((topic, part))
     if (buf.nonEmpty) {
       val (pid, seq) =
-        if (!idempotent) (-1L, -1)
+        if (!idempotent && !transactional) (-1L, -1)
         else (claimProducerId(), nextSeq.getOrElse((topic, part), 0))
+      // first produce to a partition inside a transaction: declare it, so
+      // EndTxn knows where its markers go
+      if (transactional && !txnDeclared((topic, part))) {
+        clientFor(controlEndpoints.head).addPartitionsToTxn(
+          transactionalId.get, pid, 0, topic, Seq(part))
+        txnDeclared += ((topic, part))
+      }
       val leader = leaders.getOrElse((topic, part), controlEndpoints.head)
       try clientFor(leader).produce(topic, part, buf.toSeq, codec = codec,
-        producerId = pid, baseSequence = seq)
+        producerId = pid, baseSequence = seq, transactional = transactional)
       catch {
         // NOT_LEADER: leadership moved since the driver resolved it (or
         // since this task cached it). Refresh from the control plane and
@@ -259,19 +288,32 @@ private[kafka] final class KafkaWireDataWriter(
             (topic, pm.partition) -> byId.getOrElse(pm.leader, controlEndpoints.head))
           val fresh = leaders.getOrElse((topic, part), controlEndpoints.head)
           clientFor(fresh).produce(topic, part, buf.toSeq, codec = codec,
-            producerId = pid, baseSequence = seq)
+            producerId = pid, baseSequence = seq, transactional = transactional)
       }
-      if (idempotent) nextSeq((topic, part)) = seq + buf.size
+      if (idempotent || transactional) nextSeq((topic, part)) = seq + buf.size
       buf.clear()
     }
   }
 
   override def commit(): WriterCommitMessage = {
     buffers.keys.toSeq.foreach { case (t, p) => flush(t, p) }
+    // the task's transaction commits as ONE unit: only now do
+    // read_committed consumers see any of its rows
+    if (transactional && producerId >= 0)
+      clientFor(controlEndpoints.head).endTxn(
+        transactionalId.get, producerId, 0, commit = true)
     KafkaWriteDone(written)
   }
 
-  override def abort(): Unit = buffers.clear()
+  override def abort(): Unit = {
+    buffers.clear()
+    // batches already flushed mid-task are in the log — the ABORT marker
+    // is what keeps them invisible to read_committed consumers
+    if (transactional && producerId >= 0)
+      try clientFor(controlEndpoints.head).endTxn(
+        transactionalId.get, producerId, 0, commit = false)
+      catch { case _: Throwable => () } // abort path must not mask the task error
+  }
 
   override def close(): Unit = {
     clients.values.foreach(c => try c.close() catch { case _: Throwable => () })

@@ -146,6 +146,8 @@ private[kafka] object Wire {
   val ApiSaslHandshake = 17
   val ApiVersions = 18
   val ApiInitProducerId = 22
+  val ApiAddPartitionsToTxn = 24
+  val ApiEndTxn = 26
   val ApiSaslAuthenticate = 36
 
   /** Request header v1: api_key, api_version, correlation_id, client_id. */

@@ -127,10 +127,14 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     * `records` are relative (0..n-1) — the broker assigns the real ones. */
   /** InitProducerId v0: a broker-assigned (producerId, epoch) pair — the
     * identity that makes produce retries idempotent (the broker dedups on
-    * (producerId, epoch, baseSequence) per partition). */
-  def initProducerId(timeoutMs: Int = 30000): (Long, Int) = {
+    * (producerId, epoch, baseSequence) per partition). With a
+    * `transactionalId` the identity also anchors transactions: batches
+    * marked transactional stay invisible to read_committed consumers until
+    * [[endTxn]] commits. */
+  def initProducerId(timeoutMs: Int = 30000,
+                     transactionalId: String = null): (Long, Int) = {
     val r = roundTrip(Wire.ApiInitProducerId, 0) { w =>
-      w.string(null) // transactional_id: idempotence only, no transactions
+      w.string(transactionalId)
       w.int32(timeoutMs)
       ()
     }
@@ -140,12 +144,58 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     (r.int64(), r.int16())
   }
 
+  /** AddPartitionsToTxn v0: declare a partition as touched by the open
+    * transaction BEFORE producing to it — the broker must know where to
+    * write the commit/abort markers at EndTxn. */
+  def addPartitionsToTxn(transactionalId: String, producerId: Long, epoch: Int,
+                         topic: String, partitions: Seq[Int]): Unit = {
+    val r = roundTrip(Wire.ApiAddPartitionsToTxn, 0) { w =>
+      w.string(transactionalId)
+      w.int64(producerId)
+      w.int16(epoch)
+      w.int32(1); w.string(topic)
+      w.int32(partitions.size)
+      partitions.foreach(w.int32)
+      ()
+    }
+    r.int32() // throttle_time_ms
+    (0 until r.int32()).foreach { _ =>
+      r.string()
+      (0 until r.int32()).foreach { _ =>
+        val pid = r.int32()
+        val err = r.int16()
+        if (err != 0) throw new java.io.IOException(
+          s"AddPartitionsToTxn error $err on $topic-$pid")
+      }
+    }
+  }
+
+  /** EndTxn v0: commit (true) or abort (false) the open transaction — the
+    * broker writes a control marker to every partition the transaction
+    * declared, which is the moment read_committed consumers (dis)cover the
+    * rows. */
+  def endTxn(transactionalId: String, producerId: Long, epoch: Int,
+             commit: Boolean): Unit = {
+    val r = roundTrip(Wire.ApiEndTxn, 0) { w =>
+      w.string(transactionalId)
+      w.int64(producerId)
+      w.int16(epoch)
+      w.int8(if (commit) 1 else 0)
+      ()
+    }
+    r.int32() // throttle_time_ms
+    val err = r.int16()
+    if (err != 0) throw new java.io.IOException(s"EndTxn error $err")
+  }
+
   def produce(topic: String, partition: Int, records: Seq[Records.Record],
               acks: Int = -1, timeoutMs: Int = 30000, codec: Int = 0,
-              producerId: Long = -1L, baseSequence: Int = -1): Long = {
+              producerId: Long = -1L, baseSequence: Int = -1,
+              transactional: Boolean = false): Long = {
     val batch = Records.encodeBatch(0L,
       records.zipWithIndex.map { case (rec, i) => rec.copy(offset = i.toLong) },
-      attributes = codec, producerId = producerId, baseSequence = baseSequence)
+      attributes = codec | (if (transactional) Records.TransactionalBit else 0),
+      producerId = producerId, baseSequence = baseSequence)
     val r = roundTrip(Wire.ApiProduce, 3) { w =>
       w.string(null)      // transactional_id
       w.int16(acks)

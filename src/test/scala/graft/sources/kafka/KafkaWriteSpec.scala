@@ -259,6 +259,66 @@ class KafkaWriteSpec extends SparkSpec {
     }
   }
 
+  private def readIso(c: Cluster, topic: String, committed: Boolean): Seq[String] = {
+    val r = spark.read.format("graft-kafka")
+      .option("brokers", addr(c)).option("topic", topic)
+    (if (committed) r.option("kafka.isolation.level", "read_committed") else r)
+      .load().collect()
+      .map(row => new String(row.getAs[Array[Byte]]("value"), StandardCharsets.UTF_8))
+      .toSeq.sorted
+  }
+
+  test("transactional.id: task rows are one transaction — invisible until commit, gone on abort") {
+    withCluster() { c =>
+      c.addPartition("out", 0)
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.catalyst.InternalRow
+      val schema = StructType(Seq(
+        StructField("key", BinaryType), StructField("value", BinaryType)))
+      val eps = c.brokerList.map(b => (b.host, b.port))
+      def writer(task: Long) = new KafkaWireWriterFactory(schema, Some("out"), eps,
+        Map(("out", 0) -> eps.head), Map("out" -> 1), None, None,
+        flushRecords = 2, transactionalId = Some("graft-txn")).createWriter(0, task)
+
+      // attempt 0 flushes mid-task (cap 2) then ABORTS — its rows reached
+      // the log but must never reach a read_committed consumer
+      val w0 = writer(0L)
+      (0 until 4).foreach(i => w0.write(InternalRow(null, s"dead$i".getBytes)))
+      w0.abort(); w0.close()
+      assert(readIso(c, "out", committed = true).isEmpty,
+        "aborted task rows must be invisible under read_committed")
+      assert(readIso(c, "out", committed = false).size == 4,
+        "read_uncommitted surfaces the orphaned rows (they ARE in the log)")
+
+      // the retry commits: exactly its rows appear; the aborted ones stay gone
+      val w1 = writer(1L)
+      (0 until 4).foreach(i => w1.write(InternalRow(null, s"live$i".getBytes)))
+      // mid-transaction: flushed rows exist but stay behind the LSO
+      assert(readIso(c, "out", committed = true).isEmpty,
+        "uncommitted transaction rows must stay behind the LSO")
+      w1.commit(); w1.close()
+      assert(readIso(c, "out", committed = true) ==
+        (0 until 4).map(i => s"live$i").sorted,
+        "exactly the committed attempt's rows, never the aborted ones")
+      assert(readIso(c, "out", committed = false).size == 8)
+    }
+  }
+
+  test("transactional.id end-to-end: DataFrame write commits one txn per task") {
+    withCluster() { c =>
+      c.addPartition("out", 0); c.addPartition("out", 1)
+      (0 until 20).map(i => (s"k$i", s"v$i")).toDF("key", "value")
+        .repartition(3)
+        .write.mode("append").format("graft-kafka")
+        .option("brokers", addr(c)).option("topic", "out")
+        .option("kafka.transactional.id", "graft-batch")
+        .save()
+      assert(readIso(c, "out", committed = true) ==
+        (0 until 20).map(i => s"v$i").sorted,
+        "all rows visible to read_committed after every task committed")
+    }
+  }
+
   test("a write without value column or topic fails loudly") {
     withCluster() { c =>
       c.addPartition("out", 0)

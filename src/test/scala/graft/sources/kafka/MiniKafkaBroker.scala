@@ -65,6 +65,9 @@ object MiniKafkaBroker {
     val producedCodecs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     /** InitProducerId assignment counter. */
     val nextProducerId = new java.util.concurrent.atomic.AtomicLong(1000L)
+    /** Open transactions: producerId → partitions declared via
+      * AddPartitionsToTxn (where EndTxn writes its markers). */
+    val txnPartitions = new java.util.concurrent.ConcurrentHashMap[Long, mutable.Set[(String, Int)]]()
     private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
 
     def addBroker(tls: Option[javax.net.ssl.SSLContext] = None): MiniKafkaBroker = synchronized {
@@ -233,6 +236,8 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
                 r.string(); r.int32() // transactional_id, timeout
                 w.int32(0).int16(0).int64(cluster.nextProducerId.getAndIncrement()).int16(0)
                 ()
+              case Wire.ApiAddPartitionsToTxn => addPartitionsToTxnResp(r, w)
+              case Wire.ApiEndTxn => endTxnResp(r, w)
               case other =>
                 throw new IllegalStateException(s"mini broker: unsupported api $other")
             }
@@ -250,7 +255,8 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
       Wire.ApiMetadata -> (0, 1), Wire.ApiSaslHandshake -> (0, 1),
       Wire.ApiVersions -> (0, 0), Wire.ApiSaslAuthenticate -> (0, 0),
       Wire.ApiOffsetCommit -> (0, 2), Wire.ApiOffsetFetch -> (0, 1),
-      Wire.ApiFindCoordinator -> (0, 0), Wire.ApiInitProducerId -> (0, 0))
+      Wire.ApiFindCoordinator -> (0, 0), Wire.ApiInitProducerId -> (0, 0),
+      Wire.ApiAddPartitionsToTxn -> (0, 0), Wire.ApiEndTxn -> (0, 0))
     w.int32(apis.size)
     apis.foreach { case (k, (mn, mx)) => w.int16(k).int16(mn).int16(mx) }
     ()
@@ -423,9 +429,15 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
             w.int32(pid).int16(6).int64(-1L).int64(-1L)
           case Some(log) =>
             // attributes int16 sits at bytes 21-22 of a v2 batch (after
-            // baseOffset+length+epoch+magic+crc); bits 0-2 name the codec
+            // baseOffset+length+epoch+magic+crc); bits 0-2 name the codec,
+            // bit 4 marks a transactional batch
+            val attrs =
+              if (recordSet != null && recordSet.length > 22)
+                (recordSet(21) & 0xff) << 8 | (recordSet(22) & 0xff)
+              else 0
             if (recordSet != null && recordSet.length > 22)
-              cluster.producedCodecs.add(((recordSet(21) & 0xff) << 8 | (recordSet(22) & 0xff)) & 0x07)
+              cluster.producedCodecs.add(attrs & 0x07)
+            val transactional = (attrs & Records.TransactionalBit) != 0
             // idempotence header fields: producerId at byte 43,
             // baseSequence at 53 (fixed v2 header layout)
             val hdr = new Wire.Reader(recordSet, 43)
@@ -450,8 +462,14 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
                 val rebased = dec.records.zipWithIndex.map { case (rec, i) =>
                   rec.copy(offset = b + i)
                 }
+                // preserve the transactional flag + producer id in the
+                // stored batch — read_committed filtering depends on them
                 log.batches += LogBatch(b, b + rebased.size - 1,
-                  Records.encodeBatch(b, rebased))
+                  Records.encodeBatch(b, rebased,
+                    attributes = if (transactional) Records.TransactionalBit else 0,
+                    producerId = if (transactional) producerId else -1L))
+                if (transactional && !log.openTxns.contains(producerId))
+                  log.openTxns(producerId) = b
                 if (producerId >= 0 && baseSeq >= 0)
                   log.producerSeqs(producerId) = (baseSeq + dec.records.size, baseSeq, b)
                 w.int32(pid).int16(0).int64(b).int64(-1L)
@@ -462,6 +480,48 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
       }
     }
     w.int32(0) // throttle_time_ms — tail position in Produce v1-v5
+    ()
+  }
+
+  private def addPartitionsToTxnResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    r.string() // transactional_id
+    val producerId = r.int64()
+    r.int16()  // epoch
+    val topicCount = r.int32()
+    val req = (0 until topicCount).map { _ =>
+      val name = r.string()
+      val parts = (0 until r.int32()).map(_ => r.int32())
+      name -> parts
+    }
+    val set = cluster.txnPartitions.computeIfAbsent(producerId,
+      _ => mutable.Set.empty[(String, Int)])
+    w.int32(0) // throttle_time_ms
+    w.int32(req.size)
+    req.foreach { case (name, parts) =>
+      w.string(name)
+      w.int32(parts.size)
+      parts.foreach { pid =>
+        set.synchronized { set += ((name, pid)) }
+        w.int32(pid).int16(0)
+        ()
+      }
+    }
+    ()
+  }
+
+  /** EndTxn v0: write a COMMIT/ABORT control marker to every partition the
+    * transaction declared — the same marker path the fixture's endTxn uses,
+    * so LSO/aborted-txn bookkeeping is shared. */
+  private def endTxnResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    r.string() // transactional_id
+    val producerId = r.int64()
+    r.int16()  // epoch
+    val commit = r.int8() == 1
+    val touched = Option(cluster.txnPartitions.remove(producerId))
+      .map(s => s.synchronized(s.toSeq.sorted)).getOrElse(Nil)
+    touched.foreach { case (topic, pid) => cluster.endTxn(topic, pid, producerId, commit) }
+    w.int32(0) // throttle_time_ms
+    w.int16(0)
     ()
   }
 
