@@ -81,8 +81,15 @@ class ServiceSpec extends SparkSpec {
         .outputMode("append").start()
       mem.addData(1L, 2L, 3L)
       q.processAllAvailable()
+      // listener events are delivered ASYNCHRONOUSLY — processAllAvailable
+      // returning does not mean onQueryProgress has fired; poll-wait before
+      // asserting or this flakes under suite-parallel load
+      val deadline = System.currentTimeMillis() + 20000
+      def probeSnaps() = listener.snapshot.filter(_.queryName == "metrics_probe")
+      while (probeSnaps().map(_.numInputRows).sum < 3L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
       q.stop()
-      val snaps = listener.snapshot.filter(_.queryName == "metrics_probe")
+      val snaps = probeSnaps()
       assert(snaps.nonEmpty)
       assert(snaps.map(_.numInputRows).sum == 3L)
     } finally spark.streams.removeListener(listener)
