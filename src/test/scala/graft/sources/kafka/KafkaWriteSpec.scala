@@ -319,6 +319,33 @@ class KafkaWriteSpec extends SparkSpec {
     }
   }
 
+  test("transactional.id streaming sink: every micro-batch epoch commits cleanly") {
+    withCluster() { c =>
+      c.addPartition("out", 0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, String)]
+      val q = mem.toDF.toDF("key", "value")
+        .select(col("key").cast("binary"), col("value").cast("binary"))
+        .writeStream.format("graft-kafka")
+        .option("brokers", addr(c)).option("topic", "out")
+        .option("kafka.transactional.id", "graft-stream")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-txn-sink").toString)
+        .start()
+      try {
+        mem.addData(("k1", "e0-a"), ("k2", "e0-b"))
+        q.processAllAvailable()
+        assert(readIso(c, "out", committed = true) == Seq("e0-a", "e0-b"),
+          "epoch 0's transaction committed — rows visible to read_committed")
+        mem.addData(("k3", "e1-a"))
+        q.processAllAvailable()
+        assert(readIso(c, "out", committed = true) == Seq("e0-a", "e0-b", "e1-a"),
+          "each epoch is its own committed transaction")
+      } finally q.stop()
+    }
+  }
+
   test("a write without value column or topic fails loudly") {
     withCluster() { c =>
       c.addPartition("out", 0)
