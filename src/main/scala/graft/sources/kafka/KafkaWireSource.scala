@@ -482,6 +482,11 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
   private val ciOpts = opts.map { case (k, v) => k.toLowerCase -> v }
   private val startingOffsets = ciOpts.getOrElse("startingoffsets", "earliest")
   private val startTs = KafkaWireSource.timestampBoundOptions(ciOpts)
+  // a stream has no end: silently ignoring an ending bound would read past
+  // the user's window forever — reject it, the stock source's behavior
+  for (bad <- Seq("endingoffsets", "endingtimestamp", "endingoffsetsbytimestamp"))
+    if (ciOpts.contains(bad)) throw new IllegalArgumentException(
+      s"graft-kafka: $bad is not valid in streaming queries (batch reads only)")
   private val maxOffsetsPerTrigger = ciOpts.get("maxoffsetspertrigger").map(_.toLong)
   private val minOffsetsPerTrigger = ciOpts.get("minoffsetspertrigger").map(_.toLong)
   // "30s"/"5m"/"1h" or bare millis — the stock option's duration spelling
@@ -566,7 +571,12 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
     val tps = if (availableNowEnd != null) availableNowEnd.keys.toSeq.sorted
               else allTps(clusterMeta())
     val startMap = effectiveStart(start.asInstanceOf[KafkaWireOffset].offsets, tps)
-    val latest = if (availableNowEnd != null) availableNowEnd
+    // the snapshot is clamped to the start: prepare runs BEFORE
+    // initialOffset, so a startingOffsets=latest start can sit past the
+    // snapshot (rows appended in between) — an end below the start would
+    // regress the checkpoint and re-admit rows the start bound excluded
+    val latest = if (availableNowEnd != null) availableNowEnd.map { case (tp, e) =>
+                   tp -> math.max(e, startMap.getOrElse(tp, e)) }
                  else listOffsets(tps, -1L)
     val lags = latest.map { case (tp, end) =>
       tp -> math.max(0L, end - startMap.getOrElse(tp, end))

@@ -103,7 +103,15 @@ private[kafka] final class KafkaWireWrite(opts: Map[String, String], schema: Str
       // numbers cover)
       transactionalId = opts.collectFirst {
         case (k, v) if Set("kafka.transactional.id", "transactional.id")(k.toLowerCase) => v
-      })
+      },
+      // producer-config spelling transaction.timeout.ms: how long the
+      // coordinator lets a transaction stay open before proactively
+      // aborting it — must exceed the longest task's flush-to-commit span
+      // (stock producer default 60 s)
+      txnTimeoutMs = opts.collectFirst {
+        case (k, v) if Set("kafka.transaction.timeout.ms", "transaction.timeout.ms")(k.toLowerCase) =>
+          v.trim.toInt
+      }.getOrElse(60000))
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -136,7 +144,8 @@ private[kafka] final class KafkaWireWriterFactory(
     flushRecords: Int,
     codec: Int = Records.CodecNone,
     idempotent: Boolean = false,
-    transactionalId: Option[String] = None)
+    transactionalId: Option[String] = None,
+    txnTimeoutMs: Int = 60000)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -144,7 +153,7 @@ private[kafka] final class KafkaWireWriterFactory(
       partitionCounts, sasl, tls, flushRecords, codec, idempotent,
       // per-task transactional id — two tasks sharing one id would fence
       // each other; suffixing by task identity is the standard pattern
-      transactionalId.map(base => s"$base-$partitionId-$taskId"))
+      transactionalId.map(base => s"$base-$partitionId-$taskId"), txnTimeoutMs)
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId)
@@ -161,7 +170,8 @@ private[kafka] final class KafkaWireDataWriter(
     flushRecords: Int,
     codec: Int = Records.CodecNone,
     idempotent: Boolean = false,
-    transactionalId: Option[String] = None)
+    transactionalId: Option[String] = None,
+    txnTimeoutMs: Int = 60000)
   extends DataWriter[InternalRow] {
 
   private def transactional: Boolean = transactionalId.isDefined
@@ -199,14 +209,32 @@ private[kafka] final class KafkaWireDataWriter(
     * produce, so the NotLeader retry below re-sends the SAME sequence and
     * the broker can recognize a duplicate. */
   private var producerId = -1L
+  private var producerEpoch = 0
   private val nextSeq = mutable.Map[(String, Int), Int]()
   /** Partitions declared to the transaction coordinator (txn mode only). */
   private val txnDeclared = mutable.Set[(String, Int)]()
 
+  /** Transactional RPCs go to the TRANSACTION COORDINATOR for this
+    * transactional.id (any other broker answers NOT_COORDINATOR), found
+    * via FindCoordinator key_type=1 — the same ask-then-go contract the
+    * group-offset path follows. Idempotence-only producers can init
+    * anywhere. */
+  private def txnClient(): WireClient = transactionalId match {
+    case None => clientFor(controlEndpoints.head)
+    case Some(txnId) =>
+      val coord = clientFor(controlEndpoints.head).findTxnCoordinator(txnId)
+      clientFor((coord.host, coord.port))
+  }
+
   private def claimProducerId(): Long = {
-    if (producerId < 0)
-      producerId = clientFor(controlEndpoints.head)
-        .initProducerId(transactionalId = transactionalId.orNull)._1
+    if (producerId < 0) {
+      val (pid, epoch) = txnClient()
+        .initProducerId(timeoutMs = txnTimeoutMs, transactionalId = transactionalId.orNull)
+      producerId = pid
+      // the broker BUMPS the epoch when a transactional.id is reused; every
+      // batch and txn RPC must carry the assigned epoch or be fenced
+      producerEpoch = epoch
+    }
     producerId
   }
 
@@ -264,13 +292,14 @@ private[kafka] final class KafkaWireDataWriter(
       // first produce to a partition inside a transaction: declare it, so
       // EndTxn knows where its markers go
       if (transactional && !txnDeclared((topic, part))) {
-        clientFor(controlEndpoints.head).addPartitionsToTxn(
-          transactionalId.get, pid, 0, topic, Seq(part))
+        txnClient().addPartitionsToTxn(
+          transactionalId.get, pid, producerEpoch, topic, Seq(part))
         txnDeclared += ((topic, part))
       }
       val leader = leaders.getOrElse((topic, part), controlEndpoints.head)
       try clientFor(leader).produce(topic, part, buf.toSeq, codec = codec,
-        producerId = pid, baseSequence = seq, transactional = transactional)
+        producerId = pid, baseSequence = seq,
+        transactionalId = transactionalId.orNull, producerEpoch = producerEpoch)
       catch {
         // NOT_LEADER: leadership moved since the driver resolved it (or
         // since this task cached it). Refresh from the control plane and
@@ -288,7 +317,8 @@ private[kafka] final class KafkaWireDataWriter(
             (topic, pm.partition) -> byId.getOrElse(pm.leader, controlEndpoints.head))
           val fresh = leaders.getOrElse((topic, part), controlEndpoints.head)
           clientFor(fresh).produce(topic, part, buf.toSeq, codec = codec,
-            producerId = pid, baseSequence = seq, transactional = transactional)
+            producerId = pid, baseSequence = seq,
+            transactionalId = transactionalId.orNull, producerEpoch = producerEpoch)
       }
       if (idempotent || transactional) nextSeq((topic, part)) = seq + buf.size
       buf.clear()
@@ -300,8 +330,7 @@ private[kafka] final class KafkaWireDataWriter(
     // the task's transaction commits as ONE unit: only now do
     // read_committed consumers see any of its rows
     if (transactional && producerId >= 0)
-      clientFor(controlEndpoints.head).endTxn(
-        transactionalId.get, producerId, 0, commit = true)
+      txnClient().endTxn(transactionalId.get, producerId, producerEpoch, commit = true)
     KafkaWriteDone(written)
   }
 
@@ -310,8 +339,7 @@ private[kafka] final class KafkaWireDataWriter(
     // batches already flushed mid-task are in the log — the ABORT marker
     // is what keeps them invisible to read_committed consumers
     if (transactional && producerId >= 0)
-      try clientFor(controlEndpoints.head).endTxn(
-        transactionalId.get, producerId, 0, commit = false)
+      try txnClient().endTxn(transactionalId.get, producerId, producerEpoch, commit = false)
       catch { case _: Throwable => () } // abort path must not mask the task error
   }
 

@@ -95,7 +95,7 @@ object Records {
     * batch whose header still spans offsets the records no longer cover. */
   def encodeBatch(baseOffset: Long, records: Seq[Record], attributes: Int = 0,
                   lastOffsetDeltaOverride: Int = -1, producerId: Long = -1L,
-                  baseSequence: Int = -1): Array[Byte] = {
+                  baseSequence: Int = -1, producerEpoch: Int = Int.MinValue): Array[Byte] = {
     require(records.nonEmpty, "record batch must carry at least one record")
     val baseTs = records.map(_.timestampMs).min
     val maxTs = records.map(_.timestampMs).max
@@ -114,7 +114,9 @@ object Records {
     w.int64(baseTs)
     w.int64(maxTs)
     w.int64(producerId)
-    w.int16(if (producerId >= 0) 0 else -1) // producerEpoch
+    // broker-assigned epoch: fencing depends on stamping the REAL one, not 0
+    w.int16(if (producerEpoch != Int.MinValue) producerEpoch
+            else if (producerId >= 0) 0 else -1)
     w.int32(baseSequence)
     w.int32(records.size)
     val recs = new Wire.Writer
@@ -224,6 +226,13 @@ object Records {
         }
         val dropAborted = readCommitted && isTransactional && !isControl &&
           activeAborted.contains(producerId)
+        if (dropAborted) {
+          // the whole batch is discarded and no marker state can change
+          // inside a data batch — skip the decompress + record walk
+          // entirely (aborted volume costs ~zero CPU, not proportional CPU)
+          next = math.max(next, baseOffset + lastOffsetDelta + 1)
+          at = end
+        } else {
         // the records block (everything after recordCount, up to the batch
         // end) is compressed as one unit; the header above never is
         val rr = if (codec == CodecNone) r
@@ -270,6 +279,7 @@ object Records {
         }
         next = math.max(next, baseOffset + lastOffsetDelta + 1)
         at = end
+        }
       }
     }
     Decoded(out.result(), next)

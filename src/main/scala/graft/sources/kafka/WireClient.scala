@@ -191,13 +191,17 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
   def produce(topic: String, partition: Int, records: Seq[Records.Record],
               acks: Int = -1, timeoutMs: Int = 30000, codec: Int = 0,
               producerId: Long = -1L, baseSequence: Int = -1,
-              transactional: Boolean = false): Long = {
+              transactionalId: String = null, producerEpoch: Int = Int.MinValue): Long = {
+    val transactional = transactionalId != null
     val batch = Records.encodeBatch(0L,
       records.zipWithIndex.map { case (rec, i) => rec.copy(offset = i.toLong) },
       attributes = codec | (if (transactional) Records.TransactionalBit else 0),
-      producerId = producerId, baseSequence = baseSequence)
+      producerId = producerId, baseSequence = baseSequence,
+      producerEpoch = producerEpoch)
     val r = roundTrip(Wire.ApiProduce, 3) { w =>
-      w.string(null)      // transactional_id
+      // brokers REQUIRE a non-null transactional_id on any request carrying
+      // transactional batches — the attribute bit alone is rejected
+      w.string(transactionalId)
       w.int16(acks)
       w.int32(timeoutMs)
       w.int32(1); w.string(topic)
@@ -222,6 +226,15 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
             s"Produce error 45 OUT_OF_ORDER_SEQUENCE_NUMBER on $topic-$pid: " +
               "the batch sequence does not follow the broker's last accepted one " +
               "(a lost batch in between, or a second producer instance reusing this id)")
+        if (err == 47)
+          throw new java.io.IOException(
+            s"Produce error 47 INVALID_PRODUCER_EPOCH on $topic-$pid: " +
+              "this producer was FENCED — a newer instance claimed the same " +
+              "transactional id (zombie task attempt?)")
+        if (err == 53)
+          throw new java.io.IOException(
+            s"Produce error 53 TRANSACTIONAL_ID_AUTHORIZATION_FAILED on $topic-$pid: " +
+              "transactional batches require a transactional_id on the request")
         if (err != 0)
           throw new java.io.IOException(s"Produce error $err on $topic-$pid")
         if (pid == partition) base = off
@@ -332,6 +345,24 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     val r = roundTrip(Wire.ApiFindCoordinator, 0)(w => { w.string(groupId); () })
     val err = r.int16()
     if (err != 0) throw new java.io.IOException(s"FindCoordinator error $err for group $groupId")
+    BrokerMeta(r.int32(), r.string(), r.int32())
+  }
+
+  /** FindCoordinator v1 with key_type 1: which broker coordinates
+    * `transactionalId` — InitProducerId/AddPartitionsToTxn/EndTxn must go
+    * THERE (any other broker answers error 16), same contract as group
+    * coordination. */
+  def findTxnCoordinator(transactionalId: String): BrokerMeta = {
+    val r = roundTrip(Wire.ApiFindCoordinator, 1) { w =>
+      w.string(transactionalId)
+      w.int8(1) // key_type: transaction
+      ()
+    }
+    r.int32() // throttle_time_ms
+    val err = r.int16()
+    r.string() // error_message
+    if (err != 0) throw new java.io.IOException(
+      s"FindCoordinator error $err for transactional id $transactionalId")
     BrokerMeta(r.int32(), r.string(), r.int32())
   }
 

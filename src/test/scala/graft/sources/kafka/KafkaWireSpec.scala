@@ -919,6 +919,49 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("ending bounds are rejected in streaming mode, not silently ignored") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      for (opt <- Seq("endingOffsets" -> "latest", "endingTimestamp" -> "99",
+        "endingOffsetsByTimestamp" -> """{"t":{"0":99}}""")) {
+        val ex = intercept[Exception] {
+          val q = spark.readStream.format("graft-kafka")
+            .option("brokers", brokerList(c)).option("topic", "t")
+            .option(opt._1, opt._2).load()
+            .writeStream.format("memory").queryName(s"bad_${opt._1}")
+            .option("checkpointLocation", tempDir("endingreject")).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+        assert(msgs.contains("not valid in streaming"), s"${opt._1}: $msgs")
+      }
+    }
+  }
+
+  test("AvailableNow snapshot below a later-resolved start never regresses the offset") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, Seq("k" -> "pre0", "k" -> "pre1"))
+      // prepare() runs BEFORE initialOffset in Spark's AvailableNow path;
+      // rows appended between the two put a startingOffsets=latest start
+      // PAST the snapshot — the planned end must clamp up to the start
+      val stream = new KafkaWireMicroBatchStream(Map(
+        "brokers" -> brokerList(c), "topic" -> "t", "startingoffsets" -> "latest"))
+      try {
+        stream.prepareForTriggerAvailableNow() // snapshot end = 2
+        c.append("t", 0, Seq("k" -> "mid0", "k" -> "mid1", "k" -> "mid2"))
+        val start = stream.initialOffset() // latest = 5
+        val end = stream.latestOffset(start,
+          org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+        assert(KafkaWireSource.offsetsFromJson(end.json()) == Map(("t", 0) -> 5L),
+          "end clamps UP to the start; 2 < 5 would regress the checkpoint")
+        assert(stream.planInputPartitions(start, end).isEmpty,
+          "no batch: the start bound already excluded the snapshot rows")
+      } finally stream.stop()
+    }
+  }
+
   test("soak: concurrent appends + leadership flaps + restarts deliver exactly once") {
     withCluster(brokers = 2) { c =>
       val log0 = c.addPartition("t", 0, leader = 0)

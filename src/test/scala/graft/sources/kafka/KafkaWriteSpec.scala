@@ -305,17 +305,69 @@ class KafkaWriteSpec extends SparkSpec {
   }
 
   test("transactional.id end-to-end: DataFrame write commits one txn per task") {
-    withCluster() { c =>
-      c.addPartition("out", 0); c.addPartition("out", 1)
+    // TWO brokers with split leadership: txn RPCs must go to the
+    // coordinator (FindCoordinator key_type=1 → broker 0) while produces
+    // go to each partition's leader — a client that conflates the two dies
+    // on error 16 / error 6
+    withCluster(brokers = 2) { c =>
+      c.addPartition("out", 0, leader = 0); c.addPartition("out", 1, leader = 1)
       (0 until 20).map(i => (s"k$i", s"v$i")).toDF("key", "value")
         .repartition(3)
         .write.mode("append").format("graft-kafka")
         .option("brokers", addr(c)).option("topic", "out")
         .option("kafka.transactional.id", "graft-batch")
+        .option("kafka.transaction.timeout.ms", "120000")
         .save()
       assert(readIso(c, "out", committed = true) ==
         (0 until 20).map(i => s"v$i").sorted,
         "all rows visible to read_committed after every task committed")
+      assert(c.lastTxnTimeoutMs == 120000,
+        "the configured transaction timeout must reach InitProducerId")
+    }
+  }
+
+  test("zombie fencing: re-initializing a transactional.id bumps the epoch and fences the old one") {
+    withCluster(brokers = 2) { c =>
+      c.addPartition("out", 0)
+      val coordB = c.brokerList.head
+      val cl = new WireClient(coordB.host, coordB.port)
+      try {
+        // same transactional.id → SAME producer id, bumped epoch
+        val (pid0, e0) = cl.initProducerId(transactionalId = "job-7")
+        val (pid1, e1) = cl.initProducerId(transactionalId = "job-7")
+        assert(pid0 == pid1 && e0 == 0 && e1 == 1)
+        // the zombie (epoch 0) can no longer produce, declare, or end
+        val recs = Seq(Records.Record(0L, 7L, null, "z".getBytes(StandardCharsets.UTF_8)))
+        val ex = intercept[java.io.IOException] {
+          cl.produce("out", 0, recs, producerId = pid0,
+            baseSequence = 0, transactionalId = "job-7", producerEpoch = e0)
+        }
+        assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+        val ex2 = intercept[java.io.IOException] {
+          cl.addPartitionsToTxn("job-7", pid0, e0, "out", Seq(0))
+        }
+        assert(ex2.getMessage.contains("47"), ex2.getMessage)
+        val ex3 = intercept[java.io.IOException](cl.endTxn("job-7", pid0, e0, commit = true))
+        assert(ex3.getMessage.contains("47"), ex3.getMessage)
+        // the CURRENT instance (epoch 1) flows normally
+        cl.addPartitionsToTxn("job-7", pid1, e1, "out", Seq(0))
+        cl.produce("out", 0, recs, producerId = pid1,
+          baseSequence = 0, transactionalId = "job-7", producerEpoch = e1)
+        cl.endTxn("job-7", pid1, e1, commit = true)
+        assert(readIso(c, "out", committed = true) == Seq("z"))
+      } finally cl.close()
+
+      // txn RPCs sent to a NON-coordinator are refused with error 16 —
+      // the contract that makes FindCoordinator(key_type=1) mandatory
+      val wrongB = c.brokerList(1)
+      val wrong = new WireClient(wrongB.host, wrongB.port)
+      try {
+        val ex = intercept[java.io.IOException](
+          wrong.initProducerId(transactionalId = "job-8"))
+        assert(ex.getMessage.contains("16"), ex.getMessage)
+        // ...and FindCoordinator names the real one
+        assert(wrong.findTxnCoordinator("job-8").nodeId == coordB.nodeId)
+      } finally wrong.close()
     }
   }
 

@@ -68,6 +68,14 @@ object MiniKafkaBroker {
     /** Open transactions: producerId → partitions declared via
       * AddPartitionsToTxn (where EndTxn writes its markers). */
     val txnPartitions = new java.util.concurrent.ConcurrentHashMap[Long, mutable.Set[(String, Int)]]()
+    /** transactional.id → (producerId, epoch): InitProducerId REUSES the
+      * pid for a known id and BUMPS the epoch — the fencing mechanism. */
+    val txnIds = new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+    /** producerId → current epoch; Produce/AddPartitions/EndTxn carrying a
+      * lower epoch are fenced with error 47. */
+    val producerEpochs = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
+    /** Last InitProducerId transaction_timeout_ms seen (spec observation). */
+    @volatile var lastTxnTimeoutMs: Int = -1
     private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
 
     def addBroker(tls: Option[javax.net.ssl.SSLContext] = None): MiniKafkaBroker = synchronized {
@@ -229,13 +237,10 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
               case Wire.ApiListOffsets => listOffsetsResp(r, w, apiVersion)
               case Wire.ApiFetch => fetchResp(r, w, apiVersion)
               case Wire.ApiProduce => produceResp(r, w)
-              case Wire.ApiFindCoordinator => findCoordinatorResp(r, w)
+              case Wire.ApiFindCoordinator => findCoordinatorResp(r, w, apiVersion)
               case Wire.ApiOffsetCommit => offsetCommitResp(r, w)
               case Wire.ApiOffsetFetch => offsetFetchResp(r, w)
-              case Wire.ApiInitProducerId =>
-                r.string(); r.int32() // transactional_id, timeout
-                w.int32(0).int16(0).int64(cluster.nextProducerId.getAndIncrement()).int16(0)
-                ()
+              case Wire.ApiInitProducerId => initProducerIdResp(r, w)
               case Wire.ApiAddPartitionsToTxn => addPartitionsToTxnResp(r, w)
               case Wire.ApiEndTxn => endTxnResp(r, w)
               case other =>
@@ -255,7 +260,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
       Wire.ApiMetadata -> (0, 1), Wire.ApiSaslHandshake -> (0, 1),
       Wire.ApiVersions -> (0, 0), Wire.ApiSaslAuthenticate -> (0, 0),
       Wire.ApiOffsetCommit -> (0, 2), Wire.ApiOffsetFetch -> (0, 1),
-      Wire.ApiFindCoordinator -> (0, 0), Wire.ApiInitProducerId -> (0, 0),
+      Wire.ApiFindCoordinator -> (0, 1), Wire.ApiInitProducerId -> (0, 0),
       Wire.ApiAddPartitionsToTxn -> (0, 0), Wire.ApiEndTxn -> (0, 0))
     w.int32(apis.size)
     apis.foreach { case (k, (mn, mx)) => w.int16(k).int16(mn).int16(mx) }
@@ -403,7 +408,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
     * base offset. A non-leader refuses with error 6; an unknown partition
     * with error 3 — the same contract the Fetch side enforces. */
   private def produceResp(r: Wire.Reader, w: Wire.Writer): Unit = {
-    r.string() // transactional_id
+    val reqTxnId = r.string()
     r.int16()  // acks
     r.int32()  // timeout_ms
     val topicCount = r.int32()
@@ -442,8 +447,19 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
             // baseSequence at 53 (fixed v2 header layout)
             val hdr = new Wire.Reader(recordSet, 43)
             val producerId = hdr.int64()
-            hdr.skip(2) // producerEpoch
+            val batchEpoch = hdr.int16()
             val baseSeq = hdr.int32()
+            // real brokers REJECT transactional batches on a request with
+            // no transactional_id (53), and FENCE stale producer epochs
+            // (47) — the two contracts a client bug would otherwise ship
+            // past single-broker tests
+            val txnErr =
+              if (transactional && reqTxnId == null) 53
+              else if (transactional &&
+                batchEpoch < cluster.producerEpochs.getOrDefault(producerId, 0)) 47
+              else 0
+            if (txnErr != 0) { w.int32(pid).int16(txnErr).int64(-1L).int64(-1L); () }
+            else {
             val dec = Records.decodeAll(recordSet)
             log.synchronized {
               val state = if (producerId >= 0 && baseSeq >= 0)
@@ -475,6 +491,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
                 w.int32(pid).int16(0).int64(b).int64(-1L)
               }
             }
+            }
         }
         ()
       }
@@ -483,10 +500,33 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
     ()
   }
 
+  private def isTxnCoordinator: Boolean = cluster.brokerList.head.nodeId == nodeId
+
+  /** InitProducerId v0. A known transactional.id keeps its producerId and
+    * BUMPS the epoch (what fences a zombie attempt); non-coordinators
+    * refuse transactional inits with error 16. */
+  private def initProducerIdResp(r: Wire.Reader, w: Wire.Writer): Unit = {
+    val txnId = r.string()
+    cluster.lastTxnTimeoutMs = r.int32()
+    if (txnId != null && !isTxnCoordinator) {
+      w.int32(0).int16(16).int64(-1L).int16(-1) // NOT_COORDINATOR
+      return
+    }
+    val (pid, epoch) =
+      if (txnId == null) (cluster.nextProducerId.getAndIncrement(), 0)
+      else cluster.txnIds.compute(txnId, (_, prev) =>
+        if (prev == null) (cluster.nextProducerId.getAndIncrement(), 0)
+        else (prev._1, prev._2 + 1))
+    cluster.producerEpochs.put(pid, epoch)
+    w.int32(0).int16(0).int64(pid).int16(epoch)
+    ()
+  }
+
   private def addPartitionsToTxnResp(r: Wire.Reader, w: Wire.Writer): Unit = {
     r.string() // transactional_id
     val producerId = r.int64()
-    r.int16()  // epoch
+    val epoch = r.int16()
+    val stale = epoch < cluster.producerEpochs.getOrDefault(producerId, 0)
     val topicCount = r.int32()
     val req = (0 until topicCount).map { _ =>
       val name = r.string()
@@ -501,8 +541,12 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
       w.string(name)
       w.int32(parts.size)
       parts.foreach { pid =>
-        set.synchronized { set += ((name, pid)) }
-        w.int32(pid).int16(0)
+        if (!isTxnCoordinator) w.int32(pid).int16(16)      // NOT_COORDINATOR
+        else if (stale) w.int32(pid).int16(47)             // INVALID_PRODUCER_EPOCH
+        else {
+          set.synchronized { set += ((name, pid)) }
+          w.int32(pid).int16(0)
+        }
         ()
       }
     }
@@ -515,23 +559,34 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
   private def endTxnResp(r: Wire.Reader, w: Wire.Writer): Unit = {
     r.string() // transactional_id
     val producerId = r.int64()
-    r.int16()  // epoch
+    val epoch = r.int16()
     val commit = r.int8() == 1
+    w.int32(0) // throttle_time_ms
+    if (!isTxnCoordinator) { w.int16(16); return }
+    if (epoch < cluster.producerEpochs.getOrDefault(producerId, 0)) {
+      w.int16(47); return // fenced zombie must not (ab)use EndTxn
+    }
     val touched = Option(cluster.txnPartitions.remove(producerId))
       .map(s => s.synchronized(s.toSeq.sorted)).getOrElse(Nil)
     touched.foreach { case (topic, pid) => cluster.endTxn(topic, pid, producerId, commit) }
-    w.int32(0) // throttle_time_ms
     w.int16(0)
     ()
   }
 
-  /** FindCoordinator v0: the first cluster broker coordinates every group —
-    * a fixed assignment is all the client contract needs (it must ASK, then
-    * commit THERE). */
-  private def findCoordinatorResp(r: Wire.Reader, w: Wire.Writer): Unit = {
-    r.string() // group id
+  /** FindCoordinator v0 (groups) / v1 (+key_type: 1 = transactions): the
+    * first cluster broker coordinates everything — a fixed assignment is
+    * all the client contract needs (it must ASK, then go THERE). */
+  private def findCoordinatorResp(r: Wire.Reader, w: Wire.Writer, version: Int): Unit = {
+    r.string() // key (group id / transactional id)
+    if (version >= 1) r.int8() // key_type
     val coord = cluster.brokerList.head
-    w.int16(0).int32(coord.nodeId).string(coord.host).int32(coord.port)
+    if (version >= 1) {
+      w.int32(0) // throttle_time_ms
+      w.int16(0).string(null) // error, error_message
+      w.int32(coord.nodeId).string(coord.host).int32(coord.port)
+    } else {
+      w.int16(0).int32(coord.nodeId).string(coord.host).int32(coord.port)
+    }
     ()
   }
 
