@@ -241,7 +241,7 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
     * columns either way; without this, a real-cluster config start would
     * hand binary frames to the compiler and fail on the first field
     * reference. */
-  private def parseIfRaw(raw: DataFrame, topic: TopicConfig):
+  private[pipeline] def parseIfRaw(raw: DataFrame, topic: TopicConfig):
       (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.functions.col
     val isRawFrame = topic.schemaFields.nonEmpty &&
@@ -252,7 +252,12 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
       val (payload, _) = graft.sources.JsonIngest.stripSchemaRegistryPrefix(col("value"))
       val schema = graft.types.EngineSchema.structFor(
         topic.schemaFields.map(f => f.name -> f.`type`))
-      val keep = Seq("timestamp", "partition", "offset").filter(raw.columns.contains)
+      // lineage columns must never shadow a DECLARED field of the same name
+      // (telemetry schemas commonly declare "timestamp") — a duplicate
+      // column dies later as AMBIGUOUS_REFERENCE in dedup/filter resolution
+      val declared = topic.schemaFields.map(_.name).toSet
+      val keep = Seq("timestamp", "partition", "offset")
+        .filter(raw.columns.contains).filterNot(declared.contains)
       val parsed = graft.sources.JsonIngest.parse(
         raw.withColumn("__payload", payload), "__payload", schema, keep)
       val good = parsed.filter(!col("__corrupt")).drop("__corrupt", "__raw")
@@ -324,7 +329,14 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
             Right(())
           } catch {
             case e: Exception =>
-              registry.put(id, d.copy(status = Failed))
+              // the join query may already be RUNNING when a later step
+              // (e.g. the validation-DLQ attach) throws — overwriting the
+              // registry with the stale pre-start snapshot (query=None)
+              // would leak an unstoppable stream; stop it and keep the
+              // CURRENT entry's query reference
+              val current = Option(registry.get(id)).getOrElse(d)
+              current.query.foreach(q => try q.stop() catch { case _: Throwable => () })
+              registry.put(id, current.copy(status = Failed))
               Left(Option(e.getMessage).getOrElse(e.toString))
           }
         }

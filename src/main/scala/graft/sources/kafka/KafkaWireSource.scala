@@ -220,7 +220,11 @@ object KafkaWireSource {
       case None => client.metadata(o.topics)
       case Some(re) =>
         val all = client.metadata(Seq.empty)
-        all.copy(topics = all.topics.filter(t => re.pattern.matcher(t.name).matches()))
+        // a broad pattern (".*") must not sweep in __consumer_offsets /
+        // __transaction_state — the consumer's exclude.internal.topics
+        // default; their binary bookkeeping records are not user data
+        all.copy(topics = all.topics.filter(t =>
+          !t.name.startsWith("__") && re.pattern.matcher(t.name).matches()))
     }
     o.assign match {
       case None => meta
@@ -617,16 +621,29 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
         val cap = mr.maxRows()
         if (total <= cap) KafkaWireOffset(latest)
         else KafkaWireOffset(latest.map { case (tp, end) =>
+          // Double, not Long: cap * lag overflows Long on deep backfills
+          // (cap 10^7 × lag 10^12), and a negative share would move the
+          // committed cursor BACKWARD
           val lag = lags(tp)
-          val share = if (total == 0) 0L else cap * lag / total
+          val share = if (total == 0) 0L
+            else math.max(0L, (cap.toDouble * lag / total).toLong)
           tp -> math.min(end, startMap.getOrElse(tp, end) + share)
         })
       case None => KafkaWireOffset(latest)
     }
   }
 
-  override def deserializeOffset(json: String): Offset =
-    KafkaWireOffset(KafkaWireSource.offsetsFromJson(json))
+  override def deserializeOffset(json: String): Offset = {
+    val m = KafkaWireSource.offsetsFromJson(json)
+    // a checkpoint that parses to NOTHING but isn't the empty map is a
+    // foreign/corrupt format — restarting every partition from earliest
+    // (the silent alternative) would flood downstream with duplicates
+    if (m.isEmpty && json.replaceAll("[\\s{}]", "").nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft-kafka: unrecognized checkpoint offset JSON '$json' — " +
+          "refusing to silently restart from earliest")
+    KafkaWireOffset(m)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val e = end.asInstanceOf[KafkaWireOffset].offsets
@@ -781,11 +798,20 @@ private[kafka] final class KafkaWirePartitionReader(p: KafkaWirePartition)
         s"graft-kafka: offsets from $nextOffset lost on ${p.topic}-${p.partition} " +
           "(set failOnDataLoss=false to skip the gap)", cause)
     val earliest = client.listOffsets(p.topic, Seq(p.partition), -2L)(p.partition)
-    if (earliest <= nextOffset)
-      throw new java.io.IOException(
-        s"graft-kafka: offset $nextOffset rejected but log starts at $earliest " +
+    if (earliest > nextOffset) {
+      // retention raised the log START past the cursor: skip the gap
+      nextOffset = math.min(earliest, p.endOffset)
+    } else {
+      // the log END moved below the cursor (unclean leader election
+      // truncation): failOnDataLoss=false means survive THAT too — clamp
+      // to the end of what remains; the next empty fetch terminates the
+      // range cleanly instead of killing the query
+      val latest = client.listOffsets(p.topic, Seq(p.partition), -1L)(p.partition)
+      if (latest < nextOffset) nextOffset = math.max(earliest, latest)
+      else throw new java.io.IOException(
+        s"graft-kafka: offset $nextOffset rejected but log spans [$earliest, $latest) " +
           s"on ${p.topic}-${p.partition} — refusing to spin", cause)
-    nextOffset = math.min(earliest, p.endOffset)
+    }
   }
 
   override def next(): Boolean = {

@@ -49,20 +49,26 @@ private[kafka] final class KafkaWireWrite(opts: Map[String, String], schema: Str
     val defaultTopic = opts.collectFirst {
       case (k, v) if k.toLowerCase == "topic" => v.split(',').head.trim
     }
+    // was ANY topic source declared? (defaultTopic alone misses topics/
+    // subscribe spellings, and the placeholder must NEVER reach a broker —
+    // a cluster with topic auto-create would mint a junk __graft_dynamic
+    // topic on every dynamic write)
+    val declared = opts.keys.exists(k => Set("topic", "topics", "subscribe")(k.toLowerCase))
     val client = KafkaWireSource.connectControl(o)
     val meta = try {
       // dynamic-topic writes discover leaders lazily per task; a declared
       // topic resolves now so misconfiguration fails on the driver
-      if (defaultTopic.contains("__graft_dynamic")) None
-      else Some(client.metadata(o.topics))
+      if (!declared) None else Some(client.metadata(o.topics))
     } finally client.close()
+    // a typo'd topic on a no-auto-create cluster answers error 3 with zero
+    // partitions — fail HERE, not as floorMod-by-zero on an executor
+    meta.foreach(_.topics.filter(_.errorCode != 0).foreach(t =>
+      throw new java.io.IOException(
+        s"graft-kafka writer: metadata error ${t.errorCode} for topic ${t.name}")))
     val leaders: Map[(String, Int), (String, Int)] = meta match {
       case None => Map.empty
-      case Some(m) =>
-        val byId = m.brokers.map(b => b.nodeId -> (b.host, b.port)).toMap
-        m.topics.flatMap(t => t.partitions.map(pm =>
-          (t.name, pm.partition) ->
-            byId.getOrElse(pm.leader, (o.endpoint.host, o.endpoint.port)))).toMap
+      case Some(m) => KafkaWireSource.leaderEndpoints(m, o.endpoint)
+        .map { case (tp, ep) => tp -> (ep.host, ep.port) }
     }
     val counts: Map[String, Int] = meta match {
       case None => Map.empty
@@ -220,9 +226,9 @@ private[kafka] final class KafkaWireDataWriter(
     * group-offset path follows. Idempotence-only producers can init
     * anywhere. */
   private def txnClient(): WireClient = transactionalId match {
-    case None => clientFor(controlEndpoints.head)
+    case None => controlClient()
     case Some(txnId) =>
-      val coord = clientFor(controlEndpoints.head).findTxnCoordinator(txnId)
+      val coord = controlClient().findTxnCoordinator(txnId)
       clientFor((coord.host, coord.port))
   }
 
@@ -241,17 +247,37 @@ private[kafka] final class KafkaWireDataWriter(
   private def clientFor(ep: (String, Int)): WireClient =
     clients.getOrElseUpdate(ep, new WireClient(ep._1, ep._2, sasl = sasl, tls = tls))
 
+  /** Control-plane client with FAILOVER across the brokers list (the read
+    * side's connectControl contract): a dead first broker must not kill a
+    * write that has healthy brokers left. */
+  private def controlClient(): WireClient = {
+    var last: Throwable = null
+    controlEndpoints.foreach { ep =>
+      try return clientFor(ep)
+      catch { case t: java.io.IOException => clients.remove(ep); last = t }
+    }
+    throw new java.io.IOException(
+      s"graft-kafka writer: no broker reachable among ${controlEndpoints.mkString(",")}", last)
+  }
+
+  /** Refresh partition counts + leader endpoints for `topic` from a live
+    * metadata response — one shared mapping (KafkaWireSource.leaderEndpoints)
+    * instead of per-call-site copies of the byId/fallback logic. */
+  private def refreshTopic(topic: String): Unit = {
+    val meta = controlClient().metadata(topic)
+    if (meta.topic.errorCode != 0)
+      throw new java.io.IOException(
+        s"graft-kafka writer: metadata error ${meta.topic.errorCode} for topic $topic")
+    partitionCounts += topic -> meta.topic.partitions.size
+    val fallback = KafkaWireSource.Endpoint(controlEndpoints.head._1, controlEndpoints.head._2)
+    leaders ++= KafkaWireSource.leaderEndpoints(meta, fallback)
+      .map { case (tp, ep) => tp -> (ep.host, ep.port) }
+  }
+
   /** Partition counts / leaders for a topic first seen in a `topic` column:
     * one control-plane metadata call, cached for the task's lifetime. */
   private def ensureTopic(topic: String): Unit =
-    if (!partitionCounts.contains(topic)) {
-      val control = clientFor(controlEndpoints.head)
-      val meta = control.metadata(topic)
-      val byId = meta.brokers.map(b => b.nodeId -> (b.host, b.port)).toMap
-      partitionCounts += topic -> meta.topic.partitions.size
-      leaders ++= meta.topic.partitions.map(pm =>
-        (topic, pm.partition) -> byId.getOrElse(pm.leader, controlEndpoints.head))
-    }
+    if (!partitionCounts.contains(topic)) refreshTopic(topic)
 
   override def write(row: InternalRow): Unit = {
     val topic =
@@ -310,11 +336,7 @@ private[kafka] final class KafkaWireDataWriter(
         // doubled.
         case _: WireClient.NotLeader =>
           clients.remove(leader).foreach(c => try c.close() catch { case _: Throwable => () })
-          val control = clientFor(controlEndpoints.head)
-          val meta = control.metadata(topic)
-          val byId = meta.brokers.map(br => br.nodeId -> (br.host, br.port)).toMap
-          leaders ++= meta.topic.partitions.map(pm =>
-            (topic, pm.partition) -> byId.getOrElse(pm.leader, controlEndpoints.head))
+          refreshTopic(topic)
           val fresh = leaders.getOrElse((topic, part), controlEndpoints.head)
           clientFor(fresh).produce(topic, part, buf.toSeq, codec = codec,
             producerId = pid, baseSequence = seq,

@@ -70,6 +70,26 @@ class ServiceSpec extends SparkSpec {
     assert(withPass.filter(col("ver") === "v9").head.isNullAt(1))
   }
 
+  test("raw-frame parse: lineage columns never shadow a declared field of the same name") {
+    val svc = new PipelineService(spark)
+    // a kafka-shaped raw frame whose DECLARED schema also has "timestamp" —
+    // common in telemetry; a duplicate column would die later as
+    // AMBIGUOUS_REFERENCE in dedup/filter resolution
+    val raw = Seq(
+      ("""{"id":"a","timestamp":"2025-01-01"}""", java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), 0, 0L))
+      .toDF("value", "timestamp", "partition", "offset")
+      .select(col("value").cast("binary"), col("timestamp"), col("partition"), col("offset"))
+    val topic = TopicConfig("t", schemaFields = Seq(
+      FieldDef("id", "string"), FieldDef("timestamp", "string")))
+    val (parsed, _) = svc.parseIfRaw(raw, topic)
+    assert(parsed.columns.count(_ == "timestamp") == 1,
+      s"duplicate columns: ${parsed.columns.mkString(",")}")
+    // the DECLARED field wins: its value is the parsed JSON one
+    assert(parsed.select("timestamp").collect().head.getString(0) == "2025-01-01")
+    // lineage columns without a collision still pass through
+    assert(parsed.columns.contains("partition") && parsed.columns.contains("offset"))
+  }
+
   test("metrics listener captures streaming progress") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -919,6 +919,79 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("corrupt or foreign checkpoint offset JSON fails loudly, never restarts from earliest") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      val stream = new KafkaWireMicroBatchStream(Map(
+        "brokers" -> brokerList(c), "topic" -> "t"))
+      try {
+        assert(stream.deserializeOffset("""{"t":{"0":5}}""")
+          .asInstanceOf[KafkaWireOffset].offsets == Map(("t", 0) -> 5L))
+        assert(stream.deserializeOffset("{}")
+          .asInstanceOf[KafkaWireOffset].offsets.isEmpty)
+        // the old FLAT shape (or any foreign format): silently restarting
+        // every partition from earliest would flood downstream with dups
+        assertThrows[IllegalArgumentException](
+          stream.deserializeOffset("""{"0":12,"7":3}"""))
+        assertThrows[IllegalArgumentException](stream.deserializeOffset("v2:garbage"))
+      } finally stream.stop()
+    }
+  }
+
+  test("maxOffsetsPerTrigger never overflows on astronomically deep lag") {
+    withCluster() { c =>
+      val log = c.addPartition("t", 0)
+      log.logStart = 5000000000000L // log spans [5e12, 5e12): lag vs start 0 is 5e12
+      val stream = new KafkaWireMicroBatchStream(Map(
+        "brokers" -> brokerList(c), "topic" -> "t"))
+      try {
+        val end = stream.latestOffset(KafkaWireOffset(Map(("t", 0) -> 0L)),
+          org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10000000L))
+        // cap(1e7) × lag(5e12) overflows a Long multiply; the share must
+        // still be the cap, never a negative cursor regression
+        assert(KafkaWireSource.offsetsFromJson(end.json()) == Map(("t", 0) -> 10000000L))
+      } finally stream.stop()
+    }
+  }
+
+  test("subscribePattern never sweeps in internal __ topics") {
+    withCluster() { c =>
+      c.addPartition("__consumer_offsets", 0)
+      c.addPartition("events.a", 0)
+      c.append("__consumer_offsets", 0, Seq("g" -> "binarybookkeeping"))
+      c.append("events.a", 0, Seq("k" -> "real"))
+      val rows = spark.read.format("graft-kafka")
+        .option("brokers", brokerList(c))
+        .option("subscribePattern", ".*").load().collect()
+      assert(rows.map(valueStr).toSeq == Seq("real"),
+        "a broad pattern must not ingest __consumer_offsets records")
+    }
+  }
+
+  test("failOnDataLoss=false survives log-END truncation (unclean leader election)") {
+    withCluster() { c =>
+      c.addPartition("t", 0)
+      c.append("t", 0, (0 until 4).map(i => s"k$i" -> s"v$i")) // 0-3
+      c.append("t", 0, (4 until 8).map(i => s"k$i" -> s"v$i")) // 4-7
+      c.truncateEndTo("t", 0, 4) // election rolled the log end back to 4
+      val b = c.brokerList.head
+      // checkpoint says resume at 6 — beyond the surviving log
+      def reader(fdl: Boolean) = KafkaWireReaderFactory.createReader(
+        KafkaWirePartition(b.host, b.port, "t", 0, 6L, 8L, None, failOnDataLoss = fdl))
+      val r1 = reader(fdl = true)
+      val ex = intercept[java.io.IOException](r1.next())
+      assert(ex.getMessage.contains("failOnDataLoss"), ex.getMessage)
+      r1.close()
+      // fdl=false: acknowledge the truncated tail and terminate cleanly
+      // instead of killing the query
+      val r2 = reader(fdl = false)
+      val got = Seq.newBuilder[Long]
+      while (r2.next()) got += r2.get().getLong(4)
+      r2.close()
+      assert(got.result().isEmpty, "offsets 6-7 are gone; survival means empty, not a crash")
+    }
+  }
+
   test("ending bounds are rejected in streaming mode, not silently ignored") {
     withCluster() { c =>
       c.addPartition("t", 0)

@@ -398,6 +398,52 @@ class KafkaWriteSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-topic writes never leak the internal placeholder to the broker") {
+    withCluster() { c =>
+      c.addPartition("real", 0)
+      Seq(("real", "dyn0"), ("real", "dyn1")).toDF("topic", "v")
+        .select(col("topic"), col("v").cast("binary").as("value"))
+        .write.mode("append").format("graft-kafka")
+        .option("brokers", addr(c)).save() // no topic option: column routes
+      assert(readBack(c, "real").map(_._2).toSet == Set("dyn0", "dyn1"))
+      import scala.jdk.CollectionConverters._
+      assert(!c.metadataRequests.asScala.exists(_.contains("__graft_dynamic")),
+        "a cluster with topic auto-create would mint a junk topic from the placeholder")
+    }
+  }
+
+  test("a declared topic that does not exist fails on the driver, not as floorMod-by-zero") {
+    withCluster() { c =>
+      val ex = intercept[Exception] {
+        Seq(("k", "v")).toDF("key", "value")
+          .write.mode("append").format("graft-kafka")
+          .option("brokers", addr(c)).option("topic", "ghost").save()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("metadata error 3"), msgs)
+    }
+  }
+
+  test("writer control-plane failover: dead first broker in the list is skipped") {
+    val dead = {
+      val ss = new java.net.ServerSocket(0)
+      val p = ss.getLocalPort
+      ss.close()
+      s"127.0.0.1:$p"
+    }
+    withCluster() { c =>
+      c.addPartition("real", 0)
+      // topic-COLUMN routing forces the task-side control plane (ensureTopic)
+      // through the failover path, not just the driver's connectControl
+      Seq(("real", "alive")).toDF("topic", "v")
+        .select(col("topic"), col("v").cast("binary").as("value"))
+        .write.mode("append").format("graft-kafka")
+        .option("brokers", s"$dead,${addr(c)}").save()
+      assert(readBack(c, "real").map(_._2).toSeq == Seq("alive"))
+    }
+  }
+
   test("a write without value column or topic fails loudly") {
     withCluster() { c =>
       c.addPartition("out", 0)

@@ -76,6 +76,9 @@ object MiniKafkaBroker {
     val producerEpochs = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
     /** Last InitProducerId transaction_timeout_ms seen (spec observation). */
     @volatile var lastTxnTimeoutMs: Int = -1
+    /** Topic names asked for via Metadata (spec observation: a client must
+      * never leak internal placeholder names to the broker). */
+    val metadataRequests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     private val brokers = mutable.ArrayBuffer[MiniKafkaBroker]()
 
     def addBroker(tls: Option[javax.net.ssl.SSLContext] = None): MiniKafkaBroker = synchronized {
@@ -152,6 +155,19 @@ object MiniKafkaBroker {
         log.batches.clear()
         log.batches ++= keep
         log.logStart = to
+      }
+    }
+
+    /** Simulate an unclean leader election: drop batches whose FIRST offset
+      * is at/after `to`, shrinking the log END — fetches above it then
+      * answer error 1, the same answer a real broker gives for a
+      * checkpoint that outran the surviving log. */
+    def truncateEndTo(topic: String, partition: Int, to: Long): Unit = {
+      val log = topics.get(topic)(partition)
+      log.synchronized {
+        val keep = log.batches.filter(_.baseOffset < to)
+        log.batches.clear()
+        log.batches ++= keep
       }
     }
 
@@ -341,6 +357,7 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
   private def metadataResp(r: Wire.Reader, w: Wire.Writer): Unit = {
     val reqCount = r.int32()
     val wanted = (0 until math.max(reqCount, 0)).map(_ => r.string())
+    wanted.foreach(cluster.metadataRequests.add)
     val bs = cluster.brokerList
     w.int32(bs.size)
     bs.foreach { b => w.int32(b.nodeId).string(b.host).int32(b.port).string(null) }
@@ -675,9 +692,10 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
           case Some(log) if log.leader != nodeId =>
             // The defining multi-broker behavior: a non-leader refuses.
             w.int32(pid).int16(6).int64(-1L).int64(-1L).int32(0).bytes(null)
-          case Some(log) if off < log.logStart =>
-            // error 1 OFFSET_OUT_OF_RANGE: retention truncated the log
-            // below the requested offset — what a real broker answers.
+          case Some(log) if off < log.logStart || off > log.logEnd =>
+            // error 1 OFFSET_OUT_OF_RANGE: retention truncated the start
+            // below the offset, or an unclean election truncated the END
+            // below it — both answered the same way by a real broker.
             w.int32(pid).int16(1).int64(-1L).int64(-1L).int32(0).bytes(null)
           case Some(log) =>
             val (hwm, lso, aborted, payload) = log.synchronized {
