@@ -222,9 +222,12 @@ object KafkaWireSource {
         val all = client.metadata(Seq.empty)
         // a broad pattern (".*") must not sweep in __consumer_offsets /
         // __transaction_state — the consumer's exclude.internal.topics
-        // default; their binary bookkeeping records are not user data
+        // default. Exclusion is by the KNOWN internal names, not a blanket
+        // "__" prefix: a user topic named __my_topic must still match a
+        // pattern that names it.
         all.copy(topics = all.topics.filter(t =>
-          !t.name.startsWith("__") && re.pattern.matcher(t.name).matches()))
+          !KafkaWireSource.InternalTopics(t.name) &&
+            re.pattern.matcher(t.name).matches()))
     }
     o.assign match {
       case None => meta
@@ -268,6 +271,11 @@ object KafkaWireSource {
     * stay human-auditable and migration-familiar. Hand-rolled because the
     * format must stay byte-stable across Spark upgrades. Kafka topic names
     * are restricted to [a-zA-Z0-9._-], so no JSON escaping is needed. */
+  /** Kafka's internal bookkeeping topics, excluded from subscribePattern
+    * resolution (the consumer's exclude.internal.topics default). */
+  private[kafka] val InternalTopics: Set[String] =
+    Set("__consumer_offsets", "__transaction_state")
+
   private[kafka] def offsetsToJson(m: Map[TP, Long]): String =
     m.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, ps) =>
       val inner = ps.toSeq.sortBy(_._1._2)
@@ -635,14 +643,24 @@ private[kafka] final class KafkaWireMicroBatchStream(opts: Map[String, String])
 
   override def deserializeOffset(json: String): Offset = {
     val m = KafkaWireSource.offsetsFromJson(json)
-    // a checkpoint that parses to NOTHING but isn't the empty map is a
-    // foreign/corrupt format — restarting every partition from earliest
-    // (the silent alternative) would flood downstream with duplicates
-    if (m.isEmpty && json.replaceAll("[\\s{}]", "").nonEmpty)
+    if (m.nonEmpty || json.replaceAll("[\\s{}]", "").isEmpty)
+      return KafkaWireOffset(m)
+    // legacy flat shape {"0":12,...} (partition → offset, no topic nesting):
+    // earlier checkpoints of THIS source wrote it for single-topic streams.
+    // Migrate using the configured topic rather than failing the restart.
+    val flat = """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(json)
+      .map(pm => pm.group(1).toInt -> pm.group(2).toLong).toSeq
+    val flatIsWholeJson = flat.nonEmpty && !json.drop(1).contains('{')
+    if (flatIsWholeJson && o.topics.size == 1) {
+      val t = o.topics.head
+      KafkaWireOffset(flat.map { case (p, off) => (t, p) -> off }.toMap)
+    } else
+      // a checkpoint that parses to NOTHING but isn't the empty map is a
+      // foreign/corrupt format — restarting every partition from earliest
+      // (the silent alternative) would flood downstream with duplicates
       throw new IllegalArgumentException(
         s"graft-kafka: unrecognized checkpoint offset JSON '$json' — " +
           "refusing to silently restart from earliest")
-    KafkaWireOffset(m)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

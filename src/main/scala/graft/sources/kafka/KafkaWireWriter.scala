@@ -138,6 +138,43 @@ private[kafka] final class KafkaWireWrite(opts: Map[String, String], schema: Str
 private[kafka] final case class KafkaWriteDone(records: Long)
   extends WriterCommitMessage
 
+private[kafka] object KafkaWireWriter {
+  /** Kafka's default partitioner hash (murmur2 with seed 0x9747b28c, the
+    * public-domain algorithm the stock Java client ships): keyed rows must
+    * land on the SAME partition as records from any stock producer, or
+    * co-partitioning, compaction key-locality, and downstream per-key dedup
+    * silently break on shared topics. */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    val length = data.length
+    var h = seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    // handle the tail (fall-through cases of the original switch)
+    val tail = length % 4
+    if (tail >= 3) h ^= (data((length & ~3) + 2) & 0xff) << 16
+    if (tail >= 2) h ^= (data((length & ~3) + 1) & 0xff) << 8
+    if (tail >= 1) { h ^= data(length & ~3) & 0xff; h *= m }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+}
+
 /** Serializable task-side factory: everything is strings/ints. */
 private[kafka] final class KafkaWireWriterFactory(
     schema: StructType,
@@ -289,7 +326,7 @@ private[kafka] final class KafkaWireDataWriter(
     val key = binaryAt(row, keyIdx)
     val part =
       if (partitionIdx >= 0 && !row.isNullAt(partitionIdx)) row.getInt(partitionIdx)
-      else if (key != null) math.floorMod(java.util.Arrays.hashCode(key), n)
+      else if (key != null) (KafkaWireWriter.murmur2(key) & 0x7fffffff) % n
       else { roundRobin += 1; math.floorMod(roundRobin, n) }
     require(part >= 0 && part < n,
       s"graft-kafka writer: partition $part out of range for $topic ($n partitions)")
@@ -323,9 +360,13 @@ private[kafka] final class KafkaWireDataWriter(
         txnDeclared += ((topic, part))
       }
       val leader = leaders.getOrElse((topic, part), controlEndpoints.head)
+      // no producer id claimed → the batch must carry NO_PRODUCER_EPOCH (-1),
+      // not this field's initial 0; Int.MinValue defers to encodeBatch's
+      // pid<0 default
+      val epoch = if (pid < 0) Int.MinValue else producerEpoch
       try clientFor(leader).produce(topic, part, buf.toSeq, codec = codec,
         producerId = pid, baseSequence = seq,
-        transactionalId = transactionalId.orNull, producerEpoch = producerEpoch)
+        transactionalId = transactionalId.orNull, producerEpoch = epoch)
       catch {
         // NOT_LEADER: leadership moved since the driver resolved it (or
         // since this task cached it). Refresh from the control plane and
@@ -340,7 +381,7 @@ private[kafka] final class KafkaWireDataWriter(
           val fresh = leaders.getOrElse((topic, part), controlEndpoints.head)
           clientFor(fresh).produce(topic, part, buf.toSeq, codec = codec,
             producerId = pid, baseSequence = seq,
-            transactionalId = transactionalId.orNull, producerEpoch = producerEpoch)
+            transactionalId = transactionalId.orNull, producerEpoch = epoch)
       }
       if (idempotent || transactional) nextSeq((topic, part)) = seq + buf.size
       buf.clear()

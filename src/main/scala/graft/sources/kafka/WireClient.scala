@@ -268,8 +268,12 @@ final class WireClient(host: String, port: Int, clientId: String = "graft",
     * what subscribePattern resolution needs). */
   def metadata(wanted: Seq[String]): ClusterMeta = {
     val r = roundTrip(Wire.ApiMetadata, 1) { w =>
-      w.int32(wanted.size)
-      wanted.foreach(w.string)
+      // Metadata v1+: a NULL topic array (-1) means "all topics"; an EMPTY
+      // array (0) means "no topics". Encoding the all-topics form as int32(0)
+      // gets zero topics back from a real broker, silently breaking
+      // subscribePattern resolution.
+      if (wanted.isEmpty) w.int32(-1)
+      else { w.int32(wanted.size); wanted.foreach(w.string) }
       ()
     }
     val brokers = (0 until r.int32()).map { _ =>

@@ -929,12 +929,25 @@ class KafkaWireSpec extends SparkSpec {
           .asInstanceOf[KafkaWireOffset].offsets == Map(("t", 0) -> 5L))
         assert(stream.deserializeOffset("{}")
           .asInstanceOf[KafkaWireOffset].offsets.isEmpty)
-        // the old FLAT shape (or any foreign format): silently restarting
-        // every partition from earliest would flood downstream with dups
-        assertThrows[IllegalArgumentException](
-          stream.deserializeOffset("""{"0":12,"7":3}"""))
+        // the legacy FLAT shape this source itself wrote pre-nesting: a
+        // single-topic stream migrates it (upgrades must not strand a
+        // checkpoint), instead of failing the restart
+        assert(stream.deserializeOffset("""{"0":12,"7":3}""")
+          .asInstanceOf[KafkaWireOffset].offsets ==
+          Map(("t", 0) -> 12L, ("t", 7) -> 3L))
+        // any genuinely foreign format: silently restarting every partition
+        // from earliest would flood downstream with dups
         assertThrows[IllegalArgumentException](stream.deserializeOffset("v2:garbage"))
+        assertThrows[IllegalArgumentException](
+          stream.deserializeOffset("""{"a":"b"}"""))
       } finally stream.stop()
+      // the flat migration needs an unambiguous topic: a multi-topic stream
+      // cannot guess which topic the bare partitions belonged to
+      val multi = new KafkaWireMicroBatchStream(Map(
+        "brokers" -> brokerList(c), "topics" -> "t,u"))
+      try assertThrows[IllegalArgumentException](
+        multi.deserializeOffset("""{"0":12}"""))
+      finally multi.stop()
     }
   }
 
@@ -954,17 +967,23 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
-  test("subscribePattern never sweeps in internal __ topics") {
+  test("subscribePattern never sweeps in internal topics; user __ topics still match") {
     withCluster() { c =>
       c.addPartition("__consumer_offsets", 0)
+      c.addPartition("__transaction_state", 0)
+      c.addPartition("__my_user_topic", 0)
       c.addPartition("events.a", 0)
       c.append("__consumer_offsets", 0, Seq("g" -> "binarybookkeeping"))
+      c.append("__transaction_state", 0, Seq("g" -> "binarybookkeeping"))
+      c.append("__my_user_topic", 0, Seq("k" -> "userdata"))
       c.append("events.a", 0, Seq("k" -> "real"))
       val rows = spark.read.format("graft-kafka")
         .option("brokers", brokerList(c))
         .option("subscribePattern", ".*").load().collect()
-      assert(rows.map(valueStr).toSeq == Seq("real"),
-        "a broad pattern must not ingest __consumer_offsets records")
+      // exclusion is by KNOWN internal names: a user topic that merely
+      // starts with "__" is real data and must not be silently dropped
+      assert(rows.map(valueStr).toSeq.sorted == Seq("real", "userdata"),
+        "broad pattern: internal topics excluded, __-prefixed user topics kept")
     }
   }
 

@@ -46,6 +46,14 @@ class KafkaWriteSpec extends SparkSpec {
       assert(rows.map(_._2).toSet == Set("v1", "v2", "v3"))
       assert(rows.find(_._2 == "v1").get._1 == "k1")
       assert(rows.find(_._2 == "v3").get._1 == null, "null keys survive")
+      // plain (non-idempotent, non-transactional) batches must carry
+      // Kafka's NO_PRODUCER convention on the wire: producerId=-1 AND
+      // producerEpoch=-1, not the writer field's initial 0
+      val batch = c.topics.get("out")(0).batches.head.bytes
+      val pid = java.nio.ByteBuffer.wrap(batch, 43, 8).getLong
+      val epoch = java.nio.ByteBuffer.wrap(batch, 51, 2).getShort
+      assert(pid == -1L, s"plain batch producerId was $pid")
+      assert(epoch == -1, s"plain batch producerEpoch was $epoch")
     }
   }
 
@@ -65,7 +73,58 @@ class KafkaWriteSpec extends SparkSpec {
         assert(rs.map(_._3).distinct.size == 1, s"key $k split across partitions")
       }
       assert(got.map(_._3).distinct.size > 1, "keys should spread over partitions")
+      // placement must MATCH the stock Kafka default partitioner
+      // (murmur2(key) & 0x7fffffff % n) — a topic shared with any stock
+      // producer relies on same-key co-location across both
+      got.groupBy(_._1).foreach { case (k, rs) =>
+        val expect = (KafkaWireWriter.murmur2(k.getBytes("UTF-8")) & 0x7fffffff) % 4
+        assert(rs.head._3 == expect, s"key $k not at the stock partitioner's slot")
+      }
     }
+  }
+
+  test("murmur2 matches Kafka's published test vectors") {
+    // the vectors from Apache Kafka's UtilsTest.testMurmur2 (public domain
+    // algorithm, seed 0x9747b28c) — byte-for-byte partitioner parity
+    val cases = Seq[(Array[Byte], Int)](
+      "21".getBytes("UTF-8") -> -973932308,
+      "foobar".getBytes("UTF-8") -> -790332482,
+      "a-little-bit-long-string".getBytes("UTF-8") -> -985981536,
+      "a-little-bit-longer-string".getBytes("UTF-8") -> -1486304829,
+      "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8".getBytes("UTF-8") -> -58897971,
+      Array[Byte]('a', 'b', 'c') -> 479470107,
+      Array[Byte](-1, -1, -1) -> murmurOracle(Array[Byte](-1, -1, -1)))
+    cases.foreach { case (bytes, want) =>
+      assert(KafkaWireWriter.murmur2(bytes) == want,
+        s"murmur2 mismatch for ${bytes.toSeq}")
+    }
+    // tail-length sweep (0..3 trailing bytes) against an independent
+    // re-derivation of the reference algorithm
+    (0 until 12).foreach { n =>
+      val b = Array.tabulate[Byte](n)(i => (i * 37 + 11).toByte)
+      assert(KafkaWireWriter.murmur2(b) == murmurOracle(b), s"len $n")
+    }
+  }
+
+  /** Straight-line transcription of the murmur2 reference pseudocode,
+    * written independently of the production loop. */
+  private def murmurOracle(data: Array[Byte]): Int = {
+    val m = 0x5bd1e995; val r = 24
+    var h = 0x9747b28c ^ data.length
+    var i = 0
+    while (i + 4 <= data.length) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 4
+    }
+    val left = data.length - i
+    if (left == 3) h ^= (data(i + 2) & 0xff) << 16
+    if (left >= 2) h ^= (data(i + 1) & 0xff) << 8
+    if (left >= 1) { h ^= data(i) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
   }
 
   test("explicit partition and topic columns route rows; headers round-trip") {

@@ -362,8 +362,11 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
     w.int32(bs.size)
     bs.foreach { b => w.int32(b.nodeId).string(b.host).int32(b.port).string(null) }
     w.int32(0) // controller id
+    // Real Metadata v1+ semantics: ONLY a null array (-1) lists all topics;
+    // an empty array (0) returns none. Mirroring the real broker here keeps
+    // the fixture from masking client-side encoding bugs.
     val names =
-      if (reqCount <= 0) { import scala.jdk.CollectionConverters._; cluster.topics.keySet.asScala.toSeq }
+      if (reqCount < 0) { import scala.jdk.CollectionConverters._; cluster.topics.keySet.asScala.toSeq }
       else wanted
     w.int32(names.size)
     names.foreach { name =>
