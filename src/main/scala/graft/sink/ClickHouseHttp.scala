@@ -1,0 +1,206 @@
+package graft.sink
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.DataFrame
+
+/** ClickHouse HTTP-interface INSERT leg — the sink's wire protocol
+  * (the reference reaches ClickHouse through clickhouse-go's native
+  * protocol, internal/client/clickhouse.go; the HTTP interface is the
+  * public, documented equivalent: POST `INSERT INTO db.table (cols)
+  * FORMAT JSONEachRow` with the query and per-insert settings in URL
+  * parameters, credentials in `X-ClickHouse-User`/`X-ClickHouse-Key`
+  * headers, and server faults surfaced as an `X-ClickHouse-Exception-Code`
+  * header plus a `Code: NNN. DB::Exception: ...` body that
+  * [[ErrorClassifier]] consumes unchanged).
+  *
+  * Scale shape: the INSERT fans out PER SPARK PARTITION — every executor
+  * task POSTs its own rows directly (chunked at [[Config.maxRowsPerPost]]
+  * to bound both task memory and server-side block size), so ingest
+  * bandwidth scales with the cluster and no row ever funnels through the
+  * driver. A task failure rethrows the server's own error code, which
+  * reaches [[ClickHouseSink.foreachBatchHandler]] wrapped in Spark's task
+  * exception — exactly the chain the classifier's cause-walk handles.
+  */
+object ClickHouseHttp {
+
+  /** A ClickHouse server fault, message formatted exactly as the server
+    * formats it so [[ErrorClassifier.classify]] needs no special case. */
+  final case class CHServerException(code: Int, serverMessage: String)
+    extends RuntimeException(s"Code: $code. DB::Exception: $serverMessage")
+
+  final case class Config(
+    endpoint: String,                          // http://host:8123
+    database: String,
+    table: String,
+    username: String = "default",
+    password: String = "",
+    /** Per-insert settings passed as URL params (async_insert,
+      * wait_for_async_insert, insert_deduplicate, ...). */
+    settings: Map[String, String] = Map.empty,
+    format: String = "JSONEachRow",            // or RowBinary
+    maxRowsPerPost: Int = 100000,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 120000) extends Serializable
+
+  /** Backquote-quote an identifier (reference quote.go — its sink quotes
+    * every database/table/column identifier in the INSERT). */
+  def quoteId(id: String): String =
+    "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`"
+
+  def insertQuery(c: Config, columns: Seq[String]): String =
+    s"INSERT INTO ${quoteId(c.database)}.${quoteId(c.table)} " +
+      s"(${columns.map(quoteId).mkString(", ")}) FORMAT ${c.format}"
+
+  /** Settings every insert carries: Spark's JSON encoder emits ISO-8601
+    * timestamps, which ClickHouse only parses under best_effort. */
+  private val baseSettings = Map("date_time_input_format" -> "best_effort")
+
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+
+  /** POST one slab of `format`-encoded rows. Retries are NOT done here —
+    * retry policy belongs to the batch handler, which knows the budget. */
+  def post(c: Config, query: String, body: Array[Byte]): Unit = {
+    val params = baseSettings ++ c.settings + ("query" -> query)
+    val qs = params.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+      .mkString("&")
+    val url = URI.create(c.endpoint.stripSuffix("/") + "/?" + qs).toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(c.connectTimeoutMs)
+      conn.setReadTimeout(c.readTimeoutMs)
+      conn.setRequestProperty("X-ClickHouse-User", c.username)
+      if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
+      conn.setRequestProperty("Content-Type", "application/octet-stream")
+      conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(body.length.toLong)
+      val os = conn.getOutputStream
+      try { os.write(body); os.flush() } finally os.close()
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val respBody =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(), UTF_8) finally stream.close()
+      if (status != 200) {
+        val code = Option(conn.getHeaderField("X-ClickHouse-Exception-Code"))
+          .flatMap(_.trim.toIntOption)
+          .orElse("Code:\\s*(\\d+)".r.findFirstMatchIn(respBody).map(_.group(1).toInt))
+        code match {
+          case Some(n) =>
+            // strip the server's own "Code: N. DB::Exception:" prefix so the
+            // rethrown message carries it exactly once
+            val msg = respBody.linesIterator.nextOption().getOrElse("")
+              .replaceFirst("^Code:\\s*\\d+\\.\\s*DB::Exception:\\s*", "")
+            throw CHServerException(n, if (msg.nonEmpty) msg else s"HTTP $status")
+          case None =>
+            throw new IOException(
+              s"ClickHouse HTTP insert failed with status $status: " +
+                respBody.linesIterator.nextOption().getOrElse(""))
+        }
+      }
+    } finally conn.disconnect()
+  }
+
+  /** The DataFrame write leg: the frame is already in sink shape (mapped
+    * columns, target names) — encode as JSONEachRow and POST per
+    * partition. Spark's JSON encoder OMITS null fields; ClickHouse fills
+    * omitted fields with column defaults (input_format_defaults_for_
+    * omitted_fields, on by default), which is the same absent→NULL/default
+    * contract the reference mapper implements client-side. */
+  def write(c: Config)(df: DataFrame): Unit = {
+    val query = insertQuery(c, df.columns.toSeq)
+    val conf = c
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      val buf = new java.lang.StringBuilder
+      var n = 0
+      def flush(): Unit = if (n > 0) {
+        post(conf, query, buf.toString.getBytes(UTF_8))
+        buf.setLength(0); n = 0
+      }
+      while (it.hasNext) {
+        buf.append(it.next()).append('\n')
+        n += 1
+        if (n >= conf.maxRowsPerPost) flush()
+      }
+      flush()
+    }
+  }
+
+  /** Insert with poison-row isolation — the reference's append-error path
+    * (internal/sink/clickhouse.go:536-718: a row the server rejects is
+    * dead-lettered ALONE; the rest of the batch replays and lands).
+    *
+    * Each executor task slabs its own rows as [[write]] does; when a slab
+    * is rejected with a ROW-DATA fault (parse/convert/range — see
+    * [[ErrorClassifier.rowDataFaultCodes]]), the task replays THAT slab
+    * row-by-row: poison rows come back as (jsonRow, serverError) for the
+    * caller to dead-letter, every other row lands. Isolation is strictly
+    * task-local, so slabs that already landed — in this task or any
+    * other — are never re-posted and can't duplicate. Non-data faults
+    * (table/auth/overload) rethrow so the batch handler's classify/retry
+    * policy governs them; a retryable fault mid-replay likewise rethrows
+    * (at-least-once, the reference's NACK-redeliver semantics — pair with
+    * insert_deduplicate/idempotency for exactly-once). */
+  def writeIsolating(c: Config)(df: DataFrame): Seq[(String, String)] = {
+    val query = insertQuery(c, df.columns.toSeq)
+    val conf = c
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.toJSON.mapPartitions { it =>
+      val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val chunk = scala.collection.mutable.ArrayBuffer[String]()
+      def replayRowwise(): Unit = chunk.foreach { j =>
+        try post(conf, query, (j + "\n").getBytes(UTF_8))
+        catch {
+          case e @ CHServerException(code, _)
+            if ErrorClassifier.classify(code) == ErrorClassifier.Retryable => throw e
+          case CHServerException(code, msg) =>
+            failed += ((j, s"Code: $code. DB::Exception: $msg"))
+        }
+      }
+      def flush(): Unit = if (chunk.nonEmpty) {
+        val body = chunk.mkString("", "\n", "\n").getBytes(UTF_8)
+        try post(conf, query, body)
+        catch {
+          case CHServerException(code, _) if ErrorClassifier.isRowDataFault(code) =>
+            replayRowwise()
+        }
+        chunk.clear()
+      }
+      while (it.hasNext) {
+        chunk += it.next()
+        if (chunk.size >= conf.maxRowsPerPost) flush()
+      }
+      flush()
+      failed.iterator
+    }.collect().toSeq
+  }
+
+  /** Server liveness + auth probe (`SELECT 1`): the control plane checks
+    * the connection before activating a pipeline. */
+  def ping(c: Config): Unit = {
+    val url = URI.create(c.endpoint.stripSuffix("/") +
+      "/?query=" + enc("SELECT 1")).toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(c.connectTimeoutMs)
+      conn.setReadTimeout(c.readTimeoutMs)
+      conn.setRequestProperty("X-ClickHouse-User", c.username)
+      if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
+      conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      val status = conn.getResponseCode
+      if (status != 200) {
+        val code = Option(conn.getHeaderField("X-ClickHouse-Exception-Code"))
+          .flatMap(_.trim.toIntOption).getOrElse(1000)
+        throw CHServerException(code, s"ping failed with HTTP $status")
+      }
+      val in = conn.getInputStream
+      try in.readAllBytes() finally in.close()
+    } finally conn.disconnect()
+  }
+}

@@ -32,7 +32,11 @@ object ClickHouseSink {
     // carry a version id column; each version gets its own mapping and its
     // own INSERT. Versions absent from the map fall back to `mappings`.
     versionColumn: Option[String] = None,
-    versionMappings: Map[String, Seq[ColumnMapping]] = Map.empty)
+    versionMappings: Map[String, Seq[ColumnMapping]] = Map.empty,
+    /** Per-insert ClickHouse settings for the HTTP leg (async_insert, ...). */
+    httpSettings: Map[String, String] = Map.empty,
+    /** Wire encoding for the HTTP leg: JSONEachRow or RowBinary. */
+    httpFormat: String = "JSONEachRow")
 
   /** `INSERT INTO db.table (c1, c2, ...)` column list — deterministic order
     * from the mapping config (reference clickhouse.go:701-718). */
@@ -40,6 +44,20 @@ object ClickHouseSink {
 
   def insertSql(c: Config): String =
     s"INSERT INTO ${c.database}.${c.table} (${insertColumns(c).mkString(", ")})"
+
+  /** Protocol selection by URL scheme: `http(s)://host:8123` uses the
+    * public ClickHouse HTTP interface (no driver jar needed, per-partition
+    * parallel POSTs); `jdbc:...` uses the JDBC leg. */
+  private[sink] def terminalWrite(c: Config): DataFrame => Unit =
+    if (c.url.startsWith("http://") || c.url.startsWith("https://"))
+      ClickHouseHttp.write(httpConfig(c))
+    else jdbcWrite(c)
+
+  private[sink] def httpConfig(c: Config): ClickHouseHttp.Config =
+    ClickHouseHttp.Config(endpoint = c.url, database = c.database,
+      table = c.table, username = c.username, password = c.password,
+      settings = c.httpSettings, format = c.httpFormat,
+      maxRowsPerPost = math.min(c.maxBatchSize, Int.MaxValue).toInt)
 
   /** The terminal JDBC write for one mapped frame (requires the ClickHouse
     * JDBC driver on the cluster classpath). */
@@ -60,7 +78,7 @@ object ClickHouseSink {
     * INSERT per schema version present in the batch (the reference groups
     * every flush by Schema-Version-Id, clickhouse.go:536-699). Used from
     * foreachBatch. */
-  def writeBatch(c: Config)(df: DataFrame): Unit = writeBatchWith(c, jdbcWrite(c))(df)
+  def writeBatch(c: Config)(df: DataFrame): Unit = writeBatchWith(c, terminalWrite(c))(df)
 
   /** Same batching/mapping logic with an injectable terminal write (the
     * unit-test seam; no JDBC driver ships in this build env). */
@@ -83,6 +101,31 @@ object ClickHouseSink {
     }
   }
 
+  /** HTTP-leg batch write with row-level poison isolation: same dedup/
+    * version batching as [[writeBatchWith]], but the terminal is
+    * [[ClickHouseHttp.writeIsolating]] — rows the server rejects with a
+    * row-data fault come back as (mappedJson, serverError) pairs for the
+    * handler to dead-letter individually while every other row lands
+    * (the reference's per-message append-error path,
+    * clickhouse.go:616-648). */
+  private[sink] def writeBatchHttp(c: Config)(df: DataFrame): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.col
+    val hc = httpConfig(c)
+    val deduped = c.idempotencyColumn.fold(df)(k => df.dropDuplicates(k))
+    def run(part: DataFrame, mappings: Seq[ColumnMapping]): Seq[(String, String)] =
+      ClickHouseHttp.writeIsolating(hc)(
+        if (mappings.nonEmpty) SinkMapper(mappings)(part) else part)
+    c.versionColumn match {
+      case Some(vc) if c.versionMappings.nonEmpty =>
+        val versions = deduped.select(vc).distinct().collect()
+          .map(r => String.valueOf(r.get(0))).sorted.toSeq
+        versions.flatMap { v =>
+          run(deduped.filter(col(vc) === v), c.versionMappings.getOrElse(v, c.mappings))
+        }
+      case _ => run(deduped, c.mappings)
+    }
+  }
+
   /** foreachBatch handler with the reference's full error policy:
     * retryable → rethrow (Spark retries the batch from the checkpoint)
     * UNTIL the per-batch retry budget is spent, then DLQ + continue (NATS
@@ -101,7 +144,7 @@ object ClickHouseSink {
                           write: Option[DataFrame => Unit] = None,
                           budgetDir: Option[String] = None): (DataFrame, Long) => Unit = {
     val attempts = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]()
-    val terminal = write.getOrElse(jdbcWrite(c) _)
+    val terminal = write.getOrElse(terminalWrite(c))
 
     def fs(dir: String) = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -133,9 +176,18 @@ object ClickHouseSink {
       }
     }
 
+    val httpLeg = write.isEmpty &&
+      (c.url.startsWith("http://") || c.url.startsWith("https://"))
+
     (batch: DataFrame, batchId: Long) => {
-      try { writeBatchWith(c, terminal)(batch); clear(batchId) }
-      catch {
+      try {
+        if (httpLeg) {
+          val poison = writeBatchHttp(c)(batch)
+          if (poison.nonEmpty)
+            dlq(Dlq.envelopeJson("sink", poison)(batch.sparkSession))
+        } else writeBatchWith(c, terminal)(batch)
+        clear(batchId)
+      } catch {
         case t: Throwable => ErrorClassifier.classify(t) match {
           case ErrorClassifier.Retryable =>
             val n = bump(batchId)

@@ -21,6 +21,20 @@ object Dlq {
       to_json(struct(df.columns.map(col): _*)).as("original_message"),
       current_timestamp().as("failed_at"))
 
+  /** Envelope for rows already serialized to JSON (the HTTP leg's
+    * poison-row isolation returns (jsonRow, serverError) pairs) — each
+    * row carries ITS OWN server error, like the reference's per-message
+    * DLQ push (clickhouse.go:616-648). */
+  def envelopeJson(component: String, failures: Seq[(String, String)])
+                  (spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    failures.toDF("original_message", "error").select(
+      lit(component).as("component"),
+      col("error"),
+      col("original_message"),
+      current_timestamp().as("failed_at"))
+  }
+
   /** Produce a DLQ frame to a Kafka topic via `format("graft-kafka")` —
     * the reference's actual DLQ shape (a stream, not files:
     * dlq_processor.go publishes envelopes to a NATS stream; here the

@@ -74,10 +74,12 @@ object ErrorClassifier {
     62,   // SYNTAX_ERROR (extra)
     69,   // ARGUMENT_OUT_OF_BOUND (extra)
     72,   // CANNOT_PARSE_NUMBER
+    73,   // UNKNOWN_FORMAT (extra)
     80,   // INCORRECT_QUERY
     81,   // UNKNOWN_DATABASE
     117,  // INCORRECT_DATA
     130,  // CANNOT_READ_ARRAY_FROM_TEXT (extra)
+    131,  // TOO_LARGE_STRING_SIZE — FixedString overflow (extra)
     164,  // READONLY — readonly mode is a config fault, not a replica blip
     192,  // UNKNOWN_USER
     193,  // WRONG_PASSWORD
@@ -86,15 +88,35 @@ object ErrorClassifier {
     291,  // DATABASE_ACCESS_DENIED
     321,  // VALUE_IS_OUT_OF_RANGE_OF_DATA_TYPE
     349,  // CANNOT_INSERT_NULL_IN_ORDINARY_COLUMN
+    376,  // CANNOT_PARSE_UUID (extra)
     392,  // QUERY_IS_PROHIBITED
     467,  // CANNOT_PARSE_BOOL (extra)
-    490,  // CANNOT_PARSE_UUID (extra)
-    516)  // AUTHENTICATION_FAILED
+    490,  // (extra, conservative)
+    516,  // AUTHENTICATION_FAILED
+    691)  // UNKNOWN_ELEMENT_OF_ENUM (extra)
 
   def classify(code: Int): Class =
     if (retryableCodes(code)) Retryable
     else if (permanentCodes(code)) Permanent
     else Unknown
+
+  /** Faults caused by one row's VALUE (parse/convert/range) — the class
+    * the reference dead-letters per-row at batch append time
+    * (clickhouse.go:536-718) while the rest of the batch proceeds. Table-,
+    * schema-, auth- and query-level permanents (60, 16, 516, ...) are NOT
+    * here: row-wise replay cannot fix those, the whole batch dead-letters. */
+  val rowDataFaultCodes: Set[Int] = Set(
+    6, 25, 26, 27, 38, 41, 53, 72, 117, 130, 131, 321, 349, 376, 467, 691)
+
+  def isRowDataFault(code: Int): Boolean = rowDataFaultCodes(code)
+
+  /** First "Code: NNN" found along the cause chain, if any. */
+  def codeOf(t: Throwable): Option[Int] = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+    chain.map(e => Option(e.getMessage).getOrElse(""))
+      .flatMap("Code:\\s*(\\d+)".r.findFirstMatchIn(_)).nextOption()
+      .map(_.group(1).toInt)
+  }
 
   /** Classify from an exception containing "Code: NNN" (the ClickHouse
     * server error format surfaced through JDBC). The whole cause chain is
@@ -109,8 +131,7 @@ object ErrorClassifier {
     val chain = Iterator.iterate(t)(_.getCause)
       .takeWhile(_ != null).take(16).toSeq
     val msgs = chain.map(e => Option(e.getMessage).getOrElse(""))
-    msgs.flatMap("Code:\\s*(\\d+)".r.findFirstMatchIn(_)).headOption
-      .map(g => classify(g.group(1).toInt)).getOrElse {
+    codeOf(t).map(classify).getOrElse {
         // network-level failures with no CH code are retryable
         val firstLines = msgs.map(_.linesIterator.nextOption().getOrElse("")
           .toLowerCase)

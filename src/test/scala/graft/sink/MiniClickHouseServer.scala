@@ -1,0 +1,421 @@
+package graft.sink
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.types.CHType
+
+/** In-test ClickHouse stand-in speaking the PUBLIC HTTP interface the
+  * production [[ClickHouseHttp]] leg targets: POST with `query=INSERT INTO
+  * db.table (cols) FORMAT JSONEachRow` in the URL params, body = data,
+  * credentials in X-ClickHouse-User/-Key, failures as HTTP error +
+  * `X-ClickHouse-Exception-Code` header + `Code: N. DB::Exception: ...`
+  * body — the same contract a real server exposes on :8123.
+  *
+  * Unlike a mock, this fixture PARSES the INSERT it receives and VALIDATES
+  * every value against the declared ClickHouse column type (via the repo's
+  * own [[CHType]] domain: DateTime64(p,tz), LowCardinality, Map,
+  * Array(Map), Enum8/16, UUID, FixedString, Nullable), returning the real
+  * ClickHouse error code for each fault class — so [[ErrorClassifier]] is
+  * exercised by genuine wire responses, the same method MiniKafkaBroker
+  * uses for the source side. An INSERT is atomic: any bad value rejects
+  * the whole POST and stores nothing (one POST ≪ max_insert_block_size).
+  */
+final class MiniClickHouseServer(user: String = "default", password: String = "") {
+
+  final case class Column(name: String, chType: CHType)
+  final class Table(val columns: Seq[Column]) {
+    val rows = mutable.ArrayBuffer[Map[String, Any]]()
+  }
+
+  private val tables = mutable.Map[String, Table]()
+  /** Every received (query, url-params) pair — settings-passthrough asserts. */
+  val receivedQueries = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String])]()
+  /** Injected faults: each queued (code, message) fails one INSERT. */
+  private val injected = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+  @volatile var insertAttempts: Int = 0
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  def createTable(db: String, name: String, cols: Seq[(String, String)]): Unit =
+    tables.synchronized {
+      tables(s"$db.$name") = new Table(cols.map { case (n, t) => Column(n, CHType.parse(t)) })
+    }
+
+  def dropTable(db: String, name: String): Unit =
+    tables.synchronized { tables.remove(s"$db.$name") }
+
+  def rowCount(db: String, name: String): Int =
+    tables.synchronized { tables(s"$db.$name").rows.size }
+
+  def rows(db: String, name: String): Seq[Map[String, Any]] =
+    tables.synchronized { tables(s"$db.$name").rows.toSeq }
+
+  def failNext(code: Int, message: String, times: Int = 1): Unit =
+    (1 to times).foreach(_ => injected.add((code, message)))
+
+  // ---------------------------------------------------------------- handler
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val body = ex.getRequestBody.readAllBytes()
+      val query = params.getOrElse("query",
+        new String(body, UTF_8).linesIterator.nextOption().getOrElse(""))
+
+      // auth: X-ClickHouse-User / X-ClickHouse-Key (the headers the real
+      // server documents; missing user falls back to "default")
+      val gotUser = Option(ex.getRequestHeaders.getFirst("X-ClickHouse-User")).getOrElse("default")
+      val gotPass = Option(ex.getRequestHeaders.getFirst("X-ClickHouse-Key")).getOrElse("")
+      if (gotUser != user || gotPass != password) {
+        fail(ex, 403, 516, s"$gotUser: Authentication failed: password is incorrect, or there is no user with such name")
+        return
+      }
+
+      if (query.trim.equalsIgnoreCase("SELECT 1")) { ok(ex, "1\n"); return }
+
+      receivedQueries.add((query, params - "query"))
+
+      val ins = """(?is)INSERT\s+INTO\s+(\S+?)\.(\S+?)\s*\(([^)]*)\)\s*FORMAT\s+(\w+)""".r
+      ins.findFirstMatchIn(query) match {
+        case None =>
+          fail(ex, 400, 62, s"Syntax error: failed at position 1: ${query.take(60)}")
+        case Some(m) =>
+          insertAttempts += 1
+          Option(injected.poll()) match {
+            case Some((code, msg)) => fail(ex, 500, code, msg)
+            case None =>
+              val db = unq(m.group(1)); val tbl = unq(m.group(2))
+              val cols = m.group(3).split(",").map(s => unq(s.trim)).toSeq
+              val fmt = m.group(4)
+              tables.synchronized { tables.get(s"$db.$tbl") } match {
+                case None =>
+                  fail(ex, 404, 60, s"Table $db.$tbl does not exist")
+                case Some(table) =>
+                  val unknown = cols.filterNot(c => table.columns.exists(_.name == c))
+                  if (unknown.nonEmpty) {
+                    fail(ex, 404, 16, s"No such column ${unknown.head} in table $db.$tbl")
+                  } else if (fmt != "JSONEachRow" && fmt != "RowBinary") {
+                    fail(ex, 400, 73, s"Unknown format $fmt")
+                  } else {
+                    try {
+                      val parsed =
+                        if (fmt == "JSONEachRow") parseJsonEachRow(table, cols, body)
+                        else parseRowBinary(table, cols, body)
+                      tables.synchronized { table.rows ++= parsed }
+                      ex.getResponseHeaders.add("X-ClickHouse-Summary",
+                        s"""{"written_rows":"${parsed.size}"}""")
+                      ok(ex, "")
+                    } catch {
+                      case CHFault(code, msg) => fail(ex, 500, code, msg)
+                    }
+                  }
+              }
+          }
+      }
+    } catch {
+      case t: Throwable => fail(ex, 500, 1000, s"internal: ${t.getMessage}")
+    } finally ex.close()
+
+  private case class CHFault(code: Int, msg: String) extends RuntimeException(msg)
+
+  // ------------------------------------------------------------ JSONEachRow
+
+  private def parseJsonEachRow(table: Table, cols: Seq[String], body: Array[Byte]): Seq[Map[String, Any]] = {
+    val text = new String(body, UTF_8)
+    text.linesIterator.filter(_.trim.nonEmpty).map { line =>
+      val node =
+        try mapper.readTree(line)
+        catch { case e: Exception => throw CHFault(27, s"Cannot parse input: $line") }
+      val given = node.fieldNames().asScala.toSet
+      // fields present in the row but absent from the INSERT column list:
+      // the real server rejects them unless input_format_skip_unknown_fields
+      val stray = given.diff(cols.toSet)
+      if (stray.nonEmpty)
+        throw CHFault(117, s"Unknown field found while parsing JSONEachRow format: ${stray.head}")
+      table.columns.filter(c => cols.contains(c.name)).map { c =>
+        val v = if (node.has(c.name)) jsonValue(node.get(c.name)) else Absent
+        c.name -> validate(c.name, c.chType, v)
+      }.toMap
+    }.toSeq
+  }
+
+  private object Absent
+  private def jsonValue(n: com.fasterxml.jackson.databind.JsonNode): Any =
+    if (n.isNull) null
+    else if (n.isTextual) n.asText()
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isIntegralNumber) BigDecimal(n.bigIntegerValue())
+    else if (n.isNumber) BigDecimal(n.decimalValue())
+    else if (n.isObject)
+      n.fields().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap
+    else if (n.isArray) n.elements().asScala.map(jsonValue).toVector
+    else n.toString
+
+  // ------------------------------------------------------------- validation
+
+  private val uuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
+
+  /** Validate + canonicalize one value against a declared CH column type,
+    * throwing the REAL ClickHouse error code for each fault class.
+    * Absent fields and JSON nulls take the column default
+    * (input_format_defaults_for_omitted_fields / input_format_null_as_
+    * default, both on by default in a real server) — except Nullable,
+    * which stores NULL. */
+  private def validate(col: String, t: CHType, v: Any): Any = {
+    import CHType._
+    t match {
+      case CHNullable(inner) =>
+        if (v == null || v == Absent) null else validate(col, inner, v)
+      case CHLowCardinality(inner) => validate(col, inner, v)
+      case _ if v == null || v == Absent => defaultFor(t)
+      case CHString => v match {
+        case s: String => s
+        case b: Boolean => b.toString
+        case d: BigDecimal => d.bigDecimal.toPlainString // numbers-as-strings (default on)
+        case _ => throw CHFault(6, s"Cannot parse String from non-scalar for column $col")
+      }
+      case CHFixedString(n) => v match {
+        case s: String =>
+          if (s.getBytes(UTF_8).length > n)
+            throw CHFault(131, s"String too long for type FixedString($n): '$s' for column $col")
+          s
+        case _ => throw CHFault(6, s"Cannot parse FixedString($n) for column $col")
+      }
+      case CHBool => v match {
+        case b: Boolean => b
+        case d: BigDecimal if d == 0 || d == 1 => d == 1
+        case "true" | "1" => true
+        case "false" | "0" => false
+        case other => throw CHFault(467, s"Cannot parse bool from '$other' for column $col")
+      }
+      case CHInt(bits) => intValue(col, v, minOf(bits), maxOf(bits))
+      case CHUInt(bits) => intValue(col, v, BigDecimal(0), umaxOf(bits))
+      case CHFloat32 | CHFloat64 => v match {
+        case d: BigDecimal => d.toDouble
+        case s: String =>
+          try BigDecimal(s).toDouble
+          catch { case _: Exception => throw CHFault(72, s"Cannot parse number from '$s' for column $col") }
+        case other => throw CHFault(72, s"Cannot parse number from '$other' for column $col")
+      }
+      case CHEnum(_, values) => v match {
+        case s: String if values.contains(s) => s
+        case d: BigDecimal if values.exists(_._2 == d.toInt) =>
+          values.find(_._2 == d.toInt).get._1
+        case other => throw CHFault(691, s"Unknown element '$other' for enum column $col")
+      }
+      case CHUUID => v match {
+        case s: String if uuidRe.matches(s) => s.toLowerCase
+        case other => throw CHFault(376, s"Cannot parse uuid '$other' for column $col")
+      }
+      case CHDateTime(_) => parseDateTime(col, v, 0)
+      case CHDateTime64(p, _) => parseDateTime(col, v, p)
+      case CHMap(_, vt) => v match {
+        case m: Map[_, _] => m.map { case (k, mv) =>
+          String.valueOf(k) -> validate(s"$col value", vt, mv)
+        }
+        case other => throw CHFault(117, s"Cannot parse Map from '$other' for column $col")
+      }
+      case CHArray(inner) => v match {
+        case xs: Vector[_] => xs.map(e => validate(s"$col element", inner, e))
+        case other => throw CHFault(130, s"Cannot read array from '$other' for column $col")
+      }
+    }
+  }
+
+  private def intValue(col: String, v: Any, lo: BigDecimal, hi: BigDecimal): Any = {
+    val d = v match {
+      case d: BigDecimal => d
+      case s: String =>
+        try BigDecimal(s)
+        catch { case _: Exception => throw CHFault(72, s"Cannot parse number from '$s' for column $col") }
+      case b: Boolean => BigDecimal(if (b) 1 else 0)
+      case other => throw CHFault(72, s"Cannot parse number from '$other' for column $col")
+    }
+    if (!d.isWhole) throw CHFault(72, s"Cannot parse integer from '$d' for column $col")
+    if (d < lo || d > hi)
+      throw CHFault(321, s"Value $d is out of range of data type for column $col")
+    d.toBigInt
+  }
+
+  private def minOf(bits: Int) = BigDecimal(BigInt(-1) << (bits - 1))
+  private def maxOf(bits: Int) = BigDecimal((BigInt(1) << (bits - 1)) - 1)
+  private def umaxOf(bits: Int) = BigDecimal((BigInt(1) << bits) - 1)
+
+  /** best_effort datetime parse: ISO-8601 (T or space separator, optional
+    * fraction/offset — what Spark's JSON encoder and the feature files
+    * emit) or epoch seconds. Returns epoch micros truncated to precision. */
+  private def parseDateTime(col: String, v: Any, precision: Int): Long = {
+    val micros: Long = v match {
+      case d: BigDecimal => (d * 1000000L).toLong
+      case s: String =>
+        val t = s.trim.replace(' ', 'T')
+        val inst =
+          try {
+            if (t.contains("+") || t.endsWith("Z") || t.lastIndexOf('-') > 9)
+              java.time.OffsetDateTime.parse(t).toInstant
+            else LocalDateTime.parse(t, DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+              .toInstant(ZoneOffset.UTC)
+          } catch {
+            case _: Exception =>
+              throw CHFault(41, s"Cannot parse datetime '$s' for column $col")
+          }
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case other => throw CHFault(41, s"Cannot parse datetime '$other' for column $col")
+    }
+    val unit = math.pow(10, (6 - math.min(precision, 6)).toDouble).toLong
+    micros / unit * unit
+  }
+
+  private def defaultFor(t: CHType): Any = {
+    import CHType._
+    t match {
+      case CHString | CHFixedString(_) => ""
+      case CHBool => false
+      case CHInt(_) | CHUInt(_) => BigInt(0)
+      case CHFloat32 | CHFloat64 => 0.0
+      case CHEnum(_, values) => values.minByOption(_._2).map(_._1).getOrElse("")
+      case CHUUID => "00000000-0000-0000-0000-000000000000"
+      case CHDateTime(_) | CHDateTime64(_, _) => 0L
+      case CHMap(_, _) => Map.empty[String, Any]
+      case CHArray(_) => Vector.empty
+      case CHLowCardinality(i) => defaultFor(i)
+      case CHNullable(_) => null
+    }
+  }
+
+  // -------------------------------------------------------------- RowBinary
+
+  /** RowBinary decode against the declared column types — the public
+    * column-order binary format (varint-length strings, little-endian
+    * fixed-width numerics, uint32/int64 datetimes, big-endian-halved UUID,
+    * varint-counted arrays/maps, nullable flag byte). */
+  private def parseRowBinary(table: Table, cols: Seq[String], body: Array[Byte]): Seq[Map[String, Any]] = {
+    val in = new RowBinaryReader(body)
+    val out = mutable.ArrayBuffer[Map[String, Any]]()
+    val colTypes = cols.map(c => c -> table.columns.find(_.name == c).get.chType)
+    while (in.hasMore) {
+      out += colTypes.map { case (name, t) =>
+        name -> readBinary(in, t, name)
+      }.toMap
+    }
+    out.toSeq
+  }
+
+  private def readBinary(in: RowBinaryReader, t: CHType, col: String): Any = {
+    import CHType._
+    t match {
+      case CHString => in.str()
+      case CHFixedString(n) =>
+        val s = new String(in.take(n), UTF_8)
+        s.replaceAll(" +$", "") // server pads with NULs
+      case CHBool => in.u8() != 0
+      case CHInt(8) => BigInt(in.u8().toByte)
+      case CHInt(16) => BigInt(in.i16())
+      case CHInt(32) => BigInt(in.i32())
+      case CHInt(64) => BigInt(in.i64())
+      case CHUInt(8) => BigInt(in.u8())
+      case CHUInt(16) => BigInt(in.i16() & 0xffff)
+      case CHUInt(32) => BigInt(in.i32() & 0xffffffffL)
+      case CHUInt(64) => BigInt(java.lang.Long.toUnsignedString(in.i64()))
+      case CHFloat32 => java.lang.Float.intBitsToFloat(in.i32()).toDouble
+      case CHFloat64 => java.lang.Double.longBitsToDouble(in.i64())
+      case CHEnum(bits, values) =>
+        val id = if (bits == 8) in.u8().toByte.toInt else in.i16()
+        values.find(_._2 == id).map(_._1)
+          .getOrElse(throw CHFault(691, s"Unknown enum id $id for column $col"))
+      case CHUUID =>
+        // RowBinary UUID: two little-endian u64 halves (hi, lo)
+        val hi = in.i64(); val lo = in.i64()
+        new java.util.UUID(hi, lo).toString
+      case CHDateTime(_) => (in.i32() & 0xffffffffL) * 1000000L
+      case CHDateTime64(p, _) =>
+        val ticks = in.i64()
+        val unit = math.pow(10, (6 - math.min(p, 6)).toDouble).toLong
+        if (p <= 6) ticks * unit
+        else ticks / math.pow(10, (p - 6).toDouble).toLong
+      case CHLowCardinality(inner) => readBinary(in, inner, col)
+      case CHNullable(inner) =>
+        if (in.u8() == 1) null else readBinary(in, inner, col)
+      case CHMap(_, vt) =>
+        val n = in.varint()
+        (0L until n).map(_ => in.str() -> readBinary(in, vt, col)).toMap
+      case CHArray(inner) =>
+        val n = in.varint()
+        (0L until n).map(_ => readBinary(in, inner, col)).toVector
+    }
+  }
+
+  private final class RowBinaryReader(buf: Array[Byte]) {
+    private var pos = 0
+    def hasMore: Boolean = pos < buf.length
+    def u8(): Int = { val v = buf(pos) & 0xff; pos += 1; v }
+    def i16(): Int = (u8() | (u8() << 8)).toShort.toInt
+    def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    def i64(): Long = (i32() & 0xffffffffL) | (i32().toLong << 32)
+    def varint(): Long = {
+      var v = 0L; var shift = 0; var b = 0
+      do { b = u8(); v |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      v
+    }
+    def take(n: Int): Array[Byte] = {
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
+    }
+    def str(): String = new String(take(varint().toInt), UTF_8)
+  }
+
+  // ---------------------------------------------------------------- plumbing
+
+  private def parseParams(raw: String): Map[String, String] =
+    raw.split("&").filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case Array(k) => Some(dec(k) -> "")
+        case _ => None
+      }
+    }.toMap
+
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def unq(id: String): String = {
+    val t = id.trim
+    if (t.length >= 2 && t.head == '`' && t.last == '`')
+      t.substring(1, t.length - 1).replace("\\`", "`").replace("\\\\", "\\")
+    else t
+  }
+
+  private def ok(ex: HttpExchange, body: String): Unit = {
+    val b = body.getBytes(UTF_8)
+    ex.sendResponseHeaders(200, if (b.isEmpty) -1 else b.length.toLong)
+    if (b.nonEmpty) { val os = ex.getResponseBody; os.write(b); os.close() }
+  }
+
+  private def fail(ex: HttpExchange, http: Int, code: Int, msg: String): Unit = {
+    val body = s"Code: $code. DB::Exception: $msg".getBytes(UTF_8)
+    ex.getResponseHeaders.add("X-ClickHouse-Exception-Code", code.toString)
+    ex.sendResponseHeaders(http, body.length.toLong)
+    val os = ex.getResponseBody; os.write(body); os.close()
+  }
+}

@@ -1,0 +1,418 @@
+package graft.sink
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkSpec
+import graft.sink.SinkMapper.ColumnMapping
+
+/** Replays the reference's sink BDD feature
+  * (glassflow-api/tests/features/sink/sink.feature, 13 scenarios) over
+  * REAL sockets: the production [[ClickHouseHttp]] leg POSTs
+  * `INSERT INTO … FORMAT JSONEachRow` to [[MiniClickHouseServer]], which
+  * PARSES the insert, validates every value against the declared
+  * ClickHouse column type (DateTime, UUID, Float32, LowCardinality,
+  * Nullable, Map(LowCardinality(String),String), FixedString), and
+  * answers with genuine ClickHouse error codes — so the whole
+  * mapper → HTTP → classify → retry/DLQ chain runs exactly as it would
+  * against a real server on :8123. Table schemas, event tables and
+  * expected row counts are the feature file's own. */
+class SinkWireSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withServer(user: String = "default", pass: String = "")
+                        (f: MiniClickHouseServer => Unit): Unit = {
+    val ch = new MiniClickHouseServer(user, pass)
+    ch.start()
+    try f(ch) finally ch.stop()
+  }
+
+  private def cfg(ch: MiniClickHouseServer, table: String,
+                  mappings: Seq[ColumnMapping],
+                  user: String = "default", pass: String = "",
+                  maxRetries: Int = 10): ClickHouseSink.Config =
+    ClickHouseSink.Config(url = ch.endpoint, database = "default",
+      table = table, username = user, password = pass,
+      mappings = mappings, maxRetries = maxRetries)
+
+  /** Spark's micro-batch retry loop (same as SinkFeatureSpec). */
+  private def engineLoop(handler: (DataFrame, Long) => Unit, batch: DataFrame,
+                         batchId: Long = 7L, maxLoops: Int = 50): Int = {
+    var attempts = 0
+    var done = false
+    while (!done && attempts < maxLoops) {
+      attempts += 1
+      try { handler(batch, batchId); done = true }
+      catch { case _: Throwable => () }
+    }
+    assert(done, s"handler still rethrowing after $maxLoops attempts")
+    attempts
+  }
+
+  private def dlqQueue() = new ConcurrentLinkedQueue[Row]
+
+  // The feature's five-column events table + mapping (scenario 1).
+  private val eventsSchema = Seq(
+    "event_id" -> "String", "name" -> "String", "email" -> "String",
+    "timestamp" -> "DateTime", "action" -> "String")
+  private val eventsMapping = Seq(
+    ColumnMapping("event_id", "event_id", "UUID"),
+    ColumnMapping("name", "name", "String"),
+    ColumnMapping("email", "email", "String"),
+    ColumnMapping("timestamp", "timestamp", "DateTime"),
+    ColumnMapping("action", "action", "String"))
+
+  private def featureEvents(n: Int): DataFrame = Seq(
+    ("0a21ad20-8a70-4be2-8d29-533eb963d554", "Jessica Jones",
+      "msmith@example.com", "2025-02-21T07:45:48.823069", "login"),
+    ("72dea57a-ee36-4909-8b36-5be24b19804c", "Jessica Jones",
+      "msmith@example.com", "2025-02-28T02:39:51.886367", "logout"))
+    .take(n).toDF("event_id", "name", "email", "timestamp", "action")
+
+  test("sink.feature: Successfully import events from NATS to Clickhouse") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test", eventsSchema)
+      val dlq = dlqQueue()
+      val handler = ClickHouseSink.foreachBatchHandler(
+        cfg(ch, "events_test", eventsMapping), d => d.collect().foreach(dlq.add))
+      handler(featureEvents(2), 0L)
+      assert(ch.rowCount("default", "events_test") == 2)
+      assert(dlq.isEmpty)
+      val r = ch.rows("default", "events_test")
+        .find(_("event_id") == "0a21ad20-8a70-4be2-8d29-533eb963d554").get
+      assert(r("name") == "Jessica Jones")
+      assert(r("action") == "login")
+      // DateTime column: stored as epoch micros, truncated to seconds
+      val expect = java.time.Instant.parse("2025-02-21T07:45:48Z")
+        .getEpochSecond * 1000000L
+      assert(r("timestamp") == expect)
+    }
+  }
+
+  test("sink.feature: Events synced after batch fulfillment (stop, restart, no dupes)") {
+    // the feature publishes 1 event, stops the sink, restarts, publishes 1
+    // more, and expects 2 rows — a checkpointed stop/resume with no
+    // duplicates, driven here through a real streaming attach
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    withServer() { ch =>
+      ch.createTable("default", "events_test", eventsSchema)
+      val c = cfg(ch, "events_test", eventsMapping)
+        .copy(maxDelaySeconds = 0, idempotencyColumn = Some("event_id"))
+      val ckpt = java.nio.file.Files.createTempDirectory("ch_wire_ckpt").toString
+      val mem = MemoryStream[(String, String, String, String, String)]
+      def start() = ClickHouseSink.attach(
+        mem.toDF.toDF("event_id", "name", "email", "timestamp", "action"),
+        c, ckpt, _ => ()).start()
+      mem.addData(("0a21ad20-8a70-4be2-8d29-533eb963d554", "Jessica Jones",
+        "msmith@example.com", "2025-02-21T07:45:48.823069", "login"))
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop()
+      assert(ch.rowCount("default", "events_test") == 1)
+      mem.addData(("72dea57a-ee36-4909-8b36-5be24b19804c", "Jessica Jones",
+        "msmith@example.com", "2025-02-28T02:39:51.886367", "logout"))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      assert(ch.rowCount("default", "events_test") == 2,
+        "restart from checkpoint must deliver the new event exactly once")
+    }
+  }
+
+  test("sink.feature: Exports events after JOIN component") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test",
+        Seq("id" -> "String", "name" -> "String", "email" -> "String"))
+      // the joined frame the JOIN component emits: left.id/left.name with
+      // right.email, dotted source fields resolved by the mapper
+      val joined = Seq(("1", "Alice", "alice@mailbox.com"),
+        ("2", "Bob", "bob@gmail.com"))
+        .toDF("left_stream.id", "left_stream.name", "right_stream.email")
+      val m = Seq(
+        ColumnMapping("left_stream.id", "id", "String"),
+        ColumnMapping("left_stream.name", "name", "String"),
+        ColumnMapping("right_stream.email", "email", "String"))
+      val dlq = dlqQueue()
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "events_test", m),
+        d => d.collect().foreach(dlq.add))(joined, 0L)
+      assert(ch.rowCount("default", "events_test") == 2)
+      assert(ch.rows("default", "events_test").map(_("email")).toSet ==
+        Set("alice@mailbox.com", "bob@gmail.com"))
+      assert(dlq.isEmpty)
+    }
+  }
+
+  private val idNameMapping = Seq(
+    ColumnMapping("id", "id", "String"),
+    ColumnMapping("name", "name", "String"))
+
+  test("sink.feature: import by max delay time — partial batch flushes on the trigger") {
+    // 4 events against max_batch_size 100: nothing fills the batch, the
+    // time trigger (maxDelaySeconds → ProcessingTime) flushes anyway
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    withServer() { ch =>
+      ch.createTable("default", "events_test",
+        Seq("id" -> "String", "name" -> "String"))
+      val c = cfg(ch, "events_test", idNameMapping)
+        .copy(maxBatchSize = 100, maxDelaySeconds = 0)
+      val ckpt = java.nio.file.Files.createTempDirectory("ch_wire_delay").toString
+      val mem = MemoryStream[(String, String)]
+      mem.addData(("1", "Alice"), ("2", "Bob"), ("3", "Charlie"), ("4", "David"))
+      val q = ClickHouseSink.attach(mem.toDF.toDF("id", "name"), c, ckpt, _ => ()).start()
+      q.processAllAvailable(); q.stop()
+      assert(ch.rowCount("default", "events_test") == 4)
+    }
+  }
+
+  test("sink.feature: import by max delay time #2 — 9 events over batch size 5") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test",
+        Seq("id" -> "String", "name" -> "String"))
+      // max_batch_size 5 → the 9 rows go over the wire in 5+4 POSTs
+      val c = cfg(ch, "events_test", idNameMapping).copy(maxBatchSize = 5)
+      val names = Seq("Alice", "Bob", "Charlie", "David", "Eve", "Frank",
+        "Grace", "Heidi", "Ivan")
+      val df = names.zipWithIndex.map { case (n, i) => ((i + 1).toString, n) }
+        .toDF("id", "name").coalesce(1)
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "events_test", idNameMapping)
+        .copy(maxBatchSize = 5), _ => ())(df, 0L)
+      assert(ch.rowCount("default", "events_test") == 9)
+      assert(ch.receivedQueries.size == 2, "9 rows at max_batch_size 5 → two slabs")
+    }
+  }
+
+  test("sink.feature: Start and graceful sink stop for already existing events in stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    withServer() { ch =>
+      ch.createTable("default", "events_test",
+        Seq("id" -> "String", "name" -> "String"))
+      val ckpt = java.nio.file.Files.createTempDirectory("ch_wire_pre").toString
+      val mem = MemoryStream[(String, String)]
+      // events exist in the stream BEFORE the sink starts
+      mem.addData(("1", "Alice"), ("2", "Bob"))
+      val q = ClickHouseSink.attach(mem.toDF.toDF("id", "name"),
+        cfg(ch, "events_test", idNameMapping).copy(maxDelaySeconds = 0),
+        ckpt, _ => ()).start()
+      q.processAllAvailable()
+      q.stop() // graceful: all in-flight batches committed
+      assert(ch.rowCount("default", "events_test") == 2)
+    }
+  }
+
+  test("sink.feature: Import events with UUID") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test",
+        Seq("id" -> "UUID", "name" -> "String"))
+      val m = Seq(ColumnMapping("id", "id", "UUID"),
+        ColumnMapping("name", "name", "String"))
+      val df = Seq(("0a21ad20-8a70-4be2-8d29-533eb963d554", "Alice"),
+        ("72dea57a-ee36-4909-8b36-5be24b19804c", "Bob")).toDF("id", "name")
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "events_test", m), _ => ())(df, 0L)
+      assert(ch.rowCount("default", "events_test") == 2)
+      assert(ch.rows("default", "events_test").map(_("id")).toSet ==
+        Set("0a21ad20-8a70-4be2-8d29-533eb963d554",
+          "72dea57a-ee36-4909-8b36-5be24b19804c"))
+    }
+  }
+
+  test("sink.feature: Import events with float32") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test",
+        Seq("id" -> "Int32", "amount" -> "Float32"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("amount", "amount", "Float32"))
+      val df = Seq((150, 3284.85), (2067868, 2.5)).toDF("id", "amount")
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "events_test", m), _ => ())(df, 0L)
+      assert(ch.rowCount("default", "events_test") == 2)
+      val amounts = ch.rows("default", "events_test")
+        .map(_("amount").asInstanceOf[Double]).sorted
+      assert(math.abs(amounts.head - 2.5) < 1e-3 &&
+        math.abs(amounts(1) - 3284.85) < 1e-1)
+    }
+  }
+
+  test("sink.feature: Import events with low cardinality string") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test",
+        Seq("id" -> "Int32", "type" -> "LowCardinality(String)"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("type", "type", "LowCardinality(String)"))
+      val df = Seq((150, "red"), (2067868, "blue")).toDF("id", "type")
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "events_test", m), _ => ())(df, 0L)
+      assert(ch.rowCount("default", "events_test") == 2)
+      assert(ch.rows("default", "events_test").map(_("type")).toSet ==
+        Set("red", "blue"))
+    }
+  }
+
+  test("sink.feature: Import events with Nullable string — absent field stores NULL") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test",
+        Seq("id" -> "Int32", "type" -> "Nullable(String)"))
+      // schema version 2 carries ONLY id; the `type` mapping's source field
+      // is absent from the batch → the mapper inserts NULL, the server
+      // stores NULL in the Nullable column
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("type", "type", "Nullable(String)"))
+      val df = Seq(Tuple1(150), Tuple1(2067868)).toDF("id")
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "events_test", m), _ => ())(df, 0L)
+      assert(ch.rowCount("default", "events_test") == 2)
+      assert(ch.rows("default", "events_test").forall(_("type") == null))
+    }
+  }
+
+  test("sink.feature: Import events with Map columns including empty and null maps") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test", Seq(
+        "id" -> "String",
+        "resource" -> "Map(LowCardinality(String), String)",
+        "scope_attributes" -> "Map(String, String)",
+        "attributes" -> "Map(String, String)"))
+      val m = Seq(
+        ColumnMapping("id", "id", "String"),
+        ColumnMapping("resource", "resource", "Map(LowCardinality(String), String)"),
+        ColumnMapping("scope_attributes", "scope_attributes", "Map(String, String)"),
+        ColumnMapping("attributes", "attributes", "Map(String, String)"))
+      // the feature's 5 events: populated / empty {} / null / missing / mixed
+      val df = Seq(
+        ("1", Map("service.name" -> "telemetrygen"), Map("scope.key" -> "scope.value"), Map.empty[String, String]),
+        ("2", Map.empty[String, String], Map.empty[String, String], Map.empty[String, String]),
+        ("3", null, null, null),
+        ("4", null, null, null), // <missing> — indistinguishable from null in a frame
+        ("5", Map("service.name" -> "myservice"), null, null))
+        .toDF("id", "resource", "scope_attributes", "attributes")
+      val dlq = dlqQueue()
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "events_test", m),
+        d => d.collect().foreach(dlq.add))(df, 0L)
+      assert(ch.rowCount("default", "events_test") == 5)
+      assert(dlq.isEmpty)
+      val byId = ch.rows("default", "events_test").map(r => r("id") -> r).toMap
+      assert(byId("1")("resource") == Map("service.name" -> "telemetrygen"))
+      // Maps cannot be NULL in ClickHouse: null/missing store the default {}
+      assert(byId("3")("resource") == Map.empty[String, Any])
+      assert(byId("5")("scope_attributes") == Map.empty[String, Any])
+    }
+  }
+
+  test("sink.feature: Import events with fixed string — overflow dead-letters ONLY the poison row") {
+    withServer() { ch =>
+      // table column is FixedString(5); the mapping (per the feature)
+      // declares plain String, so only the SERVER can reject the overflow
+      ch.createTable("default", "events_test",
+        Seq("id" -> "Int32", "type" -> "FixedString(5)"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("type", "type", "String"))
+      val df = Seq((150, "red"), (160, "blue"), (170, "black"), (180, "yellow"))
+        .toDF("id", "type")
+      val dlq = dlqQueue()
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "events_test", m),
+        d => d.collect().foreach(dlq.add))(df, 0L)
+      // the feature's own assertion: 4 published, 3 land ("yellow" > 5 bytes)
+      assert(ch.rowCount("default", "events_test") == 3)
+      assert(ch.rows("default", "events_test").map(_("type")).toSet ==
+        Set("red", "blue", "black"))
+      assert(dlq.size == 1, "exactly the poison row dead-letters")
+      val env = dlq.asScala.head
+      assert(env.getAs[String]("component") == "sink")
+      assert(env.getAs[String]("error").contains("Code: 131"))
+      assert(env.getAs[String]("original_message").contains("yellow"))
+    }
+  }
+
+  // ------------------------------------------------------- wire-leg contracts
+
+  test("wrong password: server 516 via X-ClickHouse-Exception-Code → whole batch DLQs, zero retries") {
+    withServer(pass = "secret") { ch =>
+      ch.createTable("default", "t", Seq("id" -> "String"))
+      val dlq = dlqQueue()
+      val handler = ClickHouseSink.foreachBatchHandler(
+        cfg(ch, "t", Seq(ColumnMapping("id", "id", "String")), pass = "WRONG"),
+        d => d.collect().foreach(dlq.add))
+      handler(Seq("a", "b").toDF("id"), 0L) // must not throw
+      assert(ch.rowCount("default", "t") == 0)
+      assert(dlq.size == 2)
+      assert(dlq.asScala.head.getAs[String]("error").contains("Code: 516"))
+      assert(ch.insertAttempts == 0, "auth rejects before the insert executes")
+    }
+  }
+
+  test("retryable server fault (241 MEMORY_LIMIT) retries the batch and lands exactly once") {
+    withServer() { ch =>
+      ch.createTable("default", "t", Seq("id" -> "String"))
+      ch.failNext(241, "Memory limit (total) exceeded", times = 2)
+      val dlq = dlqQueue()
+      val handler = ClickHouseSink.foreachBatchHandler(
+        cfg(ch, "t", Seq(ColumnMapping("id", "id", "String"))),
+        d => d.collect().foreach(dlq.add))
+      val attempts = engineLoop(handler, Seq("a", "b", "c").toDF("id").coalesce(1))
+      assert(attempts == 3, "two genuine 241 responses retried, third landed")
+      assert(ch.rowCount("default", "t") == 3)
+      assert(dlq.isEmpty)
+    }
+  }
+
+  test("unknown table: server 60 → whole batch DLQs (no row-wise attempt)") {
+    withServer() { ch =>
+      val dlq = dlqQueue()
+      val handler = ClickHouseSink.foreachBatchHandler(
+        cfg(ch, "missing_table", Seq(ColumnMapping("id", "id", "String"))),
+        d => d.collect().foreach(dlq.add))
+      handler(Seq("a").toDF("id"), 0L)
+      assert(dlq.size == 1)
+      assert(dlq.asScala.head.getAs[String]("error").contains("Code: 60"))
+      assert(ch.insertAttempts == 1,
+        "a table-level permanent fault must not trigger per-row isolation")
+    }
+  }
+
+  test("per-insert settings (async_insert) pass through as URL params") {
+    withServer() { ch =>
+      ch.createTable("default", "t", Seq("id" -> "String"))
+      val c = cfg(ch, "t", Seq(ColumnMapping("id", "id", "String")))
+        .copy(httpSettings = Map("async_insert" -> "1", "wait_for_async_insert" -> "0"))
+      ClickHouseSink.writeBatch(c)(Seq("a").toDF("id"))
+      val (query, params) = ch.receivedQueries.asScala.head
+      assert(query.startsWith("INSERT INTO `default`.`t`"))
+      assert(params.get("async_insert").contains("1"))
+      assert(params.get("wait_for_async_insert").contains("0"))
+      assert(params.get("date_time_input_format").contains("best_effort"))
+    }
+  }
+
+  test("versioned transform: each schema version INSERTs its own column set over the wire") {
+    withServer() { ch =>
+      ch.createTable("default", "t",
+        Seq("id" -> "String", "v2_extra" -> "Nullable(String)"))
+      val v1 = Seq(ColumnMapping("id", "id", "String"))
+      val v2 = Seq(ColumnMapping("id", "id", "String"),
+        ColumnMapping("extra", "v2_extra", "Nullable(String)"))
+      val c = cfg(ch, "t", v1).copy(versionColumn = Some("ver"),
+        versionMappings = Map("1" -> v1, "2" -> v2))
+      val df = Seq(("a", "1", "x"), ("b", "2", "y")).toDF("id", "ver", "extra")
+      ClickHouseSink.writeBatch(c)(df)
+      assert(ch.rowCount("default", "t") == 2)
+      val queries = ch.receivedQueries.asScala.map(_._1).toSeq
+      assert(queries.exists(q => q.contains("(`id`)")), "v1 insert: id only")
+      assert(queries.exists(q => q.contains("`v2_extra`")), "v2 insert: extra column")
+      val byId = ch.rows("default", "t").map(r => r("id") -> r).toMap
+      assert(byId("b")("v2_extra") == "y")
+    }
+  }
+
+  test("ping: SELECT 1 succeeds with good credentials, raises 516 on bad") {
+    withServer(pass = "s3cret") { ch =>
+      ClickHouseHttp.ping(ClickHouseHttp.Config(ch.endpoint, "default", "t",
+        password = "s3cret"))
+      val e = intercept[ClickHouseHttp.CHServerException] {
+        ClickHouseHttp.ping(ClickHouseHttp.Config(ch.endpoint, "default", "t",
+          password = "nope"))
+      }
+      assert(e.code == 516)
+      assert(ErrorClassifier.classify(e) == ErrorClassifier.Permanent)
+    }
+  }
+}
