@@ -50,6 +50,16 @@ import graft.types.EngineSchema
   * sources (joins, custom frames) use the programmatic
   * PipelineService.start API instead.
   */
+object ApiServer {
+  /** platform.feature's orchestrator vocabulary ({"orchestrator":
+    * "local"|"k8s"}) mapped from the Spark master URL. */
+  def orchestratorOf(master: String): String = master match {
+    case m if m.startsWith("local") => "local"
+    case m if m.startsWith("k8s") => "k8s"
+    case _ => "cluster"
+  }
+}
+
 final class ApiServer(spark: SparkSession, service: PipelineService) {
 
   private val mapper: ObjectMapper = {
@@ -76,11 +86,7 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
       // analog maps the master URL onto the same vocabulary
       respond(ex, 200, Map(
         "platform" -> "spark",
-        "orchestrator" -> (spark.sparkContext.master match {
-          case m if m.startsWith("local") => "local"
-          case m if m.startsWith("k8s") => "k8s"
-          case _ => "cluster"
-        }),
+        "orchestrator" -> ApiServer.orchestratorOf(spark.sparkContext.master),
         "spark_version" -> spark.version,
         "master" -> spark.sparkContext.master,
         "default_parallelism" -> spark.sparkContext.defaultParallelism)))
@@ -245,10 +251,19 @@ final class ApiServer(spark: SparkSession, service: PipelineService) {
   private def handleValidateFilter(ex: HttpExchange): Unit = safely(ex) {
     val req = mapper.readTree(body(ex))
     val expression = req.get("expression").asText()
-    val fields = Option(req.get("schema_fields")).map(_.elements())
+    // the reference's wire shape is `fields: [{field_name, field_type}]`
+    // (models.StreamDataField, validate_filter.go:22-27); `schema_fields:
+    // [{name, type}]` is accepted as the flattened alternative
+    val fields = Option(req.get("fields")).orElse(Option(req.get("schema_fields")))
+      .map(_.elements())
       .map { it =>
         val b = Seq.newBuilder[(String, String)]
-        while (it.hasNext) { val f = it.next(); b += f.get("name").asText() -> f.get("type").asText() }
+        while (it.hasNext) {
+          val f = it.next()
+          val n = Option(f.get("field_name")).getOrElse(f.get("name")).asText()
+          val t = Option(f.get("field_type")).getOrElse(f.get("type")).asText()
+          b += n -> t
+        }
         b.result()
       }.getOrElse(Seq.empty)
     ExpressionService.validateFilter(expression, EngineSchema.structFor(fields)) match {
