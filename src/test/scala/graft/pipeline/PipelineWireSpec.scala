@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkSpec
+import graft.sink.MiniClickHouseServer
+import graft.sources.KafkaSource
+import graft.sources.kafka.MiniKafkaBroker.Cluster
+
+/** The reference's WHOLE topology on real sockets in one scenario
+  * (glassflow-api/tests/features/pipeline/pipeline.feature "Kafka to
+  * ClickHouse pipeline with deduplication"): raw JSON events on a live
+  * Kafka broker fixture → read over TCP by `format("graft-kafka")` →
+  * schema validate (ingestor leg, corrupt rows → DLQ) → windowed dedup →
+  * ClickHouse HTTP INSERT over TCP against [[MiniClickHouseServer]]
+  * (which validates values against declared column types and answers
+  * real CH error codes) — with a service kill + config-only restart from
+  * the checkpoint in the middle, asserting exactly-once delivery and
+  * per-row poison DLQ envelopes from BOTH legs. */
+class PipelineWireSpec extends SparkSpec {
+
+  private def wireReader(address: String): (SparkSession, KafkaSource.Config) => DataFrame =
+    (s, kc) => s.readStream.format("graft-kafka")
+      .option("brokers", address).option("topic", kc.topic).load()
+
+  private val before = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Boolean]()
+  private def markExisting(): Unit =
+    spark.streams.active.foreach(q => before.put(q.runId, true))
+  private def drainNew(): Unit =
+    spark.streams.active.filterNot(q => before.containsKey(q.runId))
+      .foreach(q => try q.processAllAvailable() catch { case _: Exception => () })
+
+  test("pipeline.feature: Kafka → dedup → ClickHouse over both wire legs, with kill/restart and poison DLQ") {
+    val id = "kafka-to-clickhouse-pipeline-b00001"
+    val kafka = new Cluster(); kafka.addBroker()
+    val ch = new MiniClickHouseServer(); ch.start()
+    try {
+      kafka.addPartition("test_topic", 0)
+      // name is FixedString(12) so a too-long value is rejected by the
+      // SERVER (the sink-poison leg); every feature value fits
+      ch.createTable("default", "events_test",
+        Seq("id" -> "String", "name" -> "FixedString(12)"))
+
+      // the feature's four events + an ingest-poison and a sink-poison row
+      kafka.append("test_topic", 0, Seq(
+        "1" -> """{"id": "123", "name": "John Doe"}""",
+        "2" -> """{"id": "456", "name": "Jane Smith"}""",
+        "3" -> """{"id": "789", "name": "Bob Johnson"}""",
+        "4" -> """{"id": "789", "name": "Ulm Petterson"}""", // dup id → dropped
+        "5" -> """this is not json {""",                      // ingestor DLQ
+        "6" -> """{"id": "999", "name": "Maximillian Longbottom III"}""")) // server 131 → sink DLQ
+
+      val cfgJson =
+        s"""{"pipeline_id": "$id",
+           |  "source": {"kind": "kafka", "brokers": ["broker:9092"],
+           |    "topics": [{"name": "test_topic", "consumer_group": "gf-cg-b00001",
+           |      "schema_fields": [{"name": "id", "type": "string"},
+           |                        {"name": "name", "type": "string"}],
+           |      "deduplication": {"enabled": true, "id_field": "id",
+           |                        "time_window": "1h"}}]},
+           |  "sink": {"url": "${ch.endpoint}", "database": "default",
+           |    "table": "events_test", "max_delay_seconds": 0,
+           |    "table_mapping": [
+           |      {"field_name": "id", "column_name": "id", "column_type": "String"},
+           |      {"field_name": "name", "column_name": "name", "column_type": "String"}]}}
+           |""".stripMargin
+
+      val dlqRoot = Files.createTempDirectory("graft_pw_dlq").toString
+      val ckptRoot = Files.createTempDirectory("graft_pw_ckpt").toString
+      def newService() = new PipelineService(spark,
+        dlqRoot = Some(dlqRoot), checkpointRoot = Some(ckptRoot),
+        sourceReader = wireReader(kafka.brokerList.head.address))
+
+      markExisting()
+      val svc1 = newService()
+      assert(svc1.create(ReferenceConfig.fromJson(cfgJson)).isRight)
+      assert(svc1.startFromConfig(id).isRight,
+        svc1.startFromConfig(id).swap.getOrElse(""))
+      drainNew()
+
+      // feature assertion: dedup kept the FIRST row per id; the server
+      // rejected the overflowing name; the corrupt frame never reached CH
+      def tableRows() = ch.rows("default", "events_test")
+        .map(r => (r("id"), r("name"))).toSet
+      assert(tableRows() == Set(("123", "John Doe"), ("456", "Jane Smith"),
+        ("789", "Bob Johnson")))
+
+      // both legs dead-lettered their poison rows with their own evidence
+      val dlq = spark.read.parquet(s"$dlqRoot/$id")
+      val byComponent = dlq.collect()
+        .map(r => r.getAs[String]("component") -> r.getAs[String]("error")).toSeq
+      assert(byComponent.exists(_._1 == "ingestor"), s"ingest poison missing: $byComponent")
+      assert(byComponent.exists { case (c, e) => c == "sink" && e.contains("Code: 131") },
+        s"sink poison missing: $byComponent")
+      assert(dlq.filter("component = 'sink'").count() == 1,
+        "exactly the one poison row dead-letters from the sink")
+
+      // ---- kill mid-stream, append more traffic, restart from config ----
+      assert(svc1.stop(id).isRight)
+      kafka.append("test_topic", 0, Seq(
+        "7" -> """{"id": "123", "name": "John Doe"}""",  // dup across restart
+        "8" -> """{"id": "007", "name": "James Bond"}"""))
+
+      markExisting()
+      val svc2 = newService() // a fresh driver: registry is empty, checkpoint is not
+      assert(svc2.create(ReferenceConfig.fromJson(cfgJson)).isRight)
+      assert(svc2.startFromConfig(id).isRight,
+        svc2.startFromConfig(id).swap.getOrElse(""))
+      drainNew()
+      try {
+        // exactly-once: the restart resumed from committed offsets (rows
+        // 1-6 never replayed into CH) and the restored dedup state dropped
+        // the duplicate id 123 — only 007 is new
+        assert(tableRows() == Set(("123", "John Doe"), ("456", "Jane Smith"),
+          ("789", "Bob Johnson"), ("007", "James Bond")))
+      } finally { svc2.terminate(id); () }
+    } finally { kafka.stop(); ch.stop() }
+  }
+}
