@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sink.{ClickHouseSink, MiniClickHouseServer}
+import graft.sources.JsonIngest
+import graft.sources.kafka.MiniKafkaBroker.Cluster
+import graft.types.EngineSchema
+
+/** Wire-to-wire ingest benchmark matching the BASELINE.md topology: the
+  * reference measures Kafka → engine → ClickHouse, so this leg drains
+  * 1.5 KB JSON events through `format("graft-kafka")` over REAL loopback
+  * sockets (binary Kafka record batches, CRC checked), runs the same
+  * validate → typed-map pipeline as [[IngestBench]], and INSERTs the
+  * result over the ClickHouse HTTP protocol into a type-validating
+  * [[MiniClickHouseServer]] (rows validated then discarded — the fixture
+  * must not measure its own heap). The broker side is a synthetic log:
+  * batches are encoded on demand from a generator, so the topic depth is
+  * bounded by the argument, not memory.
+  *
+  * Prints ONE JSON line {"metric":"wire_ingest_throughput","value":...}
+  * — events/sec over the full front-door-to-sink path. */
+object WireIngestBench {
+
+  /** Same ~1.5 KB telemetry event as IngestBench.jsonFor, generated
+    * broker-side per offset. */
+  def eventJson(id: Long): String = {
+    val pad = WireIngestBench.pad
+    s"""{"event_id":"ev-$id","@version":1,"port":${id % 65535},""" +
+      f""""timestamp":"2025-06-01T10:${id / 60 % 60}%02d:${id % 60}%02dZ",""" +
+      s""""received_at":"2025-06-01T10:00:00Z","host":"node-${id % 100}",""" +
+      s""""level":"INFO","logger_name":"api.server","thread_name":"worker-${id % 8}",""" +
+      s""""message":"request processed '$pad'","status":"ok",""" +
+      s""""duration_ms":${(id % 1000) / 7.0},""" +
+      s""""client_ip":"10.0.${id % 256}.${id / 256 % 256}","method":"GET",""" +
+      s""""path":"/api/v1/items/${id % 10000}",""" +
+      s""""user_agent":"Mozilla/5.0 (X11; Linux x86_64) Chrome/120.0",""" +
+      s""""kubernetes.pod.name":"api-${id % 50}","kubernetes.namespace":"prod",""" +
+      s""""kubernetes.node":"n${id % 30}",""" +
+      s""""container.image.name":"registry/api:1.2.3","container.id":"c$id",""" +
+      s""""service":"api","env":"prod","region":"us-east-1","zone":"a",""" +
+      s""""team":"core","build":"2025.06.01","commit":"abc123",""" +
+      s""""trace_id":"t$id","span_id":"s$id","sampled":true,"retries":0,""" +
+      s""""bytes_in":${id % 4096},"bytes_out":${id % 16384},"tags":["prod","api"]}"""
+  }
+  private val pad = "x" * 700
+
+  /** One full pass: read [0, n) off the wire, validate + map, INSERT over
+    * HTTP. Returns events/sec. */
+  def run(spark: SparkSession, brokers: String, topic: String, n: Long,
+          sink: ClickHouseSink.Config): Double = {
+    val t0 = System.nanoTime()
+    val raw = spark.read.format("graft-kafka")
+      .option("brokers", brokers).option("topic", topic)
+      .option("startingOffsets", "earliest")
+      // more Spark tasks than Kafka partitions: each task fetches a
+      // sub-range and POSTs its own INSERT stream — the same splitting a
+      // wide cluster uses for backfills
+      .option("minPartitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .load()
+      .selectExpr("cast(value as string) as value")
+    val declared = EngineSchema.structFor(IngestBench.fields)
+    val (valid, _) = JsonIngest.ingest(raw, "value", declared)
+    // profiling knobs (never set by the driver): stop the pipeline early to
+    // attribute wall time to a stage — read-only / +validate+map / full
+    sys.env.get("SPARK_GRAFT_WIRE_STAGE") match {
+      case Some("read") => raw.write.format("noop").mode("overwrite").save()
+      case Some("map") => graft.sink.SinkMapper(sink.mappings)(valid)
+        .write.format("noop").mode("overwrite").save()
+      case _ => ClickHouseSink.writeBatch(sink)(valid)
+    }
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val parts = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val kafka = new Cluster()
+    kafka.addBroker()
+    val per = (n + parts - 1) / parts
+    (0 until parts).foreach { p =>
+      val count = math.min(per, n - per * p)
+      kafka.addSyntheticPartition("wire_bench", p, math.max(count, 0L), 1000,
+        o => (s"k${p}_$o", eventJson(p * per + o)))
+    }
+    val ch = new MiniClickHouseServer(retainRows = false)
+    ch.start()
+    ch.createTable("default", "wire_bench", Seq(
+      "event_id" -> "String", "ts" -> "DateTime",
+      "host" -> "LowCardinality(String)", "level" -> "LowCardinality(String)",
+      "message" -> "String", "status" -> "LowCardinality(String)",
+      "duration_ms" -> "Float64", "pod" -> "String", "image" -> "String",
+      "retries" -> "Int32", "bytes_in" -> "Int64", "bytes_out" -> "Int64"))
+    val sink = ClickHouseSink.Config(
+      url = ch.endpoint, database = "default", table = "wire_bench",
+      mappings = IngestBench.mappings, maxBatchSize = 50000,
+      httpFormat = sys.env.getOrElse("SPARK_GRAFT_WIRE_FORMAT", "RowBinary"))
+    val brokers = kafka.brokerList.map(_.address).mkString(",")
+    try {
+      // JIT warm-up on a slice, then best-of-two full passes (the same
+      // steal-guard rationale as IngestBench)
+      run(spark, brokers, "wire_bench", n, sink)
+      val delivered = ch.acceptedCount("default", "wire_bench")
+      require(sys.env.contains("SPARK_GRAFT_WIRE_STAGE") || delivered == n,
+        s"warm-up delivered $delivered of $n events")
+      val rate = (0 until 2).map { _ =>
+        System.gc()
+        run(spark, brokers, "wire_bench", n, sink)
+      }.max
+      val total = ch.acceptedCount("default", "wire_bench")
+      println(f"""{"metric":"wire_ingest_throughput","value":$rate%.0f,""" +
+        s""""unit":"events_per_sec","n":$n,"partitions":$parts,""" +
+        s""""delivered":$total,"format":"${sink.httpFormat}",""" +
+        """"note":"kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP INSERT (RowBinary by default; type-validating fixture server whose decode+validate CPU is INCLUDED in the measured time); best of 2 full passes after a warm-up pass"}""")
+    } finally {
+      kafka.stop(); ch.stop(); spark.stop()
+    }
+  }
+}

@@ -6,6 +6,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.DataFrame
 
+import graft.types.{CHType, RowBinaryEncoder}
+
 /** ClickHouse HTTP-interface INSERT leg — the sink's wire protocol
   * (the reference reaches ClickHouse through clickhouse-go's native
   * protocol, internal/client/clickhouse.go; the HTTP interface is the
@@ -41,6 +43,9 @@ object ClickHouseHttp {
       * wait_for_async_insert, insert_deduplicate, ...). */
     settings: Map[String, String] = Map.empty,
     format: String = "JSONEachRow",            // or RowBinary
+    /** column → ClickHouse type, required for RowBinary encoding
+      * (JSONEachRow is self-describing; RowBinary is column-order binary). */
+    columnTypes: Map[String, String] = Map.empty,
     maxRowsPerPost: Int = 100000,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 120000) extends Serializable
@@ -104,24 +109,43 @@ object ClickHouseHttp {
     } finally conn.disconnect()
   }
 
+  /** Encode the mapped frame as one byte payload PER ROW in the configured
+    * wire format — the unit both the slab path (concatenate) and the
+    * poison-isolation path (re-post singly) work in.
+    *  - JSONEachRow: Spark's JSON encoder + '\n'. Null fields are OMITTED;
+    *    ClickHouse fills omitted fields with column defaults
+    *    (input_format_defaults_for_omitted_fields, on by default) — the
+    *    same absent→NULL/default contract the reference mapper implements.
+    *  - RowBinary: column-order binary via [[RowBinaryEncoder]], driven by
+    *    [[Config.columnTypes]] — roughly half the wire bytes and no
+    *    server-side text parsing. */
+  private def rowBytes(c: Config, df: DataFrame): org.apache.spark.sql.Dataset[Array[Byte]] = {
+    import org.apache.spark.sql.Encoders
+    c.format match {
+      case "RowBinary" =>
+        val types = df.columns.toSeq.map(n => CHType.parse(c.columnTypes.getOrElse(n, "String")))
+        df.map(row => RowBinaryEncoder.encode(row, types))(Encoders.BINARY)
+      case _ =>
+        df.toJSON.map(s => (s + "\n").getBytes(UTF_8))(Encoders.BINARY)
+    }
+  }
+
   /** The DataFrame write leg: the frame is already in sink shape (mapped
-    * columns, target names) — encode as JSONEachRow and POST per
-    * partition. Spark's JSON encoder OMITS null fields; ClickHouse fills
-    * omitted fields with column defaults (input_format_defaults_for_
-    * omitted_fields, on by default), which is the same absent→NULL/default
-    * contract the reference mapper implements client-side. */
+    * columns, target names) — encode per the configured format and POST
+    * per partition, slabbed at maxRowsPerPost. */
   def write(c: Config)(df: DataFrame): Unit = {
     val query = insertQuery(c, df.columns.toSeq)
     val conf = c
-    df.toJSON.foreachPartition { (it: Iterator[String]) =>
-      val buf = new java.lang.StringBuilder
+    rowBytes(c, df).foreachPartition { (it: Iterator[Array[Byte]]) =>
+      val buf = new java.io.ByteArrayOutputStream(1 << 20)
       var n = 0
       def flush(): Unit = if (n > 0) {
-        post(conf, query, buf.toString.getBytes(UTF_8))
-        buf.setLength(0); n = 0
+        post(conf, query, buf.toByteArray)
+        buf.reset(); n = 0
       }
       while (it.hasNext) {
-        buf.append(it.next()).append('\n')
+        val b = it.next()
+        buf.write(b, 0, b.length)
         n += 1
         if (n >= conf.maxRowsPerPost) flush()
       }
@@ -149,21 +173,28 @@ object ClickHouseHttp {
     val conf = c
     val spark = df.sparkSession
     import spark.implicits._
-    df.toJSON.mapPartitions { it =>
+    val binary = c.format == "RowBinary"
+    rowBytes(c, df).mapPartitions { it =>
       val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      val chunk = scala.collection.mutable.ArrayBuffer[String]()
-      def replayRowwise(): Unit = chunk.foreach { j =>
-        try post(conf, query, (j + "\n").getBytes(UTF_8))
+      val chunk = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      // the dead-letter envelope's original_message: the row as sent —
+      // JSON verbatim; RowBinary rows base64'd (they are not text)
+      def rowRepr(b: Array[Byte]): String =
+        if (binary) java.util.Base64.getEncoder.encodeToString(b)
+        else new String(b, UTF_8).stripLineEnd
+      def replayRowwise(): Unit = chunk.foreach { b =>
+        try post(conf, query, b)
         catch {
           case e @ CHServerException(code, _)
             if ErrorClassifier.classify(code) == ErrorClassifier.Retryable => throw e
           case CHServerException(code, msg) =>
-            failed += ((j, s"Code: $code. DB::Exception: $msg"))
+            failed += ((rowRepr(b), s"Code: $code. DB::Exception: $msg"))
         }
       }
       def flush(): Unit = if (chunk.nonEmpty) {
-        val body = chunk.mkString("", "\n", "\n").getBytes(UTF_8)
-        try post(conf, query, body)
+        val body = new java.io.ByteArrayOutputStream(1 << 20)
+        chunk.foreach(b => body.write(b, 0, b.length))
+        try post(conf, query, body.toByteArray)
         catch {
           case CHServerException(code, _) if ErrorClassifier.isRowDataFault(code) =>
             replayRowwise()

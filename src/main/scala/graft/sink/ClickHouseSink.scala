@@ -57,6 +57,10 @@ object ClickHouseSink {
     ClickHouseHttp.Config(endpoint = c.url, database = c.database,
       table = c.table, username = c.username, password = c.password,
       settings = c.httpSettings, format = c.httpFormat,
+      // RowBinary needs the declared CH type per column; the union over
+      // version mappings is safe (a column keeps one type across versions)
+      columnTypes = (c.mappings ++ c.versionMappings.values.flatten)
+        .map(m => m.column -> m.chType).toMap,
       maxRowsPerPost = math.min(c.maxBatchSize, Int.MaxValue).toInt)
 
   /** The terminal JDBC write for one mapped frame (requires the ClickHouse

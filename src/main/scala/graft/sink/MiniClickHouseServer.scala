@@ -13,7 +13,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.types.CHType
 
-/** In-test ClickHouse stand-in speaking the PUBLIC HTTP interface the
+/** ClickHouse stand-in (testkit, like [[graft.sources.kafka.MiniKafkaBroker]]:
+  * lives in main so the wire bench can reach it) speaking the PUBLIC HTTP
+  * interface the
   * production [[ClickHouseHttp]] leg targets: POST with `query=INSERT INTO
   * db.table (cols) FORMAT JSONEachRow` in the URL params, body = data,
   * credentials in X-ClickHouse-User/-Key, failures as HTTP error +
@@ -29,11 +31,16 @@ import graft.types.CHType
   * uses for the source side. An INSERT is atomic: any bad value rejects
   * the whole POST and stores nothing (one POST ≪ max_insert_block_size).
   */
-final class MiniClickHouseServer(user: String = "default", password: String = "") {
+final class MiniClickHouseServer(user: String = "default", password: String = "",
+                                 retainRows: Boolean = true) {
 
   final case class Column(name: String, chType: CHType)
   final class Table(val columns: Seq[Column]) {
     val rows = mutable.ArrayBuffer[Map[String, Any]]()
+    /** Total accepted rows — survives `retainRows = false` (the bench
+      * validates and discards; storing 2M+ parsed rows would measure the
+      * fixture's heap, not the engine). */
+    @volatile var accepted: Long = 0L
   }
 
   private val tables = mutable.Map[String, Table]()
@@ -45,16 +52,25 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // daemon threads: HttpServer.stop does NOT shut down a supplied
+    // executor, and non-daemon workers would pin a bench JVM open forever
+    pool = java.util.concurrent.Executors.newFixedThreadPool(32, r => {
+      val t = new Thread(r, "mini-ch-worker"); t.setDaemon(true); t
+    })
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) { pool.shutdownNow(); () }
+  }
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
@@ -68,6 +84,9 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
 
   def rowCount(db: String, name: String): Int =
     tables.synchronized { tables(s"$db.$name").rows.size }
+
+  def acceptedCount(db: String, name: String): Long =
+    tables.synchronized { tables(s"$db.$name").accepted }
 
   def rows(db: String, name: String): Seq[Map[String, Any]] =
     tables.synchronized { tables(s"$db.$name").rows.toSeq }
@@ -123,9 +142,12 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                       val parsed =
                         if (fmt == "JSONEachRow") parseJsonEachRow(table, cols, body)
                         else parseRowBinary(table, cols, body)
-                      tables.synchronized { table.rows ++= parsed }
+                      tables.synchronized {
+                        table.accepted += parsed.count
+                        if (retainRows) table.rows ++= parsed.rows
+                      }
                       ex.getResponseHeaders.add("X-ClickHouse-Summary",
-                        s"""{"written_rows":"${parsed.size}"}""")
+                        s"""{"written_rows":"${parsed.count}"}""")
                       ok(ex, "")
                     } catch {
                       case CHFault(code, msg) => fail(ex, 500, code, msg)
@@ -142,24 +164,49 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
 
   // ------------------------------------------------------------ JSONEachRow
 
-  private def parseJsonEachRow(table: Table, cols: Seq[String], body: Array[Byte]): Seq[Map[String, Any]] = {
-    val text = new String(body, UTF_8)
-    text.linesIterator.filter(_.trim.nonEmpty).map { line =>
-      val node =
-        try mapper.readTree(line)
-        catch { case e: Exception => throw CHFault(27, s"Cannot parse input: $line") }
-      val given = node.fieldNames().asScala.toSet
-      // fields present in the row but absent from the INSERT column list:
-      // the real server rejects them unless input_format_skip_unknown_fields
-      val stray = given.diff(cols.toSet)
-      if (stray.nonEmpty)
-        throw CHFault(117, s"Unknown field found while parsing JSONEachRow format: ${stray.head}")
-      table.columns.filter(c => cols.contains(c.name)).map { c =>
-        val v = if (node.has(c.name)) jsonValue(node.get(c.name)) else Absent
-        c.name -> validate(c.name, c.chType, v)
-      }.toMap
-    }.toSeq
+  private def parseJsonEachRow(table: Table, cols: Seq[String], body: Array[Byte]): RowSlab = {
+    // stream the node sequence straight off the bytes: JSONEachRow is a
+    // concatenation of objects, no line materialization needed
+    val it =
+      try mapper.readerFor(classOf[com.fasterxml.jackson.databind.JsonNode])
+        .readValues[com.fasterxml.jackson.databind.JsonNode](body)
+      catch { case _: Exception => throw CHFault(27, "Cannot parse input") }
+    val colSet = cols.toSet
+    val declared = table.columns.filter(c => colSet(c.name))
+    val out = mutable.ArrayBuffer[Map[String, Any]]()
+    var n = 0L
+    try {
+      while (it.hasNext) {
+        val node =
+          try it.next()
+          catch { case _: Exception => throw CHFault(27, "Cannot parse input") }
+        val fields = node.fieldNames()
+        // fields present in the row but absent from the INSERT column list:
+        // the real server rejects them unless input_format_skip_unknown_fields
+        while (fields.hasNext) {
+          val f = fields.next()
+          if (!colSet(f))
+            throw CHFault(117, s"Unknown field found while parsing JSONEachRow format: $f")
+        }
+        // retainRows=false (bench mode): validate every value but skip the
+        // per-row Map materialization — the server must not measure its own
+        // allocations
+        if (retainRows)
+          out += declared.map { c =>
+            val v = if (node.has(c.name)) jsonValue(node.get(c.name)) else Absent
+            c.name -> validate(c.name, c.chType, v)
+          }.toMap
+        else declared.foreach { c =>
+          val v = if (node.has(c.name)) jsonValue(node.get(c.name)) else Absent
+          validate(c.name, c.chType, v); ()
+        }
+        n += 1
+      }
+    } finally it.close()
+    RowSlab(out.toSeq, n)
   }
+
+  private final case class RowSlab(rows: Seq[Map[String, Any]], count: Long)
 
   private object Absent
   private def jsonValue(n: com.fasterxml.jackson.databind.JsonNode): Any =
@@ -312,16 +359,18 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     * column-order binary format (varint-length strings, little-endian
     * fixed-width numerics, uint32/int64 datetimes, big-endian-halved UUID,
     * varint-counted arrays/maps, nullable flag byte). */
-  private def parseRowBinary(table: Table, cols: Seq[String], body: Array[Byte]): Seq[Map[String, Any]] = {
+  private def parseRowBinary(table: Table, cols: Seq[String], body: Array[Byte]): RowSlab = {
     val in = new RowBinaryReader(body)
     val out = mutable.ArrayBuffer[Map[String, Any]]()
     val colTypes = cols.map(c => c -> table.columns.find(_.name == c).get.chType)
+    var n = 0L
     while (in.hasMore) {
       out += colTypes.map { case (name, t) =>
         name -> readBinary(in, t, name)
       }.toMap
+      n += 1
     }
-    out.toSeq
+    RowSlab(out.toSeq, n)
   }
 
   private def readBinary(in: RowBinaryReader, t: CHType, col: String): Any = {
@@ -330,7 +379,7 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case CHString => in.str()
       case CHFixedString(n) =>
         val s = new String(in.take(n), UTF_8)
-        s.replaceAll(" +$", "") // server pads with NULs
+        s.replaceAll("\u0000+$", "") // server pads with NULs
       case CHBool => in.u8() != 0
       case CHInt(8) => BigInt(in.u8().toByte)
       case CHInt(16) => BigInt(in.i16())

@@ -15,6 +15,13 @@ import scala.collection.mutable
   * list but serves Fetch ONLY for partitions it leads (error 6 otherwise),
   * which is how the leader-routing test catches a client that fetches
   * from the control broker.
+  *
+  * Lives in main (testkit role, like Spark's MemoryStream): it is the
+  * fixture behind the kafka-wire test suites AND the loopback broker for
+  * [[graft.WireIngestBench]], which needs it on the bench classpath.
+  * Synthetic partitions ([[Cluster.addSyntheticPartition]]) generate their
+  * record batches ON DEMAND from a deterministic function of the offset,
+  * so a bench topic can be arbitrarily deep with O(1) broker memory.
   */
 object MiniKafkaBroker {
 
@@ -25,6 +32,10 @@ object MiniKafkaBroker {
   final class PartitionLog(@volatile var leader: Int) {
     val batches = mutable.ArrayBuffer[LogBatch]()
     @volatile var logStart = 0L
+    /** Synthetic log: (recordCount, batchSize, gen(offset) => (key, value)).
+      * When set, fetches ENCODE batches on demand from the generator
+      * instead of reading [[batches]] — O(1) memory at any depth. */
+    @volatile var synthetic: Option[(Long, Int, Long => (String, String))] = None
     /** producerId → first offset of its OPEN transaction. */
     val openTxns = mutable.Map[Long, Long]()
     /** Completed ABORTED transactions: (producerId, firstOffset), the
@@ -35,7 +46,8 @@ object MiniKafkaBroker {
       * exact retry of the last batch and reject sequence gaps. */
     val producerSeqs = mutable.Map[Long, (Int, Int, Long)]()
     def logEnd: Long = synchronized {
-      batches.lastOption.map(_.lastOffset + 1).getOrElse(logStart)
+      synthetic.map(_._1).getOrElse(
+        batches.lastOption.map(_.lastOffset + 1).getOrElse(logStart))
     }
     /** Last stable offset: everything below it is transaction-settled —
       * the first offset of the earliest still-open transaction, or the
@@ -93,6 +105,17 @@ object MiniKafkaBroker {
       parts.synchronized {
         parts.getOrElseUpdate(partition, new PartitionLog(leader))
       }
+    }
+
+    /** Declare a SYNTHETIC partition of `records` rows: fetches encode
+      * `batchSize`-record batches on demand from `gen(offset)`. Bench-only
+      * leg — a 2M × 1.5 KB topic costs no broker memory. */
+    def addSyntheticPartition(topic: String, partition: Int, records: Long,
+                              batchSize: Int, gen: Long => (String, String),
+                              leader: Int = 0): PartitionLog = {
+      val log = addPartition(topic, partition, leader)
+      log.synthetic = Some((records, batchSize, gen))
+      log
     }
 
     /** Append key/value pairs as one record batch at the log end. */
@@ -700,6 +723,31 @@ final class MiniKafkaBroker private[kafka] (cluster: MiniKafkaBroker.Cluster, va
             // below the offset, or an unclean election truncated the END
             // below it — both answered the same way by a real broker.
             w.int32(pid).int16(1).int64(-1L).int64(-1L).int32(0).bytes(null)
+          case Some(log) if log.synthetic.isDefined =>
+            // synthetic leg: encode batchSize-aligned batches from the
+            // generator until the byte budget is spent (at least one, the
+            // protocol's progress guarantee); the client's own
+            // records-below-fetch-offset filter handles the alignment skip
+            val (count, bs, gen) = log.synthetic.get
+            val cap = math.min(pmax.toLong, respMaxBytes.toLong).toInt
+            val buf = new Wire.Writer
+            var base = off - (off % bs)
+            var first = true
+            while (base < count && (first || buf.size < cap)) {
+              val hi = math.min(base + bs, count)
+              val recs = (base until hi).map { o =>
+                val (k, v) = gen(o)
+                Records.Record(o, 1700000000000L + o,
+                  if (k == null) null else k.getBytes(StandardCharsets.UTF_8),
+                  if (v == null) null else v.getBytes(StandardCharsets.UTF_8))
+              }
+              buf.bytesRaw(Records.encodeBatch(base, recs))
+              base = hi
+              first = false
+            }
+            w.int32(pid).int16(0).int64(count).int64(count)
+            w.int32(0)
+            w.bytes(if (buf.size == 0) null else buf.toArray)
           case Some(log) =>
             val (hwm, lso, aborted, payload) = log.synchronized {
               val cap = math.min(pmax.toLong, respMaxBytes.toLong).toInt

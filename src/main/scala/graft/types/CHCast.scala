@@ -77,6 +77,12 @@ object CHCast {
       if (isIntegral(from)) c.try_cast(to.sparkType) // try_cast: overflow → null
       else nul(to)
 
+    case CHUInt(64) if from.isInstanceOf[DecimalType] =>
+      // full-range UInt64 input arrives as Decimal(20,0) (a Long cannot
+      // hold 2^64-1); range-check [0, 2^64-1] and keep the decimal width
+      when(c >= 0 && c <= lit(new java.math.BigDecimal("18446744073709551615")),
+        c.cast(DecimalType(20, 0)))
+
     case CHUInt(bits) =>
       if (!isIntegral(from)) nul(to)
       else {

@@ -403,6 +403,103 @@ class SinkWireSpec extends SparkSpec {
     }
   }
 
+  test("RowBinary: full type matrix round-trips over the wire byte-for-byte") {
+    withServer() { ch =>
+      ch.createTable("default", "rb", Seq(
+        "s" -> "String", "fs" -> "FixedString(6)", "b" -> "Bool",
+        "i8" -> "Int8", "i16" -> "Int16", "i32" -> "Int32", "i64" -> "Int64",
+        "u8" -> "UInt8", "u16" -> "UInt16", "u32" -> "UInt32", "u64" -> "UInt64",
+        "f32" -> "Float32", "f64" -> "Float64",
+        "e" -> "Enum8('red' = 1, 'blue' = 2)", "uid" -> "UUID",
+        "dt" -> "DateTime", "dt64" -> "DateTime64(3)",
+        "lc" -> "LowCardinality(String)", "ns" -> "Nullable(String)",
+        "m" -> "Map(String, String)", "arr" -> "Array(Int32)"))
+      val m = Seq(
+        ColumnMapping("s", "s", "String"), ColumnMapping("fs", "fs", "FixedString(6)"),
+        ColumnMapping("b", "b", "Bool"),
+        ColumnMapping("i8", "i8", "Int8"), ColumnMapping("i16", "i16", "Int16"),
+        ColumnMapping("i32", "i32", "Int32"), ColumnMapping("i64", "i64", "Int64"),
+        ColumnMapping("u8", "u8", "UInt8"), ColumnMapping("u16", "u16", "UInt16"),
+        ColumnMapping("u32", "u32", "UInt32"), ColumnMapping("u64", "u64", "UInt64"),
+        ColumnMapping("f32", "f32", "Float32"), ColumnMapping("f64", "f64", "Float64"),
+        ColumnMapping("e", "e", "Enum8('red' = 1, 'blue' = 2)"),
+        ColumnMapping("uid", "uid", "UUID"),
+        ColumnMapping("dt", "dt", "DateTime"), ColumnMapping("dt64", "dt64", "DateTime64(3)"),
+        ColumnMapping("lc", "lc", "LowCardinality(String)"),
+        ColumnMapping("ns", "ns", "Nullable(String)"),
+        ColumnMapping("m", "m", "Map(String, String)"),
+        ColumnMapping("arr", "arr", "Array(Int32)"))
+      // typed numeric inputs: the mapper's ConvertValue matrix is strict
+      // (string → Int is NOT an allowed pairing, matching the reference)
+      val df = Seq((
+        "héllo", "abc", true,
+        Map("k1" -> "v1", "k2" -> "v2"), Seq(1, 2, 3),
+        "blue", "0A21AD20-8A70-4BE2-8D29-533EB963D554",
+        "2025-02-21T07:45:48", "2025-02-21T07:45:48.123",
+        "low", null.asInstanceOf[String]))
+        .toDF("s", "fs", "b", "m", "arr", "e", "uid", "dt", "dt64", "lc", "ns")
+        .selectExpr("s", "fs", "b",
+          "cast(7 as tinyint) as i8", "cast(-300 as smallint) as i16",
+          "cast(100000 as int) as i32", "cast(9000000000 as bigint) as i64",
+          "cast(200 as smallint) as u8", "cast(60000 as int) as u16",
+          "cast(4000000000 as bigint) as u32",
+          "cast('18446744073709551615' as decimal(20,0)) as u64",
+          "cast(1.5 as float) as f32", "cast(2.25 as double) as f64",
+          "e", "uid", "dt", "dt64", "lc", "ns", "m", "arr")
+      val c = cfg(ch, "rb", m).copy(httpFormat = "RowBinary")
+      ClickHouseSink.writeBatch(c)(df)
+      assert(ch.rowCount("default", "rb") == 1)
+      val r = ch.rows("default", "rb").head
+      assert(r("s") == "héllo")
+      assert(r("fs") == "abc") // NUL padding stripped by the decoder
+      assert(r("b") == true)
+      assert(r("i8") == BigInt(7) && r("i16") == BigInt(-300) &&
+        r("i32") == BigInt(100000) && r("i64") == BigInt(9000000000L))
+      assert(r("u8") == BigInt(200) && r("u16") == BigInt(60000) &&
+        r("u32") == BigInt(4000000000L))
+      assert(r("u64") == BigInt("18446744073709551615"), "full u64 range survives")
+      assert(r("f32") == 1.5 && r("f64") == 2.25)
+      assert(r("e") == "blue")
+      assert(r("uid") == "0a21ad20-8a70-4be2-8d29-533eb963d554")
+      val dtExpect = java.time.Instant.parse("2025-02-21T07:45:48Z")
+        .getEpochSecond * 1000000L
+      assert(r("dt") == dtExpect)
+      assert(r("dt64") == dtExpect + 123000L)
+      assert(r("lc") == "low")
+      assert(r("ns") == null)
+      assert(r("m") == Map("k1" -> "v1", "k2" -> "v2"))
+      assert(r("arr") == Vector(BigInt(1), BigInt(2), BigInt(3)))
+      // the INSERT really went over the wire as RowBinary
+      assert(ch.receivedQueries.asScala.exists(_._1.endsWith("FORMAT RowBinary")))
+    }
+  }
+
+  test("RowBinary: poison-row isolation works on the binary leg too") {
+    withServer() { ch =>
+      // the TABLE only knows enum id 1; the client mapping also knows
+      // 'blue' = 2 — a 'blue' row encodes fine client-side and is rejected
+      // by the SERVER mid-slab with 691, so isolation must replay the slab
+      // row-by-row (each single-row POST decodes independently: RowBinary
+      // framing is per-POST) and dead-letter exactly the poison row
+      ch.createTable("default", "rb2",
+        Seq("id" -> "Int32", "color" -> "Enum8('red' = 1)"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("color", "color", "Enum8('red' = 1, 'blue' = 2)"))
+      val df = Seq((1, "red"), (2, "blue"), (3, "red")).toDF("id", "color")
+      val dlq = dlqQueue()
+      ClickHouseSink.foreachBatchHandler(
+        cfg(ch, "rb2", m).copy(httpFormat = "RowBinary"),
+        d => d.collect().foreach(dlq.add))(df.coalesce(1), 0L)
+      assert(ch.rowCount("default", "rb2") == 2)
+      assert(ch.rows("default", "rb2").map(_("id")).toSet == Set(BigInt(1), BigInt(3)))
+      assert(dlq.size == 1)
+      assert(dlq.asScala.head.getAs[String]("error").contains("Code: 691"))
+      // binary rows dead-letter base64'd (they are not text)
+      val orig = dlq.asScala.head.getAs[String]("original_message")
+      assert(java.util.Base64.getDecoder.decode(orig).nonEmpty)
+    }
+  }
+
   test("ping: SELECT 1 succeeds with good credentials, raises 516 on bad") {
     withServer(pass = "s3cret") { ch =>
       ClickHouseHttp.ping(ClickHouseHttp.Config(ch.endpoint, "default", "t",
