@@ -100,7 +100,7 @@ class BackpressureFeatureSpec extends SparkSpec {
       c.addPartition("bp_topic_s6", 0)
       c.append("bp_topic_s6", 0, genEvents(200))
       val ckpt = tempDir("s6")
-      val counted = new ConcurrentLinkedQueue[Int]
+      val seenOffsets = new ConcurrentLinkedQueue[Long]
       def start(trigger: Trigger) = spark.readStream.format("graft-kafka")
         .option("brokers", brokers(c)).option("topic", "bp_topic_s6")
         .option("startingOffsets", "earliest")
@@ -110,24 +110,31 @@ class BackpressureFeatureSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(trigger)
         .foreachBatch { (df: DataFrame, _: Long) =>
-          counted.add(df.count().toInt); ()
+          df.select("offset").collect().foreach(r => seenOffsets.add(r.getLong(0)))
         }
         .start()
       // a slow trigger: after the first capped batch the query idles with
-      // 150 records of lag — mid-back-pressure
+      // 150 records of lag — mid-back-pressure. Wait for the batch to
+      // COMMIT (lastProgress is emitted after the offset log write), not
+      // merely for foreachBatch to run: stopping in the window between
+      // user code and the commit replays the batch on restart — correct
+      // at-least-once behavior, but it would make the exact-count
+      // assertion below racy.
       val q = start(Trigger.ProcessingTime("3600 seconds"))
       val deadline = System.nanoTime() + 20000000000L
-      while (counted.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(counted.asScala.sum == 50, "first capped batch committed")
+      while (q.lastProgress == null && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seenOffsets.size == 50, "first capped batch committed")
       // "I can stop the ingestor within 15s" — stop while back-pressured
       val t0 = System.nanoTime()
       q.stop()
       val stopMs = (System.nanoTime() - t0) / 1000000
       assert(stopMs < 15000, s"stop took ${stopMs}ms")
-      // a clean stop loses nothing: resume drains the remaining 150 exactly
+      // a clean stop loses nothing: resume drains the remaining 150
       val q2 = start(Trigger.AvailableNow())
       q2.awaitTermination(30000)
-      assert(counted.asScala.sum == 200, "no loss, no duplicates after the stop")
+      assert(seenOffsets.asScala.toSet.size == 200, "no loss after the stop")
+      assert(seenOffsets.size == 200,
+        "no duplicates: the stop landed after the commit, so nothing replays")
     }
   }
 }
