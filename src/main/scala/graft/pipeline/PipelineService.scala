@@ -191,11 +191,21 @@ final class PipelineService(spark: SparkSession, dlqRoot: Option[String] = None,
           }
           case other => Left(s"config start supports kafka/otlp sources; got $other")
         }
-        sourceE.flatMap { src0 =>
+        val chCfg = chConfigOf(sc)
+        // HTTP sink: validate the mapping against the LIVE table schema
+        // (DESCRIBE TABLE) before starting — a typo'd or dropped column is
+        // a config error now, not a per-batch error 16 at runtime. (jdbc:
+        // URLs skip this; the JDBC driver owns its own metadata.)
+        val schemaCheck: Either[String, Unit] =
+          if (chCfg.url.startsWith("http"))
+            ClickHouseSink.validateAgainstTable(chCfg)
+              .left.map(e => s"sink schema validation: $e")
+          else Right(())
+        schemaCheck.flatMap(_ => sourceE).flatMap { src0 =>
           val (source, badOpt) =
             if (kind == "kafka") parseIfRaw(src0, topic) else (src0, None)
           start(id, source,
-            df => sinkAttach(df, chConfigOf(sc), checkpointOf(id), dlqOf(id)).start())
+            df => sinkAttach(df, chCfg, checkpointOf(id), dlqOf(id)).start())
             .map { ok =>
               badOpt.foreach { bad =>
                 attachValidationDlq(id, bad)

@@ -210,6 +210,45 @@ object ClickHouseHttp {
     }.collect().toSeq
   }
 
+  /** Introspect the target table's schema — `DESCRIBE TABLE db.t FORMAT
+    * JSONEachRow` (the query the reference's UI issues,
+    * ui/src/app/ui-api/clickhouse/clickhouse-utils.ts:170). Returns
+    * (column, declared CH type) pairs; used by the control plane to
+    * validate a sink mapping against the REAL table before starting. */
+  def describeTable(c: Config): Seq[(String, String)] = {
+    val q = s"DESCRIBE TABLE ${quoteId(c.database)}.${quoteId(c.table)} FORMAT JSONEachRow"
+    val body = get(c, q)
+    """\{"name":"([^"]+)","type":"([^"]+)"""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).replace("\\'", "'")).toSeq
+  }
+
+  /** POST a read-only query and return the response body. */
+  private def get(c: Config, query: String): String = {
+    val url = URI.create(c.endpoint.stripSuffix("/") + "/?query=" + enc(query)).toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(c.connectTimeoutMs)
+      conn.setReadTimeout(c.readTimeoutMs)
+      conn.setRequestProperty("X-ClickHouse-User", c.username)
+      if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
+      conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (stream == null) ""
+        else try new String(stream.readAllBytes(), UTF_8) finally stream.close()
+      if (status != 200) {
+        val code = Option(conn.getHeaderField("X-ClickHouse-Exception-Code"))
+          .flatMap(_.trim.toIntOption).getOrElse(1000)
+        throw CHServerException(code,
+          body.linesIterator.nextOption().getOrElse(s"HTTP $status")
+            .replaceFirst("^Code:\\s*\\d+\\.\\s*DB::Exception:\\s*", ""))
+      }
+      body
+    } finally conn.disconnect()
+  }
+
   /** Server liveness + auth probe (`SELECT 1`): the control plane checks
     * the connection before activating a pipeline. */
   def ping(c: Config): Unit = {

@@ -105,6 +105,45 @@ object ClickHouseSink {
     }
   }
 
+  /** Validate a sink mapping against the LIVE table schema (HTTP leg):
+    * DESCRIBE TABLE, then require every mapped destination column to
+    * exist — the class of config error (typo'd column, dropped column)
+    * that otherwise surfaces as a per-batch error 16 at runtime. Type
+    * mismatches are reported when both sides parse and differ structurally
+    * (LowCardinality/Nullable wrappers ignored: they change encoding, not
+    * the value domain; a String mapping may feed a FixedString column —
+    * the server enforces the width). */
+  def validateAgainstTable(c: Config): Either[String, Unit] = {
+    val server = ClickHouseHttp.describeTable(httpConfig(c)).toMap
+    def strip(t: graft.types.CHType): graft.types.CHType = t match {
+      case graft.types.CHType.CHLowCardinality(i) => strip(i)
+      case graft.types.CHType.CHNullable(i) => strip(i)
+      case other => other
+    }
+    val allMappings = (c.mappings ++ c.versionMappings.values.flatten).distinct
+    val problems = allMappings.flatMap { m =>
+      server.get(m.column) match {
+        case None =>
+          Some(s"column ${m.column} does not exist in ${c.database}.${c.table}")
+        case Some(serverType) =>
+          val ok =
+            try {
+              val st = strip(graft.types.CHType.parse(serverType))
+              val mt = strip(graft.types.CHType.parse(m.chType))
+              mt == st ||
+                // a plain-String mapping may feed FixedString (width is
+                // server-enforced) and vice-versa nothing else
+                (mt == graft.types.CHType.CHString &&
+                  st.isInstanceOf[graft.types.CHType.CHFixedString])
+            } catch { case _: Exception => true } // unparseable → server's call
+          if (ok) None
+          else Some(s"column ${m.column}: mapping declares ${m.chType} " +
+            s"but the table column is $serverType")
+      }
+    }
+    if (problems.isEmpty) Right(()) else Left(problems.mkString("; "))
+  }
+
   /** HTTP-leg batch write with row-level poison isolation: same dedup/
     * version batching as [[writeBatchWith]], but the terminal is
     * [[ClickHouseHttp.writeIsolating]] — rows the server rejects with a

@@ -74,9 +74,14 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
+  /** The type STRINGS each table was created with (DESCRIBE echoes the
+    * declared spelling, not a normalized form). */
+  private val rawTypes = mutable.Map[String, Map[String, String]]()
+
   def createTable(db: String, name: String, cols: Seq[(String, String)]): Unit =
     tables.synchronized {
       tables(s"$db.$name") = new Table(cols.map { case (n, t) => Column(n, CHType.parse(t)) })
+      rawTypes(s"$db.$name") = cols.toMap
     }
 
   def dropTable(db: String, name: String): Unit =
@@ -113,6 +118,24 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       }
 
       if (query.trim.equalsIgnoreCase("SELECT 1")) { ok(ex, "1\n"); return }
+
+      // DESCRIBE TABLE db.t FORMAT JSONEachRow — the introspection query
+      // the reference UI issues (clickhouse-utils.ts:170)
+      val desc = """(?is)DESCRIBE\s+TABLE\s+(\S+?)\.(\S+?)(\s+FORMAT\s+JSONEachRow)?\s*$""".r
+      desc.findFirstMatchIn(query.trim) match {
+        case Some(m) =>
+          val key = s"${unq(m.group(1))}.${unq(m.group(2))}"
+          tables.synchronized { tables.get(key) } match {
+            case None => fail(ex, 404, 60, s"Table $key does not exist")
+            case Some(t) =>
+              val raw = tables.synchronized { rawTypes.getOrElse(key, Map.empty) }
+              ok(ex, t.columns.map { c =>
+                s"""{"name":"${c.name}","type":"${raw.getOrElse(c.name, "String")}","default_type":"","default_expression":""}"""
+              }.mkString("", "\n", "\n"))
+          }
+          return
+        case None => ()
+      }
 
       receivedQueries.add((query, params - "query"))
 
@@ -364,11 +387,17 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     val out = mutable.ArrayBuffer[Map[String, Any]]()
     val colTypes = cols.map(c => c -> table.columns.find(_.name == c).get.chType)
     var n = 0L
-    while (in.hasMore) {
-      out += colTypes.map { case (name, t) =>
-        name -> readBinary(in, t, name)
-      }.toMap
-      n += 1
+    try {
+      while (in.hasMore) {
+        out += colTypes.map { case (name, t) =>
+          name -> readBinary(in, t, name)
+        }.toMap
+        n += 1
+      }
+    } catch {
+      // a row truncated mid-value: the real server's CANNOT_READ_ALL_DATA
+      case _: IndexOutOfBoundsException =>
+        throw CHFault(33, s"Cannot read all data: truncated RowBinary row after $n rows")
     }
     RowSlab(out.toSeq, n)
   }

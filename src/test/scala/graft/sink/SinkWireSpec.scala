@@ -500,6 +500,42 @@ class SinkWireSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE TABLE introspection + mapping validation against the live schema") {
+    withServer() { ch =>
+      ch.createTable("default", "events_test", Seq(
+        "id" -> "String", "type" -> "FixedString(5)",
+        "ts" -> "DateTime64(3, 'UTC')", "tags" -> "Map(String, String)"))
+      val base = ClickHouseHttp.Config(ch.endpoint, "default", "events_test")
+      // the introspection query the reference UI issues — declared
+      // spellings echo back verbatim
+      assert(ClickHouseHttp.describeTable(base) == Seq(
+        "id" -> "String", "type" -> "FixedString(5)",
+        "ts" -> "DateTime64(3, 'UTC')", "tags" -> "Map(String, String)"))
+      // a valid mapping: String may feed FixedString (width is
+      // server-enforced); wrappers are encoding detail
+      val good = cfg(ch, "events_test", Seq(
+        ColumnMapping("id", "id", "String"),
+        ColumnMapping("type", "type", "String"),
+        ColumnMapping("ts", "ts", "DateTime64(3, 'UTC')"),
+        ColumnMapping("tags", "tags", "Map(String, String)")))
+      assert(ClickHouseSink.validateAgainstTable(good).isRight)
+      // a typo'd destination column is caught BEFORE any batch runs
+      val typo = cfg(ch, "events_test",
+        Seq(ColumnMapping("id", "idd", "String")))
+      assert(ClickHouseSink.validateAgainstTable(typo).swap.exists(_.contains("idd")))
+      // a structural type clash is reported
+      val clash = cfg(ch, "events_test",
+        Seq(ColumnMapping("ts", "ts", "Int64")))
+      assert(ClickHouseSink.validateAgainstTable(clash).swap
+        .exists(e => e.contains("Int64") && e.contains("DateTime64")))
+      // describing a missing table raises the real CH code
+      val e = intercept[ClickHouseHttp.CHServerException] {
+        ClickHouseHttp.describeTable(base.copy(table = "nope"))
+      }
+      assert(e.code == 60)
+    }
+  }
+
   test("ping: SELECT 1 succeeds with good credentials, raises 516 on bad") {
     withServer(pass = "s3cret") { ch =>
       ClickHouseHttp.ping(ClickHouseHttp.Config(ch.endpoint, "default", "t",
