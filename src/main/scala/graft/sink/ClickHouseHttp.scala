@@ -47,6 +47,10 @@ object ClickHouseHttp {
       * (JSONEachRow is self-describing; RowBinary is column-order binary). */
     columnTypes: Map[String, String] = Map.empty,
     maxRowsPerPost: Int = 100000,
+    /** Byte budget per POST — flushes at whichever of rows/bytes trips
+      * first, so wide rows cannot balloon task memory (100k × 1.5 KB rows
+      * is already 150 MB; a row-count bound alone does not bound memory). */
+    maxBytesPerPost: Long = 32L << 20,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 120000) extends Serializable
 
@@ -132,7 +136,8 @@ object ClickHouseHttp {
 
   /** The DataFrame write leg: the frame is already in sink shape (mapped
     * columns, target names) — encode per the configured format and POST
-    * per partition, slabbed at maxRowsPerPost. */
+    * per partition, slabbed at maxRowsPerPost rows / maxBytesPerPost
+    * bytes, whichever trips first. */
   def write(c: Config)(df: DataFrame): Unit = {
     val query = insertQuery(c, df.columns.toSeq)
     val conf = c
@@ -147,7 +152,7 @@ object ClickHouseHttp {
         val b = it.next()
         buf.write(b, 0, b.length)
         n += 1
-        if (n >= conf.maxRowsPerPost) flush()
+        if (n >= conf.maxRowsPerPost || buf.size >= conf.maxBytesPerPost) flush()
       }
       flush()
     }
@@ -173,41 +178,73 @@ object ClickHouseHttp {
     val conf = c
     val spark = df.sparkSession
     import spark.implicits._
-    val binary = c.format == "RowBinary"
-    rowBytes(c, df).mapPartitions { it =>
+    rowBytesWithRepr(c, df).mapPartitions { it =>
       val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      val chunk = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      // the dead-letter envelope's original_message: the row as sent —
-      // JSON verbatim; RowBinary rows base64'd (they are not text)
-      def rowRepr(b: Array[Byte]): String =
-        if (binary) java.util.Base64.getEncoder.encodeToString(b)
-        else new String(b, UTF_8).stripLineEnd
-      def replayRowwise(): Unit = chunk.foreach { b =>
+      val chunk = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
+      var chunkBytes = 0L
+      // row-data faults only: a table/auth/query-level fault mid-replay
+      // must RETHROW so the batch handler's classify/retry policy governs
+      // it — dead-lettering good rows on a dropped table or rotated
+      // credential would be unrecoverable
+      def replayRowwise(): Unit = chunk.foreach { case (repr, b) =>
         try post(conf, query, b)
         catch {
-          case e @ CHServerException(code, _)
-            if ErrorClassifier.classify(code) == ErrorClassifier.Retryable => throw e
-          case CHServerException(code, msg) =>
-            failed += ((rowRepr(b), s"Code: $code. DB::Exception: $msg"))
+          case CHServerException(code, msg) if ErrorClassifier.isRowDataFault(code) =>
+            failed += ((repr, s"Code: $code. DB::Exception: $msg"))
         }
       }
       def flush(): Unit = if (chunk.nonEmpty) {
         val body = new java.io.ByteArrayOutputStream(1 << 20)
-        chunk.foreach(b => body.write(b, 0, b.length))
+        chunk.foreach { case (_, b) => body.write(b, 0, b.length) }
         try post(conf, query, body.toByteArray)
         catch {
           case CHServerException(code, _) if ErrorClassifier.isRowDataFault(code) =>
             replayRowwise()
         }
-        chunk.clear()
+        chunk.clear(); chunkBytes = 0
       }
       while (it.hasNext) {
-        chunk += it.next()
-        if (chunk.size >= conf.maxRowsPerPost) flush()
+        it.next() match {
+          // client-side encode failure (RowBinary FixedString overflow,
+          // unknown enum value): that row is poison by construction —
+          // dead-letter it alone, the rest of the slab proceeds
+          case (repr, null, err) => failed += ((repr, err))
+          case (repr, bytes, _) =>
+            chunk += ((repr, bytes)); chunkBytes += bytes.length
+            if (chunk.size >= conf.maxRowsPerPost ||
+              chunkBytes >= conf.maxBytesPerPost) flush()
+        }
       }
       flush()
       failed.iterator
     }.collect().toSeq
+  }
+
+  /** Isolation-path encoding: (jsonRepr, bytesOrNull, encodeErrOrNull) per
+    * row. The JSON repr rides along so a dead-lettered row's
+    * original_message is always readable — binary rows included — and so a
+    * row the ENCODER rejects still reaches the DLQ with its content. */
+  private def rowBytesWithRepr(c: Config, df: DataFrame):
+      org.apache.spark.sql.Dataset[(String, Array[Byte], String)] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.STRING)
+    c.format match {
+      case "RowBinary" =>
+        val types = df.columns.toSeq.map(n =>
+          CHType.parse(c.columnTypes.getOrElse(n, "String")))
+        val cols = df.columns.map(col).toSeq
+        df.select(to_json(struct(cols: _*)).as("__j"), struct(cols: _*).as("__r"))
+          .map { row =>
+            val j = row.getString(0)
+            try (j, RowBinaryEncoder.encode(row.getStruct(1), types), null: String)
+            catch { case e: Exception =>
+              (j, null: Array[Byte], Option(e.getMessage).getOrElse(e.toString))
+            }
+          }
+      case _ =>
+        df.toJSON.map(s => (s, (s + "\n").getBytes(UTF_8), null: String))
+    }
   }
 
   /** Introspect the target table's schema — `DESCRIBE TABLE db.t FORMAT
@@ -251,26 +288,5 @@ object ClickHouseHttp {
 
   /** Server liveness + auth probe (`SELECT 1`): the control plane checks
     * the connection before activating a pipeline. */
-  def ping(c: Config): Unit = {
-    val url = URI.create(c.endpoint.stripSuffix("/") +
-      "/?query=" + enc("SELECT 1")).toURL
-    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-    try {
-      conn.setRequestMethod("POST")
-      conn.setConnectTimeout(c.connectTimeoutMs)
-      conn.setReadTimeout(c.readTimeoutMs)
-      conn.setRequestProperty("X-ClickHouse-User", c.username)
-      if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
-      conn.setDoOutput(true)
-      conn.getOutputStream.close()
-      val status = conn.getResponseCode
-      if (status != 200) {
-        val code = Option(conn.getHeaderField("X-ClickHouse-Exception-Code"))
-          .flatMap(_.trim.toIntOption).getOrElse(1000)
-        throw CHServerException(code, s"ping failed with HTTP $status")
-      }
-      val in = conn.getInputStream
-      try in.readAllBytes() finally in.close()
-    } finally conn.disconnect()
-  }
+  def ping(c: Config): Unit = { get(c, "SELECT 1"); () }
 }

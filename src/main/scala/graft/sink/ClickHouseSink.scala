@@ -84,26 +84,30 @@ object ClickHouseSink {
     * foreachBatch. */
   def writeBatch(c: Config)(df: DataFrame): Unit = writeBatchWith(c, terminalWrite(c))(df)
 
-  /** Same batching/mapping logic with an injectable terminal write (the
-    * unit-test seam; no JDBC driver ships in this build env). */
-  def writeBatchWith(c: Config, write: DataFrame => Unit)(df: DataFrame): Unit = {
+  /** Dedup + per-schema-version split, shared by every terminal: yields
+    * one MAPPED frame per typed INSERT (the reference groups every flush
+    * by Schema-Version-Id, clickhouse.go:536-699). The version distinct
+    * pulls only the handful of version ids in the batch — bounded by the
+    * schema-version count, not the row count. */
+  private def batchSlices(c: Config)(df: DataFrame): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val deduped = c.idempotencyColumn.fold(df)(k => df.dropDuplicates(k))
+    def mapped(part: DataFrame, mappings: Seq[ColumnMapping]): DataFrame =
+      if (mappings.nonEmpty) SinkMapper(mappings)(part) else part
     c.versionColumn match {
       case Some(vc) if c.versionMappings.nonEmpty =>
-        // the distinct pulls only the handful of version ids in this batch —
-        // bounded by the schema-version count, not the row count
         val versions = deduped.select(vc).distinct().collect()
-          .map(r => String.valueOf(r.get(0))).sorted
-        versions.foreach { v =>
-          val mappings = c.versionMappings.getOrElse(v, c.mappings)
-          val part = deduped.filter(col(vc) === v)
-          write(if (mappings.nonEmpty) SinkMapper(mappings)(part) else part)
-        }
-      case _ =>
-        write(if (c.mappings.nonEmpty) SinkMapper(c.mappings)(deduped) else deduped)
+          .map(r => String.valueOf(r.get(0))).sorted.toSeq
+        versions.map(v => mapped(deduped.filter(col(vc) === v),
+          c.versionMappings.getOrElse(v, c.mappings)))
+      case _ => Seq(mapped(deduped, c.mappings))
     }
   }
+
+  /** Same batching/mapping logic with an injectable terminal write (the
+    * unit-test seam; no JDBC driver ships in this build env). */
+  def writeBatchWith(c: Config, write: DataFrame => Unit)(df: DataFrame): Unit =
+    batchSlices(c)(df).foreach(write)
 
   /** Validate a sink mapping against the LIVE table schema (HTTP leg):
     * DESCRIBE TABLE, then require every mapped destination column to
@@ -114,7 +118,18 @@ object ClickHouseSink {
     * the value domain; a String mapping may feed a FixedString column —
     * the server enforces the width). */
   def validateAgainstTable(c: Config): Either[String, Unit] = {
-    val server = ClickHouseHttp.describeTable(httpConfig(c)).toMap
+    val server =
+      try ClickHouseHttp.describeTable(httpConfig(c)).toMap
+      catch {
+        case e: ClickHouseHttp.CHServerException =>
+          // a genuine server answer (missing table, bad credentials) is a
+          // config fault: fail the start with the server's own message
+          return Left(e.getMessage)
+        case _: java.io.IOException =>
+          // server unreachable RIGHT NOW is not a config fault — start
+          // anyway; the batch handler's retry policy owns transient outages
+          return Right(())
+      }
     def strip(t: graft.types.CHType): graft.types.CHType = t match {
       case graft.types.CHType.CHLowCardinality(i) => strip(i)
       case graft.types.CHType.CHNullable(i) => strip(i)
@@ -131,9 +146,12 @@ object ClickHouseSink {
               val st = strip(graft.types.CHType.parse(serverType))
               val mt = strip(graft.types.CHType.parse(m.chType))
               mt == st ||
-                // a plain-String mapping may feed FixedString (width is
-                // server-enforced) and vice-versa nothing else
-                (mt == graft.types.CHType.CHString &&
+                // a plain-String mapping may feed FixedString on the
+                // JSONEachRow leg only (the server enforces the width);
+                // RowBinary encodes by the MAPPING's type, so a String/
+                // FixedString disagreement would corrupt the row framing
+                (c.httpFormat != "RowBinary" &&
+                  mt == graft.types.CHType.CHString &&
                   st.isInstanceOf[graft.types.CHType.CHFixedString])
             } catch { case _: Exception => true } // unparseable → server's call
           if (ok) None
@@ -152,21 +170,8 @@ object ClickHouseSink {
     * (the reference's per-message append-error path,
     * clickhouse.go:616-648). */
   private[sink] def writeBatchHttp(c: Config)(df: DataFrame): Seq[(String, String)] = {
-    import org.apache.spark.sql.functions.col
     val hc = httpConfig(c)
-    val deduped = c.idempotencyColumn.fold(df)(k => df.dropDuplicates(k))
-    def run(part: DataFrame, mappings: Seq[ColumnMapping]): Seq[(String, String)] =
-      ClickHouseHttp.writeIsolating(hc)(
-        if (mappings.nonEmpty) SinkMapper(mappings)(part) else part)
-    c.versionColumn match {
-      case Some(vc) if c.versionMappings.nonEmpty =>
-        val versions = deduped.select(vc).distinct().collect()
-          .map(r => String.valueOf(r.get(0))).sorted.toSeq
-        versions.flatMap { v =>
-          run(deduped.filter(col(vc) === v), c.versionMappings.getOrElse(v, c.mappings))
-        }
-      case _ => run(deduped, c.mappings)
-    }
+    batchSlices(c)(df).flatMap(ClickHouseHttp.writeIsolating(hc))
   }
 
   /** foreachBatch handler with the reference's full error policy:

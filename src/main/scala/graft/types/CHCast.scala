@@ -51,7 +51,9 @@ object CHCast {
     }
 
     case CHFixedString(n) => from match {
-      case StringType => when(length(c) <= n, c) // too long → error
+      // FixedString(n) is n BYTES, not chars: 'héllo' is 5 chars / 6 UTF-8
+      // bytes and must fail a FixedString(5) — octet_length, not length
+      case StringType => when(octet_length(c) <= n, c) // too long → error
       case _ => nul(to)
     }
 
@@ -77,9 +79,13 @@ object CHCast {
       if (isIntegral(from)) c.try_cast(to.sparkType) // try_cast: overflow → null
       else nul(to)
 
-    case CHUInt(64) if from.isInstanceOf[DecimalType] =>
+    case CHUInt(64) if from.isInstanceOf[DecimalType] &&
+        from.asInstanceOf[DecimalType].scale == 0 =>
       // full-range UInt64 input arrives as Decimal(20,0) (a Long cannot
-      // hold 2^64-1); range-check [0, 2^64-1] and keep the decimal width
+      // hold 2^64-1); range-check [0, 2^64-1] and keep the decimal width.
+      // scale > 0 falls through to the strict branch and errors: real
+      // ClickHouse rejects fractional input for UInt64, rounding would
+      // silently corrupt
       when(c >= 0 && c <= lit(new java.math.BigDecimal("18446744073709551615")),
         c.cast(DecimalType(20, 0)))
 

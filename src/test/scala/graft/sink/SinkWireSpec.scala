@@ -494,9 +494,28 @@ class SinkWireSpec extends SparkSpec {
       assert(ch.rows("default", "rb2").map(_("id")).toSet == Set(BigInt(1), BigInt(3)))
       assert(dlq.size == 1)
       assert(dlq.asScala.head.getAs[String]("error").contains("Code: 691"))
-      // binary rows dead-letter base64'd (they are not text)
+      // binary rows still dead-letter with a READABLE JSON original_message
       val orig = dlq.asScala.head.getAs[String]("original_message")
-      assert(java.util.Base64.getDecoder.decode(orig).nonEmpty)
+      assert(orig.contains("blue"), s"expected row content in: $orig")
+    }
+  }
+
+  test("RowBinary: a row the ENCODER rejects is isolated, not the whole batch") {
+    withServer() { ch =>
+      ch.createTable("default", "rb3",
+        Seq("id" -> "Int32", "code" -> "FixedString(3)"))
+      val hc = ClickHouseHttp.Config(ch.endpoint, "default", "rb3",
+        format = "RowBinary",
+        columnTypes = Map("id" -> "Int32", "code" -> "FixedString(3)"))
+      // no mapper in front: the 7-byte value reaches the encoder raw, which
+      // must reject THAT row client-side and let the others land
+      val df = Seq((1, "ok"), (2, "toolong"), (3, "ko")).toDF("id", "code")
+        .coalesce(1)
+      val failed = ClickHouseHttp.writeIsolating(hc)(df)
+      assert(ch.rowCount("default", "rb3") == 2)
+      assert(failed.size == 1)
+      assert(failed.head._2.contains("Code: 131"))
+      assert(failed.head._1.contains("toolong"), "JSON repr carries the content")
     }
   }
 
