@@ -95,15 +95,21 @@ object Bench {
       if (runs.isEmpty) (-1.0, -1.0)
       else (median(runs.map(_._1)), median(runs.map(_._2)))
     // Kafka-wire → validate → map → ClickHouse-HTTP leg (BASELINE.md's
-    // actual topology): single forked run, best-of-2 passes internally.
-    val wireRate =
-      if (only.isDefined) -1.0
-      else forkedLine("graft.WireIngestBench", Seq("2000000", "8"),
-        "\"wire_ingest_throughput\"") match {
-        case Left(why) =>
-          System.err.println(s"wire ingest bench failed: $why"); -1.0
-        case Right(l) => num("value", l).getOrElse(-1.0)
+    // actual topology): two forked runs (each best-of-2 internally), max
+    // recorded with both runs listed — the same steal-guard shape as the
+    // other ingest legs (standalone 292k vs 157k observed minutes apart
+    // on identical code).
+    val wireRuns: Seq[Double] =
+      if (only.isDefined) Nil
+      else (1 to 2).flatMap { _ =>
+        forkedLine("graft.WireIngestBench", Seq("2000000", "8"),
+          "\"wire_ingest_throughput\"") match {
+          case Left(why) =>
+            System.err.println(s"wire ingest bench failed: $why"); None
+          case Right(l) => num("value", l)
+        }
       }
+    val wireRate = if (wireRuns.isEmpty) -1.0 else wireRuns.max
     // Max over two forked runs, same rationale as batch ingest: a single
     // sample right after the sweep reads up to ~2× low under host/GC
     // contention (observed 258k vs 430k minutes apart on identical code).
@@ -159,6 +165,7 @@ object Bench {
       s""""query_variance":$varianceJson,""" +
       s""""query_variance_note":"top-$repeatTop queries by first-pass time re-run to $repeats samples; queries entry = median; band shows min/median/max so regressions can be told from host steal (r8: 2.5x swings on unchanged code)",""" +
       s""""ingest_batch_runs":$batchRunsJson,""" +
+      wireRuns.map(r => f"$r%.0f").mkString(""""ingest_wire_runs":[""", ",", "],") +
       """"notes":{"streaming_rows":"q_temporal_join_stream / q_sessionize_stream / q_window_hopping_stream / q_dedup_windowed_stream wall time ~= fixed local-mode micro-batch WAL/commit latency (measured the same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
       f""""ingest_events_per_sec":$headline%.0f,""" +
       f""""ingest_pruned_schema_events_per_sec":$ingestPruned%.0f,""" +
