@@ -46,6 +46,10 @@ object ClickHouseHttp {
     /** column → ClickHouse type, required for RowBinary encoding
       * (JSONEachRow is self-describing; RowBinary is column-order binary). */
     columnTypes: Map[String, String] = Map.empty,
+    /** gzip the INSERT body (`Content-Encoding: gzip`, which the server
+      * decompresses natively) — JSONEachRow compresses ~10×, so at scale
+      * the CPU spent is bought back in network many times over. */
+    compress: Boolean = false,
     maxRowsPerPost: Int = 100000,
     /** Byte budget per POST — flushes at whichever of rows/bytes trips
       * first, so wide rows cannot balloon task memory (100k × 1.5 KB rows
@@ -69,13 +73,21 @@ object ClickHouseHttp {
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
 
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 4 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    try gz.write(b) finally gz.close()
+    out.toByteArray
+  }
+
   /** POST one slab of `format`-encoded rows. Retries are NOT done here —
     * retry policy belongs to the batch handler, which knows the budget. */
-  def post(c: Config, query: String, body: Array[Byte]): Unit = {
+  def post(c: Config, query: String, body0: Array[Byte]): Unit = {
     val params = baseSettings ++ c.settings + ("query" -> query)
     val qs = params.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
       .mkString("&")
     val url = URI.create(c.endpoint.stripSuffix("/") + "/?" + qs).toURL
+    val body = if (c.compress) gzip(body0) else body0
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setRequestMethod("POST")
@@ -84,6 +96,7 @@ object ClickHouseHttp {
       conn.setRequestProperty("X-ClickHouse-User", c.username)
       if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
       conn.setRequestProperty("Content-Type", "application/octet-stream")
+      if (c.compress) conn.setRequestProperty("Content-Encoding", "gzip")
       conn.setDoOutput(true)
       conn.setFixedLengthStreamingMode(body.length.toLong)
       val os = conn.getOutputStream

@@ -36,7 +36,9 @@ object ClickHouseSink {
     /** Per-insert ClickHouse settings for the HTTP leg (async_insert, ...). */
     httpSettings: Map[String, String] = Map.empty,
     /** Wire encoding for the HTTP leg: JSONEachRow or RowBinary. */
-    httpFormat: String = "JSONEachRow")
+    httpFormat: String = "JSONEachRow",
+    /** gzip INSERT bodies on the HTTP leg (Content-Encoding: gzip). */
+    httpCompress: Boolean = false)
 
   /** `INSERT INTO db.table (c1, c2, ...)` column list — deterministic order
     * from the mapping config (reference clickhouse.go:701-718). */
@@ -57,6 +59,7 @@ object ClickHouseSink {
     ClickHouseHttp.Config(endpoint = c.url, database = c.database,
       table = c.table, username = c.username, password = c.password,
       settings = c.httpSettings, format = c.httpFormat,
+      compress = c.httpCompress,
       // RowBinary needs the declared CH type per column; the union over
       // version mappings is safe (a column keeps one type across versions)
       columnTypes = (c.mappings ++ c.versionMappings.values.flatten)

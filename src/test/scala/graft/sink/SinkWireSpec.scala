@@ -519,6 +519,23 @@ class SinkWireSpec extends SparkSpec {
     }
   }
 
+  test("gzip'd INSERT bodies decompress server-side; poison isolation still works compressed") {
+    withServer() { ch =>
+      ch.createTable("default", "gz",
+        Seq("id" -> "Int32", "type" -> "FixedString(5)"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("type", "type", "String"))
+      val df = Seq((1, "red"), (2, "waytoolong"), (3, "blue")).toDF("id", "type")
+      val dlq = dlqQueue()
+      ClickHouseSink.foreachBatchHandler(
+        cfg(ch, "gz", m).copy(httpCompress = true),
+        d => d.collect().foreach(dlq.add))(df.coalesce(1), 0L)
+      assert(ch.rowCount("default", "gz") == 2)
+      assert(dlq.size == 1)
+      assert(dlq.asScala.head.getAs[String]("error").contains("Code: 131"))
+    }
+  }
+
   test("DESCRIBE TABLE introspection + mapping validation against the live schema") {
     withServer() { ch =>
       ch.createTable("default", "events_test", Seq(
