@@ -173,7 +173,7 @@ object Bench {
       f""""ingest_wire_events_per_sec":$wireRate%.0f,""" +
       streamingErrJson +
       f""""ingest_in_session":$inSession%.0f,""" +
-      """"ingest_note":"events_per_sec=steady-state batch rate, MEDIAN over 5 forked fresh JVMs (all runs recorded in ingest_batch_runs), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate-micro-batch source, fixed 2M rows/batch, median steady-state per-batch rate, 2 warm-up batches dropped, max over forked fresh-JVM attempts with a disagreement-triggered third); wire=BASELINE.md's actual topology (kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP RowBinary INSERT into a type-validating fixture server, server CPU included); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
+      """"ingest_note":"events_per_sec=steady-state batch rate, MEDIAN over 5 forked fresh JVMs (all runs recorded in ingest_batch_runs), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate-micro-batch source, fixed 2M rows/batch, median steady-state per-batch rate, 2 warm-up batches dropped, max over forked fresh-JVM attempts with a disagreement-triggered third); wire=BASELINE.md's actual topology (kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP RowBinary INSERT into a type-validating fixture server, server CPU included; max over 2 forked runs, both in ingest_wire_runs); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
       s""""sf":"$sfDir"}"""
     println(json)
     // Durable copies: the driver's stdout capture window clipped the head of
