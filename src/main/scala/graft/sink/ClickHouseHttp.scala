@@ -136,6 +136,18 @@ object ClickHouseHttp {
     *  - RowBinary: column-order binary via [[RowBinaryEncoder]], driven by
     *    [[Config.columnTypes]] — roughly half the wire bytes and no
     *    server-side text parsing. */
+  /** Spark's default JSON timestamp format is millisecond-precision (SSS)
+    * — a DateTime64(6) column would silently lose its microseconds on the
+    * JSONEachRow leg (caught by RowBinaryPropertySpec's cross-format
+    * comparison). Emit full micros; best_effort parses them fine. */
+  private val jsonOpts: java.util.Map[String, String] =
+    java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  private def jsonCol(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    to_json(struct(df.columns.map(col).toSeq: _*), jsonOpts)
+  }
+
   private def rowBytes(c: Config, df: DataFrame): org.apache.spark.sql.Dataset[Array[Byte]] = {
     import org.apache.spark.sql.Encoders
     c.format match {
@@ -143,7 +155,8 @@ object ClickHouseHttp {
         val types = df.columns.toSeq.map(n => CHType.parse(c.columnTypes.getOrElse(n, "String")))
         df.map(row => RowBinaryEncoder.encode(row, types))(Encoders.BINARY)
       case _ =>
-        df.toJSON.map(s => (s + "\n").getBytes(UTF_8))(Encoders.BINARY)
+        df.select(jsonCol(df)).as[String](Encoders.STRING)
+          .map(s => (s + "\n").getBytes(UTF_8))(Encoders.BINARY)
     }
   }
 
@@ -240,14 +253,14 @@ object ClickHouseHttp {
   private def rowBytesWithRepr(c: Config, df: DataFrame):
       org.apache.spark.sql.Dataset[(String, Array[Byte], String)] = {
     import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.functions.{col, struct, to_json}
+    import org.apache.spark.sql.functions.{col, struct}
     implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.STRING)
     c.format match {
       case "RowBinary" =>
         val types = df.columns.toSeq.map(n =>
           CHType.parse(c.columnTypes.getOrElse(n, "String")))
         val cols = df.columns.map(col).toSeq
-        df.select(to_json(struct(cols: _*)).as("__j"), struct(cols: _*).as("__r"))
+        df.select(jsonCol(df).as("__j"), struct(cols: _*).as("__r"))
           .map { row =>
             val j = row.getString(0)
             try (j, RowBinaryEncoder.encode(row.getStruct(1), types), null: String)
@@ -256,7 +269,8 @@ object ClickHouseHttp {
             }
           }
       case _ =>
-        df.toJSON.map(s => (s, (s + "\n").getBytes(UTF_8), null: String))
+        df.select(jsonCol(df)).as[String](Encoders.STRING)
+          .map(s => (s, (s + "\n").getBytes(UTF_8), null: String))
     }
   }
 

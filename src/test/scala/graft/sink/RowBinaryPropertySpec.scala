@@ -1,0 +1,101 @@
+package graft.sink
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.sink.SinkMapper.ColumnMapping
+
+/** Cross-format wire property: the SAME randomized rows inserted over the
+  * ClickHouse HTTP leg once as RowBinary and once as JSONEachRow must
+  * store IDENTICALLY. The two encodings share no code — RowBinary is
+  * [[graft.types.RowBinaryEncoder]] (hand-rolled binary) and JSONEachRow
+  * is Spark's JSON writer + the fixture's Jackson parse — so agreement
+  * across 200 seeded-random rows per run is strong evidence both are
+  * right (an encoder bug and a matching decoder bug in BOTH formats at
+  * once is the only false-pass). */
+class RowBinaryPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = Seq(
+    "id" -> "Int64", "s" -> "String", "fs" -> "FixedString(8)",
+    "b" -> "Bool", "i32" -> "Int32", "u16" -> "UInt16",
+    "f32" -> "Float32", "f64" -> "Float64",
+    "e" -> "Enum8('alpha' = 1, 'beta' = 2, 'gamma' = 3)",
+    "uid" -> "UUID", "dt" -> "DateTime", "dt64" -> "DateTime64(6)",
+    "lc" -> "LowCardinality(String)", "ns" -> "Nullable(String)",
+    "m" -> "Map(String, String)", "arr" -> "Array(Int64)")
+
+  private val mappings = schema.map { case (n, t) => ColumnMapping(n, n, t) }
+
+  private def randomRows(r: Random, n: Int) = (0 until n).map { i =>
+    def str(max: Int) = {
+      val len = r.nextInt(max)
+      // printable unicode incl. multi-byte; no trailing NUL ambiguity
+      (0 until len).map(_ => r.nextInt(3) match {
+        case 0 => ('a' + r.nextInt(26)).toChar
+        case 1 => ('α' + r.nextInt(24)).toChar
+        case _ => "日本語テスト©π".charAt(r.nextInt(8))
+      }).mkString
+    }
+    def ascii(maxBytes: Int) =
+      (0 until r.nextInt(maxBytes + 1)).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    (
+      i.toLong,
+      str(40),
+      ascii(8),
+      r.nextBoolean(),
+      r.nextInt(),
+      r.nextInt(65536),
+      // Float32: exactly-representable grid so the JSON text round-trip
+      // and the bit-level binary round-trip agree to the last digit
+      (r.nextInt(4001) - 2000).toFloat / 4.0f,
+      r.nextDouble() * 1e9 - 5e8,
+      Seq("alpha", "beta", "gamma")(r.nextInt(3)),
+      new java.util.UUID(r.nextLong(), r.nextLong()).toString,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        math.abs(r.nextLong()) % 4102444800L)), // 1970..2100
+      { val t = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          math.abs(r.nextLong()) % 4102444800L))
+        t.setNanos(r.nextInt(1000000) * 1000); t }, // micros precision
+      Seq("red", "green", "blue")(r.nextInt(3)),
+      if (r.nextBoolean()) null else str(10),
+      (0 until r.nextInt(4)).map(k => s"k$k" -> str(6)).toMap,
+      (0 until r.nextInt(5)).map(_ => r.nextLong()): Seq[Long]
+    )
+  }
+
+  test("200 seeded-random rows store identically over RowBinary and JSONEachRow") {
+    val ch = new MiniClickHouseServer()
+    ch.start()
+    try {
+      ch.createTable("default", "t_rb", schema)
+      ch.createTable("default", "t_json", schema)
+      val seed = 20260815L // deterministic: failures must reproduce
+      val rows = randomRows(new Random(seed), 200)
+      val df = rows.toDF("id", "s", "fs", "b", "i32", "u16", "f32", "f64",
+        "e", "uid", "dt", "dt64", "lc", "ns", "m", "arr")
+      def c(table: String, fmt: String) = ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = table,
+        mappings = mappings, httpFormat = fmt)
+      ClickHouseSink.writeBatch(c("t_rb", "RowBinary"))(df)
+      ClickHouseSink.writeBatch(c("t_json", "JSONEachRow"))(df)
+      assert(ch.rowCount("default", "t_rb") == 200)
+      assert(ch.rowCount("default", "t_json") == 200)
+      val rb = ch.rows("default", "t_rb").map(r => r("id") -> r).toMap
+      val js = ch.rows("default", "t_json").map(r => r("id") -> r).toMap
+      assert(rb.keySet == js.keySet)
+      rb.foreach { case (id, rbRow) =>
+        val jsRow = js(id)
+        schema.map(_._1).foreach { col =>
+          (rbRow(col), jsRow(col)) match {
+            case (a: Double, b: Double) =>
+              assert(math.abs(a - b) <= math.max(1e-9, math.abs(b) * 1e-6),
+                s"row $id col $col: RowBinary=$a JSON=$b")
+            case (a, b) =>
+              assert(a == b, s"row $id col $col: RowBinary=$a JSON=$b")
+          }
+        }
+      }
+    } finally ch.stop()
+  }
+}
