@@ -355,6 +355,38 @@ class SinkWireSpec extends SparkSpec {
     }
   }
 
+  test("durable retry budget: genuine 241s exhaust MaxDeliver across a handler REBUILD") {
+    withServer() { ch =>
+      ch.createTable("default", "t", Seq("id" -> "String"))
+      // more consecutive genuine server faults than the budget allows
+      ch.failNext(241, "Memory limit (total) exceeded", times = 20)
+      val dlq = dlqQueue()
+      val budgetDir = java.nio.file.Files.createTempDirectory("ch_budget").toString
+      def mkHandler() = ClickHouseSink.foreachBatchHandler(
+        cfg(ch, "t", Seq(ColumnMapping("id", "id", "String")), maxRetries = 10),
+        d => d.collect().foreach(dlq.add), budgetDir = Some(budgetDir))
+      val batch = Seq("a", "b").toDF("id").coalesce(1)
+      // 4 attempts under the first handler instance…
+      val h1 = mkHandler()
+      (1 to 4).foreach(_ => intercept[Throwable](h1(batch, 7L)))
+      // …then the driver restarts (new handler, same checkpoint budget dir):
+      // the count must RESUME at 5, not reset — NATS tracks delivery count
+      // server-side, so the reference's budget survives restarts too
+      val h2 = mkHandler()
+      var loops = 0
+      var done = false
+      while (!done && loops < 20) {
+        loops += 1
+        try { h2(batch, 7L); done = true } catch { case _: Throwable => () }
+      }
+      assert(done)
+      assert(loops == 6, s"6 remaining attempts after the rebuild, used $loops")
+      assert(dlq.size == 2, "budget exhausted → the batch dead-letters, stream continues")
+      assert(dlq.asScala.head.getAs[String]("error").contains("retry budget exhausted"))
+      assert(ch.rowCount("default", "t") == 0)
+    }
+  }
+
   test("unknown table: server 60 → whole batch DLQs (no row-wise attempt)") {
     withServer() { ch =>
       val dlq = dlqQueue()
