@@ -118,4 +118,62 @@ class PipelineWireSpec extends SparkSpec {
       } finally { svc2.terminate(id); () }
     } finally { kafka.stop(); ch.stop() }
   }
+
+  test("observability demo topology: OTLP receiver socket → flatten → ClickHouse HTTP") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val id = "otlp-logs-to-ch"
+    val spool = Files.createTempDirectory("graft_pw_spool").toString
+    val receiver = new graft.sources.OtlpReceiver(spark, spool)
+    val port = receiver.start()
+    val ch = new MiniClickHouseServer(); ch.start()
+    try {
+      // real OTLP/HTTP export over the socket — the collector's JSON shape
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"resourceLogs": [{
+              |  "resource": {"attributes": [
+              |    {"key": "service.name", "value": {"stringValue": "api"}}]},
+              |  "scopeLogs": [{"scope": {"name": "applog"},
+              |    "logRecords": [
+              |      {"timeUnixNano": "1735725600000000000", "severityNumber": 9,
+              |       "severityText": "INFO", "body": {"stringValue": "started"}},
+              |      {"timeUnixNano": "1735725601000000000", "severityNumber": 17,
+              |       "severityText": "ERROR", "body": {"stringValue": "boom"}}
+              |    ]}]}]}""".stripMargin)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+
+      ch.createTable("default", "otel_logs", Seq(
+        "severity_text" -> "LowCardinality(String)",
+        "body" -> "String", "severity_number" -> "Int64"))
+      val cfgJson =
+        s"""{"pipeline_id": "$id",
+           |  "source": {"kind": "otlp", "topics": [{"name": "logs"}]},
+           |  "sink": {"url": "${ch.endpoint}", "database": "default",
+           |    "table": "otel_logs", "max_delay_seconds": 0,
+           |    "table_mapping": [
+           |      {"field_name": "severity_text", "column_name": "severity_text",
+           |       "column_type": "LowCardinality(String)"},
+           |      {"field_name": "body", "column_name": "body", "column_type": "String"},
+           |      {"field_name": "severity_number", "column_name": "severity_number",
+           |       "column_type": "Int64"}]}}
+           |""".stripMargin
+      markExisting()
+      val svc = new PipelineService(spark,
+        checkpointRoot = Some(Files.createTempDirectory("graft_pw_ckpt2").toString),
+        otlpSpoolRoot = Some(spool))
+      assert(svc.create(ReferenceConfig.fromJson(cfgJson)).isRight)
+      assert(svc.startFromConfig(id).isRight,
+        svc.startFromConfig(id).swap.getOrElse(""))
+      drainNew()
+      try {
+        val rows = ch.rows("default", "otel_logs")
+          .map(r => (r("severity_text"), r("body"), r("severity_number"))).toSet
+        assert(rows == Set(("INFO", "started", BigInt(9)),
+          ("ERROR", "boom", BigInt(17))))
+      } finally { svc.terminate(id); () }
+    } finally { receiver.stop(); ch.stop() }
+  }
 }
