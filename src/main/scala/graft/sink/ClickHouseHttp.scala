@@ -126,6 +126,24 @@ object ClickHouseHttp {
     } finally conn.disconnect()
   }
 
+  /** Spark's default JSON timestamp format is millisecond-precision (SSS)
+    * — a DateTime64(6) column would silently lose its microseconds on the
+    * JSONEachRow leg (caught by RowBinaryPropertySpec's cross-format
+    * comparison). Emit full micros; best_effort parses them fine. */
+  private val jsonOpts: java.util.Map[String, String] =
+    java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /** Columns by VERBATIM name: destination columns are user config and may
+    * contain dots (legal CH identifiers, quoted everywhere else via
+    * quoteId) — a bare col(name) would resolve "a.b" as a nested field. */
+  private def verbatimCols(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+    df.columns.toSeq.map(n => df.col(s"`${n.replace("`", "``")}`"))
+
+  private def jsonCol(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{struct, to_json}
+    to_json(struct(verbatimCols(df): _*), jsonOpts)
+  }
+
   /** Encode the mapped frame as one byte payload PER ROW in the configured
     * wire format — the unit both the slab path (concatenate) and the
     * poison-isolation path (re-post singly) work in.
@@ -136,18 +154,6 @@ object ClickHouseHttp {
     *  - RowBinary: column-order binary via [[RowBinaryEncoder]], driven by
     *    [[Config.columnTypes]] — roughly half the wire bytes and no
     *    server-side text parsing. */
-  /** Spark's default JSON timestamp format is millisecond-precision (SSS)
-    * — a DateTime64(6) column would silently lose its microseconds on the
-    * JSONEachRow leg (caught by RowBinaryPropertySpec's cross-format
-    * comparison). Emit full micros; best_effort parses them fine. */
-  private val jsonOpts: java.util.Map[String, String] =
-    java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-
-  private def jsonCol(df: DataFrame): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, struct, to_json}
-    to_json(struct(df.columns.map(col).toSeq: _*), jsonOpts)
-  }
-
   private def rowBytes(c: Config, df: DataFrame): org.apache.spark.sql.Dataset[Array[Byte]] = {
     import org.apache.spark.sql.Encoders
     c.format match {
@@ -253,14 +259,13 @@ object ClickHouseHttp {
   private def rowBytesWithRepr(c: Config, df: DataFrame):
       org.apache.spark.sql.Dataset[(String, Array[Byte], String)] = {
     import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.functions.struct
     implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.STRING)
     c.format match {
       case "RowBinary" =>
         val types = df.columns.toSeq.map(n =>
           CHType.parse(c.columnTypes.getOrElse(n, "String")))
-        val cols = df.columns.map(col).toSeq
-        df.select(jsonCol(df).as("__j"), struct(cols: _*).as("__r"))
+        df.select(jsonCol(df).as("__j"), struct(verbatimCols(df): _*).as("__r"))
           .map { row =>
             val j = row.getString(0)
             try (j, RowBinaryEncoder.encode(row.getStruct(1), types), null: String)

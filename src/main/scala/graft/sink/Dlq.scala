@@ -18,7 +18,10 @@ object Dlq {
     df.select(
       lit(component).as("component"),
       lit(error).as("error"),
-      to_json(struct(df.columns.map(col): _*)).as("original_message"),
+      // verbatim names: a dotted source column ("left_stream.id") must not
+      // resolve as a nested field reference
+      to_json(struct(df.columns.map(n =>
+        df.col(s"`${n.replace("`", "``")}`")): _*)).as("original_message"),
       current_timestamp().as("failed_at"))
 
   /** Envelope for rows already serialized to JSON (the HTTP leg's

@@ -104,14 +104,13 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
   private def handle(ex: HttpExchange): Unit =
     try {
       val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      val rawBody = ex.getRequestBody.readAllBytes()
-      // the real server decompresses a gzip'd request body natively
+      // the real server decompresses a gzip'd request body natively;
+      // stream the decompressor directly — no double-buffering
       val body =
         if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
           .exists(_.equalsIgnoreCase("gzip")))
-          new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(rawBody)).readAllBytes()
-        else rawBody
+          new java.util.zip.GZIPInputStream(ex.getRequestBody).readAllBytes()
+        else ex.getRequestBody.readAllBytes()
       val query = params.getOrElse("query",
         new String(body, UTF_8).linesIterator.nextOption().getOrElse(""))
 

@@ -76,8 +76,8 @@ class PipelineWireSpec extends SparkSpec {
       markExisting()
       val svc1 = newService()
       assert(svc1.create(ReferenceConfig.fromJson(cfgJson)).isRight)
-      assert(svc1.startFromConfig(id).isRight,
-        svc1.startFromConfig(id).swap.getOrElse(""))
+      val started_svc1 = svc1.startFromConfig(id)
+      assert(started_svc1.isRight, started_svc1.swap.getOrElse(""))
       drainNew()
 
       // feature assertion: dedup kept the FIRST row per id; the server
@@ -106,8 +106,8 @@ class PipelineWireSpec extends SparkSpec {
       markExisting()
       val svc2 = newService() // a fresh driver: registry is empty, checkpoint is not
       assert(svc2.create(ReferenceConfig.fromJson(cfgJson)).isRight)
-      assert(svc2.startFromConfig(id).isRight,
-        svc2.startFromConfig(id).swap.getOrElse(""))
+      val started_svc2 = svc2.startFromConfig(id)
+      assert(started_svc2.isRight, started_svc2.swap.getOrElse(""))
       drainNew()
       try {
         // exactly-once: the restart resumed from committed offsets (rows
@@ -165,8 +165,8 @@ class PipelineWireSpec extends SparkSpec {
         checkpointRoot = Some(Files.createTempDirectory("graft_pw_ckpt2").toString),
         otlpSpoolRoot = Some(spool))
       assert(svc.create(ReferenceConfig.fromJson(cfgJson)).isRight)
-      assert(svc.startFromConfig(id).isRight,
-        svc.startFromConfig(id).swap.getOrElse(""))
+      val started_svc = svc.startFromConfig(id)
+      assert(started_svc.isRight, started_svc.swap.getOrElse(""))
       drainNew()
       try {
         val rows = ch.rows("default", "otel_logs")
