@@ -604,6 +604,33 @@ class SinkWireSpec extends SparkSpec {
     }
   }
 
+  test("dotted DESTINATION column names stay verbatim on the wire (both formats)") {
+    withServer() { ch =>
+      // OTel-style flat keys with dots are legal ClickHouse column names
+      ch.createTable("default", "dotted",
+        Seq("attributes.region" -> "String", "k8s.pod.name" -> "String"))
+      val m = Seq(
+        ColumnMapping("region", "attributes.region", "String"),
+        ColumnMapping("pod", "k8s.pod.name", "String"))
+      val df = Seq(("us-east-1", "api-1"), ("eu-west-1", "api-2"))
+        .toDF("region", "pod")
+      for (fmt <- Seq("JSONEachRow", "RowBinary")) {
+        ClickHouseSink.writeBatch(cfg(ch, "dotted", m)
+          .copy(httpFormat = fmt))(df)
+      }
+      assert(ch.rowCount("default", "dotted") == 4)
+      assert(ch.rows("default", "dotted").map(_("attributes.region")).toSet ==
+        Set("us-east-1", "eu-west-1"))
+      assert(ch.receivedQueries.asScala.forall(_._1.contains("`attributes.region`")))
+      // the isolation path resolves dotted names too
+      val failed = ClickHouseHttp.writeIsolating(
+        ClickHouseSink.httpConfig(cfg(ch, "dotted", m)))(
+        graft.sink.SinkMapper(m)(df))
+      assert(failed.isEmpty)
+      assert(ch.rowCount("default", "dotted") == 6)
+    }
+  }
+
   test("ping: SELECT 1 succeeds with good credentials, raises 516 on bad") {
     withServer(pass = "s3cret") { ch =>
       ClickHouseHttp.ping(ClickHouseHttp.Config(ch.endpoint, "default", "t",
