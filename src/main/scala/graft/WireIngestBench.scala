@@ -106,21 +106,23 @@ object WireIngestBench {
       httpFormat = sys.env.getOrElse("SPARK_GRAFT_WIRE_FORMAT", "RowBinary"))
     val brokers = kafka.brokerList.map(_.address).mkString(",")
     try {
-      // JIT warm-up on a slice, then best-of-two full passes (the same
-      // steal-guard rationale as IngestBench)
-      run(spark, brokers, "wire_bench", n, sink)
-      val delivered = ch.acceptedCount("default", "wire_bench")
-      require(sys.env.contains("SPARK_GRAFT_WIRE_STAGE") || delivered == n,
-        s"warm-up delivered $delivered of $n events")
-      val rate = (0 until 2).map { _ =>
+      // Two full passes, max recorded: the first doubles as JIT warm-up
+      // (it reads slightly cold; the max discards it unless the second
+      // pass hits host steal — the same guard shape as IngestBench, one
+      // pass cheaper to keep the graded bench inside its wall budget).
+      // Pass 1 also proves end-to-end delivery.
+      val rates = (0 until 2).map { _ =>
         System.gc()
         run(spark, brokers, "wire_bench", n, sink)
-      }.max
-      val total = ch.acceptedCount("default", "wire_bench")
+      }
+      val delivered = ch.acceptedCount("default", "wire_bench")
+      require(sys.env.contains("SPARK_GRAFT_WIRE_STAGE") || delivered == 2 * n,
+        s"delivered $delivered of ${2 * n} events")
+      val rate = rates.max
       println(f"""{"metric":"wire_ingest_throughput","value":$rate%.0f,""" +
         s""""unit":"events_per_sec","n":$n,"partitions":$parts,""" +
-        s""""delivered":$total,"format":"${sink.httpFormat}",""" +
-        """"note":"kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP INSERT (RowBinary by default; type-validating fixture server whose decode+validate CPU is INCLUDED in the measured time); best of 2 full passes after a warm-up pass"}""")
+        s""""delivered":$delivered,"format":"${sink.httpFormat}",""" +
+        """"note":"kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP INSERT (RowBinary by default; type-validating fixture server whose decode+validate CPU is INCLUDED in the measured time); max of 2 full passes, first doubles as JIT warm-up"}""")
     } finally {
       kafka.stop(); ch.stop(); spark.stop()
     }
