@@ -86,19 +86,11 @@ object Bench {
     // median with the full run list recorded claims less and shows more.
     // (Host steal depresses individual runs up to 2.5× — that is what the
     // recorded spread is for.)
-    val runs =
-      if (only.isDefined) Nil
-      else (1 to 5).flatMap(_ => forkedIngest(2000000L))
-    def median(xs: Seq[Double]): Double =
-      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
-    val (ingestRate, ingestPruned) =
-      if (runs.isEmpty) (-1.0, -1.0)
-      else (median(runs.map(_._1)), median(runs.map(_._2)))
     // Kafka-wire → validate → map → ClickHouse-HTTP leg (BASELINE.md's
-    // actual topology): two forked runs (each best-of-2 internally), max
-    // recorded with both runs listed — the same steal-guard shape as the
-    // other ingest legs (standalone 292k vs 157k observed minutes apart
-    // on identical code).
+    // actual topology): two forked runs (each max-of-2 passes internally),
+    // max recorded with both runs listed. Runs FIRST among the forked
+    // legs: measured 162k after the five 8 GB batch forks vs 263-296k
+    // solo — the kernel reclaim from the preceding heaps depresses it.
     val wireRuns: Seq[Double] =
       if (only.isDefined) Nil
       else (1 to 2).flatMap { _ =>
@@ -110,6 +102,14 @@ object Bench {
         }
       }
     val wireRate = if (wireRuns.isEmpty) -1.0 else wireRuns.max
+    val runs =
+      if (only.isDefined) Nil
+      else (1 to 5).flatMap(_ => forkedIngest(2000000L))
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    val (ingestRate, ingestPruned) =
+      if (runs.isEmpty) (-1.0, -1.0)
+      else (median(runs.map(_._1)), median(runs.map(_._2)))
     // Max over two forked runs, same rationale as batch ingest: a single
     // sample right after the sweep reads up to ~2× low under host/GC
     // contention (observed 258k vs 430k minutes apart on identical code).
