@@ -204,8 +204,18 @@ object ClickHouseHttp {
     * (table/auth/overload) rethrow so the batch handler's classify/retry
     * policy governs them; a retryable fault mid-replay likewise rethrows
     * (at-least-once, the reference's NACK-redeliver semantics — pair with
-    * insert_deduplicate/idempotency for exactly-once). */
-  def writeIsolating(c: Config)(df: DataFrame): Seq[(String, String)] = {
+    * insert_deduplicate/idempotency for exactly-once).
+    *
+    * Returns the failed rows as a DISTRIBUTED Dataset[(jsonRow, serverError)]
+    * — never a driver collection: the failure-set size is bounded only by
+    * the batch (a mapping edit can poison EVERY row), and the reference
+    * dead-letters worker-side for the same reason
+    * (internal/processor/dlq_processor.go:35-69). LAZY: the INSERTs execute
+    * when the returned Dataset is acted on — act on it exactly once, or
+    * persist it first, or slabs will re-POST (at-least-once).
+    * [[ClickHouseSink.writeBatchHttp]] does persist + count + distributed
+    * DLQ write, returning only counts to the driver. */
+  def writeIsolating(c: Config)(df: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
     val query = insertQuery(c, df.columns.toSeq)
     val conf = c
     val spark = df.sparkSession
@@ -249,7 +259,7 @@ object ClickHouseHttp {
       }
       flush()
       failed.iterator
-    }.collect().toSeq
+    }
   }
 
   /** Isolation-path encoding: (jsonRepr, bytesOrNull, encodeErrOrNull) per
@@ -287,8 +297,22 @@ object ClickHouseHttp {
   def describeTable(c: Config): Seq[(String, String)] = {
     val q = s"DESCRIBE TABLE ${quoteId(c.database)}.${quoteId(c.table)} FORMAT JSONEachRow"
     val body = get(c, q)
-    """\{"name":"([^"]+)","type":"([^"]+)"""".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).replace("\\'", "'")).toSeq
+    // a REAL JSON parse, not a regex: a column type containing an escaped
+    // quote (Enum8('a\'b' = 1) is legal CH) splits a regex match and
+    // silently drops the column, turning start-time validation into a
+    // false "column does not exist"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val it = mapper.readerFor(classOf[com.fasterxml.jackson.databind.JsonNode])
+      .readValues[com.fasterxml.jackson.databind.JsonNode](body)
+    try {
+      val out = Seq.newBuilder[(String, String)]
+      while (it.hasNext) {
+        val n = it.next()
+        if (n.hasNonNull("name") && n.hasNonNull("type"))
+          out += (n.get("name").asText() -> n.get("type").asText())
+      }
+      out.result()
+    } finally it.close()
   }
 
   /** POST a read-only query and return the response body. */

@@ -64,7 +64,12 @@ object ClickHouseSink {
       // version mappings is safe (a column keeps one type across versions)
       columnTypes = (c.mappings ++ c.versionMappings.values.flatten)
         .map(m => m.column -> m.chType).toMap,
-      maxRowsPerPost = math.min(c.maxBatchSize, Int.MaxValue).toInt)
+      // cap at ~1M rows (<= ClickHouse's default max_insert_block_size):
+      // writeIsolating's replay assumes a rejected POST stored NOTHING,
+      // which only holds for single-block INSERTs — a multi-block POST's
+      // leading blocks persist before the fault, and the row-wise replay
+      // would then duplicate them
+      maxRowsPerPost = math.min(c.maxBatchSize, 1000000L).toInt)
 
   /** The terminal JDBC write for one mapped frame (requires the ClickHouse
     * JDBC driver on the cluster classpath). */
@@ -168,13 +173,28 @@ object ClickHouseSink {
   /** HTTP-leg batch write with row-level poison isolation: same dedup/
     * version batching as [[writeBatchWith]], but the terminal is
     * [[ClickHouseHttp.writeIsolating]] — rows the server rejects with a
-    * row-data fault come back as (mappedJson, serverError) pairs for the
-    * handler to dead-letter individually while every other row lands
-    * (the reference's per-message append-error path,
-    * clickhouse.go:616-648). */
-  private[sink] def writeBatchHttp(c: Config)(df: DataFrame): Seq[(String, String)] = {
+    * row-data fault are dead-lettered individually while every other row
+    * lands (the reference's per-message append-error path,
+    * clickhouse.go:616-648).
+    *
+    * The failure set NEVER funnels through the driver: it is persisted
+    * executor-side (MEMORY_AND_DISK — an all-poison 100M-row batch spills
+    * instead of OOMing), counted (this is the action that runs the
+    * INSERTs, exactly once), and handed to `dlq` as a distributed frame —
+    * only the count returns to the driver. Mirrors the reference's
+    * worker-side DLQ publish (dlq_processor.go:35-69). Returns the number
+    * of dead-lettered rows. */
+  private[sink] def writeBatchHttp(c: Config, dlq: DataFrame => Unit)(df: DataFrame): Long = {
     val hc = httpConfig(c)
-    batchSlices(c)(df).flatMap(ClickHouseHttp.writeIsolating(hc))
+    val failed = batchSlices(c)(df)
+      .map(ClickHouseHttp.writeIsolating(hc))
+      .reduce(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = failed.count()
+      if (n > 0) dlq(Dlq.envelopePairs("sink", failed))
+      n
+    } finally { failed.unpersist(); () }
   }
 
   /** foreachBatch handler with the reference's full error policy:
@@ -232,11 +252,8 @@ object ClickHouseSink {
 
     (batch: DataFrame, batchId: Long) => {
       try {
-        if (httpLeg) {
-          val poison = writeBatchHttp(c)(batch)
-          if (poison.nonEmpty)
-            dlq(Dlq.envelopeJson("sink", poison)(batch.sparkSession))
-        } else writeBatchWith(c, terminal)(batch)
+        if (httpLeg) { writeBatchHttp(c, dlq)(batch); () }
+        else writeBatchWith(c, terminal)(batch)
         clear(batchId)
       } catch {
         case t: Throwable => ErrorClassifier.classify(t) match {

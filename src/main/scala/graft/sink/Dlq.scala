@@ -24,19 +24,21 @@ object Dlq {
         df.col(s"`${n.replace("`", "``")}`")): _*)).as("original_message"),
       current_timestamp().as("failed_at"))
 
-  /** Envelope for rows already serialized to JSON (the HTTP leg's
-    * poison-row isolation returns (jsonRow, serverError) pairs) — each
-    * row carries ITS OWN server error, like the reference's per-message
-    * DLQ push (clickhouse.go:616-648). */
-  def envelopeJson(component: String, failures: Seq[(String, String)])
-                  (spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
+  /** Envelope a DISTRIBUTED failure set — (jsonRow, serverError) pairs
+    * from the HTTP leg's poison-row isolation, each row carrying ITS OWN
+    * server error like the reference's per-message DLQ push
+    * (clickhouse.go:616-648). The pairs stay a Dataset end-to-end: a
+    * systematically poisoned batch (every row fails) produces a failure
+    * set the size of the batch, which must flow executor→DLQ without a
+    * driver hop (dlq_processor.go publishes worker-side for the same
+    * reason). */
+  def envelopePairs(component: String,
+                    failures: org.apache.spark.sql.Dataset[(String, String)]): DataFrame =
     failures.toDF("original_message", "error").select(
       lit(component).as("component"),
       col("error"),
       col("original_message"),
       current_timestamp().as("failed_at"))
-  }
 
   /** Produce a DLQ frame to a Kafka topic via `format("graft-kafka")` —
     * the reference's actual DLQ shape (a stream, not files:

@@ -106,7 +106,8 @@ object ErrorClassifier {
     * schema-, auth- and query-level permanents (60, 16, 516, ...) are NOT
     * here: row-wise replay cannot fix those, the whole batch dead-letters. */
   val rowDataFaultCodes: Set[Int] = Set(
-    6, 25, 26, 27, 38, 41, 53, 72, 117, 130, 131, 321, 349, 376, 467, 691)
+    6, 25, 26, 27, 38, 41, 53, 72, 117, 130, 131, 321, 349, 376, 467, 691,
+    407) // DECIMAL_OVERFLOW — a value's digits exceed the column's (p,s)
 
   def isRowDataFault(code: Int): Boolean = rowDataFaultCodes(code)
 

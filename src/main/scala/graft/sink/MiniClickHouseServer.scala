@@ -41,6 +41,11 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       * validates and discards; storing 2M+ parsed rows would measure the
       * fixture's heap, not the engine). */
     @volatile var accepted: Long = 0L
+    /** Content hashes of recently accepted blocks, for insert_deduplicate
+      * (real CH replicated tables keep the last
+      * replicated_deduplication_window=100 block hashes). Insertion order
+      * kept so eviction drops the OLDEST. */
+    val recentBlockHashes = mutable.LinkedHashSet[String]()
   }
 
   private val tables = mutable.Map[String, Table]()
@@ -135,8 +140,15 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
             case None => fail(ex, 404, 60, s"Table $key does not exist")
             case Some(t) =>
               val raw = tables.synchronized { rawTypes.getOrElse(key, Map.empty) }
+              // real JSON encoding: a declared type can contain quotes and
+              // backslashes (Enum8('a\'b' = 1)) which must be JSON-escaped
               ok(ex, t.columns.map { c =>
-                s"""{"name":"${c.name}","type":"${raw.getOrElse(c.name, "String")}","default_type":"","default_expression":""}"""
+                val node = mapper.createObjectNode()
+                node.put("name", c.name)
+                node.put("type", raw.getOrElse(c.name, "String"))
+                node.put("default_type", "")
+                node.put("default_expression", "")
+                mapper.writeValueAsString(node)
               }.mkString("", "\n", "\n"))
           }
           return
@@ -168,16 +180,39 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                     fail(ex, 400, 73, s"Unknown format $fmt")
                   } else {
                     try {
-                      val parsed =
-                        if (fmt == "JSONEachRow") parseJsonEachRow(table, cols, body)
-                        else parseRowBinary(table, cols, body)
-                      tables.synchronized {
-                        table.accepted += parsed.count
-                        if (retainRows) table.rows ++= parsed.rows
+                      // insert_deduplicate semantics (real CH replicated
+                      // tables): an identical block re-POSTed with the
+                      // setting on is silently SKIPPED — the retry path's
+                      // exactly-once contract. The hash registers only
+                      // AFTER successful validation+store (a rejected
+                      // insert stored nothing, so its retry must land).
+                      val dedupOn = params.get("insert_deduplicate")
+                        .exists(x => x == "1" || x == "true")
+                      val blockHash = if (dedupOn) contentHash(query, body) else ""
+                      val duplicate = dedupOn && tables.synchronized {
+                        table.recentBlockHashes.contains(blockHash)
                       }
-                      ex.getResponseHeaders.add("X-ClickHouse-Summary",
-                        s"""{"written_rows":"${parsed.count}"}""")
-                      ok(ex, "")
+                      if (duplicate) {
+                        ex.getResponseHeaders.add("X-ClickHouse-Summary",
+                          """{"written_rows":"0"}""")
+                        ok(ex, "")
+                      } else {
+                        val parsed =
+                          if (fmt == "JSONEachRow") parseJsonEachRow(table, cols, body)
+                          else parseRowBinary(table, cols, body)
+                        tables.synchronized {
+                          table.accepted += parsed.count
+                          if (retainRows) table.rows ++= parsed.rows
+                          if (dedupOn) {
+                            table.recentBlockHashes += blockHash
+                            while (table.recentBlockHashes.size > 100)
+                              table.recentBlockHashes.remove(table.recentBlockHashes.head)
+                          }
+                        }
+                        ex.getResponseHeaders.add("X-ClickHouse-Summary",
+                          s"""{"written_rows":"${parsed.count}"}""")
+                        ok(ex, "")
+                      }
                     } catch {
                       case CHFault(code, msg) => fail(ex, 500, code, msg)
                     }
@@ -289,6 +324,24 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       }
       case CHInt(bits) => intValue(col, v, minOf(bits), maxOf(bits))
       case CHUInt(bits) => intValue(col, v, BigDecimal(0), umaxOf(bits))
+      case CHDecimal(p, s) =>
+        val d = v match {
+          case d: BigDecimal => d
+          case str: String =>
+            try BigDecimal(str)
+            catch { case _: Exception => throw CHFault(72, s"Cannot parse decimal from '$str' for column $col") }
+          case other => throw CHFault(72, s"Cannot parse decimal from '$other' for column $col")
+        }
+        // canonical form = scaled to s (the wire stores the unscaled int);
+        // digit overflow is the real server's DECIMAL_OVERFLOW
+        val scaled = d.setScale(s, BigDecimal.RoundingMode.HALF_UP)
+        if (scaled.abs >= BigDecimal(BigInt(10).pow(p - s)))
+          throw CHFault(407, s"Decimal value $d overflows Decimal($p, $s) for column $col")
+        scaled
+      case CHDate => epochDay(col, v, 0L, 65535L, "Date")
+      case CHDate32 => epochDay(col, v,
+        java.time.LocalDate.of(1900, 1, 1).toEpochDay,
+        java.time.LocalDate.of(2299, 12, 31).toEpochDay, "Date32")
       case CHFloat32 | CHFloat64 => v match {
         case d: BigDecimal => d.toDouble
         case s: String =>
@@ -336,6 +389,22 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     d.toBigInt
   }
 
+  /** Date/Date32 canonical form: epoch day (Long), parsed from ISO date
+    * strings or day-ordinal numbers, range-checked to the type's domain. */
+  private def epochDay(col: String, v: Any, lo: Long, hi: Long, tn: String): Long = {
+    val day: Long = v match {
+      case d: BigDecimal if d.isWhole => d.toLong
+      case s: String =>
+        try java.time.LocalDate.parse(s.trim).toEpochDay
+        catch { case _: Exception =>
+          throw CHFault(38, s"Cannot parse date '$s' for column $col") }
+      case other => throw CHFault(38, s"Cannot parse date '$other' for column $col")
+    }
+    if (day < lo || day > hi)
+      throw CHFault(321, s"Value $day is out of range of type $tn for column $col")
+    day
+  }
+
   private def minOf(bits: Int) = BigDecimal(BigInt(-1) << (bits - 1))
   private def maxOf(bits: Int) = BigDecimal((BigInt(1) << (bits - 1)) - 1)
   private def umaxOf(bits: Int) = BigDecimal((BigInt(1) << bits) - 1)
@@ -362,7 +431,10 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case other => throw CHFault(41, s"Cannot parse datetime '$other' for column $col")
     }
     val unit = math.pow(10, (6 - math.min(precision, 6)).toDouble).toLong
-    micros / unit * unit
+    // floorDiv: sub-precision digits on a PRE-EPOCH value must round down
+    // (toward -inf), matching the RowBinary tick encoding — truncation
+    // toward zero would store the two wire formats a tick apart
+    Math.floorDiv(micros, unit) * unit
   }
 
   private def defaultFor(t: CHType): Any = {
@@ -372,6 +444,8 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case CHBool => false
       case CHInt(_) | CHUInt(_) => BigInt(0)
       case CHFloat32 | CHFloat64 => 0.0
+      case CHDecimal(_, s) => BigDecimal(0).setScale(s)
+      case CHDate | CHDate32 => 0L
       case CHEnum(_, values) => values.minByOption(_._2).map(_._1).getOrElse("")
       case CHUUID => "00000000-0000-0000-0000-000000000000"
       case CHDateTime(_) | CHDateTime64(_, _) => 0L
@@ -426,6 +500,15 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case CHUInt(64) => BigInt(java.lang.Long.toUnsignedString(in.i64()))
       case CHFloat32 => java.lang.Float.intBitsToFloat(in.i32()).toDouble
       case CHFloat64 => java.lang.Double.longBitsToDouble(in.i64())
+      case CHDecimal(p, s) =>
+        // scaled little-endian two's-complement int of the width the
+        // precision implies — canonical form matches the JSON leg's
+        val width = if (p <= 9) 4 else if (p <= 18) 8 else 16
+        val le = in.take(width)
+        val be = le.reverse
+        BigDecimal(BigInt(new java.math.BigInteger(be)), s)
+      case CHDate => (in.i16() & 0xffff).toLong
+      case CHDate32 => in.i32().toLong
       case CHEnum(bits, values) =>
         val id = if (bits == 8) in.u8().toByte.toInt else in.i16()
         values.find(_._2 == id).map(_._1)
@@ -471,6 +554,14 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
   }
 
   // ---------------------------------------------------------------- plumbing
+
+  private def contentHash(query: String, body: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(query.getBytes(UTF_8))
+    md.update(0.toByte)
+    md.update(body)
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   private def parseParams(raw: String): Map[String, String] =
     raw.split("&").filter(_.nonEmpty).flatMap { kv =>

@@ -266,16 +266,16 @@ object KafkaWireSource {
       last)
   }
 
-  /** {"events":{"0":12,"7":3},"audit":{"0":5}} — topic → partition → next
-    * offset to read: the STOCK Kafka source's checkpoint shape, so offsets
-    * stay human-auditable and migration-familiar. Hand-rolled because the
-    * format must stay byte-stable across Spark upgrades. Kafka topic names
-    * are restricted to [a-zA-Z0-9._-], so no JSON escaping is needed. */
   /** Kafka's internal bookkeeping topics, excluded from subscribePattern
     * resolution (the consumer's exclude.internal.topics default). */
   private[kafka] val InternalTopics: Set[String] =
     Set("__consumer_offsets", "__transaction_state")
 
+  /** {"events":{"0":12,"7":3},"audit":{"0":5}} — topic → partition → next
+    * offset to read: the STOCK Kafka source's checkpoint shape, so offsets
+    * stay human-auditable and migration-familiar. Hand-rolled because the
+    * format must stay byte-stable across Spark upgrades. Kafka topic names
+    * are restricted to [a-zA-Z0-9._-], so no JSON escaping is needed. */
   private[kafka] def offsetsToJson(m: Map[TP, Long]): String =
     m.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, ps) =>
       val inner = ps.toSeq.sortBy(_._1._2)

@@ -28,6 +28,10 @@ import CHType._
   */
 object CHCast {
 
+  /** Date32's documented range, as epoch days. */
+  private[types] val date32LoDays = java.time.LocalDate.of(1900, 1, 1).toEpochDay
+  private[types] val date32HiDays = java.time.LocalDate.of(2299, 12, 31).toEpochDay
+
   private def isIntegral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
@@ -104,6 +108,28 @@ object CHCast {
     case CHFloat64 =>
       if (isFloating(from) || isIntegral(from)) c.cast(DoubleType) else nul(to)
 
+    case CHDecimal(p, s) =>
+      // numeric → Decimal(p,s); try_cast yields NULL (the error marker) on
+      // overflow, exactly like the integer narrowing branch
+      if (isFloating(from) || isIntegral(from)) c.try_cast(DecimalType(p, s))
+      else nul(to)
+
+    case CHDate | CHDate32 =>
+      val d: Column = from match {
+        case DateType => c
+        case _: TimestampType => to_date(c) // session tz (UTC in this engine)
+        // CH parses integers as day ordinals since epoch for Date inserts
+        case t if isIntegral(t) => date_from_unix_date(c.cast(IntegerType))
+        case StringType => c.try_cast(DateType) // bad format → NULL (error)
+        case _ => nul(to)
+      }
+      // range-check to the column's wire domain (u16 days / i32 bounded):
+      // an out-of-range date is an error, not a silent wrap
+      val days = datediff(d, to_date(lit("1970-01-01")))
+      val (lo, hi) =
+        if (to == CHDate) (0L, 65535L) else (date32LoDays, date32HiDays)
+      when(days >= lo && days <= hi, d)
+
     case CHDateTime(tz) =>
       // second precision: truncate fractional seconds; naive strings are
       // wall-clock in the column's tz (applied inside the parse)
@@ -112,9 +138,12 @@ object CHCast {
       val ts = DateTimeFormats.parseAny(c, from, tz)
       if (p <= 0) timestamp_seconds(unixSeconds(c, from, tz))
       else {
-        // keep only p fractional digits (micros ceiling — Spark's precision)
+        // keep only p fractional digits (micros ceiling — Spark's
+        // precision); FLOOR, not truncate-toward-zero: a pre-epoch value's
+        // sub-precision digits must round down or the stored tick lands a
+        // full unit high (matches RowBinaryEncoder's floorDiv)
         val unit = math.pow(10, math.min(p, 6)).toLong
-        timestamp_micros((unix_micros(ts).cast(DoubleType) / (1000000L / unit))
+        timestamp_micros(floor(unix_micros(ts).cast(DoubleType) / (1000000L / unit))
           .cast(LongType) * (1000000L / unit))
       }
 

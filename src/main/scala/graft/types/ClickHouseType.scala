@@ -2,13 +2,16 @@ package graft.types
 
 import org.apache.spark.sql.types._
 
-/** ClickHouse column-type model: the exact type domain the reference sink
-  * mapper accepts (glassflow-api/internal/constants.go:87-118,
+/** ClickHouse column-type model: the reference sink mapper's type domain
+  * (glassflow-api/internal/constants.go:87-118,
   * internal/mapper/clickhouse_validate.go:15-52): String, FixedString(N),
   * Bool, Int8..64, UInt8..64, Float32/64, Enum8/16, UUID, DateTime,
   * DateTime64(p[,tz]), LowCardinality(...) wrappers, Map(...), Array(...)
-  * including Array(Map(...)). Decimal / Date / Nullable / Tuple are
-  * intentionally NOT supported, matching the reference.
+  * including Array(Map(...)) — EXTENDED beyond the reference with
+  * Decimal(p,s) (incl. the Decimal32/64/128 aliases) and Date/Date32,
+  * the two families every real ClickHouse table uses that the reference
+  * mapper rejects. Nullable / Tuple / Nested stay unsupported at the API
+  * surface, matching the reference.
   */
 sealed trait CHType {
   /** The Spark type a column of this CH type materializes as. */
@@ -35,6 +38,18 @@ object CHType {
   }
   case object CHFloat32 extends CHType { val sparkType: DataType = FloatType }
   case object CHFloat64 extends CHType { val sparkType: DataType = DoubleType }
+  /** Decimal(p,s), p ≤ 38 (Spark's DecimalType ceiling — CH Decimal256 is
+    * out of domain). Wire form is a scaled integer: Decimal32 (p ≤ 9),
+    * Decimal64 (p ≤ 18) or Decimal128 (p ≤ 38). */
+  final case class CHDecimal(precision: Int, scale: Int) extends CHType {
+    require(precision >= 1 && precision <= 38 && scale >= 0 && scale <= precision,
+      s"Decimal($precision, $scale) out of the supported domain")
+    val sparkType: DataType = DecimalType(precision, scale)
+  }
+  /** Date: u16 days since 1970-01-01 (range [1970-01-01, 2149-06-06]). */
+  case object CHDate extends CHType { val sparkType: DataType = DateType }
+  /** Date32: i32 days since epoch, range [1900-01-01, 2299-12-31]. */
+  case object CHDate32 extends CHType { val sparkType: DataType = DateType }
   final case class CHEnum(bits: Int, values: Map[String, Int]) extends CHType {
     val sparkType: DataType = StringType
   }
@@ -70,6 +85,11 @@ object CHType {
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
+  private def mkDecimal(p: Int, s: Int, raw: String): CHDecimal =
+    try CHDecimal(p, s)
+    catch { case e: IllegalArgumentException => throw ParseException(
+      s"unsupported decimal '$raw': ${e.getMessage}") }
+
   /** Parse a ClickHouse type string, e.g. `LowCardinality(FixedString(16))`,
     * `Array(Map(String, String))`, `DateTime64(3, 'UTC')`,
     * `Enum8('a' = 1, 'b' = 2)`. Unsupported types raise ParseException —
@@ -97,6 +117,15 @@ object CHType {
       case "UInt64" => CHUInt(64)
       case "Float32" => CHFloat32
       case "Float64" => CHFloat64
+      case "Decimal" =>
+        if (args.length != 2) throw ParseException(s"Decimal needs (p, s): $s")
+        mkDecimal(args(0).trim.toInt, args(1).trim.toInt, s)
+      // CH's width aliases fix the precision, the argument is the scale
+      case "Decimal32" => mkDecimal(9, args.head.trim.toInt, s)
+      case "Decimal64" => mkDecimal(18, args.head.trim.toInt, s)
+      case "Decimal128" => mkDecimal(38, args.head.trim.toInt, s)
+      case "Date" => CHDate
+      case "Date32" => CHDate32
       case "UUID" => CHUUID
       case "DateTime" => CHDateTime(args.headOption.map(stripQuotes))
       case "DateTime64" =>
@@ -107,11 +136,13 @@ object CHType {
           args.lift(1).map(stripQuotes))
       case "Enum8" | "Enum16" =>
         val bits = if (name == "Enum8") 8 else 16
-        CHEnum(bits, args.map { a =>
-          a.split("=") match {
-            case Array(k, v) => stripQuotes(k) -> v.trim.toInt
-            case _ => throw ParseException(s"malformed enum entry '$a' in: $s")
-          }
+        // the label is a CH string literal: backslash escapes ('a\'b') and
+        // '=' inside the label are both legal, so a naive split on '='
+        // corrupts — match the full literal, then the id
+        val entry = """^\s*'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)\s*$""".r
+        CHEnum(bits, args.map {
+          case entry(label, id) => unescape(label) -> id.toInt
+          case a => throw ParseException(s"malformed enum entry '$a' in: $s")
         }.toMap)
       case "LowCardinality" => CHLowCardinality(parse(args.head))
       case "Nullable" => CHNullable(parse(args.head))
@@ -135,19 +166,25 @@ object CHType {
   }
 
   /** Split top-level comma-separated type arguments (commas inside nested
-    * parens or quotes don't split). */
+    * parens or quotes don't split; a backslash inside a quoted literal
+    * escapes the next char — `Enum8('a\'b' = 1)` is one argument). */
   private def splitArgs(s: String): Seq[String] = {
     if (s.trim.isEmpty) return Seq.empty
     val out = Seq.newBuilder[String]
     var depth = 0
     var inQuote = false
+    var escaped = false
     val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case '(' if !inQuote => depth += 1; cur += '('
-      case ')' if !inQuote => depth -= 1; cur += ')'
-      case ',' if depth == 0 && !inQuote => out += cur.toString.trim; cur.clear()
-      case c => cur += c
+    s.foreach { c =>
+      if (escaped) { escaped = false; cur += c }
+      else c match {
+        case '\\' if inQuote => escaped = true; cur += '\\'
+        case '\'' => inQuote = !inQuote; cur += '\''
+        case '(' if !inQuote => depth += 1; cur += '('
+        case ')' if !inQuote => depth -= 1; cur += ')'
+        case ',' if depth == 0 && !inQuote => out += cur.toString.trim; cur.clear()
+        case other => cur += other
+      }
     }
     if (cur.nonEmpty) out += cur.toString.trim
     out.result()
@@ -155,6 +192,20 @@ object CHType {
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
-    if (t.length >= 2 && t.head == '\'' && t.last == '\'') t.substring(1, t.length - 1) else t
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      unescape(t.substring(1, t.length - 1))
+    else t
+  }
+
+  /** Undo CH string-literal escapes: `\'` → `'`, `\\` → `\`. */
+  private def unescape(s: String): String = {
+    if (!s.contains('\\')) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) { b += s(i + 1); i += 2 }
+      else { b += s(i); i += 1 }
+    }
+    b.toString
   }
 }

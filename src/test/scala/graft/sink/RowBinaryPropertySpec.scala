@@ -23,7 +23,8 @@ class RowBinaryPropertySpec extends SparkSpec {
     "e" -> "Enum8('alpha' = 1, 'beta' = 2, 'gamma' = 3)",
     "uid" -> "UUID", "dt" -> "DateTime", "dt64" -> "DateTime64(6)",
     "lc" -> "LowCardinality(String)", "ns" -> "Nullable(String)",
-    "m" -> "Map(String, String)", "arr" -> "Array(Int64)")
+    "m" -> "Map(String, String)", "arr" -> "Array(Int64)",
+    "dec" -> "Decimal(12, 3)", "day" -> "Date", "day32" -> "Date32")
 
   private val mappings = schema.map { case (n, t) => ColumnMapping(n, n, t) }
 
@@ -60,7 +61,14 @@ class RowBinaryPropertySpec extends SparkSpec {
       Seq("red", "green", "blue")(r.nextInt(3)),
       if (r.nextBoolean()) null else str(10),
       (0 until r.nextInt(4)).map(k => s"k$k" -> str(6)).toMap,
-      (0 until r.nextInt(5)).map(_ => r.nextLong()): Seq[Long]
+      (0 until r.nextInt(5)).map(_ => r.nextLong()): Seq[Long],
+      // Decimal(12,3): 9 integral digits max, already at the target scale
+      // so neither leg rounds
+      BigDecimal(r.nextLong() % 1000000000000L, 3),
+      // Date: u16 day domain; Date32: [1900-01-01, 2299-12-31]
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(r.nextInt(65536).toLong)),
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        -25567L + r.nextInt(146097)))
     )
   }
 
@@ -73,7 +81,7 @@ class RowBinaryPropertySpec extends SparkSpec {
       val seed = 20260815L // deterministic: failures must reproduce
       val rows = randomRows(new Random(seed), 200)
       val df = rows.toDF("id", "s", "fs", "b", "i32", "u16", "f32", "f64",
-        "e", "uid", "dt", "dt64", "lc", "ns", "m", "arr")
+        "e", "uid", "dt", "dt64", "lc", "ns", "m", "arr", "dec", "day", "day32")
       def c(table: String, fmt: String) = ClickHouseSink.Config(
         url = ch.endpoint, database = "default", table = table,
         mappings = mappings, httpFormat = fmt)

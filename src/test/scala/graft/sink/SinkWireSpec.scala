@@ -543,7 +543,7 @@ class SinkWireSpec extends SparkSpec {
       // must reject THAT row client-side and let the others land
       val df = Seq((1, "ok"), (2, "toolong"), (3, "ko")).toDF("id", "code")
         .coalesce(1)
-      val failed = ClickHouseHttp.writeIsolating(hc)(df)
+      val failed = ClickHouseHttp.writeIsolating(hc)(df).collect().toSeq
       assert(ch.rowCount("default", "rb3") == 2)
       assert(failed.size == 1)
       assert(failed.head._2.contains("Code: 131"))
@@ -625,7 +625,7 @@ class SinkWireSpec extends SparkSpec {
       // the isolation path resolves dotted names too
       val failed = ClickHouseHttp.writeIsolating(
         ClickHouseSink.httpConfig(cfg(ch, "dotted", m)))(
-        graft.sink.SinkMapper(m)(df))
+        graft.sink.SinkMapper(m)(df)).collect().toSeq
       assert(failed.isEmpty)
       assert(ch.rowCount("default", "dotted") == 6)
     }
@@ -641,6 +641,226 @@ class SinkWireSpec extends SparkSpec {
       }
       assert(e.code == 516)
       assert(ErrorClassifier.classify(e) == ErrorClassifier.Permanent)
+    }
+  }
+
+  test("Decimal(p,s) and Date/Date32 round-trip identically over both wire formats") {
+    withServer() { ch =>
+      val schema = Seq("id" -> "Int32", "price" -> "Decimal(10, 2)",
+        "d" -> "Date", "d32" -> "Date32")
+      ch.createTable("default", "dec_json", schema)
+      ch.createTable("default", "dec_rb", schema)
+      val m = schema.map { case (n, t) => ColumnMapping(n, n, t) }
+      val df = Seq(
+        (1, BigDecimal("19.99"), java.sql.Date.valueOf("2025-06-01"),
+          java.sql.Date.valueOf("1955-11-05")),
+        (2, BigDecimal("-12345678.01"), java.sql.Date.valueOf("1970-01-01"),
+          java.sql.Date.valueOf("2299-12-31")),
+        (3, BigDecimal("0.5"), java.sql.Date.valueOf("2149-06-06"),
+          java.sql.Date.valueOf("1900-01-01"))
+      ).toDF("id", "price", "d", "d32")
+      ClickHouseSink.writeBatch(cfg(ch, "dec_json", m))(df)
+      ClickHouseSink.writeBatch(cfg(ch, "dec_rb", m)
+        .copy(httpFormat = "RowBinary"))(df)
+      def byId(t: String) =
+        ch.rows("default", t).map(r => r("id") -> r).toMap
+      val (j, r) = (byId("dec_json"), byId("dec_rb"))
+      assert(j.size == 3 && r.size == 3)
+      // the two wire encodings share no code; canonical equality across
+      // them is the same cross-format oracle RowBinaryPropertySpec uses
+      for (id <- j.keys) assert(j(id) == r(id), s"row $id differs: ${j(id)} vs ${r(id)}")
+      assert(j(BigInt(1))("price") == BigDecimal("19.99"))
+      assert(j(BigInt(2))("d32") ==
+        java.time.LocalDate.of(2299, 12, 31).toEpochDay)
+      assert(j(BigInt(3))("d") ==
+        java.time.LocalDate.of(2149, 6, 6).toEpochDay)
+    }
+  }
+
+  test("Decimal overflow and out-of-range Date are row-data faults: isolated per row, not per batch") {
+    withServer() { ch =>
+      // JSONEachRow leg: the SERVER rejects (407 / 321), row-wise replay
+      // dead-letters just the poison rows
+      ch.createTable("default", "dec_of", Seq("id" -> "Int32", "v" -> "Decimal(6, 2)"))
+      val hc = ClickHouseHttp.Config(ch.endpoint, "default", "dec_of")
+      val df = Seq((1, "12.34"), (2, "123456789.99"), (3, "-0.01"))
+        .toDF("id", "v").coalesce(1)
+      val failed = ClickHouseHttp.writeIsolating(hc)(df).collect().toSeq
+      assert(ch.rowCount("default", "dec_of") == 2)
+      assert(failed.size == 1 && failed.head._2.contains("Code: 407"))
+
+      // RowBinary leg: the ENCODER rejects client-side in the same Code: NNN
+      // shape, so poison isolation works without a server round-trip
+      ch.createTable("default", "date_of", Seq("id" -> "Int32", "d" -> "Date"))
+      val hcRb = ClickHouseHttp.Config(ch.endpoint, "default", "date_of",
+        format = "RowBinary",
+        columnTypes = Map("id" -> "Int32", "d" -> "Date"))
+      val df2 = Seq((1, java.sql.Date.valueOf("2025-01-01")),
+        (2, java.sql.Date.valueOf("1955-11-05")), // pre-1970: u16 Date can't hold it
+        (3, java.sql.Date.valueOf("1970-01-01"))).toDF("id", "d").coalesce(1)
+      val failed2 = ClickHouseHttp.writeIsolating(hcRb)(df2).collect().toSeq
+      assert(ch.rowCount("default", "date_of") == 2)
+      assert(failed2.size == 1 && failed2.head._2.contains("Code: 321"))
+      assert(failed2.head._1.contains("1955-11-05"))
+    }
+  }
+
+  test("enum type with escaped quote / '=' in a label survives DESCRIBE, validation and both wire formats") {
+    withServer() { ch =>
+      val enumType = """Enum8('won\'t' = 1, 'a=b' = 2)"""
+      ch.createTable("default", "sev", Seq("id" -> "Int32", "e" -> enumType))
+      val base = ClickHouseHttp.Config(ch.endpoint, "default", "sev")
+      // a regex-based DESCRIBE parse splits on the escaped quote and drops
+      // the column; the JSON parse must return it verbatim
+      assert(ClickHouseHttp.describeTable(base) ==
+        Seq("id" -> "Int32", "e" -> enumType))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("e", "e", enumType))
+      assert(ClickHouseSink.validateAgainstTable(cfg(ch, "sev", m)).isRight,
+        "escaped-quote enum column must validate against the live schema")
+      val df = Seq((1, "won't"), (2, "a=b")).toDF("id", "e")
+      for (fmt <- Seq("JSONEachRow", "RowBinary"))
+        ClickHouseSink.writeBatch(cfg(ch, "sev", m).copy(httpFormat = fmt))(df)
+      assert(ch.rowCount("default", "sev") == 4)
+      assert(ch.rows("default", "sev").map(_("e")).toSet == Set("won't", "a=b"))
+    }
+  }
+
+  test("Map(String, Int64) column: stringified map values re-encode as typed Int64 on the RowBinary wire") {
+    withServer() { ch =>
+      val schema = Seq("id" -> "Int32", "counts" -> "Map(String, Int64)")
+      ch.createTable("default", "m_json", schema)
+      ch.createTable("default", "m_rb", schema)
+      val m = schema.map { case (n, t) => ColumnMapping(n, n, t) }
+      // the mapper coerces map VALUES to strings (reference types.go:238-276);
+      // the RowBinary encoder must re-parse them to the declared wire type —
+      // encoding the string raw would corrupt the row framing
+      val df = Seq((1, Map("a" -> 42L, "b" -> -7L)), (2, Map("z" -> 0L)))
+        .toDF("id", "counts")
+      ClickHouseSink.writeBatch(cfg(ch, "m_json", m))(df)
+      ClickHouseSink.writeBatch(cfg(ch, "m_rb", m).copy(httpFormat = "RowBinary"))(df)
+      val j = ch.rows("default", "m_json").map(r => r("id") -> r("counts")).toMap
+      val r = ch.rows("default", "m_rb").map(r => r("id") -> r("counts")).toMap
+      assert(j == r, s"formats disagree: $j vs $r")
+      assert(j(BigInt(1)) == Map("a" -> BigInt(42), "b" -> BigInt(-7)))
+    }
+  }
+
+  test("insert_deduplicate=1: an identical retried block lands exactly once; off, it duplicates") {
+    withServer() { ch =>
+      ch.createTable("default", "idem", Seq("id" -> "Int32"))
+      val df = Seq(1, 2, 3).toDF("id").coalesce(1)
+      val m = Seq(ColumnMapping("id", "id", "Int32"))
+      // setting ON: the same micro-batch re-POSTed (Spark's at-least-once
+      // replay after a handler crash) is content-hash-deduped server-side
+      val on = cfg(ch, "idem", m)
+        .copy(httpSettings = Map("insert_deduplicate" -> "1"))
+      ClickHouseSink.writeBatch(on)(df)
+      ClickHouseSink.writeBatch(on)(df) // identical bytes: the retry
+      assert(ch.rowCount("default", "idem") == 3,
+        "retried identical block must be deduplicated")
+      // setting OFF (default): the same bytes land twice
+      ch.createTable("default", "dup", Seq("id" -> "Int32"))
+      val off = cfg(ch, "dup", m)
+      ClickHouseSink.writeBatch(off)(df)
+      ClickHouseSink.writeBatch(off)(df)
+      assert(ch.rowCount("default", "dup") == 6,
+        "without insert_deduplicate duplicates are stored")
+      // a DIFFERENT block with the setting on still lands
+      ClickHouseSink.writeBatch(on)(Seq(9).toDF("id").coalesce(1))
+      assert(ch.rowCount("default", "idem") == 4)
+    }
+  }
+
+  test("pre-epoch fractional timestamps agree across wire formats (floor, not truncate-toward-zero)") {
+    withServer() { ch =>
+      val schema = Seq("id" -> "Int32", "ts" -> "DateTime64(3)")
+      ch.createTable("default", "pre_json", schema)
+      ch.createTable("default", "pre_rb", schema)
+      val m = schema.map { case (n, t) => ColumnMapping(n, n, t) }
+      def ts(sec: Long, nanos: Int) =
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec, nanos.toLong))
+      val df = Seq(
+        (1, ts(-1, 500000000)),  // 1969-12-31T23:59:59.500 → -500 ms exactly
+        (2, ts(-2, 999500000)),  // -1.0005 s: sub-ms digits must FLOOR → -1001 ms
+        (3, ts(1, 250000000))    // post-epoch control
+      ).toDF("id", "ts")
+      ClickHouseSink.writeBatch(cfg(ch, "pre_json", m))(df)
+      ClickHouseSink.writeBatch(cfg(ch, "pre_rb", m)
+        .copy(httpFormat = "RowBinary"))(df)
+      val j = ch.rows("default", "pre_json").map(r => r("id") -> r("ts")).toMap
+      val r = ch.rows("default", "pre_rb").map(r => r("id") -> r("ts")).toMap
+      assert(j == r, s"formats disagree: $j vs $r")
+      assert(j(BigInt(1)) == -500000L, "−0.5 s must encode as −0.5 s, not +0.5 s")
+      assert(j(BigInt(2)) == -1001000L, "sub-precision pre-epoch digits floor")
+      assert(j(BigInt(3)) == 1250000L)
+    }
+  }
+
+  test("DateTime (u32) out-of-range values dead-letter instead of silently wrapping") {
+    withServer() { ch =>
+      ch.createTable("default", "dtr", Seq("id" -> "Int32", "t" -> "DateTime"))
+      val hc = ClickHouseHttp.Config(ch.endpoint, "default", "dtr",
+        format = "RowBinary",
+        columnTypes = Map("id" -> "Int32", "t" -> "DateTime"))
+      val df = Seq(
+        (1, java.sql.Timestamp.valueOf("2025-06-01 10:00:00")),
+        (2, java.sql.Timestamp.valueOf("1955-11-05 06:00:00")), // pre-epoch
+        (3, java.sql.Timestamp.valueOf("2200-01-01 00:00:00"))  // past u32
+      ).toDF("id", "t").coalesce(1)
+      val failed = ClickHouseHttp.writeIsolating(hc)(df).collect().toSeq
+      assert(ch.rowCount("default", "dtr") == 1)
+      assert(failed.size == 2)
+      assert(failed.forall(_._2.contains("Code: 321")))
+    }
+  }
+
+  test("poison-MAJORITY batch dead-letters executor-side: no driver materialization of row contents") {
+    withServer() { ch =>
+      ch.createTable("default", "pm",
+        Seq("id" -> "Int32", "code" -> "FixedString(3)"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("code", "code", "String"))
+      // EVERY row overflows FixedString(3) — the incident shape (a mapping
+      // edit poisons the whole batch) where the failure set equals the
+      // batch and a driver-side collect would OOM at 100M rows
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val df = spark.range(5000).select(col("id").cast("int").as("id"),
+        concat(lit("bad-"), col("id")).as("code")).repartition(4)
+      var dlqRows = -1L
+      var dlqDriverMaterialized = true
+      val handler = ClickHouseSink.foreachBatchHandler(cfg(ch, "pm", m), d => {
+        // a driver-collected failure set reaches the DLQ as a LocalRelation
+        // (rows parallelized FROM the driver); the executor-side path keeps
+        // the mapPartitions insert chain in the plan — assert on the plan
+        dlqDriverMaterialized = d.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.nonEmpty
+        dlqRows = d.count()
+      })
+      handler(df, 0L)
+      assert(ch.rowCount("default", "pm") == 0)
+      assert(dlqRows == 5000)
+      assert(!dlqDriverMaterialized,
+        "DLQ frame must stay distributed — failure rows may not funnel through the driver")
+    }
+  }
+
+  test("poison-minority batch still isolates per row through the executor-side DLQ path") {
+    withServer() { ch =>
+      ch.createTable("default", "pmin",
+        Seq("id" -> "Int32", "code" -> "FixedString(3)"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("code", "code", "String"))
+      val df = Seq((1, "ok"), (2, "toolong"), (3, "ko"), (4, "abc"))
+        .toDF("id", "code").coalesce(1)
+      val dlq = dlqQueue()
+      ClickHouseSink.foreachBatchHandler(cfg(ch, "pmin", m),
+        d => d.collect().foreach(dlq.add))(df, 0L)
+      assert(ch.rowCount("default", "pmin") == 3)
+      assert(dlq.size == 1)
+      assert(dlq.asScala.head.getAs[String]("error").contains("Code: 131"))
+      assert(dlq.asScala.head.getAs[String]("original_message").contains("toolong"))
     }
   }
 }

@@ -33,8 +33,21 @@ class CHTypeSpec extends SparkSpec {
   }
 
   test("rejects unsupported types (reference parity)") {
-    Seq("Decimal(10,2)", "Date", "Nullable(String)", "Tuple(String, Int32)", "Interval")
+    Seq("Nullable(String)", "Tuple(String, Int32)", "Interval")
       .foreach(t => assert(!CHType.isSupported(t), s"$t should be unsupported"))
+  }
+
+  test("enum labels: escaped quotes, '=' and commas inside the literal") {
+    // all legal ClickHouse: the label is a string LITERAL, not a token
+    assert(CHType.parse("""Enum8('a\'b' = 1)""") == CHEnum(8, Map("a'b" -> 1)))
+    assert(CHType.parse("Enum8('a=b' = 1, 'c' = 2)") ==
+      CHEnum(8, Map("a=b" -> 1, "c" -> 2)))
+    assert(CHType.parse("Enum16('x,y' = -3)") == CHEnum(16, Map("x,y" -> -3)))
+    assert(CHType.parse("""Enum8('back\\slash' = 7)""") ==
+      CHEnum(8, Map("back\\slash" -> 7)))
+    // negative ids are legal for enums
+    assert(CHType.parse("Enum8('neg' = -128, 'pos' = 127)") ==
+      CHEnum(8, Map("neg" -> -128, "pos" -> 127)))
   }
 
   test("spark type mapping") {
