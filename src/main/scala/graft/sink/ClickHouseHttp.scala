@@ -42,9 +42,9 @@ object ClickHouseHttp {
     /** Per-insert settings passed as URL params (async_insert,
       * wait_for_async_insert, insert_deduplicate, ...). */
     settings: Map[String, String] = Map.empty,
-    format: String = "JSONEachRow",            // or RowBinary
-    /** column → ClickHouse type, required for RowBinary encoding
-      * (JSONEachRow is self-describing; RowBinary is column-order binary). */
+    format: String = "JSONEachRow",            // or RowBinary, or Native
+    /** column → ClickHouse type, required for RowBinary/Native encoding
+      * (JSONEachRow is self-describing; the binary formats are typed). */
     columnTypes: Map[String, String] = Map.empty,
     /** gzip the INSERT body (`Content-Encoding: gzip`, which the server
       * decompresses natively) — JSONEachRow compresses ~10×, so at scale
@@ -170,7 +170,10 @@ object ClickHouseHttp {
     * columns, target names) — encode per the configured format and POST
     * per partition, slabbed at maxRowsPerPost rows / maxBytesPerPost
     * bytes, whichever trips first. */
-  def write(c: Config)(df: DataFrame): Unit = {
+  def write(c: Config)(df: DataFrame): Unit =
+    if (c.format == "Native") writeNativeBlocks(c)(df) else writeRowSlabs(c)(df)
+
+  private def writeRowSlabs(c: Config)(df: DataFrame): Unit = {
     val query = insertQuery(c, df.columns.toSeq)
     val conf = c
     rowBytes(c, df).foreachPartition { (it: Iterator[Array[Byte]]) =>
@@ -215,7 +218,10 @@ object ClickHouseHttp {
     * persist it first, or slabs will re-POST (at-least-once).
     * [[ClickHouseSink.writeBatchHttp]] does persist + count + distributed
     * DLQ write, returning only counts to the driver. */
-  def writeIsolating(c: Config)(df: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
+  def writeIsolating(c: Config)(df: DataFrame): org.apache.spark.sql.Dataset[(String, String)] =
+    if (c.format == "Native") writeIsolatingNative(c)(df) else writeIsolatingRows(c)(df)
+
+  private def writeIsolatingRows(c: Config)(df: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
     val query = insertQuery(c, df.columns.toSeq)
     val conf = c
     val spark = df.sparkSession
@@ -260,6 +266,87 @@ object ClickHouseHttp {
       flush()
       failed.iterator
     }
+  }
+
+  /** Native-format write leg: COLUMNAR blocks per partition — one type
+    * dispatch per column per block instead of per value, the layout the
+    * server stores without per-row reassembly (see
+    * [[graft.types.NativeEncoder]]). Slab bounds are the same
+    * rows/bytes-whichever-trips-first as the row-oriented leg. A
+    * client-side encode fault rethrows (this path has no isolation —
+    * use [[writeIsolating]] for that). */
+  private def writeNativeBlocks(c: Config)(df: DataFrame): Unit = {
+    val names = df.columns.toSeq
+    val types = names.map(n => CHType.parse(c.columnTypes.getOrElse(n, "String")))
+    val query = insertQuery(c, names)
+    val conf = c
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      var b = new graft.types.NativeEncoder.BlockBuilder(names, types)
+      def flush(): Unit = if (b.rowCount > 0) {
+        post(conf, query, b.build())
+        b = new graft.types.NativeEncoder.BlockBuilder(names, types)
+      }
+      it.foreach { row =>
+        b.tryAppend(row).foreach(err => throw new IllegalArgumentException(err))
+        if (b.rowCount >= conf.maxRowsPerPost || b.byteSize >= conf.maxBytesPerPost)
+          flush()
+      }
+      flush()
+    }
+  }
+
+  /** Poison-row isolation on the Native leg: a client-side value fault
+    * rolls just that row out of the block (BlockBuilder.tryAppend is
+    * row-atomic across columns); a server row-data fault replays the
+    * block's rows as single-row blocks, exactly the row-oriented legs'
+    * replay shape. Distributed + lazy like [[writeIsolating]]. */
+  private def writeIsolatingNative(c: Config)(df: DataFrame):
+      org.apache.spark.sql.Dataset[(String, String)] = {
+    val names = df.columns.toSeq
+    val types = names.map(n => CHType.parse(c.columnTypes.getOrElse(n, "String")))
+    val query = insertQuery(c, names)
+    val conf = c
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.struct
+    import spark.implicits._
+    df.select(jsonCol(df).as("__j"), struct(verbatimCols(df): _*).as("__r"))
+      .mapPartitions { it =>
+        val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        var builder = new graft.types.NativeEncoder.BlockBuilder(names, types)
+        val chunk = scala.collection.mutable.ArrayBuffer[(String, org.apache.spark.sql.Row)]()
+        def replayRowwise(): Unit = chunk.foreach { case (repr, r) =>
+          try post(conf, query,
+            graft.types.NativeEncoder.encodeSingleRow(names, types, r))
+          catch {
+            case CHServerException(code, msg) if ErrorClassifier.isRowDataFault(code) =>
+              failed += ((repr, s"Code: $code. DB::Exception: $msg"))
+          }
+        }
+        def flush(): Unit = {
+          if (builder.rowCount > 0) {
+            try post(conf, query, builder.build())
+            catch {
+              case CHServerException(code, _) if ErrorClassifier.isRowDataFault(code) =>
+                replayRowwise()
+            }
+          }
+          builder = new graft.types.NativeEncoder.BlockBuilder(names, types)
+          chunk.clear()
+        }
+        it.foreach { row =>
+          val repr = row.getString(0)
+          val r = row.getStruct(1)
+          builder.tryAppend(r) match {
+            case Some(err) => failed += ((repr, err))
+            case None =>
+              chunk += ((repr, r))
+              if (builder.rowCount >= conf.maxRowsPerPost ||
+                builder.byteSize >= conf.maxBytesPerPost) flush()
+          }
+        }
+        flush()
+        failed.iterator
+      }
   }
 
   /** Isolation-path encoding: (jsonRepr, bytesOrNull, encodeErrOrNull) per

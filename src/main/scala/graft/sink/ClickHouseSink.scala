@@ -156,9 +156,9 @@ object ClickHouseSink {
               mt == st ||
                 // a plain-String mapping may feed FixedString on the
                 // JSONEachRow leg only (the server enforces the width);
-                // RowBinary encodes by the MAPPING's type, so a String/
-                // FixedString disagreement would corrupt the row framing
-                (c.httpFormat != "RowBinary" &&
+                // the binary formats encode by the MAPPING's type, so a
+                // String/FixedString disagreement would corrupt the framing
+                (c.httpFormat != "RowBinary" && c.httpFormat != "Native" &&
                   mt == graft.types.CHType.CHString &&
                   st.isInstanceOf[graft.types.CHType.CHFixedString])
             } catch { case _: Exception => true } // unparseable → server's call

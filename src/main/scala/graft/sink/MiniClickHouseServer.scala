@@ -176,7 +176,7 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                   val unknown = cols.filterNot(c => table.columns.exists(_.name == c))
                   if (unknown.nonEmpty) {
                     fail(ex, 404, 16, s"No such column ${unknown.head} in table $db.$tbl")
-                  } else if (fmt != "JSONEachRow" && fmt != "RowBinary") {
+                  } else if (fmt != "JSONEachRow" && fmt != "RowBinary" && fmt != "Native") {
                     fail(ex, 400, 73, s"Unknown format $fmt")
                   } else {
                     try {
@@ -199,6 +199,7 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                       } else {
                         val parsed =
                           if (fmt == "JSONEachRow") parseJsonEachRow(table, cols, body)
+                          else if (fmt == "Native") parseNative(table, cols, body)
                           else parseRowBinary(table, cols, body)
                         tables.synchronized {
                           table.accepted += parsed.count
@@ -532,6 +533,99 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case CHArray(inner) =>
         val n = in.varint()
         (0L until n).map(_ => readBinary(in, inner, col)).toVector
+    }
+  }
+
+  // ----------------------------------------------------------------- Native
+
+  /** Native-format decode: columnar blocks (`varint n_cols, varint n_rows`,
+    * then per column name, declared type text, column-major data). Per-value
+    * scalar layouts equal RowBinary's, so [[readBinary]] is reused; the
+    * structural differences — Nullable's grouped mask, Array/Map u64
+    * offsets — are decoded here. Column types declared by the BLOCK are
+    * validated against the table like the real server's converting-actions
+    * step: equal modulo LowCardinality wrappers (a block sends LC columns
+    * as their inner type), plus non-nullable into Nullable. */
+  private def parseNative(table: Table, cols: Seq[String], body: Array[Byte]): RowSlab = {
+    val in = new RowBinaryReader(body)
+    val out = mutable.ArrayBuffer[Map[String, Any]]()
+    var total = 0L
+    try {
+      while (in.hasMore) { // a POST may carry several blocks
+        val ncols = in.varint().toInt
+        val nrows = in.varint().toInt
+        val colData = (0 until ncols).map { _ =>
+          val name = in.str()
+          val typeStr = in.str()
+          val declared =
+            try CHType.parse(typeStr)
+            catch { case _: Exception =>
+              throw CHFault(50, s"Unknown data type in Native block: $typeStr") }
+          if (!cols.contains(name))
+            throw CHFault(117, s"Column $name in Native block is not in the INSERT column list")
+          val tcol = table.columns.find(_.name == name).getOrElse(
+            throw CHFault(16, s"No such column $name in table"))
+          if (!nativeCompatible(declared, tcol.chType))
+            throw CHFault(53, s"Type mismatch for column $name: block declares $typeStr")
+          name -> readNativeColumn(in, declared, nrows, name)
+        }
+        if (retainRows)
+          (0 until nrows).foreach { r =>
+            out += colData.map { case (n, vs) => n -> vs(r) }.toMap
+          }
+        total += nrows
+      }
+    } catch {
+      case _: IndexOutOfBoundsException =>
+        throw CHFault(33, s"Cannot read all data: truncated Native block after $total rows")
+    }
+    RowSlab(out.toSeq, total)
+  }
+
+  /** Block column type vs table column type: equal modulo LowCardinality;
+    * a non-nullable block column may feed a Nullable table column (the
+    * real server inserts converting actions for both). */
+  private def nativeCompatible(block: CHType, tbl: CHType): Boolean = {
+    import CHType._
+    def stripLC(t: CHType): CHType = t match {
+      case CHLowCardinality(i) => stripLC(i)
+      case CHNullable(i) => CHNullable(stripLC(i))
+      case CHArray(i) => CHArray(stripLC(i))
+      case CHMap(k, v) => CHMap(stripLC(k), stripLC(v))
+      case x => x
+    }
+    val (b, t) = (stripLC(block), stripLC(tbl))
+    b == t || (t match { case CHNullable(i) => b == i; case _ => false })
+  }
+
+  private def readNativeColumn(in: RowBinaryReader, t: CHType, n: Int,
+                               col: String): IndexedSeq[Any] = {
+    import CHType._
+    t match {
+      case CHLowCardinality(inner) => readNativeColumn(in, inner, n, col)
+      case CHNullable(inner) =>
+        val mask = (0 until n).map(_ => in.u8() == 1)
+        val vals = readNativeColumn(in, inner, n, col)
+        (0 until n).map(i => if (mask(i)) null else vals(i))
+      case CHArray(inner) =>
+        val offs = (0 until n).map(_ => in.i64())
+        val flat = readNativeColumn(in, inner,
+          if (n == 0) 0 else offs.last.toInt, col)
+        var prev = 0
+        offs.map { o =>
+          val s = flat.slice(prev, o.toInt).toVector; prev = o.toInt; s
+        }
+      case CHMap(_, vt) =>
+        val offs = (0 until n).map(_ => in.i64())
+        val totalElems = if (n == 0) 0 else offs.last.toInt
+        val keys = (0 until totalElems).map(_ => in.str())
+        val vals = readNativeColumn(in, vt, totalElems, col)
+        var prev = 0
+        offs.map { o =>
+          val m = (prev until o.toInt).map(i => keys(i) -> vals(i)).toMap
+          prev = o.toInt; m
+        }
+      case scalar => (0 until n).map(_ => readBinary(in, scalar, col))
     }
   }
 

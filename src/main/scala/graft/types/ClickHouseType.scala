@@ -152,6 +152,34 @@ object CHType {
     }
   }
 
+  /** Canonical ClickHouse type text for `t` — the inverse of [[parse]]
+    * (modulo whitespace). Used for the type strings a Native-format block
+    * header declares per column. */
+  def render(t: CHType): String = t match {
+    case CHString => "String"
+    case CHFixedString(n) => s"FixedString($n)"
+    case CHBool => "Bool"
+    case CHInt(b) => s"Int$b"
+    case CHUInt(b) => s"UInt$b"
+    case CHFloat32 => "Float32"
+    case CHFloat64 => "Float64"
+    case CHDecimal(p, s) => s"Decimal($p, $s)"
+    case CHDate => "Date"
+    case CHDate32 => "Date32"
+    case CHUUID => "UUID"
+    case CHDateTime(tz) => tz.fold("DateTime")(z => s"DateTime('$z')")
+    case CHDateTime64(p, tz) =>
+      tz.fold(s"DateTime64($p)")(z => s"DateTime64($p, '$z')")
+    case CHEnum(bits, values) =>
+      values.toSeq.sortBy(_._2).map { case (k, v) =>
+        s"'${k.replace("\\", "\\\\").replace("'", "\\'")}' = $v"
+      }.mkString(s"Enum$bits(", ", ", ")")
+    case CHLowCardinality(i) => s"LowCardinality(${render(i)})"
+    case CHNullable(i) => s"Nullable(${render(i)})"
+    case CHMap(k, v) => s"Map(${render(k)}, ${render(v)})"
+    case CHArray(i) => s"Array(${render(i)})"
+  }
+
   def isSupported(s: String): Boolean =
     try { !containsNullable(parse(s)) } catch { case _: Exception => false }
 

@@ -1,0 +1,219 @@
+package graft.types
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.Row
+
+/** ClickHouse Native-format block encoder — the COLUMNAR public INSERT
+  * format (`FORMAT Native` over the HTTP interface): one block is
+  * `varint n_cols, varint n_rows`, then per column its name, its type
+  * text and the column's values laid out column-major. The reference
+  * reaches the same layout through clickhouse-go's native TCP batches
+  * (internal/client/clickhouse.go, internal/batch/clickhouse/batch.go);
+  * Native-over-HTTP is the documented equivalent that needs no protocol
+  * handshake.
+  *
+  * Why beyond RowBinary: column-major means one type dispatch per COLUMN
+  * per block instead of per value, contiguous same-width runs, and the
+  * server ingests the block without per-row reassembly — the next step in
+  * wire efficiency after RowBinary halved JSONEachRow's bytes.
+  *
+  * Per-VALUE byte layouts for scalars are identical to RowBinary (shared
+  * via [[RowBinaryEncoder.writeValue]]); the structural differences are
+  * Native's: Nullable = null-mask bytes for all rows FIRST then inner
+  * values, Array = u64 cumulative offsets then flattened inner column,
+  * Map = u64 offsets then the key column then the value column.
+  * LowCardinality columns are declared and sent as their INNER type — the
+  * server converts on insert (the same conversion that lets a String
+  * block feed a LowCardinality(String) column), which sidesteps LC's
+  * dictionary serialization version handshake entirely.
+  *
+  * Poison-row support: [[BlockBuilder.tryAppend]] appends one row across
+  * all column writers atomically — every writer marks its buffer
+  * positions first and rolls back on a value fault — so a client-side
+  * reject (FixedString overflow, Decimal overflow, enum miss) skips just
+  * that row and the block stays well-formed. */
+object NativeEncoder {
+
+  /** Growable byte buffer whose write position can be rolled back — the
+    * primitive the per-row atomicity needs (ByteArrayOutputStream can only
+    * reset to zero). */
+  private final class Buf extends java.io.ByteArrayOutputStream(1 << 10) {
+    def position: Int = count
+    def truncate(n: Int): Unit = { count = n }
+  }
+
+  private sealed trait ColWriter {
+    def append(v: Any): Unit
+    /** Snapshot positions (row boundary). */
+    def mark(): Unit
+    /** Restore the snapshot — drops everything the row appended. */
+    def rollback(): Unit
+    def byteSize: Long
+    def writeTo(out: java.io.OutputStream): Unit
+  }
+
+  /** All scalar CH types share RowBinary's per-value layout; contiguous
+    * values ARE the Native column. */
+  private final class ScalarWriter(t: CHType) extends ColWriter {
+    private val buf = new Buf
+    private var m = 0
+    def append(v: Any): Unit = RowBinaryEncoder.writeValue(buf, t, v)
+    def mark(): Unit = m = buf.position
+    def rollback(): Unit = buf.truncate(m)
+    def byteSize: Long = buf.position.toLong
+    def writeTo(out: java.io.OutputStream): Unit = buf.writeTo(out)
+  }
+
+  private final class NullableWriter(inner: ColWriter) extends ColWriter {
+    private val mask = new Buf
+    private var m = 0
+    def append(v: Any): Unit =
+      // null slots still carry a default inner value (the column must stay
+      // rectangular); the server reads the mask first
+      if (v == null) { mask.write(1); inner.append(null) }
+      else { mask.write(0); inner.append(v) }
+    def mark(): Unit = { m = mask.position; inner.mark() }
+    def rollback(): Unit = { mask.truncate(m); inner.rollback() }
+    def byteSize: Long = mask.position + inner.byteSize
+    def writeTo(out: java.io.OutputStream): Unit = {
+      mask.writeTo(out); inner.writeTo(out)
+    }
+  }
+
+  private final class ArrayWriter(inner: ColWriter) extends ColWriter {
+    private val offsets = new Buf
+    private var count = 0L
+    private var mOff = 0
+    private var mCount = 0L
+    def append(v: Any): Unit = {
+      val xs = if (v == null) Seq.empty[Any]
+        else v.asInstanceOf[scala.collection.Seq[Any]]
+      xs.foreach(inner.append)
+      count += xs.size
+      u64(offsets, count)
+    }
+    def mark(): Unit = { mOff = offsets.position; mCount = count; inner.mark() }
+    def rollback(): Unit = { offsets.truncate(mOff); count = mCount; inner.rollback() }
+    def byteSize: Long = offsets.position + inner.byteSize
+    def writeTo(out: java.io.OutputStream): Unit = {
+      offsets.writeTo(out); inner.writeTo(out)
+    }
+  }
+
+  /** Map(K, V) is Array(Tuple(K, V)) on the wire: offsets, then the key
+    * column, then the value column. Values arrive stringified (the sink
+    * mapper's coerce-to-String contract) and re-parse to the declared wire
+    * type, like RowBinary's map leg. */
+  private final class MapWriter(vt: CHType, keys: ColWriter, vals: ColWriter)
+      extends ColWriter {
+    private val offsets = new Buf
+    private var count = 0L
+    private var mOff = 0
+    private var mCount = 0L
+    def append(v: Any): Unit = {
+      val m = if (v == null) Map.empty[Any, Any]
+        else v.asInstanceOf[scala.collection.Map[Any, Any]]
+      m.foreach { case (k, mv) =>
+        keys.append(String.valueOf(k))
+        vals.append(if (mv == null) null
+          else RowBinaryEncoder.reparse(vt, String.valueOf(mv)))
+      }
+      count += m.size
+      u64(offsets, count)
+    }
+    def mark(): Unit = { mOff = offsets.position; mCount = count; keys.mark(); vals.mark() }
+    def rollback(): Unit = {
+      offsets.truncate(mOff); count = mCount; keys.rollback(); vals.rollback()
+    }
+    def byteSize: Long = offsets.position + keys.byteSize + vals.byteSize
+    def writeTo(out: java.io.OutputStream): Unit = {
+      offsets.writeTo(out); keys.writeTo(out); vals.writeTo(out)
+    }
+  }
+
+  private def writerFor(t: CHType): ColWriter = t match {
+    case CHType.CHLowCardinality(inner) => writerFor(inner) // sent as inner
+    case CHType.CHNullable(inner) => new NullableWriter(writerFor(inner))
+    case CHType.CHArray(inner) => new ArrayWriter(writerFor(inner))
+    case CHType.CHMap(k, v) => new MapWriter(v, writerFor(k), writerFor(v))
+    case scalar => new ScalarWriter(scalar)
+  }
+
+  /** The type text the block header declares for a column: LowCardinality
+    * unwraps (sent as the inner type; the server converts on insert). */
+  def wireType(t: CHType): String = t match {
+    case CHType.CHLowCardinality(inner) => wireType(inner)
+    case CHType.CHNullable(inner) => s"Nullable(${wireType(inner)})"
+    case CHType.CHArray(inner) => s"Array(${wireType(inner)})"
+    case CHType.CHMap(k, v) => s"Map(${wireType(k)}, ${wireType(v)})"
+    case other => CHType.render(other)
+  }
+
+  /** Incremental one-block builder: append rows until [[rowCount]] /
+    * [[byteSize]] trips the caller's slab bound, then [[build]] and POST. */
+  final class BlockBuilder(names: Seq[String], types: Seq[CHType]) {
+    private val writers = types.map(writerFor).toArray
+    private var rows = 0
+    def rowCount: Int = rows
+    def byteSize: Long = writers.foldLeft(0L)(_ + _.byteSize)
+    /** Append one row atomically across all columns; a value fault rolls
+      * the whole row back and returns the error (poison row). */
+    def tryAppend(row: Row): Option[String] = {
+      var i = 0
+      while (i < writers.length) { writers(i).mark(); i += 1 }
+      try {
+        i = 0
+        while (i < writers.length) {
+          writers(i).append(if (row.isNullAt(i)) null else row.get(i))
+          i += 1
+        }
+        rows += 1
+        None
+      } catch {
+        case e: Exception =>
+          var j = 0
+          while (j < writers.length) { writers(j).rollback(); j += 1 }
+          Some(Option(e.getMessage).getOrElse(e.toString))
+      }
+    }
+    def build(): Array[Byte] = {
+      val out = new Buf
+      varint(out, names.length.toLong)
+      varint(out, rows.toLong)
+      var i = 0
+      while (i < names.length) {
+        str(out, names(i))
+        str(out, wireType(types(i)))
+        writers(i).writeTo(out)
+        i += 1
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Encode one row as a single-row block — the unit the poison-isolation
+    * replay POSTs. */
+  def encodeSingleRow(names: Seq[String], types: Seq[CHType], row: Row): Array[Byte] = {
+    val b = new BlockBuilder(names, types)
+    b.tryAppend(row).foreach(err => throw new IllegalArgumentException(err))
+    b.build()
+  }
+
+  private def str(out: Buf, s: String): Unit = {
+    val b = s.getBytes(UTF_8)
+    varint(out, b.length.toLong)
+    out.write(b, 0, b.length)
+  }
+
+  private def varint(out: Buf, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def u64(out: Buf, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+}

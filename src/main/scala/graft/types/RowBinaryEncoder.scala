@@ -31,7 +31,7 @@ object RowBinaryEncoder {
     out.toByteArray
   }
 
-  private def writeValue(out: ByteArrayOutputStream, t: CHType, v: Any): Unit = {
+  private[types] def writeValue(out: ByteArrayOutputStream, t: CHType, v: Any): Unit = {
     import CHType._
     t match {
       case CHNullable(inner) =>
@@ -153,7 +153,7 @@ object RowBinaryEncoder {
     * expects for its declared wire type. Failures throw in the server's
     * Code: NNN format so poison isolation dead-letters the row instead of
     * shipping a corrupt frame. */
-  private def reparse(t: CHType, s: String): Any = {
+  private[types] def reparse(t: CHType, s: String): Any = {
     import CHType._
     def fail(what: String) = throw new IllegalArgumentException(
       s"Code: 72. DB::Exception: Cannot parse $what from '$s' for Map value")

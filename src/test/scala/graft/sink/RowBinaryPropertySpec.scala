@@ -72,12 +72,13 @@ class RowBinaryPropertySpec extends SparkSpec {
     )
   }
 
-  test("200 seeded-random rows store identically over RowBinary and JSONEachRow") {
+  test("200 seeded-random rows store identically over RowBinary, JSONEachRow and Native") {
     val ch = new MiniClickHouseServer()
     ch.start()
     try {
       ch.createTable("default", "t_rb", schema)
       ch.createTable("default", "t_json", schema)
+      ch.createTable("default", "t_native", schema)
       val seed = 20260815L // deterministic: failures must reproduce
       val rows = randomRows(new Random(seed), 200)
       val df = rows.toDF("id", "s", "fs", "b", "i32", "u16", "f32", "f64",
@@ -87,13 +88,17 @@ class RowBinaryPropertySpec extends SparkSpec {
         mappings = mappings, httpFormat = fmt)
       ClickHouseSink.writeBatch(c("t_rb", "RowBinary"))(df)
       ClickHouseSink.writeBatch(c("t_json", "JSONEachRow"))(df)
+      ClickHouseSink.writeBatch(c("t_native", "Native"))(df)
       assert(ch.rowCount("default", "t_rb") == 200)
       assert(ch.rowCount("default", "t_json") == 200)
+      assert(ch.rowCount("default", "t_native") == 200)
       val rb = ch.rows("default", "t_rb").map(r => r("id") -> r).toMap
       val js = ch.rows("default", "t_json").map(r => r("id") -> r).toMap
-      assert(rb.keySet == js.keySet)
+      val nt = ch.rows("default", "t_native").map(r => r("id") -> r).toMap
+      assert(rb.keySet == js.keySet && rb.keySet == nt.keySet)
       rb.foreach { case (id, rbRow) =>
         val jsRow = js(id)
+        val ntRow = nt(id)
         schema.map(_._1).foreach { col =>
           (rbRow(col), jsRow(col)) match {
             case (a: Double, b: Double) =>
@@ -102,6 +107,10 @@ class RowBinaryPropertySpec extends SparkSpec {
             case (a, b) =>
               assert(a == b, s"row $id col $col: RowBinary=$a JSON=$b")
           }
+          // Native's per-value scalar layout is RowBinary's, so bit-equality
+          // with the RowBinary leg is the right bar (no float tolerance)
+          assert(ntRow(col) == rbRow(col),
+            s"row $id col $col: Native=${ntRow(col)} RowBinary=${rbRow(col)}")
         }
       }
     } finally ch.stop()

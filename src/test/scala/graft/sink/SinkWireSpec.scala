@@ -815,6 +815,66 @@ class SinkWireSpec extends SparkSpec {
     }
   }
 
+  test("Native: client-side poison row rolls out of the block; the rest land") {
+    withServer() { ch =>
+      ch.createTable("default", "nat1",
+        Seq("id" -> "Int32", "code" -> "FixedString(3)", "tags" -> "Array(Int64)"))
+      val hc = ClickHouseHttp.Config(ch.endpoint, "default", "nat1",
+        format = "Native",
+        columnTypes = Map("id" -> "Int32", "code" -> "FixedString(3)",
+          "tags" -> "Array(Int64)"))
+      // row 2 overflows FixedString AFTER its array column already buffered
+      // elements — the rollback must be atomic across ALL column writers or
+      // the block corrupts (offsets out of sync with flattened values)
+      val df = Seq((1, "ok", Seq(10L, 20L)), (2, "toolong", Seq(99L)),
+        (3, "ko", Seq.empty[Long])).toDF("id", "code", "tags").coalesce(1)
+      val failed = ClickHouseHttp.writeIsolating(hc)(df).collect().toSeq
+      assert(ch.rowCount("default", "nat1") == 2)
+      assert(failed.size == 1 && failed.head._2.contains("Code: 131"))
+      val stored = ch.rows("default", "nat1").map(r => r("id") -> r("tags")).toMap
+      assert(stored(BigInt(1)) == Vector(BigInt(10), BigInt(20)))
+      assert(stored(BigInt(3)) == Vector())
+    }
+  }
+
+  test("Native: server row-data fault replays the block row-wise; a second fault dead-letters one row") {
+    withServer() { ch =>
+      ch.createTable("default", "nat2", Seq("id" -> "Int32"))
+      val hc = ClickHouseHttp.Config(ch.endpoint, "default", "nat2",
+        format = "Native", columnTypes = Map("id" -> "Int32"))
+      val df = Seq(1, 2, 3).toDF("id").coalesce(1)
+      // fault 1 rejects the 3-row block (row-data class → replay);
+      // fault 2 rejects the first replayed single-row block → DLQ for it
+      ch.failNext(321, "Value is out of range of data type")
+      ch.failNext(321, "Value is out of range of data type")
+      val failed = ClickHouseHttp.writeIsolating(hc)(df).collect().toSeq
+      assert(ch.rowCount("default", "nat2") == 2)
+      assert(failed.size == 1 && failed.head._2.contains("Code: 321"))
+    }
+  }
+
+  test("Native through the batch handler: LowCardinality columns go over the wire as their inner type") {
+    withServer() { ch =>
+      ch.createTable("default", "nat3", Seq(
+        "id" -> "Int32", "level" -> "LowCardinality(String)",
+        "attrs" -> "Map(String, Int64)"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("level", "level", "LowCardinality(String)"),
+        ColumnMapping("attrs", "attrs", "Map(String, Int64)"))
+      val df = Seq((1, "INFO", Map("a" -> 1L)), (2, "WARN", Map("b" -> -2L)))
+        .toDF("id", "level", "attrs")
+      val dlq = dlqQueue()
+      ClickHouseSink.foreachBatchHandler(
+        cfg(ch, "nat3", m).copy(httpFormat = "Native"),
+        d => d.collect().foreach(dlq.add))(df, 0L)
+      assert(dlq.isEmpty)
+      assert(ch.rowCount("default", "nat3") == 2)
+      assert(ch.rows("default", "nat3").map(_("level")).toSet == Set("INFO", "WARN"))
+      assert(ch.rows("default", "nat3").map(_("attrs")).toSet ==
+        Set(Map("a" -> BigInt(1)), Map("b" -> BigInt(-2))))
+    }
+  }
+
   test("poison-MAJORITY batch dead-letters executor-side: no driver materialization of row contents") {
     withServer() { ch =>
       ch.createTable("default", "pm",
