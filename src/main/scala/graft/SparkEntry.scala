@@ -507,6 +507,27 @@ object SparkEntry {
         .withColumn("dt", date_format(col("dt"), "yyyy-MM-dd HH:mm:ss"))
     },
 
+    // T2 extension — IPv4 validation gate and Tuple struct conversion
+    // (the beyond-reference sink types): the IPv4 branch of the cast
+    // matrix passes a valid dotted quad through and yields the NULL error
+    // marker for an out-of-range octet; the Tuple branch converts a Spark
+    // struct positionally and renames fields to the target element names.
+    "q_sink_ip_tuple" -> { (s, dir) =>
+      import graft.sink.SinkMapper
+      import graft.sink.SinkMapper.ColumnMapping
+      Tables.events(s, dir)
+        // octet domain 0..299: values 256..299 must gate to NULL
+        .withColumn("ip", concat_ws(".", col("user_id") % 300, lit(10),
+          col("event_id") % 256, lit(1)))
+        .withColumn("pair", struct(col("event_type"), col("user_id")))
+        .transform(SinkMapper(Seq(
+          ColumnMapping("event_id", "event_id", "Int64"),
+          ColumnMapping("ip", "ip", "IPv4"),
+          ColumnMapping("pair", "pair", "Tuple(label String, uid Int64)"))))
+        .select(col("event_id"), col("ip"),
+          col("pair.label").as("label"), col("pair.uid").as("uid"))
+    },
+
     // F3 versioned transform router: per-schema-version rule sets unioned
     // into one plan (version predicate reaches the scan on each branch).
     "q_versioned_transform" -> { (s, dir) =>
@@ -6112,6 +6133,13 @@ object SparkEntry {
     // The Catalyst-native exec must reproduce the operator-level as-of
     // join exactly (shared truth).
     "q_asof_native" -> asofOracle,
+    "q_sink_ip_tuple" ->
+      """SELECT event_id,
+        |  CASE WHEN (user_id % 300) <= 255
+        |       THEN (user_id % 300)::VARCHAR || '.10.' || (event_id % 256)::VARCHAR || '.1'
+        |  END AS ip,
+        |  event_type AS label, user_id AS uid
+        |FROM events""".stripMargin,
     "q_sink_typecast" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS TINYINT) AS k8,

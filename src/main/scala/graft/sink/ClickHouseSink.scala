@@ -126,6 +126,29 @@ object ClickHouseSink {
     * the value domain; a String mapping may feed a FixedString column —
     * the server enforces the width). */
   def validateAgainstTable(c: Config): Either[String, Unit] = {
+    // UNNAMED Tuple needs a positional wire format: Spark's JSON encoder
+    // writes a struct as an OBJECT keyed `_1`.._n, which no server setting
+    // maps back to tuple positions — fail at config time, not per batch
+    if (c.httpFormat != "RowBinary" && c.httpFormat != "Native") {
+      def unnamedTuple(t: graft.types.CHType): Boolean = {
+        import graft.types.CHType._
+        t match {
+          case tt: CHTuple => !tt.isNamed || tt.elems.exists(e => unnamedTuple(e._2))
+          case CHLowCardinality(i) => unnamedTuple(i)
+          case CHNullable(i) => unnamedTuple(i)
+          case CHArray(i) => unnamedTuple(i)
+          case CHMap(k, v) => unnamedTuple(k) || unnamedTuple(v)
+          case _ => false
+        }
+      }
+      val bad = (c.mappings ++ c.versionMappings.values.flatten).filter { m =>
+        try unnamedTuple(graft.types.CHType.parse(m.chType))
+        catch { case _: Exception => false }
+      }
+      if (bad.nonEmpty)
+        return Left(bad.map(m => s"column ${m.column}: unnamed Tuple type " +
+          s"${m.chType} requires the RowBinary or Native format").mkString("; "))
+    }
     val server =
       try ClickHouseHttp.describeTable(httpConfig(c)).toMap
       catch {

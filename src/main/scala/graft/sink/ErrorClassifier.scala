@@ -107,7 +107,8 @@ object ErrorClassifier {
     * here: row-wise replay cannot fix those, the whole batch dead-letters. */
   val rowDataFaultCodes: Set[Int] = Set(
     6, 25, 26, 27, 38, 41, 53, 72, 117, 130, 131, 321, 349, 376, 467, 691,
-    407) // DECIMAL_OVERFLOW — a value's digits exceed the column's (p,s)
+    407, // DECIMAL_OVERFLOW — a value's digits exceed the column's (p,s)
+    441) // CANNOT_PARSE_DOMAIN_VALUE_FROM_STRING — bad IPv4/IPv6 literal
 
   def isRowDataFault(code: Int): Boolean = rowDataFaultCodes(code)
 

@@ -372,6 +372,39 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
         case xs: Vector[_] => xs.map(e => validate(s"$col element", inner, e))
         case other => throw CHFault(130, s"Cannot read array from '$other' for column $col")
       }
+      case CHIPv4 => v match {
+        // string literal, or the raw UInt32 (both accepted by the server)
+        case s: String => graft.types.IpCodec.canonicalV4(s).getOrElse(
+          throw CHFault(441, s"Invalid IPv4 value '$s' for column $col"))
+        case d: BigDecimal if d.isWhole && d >= 0 && d <= BigDecimal(4294967295L) =>
+          graft.types.IpCodec.formatV4(d.toLongExact)
+        case other => throw CHFault(441, s"Invalid IPv4 value '$other' for column $col")
+      }
+      case CHIPv6 => v match {
+        case s: String => graft.types.IpCodec.canonicalV6(s).getOrElse(
+          throw CHFault(441, s"Invalid IPv6 value '$s' for column $col"))
+        case other => throw CHFault(441, s"Invalid IPv6 value '$other' for column $col")
+      }
+      case t @ CHTuple(elems) => v match {
+        // named tuples arrive as JSON objects (input_format_json_named_
+        // tuples_as_objects, default on); positional arrays work for both
+        case m: Map[_, _] if t.isNamed =>
+          val in = m.asInstanceOf[Map[String, Any]]
+          val extra = in.keySet -- t.elementNames.toSet
+          if (extra.nonEmpty)
+            throw CHFault(117, s"Unknown tuple element(s) ${extra.mkString(",")} for column $col")
+          t.elementNames.zip(elems).map { case (n, (_, et)) =>
+            n -> validate(s"$col.$n", et, in.getOrElse(n, Absent))
+          }.toMap
+        case xs: Vector[_] =>
+          if (xs.length != elems.length)
+            throw CHFault(53, s"Tuple arity ${xs.length} != ${elems.length} for column $col")
+          val vals = xs.zip(elems).zipWithIndex.map { case ((e, (_, et)), i) =>
+            validate(s"$col.${i + 1}", et, e)
+          }
+          if (t.isNamed) t.elementNames.zip(vals).toMap else vals
+        case other => throw CHFault(53, s"Cannot parse Tuple from '$other' for column $col")
+      }
     }
   }
 
@@ -452,6 +485,11 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case CHDateTime(_) | CHDateTime64(_, _) => 0L
       case CHMap(_, _) => Map.empty[String, Any]
       case CHArray(_) => Vector.empty
+      case CHIPv4 => "0.0.0.0"
+      case CHIPv6 => "::"
+      case t @ CHTuple(elems) =>
+        val defaults = elems.map(e => defaultFor(e._2))
+        if (t.isNamed) t.elementNames.zip(defaults).toMap else defaults.toVector
       case CHLowCardinality(i) => defaultFor(i)
       case CHNullable(_) => null
     }
@@ -533,6 +571,12 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case CHArray(inner) =>
         val n = in.varint()
         (0L until n).map(_ => readBinary(in, inner, col)).toVector
+      case CHIPv4 => graft.types.IpCodec.formatV4(in.i32() & 0xffffffffL)
+      case CHIPv6 => graft.types.IpCodec.formatV6(in.take(16))
+      case t @ CHTuple(elems) =>
+        // positional element values back to back, no count byte
+        val vals = elems.map(e => readBinary(in, e._2, col)).toVector
+        if (t.isNamed) t.elementNames.zip(vals).toMap else vals
     }
   }
 
@@ -592,6 +636,7 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case CHNullable(i) => CHNullable(stripLC(i))
       case CHArray(i) => CHArray(stripLC(i))
       case CHMap(k, v) => CHMap(stripLC(k), stripLC(v))
+      case CHTuple(elems) => CHTuple(elems.map { case (n, t) => (n, stripLC(t)) })
       case x => x
     }
     val (b, t) = (stripLC(block), stripLC(tbl))
@@ -624,6 +669,13 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
         offs.map { o =>
           val m = (prev until o.toInt).map(i => keys(i) -> vals(i)).toMap
           prev = o.toInt; m
+        }
+      case t @ CHTuple(elems) =>
+        // Native tuple column = element columns back to back
+        val byElem = elems.map(e => readNativeColumn(in, e._2, n, col))
+        (0 until n).map { r =>
+          val vals = byElem.map(_(r)).toVector
+          if (t.isNamed) t.elementNames.zip(vals).toMap else vals
         }
       case scalar => (0 until n).map(_ => readBinary(in, scalar, col))
     }

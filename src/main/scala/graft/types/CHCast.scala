@@ -147,6 +147,41 @@ object CHCast {
           .cast(LongType) * (1000000L / unit))
       }
 
+    case CHIPv4 => from match {
+      // dotted quad, each octet 0-255 (leading zeros tolerated, as the
+      // server's parse is); malformed → NULL error marker
+      case StringType =>
+        when(c.rlike("^(25[0-5]|2[0-4][0-9]|[01]?[0-9]{1,2})(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]{1,2})){3}$"), c)
+      // CH also accepts the raw UInt32 for IPv4 columns
+      case t if isIntegral(t) =>
+        when(c >= 0L && c <= 4294967295L, concat_ws(".",
+          shiftright(c.cast(LongType), 24) % 256, shiftright(c.cast(LongType), 16) % 256,
+          shiftright(c.cast(LongType), 8) % 256, c.cast(LongType) % 256))
+      case _ => nul(to)
+    }
+
+    case CHIPv6 => from match {
+      // shape screen only (hex groups / '::' / optional dotted tail) —
+      // group-count arithmetic lives in IpCodec at the encode tier, where
+      // a miss is a per-row fault the DLQ channel routes
+      case StringType =>
+        when(c.rlike("^[0-9a-fA-F:]*(:[0-9]{1,3}(\\.[0-9]{1,3}){3})?$") &&
+          c.contains(":"), c)
+      case _ => nul(to)
+    }
+
+    case t @ CHTuple(elems) => from match {
+      // positional: CAST(struct AS Tuple) pairs fields by position in
+      // ClickHouse; names come from the TARGET type
+      case StructType(fields) if fields.length == elems.length =>
+        val parts = fields.toSeq.zip(elems).zip(t.elementNames).map {
+          case ((f, (_, et)), outName) =>
+            convert(c.getField(f.name), f.dataType, et).as(outName)
+        }
+        when(c.isNotNull, struct(parts: _*))
+      case _ => nul(to)
+    }
+
     case CHMap(_, _) => from match {
       case MapType(_, valueType, _) =>
         val strings = transform_values(c, (_, v) => stringifyValue(v, valueType))

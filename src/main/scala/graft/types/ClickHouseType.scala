@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * Bool, Int8..64, UInt8..64, Float32/64, Enum8/16, UUID, DateTime,
   * DateTime64(p[,tz]), LowCardinality(...) wrappers, Map(...), Array(...)
   * including Array(Map(...)) — EXTENDED beyond the reference with
-  * Decimal(p,s) (incl. the Decimal32/64/128 aliases) and Date/Date32,
-  * the two families every real ClickHouse table uses that the reference
-  * mapper rejects. Nullable / Tuple / Nested stay unsupported at the API
-  * surface, matching the reference.
+  * Decimal(p,s) (incl. the Decimal32/64/128 aliases), Date/Date32,
+  * Tuple(...) (named and unnamed), Nested(...) (parsed as
+  * Array(Tuple(...)), the server's flatten_nested=0 shape) and
+  * IPv4/IPv6 — the families real ClickHouse tables use that the
+  * reference mapper rejects (internal/mapper/clickhouse_validate.go:15-52).
+  * Nullable stays unsupported at the API surface, matching the reference.
   */
 sealed trait CHType {
   /** The Spark type a column of this CH type materializes as. */
@@ -82,6 +84,25 @@ object CHType {
   final case class CHArray(inner: CHType) extends CHType {
     def sparkType: DataType = ArrayType(inner.sparkType)
   }
+  /** Tuple(T1, T2, …) / Tuple(n1 T1, n2 T2, …). Named elements
+    * materialize as a Spark struct with those field names; unnamed as
+    * `_1`.._n (the names Spark needs but the wire never sees — RowBinary
+    * and Native lay tuple elements out positionally). ClickHouse requires
+    * all-named or all-unnamed, enforced at parse. */
+  final case class CHTuple(elems: Seq[(Option[String], CHType)]) extends CHType {
+    def isNamed: Boolean = elems.nonEmpty && elems.forall(_._1.isDefined)
+    /** Struct field names: declared names, or positional `_i`. */
+    def elementNames: Seq[String] =
+      elems.zipWithIndex.map { case ((n, _), i) => n.getOrElse(s"_${i + 1}") }
+    def sparkType: DataType = StructType(
+      elems.zip(elementNames).map { case ((_, t), n) => StructField(n, t.sparkType) })
+  }
+  /** IPv4: a UInt32 of the dotted quad on the wire; dotted-quad text at
+    * the engine tier (see [[IpCodec]]). */
+  case object CHIPv4 extends CHType { val sparkType: DataType = StringType }
+  /** IPv6: 16 network-order bytes on the wire; RFC 5952 text at the
+    * engine tier. */
+  case object CHIPv6 extends CHType { val sparkType: DataType = StringType }
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
@@ -148,7 +169,48 @@ object CHType {
       case "Nullable" => CHNullable(parse(args.head))
       case "Map" => CHMap(parse(args.head), parse(args(1)))
       case "Array" => CHArray(parse(args.head))
+      case "IPv4" => CHIPv4
+      case "IPv6" => CHIPv6
+      case "Tuple" =>
+        if (args.isEmpty) throw ParseException(s"Tuple needs elements: $s")
+        val elems = args.map(parseTupleElem)
+        val named = elems.count(_._1.isDefined)
+        if (named != 0 && named != elems.length)
+          throw ParseException(s"Tuple mixes named and unnamed elements: $s")
+        CHTuple(elems)
+      case "Nested" =>
+        // Nested(a T, b U) IS Array(Tuple(a T, b U)) when flatten_nested=0
+        // — the only shape insertable as one column; with the server
+        // default flatten_nested=1 the table exposes per-field `n.a
+        // Array(T)` columns instead, which map as plain Array columns and
+        // need no type of their own
+        if (args.isEmpty) throw ParseException(s"Nested needs elements: $s")
+        val elems = args.map(parseTupleElem)
+        if (!elems.forall(_._1.isDefined))
+          throw ParseException(s"Nested elements must be named: $s")
+        CHArray(CHTuple(elems))
       case other => throw ParseException(s"unsupported ClickHouse type: $other")
+    }
+  }
+
+  /** One `Tuple`/`Nested` element: either a bare type (`UInt32`) or a
+    * named one (`id UInt32`, `` `odd name` String ``). Try the bare-type
+    * read first — every type name would also lex as an identifier, so the
+    * presence of a leading NAME is decided by whether the whole text
+    * parses as a type. */
+  private val namedElem =
+    """^(?:`((?:[^`]|``)+)`|([\p{L}_][\p{L}\p{N}_]*))\s+(\S.*)$""".r
+
+  private def parseTupleElem(arg: String): (Option[String], CHType) = {
+    val a = arg.trim
+    try (None, parse(a))
+    catch {
+      case _: ParseException => a match {
+        case namedElem(bq, bare, rest) =>
+          val name = if (bq != null) bq.replace("``", "`") else bare
+          (Some(name), parse(rest))
+        case _ => throw ParseException(s"malformed tuple element: $arg")
+      }
     }
   }
 
@@ -178,6 +240,16 @@ object CHType {
     case CHNullable(i) => s"Nullable(${render(i)})"
     case CHMap(k, v) => s"Map(${render(k)}, ${render(v)})"
     case CHArray(i) => s"Array(${render(i)})"
+    case CHIPv4 => "IPv4"
+    case CHIPv6 => "IPv6"
+    case CHTuple(elems) =>
+      elems.map {
+        case (None, t) => render(t)
+        case (Some(n), t) =>
+          val id = if (n.matches("""[\p{L}_][\p{L}\p{N}_]*""")) n
+            else s"`${n.replace("`", "``")}`"
+          s"$id ${render(t)}"
+      }.mkString("Tuple(", ", ", ")")
   }
 
   def isSupported(s: String): Boolean =
@@ -190,6 +262,7 @@ object CHType {
     case CHLowCardinality(i) => containsNullable(i)
     case CHArray(i) => containsNullable(i)
     case CHMap(k, v) => containsNullable(k) || containsNullable(v)
+    case CHTuple(elems) => elems.exists(e => containsNullable(e._2))
     case _ => false
   }
 

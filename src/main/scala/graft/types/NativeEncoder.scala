@@ -132,11 +132,34 @@ object NativeEncoder {
     }
   }
 
+  /** Native tuple column = the element columns laid out back to back
+    * (positional; no per-row count). Rows arrive as Spark struct Rows. */
+  private final class TupleWriter(elems: Seq[ColWriter]) extends ColWriter {
+    def append(v: Any): Unit = v match {
+      case null => elems.foreach(_.append(null))
+      case r: Row =>
+        if (r.length != elems.length)
+          throw new IllegalArgumentException(
+            s"Code: 53. DB::Exception: Tuple arity ${r.length} != ${elems.length}")
+        var i = 0
+        while (i < elems.length) {
+          elems(i).append(if (r.isNullAt(i)) null else r.get(i)); i += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"Code: 53. DB::Exception: Cannot convert ${other.getClass.getSimpleName} to Tuple")
+    }
+    def mark(): Unit = elems.foreach(_.mark())
+    def rollback(): Unit = elems.foreach(_.rollback())
+    def byteSize: Long = elems.foldLeft(0L)(_ + _.byteSize)
+    def writeTo(out: java.io.OutputStream): Unit = elems.foreach(_.writeTo(out))
+  }
+
   private def writerFor(t: CHType): ColWriter = t match {
     case CHType.CHLowCardinality(inner) => writerFor(inner) // sent as inner
     case CHType.CHNullable(inner) => new NullableWriter(writerFor(inner))
     case CHType.CHArray(inner) => new ArrayWriter(writerFor(inner))
     case CHType.CHMap(k, v) => new MapWriter(v, writerFor(k), writerFor(v))
+    case CHType.CHTuple(elems) => new TupleWriter(elems.map(e => writerFor(e._2)))
     case scalar => new ScalarWriter(scalar)
   }
 
@@ -147,6 +170,11 @@ object NativeEncoder {
     case CHType.CHNullable(inner) => s"Nullable(${wireType(inner)})"
     case CHType.CHArray(inner) => s"Array(${wireType(inner)})"
     case CHType.CHMap(k, v) => s"Map(${wireType(k)}, ${wireType(v)})"
+    case CHType.CHTuple(elems) =>
+      CHType.render(CHType.CHTuple(elems.map { case (n, t) =>
+        // re-render after unwrapping any inner LowCardinality
+        (n, CHType.parse(wireType(t)))
+      }))
     case other => CHType.render(other)
   }
 

@@ -130,6 +130,42 @@ object RowBinaryEncoder {
           if (p <= 6) Math.floorDiv(micros, math.pow(10, (6 - p).toDouble).toLong)
           else micros * math.pow(10, (p - 6).toDouble).toLong
         le(out, ticks, 8)
+      case CHIPv4 =>
+        val ip = if (v == null) 0L
+          else IpCodec.parseV4(String.valueOf(v)).getOrElse(
+            throw new IllegalArgumentException(
+              s"Code: 441. DB::Exception: Invalid IPv4 value '$v'"))
+        le(out, ip, 4)
+      case CHIPv6 =>
+        val b = if (v == null) new Array[Byte](16)
+          else {
+            val s = String.valueOf(v)
+            // the server's IPv6 parse accepts a plain IPv4 literal as its
+            // ::ffff: mapped form
+            IpCodec.parseV6(s)
+              .orElse(IpCodec.parseV4(s).map(IpCodec.mapV4))
+              .getOrElse(throw new IllegalArgumentException(
+                s"Code: 441. DB::Exception: Invalid IPv6 value '$v'"))
+          }
+        out.write(b, 0, b.length)
+      case t @ CHTuple(elems) =>
+        // positional element values back to back — no count on the wire;
+        // a null tuple writes each element's default (non-Nullable column
+        // contract, same as the scalar branches)
+        v match {
+          case null => elems.foreach { case (_, et) => writeValue(out, et, null) }
+          case r: Row =>
+            if (r.length != elems.length)
+              throw new IllegalArgumentException(
+                s"Code: 53. DB::Exception: Tuple arity ${r.length} != ${elems.length}")
+            var i = 0
+            while (i < elems.length) {
+              writeValue(out, elems(i)._2, if (r.isNullAt(i)) null else r.get(i))
+              i += 1
+            }
+          case other => throw new IllegalArgumentException(
+            s"Code: 53. DB::Exception: Cannot convert ${other.getClass.getSimpleName} to ${CHType.render(t)}")
+        }
       case CHMap(_, vt) =>
         val m = if (v == null) Map.empty[Any, Any]
           else v.asInstanceOf[scala.collection.Map[Any, Any]]
@@ -204,7 +240,8 @@ object RowBinaryEncoder {
                 catch { case _: NumberFormatException => fail("DateTime") }
             }
         }
-      case CHMap(_, _) | CHArray(_) =>
+      case CHIPv4 | CHIPv6 => s // writeValue parses + validates the literal
+      case CHMap(_, _) | CHArray(_) | CHTuple(_) =>
         // stringify JSON-encodes nested complex values; a Map whose value
         // type is itself complex cannot round-trip through the string
         // contract — declare Map(String, String) or use JSONEachRow

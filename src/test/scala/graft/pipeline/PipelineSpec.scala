@@ -53,10 +53,10 @@ class PipelineSpec extends SparkSpec {
       sources = Seq(JoinSource("a", "k", "1h", "left")))))
     assert(PipelineConfig.validate(badJoin, Map.empty)
       .exists(_.contains("exactly 2 sources")))
-    // Decimal joined the sink domain in the beyond-reference extension;
-    // Tuple is still out (clickhouse_validate.go parity)
+    // Decimal/Tuple/IP joined the sink domain in the beyond-reference
+    // extension; Nullable-bearing and unknown types are still rejected
     val badSink = cfg.copy(sink = cfg.sink.map(s => s.copy(tableMapping =
-      s.tableMapping :+ SinkMapping(None, "x", "x", "Tuple(String, Int32)"))))
+      s.tableMapping :+ SinkMapping(None, "x", "x", "Tuple(Nullable(String), Int32)"))))
     assert(PipelineConfig.validate(badSink, Map.empty)
       .exists(_.contains("unsupported column type")))
     val badFilter = cfg.copy(filter = Some(FilterConfig("nope > 1")))

@@ -24,7 +24,8 @@ class RowBinaryPropertySpec extends SparkSpec {
     "uid" -> "UUID", "dt" -> "DateTime", "dt64" -> "DateTime64(6)",
     "lc" -> "LowCardinality(String)", "ns" -> "Nullable(String)",
     "m" -> "Map(String, String)", "arr" -> "Array(Int64)",
-    "dec" -> "Decimal(12, 3)", "day" -> "Date", "day32" -> "Date32")
+    "dec" -> "Decimal(12, 3)", "day" -> "Date", "day32" -> "Date32",
+    "tup" -> "Tuple(a String, n Int32)", "ip4" -> "IPv4", "ip6" -> "IPv6")
 
   private val mappings = schema.map { case (n, t) => ColumnMapping(n, n, t) }
 
@@ -68,7 +69,13 @@ class RowBinaryPropertySpec extends SparkSpec {
       // Date: u16 day domain; Date32: [1900-01-01, 2299-12-31]
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(r.nextInt(65536).toLong)),
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
-        -25567L + r.nextInt(146097)))
+        -25567L + r.nextInt(146097))),
+      (str(12), r.nextInt()), // Tuple(a String, n Int32): positional struct
+      s"${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)}",
+      // sprinkle zero groups so '::' compression paths get exercised; the
+      // canonical store form is RFC 5952 regardless of the input spelling
+      (0 until 8).map(_ => if (r.nextInt(3) == 0) "0"
+        else Integer.toHexString(r.nextInt(65536))).mkString(":")
     )
   }
 
@@ -82,7 +89,8 @@ class RowBinaryPropertySpec extends SparkSpec {
       val seed = 20260815L // deterministic: failures must reproduce
       val rows = randomRows(new Random(seed), 200)
       val df = rows.toDF("id", "s", "fs", "b", "i32", "u16", "f32", "f64",
-        "e", "uid", "dt", "dt64", "lc", "ns", "m", "arr", "dec", "day", "day32")
+        "e", "uid", "dt", "dt64", "lc", "ns", "m", "arr", "dec", "day", "day32",
+        "tup", "ip4", "ip6")
       def c(table: String, fmt: String) = ClickHouseSink.Config(
         url = ch.endpoint, database = "default", table = table,
         mappings = mappings, httpFormat = fmt)

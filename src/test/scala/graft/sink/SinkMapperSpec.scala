@@ -79,12 +79,16 @@ class SinkMapperSpec extends SparkSpec {
 
   test("validate reports bad types and unknown fields") {
     assert(SinkMapper.validate(mappings, schema).isRight)
-    // Decimal is IN the sink domain (beyond-reference extension); Tuple
-    // stays out, matching clickhouse_validate.go
+    // Decimal and Tuple are IN the sink domain (beyond-reference
+    // extensions); unknown / malformed types stay out
     assert(SinkMapper.validate(
       Seq(ColumnMapping("event_id", "c", "Decimal(10,2)")), schema).isRight)
     assert(SinkMapper.validate(
-      Seq(ColumnMapping("event_id", "c", "Tuple(String, Int32)")), schema).isLeft)
+      Seq(ColumnMapping("event_id", "c", "Tuple(String, Int32)")), schema).isRight)
+    assert(SinkMapper.validate(
+      Seq(ColumnMapping("event_id", "c", "Interval")), schema).isLeft)
+    assert(SinkMapper.validate(
+      Seq(ColumnMapping("event_id", "c", "Tuple(a String, Int32)")), schema).isLeft)
     assert(SinkMapper.validate(
       Seq(ColumnMapping("missing_field", "c", "String")), schema).isLeft)
   }

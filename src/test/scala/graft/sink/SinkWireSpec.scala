@@ -923,4 +923,79 @@ class SinkWireSpec extends SparkSpec {
       assert(dlq.asScala.head.getAs[String]("original_message").contains("toolong"))
     }
   }
+
+  test("Tuple / Nested / IPv4 / IPv6 columns round-trip over all three wire formats") {
+    withServer() { ch =>
+      val schema = Seq("id" -> "Int32", "tup" -> "Tuple(a String, n Int32)",
+        "tags" -> "Nested(k String, v Int32)", "ip4" -> "IPv4", "ip6" -> "IPv6")
+      val m = Seq(ColumnMapping("id", "id", "Int32"),
+        ColumnMapping("tup", "tup", "Tuple(a String, n Int32)"),
+        ColumnMapping("tags", "tags", "Nested(k String, v Int32)"),
+        ColumnMapping("ip4", "ip4", "IPv4"), ColumnMapping("ip6", "ip6", "IPv6"))
+      val df = Seq(
+        (1, ("x", 7), Seq(("k1", 10), ("k2", 20)),
+          "1.2.3.4", "2001:0db8:0000:0000:0000:0000:0000:0001"),
+        (2, ("y", -5), Seq.empty[(String, Int)], "255.0.0.1", "::1"))
+        .toDF("id", "tup", "tags", "ip4", "ip6")
+      Seq("JSONEachRow", "RowBinary", "Native").foreach { fmt =>
+        val table = s"tn_${fmt.toLowerCase}"
+        ch.createTable("default", table, schema)
+        val c = cfg(ch, table, m).copy(httpFormat = fmt)
+        assert(ClickHouseSink.validateAgainstTable(c).isRight)
+        ClickHouseSink.writeBatch(c)(df)
+        assert(ch.rowCount("default", table) == 2, s"format $fmt")
+        val rows = ch.rows("default", table).map(r => r("id") -> r).toMap
+        val r1 = rows(BigInt(1)); val r2 = rows(BigInt(2))
+        assert(r1("tup") == Map("a" -> "x", "n" -> BigInt(7)), s"format $fmt")
+        assert(r1("tags") == Vector(Map("k" -> "k1", "v" -> BigInt(10)),
+          Map("k" -> "k2", "v" -> BigInt(20))), s"format $fmt")
+        // canonical text: dotted quad / RFC 5952 regardless of input spelling
+        assert(r1("ip4") == "1.2.3.4" && r1("ip6") == "2001:db8::1", s"format $fmt")
+        assert(r2("tup") == Map("a" -> "y", "n" -> BigInt(-5)), s"format $fmt")
+        assert(r2("tags") == Vector.empty, s"format $fmt")
+        assert(r2("ip4") == "255.0.0.1" && r2("ip6") == "::1", s"format $fmt")
+      }
+    }
+  }
+
+  test("unnamed Tuple on the JSONEachRow leg fails start-time validation, binary legs pass") {
+    withServer() { ch =>
+      ch.createTable("default", "ut", Seq("p" -> "Tuple(String, Int32)"))
+      val m = Seq(ColumnMapping("p", "p", "Tuple(String, Int32)"))
+      // JSON leg: Spark writes a struct as an OBJECT keyed _1/_2 — no
+      // server setting maps that back to positions, so config-time reject
+      val json = cfg(ch, "ut", m) // default format = JSONEachRow
+      val err = ClickHouseSink.validateAgainstTable(json)
+      assert(err.isLeft && err.swap.exists(_.contains("unnamed Tuple")))
+      // the positional binary formats handle it fine
+      val c = cfg(ch, "ut", m).copy(httpFormat = "Native")
+      assert(ClickHouseSink.validateAgainstTable(c).isRight)
+      ClickHouseSink.writeBatch(c)(Seq(Tuple1(("z", 3))).toDF("p"))
+      assert(ch.rowCount("default", "ut") == 1)
+      assert(ch.rows("default", "ut").head("p") == Vector("z", BigInt(3)))
+    }
+  }
+
+  test("malformed IP literal dead-letters alone with the server's 441 on both binary legs") {
+    withServer() { ch =>
+      Seq("RowBinary", "Native").foreach { fmt =>
+        val table = s"ip_${fmt.toLowerCase}"
+        ch.createTable("default", table, Seq("id" -> "Int32", "addr" -> "IPv6"))
+        val hc = ClickHouseHttp.Config(ch.endpoint, "default", table,
+          format = fmt,
+          columnTypes = Map("id" -> "Int32", "addr" -> "IPv6"))
+        // no mapper in front: the bad literal reaches the ENCODER raw —
+        // client-side parse rejects that row alone, the rest land
+        val df = Seq((1, "::1"), (2, "not-an-ip"), (3, "1.2.3.4"))
+          .toDF("id", "addr").coalesce(1)
+        val failed = ClickHouseHttp.writeIsolating(hc)(df).collect().toSeq
+        assert(ch.rowCount("default", table) == 2, s"format $fmt")
+        // a plain v4 literal maps into ::ffff: form, as the server parses it
+        assert(ch.rows("default", table).map(_("addr")).toSet ==
+          Set("::1", "::ffff:1.2.3.4"), s"format $fmt")
+        assert(failed.size == 1 && failed.head._2.contains("Code: 441"), s"format $fmt")
+        assert(failed.head._1.contains("not-an-ip"), s"format $fmt")
+      }
+    }
+  }
 }

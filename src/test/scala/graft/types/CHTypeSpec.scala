@@ -33,8 +33,50 @@ class CHTypeSpec extends SparkSpec {
   }
 
   test("rejects unsupported types (reference parity)") {
-    Seq("Nullable(String)", "Tuple(String, Int32)", "Interval")
+    Seq("Nullable(String)", "Tuple(Nullable(String), Int32)", "Interval")
       .foreach(t => assert(!CHType.isSupported(t), s"$t should be unsupported"))
+  }
+
+  test("parses Tuple / Nested / IPv4 / IPv6 (beyond-reference sink types)") {
+    assert(CHType.parse("Tuple(String, Int32)") ==
+      CHTuple(Seq(None -> CHString, None -> CHInt(32))))
+    assert(CHType.parse("Tuple(a String, n UInt32)") ==
+      CHTuple(Seq(Some("a") -> CHString, Some("n") -> CHUInt(32))))
+    // a backquoted name and a type-name-looking name both parse as names
+    assert(CHType.parse("Tuple(`odd name` String, String String)") ==
+      CHTuple(Seq(Some("odd name") -> CHString, Some("String") -> CHString)))
+    // Nested(a T, b U) IS Array(Tuple(...)) (flatten_nested=0 shape)
+    assert(CHType.parse("Nested(id UInt32, tag String)") ==
+      CHArray(CHTuple(Seq(Some("id") -> CHUInt(32), Some("tag") -> CHString))))
+    assert(CHType.parse("IPv4") == CHIPv4)
+    assert(CHType.parse("IPv6") == CHIPv6)
+    // deep nesting round-trips through render
+    Seq("Tuple(a String, n UInt32)", "Tuple(String, Int32)",
+      "Array(Tuple(id UInt32, tag String))", "Map(String, String)",
+      "Tuple(a Tuple(b Array(IPv4), c DateTime64(3, 'UTC')))").foreach { t =>
+      assert(CHType.render(CHType.parse(t)) == t, s"render∘parse != id for $t")
+    }
+    // mixed named/unnamed is a parse error (as in the server)
+    intercept[CHType.ParseException](CHType.parse("Tuple(a String, Int32)"))
+    // Nested elements must be named
+    intercept[CHType.ParseException](CHType.parse("Nested(String)"))
+    // spark shapes
+    assert(CHType.parse("Tuple(a String, n Int32)").sparkType ==
+      StructType(Seq(StructField("a", StringType), StructField("n", IntegerType))))
+    assert(CHType.parse("Tuple(String, Int32)").sparkType ==
+      StructType(Seq(StructField("_1", StringType), StructField("_2", IntegerType))))
+    assert(CHType.parse("IPv4").sparkType == StringType)
+  }
+
+  test("tuple and IP conversions (cast matrix)") {
+    val tupIn = StructType(Seq(StructField("x", StringType), StructField("y", LongType)))
+    val out = conv(org.apache.spark.sql.Row("hi", 7L), tupIn, "Tuple(a String, n Int32)")
+    assert(out.asInstanceOf[org.apache.spark.sql.Row].toSeq == Seq("hi", 7))
+    assert(conv("1.2.3.4", StringType, "IPv4") == "1.2.3.4")
+    assert(conv("999.2.3.4", StringType, "IPv4") == null) // octet out of range
+    assert(conv(16909060L, LongType, "IPv4") == "1.2.3.4") // raw UInt32 form
+    assert(conv("2001:db8::1", StringType, "IPv6") == "2001:db8::1")
+    assert(conv("no-colons-here", StringType, "IPv6") == null)
   }
 
   test("enum labels: escaped quotes, '=' and commas inside the literal") {
