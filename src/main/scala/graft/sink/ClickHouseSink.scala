@@ -49,10 +49,14 @@ object ClickHouseSink {
 
   /** Protocol selection by URL scheme: `http(s)://host:8123` uses the
     * public ClickHouse HTTP interface (no driver jar needed, per-partition
-    * parallel POSTs); `jdbc:...` uses the JDBC leg. */
+    * parallel POSTs); `tcp://host:9000` speaks the native TCP protocol
+    * (streamed columnar blocks on a kept-open socket — the reference's
+    * own transport via clickhouse-go); `jdbc:...` uses the JDBC leg. */
   private[sink] def terminalWrite(c: Config): DataFrame => Unit =
     if (c.url.startsWith("http://") || c.url.startsWith("https://"))
       ClickHouseHttp.write(httpConfig(c))
+    else if (c.url.startsWith("tcp://"))
+      ClickHouseNativeTcp.write(ClickHouseNativeTcp.parseEndpoint(c.url, c))
     else jdbcWrite(c)
 
   private[sink] def httpConfig(c: Config): ClickHouseHttp.Config =
@@ -208,9 +212,12 @@ object ClickHouseSink {
     * worker-side DLQ publish (dlq_processor.go:35-69). Returns the number
     * of dead-lettered rows. */
   private[sink] def writeBatchHttp(c: Config, dlq: DataFrame => Unit)(df: DataFrame): Long = {
-    val hc = httpConfig(c)
+    val isolating: DataFrame => org.apache.spark.sql.Dataset[(String, String)] =
+      if (c.url.startsWith("tcp://"))
+        ClickHouseNativeTcp.writeIsolating(ClickHouseNativeTcp.parseEndpoint(c.url, c))
+      else ClickHouseHttp.writeIsolating(httpConfig(c))
     val failed = batchSlices(c)(df)
-      .map(ClickHouseHttp.writeIsolating(hc))
+      .map(isolating)
       .reduce(_ union _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -271,7 +278,8 @@ object ClickHouseSink {
     }
 
     val httpLeg = write.isEmpty &&
-      (c.url.startsWith("http://") || c.url.startsWith("https://"))
+      (c.url.startsWith("http://") || c.url.startsWith("https://") ||
+        c.url.startsWith("tcp://"))
 
     (batch: DataFrame, batchId: Long) => {
       try {

@@ -33,6 +33,7 @@ import graft.types.CHType
   */
 final class MiniClickHouseServer(user: String = "default", password: String = "",
                                  retainRows: Boolean = true) {
+  import MiniClickHouseServer.CHFault
 
   final case class Column(name: String, chType: CHType)
   final class Table(val columns: Seq[Column]) {
@@ -225,7 +226,52 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case t: Throwable => fail(ex, 500, 1000, s"internal: ${t.getMessage}")
     } finally ex.close()
 
-  private case class CHFault(code: Int, msg: String) extends RuntimeException(msg)
+  // ------------------------------------------------- native-TCP fixture seam
+
+  /** Seam for [[MiniClickHouseTcpServer]]: validate credentials (the TCP
+    * handshake's auth check — same account as the HTTP headers'). */
+  private[sink] def checkAuth(u: String, p: String): Boolean =
+    u == user && p == password
+
+  /** Seam: the column (name, declared-type-text) list the TCP server's
+    * structure block declares for an INSERT, or None if no such table. */
+  private[sink] def columnsOf(db: String, tbl: String): Option[Seq[(String, String)]] =
+    tables.synchronized {
+      tables.get(s"$db.$tbl").map { t =>
+        val raw = rawTypes.getOrElse(s"$db.$tbl", Map.empty)
+        t.columns.map(c => c.name -> raw.getOrElse(c.name, "String"))
+      }
+    }
+
+  /** Seam: decode + validate + store one Native BLOCK payload (the bare
+    * block, no packet framing / block info — identical bytes to one HTTP
+    * `FORMAT Native` block) against `db.tbl`. Column-list and table checks
+    * included. Returns rows accepted; throws [[MiniClickHouseServer.CHFault]]
+    * with the real server code on any fault, so both fixtures answer
+    * identically for the same bad data. */
+  private[sink] def insertNativeBlock(db: String, tbl: String, cols: Seq[String],
+                                      body: Array[Byte]): Long = {
+    val table = tables.synchronized { tables.get(s"$db.$tbl") }
+      .getOrElse(throw CHFault(60, s"Table $db.$tbl does not exist"))
+    cols.filterNot(c => table.columns.exists(_.name == c)) match {
+      case missing if missing.nonEmpty =>
+        throw CHFault(16, s"No such column ${missing.head} in table $db.$tbl")
+      case _ => ()
+    }
+    val parsed = parseNative(table, cols, body)
+    tables.synchronized {
+      table.accepted += parsed.count
+      if (retainRows) table.rows ++= parsed.rows
+    }
+    parsed.count
+  }
+
+  /** Seam: consume one injected fault (shared failNext queue — a fault
+    * queued on the fixture fails whichever leg's next INSERT arrives
+    * first; specs use one leg at a time). */
+  private[sink] def pollInjectedFault(): Option[(Int, String)] = Option(injected.poll())
+
+  private[sink] def noteInsertAttempt(): Unit = insertAttempts += 1
 
   // ------------------------------------------------------------ JSONEachRow
 
@@ -739,4 +785,12 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     ex.sendResponseHeaders(http, body.length.toLong)
     val os = ex.getResponseBody; os.write(body); os.close()
   }
+}
+
+object MiniClickHouseServer {
+  /** One validation/decode fault with its real ClickHouse error code —
+    * raised by the shared validators and surfaced by BOTH fixtures (HTTP
+    * status + X-ClickHouse-Exception-Code there, Exception packet on the
+    * native-TCP wire). */
+  private[sink] final case class CHFault(code: Int, msg: String) extends RuntimeException(msg)
 }

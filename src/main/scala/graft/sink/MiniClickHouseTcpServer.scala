@@ -1,0 +1,329 @@
+package graft.sink
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+
+import ClickHouseNativeTcp._
+
+/** ClickHouse NATIVE TCP protocol fixture — the :9000 wire the reference's
+  * clickhouse-go driver dials (internal/client/clickhouse.go). Speaks the
+  * server side of the public protocol at revision 54449 (handshake with
+  * client-info parse, Ping/Pong, Query with settings-as-strings, streamed
+  * Data blocks, Exception packets with real ClickHouse codes,
+  * EndOfStream), and shares its BRAIN with [[MiniClickHouseServer]]: the
+  * table registry, the Native block decoder and every per-type validator
+  * are the same code, so a bad value elicits the identical error code on
+  * both transports and the TCP leg's validation is exactly as honest as
+  * the HTTP leg's.
+  *
+  * Like the HTTP fixture it genuinely PARSES what it receives: the whole
+  * client-info block is read field-by-field per the revision gates (a
+  * mis-framed Query — one missing varint — desynchronizes the stream and
+  * fails loudly, which is the point: framing bugs can't hide). */
+final class MiniClickHouseTcpServer(val http: MiniClickHouseServer) {
+  import MiniClickHouseServer.CHFault
+
+  /** Server-declared protocol revision (negotiated to min with client). */
+  private val ServerRevision = ClickHouseNativeTcp.Revision
+
+  private var server: ServerSocket = _
+  @volatile private var running = false
+  /** Every query text received (settings-passthrough / framing asserts). */
+  val receivedQueries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Settings of the LAST Query packet, as (name, value) pairs. */
+  @volatile var lastSettings: Map[String, String] = Map.empty
+  @volatile var lastClientName: String = ""
+
+  def start(): Int = {
+    server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          val t = new Thread(() => serve(s), "mini-ch-tcp-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: Exception => () } // closed during stop()
+      }
+    }, "mini-ch-tcp-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = {
+    running = false
+    if (server != null) server.close()
+  }
+
+  def endpoint: String = s"tcp://127.0.0.1:${server.getLocalPort}"
+
+  // ---------------------------------------------------------- per connection
+
+  private def serve(socket: Socket): Unit = {
+    socket.setTcpNoDelay(true)
+    val in = new BufferedInputStream(socket.getInputStream, 1 << 16)
+    val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+    try {
+      val rev = handshake(in, out) match {
+        case Some(r) => r
+        case None => return // auth failure: Exception already sent
+      }
+      var open = true
+      while (open) {
+        val code =
+          try rVarint(in)
+          catch { case _: java.io.EOFException => open = false; -1L }
+        code match {
+          case -1L => ()
+          case 4L /* Ping */ =>
+            wVarint(out, 4L); out.flush() // Pong
+          case 1L /* Query */ =>
+            open = handleQuery(in, out, rev)
+          case other =>
+            sendException(out, 101, s"Unexpected packet $other from client")
+            open = false
+        }
+      }
+    } catch {
+      case _: Exception => () // broken pipe / desync: drop the connection
+    } finally socket.close()
+  }
+
+  /** Read ClientHello, answer ServerHello (or Exception 516 on bad
+    * credentials). Returns the negotiated revision. */
+  private def handshake(in: InputStream, out: OutputStream): Option[Long] = {
+    if (rVarint(in) != 0L) { sendException(out, 101, "expected ClientHello"); return None }
+    lastClientName = rStr(in)
+    rVarint(in); rVarint(in) // client version major/minor
+    val clientRev = rVarint(in)
+    rStr(in) // database (per-query INSERT text carries its own)
+    val u = rStr(in)
+    val p = rStr(in)
+    if (!http.checkAuth(u, p)) {
+      sendException(out, 516,
+        s"$u: Authentication failed: password is incorrect, or there is no user with such name")
+      return None
+    }
+    val rev = math.min(ServerRevision, clientRev)
+    wVarint(out, 0L) // ServerHello
+    wStr(out, "MiniClickHouse")
+    wVarint(out, 23L); wVarint(out, 8L) // server version major/minor
+    wVarint(out, ServerRevision)
+    if (rev >= 54058) wStr(out, "UTC")
+    if (rev >= 54372) wStr(out, "mini-ch")
+    if (rev >= 54401) wVarint(out, 0L)
+    out.flush()
+    Some(rev)
+  }
+
+  /** Parse one Query packet + its data stream. Returns false if the
+    * connection must close (an Exception was sent mid-INSERT — stream
+    * state is undefined, exactly like the real server). */
+  private def handleQuery(in: InputStream, out: OutputStream, rev: Long): Boolean = {
+    rStr(in) // query id
+    // ---- client info (rev >= 54032), field-by-field per the gates
+    rByte(in) // query kind
+    rStr(in); rStr(in); rStr(in) // initial user / query id / address
+    if (rev >= 54449) rI64(in) // initial query start time
+    rByte(in) // interface
+    rStr(in); rStr(in); rStr(in) // os user / hostname / client name
+    rVarint(in); rVarint(in); rVarint(in) // client version major/minor/rev
+    if (rev >= 54060) rStr(in) // quota key
+    if (rev >= 54448) rVarint(in) // distributed depth
+    if (rev >= 54401) rVarint(in) // version patch
+    if (rev >= 54442) {
+      if (rByte(in) != 0)
+        throw new java.io.IOException("OpenTelemetry context not supported by fixture")
+    }
+    // ---- settings as strings, "" terminates
+    val settings = Map.newBuilder[String, String]
+    var name = rStr(in)
+    while (name.nonEmpty) {
+      rVarint(in) // flags
+      settings += name -> rStr(in)
+      name = rStr(in)
+    }
+    lastSettings = settings.result()
+    if (rev >= 54441) rStr(in) // interserver secret
+    rVarint(in) // stage
+    val compression = rVarint(in)
+    val query = rStr(in)
+    receivedQueries.add(query)
+
+    if (compression != 0L) {
+      sendException(out, 432, "compressed native stream not supported by fixture")
+      return false
+    }
+
+    val ins = """(?is)INSERT\s+INTO\s+(\S+?)\.(\S+?)\s*\(([^)]*)\)\s*(?:FORMAT\s+\w+)?\s*$""".r
+    ins.findFirstMatchIn(query.trim) match {
+      case None =>
+        sendException(out, 62, s"Syntax error: failed at position 1: ${query.take(60)}")
+        false
+      case Some(m) =>
+        http.noteInsertAttempt()
+        val db = unq(m.group(1)); val tbl = unq(m.group(2))
+        val cols = m.group(3).split(",").map(s => unq(s.trim)).toSeq
+        http.columnsOf(db, tbl) match {
+          case None =>
+            sendException(out, 60, s"Table $db.$tbl does not exist")
+            false
+          case Some(structure) =>
+            val missing = cols.filterNot(c => structure.exists(_._1 == c))
+            if (missing.nonEmpty) {
+              sendException(out, 16, s"No such column ${missing.head} in table $db.$tbl")
+              return false
+            }
+            // the server answers an INSERT with a zero-row structure block
+            sendStructureBlock(out, rev, structure.filter(c => cols.contains(c._1)))
+            readDataStream(in, out, rev, db, tbl, cols)
+        }
+    }
+  }
+
+  /** Consume the client's Data packets until the empty terminal block;
+    * decode+validate+store each via the shared brain. EndOfStream on
+    * success; Exception + close on the first fault (real-server INSERT
+    * semantics: already-received blocks stay committed). */
+  private def readDataStream(in: InputStream, out: OutputStream, rev: Long,
+                             db: String, tbl: String, cols: Seq[String]): Boolean = {
+    var done = false
+    while (!done) {
+      rVarint(in) match {
+        case 2L /* Data */ =>
+          if (rev >= 50264) rStr(in) // external table name
+          readBlockInfo(in, rev)
+          readBlockPayload(in) match {
+            case None => done = true // 0×0 terminal block
+            case Some(payload) =>
+              http.pollInjectedFault() match {
+                case Some((code, msg)) =>
+                  sendException(out, code, msg); return false
+                case None =>
+                  try http.insertNativeBlock(db, tbl, cols, payload)
+                  catch {
+                    case CHFault(code, msg) =>
+                      sendException(out, code, msg); return false
+                  }
+              }
+          }
+        case 3L /* Cancel */ => return false
+        case other =>
+          sendException(out, 101, s"Unexpected packet $other during INSERT")
+          return false
+      }
+    }
+    wVarint(out, 5L) // EndOfStream
+    out.flush()
+    true
+  }
+
+  /** Capture exactly one block's bytes off the socket. A Native block is
+    * not length-prefixed — its extent is only knowable by walking the
+    * column data with the declared types — so the fixture walks the block
+    * structurally (types parsed, offsets followed, per-width skips)
+    * through a tee that records every byte consumed, then replays the
+    * captured bytes into the shared validator for the value-level pass.
+    * Returns None for the 0×0 terminal block. */
+  private def readBlockPayload(in: InputStream): Option[Array[Byte]] = {
+    // tee everything consumed while skeleton-decoding the block, so the
+    // exact block bytes can be replayed into the shared validator
+    val buf = new java.io.ByteArrayOutputStream(1 << 16)
+    val tee = new InputStream {
+      def read(): Int = { val b = in.read(); if (b >= 0) buf.write(b); b }
+      override def read(a: Array[Byte], off: Int, len: Int): Int = {
+        val k = in.read(a, off, len)
+        if (k > 0) buf.write(a, off, k)
+        k
+      }
+    }
+    val ncols = rVarint(tee)
+    val nrows = rVarint(tee)
+    if (ncols == 0 && nrows == 0) return None
+    (0L until ncols).foreach { _ =>
+      rStr(tee) // column name
+      val typeText = rStr(tee)
+      val t =
+        try graft.types.CHType.parse(typeText)
+        catch { case _: Exception =>
+          throw CHFault(50, s"Unknown data type in Native block: $typeText") }
+      skipColumnData(tee, t, nrows.toInt)
+    }
+    Some(buf.toByteArray)
+  }
+
+  /** Advance the stream past one column's data (structure-only walk; value
+    * validation happens in the shared brain's second pass). */
+  private def skipColumnData(in: InputStream, t: graft.types.CHType, n: Int): Unit = {
+    import graft.types.CHType._
+    t match {
+      case CHLowCardinality(inner) => skipColumnData(in, inner, n)
+      case CHNullable(inner) =>
+        skipBytes(in, n) // null mask
+        skipColumnData(in, inner, n)
+      case CHArray(inner) =>
+        val offs = (0 until n).map(_ => rI64(in))
+        skipColumnData(in, inner, if (n == 0) 0 else offs.last.toInt)
+      case CHMap(_, vt) =>
+        val offs = (0 until n).map(_ => rI64(in))
+        val total = if (n == 0) 0 else offs.last.toInt
+        (0 until total).foreach(_ => skipString(in))
+        skipColumnData(in, vt, total)
+      case CHTuple(elems) =>
+        elems.foreach(e => skipColumnData(in, e._2, n))
+      case CHString =>
+        (0 until n).foreach(_ => skipString(in))
+      case CHFixedString(w) => skipBytes(in, n * w)
+      case CHBool | CHInt(8) | CHUInt(8) | CHEnum(8, _) => skipBytes(in, n)
+      case CHInt(16) | CHUInt(16) | CHEnum(16, _) | CHDate => skipBytes(in, 2 * n)
+      case CHInt(32) | CHUInt(32) | CHFloat32 | CHDateTime(_) | CHDate32 | CHIPv4 =>
+        skipBytes(in, 4 * n)
+      case CHInt(_) | CHUInt(_) | CHFloat64 | CHDateTime64(_, _) => skipBytes(in, 8 * n)
+      case CHDecimal(p, _) =>
+        skipBytes(in, n * (if (p <= 9) 4 else if (p <= 18) 8 else 16))
+      case CHUUID | CHIPv6 => skipBytes(in, 16L * n)
+    }
+  }
+
+  private def skipString(in: InputStream): Unit = skipBytes(in, rVarint(in).toInt)
+
+  private def skipBytes(in: InputStream, n0: Long): Unit = {
+    var n = n0
+    val tmp = new Array[Byte](math.min(n, 1 << 16).toInt max 1)
+    while (n > 0) {
+      val k = in.read(tmp, 0, math.min(n, tmp.length.toLong).toInt)
+      if (k < 0) throw new java.io.EOFException("connection closed mid-block")
+      n -= k
+    }
+  }
+
+  private def sendStructureBlock(out: OutputStream, rev: Long,
+                                 cols: Seq[(String, String)]): Unit = {
+    wVarint(out, 1L) // server Data packet
+    if (rev >= 50264) wStr(out, "")
+    writeBlockInfo(out, rev)
+    wVarint(out, cols.length.toLong)
+    wVarint(out, 0L) // zero rows: structure only
+    cols.foreach { case (n, t) => wStr(out, n); wStr(out, t) }
+    out.flush()
+  }
+
+  private def sendException(out: OutputStream, code: Int, msg: String): Unit = {
+    wVarint(out, 2L) // server Exception packet
+    wI32(out, code)
+    wStr(out, "DB::Exception")
+    wStr(out, s"DB::Exception: $msg")
+    wStr(out, "") // stack trace
+    out.write(0) // no nested
+    out.flush()
+  }
+
+  private def unq(id: String): String = {
+    val t = id.trim
+    if (t.length >= 2 && t.head == '`' && t.last == '`')
+      t.substring(1, t.length - 1).replace("``", "`")
+    else t
+  }
+}

@@ -1,0 +1,199 @@
+package graft.sink
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+import graft.sink.SinkMapper.ColumnMapping
+
+/** Drives the ClickHouse NATIVE TCP protocol pair over real loopback
+  * sockets: [[ClickHouseNativeTcp]] (client) against
+  * [[MiniClickHouseTcpServer]] (fixture), which shares its table registry
+  * and every per-type validator with the HTTP fixture — the same INSERT
+  * faults produce the same ClickHouse error codes on both transports.
+  * Covers the handshake (incl. auth failure as an Exception packet),
+  * Ping/Pong, settings-as-strings framing, multi-block streaming INSERTs,
+  * and poison-row isolation through [[ClickHouseSink]]'s batch handler. */
+class NativeTcpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withTcp(user: String = "default", pass: String = "")
+                     (f: (MiniClickHouseServer, MiniClickHouseTcpServer) => Unit): Unit = {
+    val brain = new MiniClickHouseServer(user, pass)
+    brain.start()
+    val tcp = new MiniClickHouseTcpServer(brain)
+    tcp.start()
+    try f(brain, tcp) finally { tcp.stop(); brain.stop() }
+  }
+
+  private def tcpCfg(tcp: MiniClickHouseTcpServer, table: String,
+                     mappings: Seq[ColumnMapping],
+                     user: String = "default", pass: String = ""): ClickHouseSink.Config =
+    ClickHouseSink.Config(url = tcp.endpoint, database = "default",
+      table = table, username = user, password = pass, mappings = mappings)
+
+  test("handshake + ping: hello exchange negotiates the revision, Pong answers Ping") {
+    withTcp() { (_, tcp) =>
+      val c = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint,
+        tcpCfg(tcp, "t", Seq.empty))
+      ClickHouseNativeTcp.ping(c) // throws on any framing/handshake fault
+      assert(tcp.lastClientName == "graft-spark")
+    }
+  }
+
+  test("wrong password: the handshake answers an Exception packet with code 516") {
+    withTcp(pass = "secret") { (_, tcp) =>
+      val c = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint,
+        tcpCfg(tcp, "t", Seq.empty, pass = "wrong"))
+      val e = intercept[ClickHouseHttp.CHServerException](ClickHouseNativeTcp.ping(c))
+      assert(e.code == 516)
+      assert(ErrorClassifier.classify(e) == ErrorClassifier.Permanent)
+    }
+  }
+
+  test("full type matrix round-trips over the native TCP wire") {
+    withTcp() { (brain, tcp) =>
+      val schema = Seq(
+        "s" -> "String", "i64" -> "Int64", "f64" -> "Float64",
+        "e" -> "Enum8('red' = 1, 'blue' = 2)", "dt64" -> "DateTime64(3)",
+        "lc" -> "LowCardinality(String)", "ns" -> "Nullable(String)",
+        "m" -> "Map(String, String)", "arr" -> "Array(Int32)",
+        "dec" -> "Decimal(12, 3)", "day" -> "Date",
+        "tup" -> "Tuple(a String, n Int32)", "ip4" -> "IPv4", "ip6" -> "IPv6")
+      brain.createTable("default", "t", schema)
+      val m = schema.map { case (n, t) => ColumnMapping(n, n, t) }
+      val df = Seq((
+        "héllo", 9000000000L, 2.25, "blue", "2025-02-21T07:45:48.123",
+        "low", null.asInstanceOf[String], Map("k1" -> "v1"), Seq(1, 2, 3),
+        BigDecimal("123456789.125"), java.sql.Date.valueOf("2025-06-01"),
+        ("x", 7), "1.2.3.4", "2001:db8::1"))
+        .toDF("s", "i64", "f64", "e", "dt64", "lc", "ns", "m", "arr",
+          "dec", "day", "tup", "ip4", "ip6")
+      ClickHouseSink.writeBatch(tcpCfg(tcp, "t", m))(df)
+      assert(brain.rowCount("default", "t") == 1)
+      val r = brain.rows("default", "t").head
+      assert(r("s") == "héllo")
+      assert(r("i64") == BigInt(9000000000L))
+      assert(r("f64") == 2.25)
+      assert(r("e") == "blue")
+      val dtExpect = java.time.Instant.parse("2025-02-21T07:45:48Z")
+        .getEpochSecond * 1000000L + 123000L
+      assert(r("dt64") == dtExpect)
+      assert(r("lc") == "low")
+      assert(r("ns") == null)
+      assert(r("m") == Map("k1" -> "v1"))
+      assert(r("arr") == Vector(BigInt(1), BigInt(2), BigInt(3)))
+      assert(r("dec") == BigDecimal("123456789.125"))
+      assert(r("day") == java.time.LocalDate.parse("2025-06-01").toEpochDay)
+      assert(r("tup") == Map("a" -> "x", "n" -> BigInt(7)))
+      assert(r("ip4") == "1.2.3.4" && r("ip6") == "2001:db8::1")
+      // the INSERT text really went over the TCP wire
+      assert(tcp.receivedQueries.asScala.exists(_.contains("FORMAT Native")))
+    }
+  }
+
+  test("one INSERT streams many blocks over a single connection") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "mb", Seq("id" -> "Int64"))
+      val c = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint,
+        tcpCfg(tcp, "mb", Seq(ColumnMapping("id", "id", "Int64"))))
+        .copy(maxRowsPerBlock = 1000)
+      // 10k rows in ONE partition → 10 blocks through ONE INSERT query
+      val df = spark.range(10000).toDF("id").coalesce(1)
+      ClickHouseNativeTcp.write(c)(df)
+      assert(brain.acceptedCount("default", "mb") == 10000L)
+      // exactly one Query packet: the blocks streamed as framed packets,
+      // not one INSERT per slab (the HTTP leg's cost this leg removes)
+      assert(tcp.receivedQueries.size == 1)
+    }
+  }
+
+  test("server row-data fault dead-letters the poison row alone; the rest land") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "iso", Seq("id" -> "Int32"))
+      val m = Seq(ColumnMapping("id", "id", "Int32"))
+      val df = Seq(1, 2, 3).toDF("id").coalesce(1)
+      // fault 1 rejects the 3-row block (row-data class → row-wise replay
+      // on a fresh connection); fault 2 rejects the FIRST replayed
+      // single-row block → that row dead-letters, rows 2 and 3 land
+      brain.failNext(321, "Value is out of range of data type")
+      brain.failNext(321, "Value is out of range of data type")
+      val dlq = new ConcurrentLinkedQueue[Row]
+      ClickHouseSink.foreachBatchHandler(tcpCfg(tcp, "iso", m),
+        d => d.collect().foreach(dlq.add))(df, 0L)
+      assert(brain.rowCount("default", "iso") == 2)
+      assert(brain.rows("default", "iso").map(_("id")).toSet ==
+        Set(BigInt(2), BigInt(3)))
+      assert(dlq.size == 1)
+      assert(dlq.asScala.head.getAs[String]("error").contains("Code: 321"))
+      assert(dlq.asScala.head.getAs[String]("original_message").contains("1"))
+    }
+  }
+
+  test("client-side encoder reject (bad IP literal) is isolated without a round-trip") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "ip", Seq("id" -> "Int32", "addr" -> "IPv6"))
+      val c = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint, tcpCfg(tcp, "ip",
+        Seq(ColumnMapping("id", "id", "Int32"),
+          ColumnMapping("addr", "addr", "IPv6"))))
+      val df = Seq((1, "::1"), (2, "not-an-ip"), (3, "1.2.3.4"))
+        .toDF("id", "addr").coalesce(1)
+      val failed = ClickHouseNativeTcp.writeIsolating(c)(df).collect().toSeq
+      assert(brain.rowCount("default", "ip") == 2)
+      assert(brain.rows("default", "ip").map(_("addr")).toSet ==
+        Set("::1", "::ffff:1.2.3.4"))
+      assert(failed.size == 1 && failed.head._2.contains("Code: 441"))
+      assert(failed.head._1.contains("not-an-ip"))
+    }
+  }
+
+  test("injected retryable fault (241) retries through the budget and lands exactly once") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "rt", Seq("id" -> "Int64"))
+      brain.failNext(241, "Memory limit (total) exceeded", times = 2)
+      val df = Seq(1L, 2L, 3L).toDF("id").coalesce(1)
+      val dlq = new ConcurrentLinkedQueue[Row]
+      val handler = ClickHouseSink.foreachBatchHandler(
+        tcpCfg(tcp, "rt", Seq(ColumnMapping("id", "id", "Int64"))),
+        d => d.collect().foreach(dlq.add))
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 10) {
+        attempts += 1
+        try { handler(df, 5L); done = true } catch { case _: Throwable => () }
+      }
+      assert(done)
+      assert(attempts == 3, "two injected 241s then success")
+      assert(brain.acceptedCount("default", "rt") == 3L)
+      assert(dlq.isEmpty)
+    }
+  }
+
+  test("per-query settings go over the wire in the Query packet's settings section") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "st", Seq("id" -> "Int64"))
+      val c = tcpCfg(tcp, "st", Seq(ColumnMapping("id", "id", "Int64")))
+        .copy(httpSettings = Map("async_insert" -> "1", "insert_deduplicate" -> "0"))
+      ClickHouseSink.writeBatch(c)(Seq(1L).toDF("id"))
+      assert(tcp.lastSettings == Map("async_insert" -> "1", "insert_deduplicate" -> "0"))
+      assert(brain.rowCount("default", "st") == 1)
+    }
+  }
+
+  test("unknown table answers Exception 60; the classifier calls it a data fault batch-wide") {
+    withTcp() { (_, tcp) =>
+      val c = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint,
+        tcpCfg(tcp, "nope", Seq(ColumnMapping("id", "id", "Int64"))))
+      val conn = new ClickHouseNativeTcp.Conn(c)
+      try {
+        val e = intercept[ClickHouseHttp.CHServerException] {
+          conn.insert(ClickHouseNativeTcp.insertQuery(c, Seq("id")), Iterator.empty)
+        }
+        assert(e.code == 60)
+      } finally conn.close()
+    }
+  }
+}
