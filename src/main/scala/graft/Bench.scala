@@ -173,7 +173,7 @@ object Bench {
       f""""ingest_wire_events_per_sec":$wireRate%.0f,""" +
       streamingErrJson +
       f""""ingest_in_session":$inSession%.0f,""" +
-      """"ingest_note":"events_per_sec=steady-state batch rate, MEDIAN over 5 forked fresh JVMs (all runs recorded in ingest_batch_runs), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate-micro-batch source, fixed 2M rows/batch, median steady-state per-batch rate, 2 warm-up batches dropped, MEDIAN over 3 forked fresh-JVM attempts, all in ingest_streaming_runs); wire=BASELINE.md's actual topology (kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP RowBinary INSERT into a type-validating fixture server, server CPU included; MEDIAN over 3 forked runs, all in ingest_wire_runs); every forked run is preceded by a MemAvailable quiesce guard and bracketed by host telemetry (see host_telemetry); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
+      """"ingest_note":"events_per_sec=steady-state batch rate, MEDIAN over 5 forked fresh JVMs (all runs recorded in ingest_batch_runs), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate-micro-batch source, fixed 2M rows/batch, median steady-state per-batch rate, 2 warm-up batches dropped, MEDIAN over 3 forked fresh-JVM attempts, all in ingest_streaming_runs); wire=BASELINE.md's actual topology (kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP FORMAT Native INSERT into a type-validating fixture server, server CPU included; MEDIAN over 3 forked runs, all in ingest_wire_runs; r10 and earlier graded RowBinary -- Native is the reference driver's own insert format and measured faster); every forked run is preceded by a MemAvailable quiesce guard and bracketed by host telemetry (see host_telemetry); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
       s""""sf":"$sfDir"}"""
     println(json)
     // Durable copies: the driver's stdout capture window clipped the head of

@@ -554,9 +554,12 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     var n = 0L
     try {
       while (in.hasMore) {
-        out += colTypes.map { case (name, t) =>
-          name -> readBinary(in, t, name)
-        }.toMap
+        if (retainRows)
+          out += colTypes.map { case (name, t) =>
+            name -> readBinary(in, t, name)
+          }.toMap
+        else // bench fixture: validating walk, no value materialization
+          colTypes.foreach { case (name, t) => validateBinary(in, t, name) }
         n += 1
       }
     } catch {
@@ -657,7 +660,18 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
             throw CHFault(16, s"No such column $name in table"))
           if (!nativeCompatible(declared, tcol.chType))
             throw CHFault(53, s"Type mismatch for column $name: block declares $typeStr")
-          name -> readNativeColumn(in, declared, nrows, name)
+          // retainRows=false (the bench fixture): validating walk without
+          // materializing values — skips ONLY checks that cannot fail
+          // (every bit pattern is a legal Int64/Float64/DateTime tick;
+          // ClickHouse String is raw bytes, not UTF-8-checked on insert).
+          // Enum-id membership, framing/offset structure and truncation
+          // (CANNOT_READ_ALL_DATA) are still enforced value-by-value, so
+          // the fixture rejects exactly what the full decode rejects.
+          if (retainRows) name -> readNativeColumn(in, declared, nrows, name)
+          else {
+            validateNativeColumn(in, declared, nrows, name)
+            name -> (null: IndexedSeq[Any])
+          }
         }
         if (retainRows)
           (0 until nrows).foreach { r =>
@@ -727,6 +741,94 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     }
   }
 
+  /** Validating walk over one Native column WITHOUT materializing values
+    * (retainRows=false, i.e. the throughput fixtures). Every check that can
+    * actually fail in [[readNativeColumn]]/[[readBinary]] is kept — enum-id
+    * membership (fault 691), offset/length framing, and truncation (the
+    * reader's bound check → fault 33) — while infallible decodes (any 8
+    * bytes are a legal Int64/Float64; ClickHouse String is raw bytes) are
+    * skipped by width. Unknown shapes fall back to the full decode. */
+  private def validateNativeColumn(in: RowBinaryReader, t: CHType, n: Int,
+                                   col: String): Unit = {
+    import CHType._
+    t match {
+      case CHLowCardinality(inner) => validateNativeColumn(in, inner, n, col)
+      case CHNullable(inner) =>
+        in.skip(n.toLong) // grouped null mask; null slots still carry defaults
+        validateNativeColumn(in, inner, n, col)
+      case CHArray(inner) =>
+        var last = 0L
+        var i = 0
+        while (i < n) { last = in.i64(); i += 1 }
+        validateNativeColumn(in, inner, if (n == 0) 0 else last.toInt, col)
+      case CHMap(_, vt) =>
+        var last = 0L
+        var i = 0
+        while (i < n) { last = in.i64(); i += 1 }
+        val total = if (n == 0) 0 else last.toInt
+        i = 0
+        while (i < total) { in.skip(in.varint()); i += 1 } // keys
+        validateNativeColumn(in, vt, total, col)
+      case CHTuple(elems) => elems.foreach(e => validateNativeColumn(in, e._2, n, col))
+      case CHEnum(bits, values) =>
+        var i = 0
+        while (i < n) {
+          val id = if (bits == 8) in.u8().toByte.toInt else in.i16()
+          if (!values.exists(_._2 == id))
+            throw CHFault(691, s"Unknown enum id $id for column $col")
+          i += 1
+        }
+      case CHString =>
+        var i = 0
+        while (i < n) { in.skip(in.varint()); i += 1 }
+      case CHFixedString(w) => in.skip(n.toLong * w)
+      case CHBool | CHInt(8) | CHUInt(8) => in.skip(n.toLong)
+      case CHInt(16) | CHUInt(16) | CHDate => in.skip(2L * n)
+      case CHInt(32) | CHUInt(32) | CHFloat32 | CHDateTime(_) | CHDate32 | CHIPv4 =>
+        in.skip(4L * n)
+      case CHInt(64) | CHUInt(64) | CHFloat64 | CHDateTime64(_, _) => in.skip(8L * n)
+      case CHDecimal(p, _) =>
+        in.skip(n.toLong * (if (p <= 9) 4 else if (p <= 18) 8 else 16))
+      case CHUUID | CHIPv6 => in.skip(16L * n)
+      case other => // future shapes: full decode rather than a wrong skip
+        var i = 0
+        while (i < n) { readBinary(in, other, col); i += 1 }
+    }
+  }
+
+  /** RowBinary row-major counterpart of [[validateNativeColumn]]: one
+    * value's validating skip. Same kept/skipped check set. */
+  private def validateBinary(in: RowBinaryReader, t: CHType, col: String): Unit = {
+    import CHType._
+    t match {
+      case CHString => in.skip(in.varint())
+      case CHFixedString(w) => in.skip(w.toLong)
+      case CHBool | CHInt(8) | CHUInt(8) => in.skip(1L)
+      case CHInt(16) | CHUInt(16) | CHDate => in.skip(2L)
+      case CHInt(32) | CHUInt(32) | CHFloat32 | CHDateTime(_) | CHDate32 | CHIPv4 =>
+        in.skip(4L)
+      case CHInt(64) | CHUInt(64) | CHFloat64 | CHDateTime64(_, _) => in.skip(8L)
+      case CHDecimal(p, _) => in.skip(if (p <= 9) 4L else if (p <= 18) 8L else 16L)
+      case CHEnum(bits, values) =>
+        val id = if (bits == 8) in.u8().toByte.toInt else in.i16()
+        if (!values.exists(_._2 == id))
+          throw CHFault(691, s"Unknown enum id $id for column $col")
+      case CHUUID | CHIPv6 => in.skip(16L)
+      case CHLowCardinality(inner) => validateBinary(in, inner, col)
+      case CHNullable(inner) => if (in.u8() != 1) validateBinary(in, inner, col)
+      case CHMap(_, vt) =>
+        val n = in.varint()
+        var i = 0L
+        while (i < n) { in.skip(in.varint()); validateBinary(in, vt, col); i += 1 }
+      case CHArray(inner) =>
+        val n = in.varint()
+        var i = 0L
+        while (i < n) { validateBinary(in, inner, col); i += 1 }
+      case CHTuple(elems) => elems.foreach(e => validateBinary(in, e._2, col))
+      case other => readBinary(in, other, col); ()
+    }
+  }
+
   private final class RowBinaryReader(buf: Array[Byte]) {
     private var pos = 0
     def hasMore: Boolean = pos < buf.length
@@ -740,7 +842,15 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       v
     }
     def take(n: Int): Array[Byte] = {
+      // bound-check: copyOfRange pads past the end with zeros, which would
+      // let a truncated tail silently decode as NUL bytes instead of
+      // raising the CANNOT_READ_ALL_DATA fault
+      if (n < 0 || pos + n > buf.length) throw new IndexOutOfBoundsException()
       val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
+    }
+    def skip(n: Long): Unit = {
+      if (n < 0 || pos + n > buf.length) throw new IndexOutOfBoundsException()
+      pos += n.toInt
     }
     def str(): String = new String(take(varint().toInt), UTF_8)
   }

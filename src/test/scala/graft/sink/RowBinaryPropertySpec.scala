@@ -123,4 +123,60 @@ class RowBinaryPropertySpec extends SparkSpec {
       }
     } finally ch.stop()
   }
+
+  test("retainRows=false: validating walk accepts and rejects exactly like the full decode") {
+    // The throughput fixtures run with retainRows=false, where the server
+    // walks blocks with width-skips instead of materializing values. The
+    // walk must accept the identical byte streams the full decode accepts
+    // (same 200-row / 22-type corpus, all three formats) and still raise
+    // the decode path's only two fallible faults: unknown enum id (691)
+    // and truncation (33).
+    val ch = new MiniClickHouseServer(retainRows = false)
+    ch.start()
+    try {
+      ch.createTable("default", "t_rb", schema)
+      ch.createTable("default", "t_json", schema)
+      ch.createTable("default", "t_native", schema)
+      val rows = randomRows(new Random(20260815L), 200)
+      val df = rows.toDF("id", "s", "fs", "b", "i32", "u16", "f32", "f64",
+        "e", "uid", "dt", "dt64", "lc", "ns", "m", "arr", "dec", "day", "day32",
+        "tup", "ip4", "ip6")
+      def c(table: String, fmt: String) = ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = table,
+        mappings = mappings, httpFormat = fmt)
+      ClickHouseSink.writeBatch(c("t_rb", "RowBinary"))(df)
+      ClickHouseSink.writeBatch(c("t_json", "JSONEachRow"))(df)
+      ClickHouseSink.writeBatch(c("t_native", "Native"))(df)
+      Seq("t_rb", "t_json", "t_native").foreach { t =>
+        assert(ch.acceptedCount("default", t) == 200, t)
+        assert(ch.rowCount("default", t) == 0, s"$t must not materialize rows")
+      }
+
+      ch.createTable("default", "neg", Seq("e" -> "Enum8('a' = 1)"))
+      val hc = ClickHouseHttp.Config(endpoint = ch.endpoint,
+        database = "default", table = "neg", format = "RowBinary")
+      // one RowBinary row: enum id 99, not in the type's value set
+      val badEnum = intercept[ClickHouseHttp.CHServerException] {
+        ClickHouseHttp.post(hc,
+          "INSERT INTO `default`.`neg` (`e`) FORMAT RowBinary", Array[Byte](99))
+      }
+      assert(badEnum.code == 691)
+      // a Native block declaring 1 row of Int64 but carrying only 3 bytes
+      val truncated = {
+        val out = new java.io.ByteArrayOutputStream()
+        def vi(v: Long): Unit = ClickHouseNativeTcp.wVarint(out, v)
+        def s(x: String): Unit = ClickHouseNativeTcp.wStr(out, x)
+        vi(1); vi(1) // 1 col, 1 row
+        s("e2"); s("Int64")
+        out.write(Array[Byte](1, 2, 3))
+        out.toByteArray
+      }
+      ch.createTable("default", "neg2", Seq("e2" -> "Int64"))
+      val cut = intercept[ClickHouseHttp.CHServerException] {
+        ClickHouseHttp.post(hc.copy(table = "neg2", format = "Native"),
+          "INSERT INTO `default`.`neg2` (`e2`) FORMAT Native", truncated)
+      }
+      assert(cut.code == 33)
+    } finally ch.stop()
+  }
 }
