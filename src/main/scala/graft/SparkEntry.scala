@@ -528,6 +528,37 @@ object SparkEntry {
           col("pair.label").as("label"), col("pair.uid").as("uid"))
     },
 
+    // ClickHouse write→read ROUND TRIP over real loopback HTTP (beyond
+    // the reference, which only writes): events INSERTed through the
+    // sink's FORMAT Native leg into a type-validating fixture, read back
+    // through the graft-clickhouse DSv2 source with the filter PUSHED
+    // into the server-side WHERE and the projection into the SELECT list
+    // — the oracle proves two wire crossings (client encode → server
+    // decode → server encode → client decode) are value-stable. The
+    // result is materialized (persist+count) while the fixture lives;
+    // the fixture then stops before the frame is returned.
+    "q_ch_roundtrip" -> { (s, dir) =>
+      import graft.sink.{ClickHouseSink, MiniClickHouseServer, SinkMapper}
+      val ch = new MiniClickHouseServer()
+      ch.start()
+      val cols = Seq("event_id" -> "Int64", "user_id" -> "Int64",
+        "event_type" -> "LowCardinality(String)", "value" -> "Float64")
+      ch.createTable("default", "events_rt", cols)
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "events_rt",
+        mappings = cols.map { case (n, t) => SinkMapper.ColumnMapping(n, n, t) },
+        httpFormat = "Native"))(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"))
+      val back = s.read.format("graft-clickhouse")
+        .option("url", ch.endpoint).option("database", "default")
+        .option("table", "events_rt").load()
+        .filter(col("value") > 50.0 && col("event_type") =!= "error")
+      val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      ch.stop()
+      cached
+    },
+
     // F3 versioned transform router: per-schema-version rule sets unioned
     // into one plan (version predicate reaches the scan on each branch).
     "q_versioned_transform" -> { (s, dir) =>
@@ -6146,6 +6177,10 @@ object SparkEntry {
         |  strftime(epoch_ms(CAST(floor(value) AS BIGINT) * 1000), '%Y-%m-%d %H:%M:%S') AS dt,
         |  event_type AS name
         |FROM events""".stripMargin,
+    "q_ch_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE value > 50.0 AND event_type <> 'error'""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

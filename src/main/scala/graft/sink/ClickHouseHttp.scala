@@ -432,4 +432,38 @@ object ClickHouseHttp {
   /** Server liveness + auth probe (`SELECT 1`): the control plane checks
     * the connection before activating a pipeline. */
   def ping(c: Config): Unit = { get(c, "SELECT 1"); () }
+
+  /** POST a read query and return the raw response BYTES (the read-side
+    * scan leg sends `SELECT ... FORMAT Native`, whose response is binary —
+    * [[get]]'s string decode would corrupt it). Settings travel as URL
+    * params like every other request. */
+  def queryBytes(c: Config, query: String): Array[Byte] = {
+    val params = c.settings + ("query" -> query)
+    val qs = params.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+      .mkString("&")
+    val url = URI.create(c.endpoint.stripSuffix("/") + "/?" + qs).toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(c.connectTimeoutMs)
+      conn.setReadTimeout(c.readTimeoutMs)
+      conn.setRequestProperty("X-ClickHouse-User", c.username)
+      if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
+      conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (stream == null) Array.empty[Byte]
+        else try stream.readAllBytes() finally stream.close()
+      if (status != 200) {
+        val text = new String(body, UTF_8)
+        val code = Option(conn.getHeaderField("X-ClickHouse-Exception-Code"))
+          .flatMap(_.trim.toIntOption).getOrElse(1000)
+        throw CHServerException(code,
+          text.linesIterator.nextOption().getOrElse(s"HTTP $status")
+            .replaceFirst("^Code:\\s*\\d+\\.\\s*DB::Exception:\\s*", ""))
+      }
+      body
+    } finally conn.disconnect()
+  }
 }

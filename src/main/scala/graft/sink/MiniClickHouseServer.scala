@@ -158,6 +158,51 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
 
       receivedQueries.add((query, params - "query"))
 
+      // SELECT cols FROM db.t [WHERE expr] [LIMIT n] FORMAT Native — the
+      // read-source leg. The fixture evaluates WHERE with SQL three-valued
+      // NULL logic (MiniChSelect) and answers real Native wire bytes
+      // re-encoded from its stored canonical values, so the production
+      // NativeDecoder is what decodes them. Rows require retainRows=true.
+      val sel = ("""(?is)SELECT\s+(.+?)\s+FROM\s+(\S+?)\.([^\s.]+?)""" +
+        """(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s+FORMAT\s+Native\s*$""").r
+      sel.findFirstMatchIn(query.trim) match {
+        case Some(m) =>
+          val db = unq(m.group(2)); val tbl = unq(m.group(3))
+          val key = s"$db.$tbl"
+          tables.synchronized { tables.get(key) } match {
+            case None => fail(ex, 404, 60, s"Table $key does not exist")
+            case Some(t) =>
+              try {
+                val raw = tables.synchronized { rawTypes.getOrElse(key, Map.empty) }
+                val cols = m.group(1).split(",").map(s => unq(s.trim)).toSeq
+                cols.filterNot(c => t.columns.exists(_.name == c)) match {
+                  case missing if missing.nonEmpty =>
+                    throw CHFault(47, s"Unknown identifier ${missing.head}")
+                  case _ => ()
+                }
+                val where = Option(m.group(4)).map(MiniChSelect.parseWhere)
+                val limit = Option(m.group(5)).map(_.toInt)
+                val all = tables.synchronized { t.rows.toVector }
+                val kept = where match {
+                  case None => all
+                  case Some(e) => all.filter(r => MiniChSelect.eval(e, r).contains(true))
+                }
+                val sliced = limit.fold(kept)(kept.take)
+                val colTypes = cols.map(c => c -> raw.getOrElse(c, "String"))
+                val body = MiniChSelect.encodeNative(colTypes, sliced)
+                ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
+                ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
+                if (body.nonEmpty) {
+                  val os = ex.getResponseBody; os.write(body); os.close()
+                }
+              } catch {
+                case CHFault(code, msg) => fail(ex, 500, code, msg)
+              }
+          }
+          return
+        case None => ()
+      }
+
       val ins = """(?is)INSERT\s+INTO\s+(\S+?)\.(\S+?)\s*\(([^)]*)\)\s*FORMAT\s+(\w+)""".r
       ins.findFirstMatchIn(query) match {
         case None =>

@@ -1,0 +1,273 @@
+package graft.sources.clickhouse
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sink.ClickHouseHttp
+import graft.types.{CHType, NativeDecoder}
+
+/** ClickHouse READ-side source (`spark.read.format("graft-clickhouse")`) —
+  * beyond the reference (which only writes to ClickHouse), because a user
+  * pointing this engine at an existing CH deployment reads those tables
+  * back for joins, enrichment and audits. DataSource V2 so the two scan
+  * levers that matter at 100 TB are REAL, not post-scan:
+  *
+  *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the SELECT
+  *    list sent to the server is exactly Spark's required schema — a
+  *    2-column projection over a 300-column table ships 2 columns.
+  *  - **Filter pushdown** ([[SupportsPushDownFilters]]): comparison /
+  *    IN / NULL / LIKE-shaped predicates compile into the query's WHERE
+  *    clause and run where the data lives (the server's primary-key index
+  *    and data-skipping indexes see them); what can't compile stays in
+  *    Spark — `pushFilters` returns it, so semantics never weaken.
+  *  - **Partitioned reads**: Spark's public JDBC option quartet
+  *    (`partitionColumn`/`lowerBound`/`upperBound`/`numPartitions`)
+  *    generates stride ranges, one independent `SELECT` per Spark
+  *    partition, so a large table scan fans out across executors instead
+  *    of serializing through one connection. Stride semantics mirror
+  *    Spark's JDBC source: the first range is unbounded below (plus
+  *    IS NULL), the last unbounded above.
+  *
+  * The response arrives as `FORMAT Native` columnar blocks decoded by
+  * [[NativeDecoder]] straight to InternalRow — same wire format as the
+  * sink's INSERT leg (one encoder + one decoder, shared layouts), so a
+  * write/read round-trip is value-stable by construction. The schema
+  * comes from `DESCRIBE TABLE` at planning time via `CHType.sparkType` —
+  * the identical mapping the sink validates against.
+  */
+final class ClickHouseReadSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-clickhouse"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ClickHouseReadSource.sparkSchema(
+      ClickHouseReadSource.describe(ClickHouseReadSource.conf(options.asScala.toMap)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChTable(properties.asScala.toMap, schema)
+}
+
+object ClickHouseReadSource {
+
+  private[clickhouse] def conf(opts: Map[String, String]): ClickHouseHttp.Config = {
+    val o = opts.map { case (k, v) => k.toLowerCase -> v }
+    ClickHouseHttp.Config(
+      endpoint = o.getOrElse("url",
+        throw new IllegalArgumentException("graft-clickhouse requires option 'url'")),
+      database = o.getOrElse("database", "default"),
+      table = o.getOrElse("table",
+        throw new IllegalArgumentException("graft-clickhouse requires option 'table'")),
+      username = o.getOrElse("user", "default"),
+      password = o.getOrElse("password", ""),
+      // LowCardinality columns must arrive as plain full columns (the
+      // decoder has no dictionary path — INSERT-leg symmetry); the public
+      // server setting that guarantees it travels with every scan query
+      settings = Map("low_cardinality_allow_in_native_format" -> "0") ++
+        opts.collect {
+          case (k, v) if k.toLowerCase.startsWith("settings.") =>
+            k.substring("settings.".length) -> v
+        })
+  }
+
+  private[clickhouse] def describe(c: ClickHouseHttp.Config): Seq[(String, String)] =
+    ClickHouseHttp.describeTable(c)
+
+  private[clickhouse] def sparkSchema(cols: Seq[(String, String)]): StructType =
+    StructType(cols.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, CHType.parse(t).sparkType)
+    })
+
+  // ------------------------------------------------ filter → CH SQL compile
+
+  /** Compile one Spark source filter to a ClickHouse WHERE fragment, or
+    * None when it can't be expressed (it then stays a Spark-side filter —
+    * pushdown may only ever REDUCE the rows shipped, never change the
+    * result). Only plain top-level columns compile; literals are limited
+    * to types whose SQL text form is unambiguous without casts. */
+  private[clickhouse] def compile(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => binary(a, "=", v)
+    case EqualNullSafe(a, null) => Some(s"${qid(a)} IS NULL")
+    case EqualNullSafe(a, v) => binary(a, "=", v)
+    case GreaterThan(a, v) => binary(a, ">", v)
+    case GreaterThanOrEqual(a, v) => binary(a, ">=", v)
+    case LessThan(a, v) => binary(a, "<", v)
+    case LessThanOrEqual(a, v) => binary(a, "<=", v)
+    case In(a, vs) if vs.nonEmpty =>
+      val lits = vs.toSeq.map(lit)
+      if (plain(a) && lits.forall(_.isDefined))
+        Some(s"${qid(a)} IN (${lits.flatten.mkString(", ")})")
+      else None
+    case IsNull(a) if plain(a) => Some(s"${qid(a)} IS NULL")
+    case IsNotNull(a) if plain(a) => Some(s"${qid(a)} IS NOT NULL")
+    case And(l, r) => for { a <- compile(l); b <- compile(r) } yield s"($a AND $b)"
+    case Or(l, r) => for { a <- compile(l); b <- compile(r) } yield s"($a OR $b)"
+    case Not(c) => compile(c).map(s => s"(NOT $s)")
+    case StringStartsWith(a, v) if plain(a) =>
+      Some(s"${qid(a)} LIKE '${likeEscape(v)}%'")
+    case StringEndsWith(a, v) if plain(a) =>
+      Some(s"${qid(a)} LIKE '%${likeEscape(v)}'")
+    case StringContains(a, v) if plain(a) =>
+      Some(s"${qid(a)} LIKE '%${likeEscape(v)}%'")
+    case _ => None
+  }
+
+  private def binary(a: String, op: String, v: Any): Option[String] =
+    if (!plain(a)) None else lit(v).map(l => s"${qid(a)} $op $l")
+
+  /** Nested attributes (a.b) don't compile — dots are ambiguous between a
+    * literal column name and struct access on the CH side. */
+  private def plain(a: String): Boolean = !a.contains(".")
+
+  private def qid(a: String): String = ClickHouseHttp.quoteId(a)
+
+  private[clickhouse] def lit(v: Any): Option[String] = v match {
+    case null => None // comparisons with NULL are never true; don't compile
+    case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
+    case f: Float if !f.isNaN && !f.isInfinite => Some(f.toString)
+    case d: Double if !d.isNaN && !d.isInfinite => Some(d.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.bigDecimal.toPlainString)
+    case b: Boolean => Some(if (b) "true" else "false")
+    case s: String => Some(s"'${strEscape(s)}'")
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s"'${strEscape(s.toString)}'")
+    case _ => None // dates/timestamps need cast functions: keep Spark-side
+  }
+
+  private def strEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  private def likeEscape(s: String): String =
+    strEscape(s).replace("%", "\\%").replace("_", "\\_")
+
+  /** JDBC-style stride ranges over `partitionColumn`: numPartitions
+    * predicates whose union is total (first unbounded below + IS NULL,
+    * last unbounded above) and pairwise disjoint. */
+  private[clickhouse] def strideRanges(col: String, lower: Long, upper: Long,
+                                       n: Int): Seq[String] = {
+    require(n >= 1, "numPartitions must be >= 1")
+    require(upper >= lower, s"upperBound $upper < lowerBound $lower")
+    if (n == 1) return Seq("")
+    val stride = math.max((upper - lower) / n, 1L)
+    val bounds = (1 until n).map(i => lower + stride * i).distinct
+      .filter(b => b > lower && b < upper)
+    val q = qid(col)
+    if (bounds.isEmpty) return Seq("")
+    val first = s"($q < ${bounds.head} OR $q IS NULL)"
+    val middle = bounds.sliding(2).collect {
+      case Seq(lo, hi) => s"($q >= $lo AND $q < $hi)"
+    }.toSeq
+    val last = s"($q >= ${bounds.last})"
+    first +: middle :+ last
+  }
+}
+
+private[clickhouse] final class ChTable(opts: Map[String, String], schema0: StructType)
+  extends Table with SupportsRead {
+  override def name(): String =
+    "graft-clickhouse:" + opts.getOrElse("database", "default") + "." +
+      opts.getOrElse("table", "?")
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChScanBuilder(opts ++ options.asScala, schema0)
+}
+
+private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: StructType)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var compiled: Seq[String] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(f => ClickHouseReadSource.compile(f).isDefined)
+    pushed = ok
+    compiled = ok.flatMap(ClickHouseReadSource.compile).toSeq
+    rest // stay Spark-side
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ChScan(opts, full, required, compiled)
+}
+
+private[clickhouse] final class ChScan(opts: Map[String, String], full: StructType,
+                                       required: StructType, where: Seq[String])
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val w = if (where.isEmpty) "" else s" where ${where.mkString(" AND ")}"
+    s"graft-clickhouse scan [${required.fieldNames.mkString(",")}]$w"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val o = opts.map { case (k, v) => k.toLowerCase -> v }
+    val c = ClickHouseReadSource.conf(opts)
+    // SELECT list: the pruned columns; an empty projection (count(*)) still
+    // needs row EXTENT, so ship the narrowest thing there is — the first
+    // column — and emit empty rows
+    val cols = ClickHouseReadSource.describe(c).toMap
+    val names =
+      if (required.fields.nonEmpty) required.fieldNames.toSeq
+      else full.fieldNames.headOption.toSeq
+    val colTypes = names.map(n => n -> cols.getOrElse(n,
+      throw new IllegalArgumentException(s"column $n not in ${c.database}.${c.table}")))
+    val ranges = (o.get("partitioncolumn"), o.get("numpartitions")) match {
+      case (Some(pc), Some(np)) =>
+        val lower = o.getOrElse("lowerbound",
+          throw new IllegalArgumentException("partitionColumn requires lowerBound")).toLong
+        val upper = o.getOrElse("upperbound",
+          throw new IllegalArgumentException("partitionColumn requires upperBound")).toLong
+        ClickHouseReadSource.strideRanges(pc, lower, upper, np.toInt)
+      case _ => Seq("")
+    }
+    ranges.map { range =>
+      val conj = (where ++ Option(range).filter(_.nonEmpty)).mkString(" AND ")
+      val sql = s"SELECT ${names.map(ClickHouseHttp.quoteId).mkString(", ")} " +
+        s"FROM ${ClickHouseHttp.quoteId(c.database)}.${ClickHouseHttp.quoteId(c.table)}" +
+        (if (conj.nonEmpty) s" WHERE $conj" else "") + " FORMAT Native"
+      ChPartition(c, sql, colTypes, emitEmptyRows = required.fields.isEmpty): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = ChReaderFactory
+}
+
+private[clickhouse] final case class ChPartition(
+    c: ClickHouseHttp.Config, sql: String, colTypes: Seq[(String, String)],
+    emitEmptyRows: Boolean) extends InputPartition
+
+private[clickhouse] object ChReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ChPartitionReader(partition.asInstanceOf[ChPartition])
+}
+
+/** Executor-side reader: one HTTP query per partition, decoded lazily. */
+private[clickhouse] final class ChPartitionReader(p: ChPartition)
+  extends PartitionReader[InternalRow] {
+  private lazy val rows: Iterator[InternalRow] = {
+    val body = ClickHouseHttp.queryBytes(p.c, p.sql)
+    val expect = p.colTypes.map { case (n, t) => n -> CHType.parse(t) }
+    val decoded = NativeDecoder.decode(body, expect)
+    if (p.emitEmptyRows) decoded.map(_ => InternalRow.empty) else decoded
+  }
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

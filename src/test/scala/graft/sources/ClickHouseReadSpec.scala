@@ -1,0 +1,221 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sink.{ClickHouseSink, MiniClickHouseServer}
+import graft.sink.SinkMapper.ColumnMapping
+
+/** The ClickHouse READ source over real loopback HTTP: write through the
+  * sink's Native INSERT leg, read back with
+  * `spark.read.format("graft-clickhouse")`, and assert the two scan
+  * levers actually reached the server — the SELECT list is the pruned
+  * column set and the WHERE clause carries the pushed filters (checked
+  * against the fixture's received-query log, not just the Spark plan).
+  * The fixture evaluates WHERE with SQL three-valued NULL logic and
+  * re-encodes its stored values as real Native wire bytes, so this
+  * round-trips client encode → server decode → server encode → client
+  * decode over the full supported type matrix. */
+class ClickHouseReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withServer(f: MiniClickHouseServer => Unit): Unit = {
+    val ch = new MiniClickHouseServer()
+    ch.start()
+    try f(ch) finally ch.stop()
+  }
+
+  private def reader(ch: MiniClickHouseServer, table: String) =
+    spark.read.format("graft-clickhouse")
+      .option("url", ch.endpoint).option("database", "default")
+      .option("table", table)
+
+  private def received(ch: MiniClickHouseServer): Seq[String] =
+    ch.receivedQueries.asScala.map(_._1).toSeq
+
+  test("full type matrix round-trips write -> read") {
+    withServer { ch =>
+      val schema = Seq(
+        "id" -> "Int64", "s" -> "String", "i32" -> "Int32", "u64" -> "UInt64",
+        "f64" -> "Float64", "e" -> "Enum8('red' = 1, 'blue' = 2)",
+        "dt" -> "DateTime", "dt64" -> "DateTime64(6)",
+        "lc" -> "LowCardinality(String)", "ns" -> "Nullable(String)",
+        "m" -> "Map(String, String)", "arr" -> "Array(Int64)",
+        "dec" -> "Decimal(12, 3)", "day" -> "Date",
+        "tup" -> "Tuple(a String, n Int32)", "ip4" -> "IPv4", "ip6" -> "IPv6")
+      ch.createTable("default", "rt", schema)
+      val ts = java.sql.Timestamp.from(java.time.Instant.parse("2025-02-21T07:45:48Z"))
+      val ts64 = { val t = java.sql.Timestamp.from(
+        java.time.Instant.parse("2025-02-21T07:45:48Z")); t.setNanos(123456000); t }
+      val df = Seq(
+        (1L, "héllo", 42, "18446744073709551615", 2.25, "blue", ts, ts64,
+          "low", "present", Map("k1" -> "v1", "k2" -> "v2"), Seq(1L, 2L, 3L),
+          BigDecimal("123456789.125"), java.sql.Date.valueOf("2025-06-01"),
+          ("x", 7), "1.2.3.4", "2001:db8::1"),
+        (2L, "wörld", -7, "0", -0.5, "red", ts, ts64,
+          "low", null.asInstanceOf[String], Map.empty[String, String], Seq.empty[Long],
+          BigDecimal("-1.500"), java.sql.Date.valueOf("1970-01-01"),
+          ("y", -1), "0.0.0.0", "::1"))
+        .toDF("id", "s", "i32", "u64", "f64", "e", "dt", "dt64", "lc", "ns",
+          "m", "arr", "dec", "day", "tup", "ip4", "ip6")
+        // full-range UInt64 input must be Decimal(20,0): the cast matrix's
+        // strict pairings reject string input for integer columns (a
+        // string there nulls out, per reference ConvertValue semantics)
+        .withColumn("u64", $"u64".cast(DecimalType(20, 0)))
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "rt",
+        mappings = schema.map { case (n, t) => ColumnMapping(n, n, t) },
+        httpFormat = "Native"))(df)
+
+      val back = reader(ch, "rt").load().orderBy("id")
+      // inferred schema follows CHType.sparkType
+      val bySchema = back.schema.fields.map(f => f.name -> f.dataType).toMap
+      assert(bySchema("id") == LongType && bySchema("i32") == IntegerType)
+      assert(bySchema("u64") == DecimalType(20, 0))
+      assert(bySchema("dec") == DecimalType(12, 3))
+      assert(bySchema("dt") == TimestampType && bySchema("dt64") == TimestampType)
+      assert(bySchema("day") == DateType)
+      assert(bySchema("m") == MapType(StringType, StringType))
+      assert(bySchema("arr") == ArrayType(LongType))
+      assert(bySchema("tup") == StructType(Seq(
+        StructField("a", StringType), StructField("n", IntegerType))))
+
+      val rows = back.collect()
+      assert(rows.length == 2)
+      val r1 = rows(0)
+      assert(r1.getAs[String]("s") == "héllo")
+      assert(r1.getAs[java.math.BigDecimal]("u64").toString == "18446744073709551615")
+      assert(r1.getAs[Double]("f64") == 2.25)
+      assert(r1.getAs[String]("e") == "blue")
+      assert(r1.getAs[java.sql.Timestamp]("dt") == ts)
+      assert(r1.getAs[java.sql.Timestamp]("dt64") == ts64)
+      assert(r1.getAs[String]("lc") == "low")
+      assert(r1.getAs[String]("ns") == "present")
+      assert(r1.getAs[Map[String, String]]("m") == Map("k1" -> "v1", "k2" -> "v2"))
+      assert(r1.getSeq[Long](r1.fieldIndex("arr")) == Seq(1L, 2L, 3L))
+      assert(r1.getAs[java.math.BigDecimal]("dec").toPlainString == "123456789.125")
+      assert(r1.getAs[java.sql.Date]("day") == java.sql.Date.valueOf("2025-06-01"))
+      assert(r1.getAs[org.apache.spark.sql.Row]("tup") ==
+        org.apache.spark.sql.Row("x", 7))
+      assert(r1.getAs[String]("ip4") == "1.2.3.4")
+      assert(r1.getAs[String]("ip6") == "2001:db8::1")
+      val r2 = rows(1)
+      assert(r2.getAs[String]("ns") == null)
+      assert(r2.getAs[java.math.BigDecimal]("dec").toPlainString == "-1.500")
+      assert(r2.getSeq[Long](r2.fieldIndex("arr")).isEmpty)
+    }
+  }
+
+  private def eventsTable(ch: MiniClickHouseServer): Unit = {
+    ch.createTable("default", "ev", Seq(
+      "id" -> "Int64", "kind" -> "String", "score" -> "Float64",
+      "note" -> "Nullable(String)"))
+    val df = (1L to 100L).map(i => (i,
+      if (i % 3 == 0) "alpha" else if (i % 3 == 1) "beta" else "gamma",
+      i / 10.0, if (i % 5 == 0) null else s"note$i"))
+      .toDF("id", "kind", "score", "note")
+    ClickHouseSink.writeBatch(ClickHouseSink.Config(
+      url = ch.endpoint, database = "default", table = "ev",
+      mappings = Seq(ColumnMapping("id", "id", "Int64"),
+        ColumnMapping("kind", "kind", "String"),
+        ColumnMapping("score", "score", "Float64"),
+        ColumnMapping("note", "note", "Nullable(String)")),
+      httpFormat = "Native"))(df)
+    ch.receivedQueries.clear()
+  }
+
+  test("column pruning reaches the server's SELECT list") {
+    withServer { ch =>
+      eventsTable(ch)
+      val got = reader(ch, "ev").load().select("kind", "id").collect()
+      assert(got.length == 100)
+      val sels = received(ch).filter(_.startsWith("SELECT"))
+      assert(sels.nonEmpty)
+      assert(sels.forall(q => q.contains("`kind`, `id`") || q.contains("`id`, `kind`")))
+      assert(sels.forall(q => !q.contains("`score`") && !q.contains("`note`")))
+    }
+  }
+
+  test("filter pushdown reaches the server's WHERE; unsupported filters stay Spark-side") {
+    withServer { ch =>
+      eventsTable(ch)
+      val df = reader(ch, "ev").load()
+        .filter($"id" > 50L && $"kind".startsWith("al") && length($"note") > 2)
+      val rows = df.collect()
+      // Spark-equivalent oracle
+      val expect = (1L to 100L).filter(i => i > 50 && i % 3 == 0 && i % 5 != 0)
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == expect)
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains("WHERE"), q)
+      assert(q.contains("`id` > 50"), q)
+      assert(q.contains("`kind` LIKE 'al%'"), q)
+      assert(!q.toLowerCase.contains("length"), s"unsupported filter leaked: $q")
+      // and the plan shows the pushed set
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-clickhouse"), plan.take(400))
+    }
+  }
+
+  test("IN / IS NULL / != push down with SQL three-valued NULL semantics") {
+    withServer { ch =>
+      eventsTable(ch)
+      val withNull = reader(ch, "ev").load().filter($"note".isNull)
+      assert(withNull.count() == 20)
+      // != over a nullable column must NOT return null rows (UNKNOWN filters)
+      val ne = reader(ch, "ev").load().filter($"note" =!= "note1")
+        .select("id").as[Long].collect().toSet
+      val expect = (1L to 100L).filter(i => i % 5 != 0 && i != 1).toSet
+      assert(ne == expect)
+      val in = reader(ch, "ev").load().filter($"kind".isin("alpha", "gamma"))
+      assert(in.count() == (1L to 100L).count(i => i % 3 != 1))
+      val q = received(ch).filter(_.contains(" IN ")).last
+      assert(q.contains("`kind` IN ('alpha', 'gamma')"), q)
+    }
+  }
+
+  test("JDBC-style partitioned read fans out to independent range queries") {
+    withServer { ch =>
+      eventsTable(ch)
+      val df = reader(ch, "ev")
+        .option("partitionColumn", "id")
+        .option("lowerBound", "1").option("upperBound", "101")
+        .option("numPartitions", "4")
+        .load()
+      assert(df.rdd.getNumPartitions == 4)
+      assert(df.count() == 100)
+      // disjoint + total: no row lost, none duplicated
+      assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 100L))
+      val sels = received(ch).filter(_.startsWith("SELECT"))
+      assert(sels.count(_.contains("WHERE")) >= 4)
+      assert(sels.exists(_.contains("IS NULL")), "first range must sweep NULLs")
+    }
+  }
+
+  test("empty projection (count) still counts rows without shipping columns") {
+    withServer { ch =>
+      eventsTable(ch)
+      assert(reader(ch, "ev").load().count() == 100)
+    }
+  }
+
+  test("pushed-filter results match the same filters evaluated Spark-side") {
+    withServer { ch =>
+      eventsTable(ch)
+      val pushed = reader(ch, "ev").load()
+        .filter($"score" >= 2.5 && ($"kind" === "beta" || $"note".isNotNull))
+      val sparkSide = reader(ch, "ev").load().collect().toSeq // full scan
+        .filter { r =>
+          r.getAs[Double]("score") >= 2.5 &&
+            (r.getAs[String]("kind") == "beta" || r.getAs[String]("note") != null)
+        }
+      assert(pushed.collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+        sparkSide.map(_.getAs[Long]("id")).sorted)
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains("OR"), q)
+    }
+  }
+}
