@@ -559,6 +559,38 @@ object SparkEntry {
       cached
     },
 
+    // ClickHouse AGGREGATE PUSHDOWN under the oracle: the whole
+    // GROUP BY + count/min/max/sum/avg runs SERVER-side (DSv2
+    // SupportsPushDownAggregates compiles it into the query; single
+    // partition → complete pushdown, Spark plans no partial aggregate)
+    // and the returned aggregate rows must hash-match DuckDB running the
+    // same aggregation over the parquet truth.
+    "q_ch_agg_pushdown" -> { (s, dir) =>
+      import graft.sink.{ClickHouseSink, MiniClickHouseServer, SinkMapper}
+      val ch = new MiniClickHouseServer()
+      ch.start()
+      val cols = Seq("event_id" -> "Int64", "user_id" -> "Int64",
+        "event_type" -> "LowCardinality(String)", "value" -> "Float64")
+      ch.createTable("default", "events_agg", cols)
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "events_agg",
+        mappings = cols.map { case (n, t) => SinkMapper.ColumnMapping(n, n, t) },
+        httpFormat = "Native"))(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"))
+      val back = s.read.format("graft-clickhouse")
+        .option("url", ch.endpoint).option("database", "default")
+        .option("table", "events_agg").load()
+        .filter(col("value") > 25.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"), sum(col("user_id")).as("sum_uid"),
+          round(avg(col("value")), 2).as("avg_v"))
+      val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      ch.stop()
+      cached
+    },
+
     // F3 versioned transform router: per-schema-version rule sets unioned
     // into one plan (version predicate reaches the scan on each branch).
     "q_versioned_transform" -> { (s, dir) =>
@@ -6181,6 +6213,11 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
         |FROM events
         |WHERE value > 50.0 AND event_type <> 'error'""".stripMargin,
+    "q_ch_agg_pushdown" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_v,
+        |  max(value) AS max_v, CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  round(avg(value), 2) AS avg_v
+        |FROM events WHERE value > 25.0 GROUP BY event_type""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -254,6 +254,133 @@ private[sink] object MiniChSelect {
     s.matches("(?s)" + rx.toString)
   }
 
+  // ------------------------------------------------------- aggregate SELECTs
+
+  sealed trait Item
+  final case class ColItem(name: String) extends Item
+  final case class AggItem(func: String, arg: Option[String], alias: String) extends Item
+
+  /** Parse a SELECT list: plain (possibly backquoted) identifiers and/or
+    * aliased single-argument aggregates `func(arg) AS alias`. */
+  def parseSelectList(s: String): Seq[Item] = {
+    val aggRx = """(?is)^(count|min|max|sum|avg)\s*\(\s*(\*|`[^`]*`|[A-Za-z0-9_]*)\s*\)\s+AS\s+(\S+)\s*$""".r
+    s.split(",").map(_.trim).toSeq.map {
+      case aggRx(func, arg, alias) =>
+        val a = arg.trim match {
+          case "" | "*" => None
+          case other => Some(unq(other))
+        }
+        AggItem(func.toLowerCase, a, unq(alias))
+      case plain => ColItem(unq(plain))
+    }
+  }
+
+  /** Evaluate aggregates over the (already WHERE-filtered) rows with the
+    * semantics of `aggregate_functions_null_for_empty=1`: min/max/sum/avg
+    * answer NULL for a group with no (non-NULL) input values; count never
+    * does. Returns the response columns as (name, CH type text) plus the
+    * result rows in stored-canonical form, ready for [[encodeNative]].
+    * Output type rules (count → UInt64, min/max → Nullable(column type),
+    * sum → Nullable(Int64|Float64), avg → Nullable(Float64)) mirror the
+    * real server's — the READER derives the same table independently, so
+    * a disagreement fails the round-trip test loudly. */
+  def aggregate(items: Seq[Item], groupBy: Seq[String],
+                rows: Seq[Map[String, Any]],
+                rawTypes: Map[String, String]): (Seq[(String, String)], Seq[Map[String, Any]]) = {
+    def rawOf(c: String): String =
+      rawTypes.getOrElse(c, throw CHFault(47, s"Unknown identifier $c"))
+    def nullableOf(t: String): String =
+      if (CHType.parse(t).isInstanceOf[CHType.CHNullable]) t else s"Nullable($t)"
+    def isIntStored(c: String): Boolean = CHType.parse(rawOf(c)) match {
+      case t => strip(t) match {
+        case CHType.CHInt(_) => true
+        case CHType.CHUInt(b) => b < 64
+        case CHType.CHBool => false
+        case _ => false
+      }
+    }
+    def isFloatStored(c: String): Boolean = strip(CHType.parse(rawOf(c))) match {
+      case CHType.CHFloat32 | CHType.CHFloat64 => true
+      case _ => false
+    }
+    val colTypes: Seq[(String, String)] = items.map {
+      case ColItem(c) =>
+        if (!groupBy.contains(c))
+          throw CHFault(215, s"Column $c is not under an aggregate function and not in GROUP BY")
+        c -> rawOf(c)
+      case AggItem("count", _, alias) => alias -> "UInt64"
+      case AggItem(f @ ("min" | "max"), Some(c), alias) =>
+        alias -> nullableOf(rawOf(c))
+      case AggItem("sum", Some(c), alias) if isIntStored(c) => alias -> "Nullable(Int64)"
+      case AggItem("sum", Some(c), alias) if isFloatStored(c) => alias -> "Nullable(Float64)"
+      case AggItem("avg", Some(c), alias) if isIntStored(c) || isFloatStored(c) =>
+        alias -> "Nullable(Float64)"
+      case AggItem(f, arg, _) =>
+        throw CHFault(43, s"Illegal argument $arg of aggregate function $f")
+    }
+    val grouped: Seq[(Seq[Any], Seq[Map[String, Any]])] =
+      if (groupBy.isEmpty) Seq((Nil, rows))
+      else rows.groupBy(r => groupBy.map(c =>
+        r.getOrElse(c, throw CHFault(47, s"Unknown identifier $c")))).toSeq
+        .map { case (k, v) => (k, v) }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: BigInt, y: BigInt) => x.compare(y)
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case _ => throw CHFault(43, s"Cannot order ${a.getClass.getSimpleName}")
+    }
+    def toDouble(v: Any): Double = v match {
+      case x: BigInt => x.toDouble
+      case x: Long => x.toDouble
+      case x: Double => x
+      case x: BigDecimal => x.toDouble
+      case other => throw CHFault(43, s"Non-numeric ${other.getClass.getSimpleName}")
+    }
+    val out = grouped.map { case (key, members) =>
+      val base = groupBy.zip(key).toMap
+      val aggVals = items.collect {
+        case AggItem("count", None, alias) => alias -> BigInt(members.size)
+        case AggItem("count", Some(c), alias) =>
+          alias -> BigInt(members.count(_.getOrElse(c, null) != null))
+        case AggItem(f @ ("min" | "max"), Some(c), alias) =>
+          val vs = members.map(_.getOrElse(c, null)).filter(_ != null)
+          alias -> (if (vs.isEmpty) null
+            else if (f == "min") vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+            else vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b))
+        case AggItem("sum", Some(c), alias) =>
+          val vs = members.map(_.getOrElse(c, null)).filter(_ != null)
+          alias -> (if (vs.isEmpty) null
+            else if (isIntStored(c)) vs.map {
+              case x: BigInt => x
+              case x: Long => BigInt(x)
+              case other => throw CHFault(43, s"Non-integer $other in sum")
+            }.sum
+            else vs.map(toDouble).sum)
+        case AggItem("avg", Some(c), alias) =>
+          val vs = members.map(_.getOrElse(c, null)).filter(_ != null)
+          alias -> (if (vs.isEmpty) null else vs.map(toDouble).sum / vs.size)
+      }.toMap
+      base ++ aggVals
+    }
+    (colTypes, out)
+  }
+
+  private def strip(t: CHType): CHType = t match {
+    case CHType.CHLowCardinality(i) => strip(i)
+    case CHType.CHNullable(i) => strip(i)
+    case other => other
+  }
+
+  private def unq(id: String): String = {
+    val t = id.trim
+    if (t.length >= 2 && t.head == '`' && t.last == '`')
+      t.substring(1, t.length - 1).replace("``", "`")
+    else t
+  }
+
   // --------------------------------------- stored values → Native response
 
   /** Encode stored canonical rows as one `FORMAT Native` block. Column

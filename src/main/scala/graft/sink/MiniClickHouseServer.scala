@@ -164,7 +164,8 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       // re-encoded from its stored canonical values, so the production
       // NativeDecoder is what decodes them. Rows require retainRows=true.
       val sel = ("""(?is)SELECT\s+(.+?)\s+FROM\s+(\S+?)\.([^\s.]+?)""" +
-        """(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s+FORMAT\s+Native\s*$""").r
+        """(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
+        """(?:\s+LIMIT\s+(\d+))?\s+FORMAT\s+Native\s*$""").r
       sel.findFirstMatchIn(query.trim) match {
         case Some(m) =>
           val db = unq(m.group(2)); val tbl = unq(m.group(3))
@@ -174,21 +175,42 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
             case Some(t) =>
               try {
                 val raw = tables.synchronized { rawTypes.getOrElse(key, Map.empty) }
-                val cols = m.group(1).split(",").map(s => unq(s.trim)).toSeq
-                cols.filterNot(c => t.columns.exists(_.name == c)) match {
+                val items = MiniChSelect.parseSelectList(m.group(1))
+                val where = Option(m.group(4)).map(MiniChSelect.parseWhere)
+                val groupBy = Option(m.group(5)).toSeq
+                  .flatMap(_.split(",").map(s => unq(s.trim)))
+                val limit = Option(m.group(6)).map(_.toInt)
+                items.collect { case MiniChSelect.ColItem(c) => c }
+                  .filterNot(c => t.columns.exists(_.name == c)) match {
                   case missing if missing.nonEmpty =>
                     throw CHFault(47, s"Unknown identifier ${missing.head}")
                   case _ => ()
                 }
-                val where = Option(m.group(4)).map(MiniChSelect.parseWhere)
-                val limit = Option(m.group(5)).map(_.toInt)
                 val all = tables.synchronized { t.rows.toVector }
                 val kept = where match {
                   case None => all
                   case Some(e) => all.filter(r => MiniChSelect.eval(e, r).contains(true))
                 }
-                val sliced = limit.fold(kept)(kept.take)
-                val colTypes = cols.map(c => c -> raw.getOrElse(c, "String"))
+                val hasAgg = items.exists(_.isInstanceOf[MiniChSelect.AggItem])
+                val (colTypes, result) =
+                  if (hasAgg) {
+                    // the fixture implements ONLY the SQL-standard
+                    // NULL-on-empty aggregate semantics; a query relying on
+                    // ClickHouse's default type-default-on-empty must say so
+                    // and is refused rather than answered subtly wrong
+                    if (!params.get("aggregate_functions_null_for_empty")
+                          .exists(x => x == "1" || x == "true"))
+                      throw CHFault(48, "fixture requires aggregate_functions_null_for_empty=1 for aggregate SELECTs")
+                    MiniChSelect.aggregate(items, groupBy, kept,
+                      raw ++ t.columns.map(c => c.name ->
+                        raw.getOrElse(c.name, "String")).toMap)
+                  } else {
+                    if (groupBy.nonEmpty)
+                      throw CHFault(215, "GROUP BY without aggregates not supported by fixture")
+                    val cols = items.collect { case MiniChSelect.ColItem(c) => c }
+                    (cols.map(c => c -> raw.getOrElse(c, "String")), kept)
+                  }
+                val sliced = limit.fold(result)(result.take)
                 val body = MiniChSelect.encodeNative(colTypes, sliced)
                 ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
                 ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)

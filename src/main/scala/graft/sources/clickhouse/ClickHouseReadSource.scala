@@ -6,10 +6,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sink.ClickHouseHttp
@@ -148,6 +149,101 @@ object ClickHouseReadSource {
   private def likeEscape(s: String): String =
     strEscape(s).replace("%", "\\%").replace("_", "\\_")
 
+  /** One pushed-aggregation output column: its SQL select-list entry
+    * (aliased), the name it answers as, the CH type the response decodes
+    * with, and the Spark type the scan declares. */
+  private[clickhouse] final case class AggCol(
+      sql: String, name: String, chType: String, sparkType: DataType)
+
+  /** A fully-compiled pushed aggregation: groupBy columns first, then
+    * aggregate outputs — the column order Spark expects from a pushed-agg
+    * scan. */
+  private[clickhouse] final case class AggPush(cols: Seq[AggCol], groupBy: Seq[String]) {
+    def schema: StructType =
+      StructType(cols.map(c => StructField(c.name, c.sparkType)))
+  }
+
+  /** Compile a Spark aggregation for server-side execution, or None when
+    * any piece can't be expressed (Spark then aggregates normally).
+    * Result-type rules mirror ClickHouse under
+    * `aggregate_functions_null_for_empty=1` (the public setting the scan
+    * always sends with aggregates, giving SQL-standard NULL on empty
+    * sets): count() → UInt64 read as Int64 (bit-identical for any real
+    * count), min/max keep the column type Nullable-wrapped, sum widens
+    * integers to Int64 and floats to Float64, avg is Float64. `partial`
+    * refuses Avg (Spark can only merge partial avg as sum+count, which it
+    * requests separately). */
+  private[clickhouse] def compileAggregation(agg: Aggregation,
+                                             raw: Map[String, String],
+                                             partial: Boolean): Option[AggPush] = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
+    def nullable(t: String): String = {
+      val p = CHType.parse(t)
+      if (p.isInstanceOf[CHType.CHNullable]) t else s"Nullable($t)"
+    }
+    def intish(t: CHType): Boolean = t match {
+      case CHType.CHInt(_) => true
+      case CHType.CHUInt(b) => b < 64 // UInt64 sums are Decimal in Spark: refuse
+      case CHType.CHLowCardinality(i) => intish(i)
+      case CHType.CHNullable(i) => intish(i)
+      case _ => false
+    }
+    def floatish(t: CHType): Boolean = t match {
+      case CHType.CHFloat32 | CHType.CHFloat64 => true
+      case CHType.CHLowCardinality(i) => floatish(i)
+      case CHType.CHNullable(i) => floatish(i)
+      case _ => false
+    }
+    val groups = agg.groupByExpressions.toSeq.map(colOf)
+    if (groups.exists(_.isEmpty)) return None
+    val groupCols = groups.flatten
+    if (groupCols.exists(c => !raw.contains(c))) return None
+    val groupEntries = groupCols.map { c =>
+      AggCol(qid(c), c, raw(c), CHType.parse(raw(c)).sparkType)
+    }
+    val aggEntries = agg.aggregateExpressions.toSeq.zipWithIndex.map { case (f, i) =>
+      val alias = s"agg$i"
+      def over(e: org.apache.spark.sql.connector.expressions.Expression)(
+          mk: (String, String) => Option[(String, String, DataType)]): Option[AggCol] =
+        for {
+          c <- colOf(e)
+          t <- raw.get(c)
+          (sql, ch, sp) <- mk(c, t)
+        } yield AggCol(s"$sql AS ${qid(alias)}", alias, ch, sp)
+      f match {
+        case _: CountStar =>
+          Some(AggCol(s"count() AS ${qid(alias)}", alias, "Int64", LongType))
+        case cnt: Count if !cnt.isDistinct =>
+          over(cnt.column)((c, _) => Some((s"count(${qid(c)})", "Int64", LongType)))
+        case m: Min => over(m.column) { (c, t) =>
+          Some((s"min(${qid(c)})", nullable(t), CHType.parse(t).sparkType))
+        }
+        case m: Max => over(m.column) { (c, t) =>
+          Some((s"max(${qid(c)})", nullable(t), CHType.parse(t).sparkType))
+        }
+        case s: Sum if !s.isDistinct => over(s.column) { (c, t) =>
+          val p = CHType.parse(t)
+          if (intish(p)) Some((s"sum(${qid(c)})", "Nullable(Int64)", LongType))
+          else if (floatish(p)) Some((s"sum(${qid(c)})", "Nullable(Float64)", DoubleType))
+          else None
+        }
+        case a: Avg if !a.isDistinct && !partial => over(a.column) { (c, t) =>
+          val p = CHType.parse(t)
+          if (intish(p) || floatish(p))
+            Some((s"avg(${qid(c)})", "Nullable(Float64)", DoubleType))
+          else None
+        }
+        case _ => None
+      }
+    }
+    if (aggEntries.exists(_.isEmpty)) None
+    else Some(AggPush(groupEntries ++ aggEntries.flatten, groupCols))
+  }
+
   /** JDBC-style stride ranges over `partitionColumn`: numPartitions
     * predicates whose union is total (first unbounded below + IS NULL,
     * last unbounded above) and pairwise disjoint. */
@@ -183,11 +279,21 @@ private[clickhouse] final class ChTable(opts: Map[String, String], schema0: Stru
 }
 
 private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: StructType)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var compiled: Seq[String] = Nil
+  private var agg: Option[ClickHouseReadSource.AggPush] = None
+  private var limit: Option[Int] = None
+
+  private def numPartitions: Int =
+    opts.collectFirst { case (k, v) if k.toLowerCase == "numpartitions" => v.toInt }
+      .getOrElse(1)
+
+  private lazy val rawTypes: Map[String, String] =
+    ClickHouseReadSource.describe(ClickHouseReadSource.conf(opts)).toMap
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -201,31 +307,68 @@ private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: S
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ChScan(opts, full, required, compiled)
+  /** Complete pushdown needs a single partition (with stride ranges each
+    * partition's aggregate is only PARTIAL — Spark must merge). */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    numPartitions == 1 &&
+      ClickHouseReadSource.compileAggregation(aggregation, rawTypes,
+        partial = false).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val a = ClickHouseReadSource.compileAggregation(aggregation, rawTypes,
+      partial = numPartitions > 1)
+    agg = a
+    a.isDefined
+  }
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  /** Per-partition LIMIT only — Spark re-applies the global one. */
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = new ChScan(opts, full, required, compiled, agg, limit)
 }
 
 private[clickhouse] final class ChScan(opts: Map[String, String], full: StructType,
-                                       required: StructType, where: Seq[String])
+                                       required: StructType, where: Seq[String],
+                                       agg: Option[ClickHouseReadSource.AggPush],
+                                       limit: Option[Int])
   extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String = {
     val w = if (where.isEmpty) "" else s" where ${where.mkString(" AND ")}"
-    s"graft-clickhouse scan [${required.fieldNames.mkString(",")}]$w"
+    val a = agg.fold("")(a => s" agg [${a.cols.map(_.sql).mkString(", ")}]")
+    s"graft-clickhouse scan [${readSchema().fieldNames.mkString(",")}]$w$a"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val o = opts.map { case (k, v) => k.toLowerCase -> v }
-    val c = ClickHouseReadSource.conf(opts)
-    // SELECT list: the pruned columns; an empty projection (count(*)) still
-    // needs row EXTENT, so ship the narrowest thing there is — the first
-    // column — and emit empty rows
+    val base = ClickHouseReadSource.conf(opts)
+    // aggregates always travel with the NULL-on-empty setting so min/max/
+    // sum over an empty set answer NULL (SQL semantics Spark expects),
+    // not ClickHouse's type default
+    val c = if (agg.isDefined)
+      base.copy(settings = base.settings + ("aggregate_functions_null_for_empty" -> "1"))
+    else base
     val cols = ClickHouseReadSource.describe(c).toMap
-    val names =
-      if (required.fields.nonEmpty) required.fieldNames.toSeq
-      else full.fieldNames.headOption.toSeq
-    val colTypes = names.map(n => n -> cols.getOrElse(n,
-      throw new IllegalArgumentException(s"column $n not in ${c.database}.${c.table}")))
+    // SELECT list: pushed aggregation outputs, or the pruned columns; an
+    // empty projection (count(*) without agg pushdown) still needs row
+    // EXTENT, so ship the narrowest thing there is — the first column —
+    // and emit empty rows
+    val (selectList, colTypes, emitEmpty) = agg match {
+      case Some(a) =>
+        (a.cols.map(_.sql), a.cols.map(ac => ac.name -> ac.chType), false)
+      case None =>
+        val names =
+          if (required.fields.nonEmpty) required.fieldNames.toSeq
+          else full.fieldNames.headOption.toSeq
+        (names.map(ClickHouseHttp.quoteId),
+          names.map(n => n -> cols.getOrElse(n,
+            throw new IllegalArgumentException(
+              s"column $n not in ${c.database}.${c.table}"))),
+          required.fields.isEmpty)
+    }
     val ranges = (o.get("partitioncolumn"), o.get("numpartitions")) match {
       case (Some(pc), Some(np)) =>
         val lower = o.getOrElse("lowerbound",
@@ -235,12 +378,17 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
         ClickHouseReadSource.strideRanges(pc, lower, upper, np.toInt)
       case _ => Seq("")
     }
+    val groupBy = agg.map(_.groupBy).getOrElse(Nil)
     ranges.map { range =>
       val conj = (where ++ Option(range).filter(_.nonEmpty)).mkString(" AND ")
-      val sql = s"SELECT ${names.map(ClickHouseHttp.quoteId).mkString(", ")} " +
+      val sql = s"SELECT ${selectList.mkString(", ")} " +
         s"FROM ${ClickHouseHttp.quoteId(c.database)}.${ClickHouseHttp.quoteId(c.table)}" +
-        (if (conj.nonEmpty) s" WHERE $conj" else "") + " FORMAT Native"
-      ChPartition(c, sql, colTypes, emitEmptyRows = required.fields.isEmpty): InputPartition
+        (if (conj.nonEmpty) s" WHERE $conj" else "") +
+        (if (groupBy.nonEmpty)
+           s" GROUP BY ${groupBy.map(ClickHouseHttp.quoteId).mkString(", ")}"
+         else "") +
+        limit.fold("")(n => s" LIMIT $n") + " FORMAT Native"
+      ChPartition(c, sql, colTypes, emitEmptyRows = emitEmpty): InputPartition
     }.toArray
   }
 

@@ -202,6 +202,85 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("aggregate pushdown: GROUP BY + count/min/max/sum/avg run server-side") {
+    withServer { ch =>
+      eventsTable(ch)
+      val agg = reader(ch, "ev").load()
+        .groupBy("kind")
+        .agg(count("*").as("n"), count($"note").as("nn"),
+          min($"score").as("mn"), max($"id").as("mx"),
+          sum($"id").as("sm"), avg($"score").as("av"))
+        .orderBy("kind")
+      val rows = agg.collect()
+      // oracle: same aggregation computed locally
+      val groups = (1L to 100L).groupBy(i =>
+        if (i % 3 == 0) "alpha" else if (i % 3 == 1) "beta" else "gamma")
+      rows.foreach { r =>
+        val is = groups(r.getAs[String]("kind"))
+        assert(r.getAs[Long]("n") == is.size)
+        assert(r.getAs[Long]("nn") == is.count(_ % 5 != 0))
+        assert(r.getAs[Double]("mn") == is.map(_ / 10.0).min)
+        assert(r.getAs[Long]("mx") == is.max)
+        assert(r.getAs[Long]("sm") == is.sum)
+        assert(math.abs(r.getAs[Double]("av") - is.map(_ / 10.0).sum / is.size) < 1e-9)
+      }
+      // the aggregation genuinely ran on the server: the query carries
+      // GROUP BY + aggregate functions, and no full-row scan was issued
+      val sels = received(ch).filter(_.startsWith("SELECT"))
+      assert(sels.nonEmpty)
+      assert(sels.forall(_.contains("GROUP BY `kind`")), sels.mkString("; "))
+      assert(sels.last.contains("count()"), sels.last)
+      assert(sels.last.contains("min(`score`)"), sels.last)
+    }
+  }
+
+  test("global aggregate over an empty set answers SQL NULLs (count 0)") {
+    withServer { ch =>
+      eventsTable(ch)
+      val r = reader(ch, "ev").load()
+        .filter($"id" > 1000L)
+        .agg(count("*").as("n"), min($"score").as("mn"), sum($"id").as("sm"))
+        .collect().head
+      assert(r.getAs[Long]("n") == 0L)
+      assert(r.isNullAt(r.fieldIndex("mn")))
+      assert(r.isNullAt(r.fieldIndex("sm")))
+      val q = received(ch).filter(_.contains("count()")).last
+      assert(q.contains("`id` > 1000"), q)
+    }
+  }
+
+  test("partitioned scan pushes PARTIAL aggregates that Spark merges correctly") {
+    withServer { ch =>
+      eventsTable(ch)
+      val agg = reader(ch, "ev")
+        .option("partitionColumn", "id")
+        .option("lowerBound", "1").option("upperBound", "101")
+        .option("numPartitions", "4")
+        .load()
+        .groupBy("kind").agg(count("*").as("n"), sum($"id").as("sm"))
+      val byKind = agg.collect().map(r =>
+        r.getAs[String]("kind") -> (r.getAs[Long]("n"), r.getAs[Long]("sm"))).toMap
+      val groups = (1L to 100L).groupBy(i =>
+        if (i % 3 == 0) "alpha" else if (i % 3 == 1) "beta" else "gamma")
+      groups.foreach { case (k, is) =>
+        assert(byKind(k) == ((is.size.toLong, is.sum)), k)
+      }
+      // four partial aggregate queries, one per stride range
+      val sels = received(ch).filter(_.contains("GROUP BY"))
+      assert(sels.size == 4, sels.mkString("; "))
+    }
+  }
+
+  test("limit pushes down per partition; Spark re-applies the global bound") {
+    withServer { ch =>
+      eventsTable(ch)
+      val got = reader(ch, "ev").load().limit(7).collect()
+      assert(got.length == 7)
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains("LIMIT 7"), q)
+    }
+  }
+
   test("pushed-filter results match the same filters evaluated Spark-side") {
     withServer { ch =>
       eventsTable(ch)
