@@ -182,10 +182,12 @@ object ClickHouseSink {
               val mt = strip(graft.types.CHType.parse(m.chType))
               mt == st ||
                 // a plain-String mapping may feed FixedString on the
-                // JSONEachRow leg only (the server enforces the width);
-                // the binary formats encode by the MAPPING's type, so a
-                // String/FixedString disagreement would corrupt the framing
-                (c.httpFormat != "RowBinary" && c.httpFormat != "Native" &&
+                // JSONEachRow and Native legs (the server's converting
+                // insert enforces the width — Native blocks carry their
+                // own types). RowBinary has no block header: the server
+                // reads by TABLE type, so a String/FixedString
+                // disagreement there genuinely corrupts the framing
+                (c.httpFormat != "RowBinary" &&
                   mt == graft.types.CHType.CHString &&
                   st.isInstanceOf[graft.types.CHType.CHFixedString])
             } catch { case _: Exception => true } // unparseable → server's call

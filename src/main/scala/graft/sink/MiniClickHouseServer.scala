@@ -727,14 +727,30 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
             throw CHFault(16, s"No such column $name in table"))
           if (!nativeCompatible(declared, tcol.chType))
             throw CHFault(53, s"Type mismatch for column $name: block declares $typeStr")
+          // converting insert (String block → FixedString(w) table): the
+          // real server converts per value and rejects overlong ones
+          val fsWidth = fixedStringWidthOf(declared, tcol.chType)
+          def widthCheck(vals: IndexedSeq[Any]): IndexedSeq[Any] = {
+            fsWidth.foreach { w =>
+              vals.foreach {
+                case s: String if s.getBytes(UTF_8).length > w =>
+                  throw CHFault(131,
+                    s"Too large value for FixedString($w) in column $name")
+                case _ => ()
+              }
+            }
+            vals
+          }
           // retainRows=false (the bench fixture): validating walk without
           // materializing values — skips ONLY checks that cannot fail
           // (every bit pattern is a legal Int64/Float64/DateTime tick;
           // ClickHouse String is raw bytes, not UTF-8-checked on insert).
           // Enum-id membership, framing/offset structure and truncation
           // (CANNOT_READ_ALL_DATA) are still enforced value-by-value, so
-          // the fixture rejects exactly what the full decode rejects.
-          if (retainRows) name -> readNativeColumn(in, declared, nrows, name)
+          // the fixture rejects exactly what the full decode rejects. The
+          // converting-insert width check CAN fail, so it always decodes.
+          if (retainRows || fsWidth.isDefined)
+            name -> widthCheck(readNativeColumn(in, declared, nrows, name))
           else {
             validateNativeColumn(in, declared, nrows, name)
             name -> (null: IndexedSeq[Any])
@@ -754,8 +770,11 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
   }
 
   /** Block column type vs table column type: equal modulo LowCardinality;
-    * a non-nullable block column may feed a Nullable table column (the
-    * real server inserts converting actions for both). */
+    * a non-nullable block column may feed a Nullable table column, and a
+    * String block column may feed a FixedString(n) table column — the
+    * real server inserts converting actions for all three (values are
+    * width-checked per row in [[parseNative]], answering 131 for an
+    * overlong value exactly like a direct FixedString insert). */
   private def nativeCompatible(block: CHType, tbl: CHType): Boolean = {
     import CHType._
     def stripLC(t: CHType): CHType = t match {
@@ -767,7 +786,24 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case x => x
     }
     val (b, t) = (stripLC(block), stripLC(tbl))
-    b == t || (t match { case CHNullable(i) => b == i; case _ => false })
+    b == t ||
+      (t match { case CHNullable(i) => b == i; case _ => false }) ||
+      ((b, t) match { case (CHString, CHFixedString(_)) => true; case _ => false })
+  }
+
+  /** The FixedString width the table imposes on a String block column
+    * (the converting-insert case), or None when no width check applies. */
+  private def fixedStringWidthOf(block: CHType, tbl: CHType): Option[Int] = {
+    import CHType._
+    def strip(t: CHType): CHType = t match {
+      case CHLowCardinality(i) => strip(i)
+      case CHNullable(i) => strip(i)
+      case x => x
+    }
+    (strip(block), strip(tbl)) match {
+      case (CHString, CHFixedString(w)) => Some(w)
+      case _ => None
+    }
   }
 
   private def readNativeColumn(in: RowBinaryReader, t: CHType, n: Int,

@@ -165,9 +165,57 @@ object CHType {
           case entry(label, id) => unescape(label) -> id.toInt
           case a => throw ParseException(s"malformed enum entry '$a' in: $s")
         }.toMap)
-      case "LowCardinality" => CHLowCardinality(parse(args.head))
-      case "Nullable" => CHNullable(parse(args.head))
-      case "Map" => CHMap(parse(args.head), parse(args(1)))
+      case "LowCardinality" =>
+        // real-server rule (default settings): LowCardinality is for
+        // string-shaped data; numeric/date inners are "suspicious" and
+        // CREATE TABLE rejects them (error 455
+        // SUSPICIOUS_TYPE_FOR_LOW_CARDINALITY) unless
+        // allow_suspicious_low_cardinality_types is set — a type this
+        // engine would accept but a real table can't hold is a config-time
+        // lie, so parse rejects it too
+        val inner = parse(args.head)
+        def lcOk(t: CHType): Boolean = t match {
+          case CHString | CHFixedString(_) => true
+          case CHNullable(i) => lcOk(i)
+          case _ => false
+        }
+        if (!lcOk(inner))
+          throw ParseException(
+            s"LowCardinality(${args.head.trim}) is suspicious and prohibited " +
+              "by default (real-server SUSPICIOUS_TYPE_FOR_LOW_CARDINALITY); " +
+              "use the plain type")
+        CHLowCardinality(inner)
+      case "Nullable" =>
+        val inner = parse(args.head)
+        // real-server rule: composite/LC inners cannot be Nullable —
+        // "Nested type X cannot be inside Nullable type" (error 43);
+        // Nullable is for scalars, LowCardinality(Nullable(T)) is the
+        // legal nesting order for nullable dictionaries
+        inner match {
+          case CHLowCardinality(_) | CHArray(_) | CHMap(_, _) | CHTuple(_) =>
+            throw ParseException(
+              s"Nested type ${args.head.trim} cannot be inside Nullable type " +
+                "(real-server rule; for dictionaries use LowCardinality(Nullable(T)))")
+          case _ => ()
+        }
+        CHNullable(inner)
+      case "Map" =>
+        val k = parse(args.head)
+        // real-server rule: Map keys must be hashable scalar types —
+        // Nullable / Float / composite keys are rejected at CREATE
+        // ("Map cannot have a key of type ...")
+        def keyOk(t: CHType): Boolean = t match {
+          case CHString | CHFixedString(_) | CHUUID | CHDate | CHDate32 |
+               CHDateTime(_) | CHDateTime64(_, _) | CHIPv4 | CHIPv6 |
+               CHInt(_) | CHUInt(_) | CHEnum(_, _) | CHBool => true
+          case CHLowCardinality(i) => keyOk(i)
+          case _ => false
+        }
+        if (!keyOk(k))
+          throw ParseException(
+            s"Map cannot have a key of type ${args.head.trim} (real-server rule: " +
+              "keys must be string/integer/date/uuid/enum, never Nullable or Float)")
+        CHMap(k, parse(args(1)))
       case "Array" => CHArray(parse(args.head))
       case "IPv4" => CHIPv4
       case "IPv6" => CHIPv6

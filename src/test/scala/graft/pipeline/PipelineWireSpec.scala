@@ -119,6 +119,64 @@ class PipelineWireSpec extends SparkSpec {
     } finally { kafka.stop(); ch.stop() }
   }
 
+  test("pipeline over the NATIVE TCP sink leg: dedup + poison DLQ land identically") {
+    // same feature topology, but the sink speaks ClickHouse's :9000 native
+    // protocol (tcp:// scheme → streamed block INSERTs) against the TCP
+    // fixture sharing the HTTP fixture's brain — the transport changes,
+    // the validation outcomes must not
+    val id = "kafka-to-clickhouse-tcp-b00002"
+    val kafka = new Cluster(); kafka.addBroker()
+    val ch = new MiniClickHouseServer(); ch.start()
+    val tcp = new graft.sink.MiniClickHouseTcpServer(ch); tcp.start()
+    try {
+      kafka.addPartition("tcp_topic", 0)
+      ch.createTable("default", "events_tcp",
+        Seq("id" -> "String", "name" -> "FixedString(12)"))
+      kafka.append("tcp_topic", 0, Seq(
+        "1" -> """{"id": "123", "name": "John Doe"}""",
+        "2" -> """{"id": "123", "name": "Jane Smith"}""", // dup id → dropped
+        "3" -> """{"id": "456", "name": "Bob Johnson"}""",
+        "4" -> """{"id": "999", "name": "Maximillian Longbottom III"}""")) // 131 → DLQ
+
+      val cfgJson =
+        s"""{"pipeline_id": "$id",
+           |  "source": {"kind": "kafka", "brokers": ["broker:9092"],
+           |    "topics": [{"name": "tcp_topic", "consumer_group": "gf-cg-b00002",
+           |      "schema_fields": [{"name": "id", "type": "string"},
+           |                        {"name": "name", "type": "string"}],
+           |      "deduplication": {"enabled": true, "id_field": "id",
+           |                        "time_window": "1h"}}]},
+           |  "sink": {"url": "${tcp.endpoint}", "database": "default",
+           |    "table": "events_tcp", "max_delay_seconds": 0,
+           |    "table_mapping": [
+           |      {"field_name": "id", "column_name": "id", "column_type": "String"},
+           |      {"field_name": "name", "column_name": "name", "column_type": "String"}]}}
+           |""".stripMargin
+
+      val dlqRoot = Files.createTempDirectory("graft_pw_tcp_dlq").toString
+      val ckptRoot = Files.createTempDirectory("graft_pw_tcp_ckpt").toString
+      val svc = new PipelineService(spark,
+        dlqRoot = Some(dlqRoot), checkpointRoot = Some(ckptRoot),
+        sourceReader = wireReader(kafka.brokerList.head.address))
+      markExisting()
+      assert(svc.create(ReferenceConfig.fromJson(cfgJson)).isRight)
+      val started = svc.startFromConfig(id)
+      assert(started.isRight, started.swap.getOrElse(""))
+      drainNew()
+      try {
+        assert(ch.rows("default", "events_tcp")
+          .map(r => (r("id"), r("name"))).toSet ==
+          Set(("123", "John Doe"), ("456", "Bob Johnson")))
+        val dlq = spark.read.parquet(s"$dlqRoot/$id")
+        val sinkDlq = dlq.filter("component = 'sink'").collect()
+        assert(sinkDlq.length == 1)
+        assert(sinkDlq.head.getAs[String]("error").contains("Code: 131"))
+        // the INSERTs really crossed the native TCP wire
+        assert(tcp.receivedQueries.size() > 0)
+      } finally { svc.terminate(id); () }
+    } finally { kafka.stop(); tcp.stop(); ch.stop() }
+  }
+
   test("observability demo topology: OTLP receiver socket → flatten → ClickHouse HTTP") {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}

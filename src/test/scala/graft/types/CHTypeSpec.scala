@@ -60,6 +60,28 @@ class CHTypeSpec extends SparkSpec {
     intercept[CHType.ParseException](CHType.parse("Tuple(a String, Int32)"))
     // Nested elements must be named
     intercept[CHType.ParseException](CHType.parse("Nested(String)"))
+    // real-server type-construction rules: a type a real CREATE TABLE
+    // would reject must not validate here either
+    // 1. Nullable cannot wrap LowCardinality/composites (error 43);
+    //    LowCardinality(Nullable(T)) is the legal nesting order
+    intercept[CHType.ParseException](CHType.parse("Nullable(LowCardinality(String))"))
+    intercept[CHType.ParseException](CHType.parse("Nullable(Array(String))"))
+    intercept[CHType.ParseException](CHType.parse("Nullable(Map(String, String))"))
+    assert(CHType.parse("LowCardinality(Nullable(String))") ==
+      CHLowCardinality(CHNullable(CHString)))
+    // 2. LowCardinality of numerics/dates is "suspicious" and prohibited
+    //    by default (error 455); string shapes stay legal
+    intercept[CHType.ParseException](CHType.parse("LowCardinality(UInt8)"))
+    intercept[CHType.ParseException](CHType.parse("LowCardinality(Float64)"))
+    intercept[CHType.ParseException](CHType.parse("LowCardinality(DateTime)"))
+    assert(CHType.parse("LowCardinality(FixedString(4))") ==
+      CHLowCardinality(CHFixedString(4)))
+    // 3. Map keys must be hashable scalars — Nullable/Float/composite
+    //    keys are rejected at CREATE
+    intercept[CHType.ParseException](CHType.parse("Map(Nullable(String), String)"))
+    intercept[CHType.ParseException](CHType.parse("Map(Float64, String)"))
+    intercept[CHType.ParseException](CHType.parse("Map(Array(String), String)"))
+    assert(CHType.parse("Map(UInt32, String)") == CHMap(CHUInt(32), CHString))
     // spark shapes
     assert(CHType.parse("Tuple(a String, n Int32)").sparkType ==
       StructType(Seq(StructField("a", StringType), StructField("n", IntegerType))))
