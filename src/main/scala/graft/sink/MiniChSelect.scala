@@ -381,6 +381,64 @@ private[sink] object MiniChSelect {
     else t
   }
 
+  // ----------------------------------------------------------- ORDER BY
+
+  /** One ORDER BY key: column, ascending?, nulls-first?. */
+  final case class OrderKey(col: String, asc: Boolean, nullsFirst: Boolean)
+
+  /** Parse `c1 ASC NULLS LAST, c2 DESC NULLS FIRST, c3` — direction
+    * defaults ASC; the NULLS clause defaults to ClickHouse's documented
+    * default, NULLS LAST, independent of direction. */
+  def parseOrderBy(s: String): Seq[OrderKey] =
+    s.split(",").map(_.trim).toSeq.map { entry =>
+      val rx = """(?is)^(`[^`]*`|[A-Za-z0-9_]+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r
+      entry match {
+        case rx(col, dir, nulls) =>
+          OrderKey(unq(col),
+            asc = dir == null || dir.equalsIgnoreCase("ASC"),
+            nullsFirst = nulls != null && nulls.equalsIgnoreCase("FIRST"))
+        case other => throw CHFault(62, s"Syntax error in ORDER BY near: $other")
+      }
+    }
+
+  /** Stable multi-key sort over stored canonical rows. */
+  def orderRows(rows: Seq[Map[String, Any]], keys: Seq[OrderKey]): Seq[Map[String, Any]] = {
+    val ord = new Ordering[Map[String, Any]] {
+      def compare(a: Map[String, Any], b: Map[String, Any]): Int = {
+        var i = 0
+        while (i < keys.length) {
+          val k = keys(i)
+          if (!a.contains(k.col))
+            throw CHFault(47, s"Unknown identifier ${k.col} in ORDER BY")
+          val va = a(k.col)
+          val vb = b.getOrElse(k.col, null)
+          val c = (va, vb) match {
+            case (null, null) => 0
+            case (null, _) => if (k.nullsFirst) -1 else 1
+            case (_, null) => if (k.nullsFirst) 1 else -1
+            case (x, y) =>
+              val base = orderCmp(x, y)
+              if (k.asc) base else -base
+          }
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+    rows.sorted(ord) // sorted is stable
+  }
+
+  private def orderCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: BigInt, y: BigInt) => x.compare(y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw CHFault(43, s"Cannot order ${a.getClass.getSimpleName}")
+  }
+
   // --------------------------------------- stored values → Native response
 
   /** Encode stored canonical rows as one `FORMAT Native` block. Column

@@ -165,7 +165,7 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       // NativeDecoder is what decodes them. Rows require retainRows=true.
       val sel = ("""(?is)SELECT\s+(.+?)\s+FROM\s+(\S+?)\.([^\s.]+?)""" +
         """(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
-        """(?:\s+LIMIT\s+(\d+))?\s+FORMAT\s+Native\s*$""").r
+        """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s+FORMAT\s+Native\s*$""").r
       sel.findFirstMatchIn(query.trim) match {
         case Some(m) =>
           val db = unq(m.group(2)); val tbl = unq(m.group(3))
@@ -179,7 +179,9 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                 val where = Option(m.group(4)).map(MiniChSelect.parseWhere)
                 val groupBy = Option(m.group(5)).toSeq
                   .flatMap(_.split(",").map(s => unq(s.trim)))
-                val limit = Option(m.group(6)).map(_.toInt)
+                val orderBy = Option(m.group(6)).toSeq
+                  .flatMap(s => MiniChSelect.parseOrderBy(s))
+                val limit = Option(m.group(7)).map(_.toInt)
                 items.collect { case MiniChSelect.ColItem(c) => c }
                   .filterNot(c => t.columns.exists(_.name == c)) match {
                   case missing if missing.nonEmpty =>
@@ -210,7 +212,10 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                     val cols = items.collect { case MiniChSelect.ColItem(c) => c }
                     (cols.map(c => c -> raw.getOrElse(c, "String")), kept)
                   }
-                val sliced = limit.fold(result)(result.take)
+                val ordered =
+                  if (orderBy.isEmpty) result
+                  else MiniChSelect.orderRows(result, orderBy)
+                val sliced = limit.fold(ordered)(ordered.take)
                 val body = MiniChSelect.encodeNative(colTypes, sliced)
                 ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
                 ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)

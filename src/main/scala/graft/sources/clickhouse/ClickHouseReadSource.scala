@@ -6,9 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -280,13 +280,14 @@ private[clickhouse] final class ChTable(opts: Map[String, String], schema0: Stru
 
 private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: StructType)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates with SupportsPushDownLimit {
+  with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var compiled: Seq[String] = Nil
   private var agg: Option[ClickHouseReadSource.AggPush] = None
   private var limit: Option[Int] = None
+  private var orderBy: Seq[String] = Nil
 
   private def numPartitions: Int =
     opts.collectFirst { case (k, v) if k.toLowerCase == "numpartitions" => v.toInt }
@@ -323,16 +324,43 @@ private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: S
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  /** Per-partition LIMIT only — Spark re-applies the global one. */
+  /** TopN (ORDER BY + LIMIT) server-side: the table sorts and ships n
+    * rows instead of the table. Each partition answers its LOCAL top-n
+    * (isPartiallyPushed), Spark merge-sorts the partials — so a stride-
+    * partitioned scan still ships numPartitions×n rows, not the table.
+    * NULLS FIRST/LAST is always written explicitly (ClickHouse's default
+    * differs from Spark's). Refused over a pushed aggregation (the sort
+    * keys would reference aggregate output, not table columns). */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (agg.isDefined) return false
+    val compiledOrders = orders.toSeq.map { o =>
+      o.expression() match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          val dir = if (o.direction() == SortDirection.ASCENDING) "ASC" else "DESC"
+          val nulls = o.nullOrdering().toString // "NULLS FIRST" | "NULLS LAST"
+          Some(s"${ClickHouseHttp.quoteId(f.fieldNames.head)} $dir $nulls")
+        case _ => None
+      }
+    }
+    if (compiledOrders.exists(_.isEmpty)) false
+    else {
+      orderBy = compiledOrders.flatten
+      limit = Some(n)
+      true
+    }
+  }
+
+  /** Per-partition LIMIT/TopN only — Spark re-applies the global one. */
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new ChScan(opts, full, required, compiled, agg, limit)
+  override def build(): Scan =
+    new ChScan(opts, full, required, compiled, agg, limit, orderBy)
 }
 
 private[clickhouse] final class ChScan(opts: Map[String, String], full: StructType,
                                        required: StructType, where: Seq[String],
                                        agg: Option[ClickHouseReadSource.AggPush],
-                                       limit: Option[Int])
+                                       limit: Option[Int], orderBy: Seq[String])
   extends Scan with Batch {
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
@@ -387,6 +415,7 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
         (if (groupBy.nonEmpty)
            s" GROUP BY ${groupBy.map(ClickHouseHttp.quoteId).mkString(", ")}"
          else "") +
+        (if (orderBy.nonEmpty) s" ORDER BY ${orderBy.mkString(", ")}" else "") +
         limit.fold("")(n => s" LIMIT $n") + " FORMAT Native"
       ChPartition(c, sql, colTypes, emitEmptyRows = emitEmpty): InputPartition
     }.toArray

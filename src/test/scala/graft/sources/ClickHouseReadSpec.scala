@@ -281,6 +281,44 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("TopN pushdown: ORDER BY + LIMIT ship n rows, not the table") {
+    withServer { ch =>
+      eventsTable(ch)
+      val top = reader(ch, "ev").load()
+        .orderBy($"score".desc, $"id".asc).limit(5)
+      val ids = top.collect().map(_.getAs[Long]("id")).toSeq
+      assert(ids == Seq(100L, 99L, 98L, 97L, 96L))
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains("ORDER BY `score` DESC"), q)
+      assert(q.contains("`id` ASC"), q)
+      assert(q.contains("LIMIT 5"), q)
+      // NULLS ordering travels explicitly and is honored: ascending by
+      // the nullable column with Spark's default NULLS FIRST puts the
+      // 20 null-note rows ahead
+      val firstNote = reader(ch, "ev").load()
+        .orderBy($"note".asc_nulls_first, $"id".asc).limit(21).collect()
+      assert(firstNote.take(20).forall(_.getAs[String]("note") == null))
+      assert(firstNote.last.getAs[String]("note") != null)
+      val q2 = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q2.contains("`note` ASC NULLS FIRST"), q2)
+    }
+  }
+
+  test("TopN over a partitioned scan: each range answers local top-n, Spark merges") {
+    withServer { ch =>
+      eventsTable(ch)
+      val top = reader(ch, "ev")
+        .option("partitionColumn", "id")
+        .option("lowerBound", "1").option("upperBound", "101")
+        .option("numPartitions", "4")
+        .load().orderBy($"id".desc).limit(3)
+      assert(top.collect().map(_.getAs[Long]("id")).toSeq == Seq(100L, 99L, 98L))
+      val sels = received(ch).filter(_.contains("ORDER BY"))
+      assert(sels.size == 4, sels.mkString("; "))
+      assert(sels.forall(_.contains("LIMIT 3")), sels.mkString("; "))
+    }
+  }
+
   test("pushed-filter results match the same filters evaluated Spark-side") {
     withServer { ch =>
       eventsTable(ch)
