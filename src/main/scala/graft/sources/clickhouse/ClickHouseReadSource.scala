@@ -358,10 +358,31 @@ private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: S
 }
 
 private[clickhouse] final class ChScan(opts: Map[String, String], full: StructType,
-                                       required: StructType, where: Seq[String],
+                                       required: StructType, where0: Seq[String],
                                        agg: Option[ClickHouseReadSource.AggPush],
                                        limit: Option[Int], orderBy: Seq[String])
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Planning-time WHERE plus any runtime filters Spark injects before
+    * execution (dynamic pruning from a joined, filtered dimension). */
+  @volatile private var where: Seq[String] = where0
+
+  /** Every top-level column is eligible for runtime filtering — Spark
+    * intersects with the join keys; a runtime IN over the join key turns
+    * a broadcast join's probe-side full scan into a server-side lookup
+    * of just the matching keys. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    full.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  /** Runtime filters are an OPTIMIZATION: compile what the dialect can
+    * express, silently keep the rest Spark-side (the join re-applies the
+    * exact semantics either way — dropping a filter here can only ship
+    * more rows, never wrong ones). */
+  override def filter(filters: Array[Filter]): Unit = {
+    val extra = filters.toSeq.flatMap(ClickHouseReadSource.compile)
+    if (extra.nonEmpty) where = where ++ extra
+  }
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String = {

@@ -319,6 +319,36 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("runtime filtering: a dynamic IN over the join key reaches the server's WHERE") {
+    withServer { ch =>
+      eventsTable(ch)
+      val df = reader(ch, "ev").load().filter($"score" >= 0.0)
+      val scan = df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head
+      val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      assert(rf.filterAttributes().map(_.fieldNames.head).toSet ==
+        Set("id", "kind", "score", "note"))
+      // the exact sequence BatchScanExec#filteredPartitions runs when a
+      // dynamic-pruning subquery delivers at execution time: filter(),
+      // then RE-plan the partitions, then read them
+      rf.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("id", Array(7L, 8L, 9L))))
+      val parts = scan.toBatch.planInputPartitions()
+      assert(parts.length == 1)
+      assert(parts.head.toString.contains("`id` IN (7, 8, 9)"), parts.head.toString)
+      val factory = scan.toBatch.createReaderFactory()
+      val reader0 = factory.createReader(parts.head)
+      var n = 0
+      while (reader0.next()) n += 1
+      reader0.close()
+      assert(n == 3, "the server shipped just the 3 matching rows")
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains("`id` IN (7, 8, 9)"), q)
+      assert(q.contains("`score` >= 0.0"), q)
+    }
+  }
+
   test("pushed-filter results match the same filters evaluated Spark-side") {
     withServer { ch =>
       eventsTable(ch)
