@@ -401,20 +401,71 @@ object ClickHouseNativeTcp {
     rByte(in) // calculated rows before limit
   }
 
-  /** Skip a server Data block (we never need its contents: the structure
-    * block is zero-row, and Log/Totals blocks are informational). Reads
-    * the header, then per column its name/type and — zero-row blocks
-    * only — no data. Non-empty server blocks would need full column
-    * decode; the INSERT path never receives one. */
+  /** Skip a server Data block without needing its contents. The INSERT
+    * path's structure block is zero-row, but Log packets (send_logs_level)
+    * and Totals blocks CARRY rows — a Native block is not length-prefixed,
+    * so skipping means structurally walking each column's data by its
+    * declared type (offsets followed, fixed widths multiplied, strings
+    * length-hopped). An undecodable declared type still fails loudly —
+    * mis-framing must never be silently absorbed. */
   private def skipDataBlock(in: InputStream, rev: Long): Unit = {
     if (rev >= 50264) rStr(in) // external table name
     readBlockInfo(in, rev)
     val ncols = rVarint(in)
-    val nrows = rVarint(in)
-    if (nrows != 0)
-      throw new java.io.IOException(
-        s"unexpected non-empty server block ($ncols cols, $nrows rows) on the INSERT path")
-    (0L until ncols).foreach { _ => rStr(in); rStr(in) }
+    val nrows = rVarint(in).toInt
+    (0L until ncols).foreach { _ =>
+      rStr(in) // column name
+      val typeText = rStr(in)
+      val t =
+        try graft.types.CHType.parse(typeText)
+        catch {
+          case e: Exception => throw new java.io.IOException(
+            s"cannot skip server block column of type $typeText: ${e.getMessage}")
+        }
+      skipColumnData(in, t, nrows)
+    }
+  }
+
+  /** Advance past one column's Native data (structural walk by type). */
+  private def skipColumnData(in: InputStream, t: graft.types.CHType, n: Int): Unit = {
+    import graft.types.CHType._
+    t match {
+      case CHLowCardinality(inner) => skipColumnData(in, inner, n)
+      case CHNullable(inner) =>
+        skipBytes(in, n.toLong) // grouped null mask
+        skipColumnData(in, inner, n)
+      case CHArray(inner) =>
+        var last = 0L
+        (0 until n).foreach(_ => last = rI64(in))
+        skipColumnData(in, inner, if (n == 0) 0 else last.toInt)
+      case CHMap(_, vt) =>
+        var last = 0L
+        (0 until n).foreach(_ => last = rI64(in))
+        val total = if (n == 0) 0 else last.toInt
+        (0 until total).foreach(_ => skipBytes(in, rVarint(in))) // keys
+        skipColumnData(in, vt, total)
+      case CHTuple(elems) => elems.foreach(e => skipColumnData(in, e._2, n))
+      case CHString => (0 until n).foreach(_ => skipBytes(in, rVarint(in)))
+      case CHFixedString(w) => skipBytes(in, n.toLong * w)
+      case CHBool | CHInt(8) | CHUInt(8) | CHEnum(8, _) => skipBytes(in, n.toLong)
+      case CHInt(16) | CHUInt(16) | CHEnum(16, _) | CHDate => skipBytes(in, 2L * n)
+      case CHInt(32) | CHUInt(32) | CHFloat32 | CHDateTime(_) | CHDate32 | CHIPv4 =>
+        skipBytes(in, 4L * n)
+      case CHInt(_) | CHUInt(_) | CHFloat64 | CHDateTime64(_, _) => skipBytes(in, 8L * n)
+      case CHDecimal(p, _) =>
+        skipBytes(in, n.toLong * (if (p <= 9) 4 else if (p <= 18) 8 else 16))
+      case CHUUID | CHIPv6 => skipBytes(in, 16L * n)
+    }
+  }
+
+  private def skipBytes(in: InputStream, n0: Long): Unit = {
+    var n = n0
+    val tmp = new Array[Byte](math.min(math.max(n, 1L), 1L << 16).toInt)
+    while (n > 0) {
+      val k = in.read(tmp, 0, math.min(n, tmp.length.toLong).toInt)
+      if (k < 0) throw new java.io.EOFException("connection closed mid-block")
+      n -= k
+    }
   }
 
   private[sink] def wVarint(out: OutputStream, v0: Long): Unit = {

@@ -289,8 +289,12 @@ private[sink] object MiniChSelect {
                 rawTypes: Map[String, String]): (Seq[(String, String)], Seq[Map[String, Any]]) = {
     def rawOf(c: String): String =
       rawTypes.getOrElse(c, throw CHFault(47, s"Unknown identifier $c"))
+    // min/max results drop the LowCardinality wrapper before the Nullable
+    // wrap (Nullable(LowCardinality(...)) is an illegal type — same
+    // derivation as the reader's): strip removes LC and Nullable alike,
+    // then exactly one Nullable goes back on
     def nullableOf(t: String): String =
-      if (CHType.parse(t).isInstanceOf[CHType.CHNullable]) t else s"Nullable($t)"
+      s"Nullable(${CHType.render(strip(CHType.parse(t)))})"
     def isIntStored(c: String): Boolean = CHType.parse(rawOf(c)) match {
       case t => strip(t) match {
         case CHType.CHInt(_) => true

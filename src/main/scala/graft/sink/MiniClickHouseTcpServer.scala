@@ -30,6 +30,10 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer) {
   @volatile private var running = false
   /** Every query text received (settings-passthrough / framing asserts). */
   val receivedQueries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** When set, each successful INSERT is answered with a ROWFUL Log
+    * packet before EndOfStream — what a real server sends under
+    * send_logs_level; the client must structurally skip it. */
+  @volatile var sendLogBlockOnInsert: Boolean = false
   /** Settings of the LAST Query packet, as (name, value) pairs. */
   @volatile var lastSettings: Map[String, String] = Map.empty
   @volatile var lastClientName: String = ""
@@ -214,6 +218,19 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer) {
           sendException(out, 101, s"Unexpected packet $other during INSERT")
           return false
       }
+    }
+    if (sendLogBlockOnInsert) {
+      // a Log packet is an ordinary Data block on packet code 10 — two
+      // columns, two rows, exercising both fixed-width and string skips
+      wVarint(out, 10L)
+      wStr(out, "")
+      writeBlockInfo(out, rev)
+      out.write(MiniChSelect.encodeNative(
+        Seq("event_time" -> "DateTime", "text" -> "String"),
+        Seq(Map("event_time" -> 1700000000000000L,
+            "text" -> "MemoryTracker: peak 1.00 GiB"),
+          Map("event_time" -> 1700000001000000L,
+            "text" -> "executeQuery: read 4 rows"))))
     }
     wVarint(out, 5L) // EndOfStream
     out.flush()

@@ -181,9 +181,19 @@ object ClickHouseReadSource {
         case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
         case _ => None
       }
+    // Nullable cannot wrap LowCardinality (the parse rule this repo
+    // enforces, mirroring the real server) — min/max over an LC column
+    // answer Nullable(inner), the dictionary wrapper does not survive
+    // aggregation
     def nullable(t: String): String = {
-      val p = CHType.parse(t)
-      if (p.isInstanceOf[CHType.CHNullable]) t else s"Nullable($t)"
+      def stripLC(x: CHType): CHType = x match {
+        case CHType.CHLowCardinality(i) => stripLC(i)
+        case o => o
+      }
+      stripLC(CHType.parse(t)) match {
+        case n: CHType.CHNullable => CHType.render(n)
+        case inner => s"Nullable(${CHType.render(inner)})"
+      }
     }
     def intish(t: CHType): Boolean = t match {
       case CHType.CHInt(_) => true

@@ -172,6 +172,17 @@ class NativeTcpSpec extends SparkSpec {
     }
   }
 
+  test("a rowful server Log packet (send_logs_level) is skipped, not fatal") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "lg", Seq("id" -> "Int64"))
+      tcp.sendLogBlockOnInsert = true // server chats back a 2-row log block
+      val df = Seq(1L, 2L, 3L).toDF("id").coalesce(1)
+      ClickHouseSink.writeBatch(
+        tcpCfg(tcp, "lg", Seq(ColumnMapping("id", "id", "Int64"))))(df)
+      assert(brain.rowCount("default", "lg") == 3)
+    }
+  }
+
   test("per-query settings go over the wire in the Query packet's settings section") {
     withTcp() { (brain, tcp) =>
       brain.createTable("default", "st", Seq("id" -> "Int64"))

@@ -319,6 +319,26 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("min/max over a LowCardinality column answers a LEGAL Nullable result type") {
+    withServer { ch =>
+      ch.createTable("default", "lc_t",
+        Seq("id" -> "Int64", "tag" -> "LowCardinality(String)"))
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "lc_t",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("tag", "tag", "LowCardinality(String)")),
+        httpFormat = "Native"))(
+        Seq((1L, "beta"), (2L, "alpha"), (3L, "gamma")).toDF("id", "tag"))
+      // Nullable(LowCardinality(...)) is an illegal type both sides ban —
+      // the derived aggregate result type must strip the LC wrapper
+      val r = reader(ch, "lc_t").load()
+        .agg(min($"tag").as("lo"), max($"tag").as("hi")).collect().head
+      assert(r.getAs[String]("lo") == "alpha" && r.getAs[String]("hi") == "gamma")
+      val q = received(ch).filter(_.contains("min(")).last
+      assert(q.contains("min(`tag`)"), q)
+    }
+  }
+
   test("runtime filtering: a dynamic IN over the join key reaches the server's WHERE") {
     withServer { ch =>
       eventsTable(ch)
