@@ -591,6 +591,33 @@ object SparkEntry {
       cached
     },
 
+    // ClickHouse TopN pushdown under the oracle: ORDER BY + LIMIT run
+    // server-side (the scan ships 50 rows, not the table); the unique
+    // (value DESC, event_id ASC) key makes the top-50 SET deterministic,
+    // so the hash compare is exact.
+    "q_ch_topn" -> { (s, dir) =>
+      import graft.sink.{ClickHouseSink, MiniClickHouseServer, SinkMapper}
+      val ch = new MiniClickHouseServer()
+      ch.start()
+      val cols = Seq("event_id" -> "Int64", "user_id" -> "Int64",
+        "value" -> "Float64")
+      ch.createTable("default", "events_top", cols)
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "events_top",
+        mappings = cols.map { case (n, t) => SinkMapper.ColumnMapping(n, n, t) },
+        httpFormat = "Native"))(
+        Tables.events(s, dir).select("event_id", "user_id", "value"))
+      val back = s.read.format("graft-clickhouse")
+        .option("url", ch.endpoint).option("database", "default")
+        .option("table", "events_top").load()
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(50)
+      val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      ch.stop()
+      cached
+    },
+
     // F3 versioned transform router: per-schema-version rule sets unioned
     // into one plan (version predicate reaches the scan on each branch).
     "q_versioned_transform" -> { (s, dir) =>
@@ -6218,6 +6245,9 @@ object SparkEntry {
         |  max(value) AS max_v, CAST(sum(user_id) AS BIGINT) AS sum_uid,
         |  round(avg(value), 2) AS avg_v
         |FROM events WHERE value > 25.0 GROUP BY event_type""".stripMargin,
+    "q_ch_topn" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 50""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -277,16 +277,104 @@ object ClickHouseReadSource {
 }
 
 private[clickhouse] final class ChTable(opts: Map[String, String], schema0: StructType)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     "graft-clickhouse:" + opts.getOrElse("database", "default") + "." +
       opts.getOrElse("table", "?")
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChScanBuilder(opts ++ options.asScala, schema0)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ChWriteBuilder(opts ++ info.options().asScala, info.schema())
 }
+
+/** DSv2 BATCH WRITE (`df.write.format("graft-clickhouse").mode("append")`):
+  * each partition task streams its rows as `FORMAT Native` blocks through
+  * the same encoder and POST path as [[graft.sink.ClickHouseSink]]'s HTTP
+  * leg — per-partition parallel INSERTs, slab-bounded by rows AND bytes.
+  * Semantics are the sink's: at-least-once per task (a retried task
+  * re-POSTs its slabs; pair with `insert_deduplicate` via `settings.*`
+  * options for replicated-table exactly-once). Column types come from
+  * DESCRIBE TABLE at planning time, so the wire encoding always matches
+  * the live table, not a stale config. */
+private[clickhouse] final class ChWriteBuilder(opts: Map[String, String], df: StructType)
+  extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val c = ClickHouseReadSource.conf(opts)
+      val server = ClickHouseReadSource.describe(c).toMap
+      val colTypes = df.fieldNames.toSeq.map { n =>
+        n -> server.getOrElse(n, throw new IllegalArgumentException(
+          s"column $n does not exist in ${c.database}.${c.table}"))
+      }
+      new ChBatchWrite(c, colTypes, df)
+    }
+  }
+}
+
+private[clickhouse] final class ChBatchWrite(
+    c: ClickHouseHttp.Config, colTypes: Seq[(String, String)], schema: StructType)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ChWriterFactory(c, colTypes, schema)
+  // rows POST as tasks complete (the sink's streaming-append model):
+  // commit/abort carry no global atomicity, exactly like the reference's
+  // per-batch inserts
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[clickhouse] final case class ChWriterFactory(
+    c: ClickHouseHttp.Config, colTypes: Seq[(String, String)], schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ChDataWriter(c, colTypes, schema)
+}
+
+private[clickhouse] final class ChDataWriter(
+    c: ClickHouseHttp.Config, colTypes: Seq[(String, String)], schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val names = colTypes.map(_._1)
+  private val types = colTypes.map(t => CHType.parse(t._2))
+  private val query = {
+    val cc = c.copy(format = "Native")
+    ClickHouseHttp.insertQuery(cc, names)
+  }
+  private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    .createToScalaConverter(schema)
+  private var builder = new graft.types.NativeEncoder.BlockBuilder(names, types)
+
+  private def flush(): Unit = if (builder.rowCount > 0) {
+    ClickHouseHttp.post(c, query, builder.build())
+    builder = new graft.types.NativeEncoder.BlockBuilder(names, types)
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val row = toScala(record).asInstanceOf[org.apache.spark.sql.Row]
+    builder.tryAppend(row).foreach(err => throw new IllegalArgumentException(err))
+    if (builder.rowCount >= c.maxRowsPerPost || builder.byteSize >= c.maxBytesPerPost)
+      flush()
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flush()
+    ChCommit
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+private[clickhouse] case object ChCommit
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: StructType)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns

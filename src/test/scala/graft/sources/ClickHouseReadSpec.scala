@@ -319,6 +319,40 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 write: df.write.format(graft-clickhouse) appends via Native blocks, then reads back") {
+    withServer { ch =>
+      ch.createTable("default", "w_t", Seq(
+        "id" -> "Int64", "tag" -> "String", "score" -> "Float64",
+        "note" -> "Nullable(String)"))
+      val df = (1L to 500L).map(i =>
+        (i, s"t${i % 7}", i / 4.0, if (i % 9 == 0) null else s"n$i"))
+        .toDF("id", "tag", "score", "note").repartition(4)
+      df.write.format("graft-clickhouse")
+        .option("url", ch.endpoint).option("database", "default")
+        .option("table", "w_t").mode("append").save()
+      assert(ch.acceptedCount("default", "w_t") == 500L)
+      // read back through the scan: the same engine round-trips its own
+      // DSv2 write
+      val back = reader(ch, "w_t").load()
+      assert(back.count() == 500)
+      assert(back.filter($"note".isNull).count() == 500 / 9)
+      assert(back.agg(sum($"id")).collect().head.getLong(0) == (1L to 500L).sum)
+      // a second append accumulates (append semantics, not overwrite)
+      Seq((501L, "t0", 1.0, "x")).toDF("id", "tag", "score", "note")
+        .write.format("graft-clickhouse")
+        .option("url", ch.endpoint).option("database", "default")
+        .option("table", "w_t").mode("append").save()
+      assert(ch.acceptedCount("default", "w_t") == 501L)
+      // a df column missing from the table fails at PLANNING, not per batch
+      val bad = intercept[Exception] {
+        Seq((1L, "x")).toDF("id", "nope").write.format("graft-clickhouse")
+          .option("url", ch.endpoint).option("database", "default")
+          .option("table", "w_t").mode("append").save()
+      }
+      assert(bad.getMessage != null)
+    }
+  }
+
   test("min/max over a LowCardinality column answers a LEGAL Nullable result type") {
     withServer { ch =>
       ch.createTable("default", "lc_t",
