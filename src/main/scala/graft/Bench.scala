@@ -177,8 +177,11 @@ object Bench {
       s""""sf":"$sfDir"}"""
     println(json)
     // Durable copies: the driver's stdout capture window clipped the head of
-    // this line in rounds 3 AND 4; a file can't be clipped.
-    for (path <- Seq("/tmp/bench_final.json", "BENCH_LAST.json"))
+    // this line in rounds 3 AND 4; a file can't be clipped. A profiling run
+    // (SPARK_GRAFT_ONLY) must NOT overwrite the durable full snapshot with
+    // a partial one.
+    for (path <- Seq("/tmp/bench_final.json", "BENCH_LAST.json")
+         if only.isEmpty || path.startsWith("/tmp"))
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(path),
           (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
