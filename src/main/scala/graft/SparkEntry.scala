@@ -19,6 +19,17 @@ object SparkEntry {
   private def eventsUsPrecision(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
 
+  /** Fixture-backed queries: the ClickHouse fixture must stop even when
+    * the query under construction THROWS — a leaked HTTP dispatcher
+    * thread is non-daemon and blocks JVM exit (bit Verify in r12). The
+    * result frame is persisted and materialized inside `f` while the
+    * fixture lives. */
+  private def withCh[A](f: graft.sink.MiniClickHouseServer => A): A = {
+    val ch = new graft.sink.MiniClickHouseServer()
+    ch.start()
+    try f(ch) finally ch.stop()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * a full config-driven pipeline (filter → windowed dedup → transform). */
   def entry(spark: SparkSession): DataFrame =
@@ -538,9 +549,8 @@ object SparkEntry {
     // result is materialized (persist+count) while the fixture lives;
     // the fixture then stops before the frame is returned.
     "q_ch_roundtrip" -> { (s, dir) =>
-      import graft.sink.{ClickHouseSink, MiniClickHouseServer, SinkMapper}
-      val ch = new MiniClickHouseServer()
-      ch.start()
+      import graft.sink.{ClickHouseSink, SinkMapper}
+      withCh { ch =>
       val cols = Seq("event_id" -> "Int64", "user_id" -> "Int64",
         "event_type" -> "LowCardinality(String)", "value" -> "Float64")
       ch.createTable("default", "events_rt", cols)
@@ -553,10 +563,10 @@ object SparkEntry {
         .option("url", ch.endpoint).option("database", "default")
         .option("table", "events_rt").load()
         .filter(col("value") > 50.0 && col("event_type") =!= "error")
-      val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached.count()
-      ch.stop()
-      cached
+        val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        cached
+      }
     },
 
     // ClickHouse AGGREGATE PUSHDOWN under the oracle: the whole
@@ -566,9 +576,8 @@ object SparkEntry {
     // and the returned aggregate rows must hash-match DuckDB running the
     // same aggregation over the parquet truth.
     "q_ch_agg_pushdown" -> { (s, dir) =>
-      import graft.sink.{ClickHouseSink, MiniClickHouseServer, SinkMapper}
-      val ch = new MiniClickHouseServer()
-      ch.start()
+      import graft.sink.{ClickHouseSink, SinkMapper}
+      withCh { ch =>
       val cols = Seq("event_id" -> "Int64", "user_id" -> "Int64",
         "event_type" -> "LowCardinality(String)", "value" -> "Float64")
       ch.createTable("default", "events_agg", cols)
@@ -585,10 +594,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
           max(col("value")).as("max_v"), sum(col("user_id")).as("sum_uid"),
           round(avg(col("value")), 2).as("avg_v"))
-      val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached.count()
-      ch.stop()
-      cached
+        val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        cached
+      }
     },
 
     // ClickHouse TopN pushdown under the oracle: ORDER BY + LIMIT run
@@ -596,9 +605,8 @@ object SparkEntry {
     // (value DESC, event_id ASC) key makes the top-50 SET deterministic,
     // so the hash compare is exact.
     "q_ch_topn" -> { (s, dir) =>
-      import graft.sink.{ClickHouseSink, MiniClickHouseServer, SinkMapper}
-      val ch = new MiniClickHouseServer()
-      ch.start()
+      import graft.sink.{ClickHouseSink, SinkMapper}
+      withCh { ch =>
       val cols = Seq("event_id" -> "Int64", "user_id" -> "Int64",
         "value" -> "Float64")
       ch.createTable("default", "events_top", cols)
@@ -612,10 +620,48 @@ object SparkEntry {
         .option("table", "events_top").load()
         .orderBy(col("value").desc, col("event_id").asc)
         .limit(50)
-      val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached.count()
-      ch.stop()
-      cached
+        val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        cached
+      }
+    },
+
+    // ClickHouse PARTIAL aggregate pushdown under the oracle: a
+    // stride-partitioned scan (4 independent range SELECTs) pushes a
+    // per-range GROUP BY — each partition answers only its LOCAL
+    // aggregate, so Spark's partial-merge (count=sum of counts, min of
+    // mins, ...) must reassemble the global truth — then the merged
+    // result joins a broadcast parquet-side dimension. Hash-matching
+    // DuckDB over the parquet truth proves the split/merge loses nothing.
+    "q_ch_agg_partial" -> { (s, dir) =>
+      import graft.sink.{ClickHouseSink, SinkMapper}
+      withCh { ch =>
+      val cols = Seq("event_id" -> "Int64", "user_id" -> "Int64",
+        "event_type" -> "LowCardinality(String)", "value" -> "Float64")
+      ch.createTable("default", "events_part", cols)
+      val src = Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "events_part",
+        mappings = cols.map { case (n, t) => SinkMapper.ColumnMapping(n, n, t) },
+        httpFormat = "Native"))(src)
+      val maxId = src.agg(max("event_id")).head.getLong(0)
+      val back = s.read.format("graft-clickhouse")
+        .option("url", ch.endpoint).option("database", "default")
+        .option("table", "events_part")
+        .option("partitionColumn", "event_id")
+        .option("lowerBound", "0").option("upperBound", maxId.toString)
+        .option("numPartitions", "4")
+        .load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"), sum(col("user_id")).as("sum_uid"))
+      val dim = Tables.events(s, dir).select(col("event_type")).distinct()
+        .filter(col("event_type") =!= "error")
+      val joined = back.join(broadcast(dim), Seq("event_type"))
+        val cached = joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        cached
+      }
     },
 
     // F3 versioned transform router: per-schema-version rule sets unioned
@@ -6248,6 +6294,12 @@ object SparkEntry {
     "q_ch_topn" ->
       """SELECT event_id, user_id, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 50""".stripMargin,
+    "q_ch_agg_partial" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_v,
+        |  max(value) AS max_v, CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events
+        |GROUP BY event_type
+        |HAVING event_type <> 'error'""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

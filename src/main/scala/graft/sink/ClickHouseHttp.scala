@@ -433,37 +433,56 @@ object ClickHouseHttp {
     * the connection before activating a pipeline. */
   def ping(c: Config): Unit = { get(c, "SELECT 1"); () }
 
-  /** POST a read query and return the raw response BYTES (the read-side
-    * scan leg sends `SELECT ... FORMAT Native`, whose response is binary —
-    * [[get]]'s string decode would corrupt it). Settings travel as URL
-    * params like every other request. */
-  def queryBytes(c: Config, query: String): Array[Byte] = {
-    val params = c.settings + ("query" -> query)
+  /** POST a read query and return the response body as a LIVE stream —
+    * the scan leg decodes `FORMAT Native` blocks off it one at a time, so
+    * a partition covering gigabytes of table never materializes its
+    * response (peak memory = one block). The request advertises
+    * `Accept-Encoding: gzip` and carries `enable_http_compression=1`, the
+    * public pair that makes the server gzip the response; a gzipped body
+    * is transparently inflated here (still streaming — GZIPInputStream is
+    * a filter). Closing the returned stream releases the connection; a
+    * non-200 answer throws before anything is returned ([[CHServerException]]
+    * when the server sent a code). */
+  def queryStream(c: Config, query: String): java.io.InputStream = {
+    val params = c.settings +
+      ("query" -> query) + ("enable_http_compression" -> "1")
     val qs = params.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
       .mkString("&")
     val url = URI.create(c.endpoint.stripSuffix("/") + "/?" + qs).toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    var ok = false
     try {
       conn.setRequestMethod("POST")
       conn.setConnectTimeout(c.connectTimeoutMs)
       conn.setReadTimeout(c.readTimeoutMs)
       conn.setRequestProperty("X-ClickHouse-User", c.username)
       if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
+      conn.setRequestProperty("Accept-Encoding", "gzip")
       conn.setDoOutput(true)
       conn.getOutputStream.close()
       val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val body = if (stream == null) Array.empty[Byte]
-        else try stream.readAllBytes() finally stream.close()
       if (status != 200) {
-        val text = new String(body, UTF_8)
+        val es = conn.getErrorStream
+        val text = if (es == null) ""
+          else try new String(es.readAllBytes(), UTF_8) finally es.close()
         val code = Option(conn.getHeaderField("X-ClickHouse-Exception-Code"))
           .flatMap(_.trim.toIntOption).getOrElse(1000)
         throw CHServerException(code,
           text.linesIterator.nextOption().getOrElse(s"HTTP $status")
             .replaceFirst("^Code:\\s*\\d+\\.\\s*DB::Exception:\\s*", ""))
       }
-      body
-    } finally conn.disconnect()
+      val raw = conn.getInputStream
+      val body =
+        if (Option(conn.getHeaderField("Content-Encoding")).exists(_.contains("gzip")))
+          new java.util.zip.GZIPInputStream(raw, 1 << 16)
+        else raw
+      ok = true
+      // closing must also release the underlying connection
+      new java.io.FilterInputStream(body) {
+        override def close(): Unit =
+          try super.close() finally conn.disconnect()
+      }
+    } finally if (!ok) conn.disconnect()
   }
+
 }

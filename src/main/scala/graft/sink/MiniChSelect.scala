@@ -258,69 +258,132 @@ private[sink] object MiniChSelect {
 
   sealed trait Item
   final case class ColItem(name: String) extends Item
-  final case class AggItem(func: String, arg: Option[String], alias: String) extends Item
+  /** One aggregate select-list entry: base function, whether the public
+    * `-OrNull` combinator was applied (NULL instead of the type default
+    * when no values were received), the argument column, an optional
+    * explicit `CAST(... AS type)` target that then FORCES the response
+    * column type, and the alias. */
+  final case class AggItem(func: String, orNull: Boolean, arg: Option[String],
+                           castTo: Option[String], alias: String) extends Item
 
   /** Parse a SELECT list: plain (possibly backquoted) identifiers and/or
-    * aliased single-argument aggregates `func(arg) AS alias`. */
-  def parseSelectList(s: String): Seq[Item] = {
-    val aggRx = """(?is)^(count|min|max|sum|avg)\s*\(\s*(\*|`[^`]*`|[A-Za-z0-9_]*)\s*\)\s+AS\s+(\S+)\s*$""".r
-    s.split(",").map(_.trim).toSeq.map {
-      case aggRx(func, arg, alias) =>
-        val a = arg.trim match {
-          case "" | "*" => None
-          case other => Some(unq(other))
-        }
-        AggItem(func.toLowerCase, a, unq(alias))
-      case plain => ColItem(unq(plain))
+    * aliased single-argument aggregates, optionally -OrNull-combined and
+    * optionally CAST-wrapped — `CAST(sumOrNull(`x`) AS Nullable(Int64))
+    * AS alias`, the shape the read source compiles. Items split on
+    * TOP-LEVEL commas only (a CAST target like Decimal(20, 0) or an Enum
+    * type carries commas of its own). */
+  def parseSelectList(s: String): Seq[Item] = splitTopLevel(s).map(parseItem)
+
+  private val castAggRx =
+    ("""(?is)^CAST\s*\(\s*(count|min|max|sum|avg)(OrNull)?\s*\(\s*""" +
+      """(\*|`(?:[^`]|``)*`|[A-Za-z0-9_]*)\s*\)\s+AS\s+(.+?)\s*\)\s+AS\s+(\S+)\s*$""").r
+  private val aggRx =
+    ("""(?is)^(count|min|max|sum|avg)(OrNull)?\s*\(\s*""" +
+      """(\*|`(?:[^`]|``)*`|[A-Za-z0-9_]*)\s*\)\s+AS\s+(\S+)\s*$""").r
+
+  private def parseItem(item: String): Item = item match {
+    case castAggRx(func, orNull, arg, tpe, alias) =>
+      AggItem(func.toLowerCase, orNull != null, argOf(arg), Some(tpe.trim), unq(alias))
+    case aggRx(func, orNull, arg, alias) =>
+      AggItem(func.toLowerCase, orNull != null, argOf(arg), None, unq(alias))
+    case plain => ColItem(unq(plain))
+  }
+
+  private def argOf(arg: String): Option[String] = arg.trim match {
+    case "" | "*" => None
+    case other => Some(unq(other))
+  }
+
+  /** Split on commas not nested in parens, single quotes or backquotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inQ = false
+    var inBq = false
+    var esc = false
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (esc) { esc = false; cur += c }
+      else c match {
+        case '\\' if inQ => esc = true; cur += c
+        case '\'' if !inBq => inQ = !inQ; cur += c
+        case '`' if !inQ => inBq = !inBq; cur += c
+        case '(' if !inQ && !inBq => depth += 1; cur += c
+        case ')' if !inQ && !inBq => depth -= 1; cur += c
+        case ',' if depth == 0 && !inQ && !inBq =>
+          out += cur.toString.trim; cur.clear()
+        case other => cur += other
+      }
     }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
   }
 
   /** Evaluate aggregates over the (already WHERE-filtered) rows with the
-    * semantics of `aggregate_functions_null_for_empty=1`: min/max/sum/avg
-    * answer NULL for a group with no (non-NULL) input values; count never
-    * does. Returns the response columns as (name, CH type text) plus the
-    * result rows in stored-canonical form, ready for [[encodeNative]].
-    * Output type rules (count → UInt64, min/max → Nullable(column type),
-    * sum → Nullable(Int64|Float64), avg → Nullable(Float64)) mirror the
-    * real server's — the READER derives the same table independently, so
-    * a disagreement fails the round-trip test loudly. */
+    * real server's semantics: a PLAIN aggregate over a group that received
+    * no values answers the result type's default (0 / '' / nan), an
+    * `-OrNull`-combined one answers NULL; count never needs the
+    * combinator (0 on empty). Returns the response columns as (name, CH
+    * type text) plus the result rows in stored-canonical form, ready for
+    * [[encodeNative]].
+    *
+    * Result types mirror the server's derivation — count → UInt64,
+    * min/max → column type with the LowCardinality wrapper stripped
+    * (Nullable(LowCardinality(...)) is illegal), sum → Int64 for signed /
+    * UInt64 for unsigned / Float64 for floats, avg → Float64, each
+    * Nullable-wrapped under -OrNull — EXCEPT where the query carries an
+    * explicit `CAST(... AS type)`: then the cast target IS the response
+    * type, exactly as on a real server. The READER always casts, so its
+    * expectations never depend on the derivation rules. */
   def aggregate(items: Seq[Item], groupBy: Seq[String],
                 rows: Seq[Map[String, Any]],
                 rawTypes: Map[String, String]): (Seq[(String, String)], Seq[Map[String, Any]]) = {
     def rawOf(c: String): String =
       rawTypes.getOrElse(c, throw CHFault(47, s"Unknown identifier $c"))
-    // min/max results drop the LowCardinality wrapper before the Nullable
-    // wrap (Nullable(LowCardinality(...)) is an illegal type — same
-    // derivation as the reader's): strip removes LC and Nullable alike,
-    // then exactly one Nullable goes back on
-    def nullableOf(t: String): String =
-      s"Nullable(${CHType.render(strip(CHType.parse(t)))})"
-    def isIntStored(c: String): Boolean = CHType.parse(rawOf(c)) match {
-      case t => strip(t) match {
-        case CHType.CHInt(_) => true
-        case CHType.CHUInt(b) => b < 64
-        case CHType.CHBool => false
-        case _ => false
+    def stripLCOf(t: String): CHType = {
+      def lc(x: CHType): CHType = x match {
+        case CHType.CHLowCardinality(i) => lc(i)
+        case CHType.CHNullable(i) => CHType.CHNullable(lc(i))
+        case o => o
       }
+      lc(CHType.parse(t))
     }
+    def isSignedStored(c: String): Boolean = strip(CHType.parse(rawOf(c))) match {
+      case CHType.CHInt(_) => true
+      case _ => false
+    }
+    def isUnsignedStored(c: String): Boolean = strip(CHType.parse(rawOf(c))) match {
+      case CHType.CHUInt(_) => true
+      case _ => false
+    }
+    def isIntStored(c: String): Boolean = isSignedStored(c) || isUnsignedStored(c)
     def isFloatStored(c: String): Boolean = strip(CHType.parse(rawOf(c))) match {
       case CHType.CHFloat32 | CHType.CHFloat64 => true
       case _ => false
+    }
+    def derived(func: String, orNull: Boolean, arg: Option[String]): String = {
+      val base = (func, arg) match {
+        case ("count", _) => "UInt64"
+        case ("min" | "max", Some(c)) => CHType.render(stripLCOf(rawOf(c)))
+        case ("sum", Some(c)) if isSignedStored(c) => "Int64"
+        case ("sum", Some(c)) if isUnsignedStored(c) => "UInt64"
+        case ("sum", Some(c)) if isFloatStored(c) => "Float64"
+        case ("avg", Some(c)) if isIntStored(c) || isFloatStored(c) => "Float64"
+        case (f, a) => throw CHFault(43, s"Illegal argument $a of aggregate function $f")
+      }
+      if (orNull && !base.startsWith("Nullable(")) s"Nullable($base)" else base
     }
     val colTypes: Seq[(String, String)] = items.map {
       case ColItem(c) =>
         if (!groupBy.contains(c))
           throw CHFault(215, s"Column $c is not under an aggregate function and not in GROUP BY")
         c -> rawOf(c)
-      case AggItem("count", _, alias) => alias -> "UInt64"
-      case AggItem(f @ ("min" | "max"), Some(c), alias) =>
-        alias -> nullableOf(rawOf(c))
-      case AggItem("sum", Some(c), alias) if isIntStored(c) => alias -> "Nullable(Int64)"
-      case AggItem("sum", Some(c), alias) if isFloatStored(c) => alias -> "Nullable(Float64)"
-      case AggItem("avg", Some(c), alias) if isIntStored(c) || isFloatStored(c) =>
-        alias -> "Nullable(Float64)"
-      case AggItem(f, arg, _) =>
-        throw CHFault(43, s"Illegal argument $arg of aggregate function $f")
+      case AggItem(func, orNull, arg, castTo, alias) =>
+        derived(func, orNull, arg) // validates the argument even when cast
+        val t = castTo.getOrElse(derived(func, orNull, arg))
+        try CHType.parse(t)
+        catch { case e: Exception => throw CHFault(50, s"Unknown cast type $t: ${e.getMessage}") }
+        alias -> t
     }
     val grouped: Seq[(Seq[Any], Seq[Map[String, Any]])] =
       if (groupBy.isEmpty) Seq((Nil, rows))
@@ -345,27 +408,39 @@ private[sink] object MiniChSelect {
     }
     val out = grouped.map { case (key, members) =>
       val base = groupBy.zip(key).toMap
+      // "received no values" → NULL under -OrNull, the type default for
+      // plain aggregates (a Nullable input column's default is NULL)
+      def onEmpty(orNull: Boolean, c: String): Any =
+        if (orNull) null
+        else stripLCOf(rawOf(c)) match {
+          case CHType.CHNullable(_) => null
+          case inner => defaultOf(inner)
+        }
       val aggVals = items.collect {
-        case AggItem("count", None, alias) => alias -> BigInt(members.size)
-        case AggItem("count", Some(c), alias) =>
-          alias -> BigInt(members.count(_.getOrElse(c, null) != null))
-        case AggItem(f @ ("min" | "max"), Some(c), alias) =>
+        case AggItem("count", orNull, None, _, alias) =>
+          alias -> (if (orNull && members.isEmpty) null else BigInt(members.size))
+        case AggItem("count", orNull, Some(c), _, alias) =>
+          val n = members.count(_.getOrElse(c, null) != null)
+          alias -> (if (orNull && n == 0) null else BigInt(n))
+        case AggItem(f @ ("min" | "max"), orNull, Some(c), _, alias) =>
           val vs = members.map(_.getOrElse(c, null)).filter(_ != null)
-          alias -> (if (vs.isEmpty) null
+          alias -> (if (vs.isEmpty) onEmpty(orNull, c)
             else if (f == "min") vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
             else vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b))
-        case AggItem("sum", Some(c), alias) =>
+        case AggItem("sum", orNull, Some(c), _, alias) =>
           val vs = members.map(_.getOrElse(c, null)).filter(_ != null)
-          alias -> (if (vs.isEmpty) null
+          alias -> (if (vs.isEmpty) { if (orNull) null
+              else if (isIntStored(c)) BigInt(0) else 0.0 }
             else if (isIntStored(c)) vs.map {
               case x: BigInt => x
               case x: Long => BigInt(x)
               case other => throw CHFault(43, s"Non-integer $other in sum")
             }.sum
             else vs.map(toDouble).sum)
-        case AggItem("avg", Some(c), alias) =>
+        case AggItem("avg", orNull, Some(c), _, alias) =>
           val vs = members.map(_.getOrElse(c, null)).filter(_ != null)
-          alias -> (if (vs.isEmpty) null else vs.map(toDouble).sum / vs.size)
+          alias -> (if (vs.isEmpty) { if (orNull) null else Double.NaN }
+            else vs.map(toDouble).sum / vs.size)
       }.toMap
       base ++ aggVals
     }
@@ -525,6 +600,10 @@ private[sink] object MiniChSelect {
 
   private def writeScalar(out: java.io.ByteArrayOutputStream, t: CHType, v: Any): Unit = {
     import CHType._
+    // a NULL reaching a non-Nullable column (e.g. CAST(minOrNull(...) AS
+    // a non-Nullable type) over an empty set) is the real server's error
+    if (v == null)
+      throw CHFault(349, s"Cannot convert NULL value to non-Nullable type ${CHType.render(t)}")
     t match {
       case CHString => str(out, String.valueOf(v))
       case CHFixedString(w) =>

@@ -52,6 +52,10 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
   private val tables = mutable.Map[String, Table]()
   /** Every received (query, url-params) pair — settings-passthrough asserts. */
   val receivedQueries = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String])]()
+  /** SELECT responses the server gzip-compressed (clients asked via
+    * Accept-Encoding + enable_http_compression=1) — lets specs assert the
+    * compressed path was genuinely exercised. */
+  val compressedSelects = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Injected faults: each queued (code, message) fails one INSERT. */
   private val injected = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
   @volatile var insertAttempts: Int = 0
@@ -196,13 +200,14 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                 val hasAgg = items.exists(_.isInstanceOf[MiniChSelect.AggItem])
                 val (colTypes, result) =
                   if (hasAgg) {
-                    // the fixture implements ONLY the SQL-standard
-                    // NULL-on-empty aggregate semantics; a query relying on
-                    // ClickHouse's default type-default-on-empty must say so
-                    // and is refused rather than answered subtly wrong
-                    if (!params.get("aggregate_functions_null_for_empty")
+                    // the global rewrite this setting triggers on a real
+                    // server (EVERY aggregate → -OrNull, retyping count()
+                    // to Nullable(UInt64)) is not emulated — refuse loudly
+                    // rather than answer with subtly different column
+                    // types; clients want per-function -OrNull combinators
+                    if (params.get("aggregate_functions_null_for_empty")
                           .exists(x => x == "1" || x == "true"))
-                      throw CHFault(48, "fixture requires aggregate_functions_null_for_empty=1 for aggregate SELECTs")
+                      throw CHFault(48, "fixture does not emulate the global aggregate_functions_null_for_empty rewrite; use explicit -OrNull combinators")
                     MiniChSelect.aggregate(items, groupBy, kept,
                       raw ++ t.columns.map(c => c.name ->
                         raw.getOrElse(c.name, "String")).toMap)
@@ -216,8 +221,39 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                   if (orderBy.isEmpty) result
                   else MiniChSelect.orderRows(result, orderBy)
                 val sliced = limit.fold(ordered)(ordered.take)
-                val body = MiniChSelect.encodeNative(colTypes, sliced)
+                // the real server frames results into max_block_size-row
+                // blocks (default 65409); honoring the setting means a
+                // large result is genuinely MULTI-block on the wire, so
+                // the client's streaming block-at-a-time decode is what
+                // gets exercised, not a single-block special case
+                val blockRows = params.get("max_block_size")
+                  .flatMap(_.toIntOption).filter(_ > 0).getOrElse(65409)
+                val body0: Array[Byte] =
+                  if (sliced.size <= blockRows)
+                    MiniChSelect.encodeNative(colTypes, sliced)
+                  else {
+                    val out = new java.io.ByteArrayOutputStream(1 << 14)
+                    sliced.grouped(blockRows).foreach { g =>
+                      val b = MiniChSelect.encodeNative(colTypes, g)
+                      out.write(b, 0, b.length)
+                    }
+                    out.toByteArray
+                  }
+                // response compression: the documented pair — client sends
+                // Accept-Encoding: gzip AND enable_http_compression=1
+                val wantGzip = body0.nonEmpty &&
+                  params.get("enable_http_compression").exists(v => v == "1" || v == "true") &&
+                  Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+                    .exists(_.toLowerCase.contains("gzip"))
+                val body = if (!wantGzip) body0 else {
+                  compressedSelects.incrementAndGet()
+                  val bos = new java.io.ByteArrayOutputStream(body0.length / 4 + 64)
+                  val gz = new java.util.zip.GZIPOutputStream(bos)
+                  try gz.write(body0) finally gz.close()
+                  bos.toByteArray
+                }
                 ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
+                if (wantGzip) ex.getResponseHeaders.add("Content-Encoding", "gzip")
                 ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
                 if (body.nonEmpty) {
                   val os = ex.getResponseBody; os.write(body); os.close()

@@ -95,14 +95,22 @@ object ClickHouseReadSource {
     * result). Only plain top-level columns compile; literals are limited
     * to types whose SQL text form is unambiguous without casts. */
   private[clickhouse] def compile(f: Filter): Option[String] = f match {
-    case EqualTo(a, v) => binary(a, "=", v)
+    // float/double EQUALITY never compiles: the server promotes a Float32
+    // column to Float64 before comparing with the (Float64) literal, so a
+    // row Spark's float-to-float compare keeps can be DROPPED server-side
+    // (0.1f != 0.1d) — and a pushed filter is REMOVED from Spark's plan,
+    // so it must be exact, not merely narrowing. Range comparisons stay:
+    // literals are rendered at full double precision (see lit), and an
+    // order predicate is promotion-stable (Float32→Float64 is monotone
+    // and exact), so </>/<=/>= answer identically pushed or not.
+    case EqualTo(a, v) if !floaty(v) => binary(a, "=", v)
     case EqualNullSafe(a, null) => Some(s"${qid(a)} IS NULL")
-    case EqualNullSafe(a, v) => binary(a, "=", v)
+    case EqualNullSafe(a, v) if !floaty(v) => binary(a, "=", v)
     case GreaterThan(a, v) => binary(a, ">", v)
     case GreaterThanOrEqual(a, v) => binary(a, ">=", v)
     case LessThan(a, v) => binary(a, "<", v)
     case LessThanOrEqual(a, v) => binary(a, "<=", v)
-    case In(a, vs) if vs.nonEmpty =>
+    case In(a, vs) if vs.nonEmpty && !vs.exists(floaty) =>
       val lits = vs.toSeq.map(lit)
       if (plain(a) && lits.forall(_.isDefined))
         Some(s"${qid(a)} IN (${lits.flatten.mkString(", ")})")
@@ -121,6 +129,11 @@ object ClickHouseReadSource {
     case _ => None
   }
 
+  private def floaty(v: Any): Boolean = v match {
+    case _: Float | _: Double => true
+    case _ => false
+  }
+
   private def binary(a: String, op: String, v: Any): Option[String] =
     if (!plain(a)) None else lit(v).map(l => s"${qid(a)} $op $l")
 
@@ -133,7 +146,10 @@ object ClickHouseReadSource {
   private[clickhouse] def lit(v: Any): Option[String] = v match {
     case null => None // comparisons with NULL are never true; don't compile
     case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
-    case f: Float if !f.isNaN && !f.isInfinite => Some(f.toString)
+    // render floats at DOUBLE precision: Float.toString's shortest float
+    // repr ("0.1") parses server-side to a different Float64 than the
+    // promoted column value; the widened double's text round-trips exactly
+    case f: Float if !f.isNaN && !f.isInfinite => Some(f.toDouble.toString)
     case d: Double if !d.isNaN && !d.isInfinite => Some(d.toString)
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: BigDecimal => Some(d.bigDecimal.toPlainString)
@@ -165,14 +181,25 @@ object ClickHouseReadSource {
 
   /** Compile a Spark aggregation for server-side execution, or None when
     * any piece can't be expressed (Spark then aggregates normally).
-    * Result-type rules mirror ClickHouse under
-    * `aggregate_functions_null_for_empty=1` (the public setting the scan
-    * always sends with aggregates, giving SQL-standard NULL on empty
-    * sets): count() → UInt64 read as Int64 (bit-identical for any real
-    * count), min/max keep the column type Nullable-wrapped, sum widens
-    * integers to Int64 and floats to Float64, avg is Float64. `partial`
-    * refuses Avg (Spark can only merge partial avg as sum+count, which it
-    * requests separately). */
+    *
+    * Result types are FORCED, never derived: every aggregate is wrapped in
+    * an explicit `CAST(... AS <type>)`, so the response's declared column
+    * type is exactly what the decoder expects regardless of the server's
+    * internal result-type derivation rules (which vary by input
+    * signedness and version). SQL-standard NULL-on-empty comes from the
+    * public `-OrNull` aggregate-function combinator per function
+    * (`minOrNull`/`maxOrNull`/`sumOrNull`/`avgOrNull`), NOT from the
+    * global `aggregate_functions_null_for_empty` setting — that setting
+    * rewrites EVERY aggregate including count() → countOrNull(), whose
+    * wire type Nullable(UInt64) would misframe the decode and answer NULL
+    * where Spark requires 0 on an empty set. count() stays plain (never
+    * NULL, 0 on empty) and is cast to Int64 (exact for any real count).
+    * min/max keep the column type Nullable-wrapped, sum is cast to
+    * Nullable(Int64) for integer inputs (exact: the server accumulates
+    * unsigned sums in UInt64, and any count×value a test table reaches is
+    * far below 2^63) and Nullable(Float64) for floats, avg is
+    * Nullable(Float64). `partial` refuses Avg (Spark can only merge
+    * partial avg as sum+count, which it requests separately). */
   private[clickhouse] def compileAggregation(agg: Aggregation,
                                              raw: Map[String, String],
                                              partial: Boolean): Option[AggPush] = {
@@ -217,34 +244,36 @@ object ClickHouseReadSource {
     }
     val aggEntries = agg.aggregateExpressions.toSeq.zipWithIndex.map { case (f, i) =>
       val alias = s"agg$i"
+      // the CAST target doubles as the declared wire type — the decoder's
+      // block-header type check verifies the server agreed
       def over(e: org.apache.spark.sql.connector.expressions.Expression)(
           mk: (String, String) => Option[(String, String, DataType)]): Option[AggCol] =
         for {
           c <- colOf(e)
           t <- raw.get(c)
           (sql, ch, sp) <- mk(c, t)
-        } yield AggCol(s"$sql AS ${qid(alias)}", alias, ch, sp)
+        } yield AggCol(s"CAST($sql AS $ch) AS ${qid(alias)}", alias, ch, sp)
       f match {
         case _: CountStar =>
-          Some(AggCol(s"count() AS ${qid(alias)}", alias, "Int64", LongType))
+          Some(AggCol(s"CAST(count() AS Int64) AS ${qid(alias)}", alias, "Int64", LongType))
         case cnt: Count if !cnt.isDistinct =>
           over(cnt.column)((c, _) => Some((s"count(${qid(c)})", "Int64", LongType)))
         case m: Min => over(m.column) { (c, t) =>
-          Some((s"min(${qid(c)})", nullable(t), CHType.parse(t).sparkType))
+          Some((s"minOrNull(${qid(c)})", nullable(t), CHType.parse(t).sparkType))
         }
         case m: Max => over(m.column) { (c, t) =>
-          Some((s"max(${qid(c)})", nullable(t), CHType.parse(t).sparkType))
+          Some((s"maxOrNull(${qid(c)})", nullable(t), CHType.parse(t).sparkType))
         }
         case s: Sum if !s.isDistinct => over(s.column) { (c, t) =>
           val p = CHType.parse(t)
-          if (intish(p)) Some((s"sum(${qid(c)})", "Nullable(Int64)", LongType))
-          else if (floatish(p)) Some((s"sum(${qid(c)})", "Nullable(Float64)", DoubleType))
+          if (intish(p)) Some((s"sumOrNull(${qid(c)})", "Nullable(Int64)", LongType))
+          else if (floatish(p)) Some((s"sumOrNull(${qid(c)})", "Nullable(Float64)", DoubleType))
           else None
         }
         case a: Avg if !a.isDistinct && !partial => over(a.column) { (c, t) =>
           val p = CHType.parse(t)
           if (intish(p) || floatish(p))
-            Some((s"avg(${qid(c)})", "Nullable(Float64)", DoubleType))
+            Some((s"avgOrNull(${qid(c)})", "Nullable(Float64)", DoubleType))
           else None
         }
         case _ => None
@@ -252,6 +281,30 @@ object ClickHouseReadSource {
     }
     if (aggEntries.exists(_.isEmpty)) None
     else Some(AggPush(groupEntries ++ aggEntries.flatten, groupCols))
+  }
+
+  /** The cheapest column to ship when only row EXTENT matters (a pruned-
+    * to-nothing count scan): smallest estimated per-row wire width.
+    * Unparseable or variable-size types rank last. */
+  private[clickhouse] def narrowest(cols: Seq[(String, String)]): Option[String] = {
+    import CHType._
+    def width(t: CHType): Int = t match {
+      case CHBool | CHInt(8) | CHUInt(8) | CHEnum(8, _) => 1
+      case CHInt(16) | CHUInt(16) | CHEnum(16, _) | CHDate => 2
+      case CHInt(32) | CHUInt(32) | CHFloat32 | CHDate32 | CHDateTime(_) | CHIPv4 => 4
+      case CHInt(_) | CHUInt(_) | CHFloat64 | CHDateTime64(_, _) => 8
+      case CHDecimal(p, _) => if (p <= 9) 4 else if (p <= 18) 8 else 16
+      case CHUUID | CHIPv6 => 16
+      case CHFixedString(w) => w
+      case CHLowCardinality(i) => width(i)
+      case CHNullable(i) => 1 + width(i)
+      case CHString => 64 // average guess; still beats composites
+      case _ => 1 << 20 // Array/Map/Tuple: unbounded, avoid
+    }
+    if (cols.isEmpty) None
+    else Some(cols.minBy { case (_, t) =>
+      try width(parse(t)) catch { case _: Exception => Int.MaxValue }
+    }._1)
   }
 
   /** JDBC-style stride ranges over `partitionColumn`: numPartitions
@@ -394,14 +447,22 @@ private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: S
   private lazy val rawTypes: Map[String, String] =
     ClickHouseReadSource.describe(ClickHouseReadSource.conf(opts)).toMap
 
+  /** Only TOP-LEVEL pruning is honored: Spark's nested schema pruning can
+    * pass a Tuple column narrowed to a subset of its struct fields, but
+    * the wire decodes with the table's full declared type — accepting the
+    * narrowed struct would misalign ordinal field access (full-arity rows
+    * under a pruned schema). Each required field is therefore widened
+    * back to the table's full column type; Spark re-projects above the
+    * scan either way. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(requiredSchema.fields.map(f =>
+      full.fields.find(_.name == f.name).getOrElse(f)))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) = filters.partition(f => ClickHouseReadSource.compile(f).isDefined)
-    pushed = ok
-    compiled = ok.flatMap(ClickHouseReadSource.compile).toSeq
-    rest // stay Spark-side
+    val byFilter = filters.map(f => f -> ClickHouseReadSource.compile(f))
+    pushed = byFilter.collect { case (f, Some(_)) => f }
+    compiled = byFilter.collect { case (_, Some(sql)) => sql }.toSeq
+    byFilter.collect { case (f, None) => f } // stay Spark-side
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -466,12 +527,21 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
     * execution (dynamic pruning from a joined, filtered dimension). */
   @volatile private var where: Seq[String] = where0
 
-  /** Every top-level column is eligible for runtime filtering — Spark
-    * intersects with the join keys; a runtime IN over the join key turns
+  /** Columns eligible for runtime filtering — Spark resolves these
+    * against the scan's OUTPUT, so they must exist in readSchema(): every
+    * top-level column on a plain scan, only the GROUP BY columns when an
+    * aggregation is pushed (filtering a group key pre-aggregation keeps
+    * exactly the groups the join keeps — the compiled IN lands in the
+    * WHERE clause, before GROUP BY). A runtime IN over the join key turns
     * a broadcast join's probe-side full scan into a server-side lookup
     * of just the matching keys. */
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    full.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val eligible = agg match {
+      case Some(a) => a.groupBy
+      case None => full.fieldNames.toSeq
+    }
+    eligible.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
 
   /** Runtime filters are an OPTIMIZATION: compile what the dialect can
     * express, silently keep the rest Spark-side (the join re-applies the
@@ -491,17 +561,17 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
 
   override def planInputPartitions(): Array[InputPartition] = {
     val o = opts.map { case (k, v) => k.toLowerCase -> v }
-    val base = ClickHouseReadSource.conf(opts)
-    // aggregates always travel with the NULL-on-empty setting so min/max/
-    // sum over an empty set answer NULL (SQL semantics Spark expects),
-    // not ClickHouse's type default
-    val c = if (agg.isDefined)
-      base.copy(settings = base.settings + ("aggregate_functions_null_for_empty" -> "1"))
-    else base
-    val cols = ClickHouseReadSource.describe(c).toMap
+    // NULL-on-empty semantics come from per-function -OrNull combinators
+    // compiled into the SELECT list (see compileAggregation) — never the
+    // global aggregate_functions_null_for_empty setting, which would also
+    // retype count() to Nullable(UInt64) and misframe the decode
+    val c = ClickHouseReadSource.conf(opts)
+    val described = ClickHouseReadSource.describe(c)
+    val cols = described.toMap
     // SELECT list: pushed aggregation outputs, or the pruned columns; an
     // empty projection (count(*) without agg pushdown) still needs row
-    // EXTENT, so ship the narrowest thing there is — the first column —
+    // EXTENT, so ship the narrowest column the table has (by declared
+    // wire width — one byte per row for a UInt8, never a String blob)
     // and emit empty rows
     val (selectList, colTypes, emitEmpty) = agg match {
       case Some(a) =>
@@ -509,7 +579,7 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
       case None =>
         val names =
           if (required.fields.nonEmpty) required.fieldNames.toSeq
-          else full.fieldNames.headOption.toSeq
+          else ClickHouseReadSource.narrowest(described).toSeq
         (names.map(ClickHouseHttp.quoteId),
           names.map(n => n -> cols.getOrElse(n,
             throw new IllegalArgumentException(
@@ -552,18 +622,24 @@ private[clickhouse] object ChReaderFactory extends PartitionReaderFactory {
     new ChPartitionReader(partition.asInstanceOf[ChPartition])
 }
 
-/** Executor-side reader: one HTTP query per partition, decoded lazily. */
+/** Executor-side reader: one HTTP query per partition, decoded
+  * STREAMING off the live (gzip-inflated) response — blocks are pulled as
+  * the task consumes rows, so peak memory is one Native block (the server
+  * bounds block size via max_block_size), never the partition's response.
+  * A stride partition covering gigabytes therefore needs gigabytes of
+  * neither heap nor byte[] — the 100 TB shape. */
 private[clickhouse] final class ChPartitionReader(p: ChPartition)
   extends PartitionReader[InternalRow] {
+  private var stream: java.io.InputStream = _
   private lazy val rows: Iterator[InternalRow] = {
-    val body = ClickHouseHttp.queryBytes(p.c, p.sql)
+    stream = ClickHouseHttp.queryStream(p.c, p.sql)
     val expect = p.colTypes.map { case (n, t) => n -> CHType.parse(t) }
-    val decoded = NativeDecoder.decode(body, expect)
+    val decoded = NativeDecoder.decode(stream, expect)
     if (p.emitEmptyRows) decoded.map(_ => InternalRow.empty) else decoded
   }
   private var current: InternalRow = _
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (stream != null) stream.close()
 }

@@ -38,12 +38,23 @@ object NativeDecoder {
     * (the SELECT list order), checked against `expect` by name so a
     * server answering columns in a different order cannot silently
     * misalign values. */
-  def decode(body: Array[Byte], expect: Seq[(String, CHType)]): Iterator[InternalRow] = {
-    val in = new Reader(body)
+  def decode(body: Array[Byte], expect: Seq[(String, CHType)]): Iterator[InternalRow] =
+    decode(new java.io.ByteArrayInputStream(body), expect)
+
+  /** STREAMING decode: blocks are pulled off the live InputStream one at a
+    * time as the iterator advances — peak memory is ONE block's decoded
+    * columns (the server bounds block size via max_block_size), never the
+    * whole response. This is what lets a scan partition cover gigabytes
+    * of table without materializing them: the Native format is
+    * block-framed precisely so clients can decode off the socket. The
+    * caller owns closing the stream (a [[org.apache.spark.sql.connector.read.PartitionReader]]
+    * closes it in its own close()). */
+  def decode(in: java.io.InputStream, expect: Seq[(String, CHType)]): Iterator[InternalRow] = {
+    val reader = new Reader(in)
     new Iterator[InternalRow] {
       private var rows: Iterator[InternalRow] = Iterator.empty
       private def advance(): Unit =
-        while (!rows.hasNext && in.hasMore) rows = decodeBlock(in, expect)
+        while (!rows.hasNext && reader.hasMore) rows = decodeBlock(reader, expect)
       def hasNext: Boolean = { advance(); rows.hasNext }
       def next(): InternalRow = { advance(); rows.next() }
     }
@@ -60,10 +71,27 @@ object NativeDecoder {
     var c = 0
     while (c < ncols) {
       val name = in.str()
-      in.str() // declared type text: the expected CHType drives the decode
+      val declaredText = in.str()
       if (name != expect(c)._1)
         throw new IllegalArgumentException(
           s"Native block column $c is '$name', expected '${expect(c)._1}'")
+      // the header's declared type must agree STRUCTURALLY with what the
+      // decode expects — any server-side type surprise (an unexpected
+      // aggregate rewrite, a mid-scan ALTER) must fail loudly here, never
+      // misframe every byte that follows. LowCardinality wrappers,
+      // timezone parameters and tuple element names don't change the wire
+      // layout and are normalized away before comparing.
+      val declared =
+        try CHType.parse(declaredText)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"Native block column '$name' declares unparseable type " +
+              s"'$declaredText': ${e.getMessage}")
+        }
+      if (wireShape(declared) != wireShape(expect(c)._2))
+        throw new IllegalArgumentException(
+          s"Native block column '$name' declares type '$declaredText' but the " +
+            s"reader expects '${CHType.render(expect(c)._2)}' — refusing to decode")
       cols(c) = readColumn(in, expect(c)._2, nrows)
       c += 1
     }
@@ -72,6 +100,25 @@ object NativeDecoder {
       var i = 0
       while (i < ncols) { vals(i) = cols(i)(r); i += 1 }
       new GenericInternalRow(vals)
+    }
+  }
+
+  /** A type reduced to what determines its wire layout: LowCardinality
+    * stripped (the plain-column behavior both legs pin via
+    * low_cardinality_allow_in_native_format=0), timezone names dropped
+    * (values are epoch-based either way), tuple element names erased
+    * (elements are positional on the wire). */
+  private def wireShape(t: CHType): CHType = {
+    import CHType._
+    t match {
+      case CHLowCardinality(i) => wireShape(i)
+      case CHNullable(i) => CHNullable(wireShape(i))
+      case CHArray(i) => CHArray(wireShape(i))
+      case CHMap(k, v) => CHMap(wireShape(k), wireShape(v))
+      case CHTuple(elems) => CHTuple(elems.map { case (_, et) => (None, wireShape(et)) })
+      case CHDateTime(_) => CHDateTime(None)
+      case CHDateTime64(p, _) => CHDateTime64(p, None)
+      case other => other
     }
   }
 
@@ -208,14 +255,25 @@ object NativeDecoder {
     }
   }
 
-  /** Little-endian cursor over a response body, bounds-checked so a
-    * truncated response fails loudly instead of zero-padding. */
-  private final class Reader(buf: Array[Byte]) {
-    private var pos = 0
-    def hasMore: Boolean = pos < buf.length
+  /** Little-endian cursor over a live stream, bounds-checked so a
+    * truncated response fails loudly instead of zero-padding. Holds at
+    * most ONE buffered look-ahead byte (for [[hasMore]]) beyond what the
+    * decode has consumed — the memory bound is the caller's per-block
+    * arrays, never the response. */
+  private final class Reader(in: java.io.InputStream) {
+    /** -2 = no look-ahead buffered; -1 = EOF observed; else the byte. */
+    private var peeked: Int = -2
+
+    /** True when at least one more byte exists (peeks without consuming). */
+    def hasMore: Boolean = {
+      if (peeked == -2) peeked = in.read()
+      peeked >= 0
+    }
+
     def u8(): Int = {
-      if (pos >= buf.length) throw new IndexOutOfBoundsException("truncated Native response")
-      val v = buf(pos) & 0xff; pos += 1; v
+      val v = if (peeked != -2) { val p = peeked; peeked = -2; p } else in.read()
+      if (v < 0) throw new IndexOutOfBoundsException("truncated Native response")
+      v
     }
     def i16(): Int = u8() | (u8() << 8)
     def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
@@ -226,9 +284,16 @@ object NativeDecoder {
       v
     }
     def take(n: Int): Array[Byte] = {
-      if (n < 0 || pos + n > buf.length)
-        throw new IndexOutOfBoundsException("truncated Native response")
-      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
+      if (n < 0) throw new IndexOutOfBoundsException("negative Native length")
+      val a = new Array[Byte](n)
+      var off = 0
+      if (n > 0 && peeked >= 0) { a(0) = peeked.toByte; peeked = -2; off = 1 }
+      while (off < n) {
+        val k = in.read(a, off, n - off)
+        if (k < 0) throw new IndexOutOfBoundsException("truncated Native response")
+        off += k
+      }
+      a
     }
     def str(): String = new String(take(varint().toInt), UTF_8)
   }

@@ -229,8 +229,12 @@ class ClickHouseReadSpec extends SparkSpec {
       val sels = received(ch).filter(_.startsWith("SELECT"))
       assert(sels.nonEmpty)
       assert(sels.forall(_.contains("GROUP BY `kind`")), sels.mkString("; "))
-      assert(sels.last.contains("count()"), sels.last)
-      assert(sels.last.contains("min(`score`)"), sels.last)
+      assert(sels.last.contains("CAST(count() AS Int64)"), sels.last)
+      assert(sels.last.contains("minOrNull(`score`)"), sels.last)
+      // the global rewrite setting must NOT travel (on a real server it
+      // retypes count() to Nullable(UInt64) and misframes the decode)
+      val ps = ch.receivedQueries.asScala.map(_._2).toSeq
+      assert(ps.forall(!_.contains("aggregate_functions_null_for_empty")))
     }
   }
 
@@ -368,8 +372,9 @@ class ClickHouseReadSpec extends SparkSpec {
       val r = reader(ch, "lc_t").load()
         .agg(min($"tag").as("lo"), max($"tag").as("hi")).collect().head
       assert(r.getAs[String]("lo") == "alpha" && r.getAs[String]("hi") == "gamma")
-      val q = received(ch).filter(_.contains("min(")).last
-      assert(q.contains("min(`tag`)"), q)
+      val q = received(ch).filter(_.contains("minOrNull(")).last
+      assert(q.contains("minOrNull(`tag`)"), q)
+      assert(q.contains("AS Nullable(String))"), q)
     }
   }
 
@@ -400,6 +405,84 @@ class ClickHouseReadSpec extends SparkSpec {
       val q = received(ch).filter(_.startsWith("SELECT")).last
       assert(q.contains("`id` IN (7, 8, 9)"), q)
       assert(q.contains("`score` >= 0.0"), q)
+    }
+  }
+
+  test("multi-block responses stream through the reader; gzip rides the wire") {
+    withServer { ch =>
+      eventsTable(ch)
+      // max_block_size=10 over 100 rows → the fixture answers 10 framed
+      // blocks, the reader decodes them one at a time off the live
+      // (gzip-inflated) stream — the 100 TB shape where a partition's
+      // response never fits one byte array
+      val df = reader(ch, "ev").option("settings.max_block_size", "10").load()
+      assert(df.count() == 100)
+      assert(df.select("id").as[Long].collect().sorted.toSeq == (1L to 100L))
+      assert(df.filter($"note".isNull).count() == 20)
+      assert(ch.compressedSelects.get() > 0,
+        "the server never gzip-compressed a SELECT response")
+      val ps = ch.receivedQueries.asScala.map(_._2).toSeq.filter(_.nonEmpty)
+      assert(ps.exists(_.get("max_block_size").contains("10")))
+      assert(ps.forall(_.get("enable_http_compression").contains("1")))
+    }
+  }
+
+  test("float equality is NEVER pushed (Float32->Float64 promotion would drop rows)") {
+    withServer { ch =>
+      ch.createTable("default", "f_t", Seq("id" -> "Int64", "f32" -> "Float32"))
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "f_t",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("f32", "f32", "Float32")),
+        httpFormat = "Native"))(
+        Seq((1L, 0.1f), (2L, 0.2f), (3L, 0.3f)).toDF("id", "f32"))
+      ch.receivedQueries.clear()
+      // 0.1f is the canonical promotion trap: (double)0.1f != 0.1d, so a
+      // server-side `f32 = 0.1` comparison over the promoted column keeps
+      // ZERO rows while Spark's float-to-float compare keeps one
+      val eq = reader(ch, "f_t").load().filter($"f32" === 0.1f)
+      assert(eq.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+      val eqSels = received(ch).filter(_.startsWith("SELECT"))
+      assert(eqSels.forall(q => !q.contains("`f32` =")),
+        s"float equality leaked into the server WHERE: ${eqSels.mkString("; ")}")
+      // same for IN over float literals
+      ch.receivedQueries.clear()
+      val in = reader(ch, "f_t").load().filter($"f32".isin(0.1f, 0.3f))
+      assert(in.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 3L))
+      assert(received(ch).filter(_.startsWith("SELECT"))
+        .forall(q => !q.contains(" IN ")), "float IN leaked")
+      // RANGE comparisons still push, with the literal at full double
+      // precision (promotion is monotone and exact, so results agree)
+      ch.receivedQueries.clear()
+      val range = reader(ch, "f_t").load().filter($"f32" > 0.1f)
+      assert(range.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L, 3L))
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains("`f32` > 0.10000000149011612"), q)
+    }
+  }
+
+  test("nested schema pruning widens back to the full top-level column") {
+    withServer { ch =>
+      ch.createTable("default", "tup_t", Seq(
+        "id" -> "Int64", "tup" -> "Tuple(a String, n Int32)"))
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "tup_t",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("tup", "tup", "Tuple(a String, n Int32)")),
+        httpFormat = "Native"))(
+        Seq((1L, ("x", 10)), (2L, ("y", 20))).toDF("id", "tup"))
+      ch.receivedQueries.clear()
+      // selecting ONE struct field invites Spark's nested pruning to pass
+      // a narrowed struct; the wire always carries the full-arity tuple,
+      // so the scan must widen — ordinal access would otherwise read the
+      // wrong element (or crash) under a pruned readSchema
+      val got = reader(ch, "tup_t").load()
+        .select($"id", $"tup".getField("n").as("n")).orderBy("id").collect()
+      assert(got.map(r => (r.getAs[Long]("id"), r.getAs[Int]("n"))).toSeq ==
+        Seq((1L, 10), (2L, 20)))
+      val a = reader(ch, "tup_t").load()
+        .select($"tup".getField("a")).as[String].collect().sorted
+      assert(a.toSeq == Seq("x", "y"))
     }
   }
 
