@@ -38,6 +38,14 @@ object ClickHouseNativeTcp {
   /** Implemented protocol revision (see class doc for the field set). */
   val Revision = 54449L
 
+  /** Oldest server revision this client will talk to. The Query packet's
+    * settings section is serialized as STRINGS, a layout only valid from
+    * DBMS_MIN_REVISION_WITH_SETTINGS_SERIALIZED_AS_STRINGS (54429); below
+    * it the packet would be misframed mid-session, so the handshake
+    * refuses outright — loud beats subtly wrong. (Servers this old are
+    * pre-20.x; the reference's driver floor is far above it.) */
+  val MinRevision = 54429L
+
   // client packet codes
   private val CHello = 0L
   private val CQuery = 1L
@@ -63,6 +71,10 @@ object ClickHouseNativeTcp {
       password: String = "",
       /** Per-query settings, sent in the Query packet's settings section. */
       settings: Map[String, String] = Map.empty,
+      /** TLS for the secure native port (:9440, `tcps://` scheme) — the
+        * same config surface as the Kafka leg (base64-PEM root CA, mTLS
+        * cert/key, skip-verify). */
+      tls: Option[graft.sources.kafka.WireClient.TlsConfig] = None,
       /** Declared CH type per destination column (drives the encoder). */
       columnTypes: Map[String, String] = Map.empty,
       /** Rows per Native block (one framed Data packet each). */
@@ -71,15 +83,21 @@ object ClickHouseNativeTcp {
       connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 120000)
 
-  /** Parse `tcp://host:port` (the scheme [[ClickHouseSink]] routes here). */
+  /** Parse `tcp://host:port` / `tcps://host:port` (the schemes
+    * [[ClickHouseSink]] routes here; tcps is the server's secure native
+    * port, 9440 by default). */
   def parseEndpoint(url: String, c: ClickHouseSink.Config): Config = {
-    val hp = url.stripPrefix("tcp://").stripSuffix("/")
+    val secure = url.startsWith("tcps://")
+    val hp = url.stripPrefix("tcps://").stripPrefix("tcp://").stripSuffix("/")
     val (host, port) = hp.lastIndexOf(':') match {
-      case -1 => (hp, 9000)
+      case -1 => (hp, if (secure) 9440 else 9000)
       case i => (hp.substring(0, i), hp.substring(i + 1).toInt)
     }
     Config(host, port, database = c.database, table = c.table,
       username = c.username, password = c.password, settings = c.httpSettings,
+      tls = if (secure) Some(graft.sources.kafka.WireClient.TlsConfig(
+        rootCaPemB64 = c.tlsRootCaPemB64, skipVerify = c.tlsSkipVerify))
+      else None,
       columnTypes = (c.mappings ++ c.versionMappings.values.flatten)
         .map(m => m.column -> m.chType).toMap,
       maxRowsPerBlock = math.min(c.maxBatchSize, 1000000L).toInt)
@@ -91,10 +109,27 @@ object ClickHouseNativeTcp {
     * Spark task opens its own (the per-partition parallelism model the
     * HTTP leg uses, one socket per task instead of one POST per slab). */
   final class Conn(c: Config) extends AutoCloseable {
-    private val socket = new Socket()
-    socket.setTcpNoDelay(true)
-    socket.connect(new InetSocketAddress(c.host, c.port), c.connectTimeoutMs)
-    socket.setSoTimeout(c.readTimeoutMs)
+    private val socket: Socket = {
+      val plain = new Socket()
+      plain.setTcpNoDelay(true)
+      plain.connect(new InetSocketAddress(c.host, c.port), c.connectTimeoutMs)
+      plain.setSoTimeout(c.readTimeoutMs)
+      c.tls match {
+        case None => plain
+        case Some(cfg) =>
+          // TLS over the connected socket (SNI + hostname verification
+          // unless skip-verify); handshake up front so an untrusted
+          // certificate fails HERE with an SSL exception, not mid-INSERT
+          val s = cfg.sslContext.getSocketFactory
+            .createSocket(plain, c.host, c.port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          val params = s.getSSLParameters
+          if (!cfg.skipVerify) params.setEndpointIdentificationAlgorithm("HTTPS")
+          s.setSSLParameters(params)
+          s.startHandshake()
+          s
+      }
+    }
     private val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
     private val in = new BufferedInputStream(socket.getInputStream, 1 << 16)
 
@@ -125,6 +160,13 @@ object ClickHouseNativeTcp {
         case other =>
           throw new java.io.IOException(s"unexpected packet $other in handshake")
       }
+      // every packet this client writes assumes the post-54429 layout
+      // (settings as strings); an older server would read a misframed
+      // Query, so refuse the session while the stream is still clean
+      if (rev < MinRevision)
+        throw new java.io.IOException(
+          s"server $serverName speaks protocol revision $rev, below the " +
+            s"supported minimum $MinRevision (settings-as-strings layout)")
     }
 
     def ping(): Unit = {
@@ -143,11 +185,35 @@ object ClickHouseNativeTcp {
     def insert(query: String, blocks: Iterator[Array[Byte]]): Unit = {
       sendQuery(query)
       awaitStructure()
-      blocks.foreach(sendBlock)
+      blocks.foreach { b =>
+        sendBlock(b)
+        // drain any informational packets the server emits DURING the
+        // stream (Progress; Log under send_logs_level): a long INSERT
+        // that never reads while it writes lets both TCP buffers fill —
+        // server blocked on its write, client blocked on its own =
+        // deadlock. available()-guarded so this never blocks the send
+        // path; a mid-stream Exception surfaces here instead of after
+        // megabytes of doomed blocks.
+        drainInbound()
+      }
       sendBlock(EmptyBlock) // end-of-data marker
       out.flush()
       awaitEndOfStream()
     }
+
+    /** Consume server packets already buffered/available without blocking. */
+    private def drainInbound(): Unit =
+      while (in.available() > 0) {
+        rVarint(in) match {
+          case SProgress => skipProgress(in, rev)
+          case SLog | SData => skipDataBlock(in, rev)
+          case SProfileInfo => skipProfileInfo(in)
+          case STableColumns => rStr(in); rStr(in)
+          case SException => throw readException(in)
+          case other =>
+            throw new java.io.IOException(s"unexpected packet $other mid-INSERT")
+        }
+      }
 
     private def sendQuery(q: String): Unit = {
       wVarint(out, CQuery)

@@ -38,7 +38,11 @@ object ClickHouseSink {
     /** Wire encoding for the HTTP leg: JSONEachRow or RowBinary. */
     httpFormat: String = "JSONEachRow",
     /** gzip INSERT bodies on the HTTP leg (Content-Encoding: gzip). */
-    httpCompress: Boolean = false)
+    httpCompress: Boolean = false,
+    /** TLS trust for the secure native port (`tcps://` URLs): base64-PEM
+      * root CA, or skip-verify — the HTTP leg gets TLS via https URLs. */
+    tlsRootCaPemB64: Option[String] = None,
+    tlsSkipVerify: Boolean = false)
 
   /** `INSERT INTO db.table (c1, c2, ...)` column list — deterministic order
     * from the mapping config (reference clickhouse.go:701-718). */
@@ -55,7 +59,7 @@ object ClickHouseSink {
   private[sink] def terminalWrite(c: Config): DataFrame => Unit =
     if (c.url.startsWith("http://") || c.url.startsWith("https://"))
       ClickHouseHttp.write(httpConfig(c))
-    else if (c.url.startsWith("tcp://"))
+    else if (c.url.startsWith("tcp://") || c.url.startsWith("tcps://"))
       ClickHouseNativeTcp.write(ClickHouseNativeTcp.parseEndpoint(c.url, c))
     else jdbcWrite(c)
 
@@ -215,7 +219,7 @@ object ClickHouseSink {
     * of dead-lettered rows. */
   private[sink] def writeBatchHttp(c: Config, dlq: DataFrame => Unit)(df: DataFrame): Long = {
     val isolating: DataFrame => org.apache.spark.sql.Dataset[(String, String)] =
-      if (c.url.startsWith("tcp://"))
+      if (c.url.startsWith("tcp://") || c.url.startsWith("tcps://"))
         ClickHouseNativeTcp.writeIsolating(ClickHouseNativeTcp.parseEndpoint(c.url, c))
       else ClickHouseHttp.writeIsolating(httpConfig(c))
     val failed = batchSlices(c)(df)
@@ -281,7 +285,7 @@ object ClickHouseSink {
 
     val httpLeg = write.isEmpty &&
       (c.url.startsWith("http://") || c.url.startsWith("https://") ||
-        c.url.startsWith("tcp://"))
+        c.url.startsWith("tcp://") || c.url.startsWith("tcps://"))
 
     (batch: DataFrame, batchId: Long) => {
       try {

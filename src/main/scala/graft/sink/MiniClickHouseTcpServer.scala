@@ -20,11 +20,14 @@ import ClickHouseNativeTcp._
   * client-info block is read field-by-field per the revision gates (a
   * mis-framed Query — one missing varint — desynchronizes the stream and
   * fails loudly, which is the point: framing bugs can't hide). */
-final class MiniClickHouseTcpServer(val http: MiniClickHouseServer) {
+final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
+                                    tls: Option[javax.net.ssl.SSLContext] = None) {
   import MiniClickHouseServer.CHFault
 
-  /** Server-declared protocol revision (negotiated to min with client). */
-  private val ServerRevision = ClickHouseNativeTcp.Revision
+  /** Server-declared protocol revision (negotiated to min with client).
+    * Settable so specs can impersonate an OLD server and prove the client
+    * refuses revisions below its settings-as-strings floor. */
+  @volatile var serverRevision: Long = ClickHouseNativeTcp.Revision
 
   private var server: ServerSocket = _
   @volatile private var running = false
@@ -39,7 +42,13 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer) {
   @volatile var lastClientName: String = ""
 
   def start(): Int = {
-    server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    // with TLS this is the server's SECURE native port (:9440 in real
+    // deployments — same protocol bytes inside the TLS channel)
+    server = tls match {
+      case Some(ctx) =>
+        ctx.getServerSocketFactory.createServerSocket(0, 64, InetAddress.getLoopbackAddress)
+      case None => new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+    }
     running = true
     val acceptor = new Thread(() => {
       while (running) {
@@ -61,7 +70,8 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer) {
     if (server != null) server.close()
   }
 
-  def endpoint: String = s"tcp://127.0.0.1:${server.getLocalPort}"
+  def endpoint: String =
+    s"${if (tls.isDefined) "tcps" else "tcp"}://127.0.0.1:${server.getLocalPort}"
 
   // ---------------------------------------------------------- per connection
 
@@ -110,11 +120,11 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer) {
         s"$u: Authentication failed: password is incorrect, or there is no user with such name")
       return None
     }
-    val rev = math.min(ServerRevision, clientRev)
+    val rev = math.min(serverRevision, clientRev)
     wVarint(out, 0L) // ServerHello
     wStr(out, "MiniClickHouse")
     wVarint(out, 23L); wVarint(out, 8L) // server version major/minor
-    wVarint(out, ServerRevision)
+    wVarint(out, serverRevision)
     if (rev >= 54058) wStr(out, "UTC")
     if (rev >= 54372) wStr(out, "mini-ch")
     if (rev >= 54401) wVarint(out, 0L)

@@ -207,4 +207,90 @@ class NativeTcpSpec extends SparkSpec {
       } finally conn.close()
     }
   }
+
+  test("a server below the settings-as-strings revision floor is refused at handshake") {
+    withTcp() { (_, tcp) =>
+      tcp.serverRevision = 54300L // pre-strings settings layout
+      val c = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint,
+        tcpCfg(tcp, "t", Seq.empty))
+      val e = intercept[java.io.IOException](ClickHouseNativeTcp.ping(c))
+      assert(e.getMessage.contains("below the supported minimum"), e.getMessage)
+      assert(e.getMessage.contains("54300"), e.getMessage)
+    }
+  }
+
+  // ------------------------------------------------------------------- TLS
+
+  /** (server SSLContext, base64-of-PEM root CA) — keytool self-signed pair
+    * with SAN=ip:127.0.0.1 so hostname verification is exercised (the
+    * KafkaTlsSpec pattern). */
+  private lazy val serverTls: (javax.net.ssl.SSLContext, String) = {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ch-tls")
+    val ks = dir.resolve("ch.p12").toString
+    val pem = dir.resolve("ch.pem")
+    val keytool = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
+    assert(Seq(keytool, "-genkeypair", "-alias", "mini", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=ip:127.0.0.1", "-keystore", ks, "-storetype", "PKCS12",
+      "-storepass", "changeit", "-keypass", "changeit").! == 0, "keytool genkeypair failed")
+    assert(Seq(keytool, "-exportcert", "-rfc", "-alias", "mini", "-keystore", ks,
+      "-storepass", "changeit", "-file", pem.toString).! == 0, "keytool exportcert failed")
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ks))
+    try store.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(store, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    (ctx, java.util.Base64.getEncoder.encodeToString(
+      java.nio.file.Files.readAllBytes(pem)))
+  }
+
+  private def withTls(f: (MiniClickHouseServer, MiniClickHouseTcpServer) => Unit): Unit = {
+    val brain = new MiniClickHouseServer()
+    brain.start()
+    val tcp = new MiniClickHouseTcpServer(brain, tls = Some(serverTls._1))
+    tcp.start()
+    try f(brain, tcp) finally { tcp.stop(); brain.stop() }
+  }
+
+  test("tcps://: verified TLS INSERT end-to-end with a base64-PEM root CA") {
+    withTls { (brain, tcp) =>
+      assert(tcp.endpoint.startsWith("tcps://"))
+      brain.createTable("default", "sec", Seq("id" -> "Int64", "s" -> "String"))
+      ClickHouseSink.writeBatch(
+        tcpCfg(tcp, "sec", Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("s", "s", "String")))
+          .copy(tlsRootCaPemB64 = Some(serverTls._2)))(
+        Seq((1L, "enc"), (2L, "rypted")).toDF("id", "s"))
+      assert(brain.rowCount("default", "sec") == 2)
+    }
+  }
+
+  test("tcps://: an untrusted certificate is refused at the TLS handshake") {
+    withTls { (_, tcp) =>
+      val c = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint, tcpCfg(tcp, "t", Seq.empty))
+      val e = intercept[Exception](ClickHouseNativeTcp.ping(c))
+      val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain.exists(t => t.isInstanceOf[javax.net.ssl.SSLHandshakeException] ||
+        Option(t.getMessage).exists(_.contains("PKIX"))),
+        chain.map(_.toString).mkString(" | "))
+    }
+  }
+
+  test("tcps://: skip-verify accepts the self-signed cert; plaintext against TLS fails cleanly") {
+    withTls { (brain, tcp) =>
+      val ok = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint,
+        tcpCfg(tcp, "t", Seq.empty).copy(tlsSkipVerify = true))
+      ClickHouseNativeTcp.ping(ok) // must not throw
+      // a plaintext client dialing the TLS port must fail loudly
+      val plain = ClickHouseNativeTcp.parseEndpoint(
+        tcp.endpoint.replace("tcps://", "tcp://"), tcpCfg(tcp, "t", Seq.empty))
+      intercept[Exception](ClickHouseNativeTcp.ping(plain))
+      ()
+    }
+  }
 }
