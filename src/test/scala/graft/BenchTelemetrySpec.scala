@@ -23,11 +23,11 @@ class BenchTelemetrySpec extends AnyFunSuite {
   test("telemetry JSON fragment is valid JSON with the documented keys") {
     val t = Bench.Tele(stealPct = 1.25, sysPct = 10.5, idlePct = 42.0,
       load1Before = 0.5, load1After = 3.25, quiesceWaitMs = 1500,
-      memAvailMb = 120000)
+      memAvailMb = 120000, cpuGateWaitMs = 250)
     val j = Bench.teleJson(t)
     // strict key set: the verdict reads these names
     for (k <- Seq("steal_pct", "sys_pct", "idle_pct", "load1_before",
-        "load1_after", "quiesce_wait_ms", "mem_avail_mb"))
+        "load1_after", "quiesce_wait_ms", "mem_avail_mb", "cpu_gate_wait_ms"))
       assert(j.contains("\"" + k + "\":"), s"missing $k in $j")
     assert(j.startsWith("{") && j.endsWith("}"))
     assert(j.contains("\"steal_pct\":1.25"))
