@@ -664,6 +664,36 @@ object SparkEntry {
       }
     },
 
+    // PURE native-TCP round trip (r12 stretch): the sink INSERTs through
+    // the tcp:// leg (framed blocks on one socket per partition) and the
+    // read source scans back over the SAME protocol — DESCRIBE, filter
+    // pushdown (incl. an IN list) and the block decode all ride the
+    // native wire with no HTTP side-channel anywhere in the query.
+    "q_ch_tcp_roundtrip" -> { (s, dir) =>
+      import graft.sink.{ClickHouseSink, MiniClickHouseTcpServer, SinkMapper}
+      withCh { ch =>
+        val tcp = new MiniClickHouseTcpServer(ch)
+        tcp.start()
+        try {
+          val cols = Seq("event_id" -> "Int64", "user_id" -> "Int64",
+            "event_type" -> "LowCardinality(String)", "value" -> "Float64")
+          ch.createTable("default", "events_tcp", cols)
+          ClickHouseSink.writeBatch(ClickHouseSink.Config(
+            url = tcp.endpoint, database = "default", table = "events_tcp",
+            mappings = cols.map { case (n, t) => SinkMapper.ColumnMapping(n, n, t) }))(
+            Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"))
+          val back = s.read.format("graft-clickhouse")
+            .option("url", tcp.endpoint).option("database", "default")
+            .option("table", "events_tcp").load()
+            .filter(col("value") > 60.0 && col("event_type").isin("click", "view"))
+            .select("event_id", "user_id", "value")
+          val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached.count()
+          cached
+        } finally tcp.stop()
+      }
+    },
+
     // F3 versioned transform router: per-schema-version rule sets unioned
     // into one plan (version predicate reaches the scan on each branch).
     "q_versioned_transform" -> { (s, dir) =>
@@ -6300,6 +6330,9 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |HAVING event_type <> 'error'""".stripMargin,
+    "q_ch_tcp_roundtrip" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value > 60.0 AND event_type IN ('click', 'view')""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

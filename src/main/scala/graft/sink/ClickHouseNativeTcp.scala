@@ -201,6 +201,73 @@ object ClickHouseNativeTcp {
       awaitEndOfStream()
     }
 
+    /** Run one SELECT and decode the server's Data blocks off the socket
+      * as the iterator advances — the TCP sibling of the HTTP leg's
+      * streaming scan (one block in memory, no response buffer, and no
+      * per-partition HTTP request setup). With `expect` given, each
+      * block's names and declared types are verified structurally
+      * ([[graft.types.NativeDecoder]]'s misframing guard); with None the
+      * blocks decode by their declared types (metadata queries). The
+      * iterator must be consumed (or the connection closed) before the
+      * connection is reused; informational packets (Progress, Log,
+      * ProfileInfo, Totals/Extremes-free scans only) are skipped inline,
+      * a server Exception at any point throws. */
+    def select(query: String,
+               expect: Option[Seq[(String, graft.types.CHType)]])
+        : Iterator[(Seq[(String, graft.types.CHType)], Iterator[org.apache.spark.sql.catalyst.InternalRow])] = {
+      sendQuery(query)
+      new Iterator[(Seq[(String, graft.types.CHType)], Iterator[org.apache.spark.sql.catalyst.InternalRow])] {
+        private var eos = false
+        private var nextBlock: Option[(Seq[(String, graft.types.CHType)], Iterator[org.apache.spark.sql.catalyst.InternalRow])] = None
+        private def advance(): Unit =
+          while (nextBlock.isEmpty && !eos) {
+            rVarint(in) match {
+              case SData =>
+                if (rev >= 50264) rStr(in) // external table name
+                readBlockInfo(in, rev)
+                val (cols, rows) = graft.types.NativeDecoder.decodeOneBlock(in, expect)
+                // 0-row header/terminal blocks carry structure, not data
+                if (rows.hasNext || cols.nonEmpty) nextBlock = Some((cols, rows))
+              case SProgress => skipProgress(in, rev)
+              case SProfileInfo => skipProfileInfo(in)
+              case SLog => skipDataBlock(in, rev)
+              case STableColumns => rStr(in); rStr(in)
+              case SEndOfStream => eos = true
+              case SException => throw readException(in)
+              case other =>
+                throw new java.io.IOException(s"unexpected packet $other in SELECT response")
+            }
+          }
+        def hasNext: Boolean = { advance(); nextBlock.isDefined }
+        def next(): (Seq[(String, graft.types.CHType)], Iterator[org.apache.spark.sql.catalyst.InternalRow]) = {
+          advance()
+          val b = nextBlock.get
+          nextBlock = None
+          b
+        }
+      }
+    }
+
+    /** `DESCRIBE TABLE db.t` over the native protocol: (column, declared
+      * type text) pairs — the TCP sibling of
+      * [[ClickHouseHttp.describeTable]], so a tcp:// read source needs no
+      * HTTP side-channel for planning. */
+    def describe(db: String, table: String): Seq[(String, String)] = {
+      val q = s"DESCRIBE TABLE ${quoteId(db)}.${quoteId(table)}"
+      val out = Seq.newBuilder[(String, String)]
+      select(q, None).foreach { case (cols, rows) =>
+        val byName = cols.map(_._1).zipWithIndex.toMap
+        val ni = byName.getOrElse("name",
+          throw new java.io.IOException("DESCRIBE block lacks a 'name' column"))
+        val ti = byName.getOrElse("type",
+          throw new java.io.IOException("DESCRIBE block lacks a 'type' column"))
+        rows.foreach { r =>
+          out += (r.getUTF8String(ni).toString -> r.getUTF8String(ti).toString)
+        }
+      }
+      out.result()
+    }
+
     /** Consume server packets already buffered/available without blocking. */
     private def drainInbound(): Unit =
       while (in.available() > 0) {
@@ -243,6 +310,11 @@ object ClickHouseNativeTcp {
       wVarint(out, 2L) // stage: complete
       wVarint(out, 0L) // compression: off
       wStr(out, q)
+      // external-tables data, terminated by an empty block — sent after
+      // EVERY query (the sequence clickhouse-go/ch-go follow); the server
+      // reads it before answering, so omitting it desynchronizes a real
+      // server's INSERT structure reply
+      sendBlock(EmptyBlock)
       out.flush()
     }
 

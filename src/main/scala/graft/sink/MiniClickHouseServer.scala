@@ -162,108 +162,60 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
 
       receivedQueries.add((query, params - "query"))
 
-      // SELECT cols FROM db.t [WHERE expr] [LIMIT n] FORMAT Native — the
-      // read-source leg. The fixture evaluates WHERE with SQL three-valued
-      // NULL logic (MiniChSelect) and answers real Native wire bytes
-      // re-encoded from its stored canonical values, so the production
-      // NativeDecoder is what decodes them. Rows require retainRows=true.
-      val sel = ("""(?is)SELECT\s+(.+?)\s+FROM\s+(\S+?)\.([^\s.]+?)""" +
-        """(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
-        """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s+FORMAT\s+Native\s*$""").r
-      sel.findFirstMatchIn(query.trim) match {
-        case Some(m) =>
-          val db = unq(m.group(2)); val tbl = unq(m.group(3))
-          val key = s"$db.$tbl"
-          tables.synchronized { tables.get(key) } match {
-            case None => fail(ex, 404, 60, s"Table $key does not exist")
-            case Some(t) =>
-              try {
-                val raw = tables.synchronized { rawTypes.getOrElse(key, Map.empty) }
-                val items = MiniChSelect.parseSelectList(m.group(1))
-                val where = Option(m.group(4)).map(MiniChSelect.parseWhere)
-                val groupBy = Option(m.group(5)).toSeq
-                  .flatMap(_.split(",").map(s => unq(s.trim)))
-                val orderBy = Option(m.group(6)).toSeq
-                  .flatMap(s => MiniChSelect.parseOrderBy(s))
-                val limit = Option(m.group(7)).map(_.toInt)
-                items.collect { case MiniChSelect.ColItem(c) => c }
-                  .filterNot(c => t.columns.exists(_.name == c)) match {
-                  case missing if missing.nonEmpty =>
-                    throw CHFault(47, s"Unknown identifier ${missing.head}")
-                  case _ => ()
-                }
-                val all = tables.synchronized { t.rows.toVector }
-                val kept = where match {
-                  case None => all
-                  case Some(e) => all.filter(r => MiniChSelect.eval(e, r).contains(true))
-                }
-                val hasAgg = items.exists(_.isInstanceOf[MiniChSelect.AggItem])
-                val (colTypes, result) =
-                  if (hasAgg) {
-                    // the global rewrite this setting triggers on a real
-                    // server (EVERY aggregate → -OrNull, retyping count()
-                    // to Nullable(UInt64)) is not emulated — refuse loudly
-                    // rather than answer with subtly different column
-                    // types; clients want per-function -OrNull combinators
-                    if (params.get("aggregate_functions_null_for_empty")
-                          .exists(x => x == "1" || x == "true"))
-                      throw CHFault(48, "fixture does not emulate the global aggregate_functions_null_for_empty rewrite; use explicit -OrNull combinators")
-                    MiniChSelect.aggregate(items, groupBy, kept,
-                      raw ++ t.columns.map(c => c.name ->
-                        raw.getOrElse(c.name, "String")).toMap)
-                  } else {
-                    if (groupBy.nonEmpty)
-                      throw CHFault(215, "GROUP BY without aggregates not supported by fixture")
-                    val cols = items.collect { case MiniChSelect.ColItem(c) => c }
-                    (cols.map(c => c -> raw.getOrElse(c, "String")), kept)
+      // SELECT cols FROM db.t [WHERE expr] [GROUP BY] [ORDER BY] [LIMIT n]
+      // FORMAT Native — the read-source leg. Evaluation lives in
+      // evalSelect (shared with the TCP transport); this arm owns the
+      // HTTP framing: block split by max_block_size + optional gzip.
+      if (query.trim.toUpperCase.startsWith("SELECT") &&
+          query.contains("FORMAT Native")) {
+        try {
+          evalSelect(query.trim.replaceAll("(?is)\\s+FORMAT\\s+Native\\s*$", ""),
+            params) match {
+            case None =>
+              fail(ex, 400, 62, s"Syntax error: unsupported SELECT shape: ${query.take(60)}")
+            case Some((colTypes, sliced)) =>
+              // the real server frames results into max_block_size-row
+              // blocks (default 65409); honoring the setting means a
+              // large result is genuinely MULTI-block on the wire, so
+              // the client's streaming block-at-a-time decode is what
+              // gets exercised, not a single-block special case
+              val blockRows = params.get("max_block_size")
+                .flatMap(_.toIntOption).filter(_ > 0).getOrElse(65409)
+              val body0: Array[Byte] =
+                if (sliced.size <= blockRows)
+                  MiniChSelect.encodeNative(colTypes, sliced)
+                else {
+                  val out = new java.io.ByteArrayOutputStream(1 << 14)
+                  sliced.grouped(blockRows).foreach { g =>
+                    val b = MiniChSelect.encodeNative(colTypes, g)
+                    out.write(b, 0, b.length)
                   }
-                val ordered =
-                  if (orderBy.isEmpty) result
-                  else MiniChSelect.orderRows(result, orderBy)
-                val sliced = limit.fold(ordered)(ordered.take)
-                // the real server frames results into max_block_size-row
-                // blocks (default 65409); honoring the setting means a
-                // large result is genuinely MULTI-block on the wire, so
-                // the client's streaming block-at-a-time decode is what
-                // gets exercised, not a single-block special case
-                val blockRows = params.get("max_block_size")
-                  .flatMap(_.toIntOption).filter(_ > 0).getOrElse(65409)
-                val body0: Array[Byte] =
-                  if (sliced.size <= blockRows)
-                    MiniChSelect.encodeNative(colTypes, sliced)
-                  else {
-                    val out = new java.io.ByteArrayOutputStream(1 << 14)
-                    sliced.grouped(blockRows).foreach { g =>
-                      val b = MiniChSelect.encodeNative(colTypes, g)
-                      out.write(b, 0, b.length)
-                    }
-                    out.toByteArray
-                  }
-                // response compression: the documented pair — client sends
-                // Accept-Encoding: gzip AND enable_http_compression=1
-                val wantGzip = body0.nonEmpty &&
-                  params.get("enable_http_compression").exists(v => v == "1" || v == "true") &&
-                  Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-                    .exists(_.toLowerCase.contains("gzip"))
-                val body = if (!wantGzip) body0 else {
-                  compressedSelects.incrementAndGet()
-                  val bos = new java.io.ByteArrayOutputStream(body0.length / 4 + 64)
-                  val gz = new java.util.zip.GZIPOutputStream(bos)
-                  try gz.write(body0) finally gz.close()
-                  bos.toByteArray
+                  out.toByteArray
                 }
-                ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
-                if (wantGzip) ex.getResponseHeaders.add("Content-Encoding", "gzip")
-                ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
-                if (body.nonEmpty) {
-                  val os = ex.getResponseBody; os.write(body); os.close()
-                }
-              } catch {
-                case CHFault(code, msg) => fail(ex, 500, code, msg)
+              // response compression: the documented pair — client sends
+              // Accept-Encoding: gzip AND enable_http_compression=1
+              val wantGzip = body0.nonEmpty &&
+                params.get("enable_http_compression").exists(v => v == "1" || v == "true") &&
+                Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+                  .exists(_.toLowerCase.contains("gzip"))
+              val body = if (!wantGzip) body0 else {
+                compressedSelects.incrementAndGet()
+                val bos = new java.io.ByteArrayOutputStream(body0.length / 4 + 64)
+                val gz = new java.util.zip.GZIPOutputStream(bos)
+                try gz.write(body0) finally gz.close()
+                bos.toByteArray
+              }
+              ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
+              if (wantGzip) ex.getResponseHeaders.add("Content-Encoding", "gzip")
+              ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
+              if (body.nonEmpty) {
+                val os = ex.getResponseBody; os.write(body); os.close()
               }
           }
-          return
-        case None => ()
+        } catch {
+          case CHFault(code, msg) => fail(ex, if (code == 60) 404 else 500, code, msg)
+        }
+        return
       }
 
       val ins = """(?is)INSERT\s+INTO\s+(\S+?)\.(\S+?)\s*\(([^)]*)\)\s*FORMAT\s+(\w+)""".r
@@ -340,6 +292,69 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     * handshake's auth check — same account as the HTTP headers'). */
   private[sink] def checkAuth(u: String, p: String): Boolean =
     u == user && p == password
+
+  /** Seam shared by BOTH transports (HTTP handler above, TCP server):
+    * parse + evaluate one SELECT (sans FORMAT clause) over the stored
+    * canonical rows — WHERE with SQL three-valued NULL logic, aggregates
+    * with real-server plain/-OrNull/CAST typing, ORDER BY, LIMIT.
+    * Returns None when the text doesn't match the supported grammar
+    * (caller answers a syntax fault); throws CHFault on unknown tables/
+    * columns or unsupported constructs — refusal over subtly-wrong. */
+  private[sink] def evalSelect(query: String, settings: Map[String, String])
+      : Option[(Seq[(String, String)], Seq[Map[String, Any]])] = {
+    val sel = ("""(?is)^SELECT\s+(.+?)\s+FROM\s+(\S+?)\.([^\s.]+?)""" +
+      """(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
+      """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*$""").r
+    sel.findFirstMatchIn(query.trim).map { m =>
+      val db = unq(m.group(2)); val tbl = unq(m.group(3))
+      val key = s"$db.$tbl"
+      val t = tables.synchronized { tables.get(key) }
+        .getOrElse(throw CHFault(60, s"Table $key does not exist"))
+      val raw = tables.synchronized { rawTypes.getOrElse(key, Map.empty) }
+      val items = MiniChSelect.parseSelectList(m.group(1))
+      val where = Option(m.group(4)).map(MiniChSelect.parseWhere)
+      val groupBy = Option(m.group(5)).toSeq
+        .flatMap(_.split(",").map(s => unq(s.trim)))
+      val orderBy = Option(m.group(6)).toSeq
+        .flatMap(s => MiniChSelect.parseOrderBy(s))
+      val limit = Option(m.group(7)).map(_.toInt)
+      items.collect { case MiniChSelect.ColItem(c) => c }
+        .filterNot(c => t.columns.exists(_.name == c)) match {
+        case missing if missing.nonEmpty =>
+          throw CHFault(47, s"Unknown identifier ${missing.head}")
+        case _ => ()
+      }
+      val all = tables.synchronized { t.rows.toVector }
+      val kept = where match {
+        case None => all
+        case Some(e) => all.filter(r => MiniChSelect.eval(e, r).contains(true))
+      }
+      val hasAgg = items.exists(_.isInstanceOf[MiniChSelect.AggItem])
+      val (colTypes, result) =
+        if (hasAgg) {
+          // the global rewrite this setting triggers on a real server
+          // (EVERY aggregate → -OrNull, retyping count() to
+          // Nullable(UInt64)) is not emulated — refuse loudly rather
+          // than answer with subtly different column types; clients
+          // want per-function -OrNull combinators
+          if (settings.get("aggregate_functions_null_for_empty")
+                .exists(x => x == "1" || x == "true"))
+            throw CHFault(48, "fixture does not emulate the global aggregate_functions_null_for_empty rewrite; use explicit -OrNull combinators")
+          MiniChSelect.aggregate(items, groupBy, kept,
+            raw ++ t.columns.map(c => c.name ->
+              raw.getOrElse(c.name, "String")).toMap)
+        } else {
+          if (groupBy.nonEmpty)
+            throw CHFault(215, "GROUP BY without aggregates not supported by fixture")
+          val cols = items.collect { case MiniChSelect.ColItem(c) => c }
+          (cols.map(c => c -> raw.getOrElse(c, "String")), kept)
+        }
+      val ordered =
+        if (orderBy.isEmpty) result
+        else MiniChSelect.orderRows(result, orderBy)
+      (colTypes, limit.fold(ordered)(ordered.take))
+    }
+  }
 
   /** Seam: the column (name, declared-type-text) list the TCP server's
     * structure block declares for an INSERT, or None if no such table. */

@@ -171,6 +171,71 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
       return false
     }
 
+    // external-tables data follows EVERY query, terminated by an empty
+    // block (the clickhouse-go sequence); the fixture reads and refuses
+    // any non-empty external block — parsing it honestly, never skipping
+    var extDone = false
+    while (!extDone) {
+      rVarint(in) match {
+        case 2L /* Data */ =>
+          if (rev >= 50264) rStr(in)
+          readBlockInfo(in, rev)
+          readBlockPayload(in) match {
+            case None => extDone = true
+            case Some(_) =>
+              sendException(out, 48, "external tables not supported by fixture")
+              return false
+          }
+        case other =>
+          sendException(out, 101, s"Unexpected packet $other awaiting external tables")
+          return false
+      }
+    }
+
+    val desc = """(?is)^DESCRIBE\s+TABLE\s+(\S+?)\.(\S+?)\s*$""".r
+    desc.findFirstMatchIn(query.trim) match {
+      case Some(m) =>
+        val db = unq(m.group(1)); val tbl = unq(m.group(2))
+        http.columnsOf(db, tbl) match {
+          case None =>
+            sendException(out, 60, s"Table $db.$tbl does not exist")
+            return false
+          case Some(structure) =>
+            val cols = Seq("name" -> "String", "type" -> "String")
+            sendDataBlock(out, rev, MiniChSelect.encodeNative(cols,
+              structure.map { case (n, t) => Map[String, Any]("name" -> n, "type" -> t) }))
+            wVarint(out, 5L) // EndOfStream
+            out.flush()
+            return true
+        }
+      case None => ()
+    }
+
+    if (query.trim.toUpperCase.startsWith("SELECT")) {
+      try {
+        http.evalSelect(query.trim.replaceAll("(?is)\\s+FORMAT\\s+Native\\s*$", ""),
+          lastSettings) match {
+          case None =>
+            sendException(out, 62, s"Syntax error: unsupported SELECT shape: ${query.take(60)}")
+            return false
+          case Some((colTypes, rows)) =>
+            // real-server framing: a zero-row structure block first, then
+            // data split at max_block_size rows per Data packet
+            sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, Nil))
+            val blockRows = lastSettings.get("max_block_size")
+              .flatMap(_.toIntOption).filter(_ > 0).getOrElse(65409)
+            rows.grouped(blockRows).foreach { g =>
+              sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, g))
+            }
+            wVarint(out, 5L) // EndOfStream
+            out.flush()
+            return true
+        }
+      } catch {
+        case CHFault(code, msg) => sendException(out, code, msg); return false
+      }
+    }
+
     val ins = """(?is)INSERT\s+INTO\s+(\S+?)\.(\S+?)\s*\(([^)]*)\)\s*(?:FORMAT\s+\w+)?\s*$""".r
     ins.findFirstMatchIn(query.trim) match {
       case None =>
@@ -195,6 +260,13 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
             readDataStream(in, out, rev, db, tbl, cols)
         }
     }
+  }
+
+  private def sendDataBlock(out: OutputStream, rev: Long, body: Array[Byte]): Unit = {
+    wVarint(out, 1L) // server Data packet
+    if (rev >= 50264) wStr(out, "")
+    writeBlockInfo(out, rev)
+    out.write(body, 0, body.length)
   }
 
   /** Consume the client's Data packets until the empty terminal block;

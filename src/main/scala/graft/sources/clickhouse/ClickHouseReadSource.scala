@@ -50,7 +50,8 @@ final class ClickHouseReadSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ClickHouseReadSource.sparkSchema(
-      ClickHouseReadSource.describe(ClickHouseReadSource.conf(options.asScala.toMap)))
+      ClickHouseReadSource.describe(options.asScala.toMap,
+        ClickHouseReadSource.conf(options.asScala.toMap)))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -79,8 +80,38 @@ object ClickHouseReadSource {
         })
   }
 
-  private[clickhouse] def describe(c: ClickHouseHttp.Config): Seq[(String, String)] =
-    ClickHouseHttp.describeTable(c)
+  private[clickhouse] def isTcp(endpoint: String): Boolean =
+    endpoint.startsWith("tcp://") || endpoint.startsWith("tcps://")
+
+  /** Native-TCP sibling of the HTTP config — used when `url` is a
+    * tcp:// / tcps:// endpoint, so BOTH planning (DESCRIBE) and the scan
+    * itself ride the native protocol with no HTTP side-channel. TLS trust
+    * comes from the read options (`tls.root_ca` base64-PEM /
+    * `tls.skip_verify`), the same surface as the sink and Kafka legs. */
+  private[clickhouse] def tcpConf(opts: Map[String, String],
+                                  c: ClickHouseHttp.Config): graft.sink.ClickHouseNativeTcp.Config = {
+    val o = opts.map { case (k, v) => k.toLowerCase -> v }
+    val secure = c.endpoint.startsWith("tcps://")
+    val hp = c.endpoint.stripPrefix("tcps://").stripPrefix("tcp://").stripSuffix("/")
+    val (host, port) = hp.lastIndexOf(':') match {
+      case -1 => (hp, if (secure) 9440 else 9000)
+      case i => (hp.substring(0, i), hp.substring(i + 1).toInt)
+    }
+    graft.sink.ClickHouseNativeTcp.Config(host, port, database = c.database,
+      table = c.table, username = c.username, password = c.password,
+      settings = c.settings,
+      tls = if (secure) Some(graft.sources.kafka.WireClient.TlsConfig(
+        rootCaPemB64 = o.get("tls.root_ca"),
+        skipVerify = o.get("tls.skip_verify").exists(v => v == "true" || v == "1")))
+      else None)
+  }
+
+  private[clickhouse] def describe(opts: Map[String, String],
+                                   c: ClickHouseHttp.Config): Seq[(String, String)] =
+    if (isTcp(c.endpoint)) {
+      val conn = new graft.sink.ClickHouseNativeTcp.Conn(tcpConf(opts, c))
+      try conn.describe(c.database, c.table) finally conn.close()
+    } else ClickHouseHttp.describeTable(c)
 
   private[clickhouse] def sparkSchema(cols: Seq[(String, String)]): StructType =
     StructType(cols.map { case (n, t) =>
@@ -361,7 +392,7 @@ private[clickhouse] final class ChWriteBuilder(opts: Map[String, String], df: St
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val c = ClickHouseReadSource.conf(opts)
-      val server = ClickHouseReadSource.describe(c).toMap
+      val server = ClickHouseReadSource.describe(opts, c).toMap
       val colTypes = df.fieldNames.toSeq.map { n =>
         n -> server.getOrElse(n, throw new IllegalArgumentException(
           s"column $n does not exist in ${c.database}.${c.table}"))
@@ -445,7 +476,7 @@ private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: S
       .getOrElse(1)
 
   private lazy val rawTypes: Map[String, String] =
-    ClickHouseReadSource.describe(ClickHouseReadSource.conf(opts)).toMap
+    ClickHouseReadSource.describe(opts, ClickHouseReadSource.conf(opts)).toMap
 
   /** Only TOP-LEVEL pruning is honored: Spark's nested schema pruning can
     * pass a Tuple column narrowed to a subset of its struct fields, but
@@ -566,7 +597,7 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
     // global aggregate_functions_null_for_empty setting, which would also
     // retype count() to Nullable(UInt64) and misframe the decode
     val c = ClickHouseReadSource.conf(opts)
-    val described = ClickHouseReadSource.describe(c)
+    val described = ClickHouseReadSource.describe(opts, c)
     val cols = described.toMap
     // SELECT list: pushed aggregation outputs, or the pruned columns; an
     // empty projection (count(*) without agg pushdown) still needs row
@@ -596,6 +627,10 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
       case _ => Seq("")
     }
     val groupBy = agg.map(_.groupBy).getOrElse(Nil)
+    // over the native TCP transport the response is Native by definition —
+    // no FORMAT clause; the HTTP leg asks for it explicitly
+    val tcp = if (ClickHouseReadSource.isTcp(c.endpoint))
+      Some(ClickHouseReadSource.tcpConf(opts, c)) else None
     ranges.map { range =>
       val conj = (where ++ Option(range).filter(_.nonEmpty)).mkString(" AND ")
       val sql = s"SELECT ${selectList.mkString(", ")} " +
@@ -605,8 +640,9 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
            s" GROUP BY ${groupBy.map(ClickHouseHttp.quoteId).mkString(", ")}"
          else "") +
         (if (orderBy.nonEmpty) s" ORDER BY ${orderBy.mkString(", ")}" else "") +
-        limit.fold("")(n => s" LIMIT $n") + " FORMAT Native"
-      ChPartition(c, sql, colTypes, emitEmptyRows = emitEmpty): InputPartition
+        limit.fold("")(n => s" LIMIT $n") +
+        (if (tcp.isDefined) "" else " FORMAT Native")
+      ChPartition(c, sql, colTypes, emitEmptyRows = emitEmpty, tcp = tcp): InputPartition
     }.toArray
   }
 
@@ -615,7 +651,8 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
 
 private[clickhouse] final case class ChPartition(
     c: ClickHouseHttp.Config, sql: String, colTypes: Seq[(String, String)],
-    emitEmptyRows: Boolean) extends InputPartition
+    emitEmptyRows: Boolean,
+    tcp: Option[graft.sink.ClickHouseNativeTcp.Config] = None) extends InputPartition
 
 private[clickhouse] object ChReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -631,15 +668,28 @@ private[clickhouse] object ChReaderFactory extends PartitionReaderFactory {
 private[clickhouse] final class ChPartitionReader(p: ChPartition)
   extends PartitionReader[InternalRow] {
   private var stream: java.io.InputStream = _
+  private var conn: graft.sink.ClickHouseNativeTcp.Conn = _
   private lazy val rows: Iterator[InternalRow] = {
-    stream = ClickHouseHttp.queryStream(p.c, p.sql)
     val expect = p.colTypes.map { case (n, t) => n -> CHType.parse(t) }
-    val decoded = NativeDecoder.decode(stream, expect)
+    val decoded = p.tcp match {
+      case Some(tc) =>
+        // native-TCP transport: one framed Data packet per block, decoded
+        // off the socket — same one-block memory bound, no per-partition
+        // HTTP request overhead
+        conn = new graft.sink.ClickHouseNativeTcp.Conn(tc)
+        conn.select(p.sql, Some(expect)).flatMap(_._2)
+      case None =>
+        stream = ClickHouseHttp.queryStream(p.c, p.sql)
+        NativeDecoder.decode(stream, expect)
+    }
     if (p.emitEmptyRows) decoded.map(_ => InternalRow.empty) else decoded
   }
   private var current: InternalRow = _
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = if (stream != null) stream.close()
+  override def close(): Unit = {
+    if (stream != null) stream.close()
+    if (conn != null) conn.close()
+  }
 }

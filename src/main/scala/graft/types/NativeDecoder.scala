@@ -60,21 +60,36 @@ object NativeDecoder {
     }
   }
 
-  private def decodeBlock(in: Reader, expect: Seq[(String, CHType)]): Iterator[InternalRow] = {
+  /** Decode exactly ONE block off the stream (the native-TCP leg frames
+    * one block per Data packet — the caller owns the packet walk). With
+    * `expect` given, names and declared types are verified as in
+    * [[decode]]; with None the block decodes by its DECLARED types (for
+    * metadata queries like DESCRIBE, where the caller has no prior
+    * expectation). Returns the block's columns and its rows — (Nil,
+    * empty) for the 0×0 terminal/structure block. */
+  def decodeOneBlock(in: java.io.InputStream, expect: Option[Seq[(String, CHType)]])
+      : (Seq[(String, CHType)], Iterator[InternalRow]) =
+    decodeBlockGeneric(new Reader(in), expect)
+
+  private def decodeBlock(in: Reader, expect: Seq[(String, CHType)]): Iterator[InternalRow] =
+    decodeBlockGeneric(in, Some(expect))._2
+
+  private def decodeBlockGeneric(in: Reader, expect: Option[Seq[(String, CHType)]])
+      : (Seq[(String, CHType)], Iterator[InternalRow]) = {
     val ncols = in.varint().toInt
     val nrows = in.varint().toInt
-    if (ncols == 0 && nrows == 0) return Iterator.empty
-    if (ncols != expect.length)
-      throw new IllegalArgumentException(
-        s"Native block has $ncols columns, expected ${expect.length}")
+    if (ncols == 0 && nrows == 0) return (Nil, Iterator.empty)
+    expect.foreach { e =>
+      if (ncols != e.length)
+        throw new IllegalArgumentException(
+          s"Native block has $ncols columns, expected ${e.length}")
+    }
+    val outCols = Seq.newBuilder[(String, CHType)]
     val cols = new Array[Array[Any]](ncols)
     var c = 0
     while (c < ncols) {
       val name = in.str()
       val declaredText = in.str()
-      if (name != expect(c)._1)
-        throw new IllegalArgumentException(
-          s"Native block column $c is '$name', expected '${expect(c)._1}'")
       // the header's declared type must agree STRUCTURALLY with what the
       // decode expects — any server-side type surprise (an unexpected
       // aggregate rewrite, a mid-scan ALTER) must fail loudly here, never
@@ -88,19 +103,28 @@ object NativeDecoder {
             s"Native block column '$name' declares unparseable type " +
               s"'$declaredText': ${e.getMessage}")
         }
-      if (wireShape(declared) != wireShape(expect(c)._2))
-        throw new IllegalArgumentException(
-          s"Native block column '$name' declares type '$declaredText' but the " +
-            s"reader expects '${CHType.render(expect(c)._2)}' — refusing to decode")
-      cols(c) = readColumn(in, expect(c)._2, nrows)
+      val decodeAs = expect match {
+        case None => declared
+        case Some(e) =>
+          if (name != e(c)._1)
+            throw new IllegalArgumentException(
+              s"Native block column $c is '$name', expected '${e(c)._1}'")
+          if (wireShape(declared) != wireShape(e(c)._2))
+            throw new IllegalArgumentException(
+              s"Native block column '$name' declares type '$declaredText' but the " +
+                s"reader expects '${CHType.render(e(c)._2)}' — refusing to decode")
+          e(c)._2
+      }
+      outCols += (name -> decodeAs)
+      cols(c) = readColumn(in, decodeAs, nrows)
       c += 1
     }
-    (0 until nrows).iterator.map { r =>
+    (outCols.result(), (0 until nrows).iterator.map { r =>
       val vals = new Array[Any](ncols)
       var i = 0
       while (i < ncols) { vals(i) = cols(i)(r); i += 1 }
       new GenericInternalRow(vals)
-    }
+    })
   }
 
   /** A type reduced to what determines its wire layout: LowCardinality

@@ -208,6 +208,46 @@ class NativeTcpSpec extends SparkSpec {
     }
   }
 
+  test("Conn.select streams decoded blocks; Conn.describe needs no HTTP side-channel") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "sel_t",
+        Seq("id" -> "Int64", "s" -> "Nullable(String)"))
+      val cfg = tcpCfg(tcp, "sel_t", Seq(ColumnMapping("id", "id", "Int64"),
+        ColumnMapping("s", "s", "Nullable(String)")))
+      ClickHouseSink.writeBatch(cfg)(
+        Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "s"))
+      val c = ClickHouseNativeTcp.parseEndpoint(tcp.endpoint, cfg)
+      val conn = new ClickHouseNativeTcp.Conn(c)
+      try {
+        assert(conn.describe("default", "sel_t") ==
+          Seq("id" -> "Int64", "s" -> "Nullable(String)"))
+        val expect = Seq("id" -> graft.types.CHType.parse("Int64"),
+          "s" -> graft.types.CHType.parse("Nullable(String)"))
+        val rows = conn.select(
+          "SELECT `id`, `s` FROM `default`.`sel_t` ORDER BY `id` ASC NULLS LAST",
+          Some(expect)).flatMap(_._2).toVector
+        assert(rows.map(_.getLong(0)) == Vector(1L, 2L, 3L))
+        assert(rows(1).isNullAt(1))
+        assert(rows(2).getUTF8String(1).toString == "c")
+        // the connection is reusable after a fully-consumed SELECT
+        val again = conn.select(
+          "SELECT `id` FROM `default`.`sel_t` WHERE `id` > 1",
+          Some(Seq("id" -> graft.types.CHType.parse("Int64"))))
+          .flatMap(_._2).size
+        assert(again == 2)
+        // an unknown table answers a decoded Exception packet
+        val e = intercept[ClickHouseHttp.CHServerException] {
+          conn2Rows(conn, "SELECT `id` FROM `default`.`nope`")
+        }
+        assert(e.code == 60)
+      } finally conn.close()
+    }
+  }
+
+  private def conn2Rows(conn: ClickHouseNativeTcp.Conn, q: String): Int =
+    conn.select(q, Some(Seq("id" -> graft.types.CHType.parse("Int64"))))
+      .flatMap(_._2).size
+
   test("a server below the settings-as-strings revision floor is refused at handshake") {
     withTcp() { (_, tcp) =>
       tcp.serverRevision = 54300L // pre-strings settings layout

@@ -486,6 +486,51 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("native TCP transport (url=tcp://): pruning, pushdown, aggregates and strides ride the native wire") {
+    withServer { ch =>
+      eventsTable(ch)
+      val tcp = new graft.sink.MiniClickHouseTcpServer(ch)
+      tcp.start()
+      try {
+        def rd = spark.read.format("graft-clickhouse")
+          .option("url", tcp.endpoint)
+          .option("database", "default").option("table", "ev")
+        // planning (DESCRIBE) had no HTTP side-channel: schema inferred
+        // over the native protocol
+        val df0 = rd.load()
+        assert(df0.schema.fieldNames.toSeq == Seq("id", "kind", "score", "note"))
+        // pruning + filter pushdown reach the TCP wire; no FORMAT clause
+        val got = df0.select("kind", "id").filter($"id" > 50L).collect()
+        assert(got.length == 50)
+        val q = tcp.receivedQueries.asScala.filter(_.startsWith("SELECT")).last
+        assert(q.contains("`id` > 50"), q)
+        assert(!q.contains("`score`"), q)
+        assert(!q.toUpperCase.contains("FORMAT"), q)
+        // NULLs decode across the TCP leg
+        assert(rd.load().filter($"note".isNull).count() == 20)
+        // aggregate pushdown runs server-side over TCP
+        val groups = (1L to 100L).groupBy(i =>
+          if (i % 3 == 0) "alpha" else if (i % 3 == 1) "beta" else "gamma")
+        val agg = rd.load().groupBy("kind")
+          .agg(count("*").as("n"), sum($"id").as("sm")).collect()
+        agg.foreach { r =>
+          val is = groups(r.getAs[String]("kind"))
+          assert(r.getAs[Long]("n") == is.size && r.getAs[Long]("sm") == is.sum)
+        }
+        assert(tcp.receivedQueries.asScala.exists(_.contains("GROUP BY `kind`")))
+        // stride partitions: four independent TCP SELECT connections
+        val parts = rd.option("partitionColumn", "id")
+          .option("lowerBound", "1").option("upperBound", "101")
+          .option("numPartitions", "4").load()
+        assert(parts.rdd.getNumPartitions == 4)
+        assert(parts.select("id").as[Long].collect().sorted.toSeq == (1L to 100L))
+        // multi-block framing honors max_block_size over TCP too
+        val mb = rd.option("settings.max_block_size", "7").load()
+        assert(mb.count() == 100)
+      } finally tcp.stop()
+    }
+  }
+
   test("pushed-filter results match the same filters evaluated Spark-side") {
     withServer { ch =>
       eventsTable(ch)
