@@ -444,8 +444,12 @@ object ClickHouseHttp {
     * non-200 answer throws before anything is returned ([[CHServerException]]
     * when the server sent a code). */
   def queryStream(c: Config, query: String): java.io.InputStream = {
-    val params = c.settings +
-      ("query" -> query) + ("enable_http_compression" -> "1")
+    // the QUERY travels as the POST body, not a URL parameter: a runtime
+    // filter can compile into an IN list over thousands of join keys, and
+    // URLs have practical length ceilings that a request body does not
+    // (the server reads the query from the body up to max_query_size) —
+    // settings stay URL params as on every other request
+    val params = c.settings + ("enable_http_compression" -> "1")
     val qs = params.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
       .mkString("&")
     val url = URI.create(c.endpoint.stripSuffix("/") + "/?" + qs).toURL
@@ -459,7 +463,10 @@ object ClickHouseHttp {
       if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
       conn.setRequestProperty("Accept-Encoding", "gzip")
       conn.setDoOutput(true)
-      conn.getOutputStream.close()
+      val qb = query.getBytes(UTF_8)
+      conn.setFixedLengthStreamingMode(qb.length.toLong)
+      val os = conn.getOutputStream
+      try { os.write(qb); os.flush() } finally os.close()
       val status = conn.getResponseCode
       if (status != 200) {
         val es = conn.getErrorStream

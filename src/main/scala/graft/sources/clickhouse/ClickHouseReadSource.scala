@@ -80,6 +80,9 @@ object ClickHouseReadSource {
         })
   }
 
+  /** Runtime-filter IN lists longer than this stay Spark-side. */
+  private[clickhouse] val RuntimeInCap = 10000
+
   private[clickhouse] def isTcp(endpoint: String): Boolean =
     endpoint.startsWith("tcp://") || endpoint.startsWith("tcps://")
 
@@ -552,7 +555,8 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
                                        agg: Option[ClickHouseReadSource.AggPush],
                                        limit: Option[Int], orderBy: Seq[String])
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Planning-time WHERE plus any runtime filters Spark injects before
     * execution (dynamic pruning from a joined, filtered dimension). */
@@ -569,7 +573,7 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val eligible = agg match {
       case Some(a) => a.groupBy
-      case None => full.fieldNames.toSeq
+      case None => required.fieldNames.toSeq // post-pruning, not the table
     }
     eligible.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
@@ -577,11 +581,61 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
   /** Runtime filters are an OPTIMIZATION: compile what the dialect can
     * express, silently keep the rest Spark-side (the join re-applies the
     * exact semantics either way — dropping a filter here can only ship
-    * more rows, never wrong ones). */
+    * more rows, never wrong ones). IN lists are capped: a broadcast join
+    * can deliver millions of keys, and a multi-megabyte IN clause costs
+    * more to parse server-side (and trips max_query_size) than the rows
+    * it would save — past the cap the scan ships the range and lets the
+    * join filter. */
   override def filter(filters: Array[Filter]): Unit = {
-    val extra = filters.toSeq.flatMap(ClickHouseReadSource.compile)
+    val extra = filters.toSeq
+      .filter {
+        case In(_, vs) => vs.length <= ClickHouseReadSource.RuntimeInCap
+        case _ => true
+      }
+      .flatMap(ClickHouseReadSource.compile)
     if (extra.nonEmpty) where = where ++ extra
   }
+
+  /** Planning-time row/byte estimate so Spark's join planning can see a
+    * SMALL ClickHouse table and broadcast it instead of shuffling the big
+    * side — the lever that matters most when a CH dimension joins a
+    * 100 TB parquet fact. Exact row count via `count()` WITH the pushed
+    * filters applied; bytes = rows × declared-width estimate of the read
+    * columns. Unknown (never wrong) when an aggregation is pushed or the
+    * count probe fails — Spark then falls back to its defaults. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private lazy val counted: Option[Long] =
+        if (agg.isDefined) None
+        else try {
+          val c = ClickHouseReadSource.conf(opts)
+          val conj = where.mkString(" AND ")
+          val sql = "SELECT CAST(count() AS Int64) AS `cnt` FROM " +
+            s"${ClickHouseHttp.quoteId(c.database)}.${ClickHouseHttp.quoteId(c.table)}" +
+            (if (conj.nonEmpty) s" WHERE $conj" else "")
+          val expect = Seq("cnt" -> CHType.parse("Int64"))
+          val rows =
+            if (ClickHouseReadSource.isTcp(c.endpoint)) {
+              val conn = new graft.sink.ClickHouseNativeTcp.Conn(
+                ClickHouseReadSource.tcpConf(opts, c))
+              try conn.select(sql, Some(expect)).flatMap(_._2).toVector
+              finally conn.close()
+            } else {
+              val in = ClickHouseHttp.queryStream(c, sql + " FORMAT Native")
+              try NativeDecoder.decode(in, expect).toVector finally in.close()
+            }
+          rows.headOption.map(_.getLong(0))
+        } catch { case _: Exception => None }
+      override def sizeInBytes(): java.util.OptionalLong =
+        counted match {
+          case Some(n) =>
+            val rowWidth = math.max(8L, readSchema().map(_.dataType.defaultSize.toLong).sum)
+            java.util.OptionalLong.of(math.max(1L, n * rowWidth))
+          case None => java.util.OptionalLong.empty()
+        }
+      override def numRows(): java.util.OptionalLong =
+        counted.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String = {

@@ -531,6 +531,61 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("estimateStatistics answers exact post-filter rows (the broadcast-decision input)") {
+    withServer { ch =>
+      eventsTable(ch)
+      val df = reader(ch, "ev").load().filter($"id" <= 10L)
+      val scan = df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head
+      val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      assert(stats.numRows().getAsLong == 10, stats.numRows())
+      assert(stats.sizeInBytes().getAsLong > 0)
+      // with exact small stats the planner picks a broadcast join, not a
+      // shuffled sort-merge
+      val dim = reader(ch, "ev").load().filter($"id" <= 10L).select($"id", $"kind")
+      val fact = spark.range(1, 101).toDF("id")
+      val joined = fact.join(dim, "id")
+      assert(joined.count() == 10)
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    }
+  }
+
+  test("runtime IN lists above the cap stay Spark-side; below it they ride the POST body") {
+    withServer { ch =>
+      eventsTable(ch)
+      def scanOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }.head
+      // over the cap: skipped (optimization only — the join re-filters)
+      val big = scanOf(reader(ch, "ev").load())
+      big.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("id",
+            (1L to 10001L).map(x => x: Any).toArray)))
+      assert(!big.toBatch.planInputPartitions().head.toString.contains(" IN ("))
+      // under the cap: compiled — and the resulting multi-KB query text
+      // travels as the POST body (URL length is bounded; bodies are not)
+      ch.receivedQueries.clear()
+      val ok = scanOf(reader(ch, "ev").load())
+      ok.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("id",
+            (1L to 2000L).map(x => x: Any).toArray)))
+      val parts = ok.toBatch.planInputPartitions()
+      assert(parts.head.toString.contains(" IN ("))
+      val r = ok.toBatch.createReaderFactory().createReader(parts.head)
+      var n = 0
+      while (r.next()) n += 1
+      r.close()
+      assert(n == 100, "all 100 ids are inside the 2000-key IN")
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.length > 10000, s"expected a multi-KB IN query, got ${q.length} chars")
+    }
+  }
+
   test("pushed-filter results match the same filters evaluated Spark-side") {
     withServer { ch =>
       eventsTable(ch)
