@@ -95,10 +95,15 @@ object Bench {
     // (/proc/meminfo MemAvailable) instead of relying on leg order, and
     // records /proc/stat steal+sys deltas + load averages around the run,
     // so a depressed sample carries its own explanation.
+    // FIVE wire forks (was 3): r12's in-bench wire samples read
+    // 160k/341k/183k while back-to-back solo runs of the same fork read
+    // 319-393k — with 3 samples, two depressed forks OWN the median; with
+    // 5 the median needs a majority of the box's bad moments. All runs
+    // recorded either way.
     val wireDiscards = scala.collection.mutable.ArrayBuffer[(Double, Tele)]()
     val (wireRuns, wireTele) =
       if (only.isDefined) (Nil, Nil)
-      else (1 to 3).map { _ =>
+      else (1 to 5).map { _ =>
         gated(wireDiscards, (v: Option[Double]) => v.getOrElse(-1.0)) {
           forkedLine("graft.WireIngestBench", Seq("2000000", "8"),
             "\"wire_ingest_throughput\"") match {
@@ -180,7 +185,7 @@ object Bench {
       s""""discarded_runs":{"wire":${discardsJson(wireDiscards.toSeq)},""" +
       s""""batch":${discardsJson(batchDiscards.toSeq)},""" +
       s""""streaming":${discardsJson(streamingDiscards.toSeq)}},""" +
-      """"discarded_runs_note":"forks whose bracketing telemetry showed a contended window (sys_pct > 40; r11: every depressed sample read 55-74% kernel time, every healthy one <= 26%) are re-run ONCE; the discarded sample + its telemetry are recorded here, never silently dropped. Forks additionally wait (bounded 60 s) for box-wide non-idle CPU < 50% before starting (cpu_gate_wait_ms)",""" +
+      """"discarded_runs_note":"forks whose bracketing telemetry showed a contended window (sys_pct > 40 -- r11: every depressed sample read 55-74% kernel time, every healthy one <= 26% -- or steal_pct > 1.5, which a leg cannot generate itself) are re-run ONCE; the discarded sample + its telemetry are recorded here, never silently dropped. Forks additionally wait (bounded 60 s) for box-wide non-idle CPU < 50% before starting (cpu_gate_wait_ms)",""" +
       """"host_telemetry_note":"per forked run: /proc/stat steal/sys/idle percentages and 1-min load average sampled immediately before/after the run, plus the ms spent waiting for the previous fork's heap to return (quiesce_wait_ms; floor = MemAvailable before the first fork minus 2 GiB, 90 s timeout) and MemAvailable at fork start -- a depressed sample with high steal_pct/load is host contention, not a code regression",""" +
       """"notes":{"streaming_rows":"q_temporal_join_stream / q_sessionize_stream / q_window_hopping_stream / q_dedup_windowed_stream wall time ~= fixed local-mode micro-batch WAL/commit latency (measured the same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
       f""""ingest_events_per_sec":$headline%.0f,""" +
@@ -189,7 +194,7 @@ object Bench {
       f""""ingest_wire_events_per_sec":$wireRate%.0f,""" +
       streamingErrJson +
       f""""ingest_in_session":$inSession%.0f,""" +
-      """"ingest_note":"events_per_sec=steady-state batch rate, MEDIAN over 5 forked fresh JVMs (all runs recorded in ingest_batch_runs), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate-micro-batch source, fixed 2M rows/batch, median steady-state per-batch rate, 2 warm-up batches dropped, MEDIAN over 3 forked fresh-JVM attempts, all in ingest_streaming_runs); wire=BASELINE.md's actual topology (kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP FORMAT Native INSERT into a type-validating fixture server, server CPU included; MEDIAN over 3 forked runs, all in ingest_wire_runs; r10 and earlier graded RowBinary -- Native is the reference driver's own insert format and measured faster); every forked run is preceded by a MemAvailable quiesce guard and bracketed by host telemetry (see host_telemetry); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
+      """"ingest_note":"events_per_sec=steady-state batch rate, MEDIAN over 5 forked fresh JVMs (all runs recorded in ingest_batch_runs), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate-micro-batch source, fixed 2M rows/batch, median steady-state per-batch rate, 2 warm-up batches dropped, MEDIAN over 3 forked fresh-JVM attempts, all in ingest_streaming_runs); wire=BASELINE.md's actual topology (kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP FORMAT Native INSERT into a type-validating fixture server, server CPU included; MEDIAN over 5 forked runs, all in ingest_wire_runs; r10 and earlier graded RowBinary -- Native is the reference driver's own insert format and measured faster); every forked run is preceded by a MemAvailable quiesce guard and bracketed by host telemetry (see host_telemetry); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
       s""""sf":"$sfDir"}"""
     println(json)
     // Durable copies: the driver's stdout capture window clipped the head of
@@ -345,15 +350,17 @@ object Bench {
   }
 
   /** A depressed fork must DEFEND itself: when the bracketing telemetry
-    * shows a contended window (sys_pct > 40 — every depressed r11 sample
-    * read 55-74%, every healthy one ≤ 26%), the sample is discarded into
-    * `discards` (recorded in the JSON, never hidden) and the leg re-runs
-    * once. Bounded: one retry per fork, so a genuinely busy box converges
+    * shows a contended window — sys_pct > 40 (every depressed r11 sample
+    * read 55-74%, every healthy one ≤ 26%) or steal_pct > 1.5 (a leg's
+    * own work generates ZERO steal, so any real steal is the hypervisor
+    * running other tenants) — the sample is discarded into `discards`
+    * (recorded in the JSON, never hidden) and the leg re-runs once.
+    * Bounded: one retry per fork, so a genuinely busy box converges
     * instead of looping. */
   private def gated[A](discards: scala.collection.mutable.Buffer[(Double, Tele)],
                        value: A => Double)(thunk: => A): (A, Tele) = {
     val first = instrumented(thunk)
-    if (first._2.sysPct <= 40.0) first
+    if (first._2.sysPct <= 40.0 && first._2.stealPct <= 1.5) first
     else {
       discards += ((value(first._1), first._2))
       instrumented(thunk)
