@@ -83,6 +83,10 @@ object ClickHouseReadSource {
   /** Runtime-filter IN lists longer than this stay Spark-side. */
   private[clickhouse] val RuntimeInCap = 10000
 
+  private[clickhouse] def numPartitionsOf(opts: Map[String, String]): Int =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase("numpartitions") => v.toInt }
+      .getOrElse(1)
+
   private[clickhouse] def isTcp(endpoint: String): Boolean =
     endpoint.startsWith("tcp://") || endpoint.startsWith("tcps://")
 
@@ -606,7 +610,12 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private lazy val counted: Option[Long] =
-        if (agg.isDefined) None
+        // `stats=off` disables the probe: count() with a pushed WHERE can
+        // cost an index scan on a huge table, and a user must be able to
+        // refuse planning-time server work
+        if (agg.isDefined ||
+            opts.exists { case (k, v) => k.equalsIgnoreCase("stats") && v == "off" })
+          None
         else try {
           val c = ClickHouseReadSource.conf(opts)
           val conj = where.mkString(" AND ")
@@ -624,7 +633,10 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
               val in = ClickHouseHttp.queryStream(c, sql + " FORMAT Native")
               try NativeDecoder.decode(in, expect).toVector finally in.close()
             }
+          // a pushed (per-partition) LIMIT/TopN bounds what actually ships
           rows.headOption.map(_.getLong(0))
+            .map(n => limit.fold(n)(l =>
+              math.min(n, l.toLong * math.max(1, ClickHouseReadSource.numPartitionsOf(opts)))))
         } catch { case _: Exception => None }
       override def sizeInBytes(): java.util.OptionalLong =
         counted match {

@@ -549,6 +549,19 @@ class ClickHouseReadSpec extends SparkSpec {
       val joined = fact.join(dim, "id")
       assert(joined.count() == 10)
       assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // a pushed limit bounds numRows; stats=off suppresses the probe
+      val lim = reader(ch, "ev").load().limit(3)
+      val limScan = lim.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      assert(limScan.estimateStatistics().numRows().getAsLong == 3)
+      ch.receivedQueries.clear()
+      val off = reader(ch, "ev").option("stats", "off").load()
+      val offScan = off.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      assert(!offScan.estimateStatistics().numRows().isPresent)
+      assert(!received(ch).exists(_.contains("count()")), "stats=off still probed")
     }
   }
 
