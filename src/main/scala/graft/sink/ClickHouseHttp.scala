@@ -449,7 +449,13 @@ object ClickHouseHttp {
     // URLs have practical length ceilings that a request body does not
     // (the server reads the query from the body up to max_query_size) —
     // settings stay URL params as on every other request
-    val params = c.settings + ("enable_http_compression" -> "1")
+    // server-side gzip is the DEFAULT (the response body is the heavy
+    // half of a scan) but user settings WIN: settings.enable_http_compression=0
+    // must actually opt out of the server's compression CPU — and then
+    // the request must not advertise Accept-Encoding either, or the
+    // server may compress anyway
+    val params = Map("enable_http_compression" -> "1") ++ c.settings
+    val gzipOn = params.get("enable_http_compression").exists(v => v == "1" || v == "true")
     val qs = params.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
       .mkString("&")
     val url = URI.create(c.endpoint.stripSuffix("/") + "/?" + qs).toURL
@@ -461,7 +467,7 @@ object ClickHouseHttp {
       conn.setReadTimeout(c.readTimeoutMs)
       conn.setRequestProperty("X-ClickHouse-User", c.username)
       if (c.password.nonEmpty) conn.setRequestProperty("X-ClickHouse-Key", c.password)
-      conn.setRequestProperty("Accept-Encoding", "gzip")
+      if (gzipOn) conn.setRequestProperty("Accept-Encoding", "gzip")
       conn.setDoOutput(true)
       val qb = query.getBytes(UTF_8)
       conn.setFixedLengthStreamingMode(qb.length.toLong)

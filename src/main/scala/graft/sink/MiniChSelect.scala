@@ -35,6 +35,9 @@ private[sink] object MiniChSelect {
   final case class InList(col: String, lits: Seq[Lit]) extends Expr
   final case class IsNull(col: String, negated: Boolean) extends Expr
   final case class Like(col: String, pattern: String) extends Expr
+  /** `isNaN(col)` — the one function the reader's float-range pushdown
+    * compiles (its NaN-keeping OR arm). */
+  final case class IsNaN(col: String) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
@@ -92,6 +95,16 @@ private[sink] object MiniChSelect {
       }
       val col = identifier()
       skipWs()
+      // isNaN(col): an identifier immediately followed by '(' is the one
+      // function call the pushdown grammar contains
+      if (col.equalsIgnoreCase("isNaN") && !atEnd && s(pos) == '(') {
+        pos += 1
+        val inner = identifier()
+        skipWs()
+        if (atEnd || s(pos) != ')') throw CHFault(62, "Syntax error: expected ) after isNaN")
+        pos += 1
+        return IsNaN(inner)
+      }
       if (keyword("IS")) {
         val neg = keyword("NOT")
         if (!keyword("NULL")) throw CHFault(62, "Syntax error: expected NULL")
@@ -195,9 +208,18 @@ private[sink] object MiniChSelect {
     case IsNull(c, neg) =>
       val isNull = colValue(c, row) == null
       Some(if (neg) !isNull else isNull)
+    case IsNaN(c) =>
+      colValue(c, row) match {
+        case null => None // Nullable propagates: isNaN(NULL) is NULL
+        case d: Double => Some(d.isNaN)
+        case other => throw CHFault(43,
+          s"Illegal argument ${other.getClass.getSimpleName} of function isNaN")
+      }
     case InList(c, lits) =>
       val v = colValue(c, row)
       if (v == null) None
+      // IEEE: NaN equals nothing, so NaN IN (...) is false, never true
+      else if (v.isInstanceOf[Double] && v.asInstanceOf[Double].isNaN) Some(false)
       else Some(lits.exists(l => compare(v, l).contains(0)))
     case Like(c, pat) =>
       colValue(c, row) match {
@@ -207,6 +229,12 @@ private[sink] object MiniChSelect {
     case Cmp(c, op, lit) =>
       val v = colValue(c, row)
       if (v == null) None
+      // IEEE NaN: every ordered comparison and equality is FALSE, only
+      // != is TRUE — the real server's float semantics (and exactly the
+      // divergence from Spark's NaN-greatest ordering that makes the
+      // reader rewrite pushed floaty `>` as `... OR isNaN(col)`)
+      else if (v.isInstanceOf[Double] && v.asInstanceOf[Double].isNaN)
+        Some(op == "!=")
       else compare(v, lit).map { r =>
         op match {
           case "=" => r == 0
@@ -231,6 +259,10 @@ private[sink] object MiniChSelect {
     case (b: Boolean, NumLit(l)) => Some(BigDecimal(if (b) 1 else 0).compare(l))
     case (n: BigInt, NumLit(l)) => Some(BigDecimal(n).compare(l))
     case (n: Long, NumLit(l)) => Some(BigDecimal(n).compare(l))
+    // infinities order against any finite literal without a BigDecimal
+    // detour (which would throw on them); NaN never reaches here (handled
+    // in eval with IEEE all-false semantics)
+    case (n: Double, NumLit(_)) if n.isInfinite => Some(if (n > 0) 1 else -1)
     case (n: Double, NumLit(l)) => Some(BigDecimal(n).compare(l))
     case (n: BigDecimal, NumLit(l)) => Some(n.compare(l))
     case (s: String, StrLit(l)) => Some(s.compareTo(l))

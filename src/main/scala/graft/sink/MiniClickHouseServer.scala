@@ -121,8 +121,16 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
           .exists(_.equalsIgnoreCase("gzip")))
           new java.util.zip.GZIPInputStream(ex.getRequestBody).readAllBytes()
         else ex.getRequestBody.readAllBytes()
-      val query = params.getOrElse("query",
-        new String(body, UTF_8).linesIterator.nextOption().getOrElse(""))
+      // the real server reads the WHOLE body as the query text for read
+      // queries (a pushed string literal or runtime-IN key may contain
+      // '\n'); only an INSERT carries inline data after its statement
+      // line, so only there is the body split at the first newline
+      val query = params.getOrElse("query", {
+        val bodyText = new String(body, UTF_8)
+        if ("""(?is)^\s*INSERT\s""".r.findFirstIn(bodyText).isDefined)
+          bodyText.linesIterator.nextOption().getOrElse("")
+        else bodyText
+      })
 
       // auth: X-ClickHouse-User / X-ClickHouse-Key (the headers the real
       // server documents; missing user falls back to "default")

@@ -137,18 +137,26 @@ object ClickHouseReadSource {
     // column to Float64 before comparing with the (Float64) literal, so a
     // row Spark's float-to-float compare keeps can be DROPPED server-side
     // (0.1f != 0.1d) — and a pushed filter is REMOVED from Spark's plan,
-    // so it must be exact, not merely narrowing. Range comparisons stay:
-    // literals are rendered at full double precision (see lit), and an
-    // order predicate is promotion-stable (Float32→Float64 is monotone
-    // and exact), so </>/<=/>= answer identically pushed or not.
-    case EqualTo(a, v) if !floaty(v) => binary(a, "=", v)
+    // so it must be exact, not merely narrowing. Range comparisons push
+    // with literals at full double precision (Float32→Float64 promotion
+    // is monotone and exact) — but NaN ORDERING differs: Spark sorts NaN
+    // above every value (NaN > lit is TRUE), IEEE compares it false, so a
+    // pushed floaty `>`/`>=` compiles with an `OR isNaN(col)` arm to keep
+    // exactly the rows Spark keeps; `<`/`<=` drop NaN rows on both sides
+    // and push plain. EQUALITY of temporal literals is also refused
+    // (range-only, see lit's temporal cases): a pushed time-range scan is
+    // index-pruned server-side, while equality adds risk for zero win —
+    // a sub-second literal can never equal a coarser column anyway.
+    case EqualTo(a, v) if !floaty(v) && !temporal(v) => binary(a, "=", v)
     case EqualNullSafe(a, null) => Some(s"${qid(a)} IS NULL")
-    case EqualNullSafe(a, v) if !floaty(v) => binary(a, "=", v)
+    case EqualNullSafe(a, v) if !floaty(v) && !temporal(v) => binary(a, "=", v)
+    case GreaterThan(a, v) if floaty(v) => nanKeeping(a, ">", v)
     case GreaterThan(a, v) => binary(a, ">", v)
+    case GreaterThanOrEqual(a, v) if floaty(v) => nanKeeping(a, ">=", v)
     case GreaterThanOrEqual(a, v) => binary(a, ">=", v)
     case LessThan(a, v) => binary(a, "<", v)
     case LessThanOrEqual(a, v) => binary(a, "<=", v)
-    case In(a, vs) if vs.nonEmpty && !vs.exists(floaty) =>
+    case In(a, vs) if vs.nonEmpty && !vs.exists(floaty) && !vs.exists(temporal) =>
       val lits = vs.toSeq.map(lit)
       if (plain(a) && lits.forall(_.isDefined))
         Some(s"${qid(a)} IN (${lits.flatten.mkString(", ")})")
@@ -172,8 +180,24 @@ object ClickHouseReadSource {
     case _ => false
   }
 
+  private def temporal(v: Any): Boolean = v match {
+    case _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.sql.Date | _: java.time.LocalDate => true
+    case _ => false
+  }
+
   private def binary(a: String, op: String, v: Any): Option[String] =
     if (!plain(a)) None else lit(v).map(l => s"${qid(a)} $op $l")
+
+  /** Spark orders NaN ABOVE every float while IEEE comparison answers
+    * false against everything — a plain pushed `f > lit` would therefore
+    * silently drop NaN rows Spark keeps (and pushed filters are removed
+    * from Spark's plan, so nothing re-checks). The compiled form keeps
+    * them explicitly; NULL propagates identically through the OR (NULL
+    * OR NULL = NULL = dropped, both sides). */
+  private def nanKeeping(a: String, op: String, v: Any): Option[String] =
+    if (!plain(a)) None
+    else lit(v).map(l => s"(${qid(a)} $op $l OR isNaN(${qid(a)}))")
 
   /** Nested attributes (a.b) don't compile — dots are ambiguous between a
     * literal column name and struct access on the CH side. */

@@ -461,6 +461,68 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("pushed float ranges keep NaN rows exactly as Spark does (OR isNaN arm)") {
+    withServer { ch =>
+      ch.createTable("default", "nan_t",
+        Seq("id" -> "Int64", "f" -> "Float64", "nf" -> "Nullable(Float64)"))
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "nan_t",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("f", "f", "Float64"),
+          ColumnMapping("nf", "nf", "Nullable(Float64)")),
+        httpFormat = "Native"))(
+        Seq((1L, 1.5, Some(1.5)), (2L, Double.NaN, None: Option[Double]),
+          (3L, 100.0, Some(100.0))).toDF("id", "f", "nf"))
+      ch.receivedQueries.clear()
+      // Spark sorts NaN ABOVE everything: NaN > 50 is TRUE, so row 2 must
+      // survive a pushed range scan even though the server's IEEE compare
+      // would drop it — the compiled OR isNaN arm is what keeps it
+      val gt = reader(ch, "nan_t").load().filter($"f" > 50.0)
+      assert(gt.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L, 3L))
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains("(`f` > 50.0 OR isNaN(`f`))"), q)
+      // < / <= agree on NaN (false both sides) and push plain
+      ch.receivedQueries.clear()
+      val lt = reader(ch, "nan_t").load().filter($"f" < 50.0)
+      assert(lt.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+      val q2 = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q2.contains("`f` < 50.0") && !q2.contains("isNaN"), q2)
+      // NULL propagates identically through the OR arm: the null row is
+      // dropped on both sides, never resurrected by isNaN(NULL)
+      ch.receivedQueries.clear()
+      val nf = reader(ch, "nan_t").load().filter($"nf" >= 1.0)
+      assert(nf.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 3L))
+      assert(received(ch).filter(_.startsWith("SELECT")).last
+        .contains("(`nf` >= 1.0 OR isNaN(`nf`))"))
+      // parity: pushed result set == the same predicate evaluated
+      // Spark-side over a full scan
+      val full = reader(ch, "nan_t").load().collect().toSeq
+      val sparkSide = full.filter { r =>
+        val v = r.getAs[Double]("f"); v.isNaN || v > 50.0 // Spark NaN-greatest
+      }.map(_.getAs[Long]("id")).sorted
+      assert(gt.collect().map(_.getAs[Long]("id")).sorted.toSeq == sparkSide)
+    }
+  }
+
+  test("a pushed string literal containing a newline survives the POST body intact") {
+    withServer { ch =>
+      ch.createTable("default", "nl_t", Seq("id" -> "Int64", "s" -> "String"))
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "nl_t",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("s", "s", "String")),
+        httpFormat = "Native"))(
+        Seq((1L, "line1\nline2"), (2L, "plain")).toDF("id", "s"))
+      ch.receivedQueries.clear()
+      // the query travels as the whole POST body; a server that read only
+      // the first body line would see a truncated, unparseable WHERE
+      val got = reader(ch, "nl_t").load().filter($"s" === "line1\nline2")
+      assert(got.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains("line1\nline2"), q)
+    }
+  }
+
   test("nested schema pruning widens back to the full top-level column") {
     withServer { ch =>
       ch.createTable("default", "tup_t", Seq(
