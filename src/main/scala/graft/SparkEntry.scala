@@ -694,6 +694,37 @@ object SparkEntry {
       }
     },
 
+    // TIME-RANGE scan pushdown under the oracle — THE canonical filter
+    // over a telemetry table: both bounds compile into the server WHERE
+    // as tz-unambiguous epoch literals (fromUnixTimestamp64Micro), so at
+    // scale the scan is primary-key-index-pruned server-side instead of
+    // shipping the full table extent for Spark to filter. Hash-matching
+    // DuckDB's TIMESTAMP-literal range over the parquet truth proves the
+    // pushed bounds select exactly the right rows (microsecond-exact
+    // through the DateTime64(6) write + read round trip).
+    "q_ch_time_scan" -> { (s, dir) =>
+      import graft.sink.{ClickHouseSink, SinkMapper}
+      withCh { ch =>
+        val cols = Seq("event_id" -> "Int64", "ts" -> "DateTime64(6)",
+          "user_id" -> "Int64", "value" -> "Float64")
+        ch.createTable("default", "events_time", cols)
+        ClickHouseSink.writeBatch(ClickHouseSink.Config(
+          url = ch.endpoint, database = "default", table = "events_time",
+          mappings = cols.map { case (n, t) => SinkMapper.ColumnMapping(n, n, t) },
+          httpFormat = "Native"))(
+          Tables.events(s, dir).select("event_id", "ts", "user_id", "value"))
+        val back = s.read.format("graft-clickhouse")
+          .option("url", ch.endpoint).option("database", "default")
+          .option("table", "events_time").load()
+          .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+                  col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+          .select("event_id", "ts", "user_id", "value")
+        val cached = back.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        cached
+      }
+    },
+
     // F3 versioned transform router: per-schema-version rule sets unioned
     // into one plan (version predicate reaches the scan on each branch).
     "q_versioned_transform" -> { (s, dir) =>
@@ -6333,6 +6364,10 @@ object SparkEntry {
     "q_ch_tcp_roundtrip" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE value > 60.0 AND event_type IN ('click', 'view')""".stripMargin,
+    "q_ch_time_scan" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -46,6 +46,11 @@ private[sink] object MiniChSelect {
   final case class NumLit(v: BigDecimal) extends Lit
   final case class StrLit(v: String) extends Lit
   final case class BoolLit(v: Boolean) extends Lit
+  /** Temporal literals the reader compiles, already in the STORED
+    * canonical unit: `fromUnixTimestamp64Micro(n)` → micros since epoch,
+    * `toDate32('yyyy-MM-dd')` → days since epoch. */
+  final case class TimeLit(micros: Long) extends Lit
+  final case class DateLit(days: Long) extends Lit
 
   def parseWhere(s: String): Expr = {
     val p = new Parser(s)
@@ -161,9 +166,39 @@ private[sink] object MiniChSelect {
       }
     }
 
+    /** The two temporal constructor functions the reader's pushdown
+      * renders; anything else function-shaped stays a syntax error. */
+    private def funcLit(): Option[Lit] = {
+      skipWs()
+      Seq("fromUnixTimestamp64Micro", "toDate32").find(f =>
+        s.regionMatches(true, pos, f, 0, f.length) &&
+          pos + f.length < s.length && s(pos + f.length) == '(') match {
+        case None => None
+        case Some(f) =>
+          pos += f.length + 1
+          val inner = literal()
+          skipWs()
+          if (atEnd || s(pos) != ')')
+            throw CHFault(62, s"Syntax error: expected ) after $f")
+          pos += 1
+          Some((f, inner) match {
+            case ("fromUnixTimestamp64Micro", NumLit(n)) if n.isWhole =>
+              TimeLit(n.toLongExact)
+            case ("toDate32", StrLit(d)) =>
+              DateLit(try java.time.LocalDate.parse(d).toEpochDay
+                catch { case _: Exception => throw CHFault(41, s"Cannot parse date: $d") })
+            case (fn, l) => throw CHFault(43, s"Illegal argument $l of function $fn")
+          })
+      }
+    }
+
     private def literal(): Lit = {
       skipWs()
       if (atEnd) throw CHFault(62, "Syntax error: expected literal")
+      funcLit() match {
+        case Some(l) => return l
+        case None => ()
+      }
       if (s(pos) == '\'') {
         pos += 1
         val sb = new StringBuilder
@@ -265,6 +300,12 @@ private[sink] object MiniChSelect {
     case (n: Double, NumLit(_)) if n.isInfinite => Some(if (n > 0) 1 else -1)
     case (n: Double, NumLit(l)) => Some(BigDecimal(n).compare(l))
     case (n: BigDecimal, NumLit(l)) => Some(n.compare(l))
+    // stored canonical temporals are Longs in the literal's own unit
+    // (DateTime/DateTime64 → micros, Date/Date32 → days); the reader only
+    // ever pairs a temporal literal with a same-kind column (Spark's
+    // analysis aligns filter value type with column type)
+    case (n: Long, TimeLit(m)) => Some(java.lang.Long.compare(n, m))
+    case (n: Long, DateLit(d)) => Some(java.lang.Long.compare(n, d))
     case (s: String, StrLit(l)) => Some(s.compareTo(l))
     case _ => throw CHFault(53,
       s"Type mismatch comparing ${v.getClass.getSimpleName} with $lit")

@@ -218,8 +218,44 @@ object ClickHouseReadSource {
     case b: Boolean => Some(if (b) "true" else "false")
     case s: String => Some(s"'${strEscape(s)}'")
     case s: org.apache.spark.unsafe.types.UTF8String => Some(s"'${strEscape(s.toString)}'")
-    case _ => None // dates/timestamps need cast functions: keep Spark-side
+    // temporal literals render TIMEZONE-UNAMBIGUOUSLY: timestamps as
+    // epoch micros via fromUnixTimestamp64Micro (the value IS the instant,
+    // so the server's session/column timezone never reinterprets it — a
+    // string literal rendered in the wrong zone would shift a DST-boundary
+    // bound by an hour), dates as ISO text via toDate32 (Date is tz-free).
+    // This is what lets a time-range predicate — THE canonical filter over
+    // an events table — prune on the server's primary-key index instead of
+    // shipping the full table extent. Range ops only (equality refused in
+    // compile); promotion DateTime→DateTime64(6) / Date→Date32 is exact
+    // and monotone, so pushed and unpushed agree. Literals outside the
+    // DateTime64/Date32 representable range stay Spark-side — the server
+    // would CLAMP them and change the predicate.
+    case t: java.sql.Timestamp =>
+      tsLit(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      tsLit(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case d: java.sql.Date =>
+      dateLit(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => dateLit(d.toEpochDay)
+    case _ => None // anything else can't render unambiguously: keep Spark-side
   }
+
+  /** DateTime64-representable bounds (1900-01-01 .. 2299-12-31), micros. */
+  private val TsMicrosMin =
+    java.time.Instant.parse("1900-01-01T00:00:00Z").getEpochSecond * 1000000L
+  private val TsMicrosMax =
+    java.time.Instant.parse("2299-12-31T23:59:59Z").getEpochSecond * 1000000L + 999999L
+  /** Date32-representable bounds, days since epoch. */
+  private val DateDaysMin = java.time.LocalDate.parse("1900-01-01").toEpochDay
+  private val DateDaysMax = java.time.LocalDate.parse("2299-12-31").toEpochDay
+
+  private def tsLit(micros: Long): Option[String] =
+    if (micros < TsMicrosMin || micros > TsMicrosMax) None
+    else Some(s"fromUnixTimestamp64Micro($micros)")
+
+  private def dateLit(days: Long): Option[String] =
+    if (days < DateDaysMin || days > DateDaysMax) None
+    else Some(s"toDate32('${java.time.LocalDate.ofEpochDay(days)}')")
 
   private def strEscape(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")

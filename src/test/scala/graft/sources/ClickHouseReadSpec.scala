@@ -504,6 +504,114 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("Date/DateTime RANGE filters push down epoch-rendered; equality stays Spark-side") {
+    withServer { ch =>
+      ch.createTable("default", "tm_t", Seq(
+        "id" -> "Int64", "dt64" -> "DateTime64(6)", "dt" -> "DateTime",
+        "day" -> "Date"))
+      def ts(x: String) = java.sql.Timestamp.from(java.time.Instant.parse(x))
+      // instants straddling the 2024-03-10 US spring-forward (07:00 UTC)
+      val df = Seq(
+        (1L, ts("2024-03-10T06:59:59.500001Z"), ts("2024-03-10T06:59:59Z"),
+          java.sql.Date.valueOf("2024-03-09")),
+        (2L, ts("2024-03-10T07:00:00.000000Z"), ts("2024-03-10T07:00:00Z"),
+          java.sql.Date.valueOf("2024-03-10")),
+        (3L, ts("2024-03-10T07:00:00.000001Z"), ts("2024-03-10T07:00:01Z"),
+          java.sql.Date.valueOf("2024-03-11"))).toDF("id", "dt64", "dt", "day")
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "tm_t",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("dt64", "dt64", "DateTime64(6)"),
+          ColumnMapping("dt", "dt", "DateTime"),
+          ColumnMapping("day", "day", "Date")),
+        httpFormat = "Native"))(df)
+      ch.receivedQueries.clear()
+      // a timestamp RANGE bound compiles to epoch micros — tz-unambiguous
+      val boundary = ts("2024-03-10T07:00:00Z")
+      val micros = java.time.Instant.parse("2024-03-10T07:00:00Z").getEpochSecond * 1000000L
+      val ge = reader(ch, "tm_t").load().filter($"dt64" >= boundary)
+      assert(ge.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L, 3L))
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      assert(q.contains(s"`dt64` >= fromUnixTimestamp64Micro($micros)"), q)
+      // the same literal against a SECOND-precision DateTime column:
+      // promotion to DateTime64(6) is exact and monotone
+      ch.receivedQueries.clear()
+      val lt = reader(ch, "tm_t").load().filter($"dt" < boundary)
+      assert(lt.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+      assert(received(ch).filter(_.startsWith("SELECT")).last
+        .contains(s"`dt` < fromUnixTimestamp64Micro($micros)"))
+      // Date ranges render as tz-free ISO text via toDate32 (promotion
+      // Date→Date32 is exact)
+      ch.receivedQueries.clear()
+      val dge = reader(ch, "tm_t").load()
+        .filter($"day" >= java.sql.Date.valueOf("2024-03-10"))
+      assert(dge.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L, 3L))
+      assert(received(ch).filter(_.startsWith("SELECT")).last
+        .contains("`day` >= toDate32('2024-03-10')"))
+      // EQUALITY stays Spark-side (refused in compile), for timestamps
+      // AND dates — results still correct via Spark's own filter
+      ch.receivedQueries.clear()
+      val eq = reader(ch, "tm_t").load().filter($"dt64" === boundary)
+      assert(eq.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+      val deq = reader(ch, "tm_t").load()
+        .filter($"day" === java.sql.Date.valueOf("2024-03-10"))
+      assert(deq.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+      assert(received(ch).filter(_.startsWith("SELECT"))
+        .forall(s => !s.contains("`dt64` =") && !s.contains("`day` =")),
+        received(ch).mkString("; "))
+      // a literal OUTSIDE the DateTime64 range would CLAMP server-side:
+      // it must stay Spark-side
+      ch.receivedQueries.clear()
+      val old = reader(ch, "tm_t").load().filter($"dt64" >= ts("1800-01-01T00:00:00Z"))
+      assert(old.count() == 3)
+      assert(received(ch).filter(_.startsWith("SELECT"))
+        .forall(!_.contains("fromUnixTimestamp64Micro")))
+    }
+  }
+
+  test("pushed-vs-unpushed parity holds across a DST boundary under a DST-observing session tz") {
+    withServer { ch =>
+      ch.createTable("default", "dst_t",
+        Seq("id" -> "Int64", "dt64" -> "DateTime64(6)"))
+      def ts(x: String) = java.sql.Timestamp.from(java.time.Instant.parse(x))
+      // one instant per 15 min around 2024-03-10 07:00 UTC (= 02:00 EST,
+      // the start of the nonexistent 02:00-03:00 local hour)
+      val instants = (0 until 16).map(i =>
+        java.time.Instant.parse("2024-03-10T05:00:00Z").plusSeconds(i * 900L))
+      val df = instants.zipWithIndex.map { case (inst, i) =>
+        (i.toLong, java.sql.Timestamp.from(inst)) }.toDF("id", "dt64")
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "dst_t",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("dt64", "dt64", "DateTime64(6)")),
+        httpFormat = "Native"))(df)
+      val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try {
+        // "02:30:00" local does not EXIST on 2024-03-10 in New York —
+        // however Spark resolves the cast, the pushed scan must keep
+        // exactly the rows the unpushed filter keeps, because the
+        // literal is shipped as the RESOLVED instant (epoch micros),
+        // never as text the server would re-interpret in its own zone
+        for (litText <- Seq("2024-03-10 01:59:59", "2024-03-10 02:30:00",
+            "2024-03-10 03:00:00")) {
+          val pred = lit(litText).cast("timestamp")
+          val pushed = reader(ch, "dst_t").load().filter($"dt64" >= pred)
+            .collect().map(_.getAs[Long]("id")).sorted.toSeq
+          // same predicate over a LOCAL copy of the table: no pushdown
+          val full = reader(ch, "dst_t").load()
+          val local = spark.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(full.collect(): _*)),
+            full.schema)
+          val unpushed = local.filter($"dt64" >= pred)
+            .collect().map(_.getAs[Long]("id")).sorted.toSeq
+          assert(pushed == unpushed, s"DST parity broke at $litText")
+          assert(pushed.nonEmpty && pushed.size < 16, s"trivial bound at $litText")
+        }
+      } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    }
+  }
+
   test("a pushed string literal containing a newline survives the POST body intact") {
     withServer { ch =>
       ch.createTable("default", "nl_t", Seq("id" -> "Int64", "s" -> "String"))
