@@ -56,6 +56,9 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     * Accept-Encoding + enable_http_compression=1) — lets specs assert the
     * compressed path was genuinely exercised. */
   val compressedSelects = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** DESCRIBE TABLE requests served (its handler answers before the query
+    * log) — lets specs assert planning memoization: ≤1 per planned query. */
+  val describeCount = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Injected faults: each queued (code, message) fails one INSERT. */
   private val injected = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
   @volatile var insertAttempts: Int = 0
@@ -148,6 +151,7 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       val desc = """(?is)DESCRIBE\s+TABLE\s+(\S+?)\.(\S+?)(\s+FORMAT\s+JSONEachRow)?\s*$""".r
       desc.findFirstMatchIn(query.trim) match {
         case Some(m) =>
+          describeCount.incrementAndGet()
           val key = s"${unq(m.group(1))}.${unq(m.group(2))}"
           tables.synchronized { tables.get(key) } match {
             case None => fail(ex, 404, 60, s"Table $key does not exist")

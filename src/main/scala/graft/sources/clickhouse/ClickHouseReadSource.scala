@@ -120,10 +120,31 @@ object ClickHouseReadSource {
       try conn.describe(c.database, c.table) finally conn.close()
     } else ClickHouseHttp.describeTable(c)
 
+  /** Metadata key carrying each inferred field's DECLARED ClickHouse type
+    * text. Planning stages (aggregate compile, partition planning) read it
+    * back instead of re-DESCRIBE-ing, so one planned-and-executed query
+    * costs exactly ONE DESCRIBE round trip — against a loaded production
+    * server a redundant metadata query per plan stage is pure waste. */
+  private[clickhouse] val ChTypeKey = "graft.ch.type"
+
   private[clickhouse] def sparkSchema(cols: Seq[(String, String)]): StructType =
     StructType(cols.map { case (n, t) =>
-      org.apache.spark.sql.types.StructField(n, CHType.parse(t).sparkType)
+      org.apache.spark.sql.types.StructField(n, CHType.parse(t).sparkType,
+        nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(ChTypeKey, t).build())
     })
+
+  /** The declared (column, CH type text) pairs recovered from an inferred
+    * schema's metadata — Some only when EVERY field carries one. A
+    * user-supplied schema doesn't; callers then fall back to one memoized
+    * DESCRIBE. */
+  private[clickhouse] def chTypesOf(schema: StructType): Option[Seq[(String, String)]] = {
+    val all = schema.fields.toSeq.map(f =>
+      if (f.metadata.contains(ChTypeKey)) Some(f.name -> f.metadata.getString(ChTypeKey))
+      else None)
+    if (all.forall(_.isDefined)) Some(all.flatten) else None
+  }
 
   // ------------------------------------------------ filter → CH SQL compile
 
@@ -440,7 +461,7 @@ private[clickhouse] final class ChTable(opts: Map[String, String], schema0: Stru
     new ChScanBuilder(opts ++ options.asScala, schema0)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new ChWriteBuilder(opts ++ info.options().asScala, info.schema())
+    new ChWriteBuilder(opts ++ info.options().asScala, info.schema(), schema0)
 }
 
 /** DSv2 BATCH WRITE (`df.write.format("graft-clickhouse").mode("append")`):
@@ -452,14 +473,18 @@ private[clickhouse] final class ChTable(opts: Map[String, String], schema0: Stru
   * options for replicated-table exactly-once). Column types come from
   * DESCRIBE TABLE at planning time, so the wire encoding always matches
   * the live table, not a stale config. */
-private[clickhouse] final class ChWriteBuilder(opts: Map[String, String], df: StructType)
+private[clickhouse] final class ChWriteBuilder(opts: Map[String, String], df: StructType,
+                                               tableSchema: StructType)
   extends org.apache.spark.sql.connector.write.WriteBuilder {
   import org.apache.spark.sql.connector.write._
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val c = ClickHouseReadSource.conf(opts)
-      val server = ClickHouseReadSource.describe(opts, c).toMap
+      // table types from the inferred schema's metadata when present —
+      // the write then plans with ZERO extra DESCRIBEs beyond inferSchema's
+      val server = ClickHouseReadSource.chTypesOf(tableSchema)
+        .getOrElse(ClickHouseReadSource.describe(opts, c)).toMap
       val colTypes = df.fieldNames.toSeq.map { n =>
         n -> server.getOrElse(n, throw new IllegalArgumentException(
           s"column $n does not exist in ${c.database}.${c.table}"))
@@ -542,8 +567,14 @@ private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: S
     opts.collectFirst { case (k, v) if k.toLowerCase == "numpartitions" => v.toInt }
       .getOrElse(1)
 
-  private lazy val rawTypes: Map[String, String] =
-    ClickHouseReadSource.describe(opts, ClickHouseReadSource.conf(opts)).toMap
+  /** Declared column types: recovered from the inferred schema's metadata
+    * (zero extra round trips) or, for a user-supplied schema, ONE memoized
+    * DESCRIBE shared by every planning stage of this builder and its scan. */
+  private lazy val described: Seq[(String, String)] =
+    ClickHouseReadSource.chTypesOf(full).getOrElse(
+      ClickHouseReadSource.describe(opts, ClickHouseReadSource.conf(opts)))
+
+  private lazy val rawTypes: Map[String, String] = described.toMap
 
   /** Only TOP-LEVEL pruning is honored: Spark's nested schema pruning can
     * pass a Tuple column narrowed to a subset of its struct fields, but
@@ -611,13 +642,14 @@ private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: S
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan =
-    new ChScan(opts, full, required, compiled, agg, limit, orderBy)
+    new ChScan(opts, full, required, compiled, agg, limit, orderBy, described)
 }
 
 private[clickhouse] final class ChScan(opts: Map[String, String], full: StructType,
                                        required: StructType, where0: Seq[String],
                                        agg: Option[ClickHouseReadSource.AggPush],
-                                       limit: Option[Int], orderBy: Seq[String])
+                                       limit: Option[Int], orderBy: Seq[String],
+                                       described: Seq[(String, String)])
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -660,44 +692,60 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
     if (extra.nonEmpty) where = where ++ extra
   }
 
+  /** count() probes MEMOIZED per WHERE snapshot: Spark may request stats
+    * repeatedly (plan copies, repeated computeStats) and each probe is a
+    * real server query — an index scan under a pushed WHERE — so it is
+    * paid ONCE per scan per predicate. Keyed on the where snapshot, not
+    * the scan, because runtime filters legally narrow `where` after an
+    * earlier stats request (the narrowed predicate then probes once more
+    * — stats consumers planned before runtime filtering keep their own
+    * pre-filter answer, so a cached value is never silently reused for a
+    * different predicate). */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Option[Long]]()
+
+  private def countedFor(whereSnapshot: Seq[String]): Option[Long] =
+    // `stats=off` disables the probe: count() with a pushed WHERE can
+    // cost an index scan on a huge table, and a user must be able to
+    // refuse planning-time server work
+    if (agg.isDefined ||
+        opts.exists { case (k, v) => k.equalsIgnoreCase("stats") && v == "off" })
+      None
+    else countCache.computeIfAbsent(whereSnapshot, w => try {
+      val c = ClickHouseReadSource.conf(opts)
+      val conj = w.mkString(" AND ")
+      val sql = "SELECT CAST(count() AS Int64) AS `cnt` FROM " +
+        s"${ClickHouseHttp.quoteId(c.database)}.${ClickHouseHttp.quoteId(c.table)}" +
+        (if (conj.nonEmpty) s" WHERE $conj" else "")
+      val expect = Seq("cnt" -> CHType.parse("Int64"))
+      val rows =
+        if (ClickHouseReadSource.isTcp(c.endpoint)) {
+          val conn = new graft.sink.ClickHouseNativeTcp.Conn(
+            ClickHouseReadSource.tcpConf(opts, c))
+          try conn.select(sql, Some(expect)).flatMap(_._2).toVector
+          finally conn.close()
+        } else {
+          val in = ClickHouseHttp.queryStream(c, sql + " FORMAT Native")
+          try NativeDecoder.decode(in, expect).toVector finally in.close()
+        }
+      // a pushed (per-partition) LIMIT/TopN bounds what actually ships
+      rows.headOption.map(_.getLong(0))
+        .map(n => limit.fold(n)(l =>
+          math.min(n, l.toLong * math.max(1, ClickHouseReadSource.numPartitionsOf(opts)))))
+    } catch { case _: Exception => None })
+
   /** Planning-time row/byte estimate so Spark's join planning can see a
     * SMALL ClickHouse table and broadcast it instead of shuffling the big
     * side — the lever that matters most when a CH dimension joins a
     * 100 TB parquet fact. Exact row count via `count()` WITH the pushed
-    * filters applied; bytes = rows × declared-width estimate of the read
-    * columns. Unknown (never wrong) when an aggregation is pushed or the
-    * count probe fails — Spark then falls back to its defaults. */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    * filters applied (memoized, see [[countCache]]); bytes = rows ×
+    * declared-width estimate of the read columns. Unknown (never wrong)
+    * when an aggregation is pushed or the count probe fails — Spark then
+    * falls back to its defaults. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val whereSnapshot = where
     new org.apache.spark.sql.connector.read.Statistics {
-      private lazy val counted: Option[Long] =
-        // `stats=off` disables the probe: count() with a pushed WHERE can
-        // cost an index scan on a huge table, and a user must be able to
-        // refuse planning-time server work
-        if (agg.isDefined ||
-            opts.exists { case (k, v) => k.equalsIgnoreCase("stats") && v == "off" })
-          None
-        else try {
-          val c = ClickHouseReadSource.conf(opts)
-          val conj = where.mkString(" AND ")
-          val sql = "SELECT CAST(count() AS Int64) AS `cnt` FROM " +
-            s"${ClickHouseHttp.quoteId(c.database)}.${ClickHouseHttp.quoteId(c.table)}" +
-            (if (conj.nonEmpty) s" WHERE $conj" else "")
-          val expect = Seq("cnt" -> CHType.parse("Int64"))
-          val rows =
-            if (ClickHouseReadSource.isTcp(c.endpoint)) {
-              val conn = new graft.sink.ClickHouseNativeTcp.Conn(
-                ClickHouseReadSource.tcpConf(opts, c))
-              try conn.select(sql, Some(expect)).flatMap(_._2).toVector
-              finally conn.close()
-            } else {
-              val in = ClickHouseHttp.queryStream(c, sql + " FORMAT Native")
-              try NativeDecoder.decode(in, expect).toVector finally in.close()
-            }
-          // a pushed (per-partition) LIMIT/TopN bounds what actually ships
-          rows.headOption.map(_.getLong(0))
-            .map(n => limit.fold(n)(l =>
-              math.min(n, l.toLong * math.max(1, ClickHouseReadSource.numPartitionsOf(opts)))))
-        } catch { case _: Exception => None }
+      private lazy val counted: Option[Long] = countedFor(whereSnapshot)
       override def sizeInBytes(): java.util.OptionalLong =
         counted match {
           case Some(n) =>
@@ -708,7 +756,12 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
       override def numRows(): java.util.OptionalLong =
         counted.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
-  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
+  }
+  // the scan's OUTPUT drops the ch.type planning metadata — it has done
+  // its job (zero re-DESCRIBEs) and downstream schemas stay byte-stable
+  // with earlier rounds
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(
+    StructType(required.fields.map(f => StructField(f.name, f.dataType, f.nullable))))
   override def toBatch: Batch = this
   override def description(): String = {
     val w = if (where.isEmpty) "" else s" where ${where.mkString(" AND ")}"
@@ -723,7 +776,8 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
     // global aggregate_functions_null_for_empty setting, which would also
     // retype count() to Nullable(UInt64) and misframe the decode
     val c = ClickHouseReadSource.conf(opts)
-    val described = ClickHouseReadSource.describe(opts, c)
+    // declared types arrive via the builder (schema metadata or its one
+    // memoized DESCRIBE) — partition planning issues NO server round trip
     val cols = described.toMap
     // SELECT list: pushed aggregation outputs, or the pruned columns; an
     // empty projection (count(*) without agg pushdown) still needs row

@@ -735,6 +735,36 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("planning memoization: one DESCRIBE and one count() probe per planned-and-executed query") {
+    withServer { ch =>
+      eventsTable(ch)
+      ch.describeCount.set(0)
+      // a full plan-and-execute cycle that exercises EVERY planning stage
+      // that used to DESCRIBE (inferSchema, agg compile, partition
+      // planning) plus a stats request (the broadcast decision)
+      val dim = reader(ch, "ev").load().filter($"id" <= 10L).select($"id", $"kind")
+      val fact = spark.range(1, 101).toDF("id")
+      val joined = fact.join(dim, "id")
+      assert(joined.count() == 10)
+      assert(ch.describeCount.get() == 1,
+        s"expected exactly ONE DESCRIBE for one planned query, got ${ch.describeCount.get()}")
+      val counts = received(ch).filter(_.contains("count()"))
+      assert(counts.size <= 1, s"count() probe repeated: ${counts.mkString("; ")}")
+      // repeated stats requests against the same scan reuse the memoized
+      // probe — zero additional server queries
+      ch.receivedQueries.clear()
+      val df = reader(ch, "ev").load().filter($"id" <= 10L)
+      val scan = df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      assert(scan.estimateStatistics().numRows().getAsLong == 10)
+      assert(scan.estimateStatistics().numRows().getAsLong == 10)
+      assert(scan.estimateStatistics().sizeInBytes().getAsLong > 0)
+      assert(received(ch).count(_.contains("count()")) == 1,
+        received(ch).mkString("; "))
+    }
+  }
+
   test("runtime IN lists above the cap stay Spark-side; below it they ride the POST body") {
     withServer { ch =>
       eventsTable(ch)
