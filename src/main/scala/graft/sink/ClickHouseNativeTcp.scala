@@ -75,6 +75,12 @@ object ClickHouseNativeTcp {
         * same config surface as the Kafka leg (base64-PEM root CA, mTLS
         * cert/key, skip-verify). */
       tls: Option[graft.sources.kafka.WireClient.TlsConfig] = None,
+      /** LZ4-compress the data stream both ways (the documented native
+        * compression: CityHash128-checksummed frames, method 0x82).
+        * Opt-in until the checksum implementation has been validated
+        * against a real server (see [[CityHash102]]'s validation note);
+        * at scale it is the 3-5× wire-bandwidth lever. */
+      compress: Boolean = false,
       /** Declared CH type per destination column (drives the encoder). */
       columnTypes: Map[String, String] = Map.empty,
       /** Rows per Native block (one framed Data packet each). */
@@ -95,6 +101,7 @@ object ClickHouseNativeTcp {
     }
     Config(host, port, database = c.database, table = c.table,
       username = c.username, password = c.password, settings = c.httpSettings,
+      compress = c.tcpCompress,
       tls = if (secure) Some(graft.sources.kafka.WireClient.TlsConfig(
         rootCaPemB64 = c.tlsRootCaPemB64, skipVerify = c.tlsSkipVerify))
       else None,
@@ -224,13 +231,15 @@ object ClickHouseNativeTcp {
             rVarint(in) match {
               case SData =>
                 if (rev >= 50264) rStr(in) // external table name
-                readBlockInfo(in, rev)
-                val (cols, rows) = graft.types.NativeDecoder.decodeOneBlock(in, expect)
+                val (cols, rows) = readBlockBody { bin =>
+                  readBlockInfo(bin, rev)
+                  graft.types.NativeDecoder.decodeOneBlock(bin, expect)
+                }
                 // 0-row header/terminal blocks carry structure, not data
                 if (rows.hasNext || cols.nonEmpty) nextBlock = Some((cols, rows))
               case SProgress => skipProgress(in, rev)
               case SProfileInfo => skipProfileInfo(in)
-              case SLog => skipDataBlock(in, rev)
+              case SLog => skipServerBlock()
               case STableColumns => rStr(in); rStr(in)
               case SEndOfStream => eos = true
               case SException => throw readException(in)
@@ -273,7 +282,7 @@ object ClickHouseNativeTcp {
       while (in.available() > 0) {
         rVarint(in) match {
           case SProgress => skipProgress(in, rev)
-          case SLog | SData => skipDataBlock(in, rev)
+          case SLog | SData => skipServerBlock()
           case SProfileInfo => skipProfileInfo(in)
           case STableColumns => rStr(in); rStr(in)
           case SException => throw readException(in)
@@ -308,7 +317,11 @@ object ClickHouseNativeTcp {
       wStr(out, "")
       if (rev >= 54441) wStr(out, "") // interserver secret
       wVarint(out, 2L) // stage: complete
-      wVarint(out, 0L) // compression: off
+      // compression covers the DATA stream both directions from here on:
+      // every block body (ours and the server's) rides CityHash128-
+      // checksummed LZ4 frames; packet codes, names and non-block packets
+      // stay plain
+      wVarint(out, if (c.compress) 1L else 0L)
       wStr(out, q)
       // external-tables data, terminated by an empty block — sent after
       // EVERY query (the sequence clickhouse-go/ch-go follow); the server
@@ -324,9 +337,9 @@ object ClickHouseNativeTcp {
       var done = false
       while (!done) {
         rVarint(in) match {
-          case SData => skipDataBlock(in, rev); done = true
+          case SData => skipServerBlock(); done = true
           case SProgress => skipProgress(in, rev)
-          case SLog => skipDataBlock(in, rev)
+          case SLog => skipServerBlock()
           case STableColumns => rStr(in); rStr(in)
           case SException => throw readException(in)
           case other => throw new java.io.IOException(s"unexpected packet $other awaiting structure")
@@ -341,7 +354,7 @@ object ClickHouseNativeTcp {
           case SEndOfStream => done = true
           case SProgress => skipProgress(in, rev)
           case SProfileInfo => skipProfileInfo(in)
-          case SLog | SData => skipDataBlock(in, rev)
+          case SLog | SData => skipServerBlock()
           case SException => throw readException(in)
           case other => throw new java.io.IOException(s"unexpected packet $other awaiting EndOfStream")
         }
@@ -351,8 +364,39 @@ object ClickHouseNativeTcp {
     private def sendBlock(payload: Array[Byte]): Unit = {
       wVarint(out, CData)
       if (rev >= 50264) wStr(out, "") // external/temporary table name
-      writeBlockInfo(out, rev)
-      out.write(payload, 0, payload.length)
+      if (c.compress) {
+        // block info + block bytes travel INSIDE the frames; the packet
+        // code and table name stay plain (the documented split)
+        val raw = new java.io.ByteArrayOutputStream(payload.length + 16)
+        writeBlockInfo(raw, rev)
+        raw.write(payload, 0, payload.length)
+        ChCompression.compress(raw.toByteArray, out)
+      } else {
+        writeBlockInfo(out, rev)
+        out.write(payload, 0, payload.length)
+      }
+    }
+
+    /** Read one server BLOCK body (info + columns) — off the raw socket,
+      * or through a per-block decompressing frame reader that must be
+      * consumed EXACTLY (leftover decompressed bytes would desync the
+      * plain-layer packet walk, so they are a loud error). */
+    private def readBlockBody[A](f: InputStream => A): A =
+      if (!c.compress) f(in)
+      else {
+        val fi = new ChCompression.FrameInput(in)
+        val a = f(fi)
+        if (fi.buffered > 0)
+          throw new java.io.IOException(
+            s"compressed frame spans block boundary (${fi.buffered} leftover bytes)")
+        a
+      }
+
+    /** Skip one server block (Log packets, INSERT structure blocks),
+      * external-name + compression aware. */
+    private def skipServerBlock(): Unit = {
+      if (rev >= 50264) rStr(in) // external table name
+      readBlockBody { bin => skipDataBlockBody(bin, rev) }
     }
 
     def close(): Unit = {
@@ -539,15 +583,15 @@ object ClickHouseNativeTcp {
     rByte(in) // calculated rows before limit
   }
 
-  /** Skip a server Data block without needing its contents. The INSERT
-    * path's structure block is zero-row, but Log packets (send_logs_level)
-    * and Totals blocks CARRY rows — a Native block is not length-prefixed,
-    * so skipping means structurally walking each column's data by its
-    * declared type (offsets followed, fixed widths multiplied, strings
-    * length-hopped). An undecodable declared type still fails loudly —
-    * mis-framing must never be silently absorbed. */
-  private def skipDataBlock(in: InputStream, rev: Long): Unit = {
-    if (rev >= 50264) rStr(in) // external table name
+  /** Skip a server Data block BODY (info + columns; the external-name
+    * string is the caller's, read plain before any decompression). The
+    * INSERT path's structure block is zero-row, but Log packets
+    * (send_logs_level) and Totals blocks CARRY rows — a Native block is
+    * not length-prefixed, so skipping means structurally walking each
+    * column's data by its declared type (offsets followed, fixed widths
+    * multiplied, strings length-hopped). An undecodable declared type
+    * still fails loudly — mis-framing must never be silently absorbed. */
+  private def skipDataBlockBody(in: InputStream, rev: Long): Unit = {
     readBlockInfo(in, rev)
     val ncols = rVarint(in)
     val nrows = rVarint(in).toInt

@@ -42,7 +42,10 @@ object ClickHouseSink {
     /** TLS trust for the secure native port (`tcps://` URLs): base64-PEM
       * root CA, or skip-verify — the HTTP leg gets TLS via https URLs. */
     tlsRootCaPemB64: Option[String] = None,
-    tlsSkipVerify: Boolean = false)
+    tlsSkipVerify: Boolean = false,
+    /** LZ4-compress the native TCP data stream (tcp:// / tcps:// URLs
+      * only; the HTTP leg compresses via httpCompress/gzip). */
+    tcpCompress: Boolean = false)
 
   /** `INSERT INTO db.table (c1, c2, ...)` column list — deterministic order
     * from the mapping config (reference clickhouse.go:701-718). */

@@ -40,6 +40,12 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
   /** Settings of the LAST Query packet, as (name, value) pairs. */
   @volatile var lastSettings: Map[String, String] = Map.empty
   @volatile var lastClientName: String = ""
+  /** Compression flag of the LAST Query packet (0 = off, 1 = on). */
+  @volatile var lastCompression: Long = 0L
+  /** When set, the NEXT compressed response frame ships with one payload
+    * byte flipped AFTER its checksum was computed — the client must
+    * refuse it loudly (checksum mismatch), never decode garbage. */
+  @volatile var corruptNextCompressedFrame: Boolean = false
 
   def start(): Int = {
     // with TLS this is the server's SECURE native port (:9440 in real
@@ -165,11 +171,13 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
     val compression = rVarint(in)
     val query = rStr(in)
     receivedQueries.add(query)
+    lastCompression = compression
 
-    if (compression != 0L) {
-      sendException(out, 432, "compressed native stream not supported by fixture")
+    if (compression != 0L && compression != 1L) {
+      sendException(out, 432, s"Unknown compression state $compression")
       return false
     }
+    val compress = compression == 1L
 
     // external-tables data follows EVERY query, terminated by an empty
     // block (the clickhouse-go sequence); the fixture reads and refuses
@@ -179,8 +187,10 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
       rVarint(in) match {
         case 2L /* Data */ =>
           if (rev >= 50264) rStr(in)
-          readBlockInfo(in, rev)
-          readBlockPayload(in) match {
+          inBlock(in, compress) { bin =>
+            readBlockInfo(bin, rev)
+            readBlockPayload(bin)
+          } match {
             case None => extDone = true
             case Some(_) =>
               sendException(out, 48, "external tables not supported by fixture")
@@ -203,7 +213,8 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
           case Some(structure) =>
             val cols = Seq("name" -> "String", "type" -> "String")
             sendDataBlock(out, rev, MiniChSelect.encodeNative(cols,
-              structure.map { case (n, t) => Map[String, Any]("name" -> n, "type" -> t) }))
+              structure.map { case (n, t) => Map[String, Any]("name" -> n, "type" -> t) }),
+              compress)
             wVarint(out, 5L) // EndOfStream
             out.flush()
             return true
@@ -221,11 +232,11 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
           case Some((colTypes, rows)) =>
             // real-server framing: a zero-row structure block first, then
             // data split at max_block_size rows per Data packet
-            sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, Nil))
+            sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, Nil), compress)
             val blockRows = lastSettings.get("max_block_size")
               .flatMap(_.toIntOption).filter(_ > 0).getOrElse(65409)
             rows.grouped(blockRows).foreach { g =>
-              sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, g))
+              sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, g), compress)
             }
             wVarint(out, 5L) // EndOfStream
             out.flush()
@@ -256,17 +267,47 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
               return false
             }
             // the server answers an INSERT with a zero-row structure block
-            sendStructureBlock(out, rev, structure.filter(c => cols.contains(c._1)))
-            readDataStream(in, out, rev, db, tbl, cols)
+            sendStructureBlock(out, rev, structure.filter(c => cols.contains(c._1)),
+              compress)
+            readDataStream(in, out, rev, db, tbl, cols, compress)
         }
     }
   }
 
-  private def sendDataBlock(out: OutputStream, rev: Long, body: Array[Byte]): Unit = {
+  /** Run a block read (info + payload walk) against the right stream:
+    * the raw socket, or a fixture-side decompressing frame reader whose
+    * content the block must consume EXACTLY. */
+  private def inBlock[A](in: InputStream, compress: Boolean)(f: InputStream => A): A =
+    if (!compress) f(in)
+    else {
+      val r = new FxFrames.Reader(in)
+      val a = f(r)
+      if (r.leftover > 0)
+        throw new java.io.IOException(
+          s"client frame spans block boundary (${r.leftover} leftover bytes)")
+      a
+    }
+
+  /** Write one block BODY (info + columns), plain or framed. */
+  private def writeBlockBody(out: OutputStream, rev: Long, body: Array[Byte],
+                             compress: Boolean): Unit =
+    if (compress) {
+      val raw = new java.io.ByteArrayOutputStream(body.length + 16)
+      writeBlockInfo(raw, rev)
+      raw.write(body, 0, body.length)
+      val corrupt = corruptNextCompressedFrame
+      corruptNextCompressedFrame = false
+      FxFrames.write(raw.toByteArray, out, corrupt)
+    } else {
+      writeBlockInfo(out, rev)
+      out.write(body, 0, body.length)
+    }
+
+  private def sendDataBlock(out: OutputStream, rev: Long, body: Array[Byte],
+                            compress: Boolean): Unit = {
     wVarint(out, 1L) // server Data packet
     if (rev >= 50264) wStr(out, "")
-    writeBlockInfo(out, rev)
-    out.write(body, 0, body.length)
+    writeBlockBody(out, rev, body, compress)
   }
 
   /** Consume the client's Data packets until the empty terminal block;
@@ -274,14 +315,17 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
     * success; Exception + close on the first fault (real-server INSERT
     * semantics: already-received blocks stay committed). */
   private def readDataStream(in: InputStream, out: OutputStream, rev: Long,
-                             db: String, tbl: String, cols: Seq[String]): Boolean = {
+                             db: String, tbl: String, cols: Seq[String],
+                             compress: Boolean): Boolean = {
     var done = false
     while (!done) {
       rVarint(in) match {
         case 2L /* Data */ =>
           if (rev >= 50264) rStr(in) // external table name
-          readBlockInfo(in, rev)
-          readBlockPayload(in) match {
+          inBlock(in, compress) { bin =>
+            readBlockInfo(bin, rev)
+            readBlockPayload(bin)
+          } match {
             case None => done = true // 0×0 terminal block
             case Some(payload) =>
               http.pollInjectedFault() match {
@@ -306,13 +350,12 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
       // columns, two rows, exercising both fixed-width and string skips
       wVarint(out, 10L)
       wStr(out, "")
-      writeBlockInfo(out, rev)
-      out.write(MiniChSelect.encodeNative(
+      writeBlockBody(out, rev, MiniChSelect.encodeNative(
         Seq("event_time" -> "DateTime", "text" -> "String"),
         Seq(Map("event_time" -> 1700000000000000L,
             "text" -> "MemoryTracker: peak 1.00 GiB"),
           Map("event_time" -> 1700000001000000L,
-            "text" -> "executeQuery: read 4 rows"))))
+            "text" -> "executeQuery: read 4 rows"))), compress)
     }
     wVarint(out, 5L) // EndOfStream
     out.flush()
@@ -399,13 +442,13 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
   }
 
   private def sendStructureBlock(out: OutputStream, rev: Long,
-                                 cols: Seq[(String, String)]): Unit = {
-    wVarint(out, 1L) // server Data packet
-    if (rev >= 50264) wStr(out, "")
-    writeBlockInfo(out, rev)
-    wVarint(out, cols.length.toLong)
-    wVarint(out, 0L) // zero rows: structure only
-    cols.foreach { case (n, t) => wStr(out, n); wStr(out, t) }
+                                 cols: Seq[(String, String)],
+                                 compress: Boolean): Unit = {
+    val body = new java.io.ByteArrayOutputStream(64)
+    wVarint(body, cols.length.toLong)
+    wVarint(body, 0L) // zero rows: structure only
+    cols.foreach { case (n, t) => wStr(body, n); wStr(body, t) }
+    sendDataBlock(out, rev, body.toByteArray, compress)
     out.flush()
   }
 
@@ -424,5 +467,128 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
     if (t.length >= 2 && t.head == '`' && t.last == '`')
       t.substring(1, t.length - 1).replace("``", "`")
     else t
+  }
+
+  /** FIXTURE-SIDE compressed-frame codec — deliberately a SECOND
+    * implementation of the frame layout (header offsets,
+    * size-includes-header, checksum coverage), separate from the
+    * production [[ChCompression]], so a framing mistake on either side
+    * cannot round-trip invisibly. Only the [[CityHash102]] hash itself is
+    * shared (single implementation; its validation note applies).
+    * Fixture frames carry at most 64 KiB raw so ordinary-sized tests
+    * exercise MULTI-frame blocks, not just single-frame ones. */
+  private object FxFrames {
+    import MiniClickHouseServer.CHFault
+    private val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+    private val FrameRaw = 64 * 1024
+
+    def write(raw: Array[Byte], out: OutputStream, corruptFirst: Boolean): Unit = {
+      var off = 0
+      var first = true
+      do {
+        val n = math.min(FrameRaw, raw.length - off)
+        val comp = lz4.fastCompressor()
+        val frame = new Array[Byte](9 + comp.maxCompressedLength(math.max(n, 1)))
+        val cn = comp.compress(raw, off, n, frame, 9, frame.length - 9)
+        frame(0) = 0x82.toByte // LZ4
+        wle32(frame, 1, cn + 9)
+        wle32(frame, 5, n)
+        val (lo, hi) = CityHash102.cityHash128(frame, 0, cn + 9)
+        val sum = new Array[Byte](16)
+        wle64(sum, 0, lo); wle64(sum, 8, hi)
+        out.write(sum)
+        // flip one payload byte AFTER the checksum was computed: the
+        // client must detect the mismatch, never surface garbage
+        if (corruptFirst && first && cn > 0) frame(9) = (frame(9) ^ 0x5a).toByte
+        first = false
+        out.write(frame, 0, cn + 9)
+        off += n
+      } while (off < raw.length)
+    }
+
+    /** Lazily-decompressing stream over client frames; `leftover` lets
+      * the block walk assert exact consumption. */
+    final class Reader(in: InputStream) extends InputStream {
+      private var buf: Array[Byte] = Array.emptyByteArray
+      private var pos = 0
+      def leftover: Int = buf.length - pos
+
+      private def fill(): Boolean = {
+        val head = new Array[Byte](25)
+        var got = 0
+        while (got < head.length) {
+          val k = in.read(head, got, head.length - got)
+          if (k < 0) {
+            if (got == 0) return false
+            throw new java.io.EOFException("truncated client frame header")
+          }
+          got += k
+        }
+        val method = head(16) & 0xff
+        val csize = rle32(head, 17)
+        val rsize = rle32(head, 21)
+        if (csize < 9 || csize > (1 << 30) || rsize < 0 || rsize > (1 << 30))
+          throw CHFault(89, s"Checksum doesn't match: implausible frame sizes $csize/$rsize")
+        val frame = new Array[Byte](csize)
+        System.arraycopy(head, 16, frame, 0, 9)
+        var o = 9
+        while (o < csize) {
+          val k = in.read(frame, o, csize - o)
+          if (k < 0) throw new java.io.EOFException("truncated client frame body")
+          o += k
+        }
+        val (lo, hi) = CityHash102.cityHash128(frame, 0, csize)
+        if (lo != rle64(head, 0) || hi != rle64(head, 8))
+          throw CHFault(89, "Checksum doesn't match: corrupted data received")
+        buf = method match {
+          case 0x82 =>
+            val outBuf = new Array[Byte](rsize)
+            val n = lz4.safeDecompressor().decompress(frame, 9, csize - 9, outBuf, 0)
+            if (n != rsize)
+              throw CHFault(271, s"Cannot decompress: got $n bytes, expected $rsize")
+            outBuf
+          case 0x02 => java.util.Arrays.copyOfRange(frame, 9, csize)
+          case m => throw CHFault(432, f"Unknown codec method byte 0x$m%02x")
+        }
+        pos = 0
+        true
+      }
+
+      override def read(): Int = {
+        while (pos >= buf.length) if (!fill()) return -1
+        val b = buf(pos) & 0xff
+        pos += 1
+        b
+      }
+      override def read(a: Array[Byte], off: Int, len: Int): Int = {
+        if (len == 0) return 0
+        while (pos >= buf.length) if (!fill()) return -1
+        val n = math.min(len, buf.length - pos)
+        System.arraycopy(buf, pos, a, off, n)
+        pos += n
+        n
+      }
+    }
+
+    private def wle32(a: Array[Byte], off: Int, v: Int): Unit = {
+      var i = 0
+      while (i < 4) { a(off + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    private def wle64(a: Array[Byte], off: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 8) { a(off + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    private def rle32(a: Array[Byte], off: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < 4) { v |= (a(off + i) & 0xff) << (8 * i); i += 1 }
+      v
+    }
+    private def rle64(a: Array[Byte], off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (a(off + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
   }
 }

@@ -107,6 +107,10 @@ object ClickHouseReadSource {
     graft.sink.ClickHouseNativeTcp.Config(host, port, database = c.database,
       table = c.table, username = c.username, password = c.password,
       settings = c.settings,
+      // option compress=lz4: frame the data stream both ways (the 3-5×
+      // wire-bandwidth lever on big scans; opt-in, see CityHash102 note)
+      compress = o.get("compress").exists(v =>
+        v.equalsIgnoreCase("lz4") || v == "1" || v == "true"),
       tls = if (secure) Some(graft.sources.kafka.WireClient.TlsConfig(
         rootCaPemB64 = o.get("tls.root_ca"),
         skipVerify = o.get("tls.skip_verify").exists(v => v == "true" || v == "1")))

@@ -333,4 +333,54 @@ class NativeTcpSpec extends SparkSpec {
       ()
     }
   }
+
+  test("LZ4 compression: INSERT and SELECT ride checksummed frames both ways") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "cz", Seq("id" -> "Int64", "s" -> "String"))
+      val m = Seq(ColumnMapping("id", "id", "Int64"), ColumnMapping("s", "s", "String"))
+      val cfg = tcpCfg(tcp, "cz", m).copy(tcpCompress = true)
+      // ~1.5 MB of strings: the fixture's 64 KiB frames and the client's
+      // 1 MiB frames BOTH split, so multi-frame blocks are exercised on
+      // each side (and the two frame codecs are independent
+      // implementations — a framing mistake cannot round-trip)
+      val df = (1L to 3000L).map(i => (i, "payload-" * 64 + i.toString)).toDF("id", "s")
+      ClickHouseSink.writeBatch(cfg)(df)
+      assert(tcp.lastCompression == 1L, "the Query packet never advertised compression")
+      assert(brain.rowCount("default", "cz") == 3000)
+      assert(brain.rows("default", "cz").map(_("id")).toSet.size == 3000)
+      // scan back through the read source with compress=lz4: DESCRIBE,
+      // pushdown, stats probe and block decode all ride compressed frames
+      val back = spark.read.format("graft-clickhouse")
+        .option("url", tcp.endpoint).option("database", "default")
+        .option("table", "cz").option("compress", "lz4").load()
+      assert(back.count() == 3000)
+      assert(back.filter($"id" <= 10L)
+        .agg(org.apache.spark.sql.functions.sum($"id")).collect().head.getLong(0) == 55L)
+      assert(tcp.lastCompression == 1L)
+      // a compressed rowful Log packet (send_logs_level) skips cleanly
+      tcp.sendLogBlockOnInsert = true
+      try ClickHouseSink.writeBatch(cfg)(Seq((9001L, "x")).toDF("id", "s"))
+      finally tcp.sendLogBlockOnInsert = false
+      assert(brain.rowCount("default", "cz") == 3001)
+    }
+  }
+
+  test("a corrupted compressed frame is refused loudly (CityHash mismatch), never decoded") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "cz2", Seq("id" -> "Int64"))
+      val m = Seq(ColumnMapping("id", "id", "Int64"))
+      val cfg = tcpCfg(tcp, "cz2", m).copy(tcpCompress = true)
+      ClickHouseSink.writeBatch(cfg)(Seq(1L, 2L, 3L).toDF("id"))
+      tcp.corruptNextCompressedFrame = true
+      val conn = new ClickHouseNativeTcp.Conn(
+        ClickHouseNativeTcp.parseEndpoint(tcp.endpoint, cfg))
+      try {
+        val e = intercept[java.io.IOException] {
+          conn.select("SELECT `id` FROM `default`.`cz2`", None)
+            .foreach(_._2.foreach(_ => ()))
+        }
+        assert(e.getMessage.toLowerCase.contains("checksum"), e.getMessage)
+      } finally conn.close()
+    }
+  }
 }
