@@ -612,7 +612,24 @@ object ClickHouseNativeTcp {
   private def skipColumnData(in: InputStream, t: graft.types.CHType, n: Int): Unit = {
     import graft.types.CHType._
     t match {
-      case CHLowCardinality(inner) => skipColumnData(in, inner, n)
+      // dictionary-encoded LC (version, flags, dict, keys) — the layout a
+      // server sends for LC-declared columns; 0 rows = 0 bytes
+      case CHLowCardinality(inner) =>
+        if (n > 0) {
+          val version = rI64(in)
+          if (version != 1L)
+            throw new java.io.IOException(s"cannot skip LC version $version")
+          val flags = rI64(in)
+          val keyBytes = (flags & 0xffL).toInt match {
+            case 0 => 1; case 1 => 2; case 2 => 4; case 3 => 8
+            case w => throw new java.io.IOException(s"cannot skip LC key width $w")
+          }
+          val base = inner match { case CHNullable(i) => i; case o => o }
+          val dictSize = rI64(in)
+          skipColumnData(in, base, dictSize.toInt)
+          rI64(in) // keys count
+          skipBytes(in, n.toLong * keyBytes)
+        }
       case CHNullable(inner) =>
         skipBytes(in, n.toLong) // grouped null mask
         skipColumnData(in, inner, n)

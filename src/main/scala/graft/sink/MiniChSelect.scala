@@ -594,27 +594,90 @@ private[sink] object MiniChSelect {
   // --------------------------------------- stored values → Native response
 
   /** Encode stored canonical rows as one `FORMAT Native` block. Column
-    * type text is the table's raw declared text; LowCardinality data is
-    * sent as the plain inner column (the behavior the reader requests via
-    * low_cardinality_allow_in_native_format=0). */
-  def encodeNative(cols: Seq[(String, String)], rows: Seq[Map[String, Any]]): Array[Byte] = {
+    * type text is the table's raw declared text. LowCardinality columns
+    * follow the real server's `low_cardinality_allow_in_native_format`
+    * semantics: with `lcNative` (the default) they ship DICTIONARY-
+    * encoded under their LC-declared type; without it they are converted
+    * to ordinary — the header declares the INNER type and the data is a
+    * plain full column, exactly what a real server answers under the
+    * setting. */
+  def encodeNative(cols: Seq[(String, String)], rows: Seq[Map[String, Any]],
+                   lcNative: Boolean = true): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1 << 12)
     varint(out, cols.length.toLong)
     varint(out, rows.length.toLong)
     cols.foreach { case (name, typeText) =>
       str(out, name)
-      str(out, typeText)
       val t = CHType.parse(typeText)
-      writeColumn(out, t, rows.map(_.getOrElse(name, null)))
+      val declared =
+        if (lcNative) t
+        else stripLcForWire(t) // converted-to-ordinary declares the inner type
+      str(out, CHType.render(declared) match {
+        // keep the table's verbatim spelling when nothing was stripped
+        // (render canonicalizes whitespace; header text should stay raw)
+        case _ if declared eq t => typeText
+        case rendered => rendered
+      })
+      writeColumn(out, declared, rows.map(_.getOrElse(name, null)))
     }
     out.toByteArray
+  }
+
+  private def stripLcForWire(t: CHType): CHType = {
+    import CHType._
+    t match {
+      case CHLowCardinality(i) => stripLcForWire(i)
+      case CHNullable(i) => CHNullable(stripLcForWire(i))
+      case CHArray(i) => CHArray(stripLcForWire(i))
+      case CHMap(k, v) => CHMap(stripLcForWire(k), stripLcForWire(v))
+      case CHTuple(elems) => CHTuple(elems.map { case (n, et) => (n, stripLcForWire(et)) })
+      case other => other
+    }
   }
 
   private def writeColumn(out: java.io.ByteArrayOutputStream, t: CHType,
                           vals: Seq[Any]): Unit = {
     import CHType._
     t match {
-      case CHLowCardinality(inner) => writeColumn(out, inner, vals)
+      // the real server's LC dictionary serialization — an INDEPENDENT
+      // second implementation of the layout the production NativeDecoder
+      // reads (round-trip tests are therefore not self-validating):
+      // version=1, flags = key-width | HasAdditionalKeys(512), dict size,
+      // dict column (inner type, Nullable stripped; index 0 = default
+      // placeholder, the NULL slot for Nullable inners), keys count, keys.
+      // A 0-row block writes NO bytes for the column (NativeWriter's
+      // if-rows guard — prefix included).
+      case CHLowCardinality(inner) =>
+        if (vals.isEmpty) return
+        val (base, nullable) = inner match {
+          case CHNullable(i) => (i, true)
+          case o => (o, false)
+        }
+        val dictVals = scala.collection.mutable.ArrayBuffer[Any](defaultOf(base))
+        val idxOf = scala.collection.mutable.HashMap[Any, Int]()
+        // non-nullable: a stored default value maps to slot 0; nullable:
+        // slot 0 is RESERVED for NULL, every real value gets its own
+        if (!nullable) idxOf(dictVals.head) = 0
+        val keys = vals.map {
+          case null =>
+            if (!nullable) throw CHFault(349,
+              s"Cannot convert NULL to non-Nullable LowCardinality(${CHType.render(base)})")
+            0
+          case v => idxOf.getOrElseUpdate(v, { dictVals += v; dictVals.size - 1 })
+        }
+        val widthCode = if (dictVals.size <= 0xff) 0 else if (dictVals.size <= 0xffff) 1 else 2
+        i64(out, 1L) // keys-serialization version
+        i64(out, 512L | widthCode.toLong) // HasAdditionalKeys | key width
+        i64(out, dictVals.size.toLong)
+        writeColumn(out, base, dictVals.toSeq)
+        i64(out, keys.size.toLong)
+        keys.foreach { k =>
+          widthCode match {
+            case 0 => out.write(k & 0xff)
+            case 1 => i16(out, k)
+            case 2 => i32(out, k)
+          }
+        }
       case CHNullable(inner) =>
         vals.foreach(v => out.write(if (v == null) 1 else 0))
         writeColumn(out, inner, vals.map(v => if (v == null) defaultOf(inner) else v))

@@ -193,13 +193,18 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
               // gets exercised, not a single-block special case
               val blockRows = params.get("max_block_size")
                 .flatMap(_.toIntOption).filter(_ > 0).getOrElse(65409)
+              // the real server ships LC columns dictionary-encoded by
+              // default; low_cardinality_allow_in_native_format=0 converts
+              // them to ordinary (inner type declared, plain column sent)
+              val lcNative = !params.get("low_cardinality_allow_in_native_format")
+                .exists(v => v == "0" || v.equalsIgnoreCase("false"))
               val body0: Array[Byte] =
                 if (sliced.size <= blockRows)
-                  MiniChSelect.encodeNative(colTypes, sliced)
+                  MiniChSelect.encodeNative(colTypes, sliced, lcNative)
                 else {
                   val out = new java.io.ByteArrayOutputStream(1 << 14)
                   sliced.grouped(blockRows).foreach { g =>
-                    val b = MiniChSelect.encodeNative(colTypes, g)
+                    val b = MiniChSelect.encodeNative(colTypes, g, lcNative)
                     out.write(b, 0, b.length)
                   }
                   out.toByteArray

@@ -231,12 +231,17 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
             return false
           case Some((colTypes, rows)) =>
             // real-server framing: a zero-row structure block first, then
-            // data split at max_block_size rows per Data packet
-            sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, Nil), compress)
+            // data split at max_block_size rows per Data packet; LC
+            // columns dictionary-encoded unless the setting converts them
+            val lcNative = !lastSettings.get("low_cardinality_allow_in_native_format")
+              .exists(v => v == "0" || v.equalsIgnoreCase("false"))
+            sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, Nil, lcNative),
+              compress)
             val blockRows = lastSettings.get("max_block_size")
               .flatMap(_.toIntOption).filter(_ > 0).getOrElse(65409)
             rows.grouped(blockRows).foreach { g =>
-              sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, g), compress)
+              sendDataBlock(out, rev, MiniChSelect.encodeNative(colTypes, g, lcNative),
+                compress)
             }
             wVarint(out, 5L) // EndOfStream
             out.flush()
@@ -401,7 +406,24 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
   private def skipColumnData(in: InputStream, t: graft.types.CHType, n: Int): Unit = {
     import graft.types.CHType._
     t match {
-      case CHLowCardinality(inner) => skipColumnData(in, inner, n)
+      // LC-declared data is dictionary-encoded on the wire (our own
+      // client always converts LC to the inner type on INSERT, but a
+      // hand-crafted block must still walk correctly, never misframe)
+      case CHLowCardinality(inner) =>
+        if (n > 0) {
+          val version = rI64(in)
+          if (version != 1L) throw CHFault(50, s"LC keys version $version unsupported")
+          val flags = rI64(in)
+          val keyBytes = (flags & 0xffL).toInt match {
+            case 0 => 1; case 1 => 2; case 2 => 4; case 3 => 8
+            case w => throw CHFault(50, s"LC key width code $w unsupported")
+          }
+          val base = inner match { case CHNullable(i) => i; case o => o }
+          val dictSize = rI64(in)
+          skipColumnData(in, base, dictSize.toInt)
+          rI64(in) // keys count
+          skipBytes(in, n.toLong * keyBytes)
+        }
       case CHNullable(inner) =>
         skipBytes(in, n) // null mask
         skipColumnData(in, inner, n)

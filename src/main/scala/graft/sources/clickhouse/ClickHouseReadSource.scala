@@ -70,14 +70,16 @@ object ClickHouseReadSource {
         throw new IllegalArgumentException("graft-clickhouse requires option 'table'")),
       username = o.getOrElse("user", "default"),
       password = o.getOrElse("password", ""),
-      // LowCardinality columns must arrive as plain full columns (the
-      // decoder has no dictionary path — INSERT-leg symmetry); the public
-      // server setting that guarantees it travels with every scan query
-      settings = Map("low_cardinality_allow_in_native_format" -> "0") ++
-        opts.collect {
-          case (k, v) if k.toLowerCase.startsWith("settings.") =>
-            k.substring("settings.".length) -> v
-        })
+      // LowCardinality columns arrive DICTIONARY-encoded (the server's
+      // default and the reason LC exists: one small dictionary per block
+      // plus u8/u16 keys instead of every string) — the decoder owns the
+      // documented LC serialization, so no conversion setting is pinned;
+      // a user may still force plain columns via
+      // settings.low_cardinality_allow_in_native_format=0
+      settings = opts.collect {
+        case (k, v) if k.toLowerCase.startsWith("settings.") =>
+          k.substring("settings.".length) -> v
+      })
   }
 
   /** Runtime-filter IN lists longer than this stay Spark-side. */

@@ -23,10 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Per-value scalar layouts equal RowBinary's (the Native format's
   * documented property); the structural differences — grouped null
   * masks, u64 offset arrays for Array/Map, element columns back to back
-  * for Tuple — are handled here. LowCardinality columns arrive as their
-  * full inner type when the client does not advertise dictionary support
-  * (we never do — `low_cardinality_allow_in_native_format` stays at the
-  * plain-column behavior for INSERT symmetry).
+  * for Tuple — are handled here. LowCardinality columns decode their
+  * documented DICTIONARY serialization (version, flags, dict block,
+  * narrow keys — see the readColumn branch), which is what a real server
+  * sends by default and the reason LC exists: the dictionary ships once
+  * per block, the rows as u8/u16 keys. A server converting LC to
+  * ordinary (`low_cardinality_allow_in_native_format=0`) declares the
+  * inner type in the block header and decodes on the plain path.
   *
   * Map columns decode to Map(String, String) — the engine-wide Map
   * contract the sink tier coerces to (reference mapper/types.go:238-276)
@@ -103,20 +106,23 @@ object NativeDecoder {
             s"Native block column '$name' declares unparseable type " +
               s"'$declaredText': ${e.getMessage}")
         }
-      val decodeAs = expect match {
-        case None => declared
-        case Some(e) =>
-          if (name != e(c)._1)
-            throw new IllegalArgumentException(
-              s"Native block column $c is '$name', expected '${e(c)._1}'")
-          if (wireShape(declared) != wireShape(e(c)._2))
-            throw new IllegalArgumentException(
-              s"Native block column '$name' declares type '$declaredText' but the " +
-                s"reader expects '${CHType.render(e(c)._2)}' — refusing to decode")
-          e(c)._2
+      expect.foreach { e =>
+        if (name != e(c)._1)
+          throw new IllegalArgumentException(
+            s"Native block column $c is '$name', expected '${e(c)._1}'")
+        if (wireShape(declared) != wireShape(e(c)._2))
+          throw new IllegalArgumentException(
+            s"Native block column '$name' declares type '$declaredText' but the " +
+              s"reader expects '${CHType.render(e(c)._2)}' — refusing to decode")
       }
-      outCols += (name -> decodeAs)
-      cols(c) = readColumn(in, decodeAs, nrows)
+      // decode by the DECLARED type: it names the actual wire layout (a
+      // server may legally answer an LC column dictionary-encoded OR as
+      // its converted inner type depending on
+      // low_cardinality_allow_in_native_format; both differ from the
+      // expected spelling only in ways the structural check above proves
+      // value-identical — LC wrapper, timezone text, tuple element names)
+      outCols += (name -> declared)
+      cols(c) = readColumn(in, declared, nrows)
       c += 1
     }
     (outCols.result(), (0 until nrows).iterator.map { r =>
@@ -127,9 +133,10 @@ object NativeDecoder {
     })
   }
 
-  /** A type reduced to what determines its wire layout: LowCardinality
-    * stripped (the plain-column behavior both legs pin via
-    * low_cardinality_allow_in_native_format=0), timezone names dropped
+  /** A type reduced to what determines VALUE compatibility between the
+    * declared and expected spellings: LowCardinality stripped (dictionary
+    * vs plain is a layout difference the decode-by-declared rule handles;
+    * the VALUES are the inner type's either way), timezone names dropped
     * (values are epoch-based either way), tuple element names erased
     * (elements are positional on the wire). */
   private def wireShape(t: CHType): CHType = {
@@ -150,7 +157,63 @@ object NativeDecoder {
   private def readColumn(in: Reader, t: CHType, n: Int): Array[Any] = {
     import CHType._
     t match {
-      case CHLowCardinality(inner) => readColumn(in, inner, n)
+      // the documented LowCardinality serialization: the dictionary ships
+      // ONCE per block plus narrow per-row keys — the reason LC exists
+      // (an LC(String) event_type column of a billion rows ships one
+      // small dictionary + u8/u16 indices, not a billion strings).
+      //   u64 keys-serialization version (1 = shared dict + additional keys)
+      //   u64 flags: low byte = key width (0:u8 1:u16 2:u32 3:u64),
+      //              bit8 NeedGlobalDictionary, bit9 HasAdditionalKeys,
+      //              bit10 NeedUpdateDictionary
+      //   u64 dict size, dict column data (inner type, Nullable STRIPPED —
+      //     for Nullable inners index 0 is the reserved NULL slot and
+      //     dict[0] a default placeholder)
+      //   u64 keys count (= block rows), then the keys
+      // A 0-row block carries NO column bytes at all (NativeWriter's
+      // if-rows guard), prefix included.
+      case CHLowCardinality(inner) =>
+        if (n == 0) new Array[Any](0)
+        else {
+          val version = in.i64()
+          if (version != 1L)
+            throw new IllegalArgumentException(
+              s"LowCardinality keys-serialization version $version unsupported (expected 1)")
+          val flags = in.i64()
+          if ((flags & 512L) == 0L || (flags & 256L) != 0L)
+            throw new IllegalArgumentException(
+              f"LowCardinality flags 0x$flags%x: only additional-keys " +
+                "blocks without a global dictionary decode")
+          val (base, nullable) = inner match {
+            case CHNullable(i) => (i, true)
+            case o => (o, false)
+          }
+          val dictSize = in.i64().toInt
+          if (dictSize < 0)
+            throw new IllegalArgumentException(s"negative LowCardinality dictionary size")
+          val dict = readColumn(in, base, dictSize)
+          val cnt = in.i64().toInt
+          if (cnt != n)
+            throw new IllegalArgumentException(
+              s"LowCardinality keys count $cnt != block rows $n")
+          val out = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            val idx = (flags & 0xffL).toInt match {
+              case 0 => in.u8()
+              case 1 => in.i16() & 0xffff
+              case 2 => in.i32()
+              case 3 => in.i64().toInt // one block's dict never exceeds Int
+              case w => throw new IllegalArgumentException(
+                s"LowCardinality key width code $w unsupported")
+            }
+            if (idx < 0 || idx >= dictSize)
+              throw new IllegalArgumentException(
+                s"LowCardinality key $idx outside dictionary of $dictSize entries")
+            out(i) = if (nullable && idx == 0) null else dict(idx)
+            i += 1
+          }
+          out
+        }
       case CHNullable(inner) =>
         val mask = new Array[Boolean](n)
         var i = 0

@@ -70,6 +70,90 @@ class NativeDecodeGuardSpec extends AnyFunSuite {
     assert(row.getStruct(0, 2).getInt(1) == 5)
   }
 
+  test("LowCardinality decodes the real dictionary serialization (u8 and u16 keys)") {
+    // 10k rows over 3 distinct values: one dictionary + u8 keys
+    val vals = (0 until 10000).map(i => Map[String, Any]("t" -> s"kind${i % 3}"))
+    val dictBlock = MiniChSelect.encodeNative(
+      Seq("t" -> "LowCardinality(String)"), vals, lcNative = true)
+    val decoded = decodeAll(dictBlock, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    assert(decoded.size == 10000)
+    assert(decoded.zipWithIndex.forall { case (r, i) =>
+      r.getUTF8String(0).toString == s"kind${i % 3}" })
+    // the POINT of LC: the dictionary form ships far smaller than the
+    // plain full column for a repetitive column
+    val plainBlock = MiniChSelect.encodeNative(
+      Seq("t" -> "LowCardinality(String)"), vals, lcNative = false)
+    assert(dictBlock.length * 3 < plainBlock.length,
+      s"dict ${dictBlock.length}B should be well under plain ${plainBlock.length}B")
+    // >255 distinct values widen the keys to u16
+    val wide = (0 until 600).map(i => Map[String, Any]("t" -> s"v$i"))
+    val wideBlock = MiniChSelect.encodeNative(
+      Seq("t" -> "LowCardinality(String)"), wide, lcNative = true)
+    val wideRows = decodeAll(wideBlock, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    assert(wideRows.zipWithIndex.forall { case (r, i) =>
+      r.getUTF8String(0).toString == s"v$i" })
+  }
+
+  test("LowCardinality(Nullable(String)): index 0 is the NULL slot, empty string stays distinct") {
+    val vals = Seq[Map[String, Any]](
+      Map("t" -> "a"), Map("t" -> null), Map("t" -> ""), Map("t" -> "a"),
+      Map("t" -> null))
+    val body = MiniChSelect.encodeNative(
+      Seq("t" -> "LowCardinality(Nullable(String))"), vals, lcNative = true)
+    val rows = decodeAll(body,
+      Seq("t" -> CHType.parse("LowCardinality(Nullable(String))")))
+    assert(rows(0).getUTF8String(0).toString == "a")
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getUTF8String(0).toString == "", "real empty string must NOT decode as NULL")
+    assert(rows(3).getUTF8String(0).toString == "a")
+    assert(rows(4).isNullAt(0))
+  }
+
+  test("a server CONVERTING LC to ordinary (setting=0) declares the inner type and decodes plain") {
+    val vals = Seq(Map[String, Any]("t" -> "x"), Map[String, Any]("t" -> "y"))
+    val body = MiniChSelect.encodeNative(
+      Seq("t" -> "LowCardinality(String)"), vals, lcNative = false)
+    // header must declare the CONVERTED type, like a real server
+    assert(new String(body, "UTF-8").contains("String") &&
+      !new String(body, "UTF-8").contains("LowCardinality"))
+    val rows = decodeAll(body, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    assert(rows.map(_.getUTF8String(0).toString) == Vector("x", "y"))
+  }
+
+  test("corrupt LC metadata fails loudly: bad version, keys-count mismatch, out-of-range key") {
+    def craft(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(1); out.write(1) // 1 col, 1 row
+      def str(s: String): Unit = { out.write(s.length); out.write(s.getBytes("UTF-8")) }
+      str("t"); str("LowCardinality(String)")
+      f(out)
+      out.toByteArray
+    }
+    def i64(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (0 until 8).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    val badVersion = craft { out => i64(out, 7L); i64(out, 512L) }
+    assert(intercept[IllegalArgumentException] {
+      decodeAll(badVersion, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    }.getMessage.contains("version"))
+    val badCount = craft { out =>
+      i64(out, 1L); i64(out, 512L); i64(out, 1L)
+      out.write(1); out.write('x'.toInt) // dict: one entry "x"
+      i64(out, 5L) // keys count != 1 row
+    }
+    assert(intercept[IllegalArgumentException] {
+      decodeAll(badCount, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    }.getMessage.contains("keys count"))
+    val badKey = craft { out =>
+      i64(out, 1L); i64(out, 512L); i64(out, 1L)
+      out.write(1); out.write('x'.toInt) // dict of 1
+      i64(out, 1L)
+      out.write(9) // key 9 outside dict of 1
+    }
+    assert(intercept[IllegalArgumentException] {
+      decodeAll(badKey, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    }.getMessage.contains("outside dictionary"))
+  }
+
   test("decode is STREAMING: rows flow before the response is drained, one block buffered") {
     val cols = Seq("id" -> "Int64")
     val rows1 = (1 to 50).map(i => Map[String, Any]("id" -> BigInt(i)))
