@@ -49,10 +49,28 @@ object Bench {
     // emitted so the next verdict can see the spread that produced it.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val repeatTop = sys.env.getOrElse("SPARK_GRAFT_REPEAT_TOP", "10").toInt
+    // Round-over-round RELATIVE movers get a variance band too: r12's
+    // q_weighted_sample tripled (0.69 → 2.39 s) on code untouched since
+    // its landing round, in a demonstrably contended window — but as a
+    // sub-second query it never qualified for the top-N re-runs, so the
+    // artifact had no band to prove it was noise. Any query whose
+    // first-pass time moved >1.5× in EITHER direction against the
+    // previous round's recorded median (BENCH_LAST.json, read before this
+    // run overwrites it) re-runs to the same sample count. Bounded to the
+    // 20 largest movers: a host-wide storm names every query, and
+    // re-running all of them would double the sweep.
+    val prevMedians = previousMedians()
+    val moverRatio: Map[String, Double] =
+      if (only.isDefined || repeats <= 1) Map.empty
+      else results.filter(_._2 > 0).flatMap { case (n, t) =>
+        prevMedians.get(n).filter(_ > 0.0).map(prev => n -> math.max(t / prev, prev / t))
+      }.filter(_._2 > 1.5).sortBy(-_._2).take(20).toMap
+    val topNames = results.filter(_._2 > 0).sortBy(-_._2).take(repeatTop).map(_._1)
+    val rerunNames = (topNames ++ moverRatio.keys.toSeq.sorted).distinct
     val variance: Map[String, (Double, Double, Double)] =
       if (only.isDefined || repeats <= 1) Map.empty
-      else results.filter(_._2 > 0).sortBy(-_._2).take(repeatTop).map {
-        case (name, first) =>
+      else rerunNames.flatMap { name =>
+        results.find(_._1 == name).map { case (_, first) =>
           val extra = (1 until repeats).map { _ =>
             try { spark.catalog.clearCache() } catch { case _: Throwable => () }
             System.gc()
@@ -63,6 +81,7 @@ object Bench {
           }
           val samples = (first +: extra).sorted
           name -> (samples.head, samples(samples.size / 2), samples.last)
+        }
       }.toMap
     val finalResults = results.map { case (n, t) =>
       n -> variance.get(n).map(_._2).getOrElse(t)
@@ -71,6 +90,11 @@ object Bench {
       .mkString("{", ",", "}")
     val varianceJson = variance.toSeq.sortBy(_._1).map { case (k, (mn, md, mx)) =>
       f""""$k":{"min":$mn%.3f,"median":$md%.3f,"max":$mx%.3f}"""
+    }.mkString("{", ",", "}")
+    val moversJson = moverRatio.toSeq.sortBy(_._1).map { case (k, ratio) =>
+      val first = results.find(_._1 == k).map(_._2).getOrElse(-1.0)
+      f""""$k":{"prev_median":${prevMedians.getOrElse(k, -1.0)}%.3f,""" +
+        f""""first_pass":$first%.3f,"ratio":$ratio%.2f}"""
     }.mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum
     // BASELINE.md parity metric: ingest-only pipeline (1.5 KB telemetry
@@ -174,7 +198,9 @@ object Bench {
       }.mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""query_variance":$varianceJson,""" +
-      s""""query_variance_note":"top-$repeatTop queries by first-pass time re-run to $repeats samples; queries entry = median; band shows min/median/max so regressions can be told from host steal (r8: 2.5x swings on unchanged code)",""" +
+      s""""query_variance_note":"top-$repeatTop queries by first-pass time PLUS any >1.5x round-over-round mover (see relative_movers) re-run to $repeats samples; queries entry = median; band shows min/median/max so regressions can be told from host steal (r8: 2.5x swings on unchanged code)",""" +
+      s""""relative_movers":$moversJson,""" +
+      """"relative_movers_note":"queries whose first pass moved >1.5x in either direction vs the previous round's recorded median (BENCH_LAST.json); each carries a variance band above so the next verdict can separate noise from regression without a re-run; capped at the 20 largest ratios",""" +
       s""""ingest_batch_runs":$batchRunsJson,""" +
       wireRuns.map(r => f"$r%.0f").mkString(""""ingest_wire_runs":[""", ",", "],") +
       streamingAttempts.map(a => f"${a._1}%.0f")
@@ -185,7 +211,7 @@ object Bench {
       s""""discarded_runs":{"wire":${discardsJson(wireDiscards.toSeq)},""" +
       s""""batch":${discardsJson(batchDiscards.toSeq)},""" +
       s""""streaming":${discardsJson(streamingDiscards.toSeq)}},""" +
-      """"discarded_runs_note":"forks whose bracketing telemetry showed a contended window (sys_pct > 40 -- r11: every depressed sample read 55-74% kernel time, every healthy one <= 26% -- or steal_pct > 1.5, which a leg cannot generate itself) are re-run ONCE; the discarded sample + its telemetry are recorded here, never silently dropped. Forks additionally wait (bounded 60 s) for box-wide non-idle CPU < 50% before starting (cpu_gate_wait_ms)",""" +
+      """"discarded_runs_note":"forks whose telemetry showed a contended window (sys_pct > 40 -- r11: every depressed sample read 55-74% kernel time, every healthy one <= 26% -- or steal_pct > 1.5, which a leg cannot generate itself, or load1_mid_max > 16 from the 500ms MID-RUN sampler, which catches storms the bracketing deltas average away) are re-run ONCE; the discarded sample + its telemetry are recorded here, never silently dropped. Forks additionally wait (bounded 60 s) for box-wide non-idle CPU < 50% before starting (cpu_gate_wait_ms)",""" +
       """"host_telemetry_note":"per forked run: /proc/stat steal/sys/idle percentages and 1-min load average sampled immediately before/after the run, plus the ms spent waiting for the previous fork's heap to return (quiesce_wait_ms; floor = MemAvailable before the first fork minus 2 GiB, 90 s timeout) and MemAvailable at fork start -- a depressed sample with high steal_pct/load is host contention, not a code regression",""" +
       """"notes":{"streaming_rows":"q_temporal_join_stream / q_sessionize_stream / q_window_hopping_stream / q_dedup_windowed_stream wall time ~= fixed local-mode micro-batch WAL/commit latency (measured the same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
       f""""ingest_events_per_sec":$headline%.0f,""" +
@@ -243,6 +269,24 @@ object Bench {
   private def num(key: String, s: String): Option[Double] =
     s""""$key":([0-9.-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
 
+  /** Per-query medians of the PREVIOUS round, read from BENCH_LAST.json's
+    * `"queries":{...}` object before this run overwrites it. Empty on any
+    * parse trouble — the mover detection then simply has no baseline. */
+  private[graft] def previousMedians(
+      path: String = "BENCH_LAST.json"): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val start = txt.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val end = txt.indexOf('}', start)
+        val body = txt.substring(start + "\"queries\":{".length, end)
+        """"([^"]+)":(-?[0-9.Ee+-]+)""".r.findAllMatchIn(body)
+          .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -259,13 +303,24 @@ object Bench {
   final case class Tele(stealPct: Double, sysPct: Double, idlePct: Double,
                         load1Before: Double, load1After: Double,
                         quiesceWaitMs: Long, memAvailMb: Long,
-                        cpuGateWaitMs: Long = 0L)
+                        cpuGateWaitMs: Long = 0L,
+                        /** Max 1-min load observed by the 500 ms MID-RUN
+                          * sampler — catches storms the bracketing deltas
+                          * average away (the r12 blind spot). -1 = no
+                          * samples (sub-second run or no /proc). */
+                        load1MidMax: Double = -1.0,
+                        /** Non-idle CPU share of the run's first / second
+                          * half (mid-run /proc/stat split). */
+                        busyH1Pct: Double = -1.0,
+                        busyH2Pct: Double = -1.0)
 
   private[graft] def teleJson(t: Tele): String =
     f"""{"steal_pct":${t.stealPct}%.2f,"sys_pct":${t.sysPct}%.2f,""" +
       f""""idle_pct":${t.idlePct}%.2f,"load1_before":${t.load1Before}%.2f,""" +
       f""""load1_after":${t.load1After}%.2f,"quiesce_wait_ms":${t.quiesceWaitMs},""" +
-      f""""mem_avail_mb":${t.memAvailMb},"cpu_gate_wait_ms":${t.cpuGateWaitMs}}"""
+      f""""mem_avail_mb":${t.memAvailMb},"cpu_gate_wait_ms":${t.cpuGateWaitMs},""" +
+      f""""load1_mid_max":${t.load1MidMax}%.2f,"busy_h1_pct":${t.busyH1Pct}%.2f,""" +
+      f""""busy_h2_pct":${t.busyH2Pct}%.2f}"""
 
   /** (total, steal, sys, idle) jiffies from /proc/stat's aggregate cpu line. */
   private[graft] def cpuJiffies(): (Long, Long, Long, Long) =
@@ -341,12 +396,41 @@ object Bench {
     val availMb = memAvailableKb() / 1024
     val l0 = load1()
     val (t0, s0, y0, i0) = cpuJiffies()
+    // MID-RUN sampler: the bracketing deltas average the whole fork, so a
+    // short load storm inside a long fork dilutes below every gate — the
+    // r12 blind spot where two depressed wire forks (115k/138k vs 370k
+    // healthy) passed with clean brackets. 500 ms samples of load1 +
+    // /proc/stat let a depressed sample carry a mid-run marker.
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Long, Long)]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val (tt, _, _, ii) = cpuJiffies()
+        samples.add((load1(), tt, ii))
+        try Thread.sleep(500) catch { case _: InterruptedException => () }
+      }
+    }, "bench-midrun-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     val a = thunk
+    sampling = false
     val (t1, s1, y1, i1) = cpuJiffies()
     val l1 = load1()
     val dt = math.max(t1 - t0, 1L).toDouble
+    val ss = samples.toArray(Array.empty[(Double, Long, Long)]).toSeq
+    val loadMid = if (ss.isEmpty) -1.0 else ss.map(_._1).max
+    def busyBetween(a0: (Double, Long, Long), b0: (Double, Long, Long)): Double = {
+      val tot = (b0._2 - a0._2).toDouble
+      if (tot <= 0) -1.0 else 100.0 * (1.0 - (b0._3 - a0._3) / tot)
+    }
+    val (h1, h2) =
+      if (ss.size >= 3) {
+        val mid = ss(ss.size / 2)
+        (busyBetween(ss.head, mid), busyBetween(mid, ss.last))
+      } else (-1.0, -1.0)
     (a, Tele(100.0 * (s1 - s0) / dt, 100.0 * (y1 - y0) / dt,
-      100.0 * (i1 - i0) / dt, l0, l1, waited, availMb, gateWaited))
+      100.0 * (i1 - i0) / dt, l0, l1, waited, availMb, gateWaited,
+      loadMid, h1, h2))
   }
 
   /** A depressed fork must DEFEND itself: when the bracketing telemetry
@@ -360,7 +444,14 @@ object Bench {
   private def gated[A](discards: scala.collection.mutable.Buffer[(Double, Tele)],
                        value: A => Double)(thunk: => A): (A, Tele) = {
     val first = instrumented(thunk)
-    if (first._2.sysPct <= 40.0 && first._2.stealPct <= 1.5) first
+    // discard triggers: kernel-time share (sys_pct), hypervisor steal, or
+    // a MID-RUN load storm (load1 past half the box mid-fork — a fork's
+    // own work raises the 1-min EMA by well under that over its lifetime,
+    // and the r12 depressed-but-undiscarded forks all sat in 18-24 load
+    // windows). One bounded retry; the discarded sample + telemetry stay
+    // in the artifact either way.
+    val t = first._2
+    if (t.sysPct <= 40.0 && t.stealPct <= 1.5 && t.load1MidMax <= 16.0) first
     else {
       discards += ((value(first._1), first._2))
       instrumented(thunk)
