@@ -1,0 +1,118 @@
+package graft.sink
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sink.SinkMapper.ColumnMapping
+
+/** OPT-IN live-server suite — the one validation the in-repo fixtures
+  * cannot provide. When `CH_URL` names a reachable ClickHouse HTTP
+  * endpoint (e.g. `CH_URL=http://host:8123`, with optional `CH_USER` /
+  * `CH_PASSWORD` / `CH_TCP_URL=tcp://host:9000`), the write/read matrix
+  * runs against the REAL server; with the variable absent (this sandbox
+  * ships no server binary) every test here cancels cleanly via
+  * `assume`, the same pattern as the reference's testcontainers tags.
+  *
+  * What this matrix is FOR — each test names the seam whose
+  * fixture-validated status is one notch below server-validated:
+  *  - Native-format INSERT + scan round trip (encoder/decoder vs the
+  *    server's own NativeReader/NativeWriter);
+  *  - LowCardinality DICTIONARY decode against real server
+  *    serialization (version/flags/dict/keys layout);
+  *  - pushdown typing: per-function `-OrNull` combinators + forced CAST
+  *    response types, Date/DateTime epoch-literal range compiles;
+  *  - native-TCP protocol framing, and COMPRESSION: a CityHash128
+  *    divergence in [[CityHash102]] is rejected by the server as
+  *    CHECKSUM_DOESNT_MATCH on the first compressed INSERT — the
+  *    definitive cross-validation for the vendored hash.
+  */
+class RealClickHouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val httpUrl = sys.env.get("CH_URL").filter(_.startsWith("http"))
+  private val tcpUrl = sys.env.get("CH_TCP_URL")
+    .orElse(sys.env.get("CH_URL").filter(u =>
+      u.startsWith("tcp://") || u.startsWith("tcps://")))
+  private val user = sys.env.getOrElse("CH_USER", "default")
+  private val pass = sys.env.getOrElse("CH_PASSWORD", "")
+  private val db = sys.env.getOrElse("CH_DATABASE", "default")
+
+  private def httpConf(table: String) = ClickHouseHttp.Config(
+    endpoint = httpUrl.get, database = db, table = table,
+    username = user, password = pass)
+
+  private def ddl(sql: String): Unit =
+    ClickHouseHttp.post(httpConf("ignored"), sql, Array.emptyByteArray)
+
+  private val cols = Seq(
+    "event_id" -> "Int64", "ts" -> "DateTime64(6)",
+    "kind" -> "LowCardinality(String)", "note" -> "Nullable(String)",
+    "value" -> "Float64")
+
+  private def seed(table: String, url: String, tcpCompress: Boolean = false): Unit = {
+    ddl(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    ddl(s"CREATE TABLE `$db`.`$table` (" +
+      cols.map { case (n, t) => s"`$n` $t" }.mkString(", ") +
+      ") ENGINE = MergeTree ORDER BY event_id")
+    val df = (1L to 5000L).map { i =>
+      (i, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 60)),
+        s"kind${i % 5}", if (i % 7 == 0) null else s"n$i", i / 10.0)
+    }.toDF("event_id", "ts", "kind", "note", "value")
+    ClickHouseSink.writeBatch(ClickHouseSink.Config(
+      url = url, database = db, table = table, username = user, password = pass,
+      mappings = cols.map { case (n, t) => ColumnMapping(n, n, t) },
+      httpFormat = "Native", tcpCompress = tcpCompress))(df)
+  }
+
+  private def reader(table: String, url: String) =
+    spark.read.format("graft-clickhouse")
+      .option("url", url).option("database", db).option("table", table)
+      .option("user", user).option("password", pass)
+
+  test("HTTP: Native write + scan round trip, LC dictionary decode, temporal pushdown") {
+    assume(httpUrl.isDefined, "CH_URL not set — live-server suite skipped")
+    val t = "graft_smoke_http"
+    seed(t, httpUrl.get)
+    try {
+      val back = reader(t, httpUrl.get).load()
+      assert(back.count() == 5000)
+      // LC column arrives dictionary-encoded from a REAL server
+      assert(back.select("kind").distinct().count() == 5)
+      // nullable round trip
+      assert(back.filter($"note".isNull).count() == 5000 / 7)
+      // temporal RANGE pushdown: epoch-rendered bounds select exactly
+      val win = back.filter(
+        $"ts" >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-03 00:00:00").cast("timestamp"))
+      assert(win.count() == 1440)
+      // aggregate pushdown typing (-OrNull + CAST) against real derivation
+      val agg = back.groupBy("kind").agg(count("*").as("n"),
+        min($"value").as("mn"), sum($"event_id").as("sm")).collect()
+      assert(agg.length == 5 && agg.map(_.getAs[Long]("n")).sum == 5000)
+      // empty set answers SQL NULLs, count 0
+      val empty = back.filter($"event_id" > 1000000L)
+        .agg(count("*").as("n"), min($"value").as("mn")).collect().head
+      assert(empty.getAs[Long]("n") == 0L && empty.isNullAt(1))
+    } finally ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
+  }
+
+  test("native TCP: protocol round trip; COMPRESSED round trip cross-validates CityHash128") {
+    assume(httpUrl.isDefined && tcpUrl.isDefined,
+      "CH_URL/CH_TCP_URL not set — live-server suite skipped")
+    val t = "graft_smoke_tcp"
+    // compressed INSERT: one CityHash divergence = server-side
+    // CHECKSUM_DOESNT_MATCH (code 89) on the first block, loudly
+    seed(t, tcpUrl.get, tcpCompress = true)
+    try {
+      val back = reader(t, tcpUrl.get).option("compress", "lz4").load()
+      assert(back.count() == 5000)
+      assert(back.filter($"event_id".isin(7L, 8L, 9L))
+        .collect().map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(7L, 8L, 9L))
+      // plain (uncompressed) TCP read agrees byte-for-byte
+      val plain = reader(t, tcpUrl.get).load()
+      assert(plain.agg(sum($"event_id")).collect().head.getLong(0) ==
+        back.agg(sum($"event_id")).collect().head.getLong(0))
+    } finally ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
+  }
+}
