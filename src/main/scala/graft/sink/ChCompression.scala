@@ -119,6 +119,17 @@ private[graft] object ChCompression {
             throw new java.io.IOException(
               s"LZ4 frame decompressed to $n bytes, header declared $rawSize")
           out
+        case MethodZstd =>
+          // a server configured with network_compression_method=zstd
+          // answers 0x90 frames regardless of what the client sent —
+          // accept them (zstd-jni is already on Spark's classpath)
+          val out = new Array[Byte](rawSize)
+          val n = com.github.luben.zstd.Zstd.decompressByteArray(
+            out, 0, rawSize, body, HeaderLen, compSize - HeaderLen)
+          if (com.github.luben.zstd.Zstd.isError(n) || n != rawSize)
+            throw new java.io.IOException(
+              s"ZSTD frame decompressed to $n bytes, header declared $rawSize")
+          out
         case other =>
           throw new java.io.IOException(
             f"unsupported compression method byte 0x$other%02x")

@@ -434,9 +434,12 @@ object ClickHouseReadSource {
 
   /** JDBC-style stride ranges over `partitionColumn`: numPartitions
     * predicates whose union is total (first unbounded below + IS NULL,
-    * last unbounded above) and pairwise disjoint. */
+    * last unbounded above) and pairwise disjoint. `renderLit` turns a
+    * stride bound back into SQL — identity for numeric columns,
+    * epoch-rendered constructors for temporal ones. */
   private[clickhouse] def strideRanges(col: String, lower: Long, upper: Long,
-                                       n: Int): Seq[String] = {
+                                       n: Int,
+                                       renderLit: Long => String = _.toString): Seq[String] = {
     require(n >= 1, "numPartitions must be >= 1")
     require(upper >= lower, s"upperBound $upper < lowerBound $lower")
     if (n == 1) return Seq("")
@@ -445,12 +448,55 @@ object ClickHouseReadSource {
       .filter(b => b > lower && b < upper)
     val q = qid(col)
     if (bounds.isEmpty) return Seq("")
-    val first = s"($q < ${bounds.head} OR $q IS NULL)"
+    val first = s"($q < ${renderLit(bounds.head)} OR $q IS NULL)"
     val middle = bounds.sliding(2).collect {
-      case Seq(lo, hi) => s"($q >= $lo AND $q < $hi)"
+      case Seq(lo, hi) => s"($q >= ${renderLit(lo)} AND $q < ${renderLit(hi)})"
     }.toSeq
-    val last = s"($q >= ${bounds.last})"
+    val last = s"($q >= ${renderLit(bounds.last)})"
     first +: middle :+ last
+  }
+
+  /** Parse one partition bound for the column's DECLARED type, returning
+    * the stride-arithmetic value and the literal renderer:
+    *  - DateTime/DateTime64 columns: bound text is an ISO-8601 instant
+    *    (`2024-01-01T00:00:00Z`), a UTC `yyyy-MM-dd HH:mm:ss`, or plain
+    *    epoch SECONDS; strides run in epoch micros and render via
+    *    `fromUnixTimestamp64Micro` (tz-unambiguous, like filter pushdown).
+    *  - Date/Date32 columns: `yyyy-MM-dd` (or epoch days); strides run in
+    *    days and render via `toDate32`.
+    *  - anything else: a Long, rendered verbatim (the JDBC-style path).
+    * Time IS the natural partition column of a telemetry table — without
+    * this, a time-striped parallel scan needed a numeric surrogate. */
+  private[clickhouse] def partitionBound(text: String, chType: Option[String])
+      : (Long, Long => String) = {
+    val kind = chType.map(CHType.parse).map {
+      case CHType.CHLowCardinality(i) => i
+      case CHType.CHNullable(i) => i
+      case t => t
+    }
+    kind match {
+      case Some(CHType.CHDateTime(_)) | Some(CHType.CHDateTime64(_, _)) =>
+        val micros = text.trim.toLongOption.map(_ * 1000000L).getOrElse {
+          val iso = try Some(java.time.Instant.parse(text.trim))
+            catch { case _: Exception => None }
+          val inst = iso.getOrElse(
+            try java.time.LocalDateTime.parse(text.trim.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)
+            catch { case _: Exception => throw new IllegalArgumentException(
+              s"cannot parse '$text' as a timestamp bound (ISO instant, " +
+                "UTC 'yyyy-MM-dd HH:mm:ss', or epoch seconds)") })
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(inst)
+        }
+        (micros, m => s"fromUnixTimestamp64Micro($m)")
+      case Some(CHType.CHDate) | Some(CHType.CHDate32) =>
+        val days = text.trim.toLongOption.getOrElse {
+          try java.time.LocalDate.parse(text.trim).toEpochDay
+          catch { case _: Exception => throw new IllegalArgumentException(
+            s"cannot parse '$text' as a date bound (yyyy-MM-dd or epoch days)") }
+        }
+        (days, d => s"toDate32('${java.time.LocalDate.ofEpochDay(d)}')")
+      case _ => (text.trim.toLong, (v: Long) => v.toString)
+    }
   }
 }
 
@@ -805,11 +851,16 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
     }
     val ranges = (o.get("partitioncolumn"), o.get("numpartitions")) match {
       case (Some(pc), Some(np)) =>
-        val lower = o.getOrElse("lowerbound",
-          throw new IllegalArgumentException("partitionColumn requires lowerBound")).toLong
-        val upper = o.getOrElse("upperbound",
-          throw new IllegalArgumentException("partitionColumn requires upperBound")).toLong
-        ClickHouseReadSource.strideRanges(pc, lower, upper, np.toInt)
+        val lowerText = o.getOrElse("lowerbound",
+          throw new IllegalArgumentException("partitionColumn requires lowerBound"))
+        val upperText = o.getOrElse("upperbound",
+          throw new IllegalArgumentException("partitionColumn requires upperBound"))
+        // temporal partition columns stride in epoch micros/days and
+        // render tz-unambiguous bound literals — the natural time-striped
+        // parallel scan over an events table
+        val (lower, render) = ClickHouseReadSource.partitionBound(lowerText, cols.get(pc))
+        val (upper, _) = ClickHouseReadSource.partitionBound(upperText, cols.get(pc))
+        ClickHouseReadSource.strideRanges(pc, lower, upper, np.toInt, render)
       case _ => Seq("")
     }
     val groupBy = agg.map(_.groupBy).getOrElse(Nil)

@@ -71,6 +71,26 @@ class ChCompressionSpec extends AnyFunSuite {
     assert(new String(decompress(wire.toByteArray)) == "uncompressed frame")
   }
 
+  test("ZSTD (0x90) frames from a zstd-configured server decode too") {
+    // network_compression_method=zstd makes a real server answer 0x90
+    // frames regardless of what the client sent — the reader must accept
+    val payload = ("zstd frame content " * 200).getBytes
+    val comp = com.github.luben.zstd.Zstd.compress(payload)
+    val frame = new Array[Byte](9 + comp.length)
+    frame(0) = ChCompression.MethodZstd.toByte
+    def le32(a: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => a(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    le32(frame, 1, frame.length)
+    le32(frame, 5, payload.length)
+    System.arraycopy(comp, 0, frame, 9, comp.length)
+    val (lo, hi) = CityHash102.cityHash128(frame, 0, frame.length)
+    val wire = new java.io.ByteArrayOutputStream()
+    (0 until 8).foreach(i => wire.write(((lo >>> (8 * i)) & 0xff).toInt))
+    (0 until 8).foreach(i => wire.write(((hi >>> (8 * i)) & 0xff).toInt))
+    wire.write(frame)
+    assert(java.util.Arrays.equals(decompress(wire.toByteArray), payload))
+  }
+
   test("an unknown method byte is refused, not guessed") {
     val data = "x".getBytes
     val wire = compressed(data, 1 << 20)

@@ -195,6 +195,58 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("time-striped partitioned read: temporal partitionColumn with ISO bounds") {
+    withServer { ch =>
+      ch.createTable("default", "tm_part", Seq(
+        "id" -> "Int64", "ts" -> "DateTime64(6)", "day" -> "Date"))
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      val df = (0L until 96L).map { h =>
+        (h, java.sql.Timestamp.from(base.plusSeconds(h * 3600)),
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19723 + h / 24)))
+      }.toDF("id", "ts", "day")
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "tm_part",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("ts", "ts", "DateTime64(6)"),
+          ColumnMapping("day", "day", "Date")),
+        httpFormat = "Native"))(df)
+      ch.receivedQueries.clear()
+      // a DateTime64 partition column strides in epoch micros and renders
+      // tz-unambiguous bound literals — the natural parallel scan over an
+      // events table needs no numeric surrogate column
+      val parts = reader(ch, "tm_part")
+        .option("partitionColumn", "ts")
+        .option("lowerBound", "2024-01-01T00:00:00Z")
+        .option("upperBound", "2024-01-05T00:00:00Z")
+        .option("numPartitions", "4")
+        .load()
+      assert(parts.rdd.getNumPartitions == 4)
+      // disjoint + total: every row exactly once
+      assert(parts.select("id").as[Long].collect().sorted.toSeq == (0L until 96L))
+      val sels = received(ch).filter(_.startsWith("SELECT"))
+      assert(sels.count(_.contains("fromUnixTimestamp64Micro(")) == 4,
+        sels.mkString("; "))
+      assert(sels.exists(_.contains("IS NULL")), "first range must sweep NULLs")
+      // the UTC 'yyyy-MM-dd HH:mm:ss' spelling parses to the same stripes
+      val alt = reader(ch, "tm_part")
+        .option("partitionColumn", "ts")
+        .option("lowerBound", "2024-01-01 00:00:00")
+        .option("upperBound", "2024-01-05 00:00:00")
+        .option("numPartitions", "4").load()
+      assert(alt.count() == 96)
+      // Date partition columns stride in days via toDate32
+      ch.receivedQueries.clear()
+      val byDay = reader(ch, "tm_part")
+        .option("partitionColumn", "day")
+        .option("lowerBound", "2024-01-01")
+        .option("upperBound", "2024-01-05")
+        .option("numPartitions", "4").load()
+      assert(byDay.select("id").as[Long].collect().sorted.toSeq == (0L until 96L))
+      assert(received(ch).filter(_.startsWith("SELECT"))
+        .count(_.contains("toDate32('")) == 4)
+    }
+  }
+
   test("empty projection (count) still counts rows without shipping columns") {
     withServer { ch =>
       eventsTable(ch)
