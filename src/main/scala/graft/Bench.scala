@@ -128,9 +128,17 @@ object Bench {
     val (wireRuns, wireTele) =
       if (only.isDefined) (Nil, Nil)
       else (1 to 5).map { _ =>
-        // midLoadCap 16: this leg runs 8 worker threads, self-load ≈ 10
+        // midLoadCap 28: MEASURED self-load of this leg (8 producer
+        // threads + local-mode consumers + the validating fixture + GC)
+        // reads 12-25 across healthy runs, so any cap below that floor
+        // discards healthy samples (the second r13 sweep discarded 4/5 at
+        // cap 16 while the kept runs sat within 1.37x of their median).
+        // 28 sits above the self-load ceiling and below genuine
+        // saturation storms (other tenants driving the 32-core box past
+        // its size); milder pressure stays visible as recorded
+        // load1_mid_max / busy_h1-h2 telemetry on each run.
         gated(wireDiscards, (v: Option[Double]) => v.getOrElse(-1.0),
-          midLoadCap = 16.0) {
+          midLoadCap = 28.0) {
           forkedLine("graft.WireIngestBench", Seq("2000000", "8"),
             "\"wire_ingest_throughput\"") match {
             case Left(why) =>
@@ -213,7 +221,7 @@ object Bench {
       s""""discarded_runs":{"wire":${discardsJson(wireDiscards.toSeq)},""" +
       s""""batch":${discardsJson(batchDiscards.toSeq)},""" +
       s""""streaming":${discardsJson(streamingDiscards.toSeq)}},""" +
-      """"discarded_runs_note":"forks whose telemetry showed a contended window (sys_pct > 40 -- r11: every depressed sample read 55-74% kernel time, every healthy one <= 26% -- or steal_pct > 1.5, which a leg cannot generate itself; WIRE forks additionally discard on load1_mid_max > 16 from the 500ms mid-run sampler, valid there because that leg's 8 threads self-load only ~10 of 32 cores -- the 32-thread batch/streaming legs record load1_mid_max as telemetry only, since their own work exceeds any absolute cap) are re-run ONCE; the discarded sample + its telemetry are recorded here, never silently dropped. Forks additionally wait (bounded 60 s) for box-wide non-idle CPU < 50% before starting (cpu_gate_wait_ms)",""" +
+      """"discarded_runs_note":"forks whose telemetry showed a contended window (sys_pct > 40 -- r11: every depressed sample read 55-74% kernel time, every healthy one <= 26% -- or steal_pct > 1.5, which a leg cannot generate itself; WIRE forks additionally discard on load1_mid_max > 28 from the 500ms mid-run sampler -- that leg's measured self-load (producers + consumers + validating fixture) reads 12-25 on healthy runs, so the cap sits just above it and catches only genuine box saturation; the 32-thread batch/streaming legs record load1_mid_max as telemetry only, since their own work exceeds any absolute cap) are re-run ONCE; the discarded sample + its telemetry are recorded here, never silently dropped. Forks additionally wait (bounded 60 s) for box-wide non-idle CPU < 50% before starting (cpu_gate_wait_ms)",""" +
       """"host_telemetry_note":"per forked run: /proc/stat steal/sys/idle percentages and 1-min load average sampled immediately before/after the run, plus the ms spent waiting for the previous fork's heap to return (quiesce_wait_ms; floor = MemAvailable before the first fork minus 2 GiB, 90 s timeout) and MemAvailable at fork start -- a depressed sample with high steal_pct/load is host contention, not a code regression",""" +
       """"notes":{"streaming_rows":"q_temporal_join_stream / q_sessionize_stream / q_window_hopping_stream / q_dedup_windowed_stream wall time ~= fixed local-mode micro-batch WAL/commit latency (measured the same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
       f""""ingest_events_per_sec":$headline%.0f,""" +
