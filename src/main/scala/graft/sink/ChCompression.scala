@@ -110,6 +110,13 @@ private[graft] object ChCompression {
           "compressed frame checksum mismatch (CityHash128) — refusing corrupt data")
       buf = method match {
         case MethodNone =>
+          // the declared raw size must agree with the payload extent —
+          // the checksum proves the BYTES, not the header's internal
+          // consistency, and the LZ4/ZSTD branches already enforce it
+          if (rawSize != compSize - HeaderLen)
+            throw new java.io.IOException(
+              s"uncompressed frame size mismatch: raw_size=$rawSize but " +
+                s"payload is ${compSize - HeaderLen} bytes")
           java.util.Arrays.copyOfRange(body, HeaderLen, compSize)
         case MethodLz4 =>
           val out = new Array[Byte](rawSize)

@@ -239,7 +239,7 @@ object ClickHouseNativeTcp {
                 if (rows.hasNext || cols.nonEmpty) nextBlock = Some((cols, rows))
               case SProgress => skipProgress(in, rev)
               case SProfileInfo => skipProfileInfo(in)
-              case SLog => skipServerBlock()
+              case SLog => skipServerBlockPlain()
               case STableColumns => rStr(in); rStr(in)
               case SEndOfStream => eos = true
               case SException => throw readException(in)
@@ -282,7 +282,8 @@ object ClickHouseNativeTcp {
       while (in.available() > 0) {
         rVarint(in) match {
           case SProgress => skipProgress(in, rev)
-          case SLog | SData => skipServerBlock()
+          case SLog => skipServerBlockPlain()
+          case SData => skipServerBlock()
           case SProfileInfo => skipProfileInfo(in)
           case STableColumns => rStr(in); rStr(in)
           case SException => throw readException(in)
@@ -339,7 +340,7 @@ object ClickHouseNativeTcp {
         rVarint(in) match {
           case SData => skipServerBlock(); done = true
           case SProgress => skipProgress(in, rev)
-          case SLog => skipServerBlock()
+          case SLog => skipServerBlockPlain()
           case STableColumns => rStr(in); rStr(in)
           case SException => throw readException(in)
           case other => throw new java.io.IOException(s"unexpected packet $other awaiting structure")
@@ -354,7 +355,8 @@ object ClickHouseNativeTcp {
           case SEndOfStream => done = true
           case SProgress => skipProgress(in, rev)
           case SProfileInfo => skipProfileInfo(in)
-          case SLog | SData => skipServerBlock()
+          case SLog => skipServerBlockPlain()
+          case SData => skipServerBlock()
           case SException => throw readException(in)
           case other => throw new java.io.IOException(s"unexpected packet $other awaiting EndOfStream")
         }
@@ -392,11 +394,23 @@ object ClickHouseNativeTcp {
         a
       }
 
-    /** Skip one server block (Log packets, INSERT structure blocks),
-      * external-name + compression aware. */
+    /** Skip one server DATA-family block (INSERT structure blocks,
+      * Totals/Extremes), external-name + compression aware. */
     private def skipServerBlock(): Unit = {
       if (rev >= 50264) rStr(in) // external table name
       readBlockBody { bin => skipDataBlockBody(bin, rev) }
+    }
+
+    /** Skip one server block that ALWAYS rides the plain stream: Log
+      * packets (send_logs_level) are written uncompressed by the server
+      * even when block compression is negotiated — only Data / Totals /
+      * Extremes travel on the compressed channel (the split clickhouse-go
+      * encodes as `compressible=false` for ServerLog). Reading a plain Log
+      * block through the frame reader would misparse its Native bytes as a
+      * frame header and kill the session. */
+    private def skipServerBlockPlain(): Unit = {
+      if (rev >= 50264) rStr(in) // external table name
+      skipDataBlockBody(in, rev)
     }
 
     def close(): Unit = {

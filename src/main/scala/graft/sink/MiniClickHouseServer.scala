@@ -112,6 +112,13 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
   def failNext(code: Int, message: String, times: Int = 1): Unit =
     (1 to times).foreach(_ => injected.add((code, message)))
 
+  /** [[failNext]]'s READ-path sibling: fail the next SELECT (count probes,
+    * scans) with a real CH error, on whichever transport it arrives. */
+  private val injectedSelect =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+  def failNextSelect(code: Int, message: String, times: Int = 1): Unit =
+    (1 to times).foreach(_ => injectedSelect.add((code, message)))
+
   // ---------------------------------------------------------------- handler
 
   private def handle(ex: HttpExchange): Unit =
@@ -319,6 +326,7 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     * columns or unsupported constructs — refusal over subtly-wrong. */
   private[sink] def evalSelect(query: String, settings: Map[String, String])
       : Option[(Seq[(String, String)], Seq[Map[String, Any]])] = {
+    Option(injectedSelect.poll()).foreach { case (c, m) => throw CHFault(c, m) }
     val sel = ("""(?is)^SELECT\s+(.+?)\s+FROM\s+(\S+?)\.([^\s.]+?)""" +
       """(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
       """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*$""").r

@@ -352,7 +352,12 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
     }
     if (sendLogBlockOnInsert) {
       // a Log packet is an ordinary Data block on packet code 10 — two
-      // columns, two rows, exercising both fixed-width and string skips
+      // columns, two rows, exercising both fixed-width and string skips.
+      // ALWAYS plain, even when the session negotiated compression: a
+      // real server writes Log (and ProfileEvents) blocks to the
+      // uncompressed stream — only Data/Totals/Extremes ride the
+      // compressed channel — so the fixture matching that split is what
+      // lets the round-trip test catch a client that wrongly frames them
       wVarint(out, 10L)
       wStr(out, "")
       writeBlockBody(out, rev, MiniChSelect.encodeNative(
@@ -360,7 +365,7 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
         Seq(Map("event_time" -> 1700000000000000L,
             "text" -> "MemoryTracker: peak 1.00 GiB"),
           Map("event_time" -> 1700000001000000L,
-            "text" -> "executeQuery: read 4 rows"))), compress)
+            "text" -> "executeQuery: read 4 rows"))), compress = false)
     }
     wVarint(out, 5L) // EndOfStream
     out.flush()

@@ -763,7 +763,18 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
     if (agg.isDefined ||
         opts.exists { case (k, v) => k.equalsIgnoreCase("stats") && v == "off" })
       None
-    else countCache.computeIfAbsent(whereSnapshot, w => try {
+    else Option(countCache.get(whereSnapshot)).getOrElse {
+      // only SUCCESSFUL probes memoize: caching a transient network
+      // failure as None would permanently disable row-count stats (and
+      // broadcast-join sizing) for the scan — the next Statistics
+      // request retries instead
+      val probed = probeCount(whereSnapshot)
+      if (probed.isDefined) countCache.putIfAbsent(whereSnapshot, probed)
+      probed
+    }
+
+  private def probeCount(w: Seq[String]): Option[Long] =
+    try {
       val c = ClickHouseReadSource.conf(opts)
       val conj = w.mkString(" AND ")
       val sql = "SELECT CAST(count() AS Int64) AS `cnt` FROM " +
@@ -784,7 +795,7 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
       rows.headOption.map(_.getLong(0))
         .map(n => limit.fold(n)(l =>
           math.min(n, l.toLong * math.max(1, ClickHouseReadSource.numPartitionsOf(opts)))))
-    } catch { case _: Exception => None })
+    } catch { case _: Exception => None }
 
   /** Planning-time row/byte estimate so Spark's join planning can see a
     * SMALL ClickHouse table and broadcast it instead of shuffling the big

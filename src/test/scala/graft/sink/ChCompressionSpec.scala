@@ -71,6 +71,27 @@ class ChCompressionSpec extends AnyFunSuite {
     assert(new String(decompress(wire.toByteArray)) == "uncompressed frame")
   }
 
+  test("a None frame whose raw_size disagrees with its payload extent is refused") {
+    // the checksum proves the BYTES, not the header's internal
+    // consistency — a sender bug declaring raw_size != payload length
+    // must fail as loudly as a bad LZ4/ZSTD length would
+    val payload = "size-inconsistent".getBytes
+    val frame = new Array[Byte](9 + payload.length)
+    frame(0) = ChCompression.MethodNone.toByte
+    def le32(a: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => a(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    le32(frame, 1, frame.length)
+    le32(frame, 5, payload.length + 3) // lie about the raw size
+    System.arraycopy(payload, 0, frame, 9, payload.length)
+    val (lo, hi) = CityHash102.cityHash128(frame, 0, frame.length)
+    val wire = new java.io.ByteArrayOutputStream()
+    (0 until 8).foreach(i => wire.write(((lo >>> (8 * i)) & 0xff).toInt))
+    (0 until 8).foreach(i => wire.write(((hi >>> (8 * i)) & 0xff).toInt))
+    wire.write(frame)
+    val e = intercept[java.io.IOException](decompress(wire.toByteArray))
+    assert(e.getMessage.contains("size mismatch"), e.getMessage)
+  }
+
   test("ZSTD (0x90) frames from a zstd-configured server decode too") {
     // network_compression_method=zstd makes a real server answer 0x90
     // frames regardless of what the client sent — the reader must accept

@@ -357,7 +357,11 @@ class NativeTcpSpec extends SparkSpec {
       assert(back.filter($"id" <= 10L)
         .agg(org.apache.spark.sql.functions.sum($"id")).collect().head.getLong(0) == 55L)
       assert(tcp.lastCompression == 1L)
-      // a compressed rowful Log packet (send_logs_level) skips cleanly
+      // a rowful Log packet (send_logs_level) arrives PLAIN even though
+      // the session negotiated compression — the real server writes Log
+      // blocks to the uncompressed stream while Data rides the frames;
+      // the fixture matches that split, so a client that wrongly read the
+      // Log block through the frame reader would misparse and fail here
       tcp.sendLogBlockOnInsert = true
       try ClickHouseSink.writeBatch(cfg)(Seq((9001L, "x")).toDF("id", "s"))
       finally tcp.sendLogBlockOnInsert = false

@@ -115,4 +115,29 @@ class RealClickHouseSpec extends SparkSpec {
         back.agg(sum($"event_id")).collect().head.getLong(0))
     } finally ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
   }
+
+  test("native TCP: send_logs_level + compression — Log packets ride the PLAIN stream") {
+    assume(httpUrl.isDefined && tcpUrl.isDefined,
+      "CH_URL/CH_TCP_URL not set — live-server suite skipped")
+    val t = "graft_smoke_logs"
+    ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
+    ddl(s"CREATE TABLE `$db`.`$t` (`event_id` Int64) ENGINE = MergeTree ORDER BY event_id")
+    try {
+      // a real server under send_logs_level=trace interleaves rowful Log
+      // packets with the INSERT/SELECT stream, and writes them
+      // UNCOMPRESSED even when block compression is negotiated — the one
+      // divergence a fixture can only imitate; this is the live check
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = tcpUrl.get, database = db, table = t,
+        username = user, password = pass,
+        mappings = Seq(ColumnMapping("event_id", "event_id", "Int64")),
+        tcpCompress = true,
+        httpSettings = Map("send_logs_level" -> "trace")))(
+        (1L to 100L).toDF("event_id"))
+      val back = reader(t, tcpUrl.get).option("compress", "lz4")
+        .option("settings.send_logs_level", "trace").load()
+      assert(back.count() == 100)
+      assert(back.agg(sum($"event_id")).collect().head.getLong(0) == 5050L)
+    } finally ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
+  }
 }

@@ -787,6 +787,26 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("a FAILED count() probe is retried on the next stats request, not memoized") {
+    withServer { ch =>
+      eventsTable(ch)
+      val df = reader(ch, "ev").load().filter($"id" <= 10L)
+      val scan = df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      // a transient server error at first probe answers unknown stats...
+      ch.failNextSelect(241, "Memory limit (total) exceeded")
+      assert(!scan.estimateStatistics().numRows().isPresent)
+      // ...but must NOT poison the cache: the next Statistics request
+      // re-probes and gets the exact count (the broadcast-sizing input)
+      assert(scan.estimateStatistics().numRows().getAsLong == 10)
+      // and the recovered answer memoizes as usual — no third probe
+      ch.receivedQueries.clear()
+      assert(scan.estimateStatistics().numRows().getAsLong == 10)
+      assert(!received(ch).exists(_.contains("count()")))
+    }
+  }
+
   test("planning memoization: one DESCRIBE and one count() probe per planned-and-executed query") {
     withServer { ch =>
       eventsTable(ch)
