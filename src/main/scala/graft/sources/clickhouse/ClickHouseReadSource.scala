@@ -170,13 +170,14 @@ object ClickHouseReadSource {
     // above every value (NaN > lit is TRUE), IEEE compares it false, so a
     // pushed floaty `>`/`>=` compiles with an `OR isNaN(col)` arm to keep
     // exactly the rows Spark keeps; `<`/`<=` drop NaN rows on both sides
-    // and push plain. EQUALITY of temporal literals is also refused
-    // (range-only, see lit's temporal cases): a pushed time-range scan is
-    // index-pruned server-side, while equality adds risk for zero win —
-    // a sub-second literal can never equal a coarser column anyway.
+    // and push plain. TEMPORAL equality compiles as a closed-open range
+    // (see temporalEq) — the same epoch rendering the range ops use, so
+    // it index-prunes server-side with zero re-interpretation hazard.
     case EqualTo(a, v) if !floaty(v) && !temporal(v) => binary(a, "=", v)
+    case EqualTo(a, v) if temporal(v) => temporalEq(a, v)
     case EqualNullSafe(a, null) => Some(s"${qid(a)} IS NULL")
     case EqualNullSafe(a, v) if !floaty(v) && !temporal(v) => binary(a, "=", v)
+    case EqualNullSafe(a, v) if temporal(v) => temporalEq(a, v)
     case GreaterThan(a, v) if floaty(v) => nanKeeping(a, ">", v)
     case GreaterThan(a, v) => binary(a, ">", v)
     case GreaterThanOrEqual(a, v) if floaty(v) => nanKeeping(a, ">=", v)
@@ -226,6 +227,31 @@ object ClickHouseReadSource {
     if (!plain(a)) None
     else lit(v).map(l => s"(${qid(a)} $op $l OR isNaN(${qid(a)}))")
 
+  /** Temporal EQUALITY compiles as the closed-open micro range
+    * `[v, v+1µs)` for timestamps — the same tz-unambiguous epoch
+    * rendering the range ops use, exactly equivalent at every column
+    * precision (a DateTime's whole-second value promotes exactly to
+    * micros, so only v itself can land inside a 1µs window; a sub-micro
+    * literal matches nothing on both sides). Dates carry no sub-day
+    * precision to mismatch, so they compile as plain equality on the
+    * toDate32 literal. A timestamp at the representable ceiling (v+1µs
+    * would leave the pushable range) stays Spark-side via tsLit's
+    * refusal. */
+  private def temporalEq(a: String, v: Any): Option[String] =
+    if (!plain(a)) None
+    else v match {
+      case _: java.sql.Timestamp | _: java.time.Instant =>
+        val micros = v match {
+          case t: java.sql.Timestamp =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+          case i: java.time.Instant =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+        }
+        for { lo <- tsLit(micros); hi <- tsLit(micros + 1) }
+          yield s"(${qid(a)} >= $lo AND ${qid(a)} < $hi)"
+      case _ => lit(v).map(l => s"${qid(a)} = $l") // Date / LocalDate
+    }
+
   /** Nested attributes (a.b) don't compile — dots are ambiguous between a
     * literal column name and struct access on the CH side. */
   private def plain(a: String): Boolean = !a.contains(".")
@@ -252,8 +278,8 @@ object ClickHouseReadSource {
     // bound by an hour), dates as ISO text via toDate32 (Date is tz-free).
     // This is what lets a time-range predicate — THE canonical filter over
     // an events table — prune on the server's primary-key index instead of
-    // shipping the full table extent. Range ops only (equality refused in
-    // compile); promotion DateTime→DateTime64(6) / Date→Date32 is exact
+    // shipping the full table extent. Range ops, plus equality compiled AS
+    // a range (temporalEq); promotion DateTime→DateTime64(6) / Date→Date32 is exact
     // and monotone, so pushed and unpushed agree. Literals outside the
     // DateTime64/Date32 representable range stay Spark-side — the server
     // would CLAMP them and change the predicate.

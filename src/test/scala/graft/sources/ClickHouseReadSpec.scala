@@ -556,7 +556,7 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
-  test("Date/DateTime RANGE filters push down epoch-rendered; equality stays Spark-side") {
+  test("Date/DateTime RANGE filters push down epoch-rendered; equality pushes as a closed-open range") {
     withServer { ch =>
       ch.createTable("default", "tm_t", Seq(
         "id" -> "Int64", "dt64" -> "DateTime64(6)", "dt" -> "DateTime",
@@ -600,16 +600,33 @@ class ClickHouseReadSpec extends SparkSpec {
       assert(dge.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(2L, 3L))
       assert(received(ch).filter(_.startsWith("SELECT")).last
         .contains("`day` >= toDate32('2024-03-10')"))
-      // EQUALITY stays Spark-side (refused in compile), for timestamps
-      // AND dates — results still correct via Spark's own filter
+      // timestamp EQUALITY pushes as the closed-open micro range
+      // [v, v+1µs) — same epoch rendering, index-prunable server-side
       ch.receivedQueries.clear()
       val eq = reader(ch, "tm_t").load().filter($"dt64" === boundary)
       assert(eq.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+      val eqQ = received(ch).filter(_.startsWith("SELECT")).last
+      assert(eqQ.contains(s"(`dt64` >= fromUnixTimestamp64Micro($micros) " +
+        s"AND `dt64` < fromUnixTimestamp64Micro(${micros + 1}))"), eqQ)
+      // a SUB-second equality literal against the micro column: only the
+      // exact row matches, pushed and unpushed agree
+      ch.receivedQueries.clear()
+      val sub = reader(ch, "tm_t").load()
+        .filter($"dt64" === ts("2024-03-10T06:59:59.500001Z"))
+      assert(sub.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+      assert(received(ch).filter(_.startsWith("SELECT")).last
+        .contains("fromUnixTimestamp64Micro"), received(ch).mkString("; "))
+      // the same sub-second literal against the SECOND-precision dt
+      // column matches nothing — on both the pushed and Spark side
+      assert(reader(ch, "tm_t").load()
+        .filter($"dt" === ts("2024-03-10T06:59:59.500001Z")).count() == 0)
+      // Date equality pushes plain (no sub-day precision to mismatch)
+      ch.receivedQueries.clear()
       val deq = reader(ch, "tm_t").load()
         .filter($"day" === java.sql.Date.valueOf("2024-03-10"))
       assert(deq.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
-      assert(received(ch).filter(_.startsWith("SELECT"))
-        .forall(s => !s.contains("`dt64` =") && !s.contains("`day` =")),
+      assert(received(ch).filter(_.startsWith("SELECT")).last
+        .contains("`day` = toDate32('2024-03-10')"),
         received(ch).mkString("; "))
       // a literal OUTSIDE the DateTime64 range would CLAMP server-side:
       // it must stay Spark-side
@@ -659,6 +676,13 @@ class ClickHouseReadSpec extends SparkSpec {
             .collect().map(_.getAs[Long]("id")).sorted.toSeq
           assert(pushed == unpushed, s"DST parity broke at $litText")
           assert(pushed.nonEmpty && pushed.size < 16, s"trivial bound at $litText")
+          // EQUALITY (compiled as the closed-open [v, v+1µs) range) keeps
+          // pushed/unpushed parity across the same nonexistent local hour
+          val eqPushed = reader(ch, "dst_t").load().filter($"dt64" === pred)
+            .collect().map(_.getAs[Long]("id")).sorted.toSeq
+          val eqUnpushed = local.filter($"dt64" === pred)
+            .collect().map(_.getAs[Long]("id")).sorted.toSeq
+          assert(eqPushed == eqUnpushed, s"DST equality parity broke at $litText")
         }
       } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
     }
