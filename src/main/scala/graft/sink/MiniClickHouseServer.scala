@@ -887,11 +887,71 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     }
   }
 
+  /** Decode one LC dictionary prefix+keys (an INSERT block column the
+    * client chose to ship dictionary-encoded) — a deliberately SECOND
+    * implementation of the additional-keys layout, separate from the
+    * production NativeDecoder, so the client's encoder is never validated
+    * by its own decoder. Returns the per-row values. */
+  private def readLcDictColumn(in: RowBinaryReader, inner: CHType, n: Int,
+                               col: String, retain: Boolean = true): IndexedSeq[Any] = {
+    import CHType._
+    val (base, nullable) = inner match {
+      case CHNullable(i) => (i, true)
+      case o => (o, false)
+    }
+    val version = in.i64()
+    if (version != 1L)
+      throw CHFault(50, s"LC keys-serialization version $version unsupported in column $col")
+    val flags = in.i64()
+    if ((flags & 512L) == 0L || (flags & 256L) != 0L)
+      throw CHFault(50, f"LC flags 0x$flags%x unsupported in column $col " +
+        "(additional keys without a global dictionary required)")
+    val dictSize = in.i64().toInt
+    if (dictSize <= 0 || dictSize > (1 << 26))
+      throw CHFault(50, s"implausible LC dictionary size $dictSize in column $col")
+    // the dict itself is small either way; validate-only mode still walks
+    // it value-by-value but skips materializing the n-row output
+    val dict =
+      if (retain) readNativeColumn(in, base, dictSize, col)
+      else { validateNativeColumn(in, base, dictSize, col); null }
+    val cnt = in.i64().toInt
+    if (cnt != n)
+      throw CHFault(50, s"LC keys count $cnt != block rows $n in column $col")
+    val width = (flags & 0xffL).toInt
+    def key(): Int = {
+      val k = width match {
+        case 0 => in.u8()
+        case 1 => in.i16() & 0xffff
+        case 2 => in.i32()
+        case 3 => in.i64().toInt
+        case w => throw CHFault(50, s"LC key width code $w unsupported in column $col")
+      }
+      if (k < 0 || k >= dictSize)
+        throw CHFault(117,
+          s"LC key $k outside dictionary of $dictSize entries in column $col")
+      k
+    }
+    if (retain)
+      (0 until n).map { _ =>
+        val k = key()
+        if (nullable && k == 0) null else dict(k)
+      }
+    else {
+      var i = 0
+      while (i < n) { key(); i += 1 }
+      null
+    }
+  }
+
   private def readNativeColumn(in: RowBinaryReader, t: CHType, n: Int,
                                col: String): IndexedSeq[Any] = {
     import CHType._
     t match {
-      case CHLowCardinality(inner) => readNativeColumn(in, inner, n, col)
+      // a block column DECLARED LowCardinality carries the dictionary
+      // serialization (the plain fallback declares the inner type, so it
+      // never reaches this arm); 0 rows = 0 bytes, prefix included
+      case CHLowCardinality(inner) =>
+        if (n == 0) IndexedSeq.empty else readLcDictColumn(in, inner, n, col)
       case CHNullable(inner) =>
         val mask = (0 until n).map(_ => in.u8() == 1)
         val vals = readNativeColumn(in, inner, n, col)
@@ -936,7 +996,11 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
                                    col: String): Unit = {
     import CHType._
     t match {
-      case CHLowCardinality(inner) => validateNativeColumn(in, inner, n, col)
+      // dictionary-form LC: every structural check (version, flags, dict
+      // size, keys count, per-key dictionary bounds) still fires; only the
+      // value materialization is skipped — the full decode path does both
+      case CHLowCardinality(inner) =>
+        if (n > 0) { readLcDictColumn(in, inner, n, col, retain = false); () }
       case CHNullable(inner) =>
         in.skip(n.toLong) // grouped null mask; null slots still carry defaults
         validateNativeColumn(in, inner, n, col)

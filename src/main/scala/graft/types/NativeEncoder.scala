@@ -23,10 +23,10 @@ import org.apache.spark.sql.Row
   * Native's: Nullable = null-mask bytes for all rows FIRST then inner
   * values, Array = u64 cumulative offsets then flattened inner column,
   * Map = u64 offsets then the key column then the value column.
-  * LowCardinality columns are declared and sent as their INNER type — the
-  * server converts on insert (the same conversion that lets a String
-  * block feed a LowCardinality(String) column), which sidesteps LC's
-  * dictionary serialization version handshake entirely.
+  * Top-level LowCardinality columns DICTIONARY-encode when that is
+  * measurably smaller on the wire (see [[LowCardinalityWriter]]) and
+  * otherwise fall back to the inner-type form the server converts on
+  * insert; nested LC always sends as inner.
   *
   * Poison-row support: [[BlockBuilder.tryAppend]] appends one row across
   * all column writers atomically — every writer marks its buffer
@@ -41,6 +41,8 @@ object NativeEncoder {
   private final class Buf extends java.io.ByteArrayOutputStream(1 << 10) {
     def position: Int = count
     def truncate(n: Int): Unit = { count = n }
+    /** Zero-copy view of the backing array (valid up to [[position]]). */
+    def backing: Array[Byte] = buf
   }
 
   private sealed trait ColWriter {
@@ -51,6 +53,9 @@ object NativeEncoder {
     def rollback(): Unit
     def byteSize: Long
     def writeTo(out: java.io.OutputStream): Unit
+    /** Block-header type text when this writer's chosen encoding differs
+      * from the static [[wireType]] default (LC dictionary form). */
+    def declaredType: Option[String] = None
   }
 
   /** All scalar CH types share RowBinary's per-value layout; contiguous
@@ -154,13 +159,137 @@ object NativeEncoder {
     def writeTo(out: java.io.OutputStream): Unit = elems.foreach(_.writeTo(out))
   }
 
+  /** Dictionary-encoding writer for a TOP-LEVEL LowCardinality column —
+    * the write side of the additional-keys serialization
+    * [[NativeDecoder]] reads (reference behavior: clickhouse-go ships LC
+    * batch columns dictionary-encoded; internal/batch/clickhouse/batch.go
+    * feeds the driver's LC column type). Values enter the dictionary at
+    * FIRST SIGHT, so a value fault still throws inside tryAppend and the
+    * poison row rolls back cleanly (keys, new dict entries and their
+    * bytes all truncate).
+    *
+    * At build time the writer emits WHICHEVER form is smaller on the
+    * wire, measured exactly from what it accumulated: the dictionary
+    * form (u64 version=1, u64 flags = key-width | HasAdditionalKeys,
+    * u64 dict size, dict column in the inner type with index 0 the
+    * default/NULL slot, u64 keys count, narrow keys; declared
+    * LowCardinality) or the plain inner form (per-row values, server
+    * converts on insert — the pre-r14 behavior). A genuinely
+    * low-cardinality column therefore ships one small dictionary plus
+    * u8/u16 keys — at 100 TB the difference between shipping every
+    * string of an `event_type` column and shipping it once per block —
+    * while a mistyped all-distinct column falls back to plain and never
+    * pays dictionary + key overhead. */
+  private final class LowCardinalityWriter(inner: CHType) extends ColWriter {
+    private val (base, nullable) = inner match {
+      case CHType.CHNullable(i) => (i, true)
+      case o => (o, false)
+    }
+    private val dictBuf = new Buf
+    /** End offset in dictBuf of each dictionary entry (slot 0 included). */
+    private val entryEnds = new scala.collection.mutable.ArrayBuffer[Int]()
+    private val idxOf = new java.util.HashMap[Any, Integer]()
+    private val keys = new scala.collection.mutable.ArrayBuffer[Int]()
+    /** What the plain (non-dictionary) inner form's VALUE bytes would
+      * total — tracked exactly so the build-time choice is measured, not
+      * guessed. */
+    private var plainValueBytes = 0L
+    locally {
+      // slot 0: the inner type's default value — the NULL slot when the
+      // inner is Nullable, an ordinary placeholder otherwise (keys from
+      // this writer only reference it for null/default rows)
+      RowBinaryEncoder.writeValue(dictBuf, base, null)
+      entryEnds += dictBuf.position
+    }
+    private var mKeys = 0
+    private var mEntries = 1
+    private var mDictBuf = 0
+    def append(v: Any): Unit = {
+      val k =
+        if (v == null) 0
+        else {
+          val existing = idxOf.get(v)
+          if (existing != null) existing.intValue()
+          else {
+            // encode BEFORE registering: a value fault leaves no entry
+            RowBinaryEncoder.writeValue(dictBuf, base, v)
+            val id = entryEnds.size
+            entryEnds += dictBuf.position
+            idxOf.put(v, id)
+            id
+          }
+        }
+      keys += k
+      plainValueBytes += entryBytes(k)
+    }
+    private def entryBytes(k: Int): Long =
+      (entryEnds(k) - (if (k == 0) 0 else entryEnds(k - 1))).toLong
+    def mark(): Unit = {
+      mKeys = keys.size; mEntries = entryEnds.size; mDictBuf = dictBuf.position
+    }
+    def rollback(): Unit = {
+      (mKeys until keys.size).foreach(i => plainValueBytes -= entryBytes(keys(i)))
+      keys.remove(mKeys, keys.size - mKeys)
+      if (entryEnds.size > mEntries) {
+        val it = idxOf.entrySet().iterator()
+        while (it.hasNext) if (it.next().getValue >= mEntries) it.remove()
+        entryEnds.remove(mEntries, entryEnds.size - mEntries)
+      }
+      dictBuf.truncate(mDictBuf)
+    }
+    private def widthCode: Int =
+      if (entryEnds.size <= 0xff) 0 else if (entryEnds.size <= 0xffff) 1 else 2
+    /** Dictionary-form wire bytes: 4 u64 header/count words + dict + keys. */
+    private def dictFormBytes: Long =
+      32L + dictBuf.position + keys.size.toLong * (1 << widthCode)
+    private def plainFormBytes: Long =
+      (if (nullable) keys.size.toLong else 0L) + plainValueBytes
+    private def useDict: Boolean = dictFormBytes < plainFormBytes
+    def byteSize: Long = math.min(dictFormBytes, plainFormBytes)
+    override def declaredType: Option[String] =
+      if (useDict) Some(s"LowCardinality(${wireType(inner)})") else None
+    def writeTo(out: java.io.OutputStream): Unit = {
+      if (keys.isEmpty) return // 0-row blocks carry NO LC bytes, prefix included
+      if (useDict) {
+        val w = widthCode
+        u64o(out, 1L) // keys-serialization version (additional keys)
+        u64o(out, 512L | w.toLong) // HasAdditionalKeys | key width code
+        u64o(out, entryEnds.size.toLong)
+        out.write(dictBuf.backing, 0, dictBuf.position)
+        u64o(out, keys.size.toLong)
+        keys.foreach { k =>
+          var i = 0
+          while (i < (1 << w)) { out.write((k >>> (8 * i)) & 0xff); i += 1 }
+        }
+      } else {
+        // plain inner form: expand each key back to its entry's bytes
+        // (declared as the inner type; the server converts on insert)
+        if (nullable) keys.foreach(k => out.write(if (k == 0) 1 else 0))
+        keys.foreach { k =>
+          val start = if (k == 0) 0 else entryEnds(k - 1)
+          out.write(dictBuf.backing, start, entryEnds(k) - start)
+        }
+      }
+    }
+  }
+
   private def writerFor(t: CHType): ColWriter = t match {
-    case CHType.CHLowCardinality(inner) => writerFor(inner) // sent as inner
+    case CHType.CHLowCardinality(inner) => writerFor(inner) // nested LC: as inner
     case CHType.CHNullable(inner) => new NullableWriter(writerFor(inner))
     case CHType.CHArray(inner) => new ArrayWriter(writerFor(inner))
     case CHType.CHMap(k, v) => new MapWriter(v, writerFor(k), writerFor(v))
     case CHType.CHTuple(elems) => new TupleWriter(elems.map(e => writerFor(e._2)))
     case scalar => new ScalarWriter(scalar)
+  }
+
+  /** Top-level column writer: only here does LC get its dictionary
+    * writer — LC nested inside Array/Map/Tuple keeps the send-as-inner
+    * conversion (nested LC has its own per-granule serialization streams
+    * server-side; declaring the flattened inner type is the documented
+    * safe form for an INSERT block). */
+  private def topWriterFor(t: CHType): ColWriter = t match {
+    case CHType.CHLowCardinality(inner) => new LowCardinalityWriter(inner)
+    case other => writerFor(other)
   }
 
   /** The type text the block header declares for a column: LowCardinality
@@ -181,7 +310,7 @@ object NativeEncoder {
   /** Incremental one-block builder: append rows until [[rowCount]] /
     * [[byteSize]] trips the caller's slab bound, then [[build]] and POST. */
   final class BlockBuilder(names: Seq[String], types: Seq[CHType]) {
-    private val writers = types.map(writerFor).toArray
+    private val writers = types.map(topWriterFor).toArray
     private var rows = 0
     def rowCount: Int = rows
     def byteSize: Long = writers.foldLeft(0L)(_ + _.byteSize)
@@ -212,7 +341,9 @@ object NativeEncoder {
       var i = 0
       while (i < names.length) {
         str(out, names(i))
-        str(out, wireType(types(i)))
+        // an LC writer that chose dictionary form declares LowCardinality;
+        // every other column declares the static wire type
+        str(out, writers(i).declaredType.getOrElse(wireType(types(i))))
         writers(i).writeTo(out)
         i += 1
       }
@@ -241,6 +372,11 @@ object NativeEncoder {
   }
 
   private def u64(out: Buf, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def u64o(out: java.io.OutputStream, v: Long): Unit = {
     var i = 0
     while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
   }

@@ -192,4 +192,107 @@ class NativeDecodeGuardSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("refusing to decode"), err.getMessage)
   }
+
+  // ------------------------------------------------ LC dictionary ENCODE
+
+  import graft.types.NativeEncoder
+  import org.apache.spark.sql.Row
+
+  private def lcBlock(chType: String, vals: Seq[Any]): Array[Byte] = {
+    val b = new NativeEncoder.BlockBuilder(Seq("t"), Seq(CHType.parse(chType)))
+    vals.foreach(v => b.tryAppend(Row(v)).foreach(e => fail(s"append rejected: $e")))
+    b.build()
+  }
+
+  test("LC ENCODE: dictionary form round-trips through the production decoder AND the fixture") {
+    // 10k rows over 3 distinct values: the encoder must pick dictionary
+    // form (one dict + u8 keys) and BOTH decoders must agree on values
+    val vals = (0 until 10000).map(i => s"kind${i % 3}")
+    val body = lcBlock("LowCardinality(String)", vals)
+    // header declares LC (dictionary form chosen)
+    assert(new String(body, "UTF-8").contains("LowCardinality(String)"))
+    // production decoder
+    val rows = decodeAll(body, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    assert(rows.size == 10000)
+    assert(rows.zipWithIndex.forall { case (r, i) =>
+      r.getUTF8String(0).toString == s"kind${i % 3}" })
+    // fixture decoder — the independent second implementation — via a
+    // real INSERT into the brain
+    val brain = new MiniClickHouseServer()
+    brain.createTable("default", "lc_enc", Seq("t" -> "LowCardinality(String)"))
+    brain.insertNativeBlock("default", "lc_enc", Seq("t"), body)
+    val stored = brain.rows("default", "lc_enc")
+    assert(stored.size == 10000)
+    assert(stored.zipWithIndex.forall { case (m, i) => m("t") == s"kind${i % 3}" })
+    // wire-bytes assert: the dictionary form is far under the plain form
+    val plain = lcBlock("String", vals)
+    assert(body.length * 5 < plain.length,
+      s"dict ${body.length}B should be well under plain ${plain.length}B")
+  }
+
+  test("LC ENCODE: an all-distinct column falls back to the plain inner form") {
+    val vals = (0 until 2000).map(i => s"unique-value-$i-${"x" * 20}")
+    val body = lcBlock("LowCardinality(String)", vals)
+    val header = new String(body.take(64), "UTF-8")
+    assert(!header.contains("LowCardinality"),
+      s"all-distinct column must declare the inner type, got: $header")
+    // and it still decodes (server-converts path, like pre-r14 blocks)
+    val rows = decodeAll(body, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    assert(rows.zipWithIndex.forall { case (r, i) =>
+      r.getUTF8String(0).toString == vals(i) })
+  }
+
+  test("LC ENCODE: Nullable inner — index 0 is the NULL slot, empty string stays its own entry") {
+    // enough rows that the size heuristic picks dictionary form (a
+    // 6-row block correctly stays plain — dict overhead wouldn't pay)
+    val cycle = Seq("alpha", null, "", "alpha", null, "beta")
+    val vals = Seq.tabulate(600)(i => cycle(i % 6))
+    val body = lcBlock("LowCardinality(Nullable(String))", vals)
+    assert(new String(body, "UTF-8").contains("LowCardinality(Nullable(String))"))
+    val rows = decodeAll(body,
+      Seq("t" -> CHType.parse("LowCardinality(Nullable(String))")))
+    assert(rows(0).getUTF8String(0).toString == "alpha")
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getUTF8String(0).toString == "",
+      "a real empty string must NOT decode as NULL")
+    assert(rows(3).getUTF8String(0).toString == "alpha")
+    assert(rows(4).isNullAt(0))
+    assert(rows(5).getUTF8String(0).toString == "beta")
+    assert(rows.size == 600)
+    // the fixture agrees
+    val brain = new MiniClickHouseServer()
+    brain.createTable("default", "lc_n", Seq("t" -> "LowCardinality(Nullable(String))"))
+    brain.insertNativeBlock("default", "lc_n", Seq("t"), body)
+    assert(brain.rows("default", "lc_n").take(6).map(_("t")) ==
+      Seq("alpha", null, "", "alpha", null, "beta"))
+    // and the tiny-block case stays plain yet value-identical
+    val small = lcBlock("LowCardinality(Nullable(String))", cycle)
+    assert(!new String(small, "UTF-8").contains("LowCardinality"))
+    val smallRows = decodeAll(small,
+      Seq("t" -> CHType.parse("LowCardinality(Nullable(String))")))
+    assert(smallRows(1).isNullAt(0) && smallRows(2).getUTF8String(0).toString == "")
+  }
+
+  test("LC ENCODE: >255 distinct but repetitive values widen the keys to u16 and round-trip") {
+    val vals = (0 until 4000).map(i => s"v${i % 600}")
+    val body = lcBlock("LowCardinality(String)", vals)
+    assert(new String(body, "UTF-8").contains("LowCardinality(String)"))
+    val rows = decodeAll(body, Seq("t" -> CHType.parse("LowCardinality(String)")))
+    assert(rows.zipWithIndex.forall { case (r, i) =>
+      r.getUTF8String(0).toString == s"v${i % 600}" })
+  }
+
+  test("LC ENCODE: a poison row rolls back its dictionary entry, not just its key") {
+    val t = CHType.parse("LowCardinality(FixedString(2))")
+    val b = new NativeEncoder.BlockBuilder(Seq("t"), Seq(t))
+    assert(b.tryAppend(Row("aa")).isEmpty)
+    // overlong FixedString value: the row must reject and leave NO trace
+    assert(b.tryAppend(Row("zzz")).isDefined)
+    assert(b.tryAppend(Row("bb")).isEmpty)
+    assert(b.tryAppend(Row("aa")).isEmpty)
+    assert(b.rowCount == 3)
+    val rows = decodeAll(b.build(),
+      Seq("t" -> CHType.parse("LowCardinality(FixedString(2))")))
+    assert(rows.map(_.getUTF8String(0).toString) == Vector("aa", "bb", "aa"))
+  }
 }
