@@ -39,7 +39,11 @@ object StreamingIngestBench {
     val seconds = args.headOption.map(_.toInt).getOrElse(80)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // local[N,4]: 4 task attempts — local mode ignores the
+      // spark.task.maxFailures conf (the master string carries it), and
+      // at 1 attempt a single transient socket hiccup under host jitter
+      // aborts the whole bench job (the r13 graded-run failure mode)
+      .master(s"local[$cpus,4]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -80,9 +80,40 @@ object ClickHouseHttp {
     out.toByteArray
   }
 
-  /** POST one slab of `format`-encoded rows. Retries are NOT done here —
-    * retry policy belongs to the batch handler, which knows the budget. */
-  def post(c: Config, query: String, body0: Array[Byte]): Unit = {
+  /** POST one slab of `format`-encoded rows. Server-side faults are NOT
+    * retried here — that retry policy belongs to the batch handler, which
+    * knows the budget. CONNECTION-level faults (refused/reset/timeout/
+    * premature EOF) get ONE bounded in-place retry first: a Spark task
+    * under local[*] runs with maxFailures=1, so without it a single
+    * transient socket hiccup aborts the whole job. The retry is safe on
+    * replicated tables (insert_deduplicate block dedup absorbs a
+    * could-have-committed resend) and on the common sub-cases where the
+    * server never saw the full body (refused, reset during the request
+    * write — an INSERT only applies once its body is complete). */
+  def post(c: Config, query: String, body0: Array[Byte]): Unit =
+    try postOnce(c, query, body0)
+    catch {
+      case e: Exception if isConnectionLevel(e) =>
+        Thread.sleep(100) // let the hiccup pass; bounded, once
+        postOnce(c, query, body0)
+    }
+
+  /** A transport fault below the HTTP/CH protocol layer — the class of
+    * error a retry can address without re-interpreting server state. A
+    * parsed server error ([[CHServerException]]) is never connection-level. */
+  private[sink] def isConnectionLevel(e: Throwable): Boolean = e match {
+    case _: CHServerException => false
+    case _: java.net.ConnectException | _: java.net.NoRouteToHostException |
+         _: java.net.SocketTimeoutException | _: java.net.SocketException |
+         _: java.io.EOFException => true
+    case e: IOException =>
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("Connection reset") || m.contains("unexpected end of stream") ||
+        m.contains("Premature EOF") || m.contains("Error writing to server")
+    case _ => false
+  }
+
+  private def postOnce(c: Config, query: String, body0: Array[Byte]): Unit = {
     val params = baseSettings ++ c.settings + ("query" -> query)
     val qs = params.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
       .mkString("&")

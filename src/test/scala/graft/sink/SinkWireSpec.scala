@@ -998,4 +998,78 @@ class SinkWireSpec extends SparkSpec {
       }
     }
   }
+
+  test("a one-shot connection fault mid-INSERT retries in place: job completes, rows land exactly once") {
+    withServer() { ch =>
+      ch.createTable("default", "ev_cl", Seq("id" -> "Int64", "s" -> "String"))
+      val chPort = ch.endpoint.split(':').last.toInt
+      // one-shot KILLING PROXY between the sink and the fixture: the first
+      // connection is aborted with an RST after the client starts writing
+      // (a pure transport fault — the fixture never sees the body, so a
+      // commit cannot have happened); every later connection pipes through
+      val proxy = new java.net.ServerSocket(0, 8,
+        java.net.InetAddress.getLoopbackAddress)
+      val killed = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var first = true
+      def pipe(a: java.io.InputStream, b: java.io.OutputStream): Thread = {
+        val t = new Thread(() => {
+          try {
+            val buf = new Array[Byte](8192)
+            var n = a.read(buf)
+            while (n >= 0) { b.write(buf, 0, n); b.flush(); n = a.read(buf) }
+          } catch { case _: Exception => () }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      val acceptor = new Thread(() => {
+        while (!proxy.isClosed) {
+          try {
+            val s = proxy.accept()
+            if (first) {
+              first = false
+              val t = new Thread(() => {
+                try {
+                  s.getInputStream.read(new Array[Byte](256)) // let the POST start
+                  s.setSoLinger(true, 0) // RST, not FIN: a hard reset
+                  s.close()
+                  killed.incrementAndGet()
+                } catch { case _: Exception => () }
+              })
+              t.setDaemon(true); t.start()
+            } else {
+              val up = new java.net.Socket("127.0.0.1", chPort)
+              pipe(s.getInputStream, up.getOutputStream)
+              pipe(up.getInputStream, s.getOutputStream)
+            }
+          } catch { case _: Exception => () } // closed during cleanup
+        }
+      })
+      acceptor.setDaemon(true); acceptor.start()
+      try {
+        val c = ClickHouseSink.Config(
+          url = s"http://127.0.0.1:${proxy.getLocalPort}", database = "default",
+          table = "ev_cl", mappings = Seq(ColumnMapping("id", "id", "Int64"),
+            ColumnMapping("s", "s", "String")))
+        // must complete WITHOUT the engine-level retry loop: the bounded
+        // in-place retry inside post() absorbs the transport fault
+        ClickHouseSink.writeBatch(c)(
+          (1L to 50L).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1))
+        assert(killed.get == 1, "the proxy never killed a connection — test is vacuous")
+        assert(ch.rowCount("default", "ev_cl") == 50, "rows must land exactly once")
+        assert(ch.rows("default", "ev_cl").map(_("id")).toSet.size == 50)
+      } finally proxy.close()
+    }
+  }
+
+  test("isConnectionLevel: transport faults retry, parsed server errors never do") {
+    import ClickHouseHttp.isConnectionLevel
+    assert(isConnectionLevel(new java.net.ConnectException("Connection refused")))
+    assert(isConnectionLevel(new java.net.SocketException("Connection reset")))
+    assert(isConnectionLevel(new java.net.SocketTimeoutException("connect timed out")))
+    assert(isConnectionLevel(new java.io.EOFException()))
+    assert(isConnectionLevel(new java.io.IOException("unexpected end of stream on ...")))
+    assert(!isConnectionLevel(ClickHouseHttp.CHServerException(241, "Memory limit exceeded")))
+    assert(!isConnectionLevel(new IllegalArgumentException("bad value")))
+    assert(!isConnectionLevel(new java.io.IOException("some other io problem")))
+  }
 }
