@@ -4,6 +4,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputSt
 import java.net.{InetAddress, ServerSocket, Socket}
 
 import ClickHouseNativeTcp._
+import MiniClickHouseTcpServer.FxFrames
 
 /** ClickHouse NATIVE TCP protocol fixture — the :9000 wire the reference's
   * clickhouse-go driver dials (internal/client/clickhouse.go). Speaks the
@@ -496,6 +497,9 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
     else t
   }
 
+}
+
+object MiniClickHouseTcpServer {
   /** FIXTURE-SIDE compressed-frame codec — deliberately a SECOND
     * implementation of the frame layout (header offsets,
     * size-includes-header, checksum coverage), separate from the
@@ -503,8 +507,10 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
     * cannot round-trip invisibly. Only the [[CityHash102]] hash itself is
     * shared (single implementation; its validation note applies).
     * Fixture frames carry at most 64 KiB raw so ordinary-sized tests
-    * exercise MULTI-frame blocks, not just single-frame ones. */
-  private object FxFrames {
+    * exercise MULTI-frame blocks, not just single-frame ones.
+    * private[sink] so the cross-codec property fuzz (ChCompressionSpec)
+    * can drive production-compress → fixture-decode and vice versa. */
+  private[sink] object FxFrames {
     import MiniClickHouseServer.CHFault
     private val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
     private val FrameRaw = 64 * 1024

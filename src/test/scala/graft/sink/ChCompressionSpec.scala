@@ -129,6 +129,58 @@ class ChCompressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("method"), e.getMessage)
   }
 
+  private def fxDecompress(wire: Array[Byte]): Array[Byte] = {
+    val r = new MiniClickHouseTcpServer.FxFrames.Reader(
+      new java.io.ByteArrayInputStream(wire))
+    val got = r.readAllBytes()
+    assert(r.leftover == 0)
+    got
+  }
+
+  private def fxCompressed(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    MiniClickHouseTcpServer.FxFrames.write(data, out, corruptFirst = false)
+    out.toByteArray
+  }
+
+  test("CROSS-CODEC frame-boundary fuzz: production and fixture codecs agree on 1k+ random payloads") {
+    // the two codecs are deliberately independent implementations of the
+    // same public frame layout; driving each one's output through the
+    // OTHER's reader is the strongest in-sandbox check the layout has —
+    // a framing mistake (off-by-one header math, boundary split bug)
+    // cannot round-trip invisibly through a second implementation.
+    val rnd = new scala.util.Random(1402)
+    // deterministic boundary cases at the PRODUCTION frame cap: empty,
+    // one byte, cap-1 / cap / cap+1 (the exact split points), two frames
+    // + tail
+    val cap = ChCompression.MaxFrameRaw
+    val boundaries = Seq(0, 1, 9, cap - 1, cap, cap + 1, 2 * cap, 2 * cap + 17)
+    for (n <- boundaries) {
+      val data = new Array[Byte](n)
+      rnd.nextBytes(data)
+      assert(java.util.Arrays.equals(fxDecompress(compressed(data, cap)), data),
+        s"production->fixture broke at boundary n=$n")
+      assert(java.util.Arrays.equals(decompress(fxCompressed(data)), data),
+        s"fixture->production broke at boundary n=$n")
+    }
+    // 1000 random cases: size, content class (compressible text vs
+    // incompressible noise), and the production frame size all vary —
+    // the fixture's 64 KiB frames stay fixed, so frame boundaries land
+    // at DIFFERENT offsets on the two legs of every case
+    for (i <- 0 until 1000) {
+      val n = rnd.nextInt(192 * 1024)
+      val data =
+        if (rnd.nextBoolean()) {
+          val d = new Array[Byte](n); rnd.nextBytes(d); d
+        } else Array.fill(n)(('a' + rnd.nextInt(4)).toByte)
+      val frameRaw = 1 + rnd.nextInt(96 * 1024)
+      assert(java.util.Arrays.equals(fxDecompress(compressed(data, frameRaw)), data),
+        s"production(frameRaw=$frameRaw)->fixture broke at case $i (n=$n)")
+      assert(java.util.Arrays.equals(decompress(fxCompressed(data)), data),
+        s"fixture->production broke at case $i (n=$n)")
+    }
+  }
+
   test("CityHash128 v1.0.2 port: every length regime is exercised, deterministic, collision-free here") {
     val rnd = new scala.util.Random(7)
     val data = new Array[Byte](1024)
