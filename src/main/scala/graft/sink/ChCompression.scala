@@ -39,28 +39,53 @@ private[graft] object ChCompression {
 
   /** LZ4-compress `data` as one or more frames onto `out`. */
   def compress(data: Array[Byte], out: OutputStream): Unit =
-    compress(data, out, MaxFrameRaw)
+    compress(data, out, MaxFrameRaw, MethodLz4)
+
+  /** Compress `data` as one or more frames of `method` (0x82 LZ4 —
+    * the default everywhere — or 0x90 ZSTD, the server's
+    * `network_compression_method=zstd` codec; level 1, matching the
+    * server's default zstd level for network frames). Distinct name: an
+    * Int overload of compress would be ambiguous with the frame-size
+    * test hook below. */
+  def compressAs(data: Array[Byte], out: OutputStream, method: Int): Unit =
+    compress(data, out, MaxFrameRaw, method)
 
   private[sink] def compress(data: Array[Byte], out: OutputStream,
-                             frameRaw: Int): Unit = {
+                             frameRaw: Int, method: Int = MethodLz4): Unit = {
     var off = 0
     // an empty block still ships one (empty) frame: the receiving side
     // frames its reads per block, so "no bytes" must still be a frame
     do {
       val n = math.min(frameRaw, data.length - off)
-      val comp = lz4.fastCompressor()
-      val max = comp.maxCompressedLength(n)
-      val frame = new Array[Byte](HeaderLen + max)
-      val compLen = comp.compress(data, off, n, frame, HeaderLen, max)
-      frame(0) = MethodLz4.toByte
-      putIntLE(frame, 1, HeaderLen + compLen)
+      val frame = method match {
+        case MethodLz4 =>
+          val comp = lz4.fastCompressor()
+          val max = comp.maxCompressedLength(n)
+          val f = new Array[Byte](HeaderLen + max)
+          val compLen = comp.compress(data, off, n, f, HeaderLen, max)
+          java.util.Arrays.copyOf(f, HeaderLen + compLen)
+        case MethodZstd =>
+          val max = com.github.luben.zstd.Zstd.compressBound(n.toLong).toInt
+          val f = new Array[Byte](HeaderLen + max)
+          val compLen = com.github.luben.zstd.Zstd.compressByteArray(
+            f, HeaderLen, max, data, off, n, 1)
+          if (com.github.luben.zstd.Zstd.isError(compLen))
+            throw new java.io.IOException(
+              s"ZSTD compression failed: ${com.github.luben.zstd.Zstd.getErrorName(compLen)}")
+          java.util.Arrays.copyOf(f, HeaderLen + compLen.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            f"unsupported compression method byte 0x$other%02x")
+      }
+      frame(0) = method.toByte
+      putIntLE(frame, 1, frame.length)
       putIntLE(frame, 5, n)
-      val (lo, hi) = CityHash102.cityHash128(frame, 0, HeaderLen + compLen)
+      val (lo, hi) = CityHash102.cityHash128(frame, 0, frame.length)
       val sum = new Array[Byte](16)
       putLongLE(sum, 0, lo)
       putLongLE(sum, 8, hi)
       out.write(sum)
-      out.write(frame, 0, HeaderLen + compLen)
+      out.write(frame, 0, frame.length)
       off += n
     } while (off < data.length)
   }

@@ -75,12 +75,17 @@ object ClickHouseNativeTcp {
         * same config surface as the Kafka leg (base64-PEM root CA, mTLS
         * cert/key, skip-verify). */
       tls: Option[graft.sources.kafka.WireClient.TlsConfig] = None,
-      /** LZ4-compress the data stream both ways (the documented native
-        * compression: CityHash128-checksummed frames, method 0x82).
-        * Opt-in until the checksum implementation has been validated
-        * against a real server (see [[CityHash102]]'s validation note);
-        * at scale it is the 3-5× wire-bandwidth lever. */
+      /** Compress the data stream both ways (the documented native
+        * compression: CityHash128-checksummed frames). Opt-in until the
+        * checksum implementation has been validated against a real server
+        * (see [[CityHash102]]'s validation note); at scale it is the
+        * 3-5× wire-bandwidth lever. */
       compress: Boolean = false,
+      /** Frame codec for the blocks THIS client writes: 0x82 LZ4 (the
+        * default everywhere) or 0x90 ZSTD. The server always answers in
+        * its OWN configured codec (`network_compression_method`) — the
+        * frame reader accepts both regardless of this setting. */
+      compressMethod: Int = ChCompression.MethodLz4,
       /** Declared CH type per destination column (drives the encoder). */
       columnTypes: Map[String, String] = Map.empty,
       /** Rows per Native block (one framed Data packet each). */
@@ -102,6 +107,9 @@ object ClickHouseNativeTcp {
     Config(host, port, database = c.database, table = c.table,
       username = c.username, password = c.password, settings = c.httpSettings,
       compress = c.tcpCompress,
+      compressMethod =
+        if (c.tcpCompressMethod.equalsIgnoreCase("zstd")) ChCompression.MethodZstd
+        else ChCompression.MethodLz4,
       tls = if (secure) Some(graft.sources.kafka.WireClient.TlsConfig(
         rootCaPemB64 = c.tlsRootCaPemB64, skipVerify = c.tlsSkipVerify))
       else None,
@@ -372,7 +380,7 @@ object ClickHouseNativeTcp {
         val raw = new java.io.ByteArrayOutputStream(payload.length + 16)
         writeBlockInfo(raw, rev)
         raw.write(payload, 0, payload.length)
-        ChCompression.compress(raw.toByteArray, out)
+        ChCompression.compressAs(raw.toByteArray, out, c.compressMethod)
       } else {
         writeBlockInfo(out, rev)
         out.write(payload, 0, payload.length)

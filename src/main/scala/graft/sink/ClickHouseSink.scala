@@ -43,9 +43,12 @@ object ClickHouseSink {
       * root CA, or skip-verify — the HTTP leg gets TLS via https URLs. */
     tlsRootCaPemB64: Option[String] = None,
     tlsSkipVerify: Boolean = false,
-    /** LZ4-compress the native TCP data stream (tcp:// / tcps:// URLs
+    /** Compress the native TCP data stream (tcp:// / tcps:// URLs
       * only; the HTTP leg compresses via httpCompress/gzip). */
-    tcpCompress: Boolean = false)
+    tcpCompress: Boolean = false,
+    /** Frame codec for client-written blocks: "lz4" (default) or "zstd"
+      * (the server's network_compression_method=zstd codec). */
+    tcpCompressMethod: String = "lz4")
 
   /** `INSERT INTO db.table (c1, c2, ...)` column list — deterministic order
     * from the mapping config (reference clickhouse.go:701-718). */

@@ -294,6 +294,14 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
       a
     }
 
+  /** The codec this server answers WITH — like a real server it follows
+    * its (per-query-settable) network_compression_method, independent of
+    * whatever codec the client's frames used. */
+  private def responseMethod: Int =
+    if (lastSettings.get("network_compression_method")
+        .exists(_.equalsIgnoreCase("zstd"))) 0x90
+    else 0x82
+
   /** Write one block BODY (info + columns), plain or framed. */
   private def writeBlockBody(out: OutputStream, rev: Long, body: Array[Byte],
                              compress: Boolean): Unit =
@@ -303,7 +311,7 @@ final class MiniClickHouseTcpServer(val http: MiniClickHouseServer,
       raw.write(body, 0, body.length)
       val corrupt = corruptNextCompressedFrame
       corruptNextCompressedFrame = false
-      FxFrames.write(raw.toByteArray, out, corrupt)
+      FxFrames.write(raw.toByteArray, out, corrupt, responseMethod)
     } else {
       writeBlockInfo(out, rev)
       out.write(body, 0, body.length)
@@ -515,15 +523,28 @@ object MiniClickHouseTcpServer {
     private val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
     private val FrameRaw = 64 * 1024
 
-    def write(raw: Array[Byte], out: OutputStream, corruptFirst: Boolean): Unit = {
+    def write(raw: Array[Byte], out: OutputStream, corruptFirst: Boolean,
+              method: Int = 0x82): Unit = {
       var off = 0
       var first = true
       do {
         val n = math.min(FrameRaw, raw.length - off)
-        val comp = lz4.fastCompressor()
-        val frame = new Array[Byte](9 + comp.maxCompressedLength(math.max(n, 1)))
-        val cn = comp.compress(raw, off, n, frame, 9, frame.length - 9)
-        frame(0) = 0x82.toByte // LZ4
+        val (frame, cn) = method match {
+          case 0x82 =>
+            val comp = lz4.fastCompressor()
+            val f = new Array[Byte](9 + comp.maxCompressedLength(math.max(n, 1)))
+            (f, comp.compress(raw, off, n, f, 9, f.length - 9))
+          case 0x90 =>
+            val max = com.github.luben.zstd.Zstd.compressBound(n.toLong).toInt
+            val f = new Array[Byte](9 + math.max(max, 1))
+            val k = com.github.luben.zstd.Zstd.compressByteArray(
+              f, 9, f.length - 9, raw, off, n, 1)
+            if (com.github.luben.zstd.Zstd.isError(k))
+              throw new java.io.IOException("fixture zstd compress failed")
+            (f, k.toInt)
+          case m => throw new IllegalArgumentException(f"fixture method 0x$m%02x")
+        }
+        frame(0) = method.toByte
         wle32(frame, 1, cn + 9)
         wle32(frame, 5, n)
         val (lo, hi) = CityHash102.cityHash128(frame, 0, cn + 9)
@@ -579,6 +600,15 @@ object MiniClickHouseTcpServer {
             val n = lz4.safeDecompressor().decompress(frame, 9, csize - 9, outBuf, 0)
             if (n != rsize)
               throw CHFault(271, s"Cannot decompress: got $n bytes, expected $rsize")
+            outBuf
+          case 0x90 =>
+            // a client configured with network_compression_method=zstd
+            // sends 0x90 frames; a real server accepts them like its own
+            val outBuf = new Array[Byte](rsize)
+            val n = com.github.luben.zstd.Zstd.decompressByteArray(
+              outBuf, 0, rsize, frame, 9, csize - 9)
+            if (com.github.luben.zstd.Zstd.isError(n) || n != rsize)
+              throw CHFault(271, s"Cannot decompress zstd: got $n, expected $rsize")
             outBuf
           case 0x02 => java.util.Arrays.copyOfRange(frame, 9, csize)
           case m => throw CHFault(432, f"Unknown codec method byte 0x$m%02x")

@@ -109,10 +109,18 @@ object ClickHouseReadSource {
     graft.sink.ClickHouseNativeTcp.Config(host, port, database = c.database,
       table = c.table, username = c.username, password = c.password,
       settings = c.settings,
-      // option compress=lz4: frame the data stream both ways (the 3-5×
-      // wire-bandwidth lever on big scans; opt-in, see CityHash102 note)
+      // option compress=lz4|zstd: frame the data stream both ways (the
+      // 3-5× wire-bandwidth lever on big scans; opt-in, see CityHash102
+      // note). The value picks the CLIENT-written codec; the server
+      // always answers in its own configured codec and the reader
+      // accepts both.
       compress = o.get("compress").exists(v =>
-        v.equalsIgnoreCase("lz4") || v == "1" || v == "true"),
+        v.equalsIgnoreCase("lz4") || v.equalsIgnoreCase("zstd") ||
+          v == "1" || v == "true"),
+      compressMethod =
+        if (o.get("compress").exists(_.equalsIgnoreCase("zstd")))
+          graft.sink.ChCompression.MethodZstd
+        else graft.sink.ChCompression.MethodLz4,
       tls = if (secure) Some(graft.sources.kafka.WireClient.TlsConfig(
         rootCaPemB64 = o.get("tls.root_ca"),
         skipVerify = o.get("tls.skip_verify").exists(v => v == "true" || v == "1")))

@@ -162,6 +162,16 @@ class ChCompressionSpec extends AnyFunSuite {
         s"production->fixture broke at boundary n=$n")
       assert(java.util.Arrays.equals(decompress(fxCompressed(data)), data),
         s"fixture->production broke at boundary n=$n")
+      // the ZSTD codec (0x90) crosses implementations at the same splits
+      val zOut = new java.io.ByteArrayOutputStream()
+      ChCompression.compressAs(data, zOut, ChCompression.MethodZstd)
+      assert(java.util.Arrays.equals(fxDecompress(zOut.toByteArray), data),
+        s"production-zstd->fixture broke at boundary n=$n")
+      val fzOut = new java.io.ByteArrayOutputStream()
+      MiniClickHouseTcpServer.FxFrames.write(data, fzOut,
+        corruptFirst = false, method = 0x90)
+      assert(java.util.Arrays.equals(decompress(fzOut.toByteArray), data),
+        s"fixture-zstd->production broke at boundary n=$n")
     }
     // 1000 random cases: size, content class (compressible text vs
     // incompressible noise), and the production frame size all vary —

@@ -369,6 +369,30 @@ class NativeTcpSpec extends SparkSpec {
     }
   }
 
+  test("ZSTD compression: network_compression_method=zstd rides 0x90 frames both ways") {
+    withTcp() { (brain, tcp) =>
+      brain.createTable("default", "cz3", Seq("id" -> "Int64", "s" -> "String"))
+      val m = Seq(ColumnMapping("id", "id", "Int64"), ColumnMapping("s", "s", "String"))
+      // client WRITES zstd frames; the setting makes the fixture (like a
+      // real server with network_compression_method=zstd) ANSWER in zstd
+      val cfg = tcpCfg(tcp, "cz3", m).copy(tcpCompress = true,
+        tcpCompressMethod = "zstd",
+        httpSettings = Map("network_compression_method" -> "zstd"))
+      val df = (1L to 2000L).map(i => (i, "payload-" * 64 + i.toString)).toDF("id", "s")
+      ClickHouseSink.writeBatch(cfg)(df)
+      assert(tcp.lastCompression == 1L)
+      assert(brain.rowCount("default", "cz3") == 2000)
+      val back = spark.read.format("graft-clickhouse")
+        .option("url", tcp.endpoint).option("database", "default")
+        .option("table", "cz3").option("compress", "zstd")
+        .option("settings.network_compression_method", "zstd").load()
+      assert(back.count() == 2000)
+      assert(back.filter($"id" <= 10L)
+        .agg(org.apache.spark.sql.functions.sum($"id")).collect().head.getLong(0) == 55L)
+      assert(tcp.lastSettings.get("network_compression_method").contains("zstd"))
+    }
+  }
+
   test("a corrupted compressed frame is refused loudly (CityHash mismatch), never decoded") {
     withTcp() { (brain, tcp) =>
       brain.createTable("default", "cz2", Seq("id" -> "Int64"))
