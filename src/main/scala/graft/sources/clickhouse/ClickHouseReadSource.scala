@@ -197,6 +197,17 @@ object ClickHouseReadSource {
       if (plain(a) && lits.forall(_.isDefined))
         Some(s"${qid(a)} IN (${lits.flatten.mkString(", ")})")
       else None
+    // temporal IN: each member compiles like temporal equality (timestamps
+    // as a closed-open micro range, dates as plain equality), OR-joined.
+    // Bounded at 100 members — a timestamp expands to a range PAIR, so an
+    // unbounded runtime-filter IN would balloon the WHERE text; past the
+    // cap the predicate stays Spark-side (pushdown may only ever reduce
+    // rows, never change results)
+    case In(a, vs) if vs.nonEmpty && vs.length <= 100 && !vs.exists(floaty) &&
+        vs.exists(temporal) && plain(a) =>
+      val parts = vs.toSeq.map(temporalEq(a, _))
+      if (parts.forall(_.isDefined)) Some(parts.flatten.mkString("(", " OR ", ")"))
+      else None
     case IsNull(a) if plain(a) => Some(s"${qid(a)} IS NULL")
     case IsNotNull(a) if plain(a) => Some(s"${qid(a)} IS NOT NULL")
     case And(l, r) => for { a <- compile(l); b <- compile(r) } yield s"($a AND $b)"

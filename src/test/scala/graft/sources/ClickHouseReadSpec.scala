@@ -628,6 +628,23 @@ class ClickHouseReadSpec extends SparkSpec {
       assert(received(ch).filter(_.startsWith("SELECT")).last
         .contains("`day` = toDate32('2024-03-10')"),
         received(ch).mkString("; "))
+      // temporal IN pushes as OR-joined equality ranges (timestamps) /
+      // equalities (dates)
+      ch.receivedQueries.clear()
+      val inTs = reader(ch, "tm_t").load()
+        .filter($"dt64".isin(ts("2024-03-10T07:00:00Z"),
+          ts("2024-03-10T06:59:59.500001Z")))
+      assert(inTs.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L))
+      val inQ = received(ch).filter(_.startsWith("SELECT")).last
+      assert(inQ.contains(" OR ") && inQ.contains("fromUnixTimestamp64Micro"), inQ)
+      ch.receivedQueries.clear()
+      val inD = reader(ch, "tm_t").load()
+        .filter($"day".isin(java.sql.Date.valueOf("2024-03-09"),
+          java.sql.Date.valueOf("2024-03-11")))
+      assert(inD.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 3L))
+      assert(received(ch).filter(_.startsWith("SELECT")).last
+        .contains("`day` = toDate32('2024-03-09') OR `day` = toDate32('2024-03-11')"),
+        received(ch).mkString("; "))
       // a literal OUTSIDE the DateTime64 range would CLAMP server-side:
       // it must stay Spark-side
       ch.receivedQueries.clear()
