@@ -511,7 +511,13 @@ object ClickHouseReadSource {
     *    days and render via `toDate32`.
     *  - anything else: a Long, rendered verbatim (the JDBC-style path).
     * Time IS the natural partition column of a telemetry table — without
-    * this, a time-striped parallel scan needed a numeric surrogate. */
+    * this, a time-striped parallel scan needed a numeric surrogate.
+    *
+    * The bare `yyyy-MM-dd HH:mm:ss` spelling is pinned to UTC by design:
+    * bounds only place stripe BOUNDARIES (the stripes union to the total
+    * either way, so correctness never depends on the zone) — a user whose
+    * column timezone differs and wants boundary alignment should pass an
+    * ISO instant with an explicit offset, or epoch seconds. */
   private[clickhouse] def partitionBound(text: String, chType: Option[String])
       : (Long, Long => String) = {
     val kind = chType.map(CHType.parse).map {
