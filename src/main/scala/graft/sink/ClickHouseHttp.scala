@@ -85,18 +85,39 @@ object ClickHouseHttp {
     * knows the budget. CONNECTION-level faults (refused/reset/timeout/
     * premature EOF) get ONE bounded in-place retry first: a Spark task
     * under local[*] runs with maxFailures=1, so without it a single
-    * transient socket hiccup aborts the whole job. The retry is safe on
-    * replicated tables (insert_deduplicate block dedup absorbs a
-    * could-have-committed resend) and on the common sub-cases where the
-    * server never saw the full body (refused, reset during the request
-    * write — an INSERT only applies once its body is complete). */
-  def post(c: Config, query: String, body0: Array[Byte]): Unit =
-    try postOnce(c, query, body0)
+    * transient socket hiccup aborts the whole job. The retry is
+    * PHASE-AWARE: it is unconditional only while the fault provably
+    * precedes body completion (connect refused, no route, timeout during
+    * connect, reset/EOF during the request write — the body has a declared
+    * Content-Length, so a server that never received all of it discards
+    * the INSERT). A fault AFTER the body was fully written (a read timeout
+    * or reset while awaiting/reading the response) leaves the server state
+    * unknown — it may already have committed — so the resend runs only
+    * when the insert carries `insert_deduplicate=1`, which absorbs an
+    * exact duplicate block on Replicated engines (and on non-replicated
+    * MergeTree only when `non_replicated_deduplication_window` > 0 — its
+    * default 0 makes the setting inert there, which is exactly why the
+    * setting's PRESENCE is the opt-in signal: a user who sets it has a
+    * table where block dedup is live). Without it the response-phase
+    * fault rethrows and the at-least-once engine loop owns the decision. */
+  def post(c: Config, query: String, body0: Array[Byte]): Unit = {
+    val bodySent = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try postOnce(c, query, body0, bodySent)
     catch {
-      case e: Exception if isConnectionLevel(e) =>
+      case e: Exception if isConnectionLevel(e) &&
+          (!bodySent.get || dedupAbsorbsResend(c)) =>
         Thread.sleep(100) // let the hiccup pass; bounded, once
-        postOnce(c, query, body0)
+        postOnce(c, query, body0,
+          new java.util.concurrent.atomic.AtomicBoolean(false))
     }
+  }
+
+  /** True when this insert's settings make an exact-duplicate resend a
+    * no-op on the server (ClickHouse block-hash dedup, keyed on the insert
+    * body + target — the resend reuses the identical byte slab). */
+  private[sink] def dedupAbsorbsResend(c: Config): Boolean =
+    c.settings.get("insert_deduplicate")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   /** A transport fault below the HTTP/CH protocol layer — the class of
     * error a retry can address without re-interpreting server state. A
@@ -113,7 +134,11 @@ object ClickHouseHttp {
     case _ => false
   }
 
-  private def postOnce(c: Config, query: String, body0: Array[Byte]): Unit = {
+  /** One POST attempt. Flips `bodySent` the moment the request body is
+    * fully written and flushed to the connection — from that point a
+    * fault no longer proves the server didn't commit (see [[post]]). */
+  private def postOnce(c: Config, query: String, body0: Array[Byte],
+                       bodySent: java.util.concurrent.atomic.AtomicBoolean): Unit = {
     val params = baseSettings ++ c.settings + ("query" -> query)
     val qs = params.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
       .mkString("&")
@@ -132,6 +157,7 @@ object ClickHouseHttp {
       conn.setFixedLengthStreamingMode(body.length.toLong)
       val os = conn.getOutputStream
       try { os.write(body); os.flush() } finally os.close()
+      bodySent.set(true)
       val status = conn.getResponseCode
       val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
       val respBody =

@@ -222,6 +222,51 @@ object ClickHouseReadSource {
     case _ => None
   }
 
+  /** NARROWING envelope for predicates the exact compiler refuses: a
+    * clause keeping a SUPERSET of the predicate's rows, ANDed into the
+    * server WHERE while the exact filter STAYS Spark-side (pushFilters
+    * still returns it to Spark, so results never change). Today: a
+    * temporal IN past the 100-member cap — or one whose member literals
+    * partly leave the representable window — ships
+    * `col >= min(vs) AND col <= max(vs)` so the server's primary-key
+    * index pruning survives the cap (a 500-member timestamp IN over an
+    * events table is typically a thin slice of the time extent). Either
+    * side drops independently when its literal leaves the DateTime64/
+    * Date32 window — a one-sided envelope still prunes; both out → no
+    * envelope. NULL members can never match an IN, so they are ignored
+    * before taking min/max. */
+  private[sources] def compileEnvelope(f: Filter): Option[String] = f match {
+    case In(a, vs0) if plain(a) =>
+      val vs = vs0.filter(_ != null).toSeq
+      if (vs.isEmpty || !vs.forall(temporal)) None
+      else {
+        import org.apache.spark.sql.catalyst.util.DateTimeUtils
+        val days = vs.collect {
+          case d: java.sql.Date => DateTimeUtils.fromJavaDate(d).toLong
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        val micros = vs.collect {
+          case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+          case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
+        }
+        if (days.length == vs.length)
+          envelopeClause(a, dateLit(days.min), dateLit(days.max))
+        else if (micros.length == vs.length)
+          envelopeClause(a, tsLit(micros.min), tsLit(micros.max))
+        else None
+      }
+    case _ => None
+  }
+
+  private def envelopeClause(a: String, lo: Option[String],
+                             hi: Option[String]): Option[String] =
+    (lo, hi) match {
+      case (Some(l), Some(h)) => Some(s"(${qid(a)} >= $l AND ${qid(a)} <= $h)")
+      case (Some(l), None) => Some(s"${qid(a)} >= $l")
+      case (None, Some(h)) => Some(s"${qid(a)} <= $h")
+      case _ => None
+    }
+
   private def floaty(v: Any): Boolean = v match {
     case _: Float | _: Double => true
     case _ => false
@@ -693,8 +738,16 @@ private[clickhouse] final class ChScanBuilder(opts: Map[String, String], full: S
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val byFilter = filters.map(f => f -> ClickHouseReadSource.compile(f))
     pushed = byFilter.collect { case (f, Some(_)) => f }
-    compiled = byFilter.collect { case (_, Some(sql)) => sql }.toSeq
-    byFilter.collect { case (f, None) => f } // stay Spark-side
+    // Filters the exact compiler refuses may still yield a NARROWING
+    // envelope (e.g. a >100-member temporal IN → its min/max range):
+    // the envelope joins the server WHERE for index pruning, but the
+    // filter itself is RETURNED to Spark below — Spark re-applies the
+    // exact predicate above the scan, so the envelope may only reduce
+    // shipped rows, never change results.
+    val residual = byFilter.collect { case (f, None) => f }
+    val envelopes = residual.flatMap(ClickHouseReadSource.compileEnvelope)
+    compiled = (byFilter.collect { case (_, Some(sql)) => sql } ++ envelopes).toSeq
+    residual // stay Spark-side (envelope-narrowed ones included)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -791,7 +844,11 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
         case In(_, vs) => vs.length <= ClickHouseReadSource.RuntimeInCap
         case _ => true
       }
-      .flatMap(ClickHouseReadSource.compile)
+      // exact compile first; a refused filter may still narrow via its
+      // min/max envelope (temporal IN past the 100-member text cap) —
+      // runtime filters are advisory, the join re-applies exact semantics
+      .flatMap(f => ClickHouseReadSource.compile(f)
+        .orElse(ClickHouseReadSource.compileEnvelope(f)))
     if (extra.nonEmpty) where = where ++ extra
   }
 
@@ -806,6 +863,13 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
     * different predicate). */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], Option[Long]]()
+  /** Per-snapshot in-flight latch: concurrent Statistics requests for the
+    * same WHERE serialize on it, so only ONE real count() probe runs and
+    * the rest read the memoized answer (cost-only fix — results were
+    * already correct). One lock object per distinct snapshot, bounded by
+    * the handful of predicates a scan ever plans with. */
+  private val countInFlight =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Object]()
 
   private def countedFor(whereSnapshot: Seq[String]): Option[Long] =
     // `stats=off` disables the probe: count() with a pushed WHERE can
@@ -815,13 +879,19 @@ private[clickhouse] final class ChScan(opts: Map[String, String], full: StructTy
         opts.exists { case (k, v) => k.equalsIgnoreCase("stats") && v == "off" })
       None
     else Option(countCache.get(whereSnapshot)).getOrElse {
-      // only SUCCESSFUL probes memoize: caching a transient network
-      // failure as None would permanently disable row-count stats (and
-      // broadcast-join sizing) for the scan — the next Statistics
-      // request retries instead
-      val probed = probeCount(whereSnapshot)
-      if (probed.isDefined) countCache.putIfAbsent(whereSnapshot, probed)
-      probed
+      val latch = countInFlight.computeIfAbsent(whereSnapshot, _ => new Object)
+      latch.synchronized {
+        // re-check under the latch: a concurrent probe may have memoized
+        Option(countCache.get(whereSnapshot)).getOrElse {
+          // only SUCCESSFUL probes memoize: caching a transient network
+          // failure as None would permanently disable row-count stats (and
+          // broadcast-join sizing) for the scan — the next Statistics
+          // request retries instead
+          val probed = probeCount(whereSnapshot)
+          if (probed.isDefined) countCache.putIfAbsent(whereSnapshot, probed)
+          probed
+        }
+      }
     }
 
   private def probeCount(w: Seq[String]): Option[Long] =

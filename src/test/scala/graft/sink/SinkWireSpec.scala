@@ -1049,7 +1049,12 @@ class SinkWireSpec extends SparkSpec {
         val c = ClickHouseSink.Config(
           url = s"http://127.0.0.1:${proxy.getLocalPort}", database = "default",
           table = "ev_cl", mappings = Seq(ColumnMapping("id", "id", "Int64"),
-            ColumnMapping("s", "s", "String")))
+            ColumnMapping("s", "s", "String")),
+          // the RST can land after the client's (buffered) write completed,
+          // which the phase-aware retry treats as could-have-committed —
+          // the dedup opt-in licenses the in-place resend, and the fixture's
+          // block dedup keeps it exactly-once either way
+          httpSettings = Map("insert_deduplicate" -> "1"))
         // must complete WITHOUT the engine-level retry loop: the bounded
         // in-place retry inside post() absorbs the transport fault
         ClickHouseSink.writeBatch(c)(
@@ -1059,6 +1064,111 @@ class SinkWireSpec extends SparkSpec {
         assert(ch.rows("default", "ev_cl").map(_("id")).toSet.size == 50)
       } finally proxy.close()
     }
+  }
+
+  /** One-shot RESPONSE-phase killer proxy: the first connection's request
+    * is piped to the fixture UNTOUCHED (the INSERT fully commits), but the
+    * moment the fixture starts answering, the client socket is hard-reset
+    * — the "server may have committed" fault class the phase-aware retry
+    * must not blindly resend. Later connections pipe through cleanly.
+    * Returns (proxy socket, kill counter). */
+  private def responsePhaseKillerProxy(
+      chPort: Int): (java.net.ServerSocket, java.util.concurrent.atomic.AtomicInteger) = {
+    val proxy = new java.net.ServerSocket(0, 8,
+      java.net.InetAddress.getLoopbackAddress)
+    val killed = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var first = true
+    def pipe(a: java.io.InputStream, b: java.io.OutputStream): Unit = {
+      val t = new Thread(() => {
+        try {
+          val buf = new Array[Byte](8192)
+          var n = a.read(buf)
+          while (n >= 0) { b.write(buf, 0, n); b.flush(); n = a.read(buf) }
+        } catch { case _: Exception => () }
+      })
+      t.setDaemon(true); t.start()
+    }
+    val acceptor = new Thread(() => {
+      while (!proxy.isClosed) {
+        try {
+          val s = proxy.accept()
+          val up = new java.net.Socket("127.0.0.1", chPort)
+          if (first) {
+            first = false
+            pipe(s.getInputStream, up.getOutputStream) // request flows intact
+            val t = new Thread(() => {
+              try {
+                // first response byte = the fixture has finished the INSERT
+                up.getInputStream.read()
+                s.setSoLinger(true, 0) // RST, not FIN
+                s.close(); up.close()
+                killed.incrementAndGet()
+              } catch { case _: Exception => () }
+            })
+            t.setDaemon(true); t.start()
+          } else {
+            pipe(s.getInputStream, up.getOutputStream)
+            pipe(up.getInputStream, s.getOutputStream)
+          }
+        } catch { case _: Exception => () } // closed during cleanup
+      }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    (proxy, killed)
+  }
+
+  test("a response-phase fault after the body was sent RETHROWS by default — no blind resend that could duplicate committed rows") {
+    withServer() { ch =>
+      ch.createTable("default", "ev_rp", Seq("id" -> "Int64", "s" -> "String"))
+      val chPort = ch.endpoint.split(':').last.toInt
+      val (proxy, killed) = responsePhaseKillerProxy(chPort)
+      try {
+        val c = ClickHouseHttp.Config(
+          endpoint = s"http://127.0.0.1:${proxy.getLocalPort}",
+          database = "default", table = "ev_rp")
+        val body = (1 to 3).map(i => s"""{"id":$i,"s":"v$i"}""").mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val q = ClickHouseHttp.insertQuery(c, Seq("id", "s"))
+        val thrown = intercept[Exception] { ClickHouseHttp.post(c, q, body) }
+        assert(ClickHouseHttp.isConnectionLevel(thrown),
+          s"expected the transport fault to surface, got $thrown")
+        assert(killed.get == 1, "the proxy never killed a response — vacuous")
+        // the fault rethrew INSTEAD of resending: the committed rows are
+        // there exactly once, and the caller (who owns idempotency) decides
+        assert(ch.rowCount("default", "ev_rp") == 3,
+          "the first attempt's committed rows must not be duplicated")
+      } finally proxy.close()
+    }
+  }
+
+  test("a response-phase fault WITH insert_deduplicate=1 retries and the identical resend is absorbed exactly-once") {
+    withServer() { ch =>
+      ch.createTable("default", "ev_rd", Seq("id" -> "Int64", "s" -> "String"))
+      val chPort = ch.endpoint.split(':').last.toInt
+      val (proxy, killed) = responsePhaseKillerProxy(chPort)
+      try {
+        val c = ClickHouseHttp.Config(
+          endpoint = s"http://127.0.0.1:${proxy.getLocalPort}",
+          database = "default", table = "ev_rd",
+          settings = Map("insert_deduplicate" -> "1"))
+        val body = (1 to 3).map(i => s"""{"id":$i,"s":"v$i"}""").mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val q = ClickHouseHttp.insertQuery(c, Seq("id", "s"))
+        ClickHouseHttp.post(c, q, body) // must complete via the in-place retry
+        assert(killed.get == 1, "the proxy never killed a response — vacuous")
+        assert(ch.rowCount("default", "ev_rd") == 3,
+          "block dedup must absorb the resend: rows exactly once")
+      } finally proxy.close()
+    }
+  }
+
+  test("dedupAbsorbsResend: only an explicit insert_deduplicate opt-in licenses a could-have-committed resend") {
+    def c(s: Map[String, String]) = ClickHouseHttp.Config(
+      endpoint = "http://x:8123", database = "d", table = "t", settings = s)
+    assert(ClickHouseHttp.dedupAbsorbsResend(c(Map("insert_deduplicate" -> "1"))))
+    assert(ClickHouseHttp.dedupAbsorbsResend(c(Map("insert_deduplicate" -> "true"))))
+    assert(!ClickHouseHttp.dedupAbsorbsResend(c(Map("insert_deduplicate" -> "0"))))
+    assert(!ClickHouseHttp.dedupAbsorbsResend(c(Map.empty)))
   }
 
   test("isConnectionLevel: transport faults retry, parsed server errors never do") {

@@ -655,6 +655,100 @@ class ClickHouseReadSpec extends SparkSpec {
     }
   }
 
+  test("a >100-member temporal IN pushes a sargable min/max ENVELOPE; the exact IN stays Spark-side") {
+    withServer { ch =>
+      ch.createTable("default", "env_t",
+        Seq("id" -> "Int64", "dt64" -> "DateTime64(6)", "day" -> "Date"))
+      val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      // 48 hourly rows over two days
+      val df = (0 until 48).map { i =>
+        (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 3600L)),
+          java.sql.Date.valueOf(java.time.LocalDate.ofInstant(
+            base.plusSeconds(i * 3600L), java.time.ZoneOffset.UTC)))
+      }.toDF("id", "dt64", "day")
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "env_t",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("dt64", "dt64", "DateTime64(6)"),
+          ColumnMapping("day", "day", "Date")),
+        httpFormat = "Native"))(df)
+      // 150 members: two hit rows 5 and 7, the rest are off-grid minutes
+      // inside [05:00, 07:00] — min/max span hours 5..7 of day one
+      val hits = Seq(5, 7).map(h =>
+        java.sql.Timestamp.from(base.plusSeconds(h * 3600L)))
+      val misses = (1 to 148).map(m =>
+        java.sql.Timestamp.from(base.plusSeconds(5 * 3600L + m * 47L)))
+      val members = hits ++ misses
+      assert(members.size > 100)
+      ch.receivedQueries.clear()
+      val got = reader(ch, "env_t").load()
+        .filter($"dt64".isin(members: _*))
+        .collect().map(_.getAs[Long]("id")).sorted.toSeq
+      assert(got == Seq(5L, 7L), "pushed-envelope result must equal the exact IN")
+      val q = received(ch).filter(_.startsWith("SELECT")).last
+      val loMicros = base.plusSeconds(5 * 3600L).getEpochSecond * 1000000L
+      val hiMicros = base.plusSeconds(7 * 3600L).getEpochSecond * 1000000L
+      assert(q.contains(s"(`dt64` >= fromUnixTimestamp64Micro($loMicros) " +
+        s"AND `dt64` <= fromUnixTimestamp64Micro($hiMicros))"), q)
+      // the exact 150-member IN must NOT be in the WHERE (no OR explosion)
+      assert(!q.contains(" OR "), q)
+      // and the envelope really narrowed the shipped rows: only hours
+      // 5..7 of day one leave the server (3 of 48 rows)
+      // (the exact IN is re-applied Spark-side — parity asserted above)
+      val shipped = reader(ch, "env_t").load()
+        .filter($"dt64" >= hits.head && $"dt64" <= hits.last).count()
+      assert(shipped == 3)
+
+      // Date flavor: a >100-member date IN ships a toDate32 envelope
+      ch.receivedQueries.clear()
+      val dayMembers = (0 until 120).map(i =>
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i)))
+      val gotDays = reader(ch, "env_t").load()
+        .filter($"day".isin(dayMembers: _*))
+        .collect().map(_.getAs[Long]("id")).sorted.toSeq
+      assert(gotDays == (0L until 48L).toSeq) // both stored days match
+      val dq = received(ch).filter(_.startsWith("SELECT")).last
+      assert(dq.contains("(`day` >= toDate32('2024-03-01') " +
+        "AND `day` <= toDate32('2024-06-28'))"), dq)
+
+      // one-sided envelope: a member below the 1900 floor drops only the
+      // lower bound — the upper bound still prunes, parity still exact
+      ch.receivedQueries.clear()
+      val withAncient = members :+ java.sql.Timestamp.from(
+        java.time.Instant.parse("1850-01-01T00:00:00Z"))
+      val gotOneSided = reader(ch, "env_t").load()
+        .filter($"dt64".isin(withAncient: _*))
+        .collect().map(_.getAs[Long]("id")).sorted.toSeq
+      assert(gotOneSided == Seq(5L, 7L))
+      val oq = received(ch).filter(_.startsWith("SELECT")).last
+      assert(oq.contains(s"`dt64` <= fromUnixTimestamp64Micro($hiMicros)") &&
+        !oq.contains(s"`dt64` >= fromUnixTimestamp64Micro"), oq)
+    }
+  }
+
+  test("compileEnvelope: narrowing-only, null members ignored, unrepresentable sides dropped") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import graft.sources.clickhouse.ClickHouseReadSource.compileEnvelope
+    def t(x: String) = java.sql.Timestamp.from(java.time.Instant.parse(x))
+    // null members can never match an IN: ignored before min/max
+    assert(compileEnvelope(In("c", Array[Any](null, t("2024-01-02T00:00:00Z"),
+      t("2024-01-01T00:00:00Z")))).exists(s =>
+      s.contains(">=") && s.contains("<=")))
+    // all-null / empty / non-temporal / dotted column: no envelope
+    assert(compileEnvelope(In("c", Array[Any](null))).isEmpty)
+    assert(compileEnvelope(In("c", Array.empty[Any])).isEmpty)
+    assert(compileEnvelope(In("c", Array[Any](1, 2, 3))).isEmpty)
+    assert(compileEnvelope(In("a.b", Array[Any](t("2024-01-01T00:00:00Z")))).isEmpty)
+    // non-IN filters never envelope (exact compile owns them)
+    assert(compileEnvelope(EqualTo("c", t("2024-01-01T00:00:00Z"))).isEmpty)
+    // both bounds unrepresentable → nothing to push
+    assert(compileEnvelope(In("c", Array[Any](t("1850-01-01T00:00:00Z")))).isEmpty)
+    // upper bound past the 2299 ceiling drops; the lower still prunes
+    assert(compileEnvelope(In("c", Array[Any](t("2024-01-01T00:00:00Z"),
+      t("2305-01-01T00:00:00Z")))).exists(s =>
+      s.contains(">=") && !s.contains("<=")))
+  }
+
   test("pushed-vs-unpushed parity holds across a DST boundary under a DST-observing session tz") {
     withServer { ch =>
       ch.createTable("default", "dst_t",
