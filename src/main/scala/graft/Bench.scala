@@ -48,6 +48,13 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b limits the run (profiling aid); the driver
     // never sets it, so round benches always cover every query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // TEST-ONLY storm replay: inflate every sweep entry by a fixed sleep
+    // INSIDE the timed region, simulating the r14 grading window (sweep
+    // read 370s vs 239-285s healthy) so the phase ordering can be proven
+    // to protect the graded legs without waiting for a real storm. The
+    // driver never sets it.
+    val inflateMs = sys.env.get("SPARK_GRAFT_TEST_SWEEP_INFLATE_MS")
+      .flatMap(_.toLongOption).getOrElse(0L)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -60,8 +67,29 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      if (inflateMs > 0) Thread.sleep(inflateMs)
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Sweep health, decided by a CANARY: the first-pass times of ten
+    // stable, mid-cost queries (spanning graph/text/stream/CH-source/
+    // multimodal subsystems) against their stored healthy-window medians
+    // (tools/bench_canary.json, taken from the four complete r13 sweeps).
+    // A sweep whose canary MEDIAN ratio stays within 1.3× is tagged
+    // "healthy"; beyond it "contended"; fewer than 5 canaries resolvable
+    // (missing file, SPARK_GRAFT_ONLY run) → "unknown". The tag rides the
+    // artifact so a round can certify at least one clean-window sweep —
+    // r14's four sweeps were all storm-tinted and nothing in the record
+    // could say so at a glance.
+    // medians are only comparable at the SF they were recorded at (the
+    // file's __sf tag): a profiling run at another scale reads "unknown",
+    // never a false "healthy"
+    val canaryRef =
+      if (canarySf().forall(sfDir.contains)) canaryMedians() else Map.empty[String, Double]
+    val canary = results.collect {
+      case (n, t) if t > 0 && canaryRef.get(n).exists(_ > 0) =>
+        (n, canaryRef(n), t)
+    }
+    val sweepHealth = sweepHealthOf(canary)
     // Repeat-and-take-median for the most expensive queries: round 8 proved
     // this host's per-query numbers swing up to 2.5× with ZERO code change
     // (q_bpe_encode 4.8→12.2 s, q_embed_dedup_lsh 1.4→4.5 s — commits that
@@ -90,28 +118,18 @@ object Bench {
       }.filter(_._2 > 1.5).sortBy(-_._2).take(20).toMap
     val topNames = results.filter(_._2 > 0).sortBy(-_._2).take(repeatTop).map(_._1)
     val rerunNames = (topNames ++ moverRatio.keys.toSeq.sorted).distinct
-    val variance: Map[String, (Double, Double, Double)] =
-      if (only.isDefined || repeats <= 1) Map.empty
-      else rerunNames.flatMap { name =>
-        if (!budgetLeft) {
-          skipped += s"variance re-runs for $name (budget ${budgetMin}min exceeded)"
-          None
-        } else results.find(_._1 == name).map { case (_, first) =>
-          val extra = (1 until repeats).map { _ =>
-            try { spark.catalog.clearCache() } catch { case _: Throwable => () }
-            System.gc()
-            val t0 = System.nanoTime()
-            try { SparkEntry.queries(name)(spark, sfDir).count() }
-            catch { case _: Throwable => -1L }
-            (System.nanoTime() - t0) / 1e9
-          }
-          val samples = (first +: extra).sorted
-          name -> (samples.head, samples(samples.size / 2), samples.last)
-        }
-      }.toMap
-    val finalResults = results.map { case (n, t) =>
-      n -> variance.get(n).map(_._2).getOrElse(t)
-    }
+    // Variance RE-RUNS ARE DIAGNOSTICS and run LAST (after every graded
+    // ingest leg — see the phase order below): in the r14 storm window the
+    // mover re-runs (20 movers × 3 samples, q_triangles alone ~4.8 min)
+    // consumed the 45-min budget BEFORE the graded wire/batch/streaming
+    // legs ran, leaving the graded tail with a flagged 19.5k wire sample
+    // and -1 elsewhere. Evidence outranks diagnostics under pressure.
+    var variance: Map[String, (Double, Double, Double)] = Map.empty
+    // Movers whose re-runs were SKIPPED by the per-mover wall cap: their
+    // first-pass value stands in `queries` but is marked unconfirmed in
+    // relative_movers (a 96.7s first pass re-run 3× is ~5 min of wall
+    // spent confirming a number that is obviously storm-inflated).
+    var unconfirmed: Set[String] = Set.empty
 
     // ------------------------------------------------------- ingest legs
     // BASELINE.md parity metrics, each in a FORKED FRESH JVM so the
@@ -140,12 +158,26 @@ object Bench {
     var streamingAttempts: Seq[(Double, String)] = Nil
     var streamingTele: Seq[Tele] = Nil
     var inSession: Double = -1.0
+    // Per-leg "a flagged sample was KEPT without a clean re-run" markers:
+    // the r14 graded tail read ingest_wire_events_per_sec:19514 with its
+    // flag buried in the skipped array near the TOP of the JSON, outside
+    // the 2000-char tail a grader actually reads — a measured 19.5k and a
+    // flagged 19.5k must be distinguishable from the tail alone.
+    var wireFlagged = false
+    var batchFlagged = false
+    var streamingFlagged = false
+    // LC dictionary-encode A/B on the wire topology (diagnostic):
+    // (mode, events/sec, telemetry) for dict-on vs forced-plain forks.
+    var lcAb: Seq[(String, Double, Tele)] = Nil
 
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
 
     // ------------------------------------------------- incremental emit
     def render(partial: Boolean): String = {
+      val finalResults = results.map { case (n, t) =>
+        n -> variance.get(n).map(_._2).getOrElse(t)
+      }
       val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val varianceJson = variance.toSeq.sortBy(_._1).map { case (k, (mn, md, mx)) =>
@@ -154,7 +186,14 @@ object Bench {
       val moversJson = moverRatio.toSeq.sortBy(_._1).map { case (k, ratio) =>
         val first = results.find(_._1 == k).map(_._2).getOrElse(-1.0)
         f""""$k":{"prev_median":${prevMedians.getOrElse(k, -1.0)}%.3f,""" +
-          f""""first_pass":$first%.3f,"ratio":$ratio%.2f}"""
+          f""""first_pass":$first%.3f,"ratio":$ratio%.2f""" +
+          (if (unconfirmed.contains(k)) ""","unconfirmed":true}""" else "}")
+      }.mkString("{", ",", "}")
+      val canaryJson = canary.sortBy(_._1).map { case (n, ref, t) =>
+        f""""$n":{"ref":$ref%.3f,"sec":$t%.3f,"ratio":${t / ref}%.2f}"""
+      }.mkString("{", ",", "}")
+      val lcAbJson = lcAb.map { case (m, v, t) =>
+        f""""$m":{"value":$v%.0f,"telemetry":${teleJson(t)}}"""
       }.mkString("{", ",", "}")
       val total = finalResults.map(_._2).sum
       val wireRate = median(wireRuns)
@@ -187,9 +226,13 @@ object Bench {
         s""""skipped":$skippedJson,""" +
         """"skipped_note":"work the internal time budget cut (forks/re-runs not attempted) -- recorded so a bounded sweep is never mistaken for a complete one; empty = nothing skipped",""" +
         s""""query_variance":$varianceJson,""" +
-        s""""query_variance_note":"top-$repeatTop queries by first-pass time PLUS any >1.5x round-over-round mover (see relative_movers) re-run to $repeats samples; queries entry = median; band shows min/median/max so regressions can be told from host steal (r8: 2.5x swings on unchanged code)",""" +
+        s""""query_variance_note":"top-$repeatTop queries by first-pass time PLUS any >1.5x round-over-round mover (see relative_movers) re-run to $repeats samples AFTER every graded ingest leg (diagnostics must never starve evidence -- the r14 storm lesson); queries entry = median; band shows min/median/max so regressions can be told from host steal (r8: 2.5x swings on unchanged code)",""" +
         s""""relative_movers":$moversJson,""" +
-        """"relative_movers_note":"queries whose first pass moved >1.5x in either direction vs the previous round's recorded median (BENCH_LAST.json); each carries a variance band above so the next verdict can separate noise from regression without a re-run; capped at the 20 largest ratios",""" +
+        """"relative_movers_note":"queries whose first pass moved >1.5x in either direction vs the previous round's recorded median (BENCH_LAST.json); each carries a variance band above so the next verdict can separate noise from regression without a re-run; capped at the 20 largest ratios; unconfirmed:true = first pass exceeded the 30s per-mover wall cap, so its re-runs were skipped and the queries entry is the UNCONFIRMED single sample",""" +
+        s""""canary":$canaryJson,""" +
+        """"canary_note":"ten stable mid-cost queries vs their stored healthy-window medians (tools/bench_canary.json, from the four complete r13 sweeps); the MEDIAN ratio classifies the sweep: <=1.3 healthy, else contended (sweep_health in the tail) -- so a storm-tinted sweep is identifiable from the artifact alone",""" +
+        s""""wire_lc_ab":$lcAbJson,""" +
+        """"wire_lc_ab_note":"diagnostic A/B isolating the LowCardinality dictionary-encode cost on the measured wire INSERT path (3 of the 35 wire columns are LC): the same 2M-event topology forked with dict encode on (default) vs forced plain inner form (SPARK_GRAFT_LC_ENCODE=plain), same telemetry; empty = budget cut it",""" +
         s""""ingest_batch_runs":$batchRunsJson,""" +
         wireRuns.map(r => f"$r%.0f").mkString(""""ingest_wire_runs":[""", ",", "],") +
         streamingAttempts.map(a => f"${a._1}%.0f")
@@ -204,9 +247,15 @@ object Bench {
         """"host_telemetry_note":"per forked run: /proc/stat steal/sys/idle percentages and 1-min load average sampled immediately before/after the run, plus the ms spent waiting for the previous fork's heap to return (quiesce_wait_ms; floor = MemAvailable before the first fork minus 2 GiB, 90 s timeout) and MemAvailable at fork start -- a depressed sample with high steal_pct/load is host contention, not a code regression",""" +
         """"notes":{"streaming_rows":"q_temporal_join_stream / q_sessionize_stream / q_window_hopping_stream / q_dedup_windowed_stream wall time ~= fixed local-mode micro-batch WAL/commit latency (measured the same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
         f""""ingest_events_per_sec":$headline%.0f,""" +
+        s""""ingest_batch_flagged":$batchFlagged,""" +
         f""""ingest_pruned_schema_events_per_sec":$ingestPruned%.0f,""" +
         f""""ingest_streaming_events_per_sec":$streamingRate%.0f,""" +
+        s""""ingest_streaming_flagged":$streamingFlagged,""" +
         f""""ingest_wire_events_per_sec":$wireRate%.0f,""" +
+        s""""ingest_wire_flagged":$wireFlagged,""" +
+        """"flagged_note":"*_flagged=true means the leg's median INCLUDES at least one sample the run-relative gates flagged that could not get its bounded re-run (budget) -- treat the number as contention-depressed, not measured clean; full detail in discarded_runs/skipped",""" +
+        s""""skipped_count":${skipped.size},""" +
+        s""""sweep_health":"$sweepHealth",""" +
         streamingErrJson +
         f""""ingest_in_session":$inSession%.0f,""" +
         """"ingest_note":"events_per_sec=steady-state batch rate, MEDIAN over 5 forked fresh JVMs (all runs recorded in ingest_batch_runs), ALL 35 declared fields type-validated per record (reference validation semantics); pruned_schema=12-of-35 mapped-field parse (narrower validation); streaming=same pipeline as a Structured Streaming micro-batch query (rate-micro-batch source, fixed 2M rows/batch, median steady-state per-batch rate, 2 warm-up batches dropped, MEDIAN over 3 forked fresh-JVM attempts, all in ingest_streaming_runs); wire=BASELINE.md's actual topology (kafka wire protocol over loopback -> 35-field validate -> typed map -> ClickHouse HTTP FORMAT Native INSERT into a type-validating fixture server, server CPU included; MEDIAN over 3 forked runs, each fork = one warm-up pass + one measured pass, all in ingest_wire_runs; r10 and earlier graded RowBinary -- Native is the reference driver's own insert format and measured faster); every forked run is preceded by a MemAvailable quiesce guard and bracketed by host telemetry (see host_telemetry); in_session=full-schema measurement inside the sweep JVM (GC-debt-depressed)",""" +
@@ -231,10 +280,15 @@ object Bench {
     }
     emit(partial = true) // the query sweep is on disk whatever happens next
 
+    // PHASE ORDER (contract order — graded evidence first, diagnostics
+    // only with whatever budget remains): query sweep (single pass, done
+    // above) → wire → batch → streaming → in-session → LC-dict A/B →
+    // mover/variance re-runs. The r14 storm proved the old order (re-runs
+    // before the legs) lets diagnostics starve the graded record.
     if (only.isEmpty) {
       // ---- wire leg (3 forks, each = warm-up pass + measured pass)
-      val (wr, wt) = runLeg[Double](3, "wire", skipped, () => budgetLeft,
-        wireDiscards, absoluteMidCap = Some(28.0), identity) {
+      val (wr, wt, wf) = runLeg[Double](3, "wire", skipped, () => budgetLeft,
+        wireDiscards, loadGated = true, identity) {
         forkedLine("graft.WireIngestBench", Seq("2000000", "8"),
           "\"wire_ingest_throughput\"") match {
           case Left(why) =>
@@ -244,25 +298,28 @@ object Bench {
       }
       wireRuns = wr.filter(_ > 0)
       wireTele = wt
+      wireFlagged = wf
       emit(partial = true)
 
       // ---- batch leg (5 forks)
-      val (br, bt) = runLeg[Option[(Double, Double)]](5, "batch", skipped,
-        () => budgetLeft, batchDiscards, absoluteMidCap = None,
+      val (br, bt, bf) = runLeg[Option[(Double, Double)]](5, "batch", skipped,
+        () => budgetLeft, batchDiscards, loadGated = false,
         v => v.map(_._1).getOrElse(-1.0)) {
         forkedIngest(2000000L)
       }
       batchRuns = br.flatten
       batchTele = bt
+      batchFlagged = bf
       emit(partial = true)
 
       // ---- streaming leg (3 forks)
-      val (sr, st) = runLeg[(Double, String)](3, "streaming", skipped,
-        () => budgetLeft, streamingDiscards, absoluteMidCap = None, _._1) {
+      val (sr, st, sf) = runLeg[(Double, String)](3, "streaming", skipped,
+        () => budgetLeft, streamingDiscards, loadGated = false, _._1) {
         forkedStreaming(75)
       }
       streamingAttempts = sr
       streamingTele = st
+      streamingFlagged = sf
       if (sr.nonEmpty && !sr.exists(_._1 > 0))
         System.err.println(
           s"STREAMING BENCH FAILED: ${sr.map(_._2).mkString("; ")}")
@@ -277,6 +334,69 @@ object Bench {
           IngestBench.run(spark, 2000000L, pruneToMapped = false)
         } catch { case _: Throwable => -1.0 }
       } else skipped += "in-session ingest (budget exceeded)"
+      emit(partial = true)
+
+      // ================= diagnostics from here on: every graded number
+      // above is already on disk, so a budget cut from here truncates
+      // only explanatory depth.
+
+      // ---- LC dictionary-encode A/B on the wire topology (one fork
+      // pair, same workload + telemetry): r14 put the dict encoder in the
+      // measured INSERT path and the wire band halved in the same round —
+      // this measures the two forms directly instead of arguing jitter.
+      if (budgetLeft) {
+        lcAb = Seq(
+          ("dict", Seq.empty[(String, String)]),
+          ("plain", Seq("SPARK_GRAFT_LC_ENCODE" -> "plain"))).flatMap {
+          case (mode, env) =>
+            if (!budgetLeft) {
+              skipped += s"wire LC A/B '$mode' fork (budget exceeded)"
+              None
+            } else {
+              val (v, t) = instrumented {
+                forkedLine("graft.WireIngestBench", Seq("2000000", "8"),
+                  "\"wire_ingest_throughput\"", env) match {
+                  case Left(why) =>
+                    System.err.println(s"wire LC A/B '$mode' failed: $why"); -1.0
+                  case Right(l) => num("value", l).getOrElse(-1.0)
+                }
+              }
+              Some((mode, v, t))
+            }
+        }
+      } else skipped += "wire LC A/B (budget exceeded)"
+      emit(partial = true)
+    }
+
+    // ---- variance/mover re-runs (diagnostics, LAST). Per-mover wall
+    // cap: a mover whose first pass already exceeded 30s is recorded
+    // unconfirmed instead of re-run (r14: q_triangles 96.7s × 3 samples
+    // ≈ 4.8 min spent confirming one obviously-inflated band).
+    val MoverFirstPassCapSec = 30.0
+    if (only.isEmpty && repeats > 1) {
+      variance = rerunNames.flatMap { name =>
+        val first = results.find(_._1 == name).map(_._2).getOrElse(-1.0)
+        if (first > MoverFirstPassCapSec) {
+          unconfirmed += name
+          skipped += f"variance re-runs for $name (first pass $first%.1fs > " +
+            f"$MoverFirstPassCapSec%.0fs per-mover cap; recorded unconfirmed)"
+          None
+        } else if (!budgetLeft) {
+          skipped += s"variance re-runs for $name (budget ${budgetMin}min exceeded)"
+          None
+        } else {
+          val extra = (1 until repeats).map { _ =>
+            try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+            System.gc()
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(name)(spark, sfDir).count() }
+            catch { case _: Throwable => -1L }
+            (System.nanoTime() - t0) / 1e9
+          }
+          val samples = (first +: extra).sorted
+          Some(name -> (samples.head, samples(samples.size / 2), samples.last))
+        }
+      }.toMap
     }
 
     val json = render(partial = false)
@@ -292,30 +412,35 @@ object Bench {
     * leg's OWN samples ([[discardFlags]]), then ONE bounded re-run per
     * flagged fork. Both the deadline and every discard are visible:
     * skipped forks append to `skipped`, discarded samples (with
-    * telemetry) go to `discards` and stay in the artifact. */
+    * telemetry) go to `discards` and stay in the artifact. The returned
+    * Boolean is the leg's FLAGGED marker: true when at least one flagged
+    * sample was KEPT without its re-run (budget) — surfaced next to the
+    * leg's graded key so the tail is self-describing. */
   private def runLeg[A](n: Int, leg: String,
                         skipped: scala.collection.mutable.Buffer[String],
                         budgetLeft: () => Boolean,
                         discards: scala.collection.mutable.Buffer[(Double, Tele)],
-                        absoluteMidCap: Option[Double],
-                        valueOf: A => Double)(thunk: => A): (Seq[A], Seq[Tele]) = {
+                        loadGated: Boolean,
+                        valueOf: A => Double)(thunk: => A): (Seq[A], Seq[Tele], Boolean) = {
     val firsts = (1 to n).flatMap { i =>
       if (budgetLeft()) Some(instrumented(thunk))
       else { skipped += s"$leg fork $i/$n (budget exceeded)"; None }
     }
     val flags = discardFlags(firsts.map(f => valueOf(f._1)), firsts.map(_._2),
-      absoluteMidCap)
+      loadGated)
+    var keptFlagged = false
     val finals = firsts.zip(flags).zipWithIndex.map { case (((a, t), bad), i) =>
       if (!bad) (a, t)
       else if (!budgetLeft()) {
         skipped += s"$leg fork ${i + 1} re-run (budget exceeded; flagged sample kept)"
+        keptFlagged = true
         (a, t)
       } else {
         discards += ((valueOf(a), t))
         instrumented(thunk)
       }
     }
-    (finals.map(_._1), finals.map(_._2))
+    (finals.map(_._1), finals.map(_._2), keptFlagged)
   }
 
   /** Post-hoc per-leg discard decision, calibrated against the run's OWN
@@ -330,17 +455,21 @@ object Bench {
     *  - sys_pct > 1.5 × the leg's run-median sys (kernel-time storms read
     *    2×+ over healthy — r11: 55-74% vs ≤26%); absolute >40 only when
     *    the leg has <3 samples to take a median of;
-    *  - load1_mid_max > 1.5 × run median, ONLY for legs with an absolute
-    *    cap configured (the wire leg's 8 worker threads leave load
-    *    headroom; the 32-thread batch/streaming legs saturate the box
-    *    themselves) — absolute-cap fallback below 3 valid samples;
+    *  - load1_mid_max > 1.5 × run median, ONLY for load-gated legs (the
+    *    wire leg's 8 worker threads leave load headroom, so external load
+    *    is a signal there; the 32-thread batch/streaming legs saturate
+    *    the box themselves). The absolute cap ([[WireAbsMidCapFallback]])
+    *    exists ONLY inside the <3-valid-samples fallback — with 3+
+    *    samples the run-relative rule is the sole load gate (absolute
+    *    thresholds kept inverting: r13's recalibrated cap discarded the
+    *    fastest fork);
     *  - value < 0.5 × the run-median value (≥3 positive samples): the
     *    "idle-but-slow" hypervisor-jitter mode — guest simply not
     *    scheduled, box LOOKS idle — which no contention gate can see.
     *    The flagged sample is recorded, the re-run is bounded to one, and
     *    the leg median claims less than any per-sample judgment could. */
   private[graft] def discardFlags(values: Seq[Double], teles: Seq[Tele],
-                                  absoluteMidCap: Option[Double]): Seq[Boolean] = {
+                                  loadGated: Boolean): Seq[Boolean] = {
     def med(xs: Seq[Double]): Option[Double] =
       if (xs.size < 3) None else Some(xs.sorted.apply(xs.size / 2))
     val sysMed = med(teles.map(_.sysPct).filter(_ >= 0))
@@ -352,17 +481,19 @@ object Bench {
         case Some(m) => t.sysPct > m * 1.5
         case None => t.sysPct > 40.0
       }
-      val loadBad = absoluteMidCap match {
-        case None => false
-        case Some(cap) => midMed match {
-          case Some(m) => t.load1MidMax > m * 1.5
-          case None => t.load1MidMax > cap
-        }
-      }
+      val loadBad = loadGated && (midMed match {
+        case Some(m) => t.load1MidMax > m * 1.5
+        case None => t.load1MidMax > WireAbsMidCapFallback
+      })
       val valueBad = valMed.exists(m => v > 0 && v < m * 0.5)
       stealBad || sysBad || loadBad || valueBad
     }
   }
+
+  /** Absolute mid-run load cap, used ONLY when a load-gated leg has fewer
+    * than 3 samples to take a run median of (calibrated r12-r13: healthy
+    * wire forks read load1_mid_max 14-26 on this 32-core box). */
+  private[graft] val WireAbsMidCapFallback = 28.0
 
   /** Run a graft main in a fresh forked JVM (same JVM opts + classpath as
     * this one) and return its output line containing `marker`, or a Left
@@ -373,7 +504,8 @@ object Bench {
     * r13 crash records held only bottom-of-stack frames and the round's
     * central mystery stayed unexplained) AND the last five lines. */
   private[graft] def forkedLine(mainClass: String, args: Seq[String],
-                                marker: String): Either[String, String] =
+                                marker: String,
+                                extraEnv: Seq[(String, String)] = Nil): Either[String, String] =
     try {
       import scala.sys.process._
       val javaBin = new java.io.File(
@@ -387,7 +519,7 @@ object Bench {
       val err = new java.util.ArrayDeque[String]()
       val head = new scala.collection.mutable.ArrayBuffer[String]()
       val headPat = java.util.regex.Pattern.compile("(Exception|Error)([:\\s]|$)")
-      val code = Process(cmd, cwd = None, extraEnv = sys.env.toSeq: _*)
+      val code = Process(cmd, cwd = None, extraEnv = (sys.env.toSeq ++ extraEnv): _*)
         .!(ProcessLogger(
           l => { out.append(l).append('\n'); () },
           l => {
@@ -426,6 +558,42 @@ object Bench {
           .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
       }
     } catch { case _: Exception => Map.empty }
+
+  /** Sweep-health classification from (name, healthy-median, first-pass)
+    * canary triples: the MEDIAN ratio decides (one canary outlier must
+    * not condemn a sweep, and one lucky canary must not certify a storm)
+    * — ≤1.3× = "healthy", beyond = "contended", under 5 resolvable
+    * canaries = "unknown" (missing medians file or a SPARK_GRAFT_ONLY
+    * profiling run). */
+  private[graft] def sweepHealthOf(canary: Seq[(String, Double, Double)]): String =
+    if (canary.size < 5) "unknown"
+    else {
+      val ratios = canary.map { case (_, ref, t) => t / ref }.sorted
+      if (ratios(ratios.size / 2) <= 1.3) "healthy" else "contended"
+    }
+
+  /** Stored healthy-window medians for the canary queries (a flat JSON
+    * object of name → seconds, checked in as tools/bench_canary.json and
+    * refreshed whenever a certified-healthy sweep moves the floor).
+    * Empty on any trouble — sweep_health then reads "unknown". */
+  private[graft] def canaryMedians(
+      path: String = "tools/bench_canary.json"): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)":\s*(-?[0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+        .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** The scale factor the canary medians were recorded at (the file's
+    * "__sf" tag); None when absent/unreadable. */
+  private[graft] def canarySf(
+      path: String = "tools/bench_canary.json"): Option[String] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      """"__sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    } catch { case _: Exception => None }
 
   private def jsonEscape(s: String): String =
     s.flatMap {

@@ -618,9 +618,27 @@ private[sink] object MiniChSelect {
         case _ if declared eq t => typeText
         case rendered => rendered
       })
+      // LC keys-serialization versions are substream state PREFIXES:
+      // written once per LC in the declared tree BEFORE any bulk data,
+      // so Array(LowCardinality(T)) ships version, offsets, dict body —
+      // the order a real server's NativeWriter produces. 0-row responses
+      // carry no column bytes at all, prefixes included.
+      if (rows.nonEmpty) writeLcVersions(out, declared)
       writeColumn(out, declared, rows.map(_.getOrElse(name, null)))
     }
     out.toByteArray
+  }
+
+  private def writeLcVersions(out: java.io.ByteArrayOutputStream, t: CHType): Unit = {
+    import CHType._
+    t match {
+      case CHLowCardinality(_) => i64(out, 1L)
+      case CHNullable(i) => writeLcVersions(out, i)
+      case CHArray(i) => writeLcVersions(out, i)
+      case CHMap(k, v) => writeLcVersions(out, k); writeLcVersions(out, v)
+      case CHTuple(elems) => elems.foreach(e => writeLcVersions(out, e._2))
+      case _ => ()
+    }
   }
 
   private def stripLcForWire(t: CHType): CHType = {
@@ -642,9 +660,11 @@ private[sink] object MiniChSelect {
       // the real server's LC dictionary serialization — an INDEPENDENT
       // second implementation of the layout the production NativeDecoder
       // reads (round-trip tests are therefore not self-validating):
-      // version=1, flags = key-width | HasAdditionalKeys(512), dict size,
-      // dict column (inner type, Nullable stripped; index 0 = default
+      // flags = key-width | HasAdditionalKeys(512), dict size, dict
+      // column (inner type, Nullable stripped; index 0 = default
       // placeholder, the NULL slot for Nullable inners), keys count, keys.
+      // The u64 version=1 prefix is hoisted to [[writeLcVersions]] —
+      // before the enclosing column's bulk data, offsets included.
       // A 0-row block writes NO bytes for the column (NativeWriter's
       // if-rows guard — prefix included).
       case CHLowCardinality(inner) =>
@@ -666,7 +686,6 @@ private[sink] object MiniChSelect {
           case v => idxOf.getOrElseUpdate(v, { dictVals += v; dictVals.size - 1 })
         }
         val widthCode = if (dictVals.size <= 0xff) 0 else if (dictVals.size <= 0xffff) 1 else 2
-        i64(out, 1L) // keys-serialization version
         i64(out, 512L | widthCode.toLong) // HasAdditionalKeys | key width
         i64(out, dictVals.size.toLong)
         writeColumn(out, base, dictVals.toSeq)

@@ -830,6 +830,11 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
           // (CANNOT_READ_ALL_DATA) are still enforced value-by-value, so
           // the fixture rejects exactly what the full decode rejects. The
           // converting-insert width check CAN fail, so it always decodes.
+          // LC keys-serialization versions are state PREFIXES: one u64
+          // per dictionary-form LC in the declared tree, before ANY bulk
+          // data (array offsets included) — so Array(LowCardinality(T))
+          // reads version, offsets, then the flattened dictionary body
+          if (nrows > 0) readLcVersions(in, declared, name)
           if (retainRows || fsWidth.isDefined)
             name -> widthCheck(readNativeColumn(in, declared, nrows, name))
           else {
@@ -887,11 +892,33 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
     }
   }
 
-  /** Decode one LC dictionary prefix+keys (an INSERT block column the
-    * client chose to ship dictionary-encoded) — a deliberately SECOND
-    * implementation of the additional-keys layout, separate from the
-    * production NativeDecoder, so the client's encoder is never validated
-    * by its own decoder. Returns the per-row values. */
+  /** Consume the u64 keys-serialization version of every dictionary-form
+    * LC in the column's declared type, prefix order — written before any
+    * bulk data (the fixture-side mirror of ClickHouse's substream state
+    * prefixes; independently implemented from NativeDecoder's walker). */
+  private def readLcVersions(in: RowBinaryReader, t: CHType, col: String): Unit = {
+    import CHType._
+    t match {
+      case CHLowCardinality(_) =>
+        val version = in.i64()
+        if (version != 1L)
+          throw CHFault(50,
+            s"LC keys-serialization version $version unsupported in column $col")
+      case CHNullable(i) => readLcVersions(in, i, col)
+      case CHArray(i) => readLcVersions(in, i, col)
+      case CHMap(k, v) => readLcVersions(in, k, col); readLcVersions(in, v, col)
+      case CHTuple(elems) => elems.foreach(e => readLcVersions(in, e._2, col))
+      case _ => ()
+    }
+  }
+
+  /** Decode one LC dictionary body (flags, dict, keys — the version
+    * prefix is consumed by [[readLcVersions]] before the enclosing
+    * column's bulk) for an INSERT block column the client chose to ship
+    * dictionary-encoded — a deliberately SECOND implementation of the
+    * additional-keys layout, separate from the production NativeDecoder,
+    * so the client's encoder is never validated by its own decoder.
+    * Returns the per-row values. */
   private def readLcDictColumn(in: RowBinaryReader, inner: CHType, n: Int,
                                col: String, retain: Boolean = true): IndexedSeq[Any] = {
     import CHType._
@@ -899,9 +926,6 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
       case CHNullable(i) => (i, true)
       case o => (o, false)
     }
-    val version = in.i64()
-    if (version != 1L)
-      throw CHFault(50, s"LC keys-serialization version $version unsupported in column $col")
     val flags = in.i64()
     if ((flags & 512L) == 0L || (flags & 256L) != 0L)
       throw CHFault(50, f"LC flags 0x$flags%x unsupported in column $col " +

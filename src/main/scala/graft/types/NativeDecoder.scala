@@ -153,31 +153,59 @@ object NativeDecoder {
     }
   }
 
-  /** One column's values, already in Catalyst representation. */
+  /** One column's values, already in Catalyst representation. The column
+    * data starts with the serialization PREFIXES of every dictionary-form
+    * LC anywhere in the declared type tree (ClickHouse writes state
+    * prefixes for the whole substream tree before any bulk data — for
+    * Array(LowCardinality(String)) the u64 version comes BEFORE the
+    * array offsets), then the bulk in substream order. */
   private def readColumn(in: Reader, t: CHType, n: Int): Array[Any] = {
+    if (n > 0) readLcPrefixes(in, t)
+    readColumnBody(in, t, n)
+  }
+
+  /** Consume the u64 keys-serialization version of each LC in prefix
+    * (declaration) order. A 0-row block carries NO column bytes at all
+    * (NativeWriter's if-rows guard), prefixes included — callers gate on
+    * n > 0. */
+  private def readLcPrefixes(in: Reader, t: CHType): Unit = {
+    import CHType._
+    t match {
+      case CHLowCardinality(_) =>
+        val version = in.i64()
+        if (version != 1L)
+          throw new IllegalArgumentException(
+            s"LowCardinality keys-serialization version $version unsupported (expected 1)")
+      case CHNullable(i) => readLcPrefixes(in, i)
+      case CHArray(i) => readLcPrefixes(in, i)
+      case CHMap(k, v) => readLcPrefixes(in, k); readLcPrefixes(in, v)
+      case CHTuple(elems) => elems.foreach(e => readLcPrefixes(in, e._2))
+      case _ => ()
+    }
+  }
+
+  /** Column bulk data, prefixes already consumed ([[readLcPrefixes]]). */
+  private def readColumnBody(in: Reader, t: CHType, n: Int): Array[Any] = {
     import CHType._
     t match {
       // the documented LowCardinality serialization: the dictionary ships
       // ONCE per block plus narrow per-row keys — the reason LC exists
       // (an LC(String) event_type column of a billion rows ships one
       // small dictionary + u8/u16 indices, not a billion strings).
-      //   u64 keys-serialization version (1 = shared dict + additional keys)
+      //   u64 keys-serialization version — a state PREFIX, consumed by
+      //     [[readLcPrefixes]] before any bulk (for nested LC it precedes
+      //     the enclosing array's offsets)
       //   u64 flags: low byte = key width (0:u8 1:u16 2:u32 3:u64),
       //              bit8 NeedGlobalDictionary, bit9 HasAdditionalKeys,
       //              bit10 NeedUpdateDictionary
       //   u64 dict size, dict column data (inner type, Nullable STRIPPED —
       //     for Nullable inners index 0 is the reserved NULL slot and
       //     dict[0] a default placeholder)
-      //   u64 keys count (= block rows), then the keys
-      // A 0-row block carries NO column bytes at all (NativeWriter's
-      // if-rows guard), prefix included.
+      //   u64 keys count (= values in this column: block rows top-level,
+      //     flattened element count under an Array), then the keys
       case CHLowCardinality(inner) =>
         if (n == 0) new Array[Any](0)
         else {
-          val version = in.i64()
-          if (version != 1L)
-            throw new IllegalArgumentException(
-              s"LowCardinality keys-serialization version $version unsupported (expected 1)")
           val flags = in.i64()
           if ((flags & 512L) == 0L || (flags & 256L) != 0L)
             throw new IllegalArgumentException(
@@ -190,11 +218,11 @@ object NativeDecoder {
           val dictSize = in.i64().toInt
           if (dictSize < 0)
             throw new IllegalArgumentException(s"negative LowCardinality dictionary size")
-          val dict = readColumn(in, base, dictSize)
+          val dict = readColumnBody(in, base, dictSize)
           val cnt = in.i64().toInt
           if (cnt != n)
             throw new IllegalArgumentException(
-              s"LowCardinality keys count $cnt != block rows $n")
+              s"LowCardinality keys count $cnt != expected values $n")
           val out = new Array[Any](n)
           var i = 0
           while (i < n) {
@@ -218,7 +246,7 @@ object NativeDecoder {
         val mask = new Array[Boolean](n)
         var i = 0
         while (i < n) { mask(i) = in.u8() == 1; i += 1 }
-        val vals = readColumn(in, inner, n)
+        val vals = readColumnBody(in, inner, n)
         i = 0
         while (i < n) { if (mask(i)) vals(i) = null; i += 1 }
         vals
@@ -226,7 +254,7 @@ object NativeDecoder {
         val offs = new Array[Int](n)
         var i = 0
         while (i < n) { offs(i) = in.i64().toInt; i += 1 }
-        val flat = readColumn(in, inner, if (n == 0) 0 else offs(n - 1))
+        val flat = readColumnBody(in, inner, if (n == 0) 0 else offs(n - 1))
         var prev = 0
         val out = new Array[Any](n)
         i = 0
@@ -237,16 +265,17 @@ object NativeDecoder {
           i += 1
         }
         out
-      case CHMap(_, vt) =>
+      case CHMap(kt, vt) =>
         val offs = new Array[Int](n)
         var i = 0
         while (i < n) { offs(i) = in.i64().toInt; i += 1 }
         val total = if (n == 0) 0 else offs(n - 1)
-        val keys = new Array[Any](total)
-        i = 0
-        while (i < total) { keys(i) = UTF8String.fromBytes(in.take(in.varint().toInt)); i += 1 }
-        // engine Map contract is Map(String, String): values render to text
-        val vals = readColumn(in, vt, total).map(v =>
+        // keys decode by their declared type (String, or its dictionary
+        // form when the server answers Map(LowCardinality(String), ...));
+        // engine Map contract is Map(String, String) either way
+        val keys = readColumnBody(in, kt, total).map(k =>
+          if (k == null) null else UTF8String.fromString(renderMapValue(kt, k)))
+        val vals = readColumnBody(in, vt, total).map(v =>
           if (v == null) null else UTF8String.fromString(renderMapValue(vt, v)))
         var prev = 0
         val out = new Array[Any](n)
@@ -262,7 +291,7 @@ object NativeDecoder {
         }
         out
       case CHTuple(elems) =>
-        val byElem = elems.map(e => readColumn(in, e._2, n))
+        val byElem = elems.map(e => readColumnBody(in, e._2, n))
         val out = new Array[Any](n)
         var r = 0
         while (r < n) {

@@ -23,10 +23,12 @@ import org.apache.spark.sql.Row
   * Native's: Nullable = null-mask bytes for all rows FIRST then inner
   * values, Array = u64 cumulative offsets then flattened inner column,
   * Map = u64 offsets then the key column then the value column.
-  * Top-level LowCardinality columns DICTIONARY-encode when that is
-  * measurably smaller on the wire (see [[LowCardinalityWriter]]) and
-  * otherwise fall back to the inner-type form the server converts on
-  * insert; nested LC always sends as inner.
+  * Top-level LowCardinality columns AND Array(LowCardinality) elements
+  * DICTIONARY-encode when that is measurably smaller on the wire (see
+  * [[LowCardinalityWriter]]; for arrays the u64 version prefix precedes
+  * the offsets, ClickHouse's substream-prefix order) and otherwise fall
+  * back to the inner-type form the server converts on insert; LC under
+  * Map/Tuple sends as inner.
   *
   * Poison-row support: [[BlockBuilder.tryAppend]] appends one row across
   * all column writers atomically — every writer marks its buffer
@@ -34,6 +36,17 @@ import org.apache.spark.sql.Row
   * reject (FixedString overflow, Decimal overflow, enum miss) skips just
   * that row and the block stays well-formed. */
 object NativeEncoder {
+
+  /** Bench/test A/B knob: `SPARK_GRAFT_LC_ENCODE=plain` (env, for forked
+    * bench JVMs) or system property `graft.lc.encode=plain` (for
+    * in-process tests) forces every top-level LowCardinality column to
+    * ship the plain inner form (the pre-dictionary behavior, server
+    * converts on insert) so the dictionary encoder's CPU-vs-bytes trade
+    * can be measured in isolation on the same workload. Each writer
+    * captures it once at construction — never set in production paths. */
+  private[types] def forcePlainLc: Boolean =
+    sys.props.get("graft.lc.encode").orElse(sys.env.get("SPARK_GRAFT_LC_ENCODE"))
+      .exists(_.equalsIgnoreCase("plain"))
 
   /** Growable byte buffer whose write position can be rolled back — the
     * primitive the per-row atomicity needs (ByteArrayOutputStream can only
@@ -52,6 +65,12 @@ object NativeEncoder {
     /** Restore the snapshot — drops everything the row appended. */
     def rollback(): Unit
     def byteSize: Long
+    /** Serialization PREFIX, written before ANY of the column's bulk data
+      * (offsets included) — ClickHouse writes state prefixes for the whole
+      * substream tree first, so a dictionary-form LC nested inside an
+      * Array puts its u64 keys-serialization version BEFORE the array
+      * offsets. No-op for everything but LC. */
+    def writePrefix(out: java.io.OutputStream): Unit = ()
     def writeTo(out: java.io.OutputStream): Unit
     /** Block-header type text when this writer's chosen encoding differs
       * from the static [[wireType]] default (LC dictionary form). */
@@ -101,9 +120,12 @@ object NativeEncoder {
     def mark(): Unit = { mOff = offsets.position; mCount = count; inner.mark() }
     def rollback(): Unit = { offsets.truncate(mOff); count = mCount; inner.rollback() }
     def byteSize: Long = offsets.position + inner.byteSize
+    override def writePrefix(out: java.io.OutputStream): Unit = inner.writePrefix(out)
     def writeTo(out: java.io.OutputStream): Unit = {
       offsets.writeTo(out); inner.writeTo(out)
     }
+    override def declaredType: Option[String] =
+      inner.declaredType.map(t => s"Array($t)")
   }
 
   /** Map(K, V) is Array(Tuple(K, V)) on the wire: offsets, then the key
@@ -244,15 +266,27 @@ object NativeEncoder {
       32L + dictBuf.position + keys.size.toLong * (1 << widthCode)
     private def plainFormBytes: Long =
       (if (nullable) keys.size.toLong else 0L) + plainValueBytes
-    private def useDict: Boolean = dictFormBytes < plainFormBytes
-    def byteSize: Long = math.min(dictFormBytes, plainFormBytes)
+    /** A/B knob snapshot (see [[forcePlainLc]]), taken per writer so the
+      * per-row byteSize path never re-reads props/env. */
+    private val forcePlain = forcePlainLc
+    private def useDict: Boolean = !forcePlain && dictFormBytes < plainFormBytes
+    def byteSize: Long =
+      if (useDict) math.min(dictFormBytes, plainFormBytes) else plainFormBytes
     override def declaredType: Option[String] =
       if (useDict) Some(s"LowCardinality(${wireType(inner)})") else None
+    /** The u64 keys-serialization version — a state PREFIX in ClickHouse's
+      * substream model, so when this writer serves as an Array element the
+      * version precedes the array offsets (see [[ColWriter.writePrefix]]).
+      * Written only in dictionary form: the plain fallback declares the
+      * inner type and a reader expects no LC framing at all. A writer
+      * with zero values stays plain by construction (plainFormBytes 0 <
+      * dict overhead), so no empty-dictionary framing ever ships. */
+    override def writePrefix(out: java.io.OutputStream): Unit =
+      if (keys.nonEmpty && useDict) u64o(out, 1L)
     def writeTo(out: java.io.OutputStream): Unit = {
       if (keys.isEmpty) return // 0-row blocks carry NO LC bytes, prefix included
       if (useDict) {
         val w = widthCode
-        u64o(out, 1L) // keys-serialization version (additional keys)
         u64o(out, 512L | w.toLong) // HasAdditionalKeys | key width code
         u64o(out, entryEnds.size.toLong)
         out.write(dictBuf.backing, 0, dictBuf.position)
@@ -274,19 +308,35 @@ object NativeEncoder {
   }
 
   private def writerFor(t: CHType): ColWriter = t match {
-    case CHType.CHLowCardinality(inner) => writerFor(inner) // nested LC: as inner
+    // LC nested inside Map/Tuple keeps the send-as-inner conversion (the
+    // dominant real nesting is Array(LC), handled by elemWriterFor; a
+    // dict-form LC under Map/Tuple would also need declared-type
+    // composition through those writers for no observed workload)
+    case CHType.CHLowCardinality(inner) => writerFor(inner)
     case CHType.CHNullable(inner) => new NullableWriter(writerFor(inner))
-    case CHType.CHArray(inner) => new ArrayWriter(writerFor(inner))
+    case CHType.CHArray(inner) => new ArrayWriter(elemWriterFor(inner))
     case CHType.CHMap(k, v) => new MapWriter(v, writerFor(k), writerFor(v))
     case CHType.CHTuple(elems) => new TupleWriter(elems.map(e => writerFor(e._2)))
     case scalar => new ScalarWriter(scalar)
   }
 
-  /** Top-level column writer: only here does LC get its dictionary
-    * writer — LC nested inside Array/Map/Tuple keeps the send-as-inner
-    * conversion (nested LC has its own per-granule serialization streams
-    * server-side; declaring the flattened inner type is the documented
-    * safe form for an INSERT block). */
+  /** Array ELEMENT writer: Array(LowCardinality(T)) dictionary-encodes
+    * like a top-level LC column — one dict + narrow keys over the
+    * FLATTENED values, u64 version prefix hoisted before the offsets
+    * (ClickHouse's substream-prefix order), falling back to the plain
+    * inner form when the dict would not pay. An Array(LowCardinality
+    * (String)) tags column is the canonical 100 TB case: the tag
+    * vocabulary ships once per block instead of once per array element.
+    * Recurses so Array(Array(LC)) composes. */
+  private def elemWriterFor(t: CHType): ColWriter = t match {
+    case CHType.CHLowCardinality(inner) => new LowCardinalityWriter(inner)
+    case CHType.CHArray(inner) => new ArrayWriter(elemWriterFor(inner))
+    case other => writerFor(other)
+  }
+
+  /** Top-level column writer: LC gets its dictionary writer here and as
+    * an Array element ([[elemWriterFor]]); LC under Map/Tuple sends
+    * as-inner (see [[writerFor]]). */
   private def topWriterFor(t: CHType): ColWriter = t match {
     case CHType.CHLowCardinality(inner) => new LowCardinalityWriter(inner)
     case other => writerFor(other)
@@ -341,9 +391,11 @@ object NativeEncoder {
       var i = 0
       while (i < names.length) {
         str(out, names(i))
-        // an LC writer that chose dictionary form declares LowCardinality;
-        // every other column declares the static wire type
+        // an LC writer that chose dictionary form declares LowCardinality
+        // (composited through Array wrappers); every other column declares
+        // the static wire type
         str(out, writers(i).declaredType.getOrElse(wireType(types(i))))
+        writers(i).writePrefix(out) // LC keys-serialization versions
         writers(i).writeTo(out)
         i += 1
       }

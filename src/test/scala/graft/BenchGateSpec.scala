@@ -30,7 +30,7 @@ class BenchGateSpec extends AnyFunSuite {
       tele(0.25, 31.31, 46.92, 24.89),
       tele(0.05, 29.38, 44.35, 22.93),
       tele(0.04, 41.40, 37.85, 14.09)) // the 118k fork the old gate killed
-    val flags = Bench.discardFlags(values, teles, absoluteMidCap = Some(28.0))
+    val flags = Bench.discardFlags(values, teles, loadGated = true)
     assert(!flags(5), "the 118k fork (sys 41.4 vs run-median ~30: ratio " +
       "1.4 < 1.5) must be KEPT — it was the sweep's fastest sample")
     assert(flags(2), "the 42k fork (value under half the 107k run median, " +
@@ -38,29 +38,73 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!flags(3) && !flags(4), "the healthy 107k forks must be kept")
   }
 
+  test("with 3+ samples the run-relative load rule is the ONLY load gate: mid 30 on a busy-median run is KEPT") {
+    // three wire forks on a busy-but-consistent box: mids 26/28/30 would
+    // all have tripped the old absolute 28-cap's neighborhood, but the
+    // run median is 28 and 30 < 1.5×28 = 42 — no fork is load-flagged.
+    // The absolute fallback (WireAbsMidCapFallback) must be unreachable
+    // once a median exists.
+    val flags = Bench.discardFlags(Seq(100000.0, 98000.0, 97000.0),
+      Seq(tele(0.1, 25.0, 40.0, 26.0), tele(0.1, 26.0, 40.0, 28.0),
+        tele(0.1, 24.0, 40.0, 30.0)), loadGated = true)
+    assert(flags == Seq(false, false, false),
+      "a healthy fork with load1_mid_max 30 must be KEPT when the run " +
+        "median makes 30 unremarkable — the absolute cap is <3-samples-only")
+    // and the fallback still protects a 2-sample leg: 30 > 28 flags there
+    val two = Bench.discardFlags(Seq(100000.0, 98000.0),
+      Seq(tele(0.1, 25.0, 40.0, 10.0), tele(0.1, 26.0, 40.0, 30.0)),
+      loadGated = true)
+    assert(two == Seq(false, true))
+  }
+
   test("absolute fallbacks apply below 3 samples; steal is always absolute") {
     // two samples: no medians — sys falls back to >40, load to the cap
     val two = Bench.discardFlags(Seq(100.0, 90.0),
       Seq(tele(0.1, 45.0, 50.0, 10.0), tele(0.1, 30.0, 50.0, 30.0)),
-      absoluteMidCap = Some(28.0))
-    assert(two == Seq(true, true)) // sys 45 > 40; mid 30 > cap 28
+      loadGated = true)
+    assert(two == Seq(true, true)) // sys 45 > 40; mid 30 > fallback cap 28
     // steal > 1.5 flags regardless of the run's shape
     val st = Bench.discardFlags(Seq(100.0, 100.0, 100.0),
       Seq(tele(2.0, 20.0, 50.0, 10.0), tele(0.1, 20.0, 50.0, 10.0),
-        tele(0.1, 20.0, 50.0, 10.0)), absoluteMidCap = None)
+        tele(0.1, 20.0, 50.0, 10.0)), loadGated = false)
     assert(st == Seq(true, false, false))
     // a genuine kernel-time storm (r11 signature: 55-74% vs <=26% healthy)
     // still flags under the relative rule
     val storm = Bench.discardFlags(Seq(100.0, 100.0, 40.0),
       Seq(tele(0.1, 24.0, 50.0, 10.0), tele(0.1, 26.0, 50.0, 10.0),
-        tele(0.1, 64.0, 20.0, 10.0)), absoluteMidCap = None)
+        tele(0.1, 64.0, 20.0, 10.0)), loadGated = false)
     assert(storm == Seq(false, false, true))
-    // batch/streaming legs (no absolute cap): load never flags them even
+    // batch/streaming legs (not load-gated): load never flags them even
     // at saturation-level mid-run load
     val batch = Bench.discardFlags(Seq(100.0, 100.0, 100.0),
       Seq(tele(0.1, 20.0, 10.0, 35.0), tele(0.1, 20.0, 10.0, 36.0),
-        tele(0.1, 20.0, 10.0, 60.0)), absoluteMidCap = None)
+        tele(0.1, 20.0, 10.0, 60.0)), loadGated = false)
     assert(batch == Seq(false, false, false))
+  }
+
+  test("sweep health: median canary ratio decides; <5 canaries = unknown") {
+    def c(ratios: Double*): Seq[(String, Double, Double)] =
+      ratios.zipWithIndex.map { case (r, i) => (s"q$i", 2.0, 2.0 * r) }
+    assert(Bench.sweepHealthOf(c(1.0, 1.1, 1.2, 1.0, 1.1)) == "healthy")
+    // one storm-inflated canary cannot condemn a healthy sweep
+    assert(Bench.sweepHealthOf(c(1.0, 1.1, 1.2, 1.0, 19.0)) == "healthy")
+    // a uniformly inflated sweep (the r14 signature: everything ~1.5x)
+    assert(Bench.sweepHealthOf(c(1.5, 1.6, 1.4, 1.5, 1.7)) == "contended")
+    // one lucky canary cannot certify a storm
+    assert(Bench.sweepHealthOf(c(0.9, 1.6, 1.5, 1.7, 1.6)) == "contended")
+    assert(Bench.sweepHealthOf(c(1.0, 1.0, 1.0, 1.0)) == "unknown")
+    assert(Bench.sweepHealthOf(Nil) == "unknown")
+  }
+
+  test("canaryMedians reads the checked-in healthy floor (and is empty on a missing file)") {
+    val m = Bench.canaryMedians()
+    assert(m.size >= 10, s"tools/bench_canary.json must hold the canary set, got $m")
+    assert(m.values.forall(_ > 0))
+    assert(Bench.canaryMedians("does/not/exist.json").isEmpty)
+    // medians are SF-bound: the file says which scale recorded them, so a
+    // profiling run at another SF reads "unknown" instead of a false tag
+    assert(Bench.canarySf().contains("sf0.1"))
+    assert(Bench.canarySf("does/not/exist.json").isEmpty)
   }
 
   test("a crashed fork's record names the exception class and message (head, not just tail)") {

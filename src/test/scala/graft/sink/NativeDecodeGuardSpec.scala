@@ -282,6 +282,125 @@ class NativeDecodeGuardSpec extends AnyFunSuite {
       r.getUTF8String(0).toString == s"v${i % 600}" })
   }
 
+  test("LC ENCODE nested: Array(LowCardinality(String)) — version precedes offsets, round-trips BOTH decoders") {
+    // ~4000 ragged arrays over a 6-tag vocabulary (incl. empty arrays):
+    // the canonical tags column, where the dictionary pays per block
+    val vals: Seq[Seq[String]] = (0 until 4000).map(i =>
+      (0 until (4 + i % 5)).map(j => s"tag${(i + j) % 6}") ++
+        (if (i % 13 == 0) Nil else Nil))
+    val empties = Set(17, 1800) // two explicit empty arrays
+    val vals2 = vals.zipWithIndex.map { case (v, i) =>
+      if (empties(i)) Seq.empty[String] else v }
+    val t = CHType.parse("Array(LowCardinality(String))")
+    val b = new NativeEncoder.BlockBuilder(Seq("t"), Seq(t))
+    vals2.foreach(v => assert(b.tryAppend(Row(v)).isEmpty))
+    val body = b.build()
+    assert(new String(body, "UTF-8").contains("Array(LowCardinality(String))"))
+    // BYTE LAYOUT: the u64 keys-serialization version sits immediately
+    // after the column header, BEFORE the first array offset (ClickHouse
+    // writes substream state prefixes before any bulk data)
+    val headerLen = 1 /*ncols*/ + 2 /*nrows=4000 varint*/ +
+      (1 + 1) /*name "t"*/ + (1 + "Array(LowCardinality(String))".length)
+    assert(body.slice(headerLen, headerLen + 8).toSeq ==
+      Seq[Byte](1, 0, 0, 0, 0, 0, 0, 0), "u64 version=1 must lead the column")
+    // production decoder
+    val rows = decodeAll(body, Seq("t" -> t))
+    assert(rows.size == 4000)
+    (0 until 4000 by 97).foreach { i =>
+      val arr = rows(i).getArray(0)
+      val got = (0 until arr.numElements()).map(j => arr.getUTF8String(j).toString)
+      assert(got == vals2(i), s"row $i")
+    }
+    assert(rows(17).getArray(0).numElements() == 0)
+    // fixture decoder — the independent second implementation — via a
+    // real INSERT into the brain
+    val brain = new MiniClickHouseServer()
+    brain.createTable("default", "lc_arr",
+      Seq("t" -> "Array(LowCardinality(String))"))
+    brain.insertNativeBlock("default", "lc_arr", Seq("t"), body)
+    val stored = brain.rows("default", "lc_arr")
+    assert(stored.size == 4000)
+    (0 until 4000 by 97).foreach(i =>
+      assert(stored(i)("t") == vals2(i).toVector, s"fixture row $i"))
+    // wire-bytes: the dictionary form beats shipping every tag string
+    val pb = new NativeEncoder.BlockBuilder(Seq("t"),
+      Seq(CHType.parse("Array(String)")))
+    vals2.foreach(v => pb.tryAppend(Row(v)))
+    assert(body.length * 2 < pb.build().length,
+      s"dict ${body.length}B vs plain ${pb.build().length}B")
+    // and the fixture's SELECT-side encoder (a THIRD implementation)
+    // produces the same prefix-order layout the production decoder reads
+    val selBody = block(Seq("t" -> "Array(LowCardinality(String))"),
+      vals2.take(60).map(v => Map[String, Any]("t" -> v)))
+    val selRows = decodeAll(selBody, Seq("t" -> t))
+    (0 until 60).foreach { i =>
+      val arr = selRows(i).getArray(0)
+      val got = (0 until arr.numElements()).map(j => arr.getUTF8String(j).toString)
+      assert(got == vals2(i), s"select-side row $i")
+    }
+  }
+
+  test("LC ENCODE nested: Array(LowCardinality(Nullable(String))) keeps the NULL slot and empty string distinct") {
+    val cycle = Seq(Seq("a", null, ""), Seq.empty[String], Seq("b", "a"))
+    val vals = Seq.tabulate(900)(i => cycle(i % 3))
+    val t = CHType.parse("Array(LowCardinality(Nullable(String)))")
+    val b = new NativeEncoder.BlockBuilder(Seq("t"), Seq(t))
+    vals.foreach(v => assert(b.tryAppend(Row(v)).isEmpty))
+    val body = b.build()
+    assert(new String(body, "UTF-8")
+      .contains("Array(LowCardinality(Nullable(String)))"))
+    val rows = decodeAll(body, Seq("t" -> t))
+    val a0 = rows(0).getArray(0)
+    assert(a0.numElements() == 3)
+    assert(a0.getUTF8String(0).toString == "a")
+    assert(a0.isNullAt(1), "NULL inside the array must survive")
+    assert(a0.getUTF8String(2).toString == "",
+      "a real empty string must NOT decode as NULL")
+    assert(rows(1).getArray(0).numElements() == 0)
+    val brain = new MiniClickHouseServer()
+    brain.createTable("default", "lc_arrn",
+      Seq("t" -> "Array(LowCardinality(Nullable(String)))"))
+    brain.insertNativeBlock("default", "lc_arrn", Seq("t"), body)
+    assert(brain.rows("default", "lc_arrn").head("t") == Vector("a", null, ""))
+  }
+
+  test("LC ENCODE nested: all-distinct array elements fall back to Array(String) plain form") {
+    val vals = (0 until 400).map(i => Seq(s"unique-$i-${"x" * 20}"))
+    val b = new NativeEncoder.BlockBuilder(Seq("t"),
+      Seq(CHType.parse("Array(LowCardinality(String))")))
+    vals.foreach(v => assert(b.tryAppend(Row(v)).isEmpty))
+    val body = b.build()
+    val header = new String(body.take(64), "UTF-8")
+    assert(!header.contains("LowCardinality"),
+      s"all-distinct elements must declare Array(String), got: $header")
+    // decodes under the LC expectation (wireShape strips the wrapper)
+    val rows = decodeAll(body,
+      Seq("t" -> CHType.parse("Array(LowCardinality(String))")))
+    assert(rows.zipWithIndex.forall { case (r, i) =>
+      r.getArray(0).getUTF8String(0).toString == vals(i).head })
+  }
+
+  test("LC ENCODE: the forced-plain A/B knob ships the inner form, value-identical") {
+    // graft.lc.encode=plain (the in-process spelling of the bench's
+    // SPARK_GRAFT_LC_ENCODE=plain fork env) must force the plain inner
+    // form even where the dictionary form is measurably smaller — the
+    // lever the wire-leg LC A/B isolates the encode cost with
+    val vals = (0 until 10000).map(i => s"kind${i % 3}")
+    System.setProperty("graft.lc.encode", "plain")
+    try {
+      val body = lcBlock("LowCardinality(String)", vals)
+      assert(!new String(body, "UTF-8").contains("LowCardinality"),
+        "forced-plain must declare the inner type")
+      val rows = decodeAll(body, Seq("t" -> CHType.parse("LowCardinality(String)")))
+      assert(rows.size == 10000)
+      assert(rows.zipWithIndex.forall { case (r, i) =>
+        r.getUTF8String(0).toString == s"kind${i % 3}" })
+    } finally System.clearProperty("graft.lc.encode")
+    // knob off: the same data picks dictionary form again
+    assert(new String(lcBlock("LowCardinality(String)", vals), "UTF-8")
+      .contains("LowCardinality(String)"))
+  }
+
   test("LC ENCODE: a poison row rolls back its dictionary entry, not just its key") {
     val t = CHType.parse("LowCardinality(FixedString(2))")
     val b = new NativeEncoder.BlockBuilder(Seq("t"), Seq(t))

@@ -116,6 +116,84 @@ class RealClickHouseSpec extends SparkSpec {
     } finally ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
   }
 
+  test("native TCP: ZSTD write codec — the server accepts 0x90 frames and the data round-trips") {
+    assume(httpUrl.isDefined && tcpUrl.isDefined,
+      "CH_URL/CH_TCP_URL not set — live-server suite skipped")
+    val t = "graft_smoke_zstd"
+    // a zstd framing mistake (or a CityHash divergence over the zstd
+    // payload) is rejected server-side as CHECKSUM_DOESNT_MATCH /
+    // UNKNOWN_COMPRESSION_METHOD on the first INSERT block
+    ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
+    ddl(s"CREATE TABLE `$db`.`$t` (" +
+      cols.map { case (n, ty) => s"`$n` $ty" }.mkString(", ") +
+      ") ENGINE = MergeTree ORDER BY event_id")
+    try {
+      val df = (1L to 5000L).map { i =>
+        (i, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 60)),
+          s"kind${i % 5}", if (i % 7 == 0) null else s"n$i", i / 10.0)
+      }.toDF("event_id", "ts", "kind", "note", "value")
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = tcpUrl.get, database = db, table = t, username = user,
+        password = pass,
+        mappings = cols.map { case (n, ty) => ColumnMapping(n, n, ty) },
+        tcpCompress = true, tcpCompressMethod = "zstd"))(df)
+      val back = reader(t, tcpUrl.get).option("compress", "zstd").load()
+      assert(back.count() == 5000)
+      assert(back.agg(sum($"event_id")).collect().head.getLong(0) ==
+        5000L * 5001L / 2)
+      // and an lz4 read of zstd-written data agrees (server re-frames in
+      // its own network_compression_method per connection)
+      val lz4 = reader(t, tcpUrl.get).option("compress", "lz4").load()
+      assert(lz4.count() == 5000)
+    } finally ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
+  }
+
+  test("LC dictionary ENCODE (top-level, Nullable inner, Array-nested) is accepted by a real server, both transports") {
+    assume(httpUrl.isDefined, "CH_URL not set — live-server suite skipped")
+    // the encoder's additional-keys layout (flags word 512|width, no
+    // NeedUpdateDictionary bit — clickhouse-cpp ships the same shape) and
+    // the Array-nested version-before-offsets prefix order are exactly
+    // the seams only a real server's NativeReader can adjudicate
+    val urls = Seq("http" -> httpUrl) ++
+      (if (tcpUrl.isDefined) Seq("tcp" -> tcpUrl) else Nil)
+    for ((label, url) <- urls) {
+      val t = s"graft_smoke_lcdict_$label"
+      ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
+      ddl(s"CREATE TABLE `$db`.`$t` (`id` Int64, " +
+        "`k` LowCardinality(String), `kn` LowCardinality(Nullable(String)), " +
+        "`tags` Array(LowCardinality(String))" +
+        ") ENGINE = MergeTree ORDER BY id")
+      try {
+        // repetitive values so the encoder provably picks dictionary form
+        // (3 distinct + the NULL slot); ragged tag arrays incl. empty
+        val df = (1L to 3000L).map { i =>
+          (i, s"kind${i % 3}",
+            if (i % 5 == 0) null else s"opt${i % 4}",
+            (0 until (i % 4).toInt).map(j => s"tag${(i + j) % 6}"))
+        }.toDF("id", "k", "kn", "tags")
+        ClickHouseSink.writeBatch(ClickHouseSink.Config(
+          url = url.get, database = db, table = t, username = user,
+          password = pass, httpFormat = "Native",
+          mappings = Seq(ColumnMapping("id", "id", "Int64"),
+            ColumnMapping("k", "k", "LowCardinality(String)"),
+            ColumnMapping("kn", "kn", "LowCardinality(Nullable(String))"),
+            ColumnMapping("tags", "tags", "Array(LowCardinality(String))"))))(df)
+        val back = reader(t, url.get).load()
+        assert(back.count() == 3000, s"[$label] row count")
+        assert(back.select("k").distinct().count() == 3, s"[$label] dict values")
+        assert(back.filter($"kn".isNull).count() == 600, s"[$label] NULL slot")
+        assert(back.filter($"kn" === "opt1").count() > 0, s"[$label] real value")
+        // nested: per-row array contents survive the dictionary round trip
+        val r7 = back.filter($"id" === 7L).select("tags").collect().head
+          .getSeq[String](0)
+        assert(r7 == Seq("tag1", "tag2", "tag3"), s"[$label] tags row 7: $r7")
+        assert(back.filter($"id" === 4L).select("tags").collect().head
+          .getSeq[String](0).isEmpty, s"[$label] empty array")
+      } finally ddl(s"DROP TABLE IF EXISTS `$db`.`$t`")
+    }
+  }
+
   test("native TCP: send_logs_level + compression — Log packets ride the PLAIN stream") {
     assume(httpUrl.isDefined && tcpUrl.isDefined,
       "CH_URL/CH_TCP_URL not set — live-server suite skipped")

@@ -1162,6 +1162,26 @@ class SinkWireSpec extends SparkSpec {
     }
   }
 
+  test("Array(LowCardinality(String)) INSERT rides the dictionary form through the whole sink path") {
+    withServer() { ch =>
+      ch.createTable("default", "ev_lcarr",
+        Seq("id" -> "Int64", "tags" -> "Array(LowCardinality(String))"))
+      val df = (1L to 300L).map(i =>
+        (i, (0 until (i % 4).toInt).map(j => s"tag${(i + j) % 6}")))
+        .toDF("id", "tags")
+      ClickHouseSink.writeBatch(ClickHouseSink.Config(
+        url = ch.endpoint, database = "default", table = "ev_lcarr",
+        mappings = Seq(ColumnMapping("id", "id", "Int64"),
+          ColumnMapping("tags", "tags", "Array(LowCardinality(String))")),
+        httpFormat = "Native"))(df)
+      assert(ch.rowCount("default", "ev_lcarr") == 300)
+      val row7 = ch.rows("default", "ev_lcarr").find(_("id") == 7L).get
+      assert(row7("tags") == Vector("tag1", "tag2", "tag3"))
+      val row4 = ch.rows("default", "ev_lcarr").find(_("id") == 4L).get
+      assert(row4("tags") == Vector.empty)
+    }
+  }
+
   test("dedupAbsorbsResend: only an explicit insert_deduplicate opt-in licenses a could-have-committed resend") {
     def c(s: Map[String, String]) = ClickHouseHttp.Config(
       endpoint = "http://x:8123", database = "d", table = "t", settings = s)
