@@ -193,8 +193,8 @@ object Bench {
         f""""$n":{"ref":$ref%.3f,"sec":$t%.3f,"ratio":${t / ref}%.2f}"""
       }.mkString("{", ",", "}")
       val lcAbJson = lcAb.map { case (m, v, t) =>
-        f""""$m":{"value":$v%.0f,"telemetry":${teleJson(t)}}"""
-      }.mkString("{", ",", "}")
+        f"""{"mode":"$m","value":$v%.0f,"telemetry":${teleJson(t)}}"""
+      }.mkString("[", ",", "]")
       val total = finalResults.map(_._2).sum
       val wireRate = median(wireRuns)
       val (ingestRate, ingestPruned) =
@@ -232,7 +232,7 @@ object Bench {
         s""""canary":$canaryJson,""" +
         """"canary_note":"ten stable mid-cost queries vs their stored healthy-window medians (tools/bench_canary.json, from the four complete r13 sweeps); the MEDIAN ratio classifies the sweep: <=1.3 healthy, else contended (sweep_health in the tail) -- so a storm-tinted sweep is identifiable from the artifact alone",""" +
         s""""wire_lc_ab":$lcAbJson,""" +
-        """"wire_lc_ab_note":"diagnostic A/B isolating the LowCardinality dictionary-encode cost on the measured wire INSERT path (3 of the 35 wire columns are LC): the same 2M-event topology forked with dict encode on (default) vs forced plain inner form (SPARK_GRAFT_LC_ENCODE=plain), same telemetry; empty = budget cut it",""" +
+        """"wire_lc_ab_note":"diagnostic A/B isolating the LowCardinality dictionary-encode cost on the measured wire INSERT path (3 of the 35 wire columns are LC): the same 2M-event topology forked with dict encode on (default) vs forced plain inner form (SPARK_GRAFT_LC_ENCODE=plain), same telemetry, in ALTERNATING order dict/plain/plain/dict -- the first post-in-session fork systematically pays a heap-quiesce penalty, so a fixed order would bias the pair; empty = budget cut it",""" +
         s""""ingest_batch_runs":$batchRunsJson,""" +
         wireRuns.map(r => f"$r%.0f").mkString(""""ingest_wire_runs":[""", ",", "],") +
         streamingAttempts.map(a => f"${a._1}%.0f")
@@ -340,14 +340,20 @@ object Bench {
       // above is already on disk, so a budget cut from here truncates
       // only explanatory depth.
 
-      // ---- LC dictionary-encode A/B on the wire topology (one fork
-      // pair, same workload + telemetry): r14 put the dict encoder in the
-      // measured INSERT path and the wire band halved in the same round —
-      // this measures the two forms directly instead of arguing jitter.
+      // ---- LC dictionary-encode A/B on the wire topology (same
+      // workload + telemetry): r14 put the dict encoder in the measured
+      // INSERT path and the wire band halved in the same round — this
+      // measures the two forms directly instead of arguing jitter. The
+      // order ALTERNATES (dict, plain, plain, dict) because the first
+      // fork systematically pays the post-in-session heap debt (the r15
+      // sweep-1/2 dict-first forks both hit the 90 s quiesce timeout
+      // while the second fork started on a drained heap) — a fixed
+      // order would bias the comparison, alternation cancels it.
       if (budgetLeft) {
+        val plainEnv = Seq("SPARK_GRAFT_LC_ENCODE" -> "plain")
         lcAb = Seq(
-          ("dict", Seq.empty[(String, String)]),
-          ("plain", Seq("SPARK_GRAFT_LC_ENCODE" -> "plain"))).flatMap {
+          ("dict", Seq.empty[(String, String)]), ("plain", plainEnv),
+          ("plain", plainEnv), ("dict", Seq.empty[(String, String)])).flatMap {
           case (mode, env) =>
             if (!budgetLeft) {
               skipped += s"wire LC A/B '$mode' fork (budget exceeded)"

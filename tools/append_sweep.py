@@ -7,7 +7,10 @@ art = json.load(open('BENCH_LAST.json'))
 with open('BENCH_R15_RUNS.jsonl', 'a') as f:
     f.write(json.dumps(art) + '\n')
 ab = art.get('wire_lc_ab') or {}
-abtxt = ','.join(f"{k}={int(v['value'])}" for k, v in ab.items()) or 'cut'
+if isinstance(ab, dict):  # pre-alternation object form
+    abtxt = ','.join(f"{k}={int(v['value'])}" for k, v in ab.items()) or 'cut'
+else:  # alternating-order list form
+    abtxt = ','.join(f"{e['mode']}={int(e['value'])}" for e in ab) or 'cut'
 print(f"health={art.get('sweep_health')} total={art.get('value'):.1f}s "
       f"wire={art.get('ingest_wire_events_per_sec')}(fl={art.get('ingest_wire_flagged')}) "
       f"batch={art.get('ingest_events_per_sec')}(fl={art.get('ingest_batch_flagged')}) "
