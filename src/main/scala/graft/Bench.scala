@@ -82,9 +82,13 @@ object Bench {
     // could say so at a glance.
     // medians are only comparable at the SF they were recorded at (the
     // file's __sf tag): a profiling run at another scale reads "unknown",
-    // never a false "healthy"
+    // never a false "healthy". The tag is REQUIRED (an untagged file
+    // can't prove its scale) and must match the sf dir's exact path
+    // segment — substring containment would let "sf0.1" medians grade an
+    // "sf0.15" run.
     val canaryRef =
-      if (canarySf().forall(sfDir.contains)) canaryMedians() else Map.empty[String, Double]
+      if (canarySf().exists(sfMatches(sfDir, _))) canaryMedians()
+      else Map.empty[String, Double]
     val canary = results.collect {
       case (n, t) if t > 0 && canaryRef.get(n).exists(_ > 0) =>
         (n, canaryRef(n), t)
@@ -590,6 +594,12 @@ object Bench {
       """"([^"]+)":\s*(-?[0-9.Ee+-]+)""".r.findAllMatchIn(txt)
         .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
     } catch { case _: Exception => Map.empty }
+
+  /** True when the canary file's __sf tag names the run's scale as an
+    * EXACT path segment of the sf dir (".../sf0.1" matches tag "sf0.1"
+    * but ".../sf0.15" does not). */
+  private[graft] def sfMatches(sfDir: String, tag: String): Boolean =
+    sfDir.split('/').exists(_ == tag)
 
   /** The scale factor the canary medians were recorded at (the file's
     * "__sf" tag); None when absent/unreadable. */

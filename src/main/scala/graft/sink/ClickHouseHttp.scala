@@ -134,6 +134,17 @@ object ClickHouseHttp {
     case _ => false
   }
 
+  /** Write the full request body and flip `bodySent` the moment
+    * write+flush succeed — BEFORE close(): close() can itself surface a
+    * dead connection, and at that point the full Content-Length body may
+    * already sit in the server's socket buffer, i.e. the insert could
+    * have committed. Treating a close() fault as pre-body would resend
+    * unconditionally and reopen the duplicate-insert hole the
+    * phase-aware retry closes. */
+  private[sink] def writeBody(os: java.io.OutputStream, body: Array[Byte],
+      bodySent: java.util.concurrent.atomic.AtomicBoolean): Unit =
+    try { os.write(body); os.flush(); bodySent.set(true) } finally os.close()
+
   /** One POST attempt. Flips `bodySent` the moment the request body is
     * fully written and flushed to the connection — from that point a
     * fault no longer proves the server didn't commit (see [[post]]). */
@@ -155,9 +166,7 @@ object ClickHouseHttp {
       if (c.compress) conn.setRequestProperty("Content-Encoding", "gzip")
       conn.setDoOutput(true)
       conn.setFixedLengthStreamingMode(body.length.toLong)
-      val os = conn.getOutputStream
-      try { os.write(body); os.flush() } finally os.close()
-      bodySent.set(true)
+      writeBody(conn.getOutputStream, body, bodySent)
       val status = conn.getResponseCode
       val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
       val respBody =

@@ -988,10 +988,14 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
         offs.map { o =>
           val s = flat.slice(prev, o.toInt).toVector; prev = o.toInt; s
         }
-      case CHMap(_, vt) =>
+      case CHMap(kt, vt) =>
         val offs = (0 until n).map(_ => in.i64())
         val totalElems = if (n == 0) 0 else offs.last.toInt
-        val keys = (0 until totalElems).map(_ => in.str())
+        // keys recurse by their DECLARED type: plain String reads as
+        // before, but a client that dictionary-encoded the key column
+        // (block declares Map(LowCardinality(String), ...)) decodes
+        // through the LC arm rather than misframing on raw strings
+        val keys = readNativeColumn(in, kt, totalElems, col).map(String.valueOf)
         val vals = readNativeColumn(in, vt, totalElems, col)
         var prev = 0
         offs.map { o =>
@@ -1033,13 +1037,12 @@ final class MiniClickHouseServer(user: String = "default", password: String = ""
         var i = 0
         while (i < n) { last = in.i64(); i += 1 }
         validateNativeColumn(in, inner, if (n == 0) 0 else last.toInt, col)
-      case CHMap(_, vt) =>
+      case CHMap(kt, vt) =>
         var last = 0L
         var i = 0
         while (i < n) { last = in.i64(); i += 1 }
         val total = if (n == 0) 0 else last.toInt
-        i = 0
-        while (i < total) { in.skip(in.varint()); i += 1 } // keys
+        validateNativeColumn(in, kt, total, col) // String OR its LC dict form
         validateNativeColumn(in, vt, total, col)
       case CHTuple(elems) => elems.foreach(e => validateNativeColumn(in, e._2, n, col))
       case CHEnum(bits, values) =>

@@ -100,6 +100,13 @@ object NativeEncoder {
     def mark(): Unit = { m = mask.position; inner.mark() }
     def rollback(): Unit = { mask.truncate(m); inner.rollback() }
     def byteSize: Long = mask.position + inner.byteSize
+    // Nullable(LowCardinality) is illegal in ClickHouse so these never
+    // fire today, but every wrapper writer composes prefix + declared
+    // type so no future nesting can ship dictionary bulk under a header
+    // that doesn't declare it
+    override def writePrefix(out: java.io.OutputStream): Unit = inner.writePrefix(out)
+    override def declaredType: Option[String] =
+      inner.declaredType.map(t => s"Nullable($t)")
     def writeTo(out: java.io.OutputStream): Unit = {
       mask.writeTo(out); inner.writeTo(out)
     }
@@ -132,7 +139,7 @@ object NativeEncoder {
     * column, then the value column. Values arrive stringified (the sink
     * mapper's coerce-to-String contract) and re-parse to the declared wire
     * type, like RowBinary's map leg. */
-  private final class MapWriter(vt: CHType, keys: ColWriter, vals: ColWriter)
+  private final class MapWriter(kt: CHType, vt: CHType, keys: ColWriter, vals: ColWriter)
       extends ColWriter {
     private val offsets = new Buf
     private var count = 0L
@@ -154,6 +161,18 @@ object NativeEncoder {
       offsets.truncate(mOff); count = mCount; keys.rollback(); vals.rollback()
     }
     def byteSize: Long = offsets.position + keys.byteSize + vals.byteSize
+    /** Substream prefix order for Map (= Array(Tuple(K, V)) on the wire):
+      * key column prefix, then value column prefix, both BEFORE the
+      * offsets — mirroring ClickHouse's SerializationMap, which delegates
+      * state prefixes to the nested tuple's elements in order. */
+    override def writePrefix(out: java.io.OutputStream): Unit = {
+      keys.writePrefix(out); vals.writePrefix(out)
+    }
+    override def declaredType: Option[String] =
+      if (keys.declaredType.isDefined || vals.declaredType.isDefined)
+        Some(s"Map(${keys.declaredType.getOrElse(wireType(kt))}, " +
+          s"${vals.declaredType.getOrElse(wireType(vt))})")
+      else None
     def writeTo(out: java.io.OutputStream): Unit = {
       offsets.writeTo(out); keys.writeTo(out); vals.writeTo(out)
     }
@@ -161,7 +180,8 @@ object NativeEncoder {
 
   /** Native tuple column = the element columns laid out back to back
     * (positional; no per-row count). Rows arrive as Spark struct Rows. */
-  private final class TupleWriter(elems: Seq[ColWriter]) extends ColWriter {
+  private final class TupleWriter(elemTypes: Seq[(Option[String], CHType)],
+                                  elems: Seq[ColWriter]) extends ColWriter {
     def append(v: Any): Unit = v match {
       case null => elems.foreach(_.append(null))
       case r: Row =>
@@ -178,10 +198,36 @@ object NativeEncoder {
     def mark(): Unit = elems.foreach(_.mark())
     def rollback(): Unit = elems.foreach(_.rollback())
     def byteSize: Long = elems.foldLeft(0L)(_ + _.byteSize)
+    /** Element prefixes in declaration order, all BEFORE any element's
+      * bulk — ClickHouse's SerializationTuple writes the whole substream
+      * state-prefix tree first, so a dict-form LC inside element k puts
+      * its u64 version ahead of element 0's data. */
+    override def writePrefix(out: java.io.OutputStream): Unit =
+      elems.foreach(_.writePrefix(out))
+    /** When ANY element chose dictionary form the whole Tuple re-declares
+      * with that element's LowCardinality spelling (others keep the
+      * static wire type) — the header must describe exactly the bytes
+      * that follow. */
+    override def declaredType: Option[String] =
+      if (elems.exists(_.declaredType.isDefined)) {
+        val parts = elemTypes.zip(elems).map { case ((name, t), w) =>
+          val text = w.declaredType.getOrElse(wireType(t))
+          name match {
+            case None => text
+            case Some(n) =>
+              val id = if (n.matches("""[\p{L}_][\p{L}\p{N}_]*""")) n
+                else s"`${n.replace("`", "``")}`"
+              s"$id $text"
+          }
+        }
+        Some(parts.mkString("Tuple(", ", ", ")"))
+      } else None
     def writeTo(out: java.io.OutputStream): Unit = elems.foreach(_.writeTo(out))
   }
 
-  /** Dictionary-encoding writer for a TOP-LEVEL LowCardinality column —
+  /** Dictionary-encoding writer for a LowCardinality column at ANY
+    * position in the type tree (top level, Array element, Map key/value,
+    * Tuple element — the wrappers compose prefix and declared type) —
     * the write side of the additional-keys serialization
     * [[NativeDecoder]] reads (reference behavior: clickhouse-go ships LC
     * batch columns dictionary-encoded; internal/batch/clickhouse/batch.go
@@ -270,8 +316,7 @@ object NativeEncoder {
       * per-row byteSize path never re-reads props/env. */
     private val forcePlain = forcePlainLc
     private def useDict: Boolean = !forcePlain && dictFormBytes < plainFormBytes
-    def byteSize: Long =
-      if (useDict) math.min(dictFormBytes, plainFormBytes) else plainFormBytes
+    def byteSize: Long = if (useDict) dictFormBytes else plainFormBytes
     override def declaredType: Option[String] =
       if (useDict) Some(s"LowCardinality(${wireType(inner)})") else None
     /** The u64 keys-serialization version — a state PREFIX in ClickHouse's
@@ -307,39 +352,27 @@ object NativeEncoder {
     }
   }
 
+  /** Column writer for any position in the type tree. LowCardinality
+    * dictionary-encodes EVERYWHERE it appears — top level, Array element
+    * (one dict + narrow keys over the FLATTENED values; an
+    * Array(LowCardinality(String)) tags column is the canonical 100 TB
+    * case, the tag vocabulary ships once per block instead of once per
+    * array element), and under Map/Tuple — because every wrapper writer
+    * (Nullable/Array/Map/Tuple) composes both [[ColWriter.writePrefix]]
+    * (u64 keys-serialization versions hoisted before ANY bulk, offsets
+    * included, per ClickHouse's substream state-prefix order) and
+    * [[ColWriter.declaredType]] (the header re-spells the LC wrapper for
+    * exactly the elements that chose dictionary form). Each LC writer
+    * still falls back to the plain inner form when the dictionary would
+    * not pay, per-writer and measured. */
   private def writerFor(t: CHType): ColWriter = t match {
-    // LC nested inside Map/Tuple keeps the send-as-inner conversion (the
-    // dominant real nesting is Array(LC), handled by elemWriterFor; a
-    // dict-form LC under Map/Tuple would also need declared-type
-    // composition through those writers for no observed workload)
-    case CHType.CHLowCardinality(inner) => writerFor(inner)
+    case CHType.CHLowCardinality(inner) => new LowCardinalityWriter(inner)
     case CHType.CHNullable(inner) => new NullableWriter(writerFor(inner))
-    case CHType.CHArray(inner) => new ArrayWriter(elemWriterFor(inner))
-    case CHType.CHMap(k, v) => new MapWriter(v, writerFor(k), writerFor(v))
-    case CHType.CHTuple(elems) => new TupleWriter(elems.map(e => writerFor(e._2)))
+    case CHType.CHArray(inner) => new ArrayWriter(writerFor(inner))
+    case CHType.CHMap(k, v) => new MapWriter(k, v, writerFor(k), writerFor(v))
+    case CHType.CHTuple(elems) =>
+      new TupleWriter(elems, elems.map(e => writerFor(e._2)))
     case scalar => new ScalarWriter(scalar)
-  }
-
-  /** Array ELEMENT writer: Array(LowCardinality(T)) dictionary-encodes
-    * like a top-level LC column — one dict + narrow keys over the
-    * FLATTENED values, u64 version prefix hoisted before the offsets
-    * (ClickHouse's substream-prefix order), falling back to the plain
-    * inner form when the dict would not pay. An Array(LowCardinality
-    * (String)) tags column is the canonical 100 TB case: the tag
-    * vocabulary ships once per block instead of once per array element.
-    * Recurses so Array(Array(LC)) composes. */
-  private def elemWriterFor(t: CHType): ColWriter = t match {
-    case CHType.CHLowCardinality(inner) => new LowCardinalityWriter(inner)
-    case CHType.CHArray(inner) => new ArrayWriter(elemWriterFor(inner))
-    case other => writerFor(other)
-  }
-
-  /** Top-level column writer: LC gets its dictionary writer here and as
-    * an Array element ([[elemWriterFor]]); LC under Map/Tuple sends
-    * as-inner (see [[writerFor]]). */
-  private def topWriterFor(t: CHType): ColWriter = t match {
-    case CHType.CHLowCardinality(inner) => new LowCardinalityWriter(inner)
-    case other => writerFor(other)
   }
 
   /** The type text the block header declares for a column: LowCardinality
@@ -360,7 +393,7 @@ object NativeEncoder {
   /** Incremental one-block builder: append rows until [[rowCount]] /
     * [[byteSize]] trips the caller's slab bound, then [[build]] and POST. */
   final class BlockBuilder(names: Seq[String], types: Seq[CHType]) {
-    private val writers = types.map(topWriterFor).toArray
+    private val writers = types.map(writerFor).toArray
     private var rows = 0
     def rowCount: Int = rows
     def byteSize: Long = writers.foldLeft(0L)(_ + _.byteSize)

@@ -105,6 +105,14 @@ class BenchGateSpec extends AnyFunSuite {
     // profiling run at another SF reads "unknown" instead of a false tag
     assert(Bench.canarySf().contains("sf0.1"))
     assert(Bench.canarySf("does/not/exist.json").isEmpty)
+    // the tag must match an EXACT path segment: substring containment
+    // would let sf0.1 medians grade an sf0.15 run, and an absent tag must
+    // never pass (both would mint a false "healthy")
+    assert(Bench.sfMatches("/root/testdata/sf0.1", "sf0.1"))
+    assert(!Bench.sfMatches("/root/testdata/sf0.15", "sf0.1"))
+    assert(!Bench.sfMatches("/root/testdata/sf0.01", "sf0.1"))
+    assert(Bench.sfMatches("sf0.1", "sf0.1"))
+    assert(!Bench.sfMatches("/root/testdata/sf0.1x/sub", "sf0.1"))
   }
 
   test("a crashed fork's record names the exception class and message (head, not just tail)") {

@@ -380,6 +380,102 @@ class NativeDecodeGuardSpec extends AnyFunSuite {
       r.getArray(0).getUTF8String(0).toString == vals(i).head })
   }
 
+  test("LC ENCODE nested: Tuple(..., Array(LowCardinality), ...) — prefix hoisted, header re-declares, BOTH decoders agree") {
+    // the round-15 advisory's live malformed-block path: writerFor(CHArray)
+    // dictionary-encodes the element, so TupleWriter MUST compose the
+    // declared type and delegate the prefix — otherwise the block ships
+    // dict bulk under an LC-stripped header with no version word
+    val t = CHType.parse("Tuple(a String, b Array(LowCardinality(String)))")
+    val vals = (0 until 600).map(i =>
+      (s"name${i % 5}", (0 until (2 + i % 3)).map(j => s"tag${(i + j) % 6}")))
+    val b = new NativeEncoder.BlockBuilder(Seq("p"), Seq(t))
+    vals.foreach { case (n, tags) => assert(b.tryAppend(Row(Row(n, tags))).isEmpty) }
+    val body = b.build()
+    val declared = "Tuple(a String, b Array(LowCardinality(String)))"
+    assert(new String(body, "UTF-8").contains(declared),
+      "header must re-declare the LC element the writer dictionary-encoded")
+    // BYTE LAYOUT: the whole substream prefix tree precedes ANY bulk —
+    // the u64 version of element b leads the column, BEFORE element a's
+    // string data
+    val headerLen = 1 /*ncols*/ + 2 /*nrows=600 varint*/ +
+      (1 + 1) /*name "p"*/ + (1 + declared.length)
+    assert(body.slice(headerLen, headerLen + 8).toSeq ==
+      Seq[Byte](1, 0, 0, 0, 0, 0, 0, 0),
+      "u64 version=1 must precede element-0 bulk (substream prefix order)")
+    // production decoder
+    val rows = decodeAll(body, Seq("p" -> t))
+    assert(rows.size == 600)
+    (0 until 600 by 41).foreach { i =>
+      val st = rows(i).getStruct(0, 2)
+      assert(st.getUTF8String(0).toString == vals(i)._1, s"row $i name")
+      val arr = st.getArray(1)
+      assert((0 until arr.numElements()).map(j => arr.getUTF8String(j).toString)
+        == vals(i)._2, s"row $i tags")
+    }
+    // fixture decoder — the independent second implementation
+    val brain = new MiniClickHouseServer()
+    brain.createTable("default", "lc_tup",
+      Seq("p" -> "Tuple(a String, b Array(LowCardinality(String)))"))
+    brain.insertNativeBlock("default", "lc_tup", Seq("p"), body)
+    val stored = brain.rows("default", "lc_tup")
+    assert(stored.size == 600)
+    assert(stored(0)("p") ==
+      Map("a" -> vals(0)._1, "b" -> vals(0)._2.toVector))
+    assert(stored(599)("p") ==
+      Map("a" -> vals(599)._1, "b" -> vals(599)._2.toVector))
+    // all-distinct element: the tuple declares the plain wire type again
+    val pb = new NativeEncoder.BlockBuilder(Seq("p"), Seq(t))
+    (0 until 300).foreach(i =>
+      assert(pb.tryAppend(Row(Row(s"n$i", Seq(s"unique-$i-${"x" * 24}")))).isEmpty))
+    assert(!new String(pb.build(), "UTF-8").contains("LowCardinality"),
+      "all-distinct tuple element must fall back to the plain declaration")
+  }
+
+  test("LC ENCODE nested: Map values AND Map keys dictionary-encode, round-trip BOTH decoders") {
+    // Map(String, LowCardinality(String)): repetitive VALUES dict-encode
+    val vt = CHType.parse("Map(String, LowCardinality(String))")
+    val vvals = (0 until 3000).map(i =>
+      Map(s"k${i % 7}" -> s"val${i % 3}", "lang" -> s"l${i % 4}"))
+    val vb = new NativeEncoder.BlockBuilder(Seq("m"), Seq(vt))
+    vvals.foreach(m => assert(vb.tryAppend(Row(m)).isEmpty))
+    val vbody = vb.build()
+    assert(new String(vbody, "UTF-8").contains("Map(String, LowCardinality(String))"))
+    val vrows = decodeAll(vbody, Seq("m" -> vt))
+    assert(vrows.size == 3000)
+    (0 until 3000 by 251).foreach { i =>
+      val md = vrows(i).getMap(0)
+      val got = (0 until md.numElements()).map(j =>
+        md.keyArray.getUTF8String(j).toString ->
+          md.valueArray.getUTF8String(j).toString).toMap
+      assert(got == vvals(i), s"row $i")
+    }
+    val vBrain = new MiniClickHouseServer()
+    vBrain.createTable("default", "lc_mv",
+      Seq("m" -> "Map(String, LowCardinality(String))"))
+    vBrain.insertNativeBlock("default", "lc_mv", Seq("m"), vbody)
+    assert(vBrain.rows("default", "lc_mv").head("m") == vvals.head)
+    // Map(LowCardinality(String), String): repetitive KEYS dict-encode —
+    // exercises the fixture's declared-type key recursion (a hard-coded
+    // plain-String key read would misframe here)
+    val kt = CHType.parse("Map(LowCardinality(String), String)")
+    val kvals = (0 until 3000).map(i => Map(s"key${i % 5}" -> s"payload-$i"))
+    val kb = new NativeEncoder.BlockBuilder(Seq("m"), Seq(kt))
+    kvals.foreach(m => assert(kb.tryAppend(Row(m)).isEmpty))
+    val kbody = kb.build()
+    assert(new String(kbody, "UTF-8").contains("Map(LowCardinality(String), String)"))
+    val krows = decodeAll(kbody, Seq("m" -> kt))
+    (0 until 3000 by 379).foreach { i =>
+      val md = krows(i).getMap(0)
+      assert(md.keyArray.getUTF8String(0).toString == s"key${i % 5}", s"row $i")
+      assert(md.valueArray.getUTF8String(0).toString == s"payload-$i", s"row $i")
+    }
+    val kBrain = new MiniClickHouseServer()
+    kBrain.createTable("default", "lc_mk",
+      Seq("m" -> "Map(LowCardinality(String), String)"))
+    kBrain.insertNativeBlock("default", "lc_mk", Seq("m"), kbody)
+    assert(kBrain.rows("default", "lc_mk")(7)("m") == kvals(7))
+  }
+
   test("LC ENCODE: the forced-plain A/B knob ships the inner form, value-identical") {
     // graft.lc.encode=plain (the in-process spelling of the bench's
     // SPARK_GRAFT_LC_ENCODE=plain fork env) must force the plain inner

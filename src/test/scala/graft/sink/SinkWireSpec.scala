@@ -1191,6 +1191,31 @@ class SinkWireSpec extends SparkSpec {
     assert(!ClickHouseHttp.dedupAbsorbsResend(c(Map.empty)))
   }
 
+  test("writeBody flips bodySent after flush, BEFORE close() — a dead-connection close() is could-have-committed") {
+    // close() detecting the dead connection is the r15 advisory's hole:
+    // by then the full Content-Length body may sit in the server's
+    // socket buffer, so the fault must be classified post-body (resend
+    // only under insert_deduplicate), never as an unconditional retry
+    val sent = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val closeFault = new java.io.ByteArrayOutputStream() {
+      override def close(): Unit = throw new java.net.SocketException("Connection reset")
+    }
+    intercept[java.net.SocketException] {
+      ClickHouseHttp.writeBody(closeFault, Array[Byte](1, 2, 3), sent)
+    }
+    assert(sent.get, "a close()-phase fault must be classified post-body")
+    // a fault DURING write stays pre-body: the server can't have the
+    // declared Content-Length, so the unconditional in-place retry is safe
+    val writeFault = new java.io.OutputStream {
+      override def write(b: Int): Unit = throw new java.net.SocketException("reset")
+    }
+    val sent2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[java.net.SocketException] {
+      ClickHouseHttp.writeBody(writeFault, Array[Byte](1), sent2)
+    }
+    assert(!sent2.get, "a write-phase fault must stay pre-body")
+  }
+
   test("isConnectionLevel: transport faults retry, parsed server errors never do") {
     import ClickHouseHttp.isConnectionLevel
     assert(isConnectionLevel(new java.net.ConnectException("Connection refused")))
