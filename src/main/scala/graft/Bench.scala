@@ -37,6 +37,10 @@ object Bench {
       // at 1 attempt a single transient socket hiccup under host jitter
       // aborts the whole bench job (the r13 graded-run failure mode)
       .master(s"local[$cpus,4]")
+      // boot armor: driver RPC pinned to loopback — the r15 driver-window
+      // wire fork died in RpcEnv.setupEndpointRefByURI under host churn
+      .config("spark.driver.bindAddress", "127.0.0.1")
+      .config("spark.driver.host", "localhost")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -170,6 +174,23 @@ object Bench {
     var wireFlagged = false
     var batchFlagged = false
     var streamingFlagged = false
+    // Per-leg environment-blocked markers (leg cut short after 2
+    // consecutive fork failures) and window tags ("clean"/"contended"/
+    // "unknown", from the FINAL samples' telemetry — the sweep canary
+    // certifies the query pass only; legs run minutes later).
+    var wireEnvBlocked = false
+    var batchEnvBlocked = false
+    var streamingEnvBlocked = false
+    var wireWindow = "unknown"
+    var batchWindow = "unknown"
+    var streamingWindow = "unknown"
+    // In-session FALLBACK numbers, populated ONLY when a leg's forked
+    // channel yielded zero positive samples (boot-dead environment): the
+    // graded key stays -1, but the tail still carries SOME labeled
+    // number for every leg.
+    var wireFallback = -1.0
+    var batchFallback = -1.0
+    var streamingFallback = -1.0
     // LC dictionary-encode A/B on the wire topology (diagnostic):
     // (mode, events/sec, telemetry) for dict-on vs forced-plain forks.
     var lcAb: Seq[(String, Double, Tele)] = Nil
@@ -252,12 +273,24 @@ object Bench {
         """"notes":{"streaming_rows":"q_temporal_join_stream / q_sessionize_stream / q_window_hopping_stream / q_dedup_windowed_stream wall time ~= fixed local-mode micro-batch WAL/commit latency (measured the same at sf0.001 and sf0.1); keyed shared-nothing state, not operator cost"},""" +
         f""""ingest_events_per_sec":$headline%.0f,""" +
         s""""ingest_batch_flagged":$batchFlagged,""" +
+        s""""ingest_batch_window":"$batchWindow",""" +
+        s""""ingest_batch_env":"${if (batchEnvBlocked) "environment-blocked" else "ok"}",""" +
         f""""ingest_pruned_schema_events_per_sec":$ingestPruned%.0f,""" +
         f""""ingest_streaming_events_per_sec":$streamingRate%.0f,""" +
         s""""ingest_streaming_flagged":$streamingFlagged,""" +
+        s""""ingest_streaming_window":"$streamingWindow",""" +
+        s""""ingest_streaming_env":"${if (streamingEnvBlocked) "environment-blocked" else "ok"}",""" +
         f""""ingest_wire_events_per_sec":$wireRate%.0f,""" +
         s""""ingest_wire_flagged":$wireFlagged,""" +
+        s""""ingest_wire_window":"$wireWindow",""" +
+        s""""ingest_wire_env":"${if (wireEnvBlocked) "environment-blocked" else "ok"}",""" +
         """"flagged_note":"*_flagged=true means the leg's median INCLUDES at least one sample the run-relative gates flagged that could not get its bounded re-run (budget) -- treat the number as contention-depressed, not measured clean; full detail in discarded_runs/skipped",""" +
+        """"window_note":"*_window is the LEG's own weather, from the same run-relative gates applied to the final kept samples (sweep_health certifies only the query pass, which runs minutes earlier): clean = no final sample flagged; contended = a flagged sample is inside the median; unknown = no positive samples",""" +
+        """"env_note":"*_env=environment-blocked means the leg was cut short after 2 CONSECUTIVE fork failures (boot crash, fork timeout, or no output) -- the graded key is then -1 by construction and the *_in_session_fallback key carries the only measurement; fork boot is armored (driver RPC pinned to loopback) and every fork runs under a hard wall-clock cap (SPARK_GRAFT_FORK_TIMEOUT_SEC, default 300s), so one dead fork can no longer consume the budget",""" +
+        f""""ingest_wire_in_session_fallback":$wireFallback%.0f,""" +
+        f""""ingest_batch_in_session_fallback":$batchFallback%.0f,""" +
+        f""""ingest_streaming_in_session_fallback":$streamingFallback%.0f,""" +
+        """"in_session_fallback_note":"populated (not -1) ONLY when the leg's forked channel produced zero positive samples: the same leg measured ONCE inside the sweep JVM -- GC-debt-depressed (the in-session batch number reads ~2.2x under its forked twin), so treat as a labeled lower bound, never as the graded median",""" +
         s""""skipped_count":${skipped.size},""" +
         s""""sweep_health":"$sweepHealth",""" +
         streamingErrJson +
@@ -289,44 +322,58 @@ object Bench {
     // above) → wire → batch → streaming → in-session → LC-dict A/B →
     // mover/variance re-runs. The r14 storm proved the old order (re-runs
     // before the legs) lets diagnostics starve the graded record.
+    // Test-only knob (never set by the driver): swap the wire fork's main
+    // class so the fork-failure machinery — timeout destroy, 2-failure
+    // fail-fast, environment-blocked tail markers, in-session fallback —
+    // can be replayed end-to-end against a genuinely hanging/crashing
+    // fork (the r15 failure modes).
+    val wireMainClass =
+      sys.env.getOrElse("SPARK_GRAFT_TEST_WIRE_MAIN", "graft.WireIngestBench")
     if (only.isEmpty) {
       // ---- wire leg (3 forks, each = warm-up pass + measured pass)
-      val (wr, wt, wf) = runLeg[Double](3, "wire", skipped, () => budgetLeft,
-        wireDiscards, loadGated = true, identity) {
-        forkedLine("graft.WireIngestBench", Seq("2000000", "8"),
+      val wl = runLeg[Double](3, "wire", skipped, () => budgetLeft,
+        wireDiscards, loadGated = true, identity, failed = _ <= 0) {
+        forkedLine(wireMainClass, Seq("2000000", "8"),
           "\"wire_ingest_throughput\"") match {
           case Left(why) =>
             System.err.println(s"wire ingest bench failed: $why"); -1.0
           case Right(l) => num("value", l).getOrElse(-1.0)
         }
       }
-      wireRuns = wr.filter(_ > 0)
-      wireTele = wt
-      wireFlagged = wf
+      wireRuns = wl.samples.filter(_ > 0)
+      wireTele = wl.teles
+      wireFlagged = wl.keptFlagged
+      wireEnvBlocked = wl.envBlocked
+      wireWindow = wl.window
       emit(partial = true)
 
       // ---- batch leg (5 forks)
-      val (br, bt, bf) = runLeg[Option[(Double, Double)]](5, "batch", skipped,
+      val bl = runLeg[Option[(Double, Double)]](5, "batch", skipped,
         () => budgetLeft, batchDiscards, loadGated = false,
-        v => v.map(_._1).getOrElse(-1.0)) {
+        v => v.map(_._1).getOrElse(-1.0), failed = !_.exists(_._1 > 0)) {
         forkedIngest(2000000L)
       }
-      batchRuns = br.flatten
-      batchTele = bt
-      batchFlagged = bf
+      batchRuns = bl.samples.flatten
+      batchTele = bl.teles
+      batchFlagged = bl.keptFlagged
+      batchEnvBlocked = bl.envBlocked
+      batchWindow = bl.window
       emit(partial = true)
 
       // ---- streaming leg (3 forks)
-      val (sr, st, sf) = runLeg[(Double, String)](3, "streaming", skipped,
-        () => budgetLeft, streamingDiscards, loadGated = false, _._1) {
+      val sl = runLeg[(Double, String)](3, "streaming", skipped,
+        () => budgetLeft, streamingDiscards, loadGated = false, _._1,
+        failed = _._1 <= 0) {
         forkedStreaming(75)
       }
-      streamingAttempts = sr
-      streamingTele = st
-      streamingFlagged = sf
-      if (sr.nonEmpty && !sr.exists(_._1 > 0))
+      streamingAttempts = sl.samples
+      streamingTele = sl.teles
+      streamingFlagged = sl.keptFlagged
+      streamingEnvBlocked = sl.envBlocked
+      streamingWindow = sl.window
+      if (sl.samples.nonEmpty && !sl.samples.exists(_._1 > 0))
         System.err.println(
-          s"STREAMING BENCH FAILED: ${sr.map(_._2).mkString("; ")}")
+          s"STREAMING BENCH FAILED: ${sl.samples.map(_._2).mkString("; ")}")
       emit(partial = true)
 
       // ---- in-session comparability number (kept for round continuity)
@@ -338,6 +385,33 @@ object Bench {
           IngestBench.run(spark, 2000000L, pruneToMapped = false)
         } catch { case _: Throwable => -1.0 }
       } else skipped += "in-session ingest (budget exceeded)"
+      emit(partial = true)
+
+      // ---- in-session FALLBACKS for boot-dead legs: when a leg's forked
+      // channel yielded zero positive samples (the r15 driver window: a
+      // boot-crashing fork topology, all graded keys -1), measure the leg
+      // ONCE inside the sweep JVM and emit it under an explicit
+      // *_in_session_fallback key — NEVER the graded key. GC-debt makes
+      // these read low (in-session batch measures ~2.2× under forked),
+      // so they are labeled lower-bound stand-ins, but the tail then
+      // always carries SOME number for every leg.
+      if (wireRuns.isEmpty) {
+        if (budgetLeft) wireFallback = try {
+          spark.catalog.clearCache(); System.gc()
+          WireIngestBench.setupAndRun(spark, 2000000L, 8, passes = 1)._1
+        } catch { case e: Throwable =>
+          System.err.println(s"wire in-session fallback failed: $e"); -1.0
+        } else skipped += "wire in-session fallback (budget exceeded)"
+      }
+      if (batchRuns.isEmpty) batchFallback = inSession
+      if (!streamingAttempts.exists(_._1 > 0)) {
+        if (budgetLeft) streamingFallback = try {
+          spark.catalog.clearCache(); System.gc()
+          StreamingIngestBench.measure(spark, 60).rps
+        } catch { case e: Throwable =>
+          System.err.println(s"streaming in-session fallback failed: $e"); -1.0
+        } else skipped += "streaming in-session fallback (budget exceeded)"
+      }
       emit(partial = true)
 
       // ================= diagnostics from here on: every graded number
@@ -353,24 +427,34 @@ object Bench {
       // sweep-1/2 dict-first forks both hit the 90 s quiesce timeout
       // while the second fork started on a drained heap) — a fixed
       // order would bias the comparison, alternation cancels it.
-      if (budgetLeft) {
+      if (wireEnvBlocked) {
+        // a boot-dead wire topology cannot produce an A/B either — don't
+        // burn 4 more timeouts proving it
+        skipped += "wire LC A/B (environment-blocked: wire leg fail-fasted)"
+      } else if (budgetLeft) {
         val plainEnv = Seq("SPARK_GRAFT_LC_ENCODE" -> "plain")
+        var abConsecFails = 0
         lcAb = Seq(
           ("dict", Seq.empty[(String, String)]), ("plain", plainEnv),
           ("plain", plainEnv), ("dict", Seq.empty[(String, String)])).flatMap {
           case (mode, env) =>
-            if (!budgetLeft) {
+            if (abConsecFails >= 2) {
+              skipped += s"wire LC A/B '$mode' fork (environment-blocked: " +
+                "2 consecutive fork failures)"
+              None
+            } else if (!budgetLeft) {
               skipped += s"wire LC A/B '$mode' fork (budget exceeded)"
               None
             } else {
               val (v, t) = instrumented {
-                forkedLine("graft.WireIngestBench", Seq("2000000", "8"),
+                forkedLine(wireMainClass, Seq("2000000", "8"),
                   "\"wire_ingest_throughput\"", env) match {
                   case Left(why) =>
                     System.err.println(s"wire LC A/B '$mode' failed: $why"); -1.0
                   case Right(l) => num("value", l).getOrElse(-1.0)
                 }
               }
+              if (v <= 0) abConsecFails += 1 else abConsecFails = 0
               Some((mode, v, t))
             }
         }
@@ -417,32 +501,63 @@ object Bench {
 
   // ------------------------------------------------ leg runner + gating
 
+  /** One leg's outcome: final kept samples + telemetry, the FLAGGED
+    * marker (a gate-flagged sample kept without its bounded re-run —
+    * budget), the ENVIRONMENT-BLOCKED marker (the leg was cut short after
+    * 2 consecutive fork failures — a dead environment must cost minutes,
+    * not the budget), and the leg's WINDOW tag ("clean"/"contended"/
+    * "unknown") derived from the FINAL samples' own telemetry — the
+    * sweep-level canary certifies the query pass's window, but the legs
+    * run minutes later and r15 showed the window shifting mid-sweep. */
+  private[graft] final case class LegResult[A](samples: Seq[A], teles: Seq[Tele],
+      keptFlagged: Boolean, envBlocked: Boolean, window: String)
+
   /** Run one ingest leg: `n` instrumented forks first (each behind the
     * quiesce + CPU gates), then a POST-HOC discard decision over the
     * leg's OWN samples ([[discardFlags]]), then ONE bounded re-run per
     * flagged fork. Both the deadline and every discard are visible:
     * skipped forks append to `skipped`, discarded samples (with
-    * telemetry) go to `discards` and stay in the artifact. The returned
-    * Boolean is the leg's FLAGGED marker: true when at least one flagged
-    * sample was KEPT without its re-run (budget) — surfaced next to the
-    * leg's graded key so the tail is self-describing. */
-  private def runLeg[A](n: Int, leg: String,
+    * telemetry) go to `discards` and stay in the artifact.
+    *
+    * FAIL-FAST: `failed` classifies a sample as a fork failure (boot
+    * crash, timeout, no marker line — anything that produced no positive
+    * measurement). After 2 CONSECUTIVE failures the leg's remaining forks
+    * are skipped and the leg is marked environment-blocked: the r15
+    * driver window lost every leg behind one boot-dead fork topology. */
+  private[graft] def runLeg[A](n: Int, leg: String,
                         skipped: scala.collection.mutable.Buffer[String],
                         budgetLeft: () => Boolean,
                         discards: scala.collection.mutable.Buffer[(Double, Tele)],
                         loadGated: Boolean,
-                        valueOf: A => Double)(thunk: => A): (Seq[A], Seq[Tele], Boolean) = {
-    val firsts = (1 to n).flatMap { i =>
-      if (budgetLeft()) Some(instrumented(thunk))
-      else { skipped += s"$leg fork $i/$n (budget exceeded)"; None }
+                        valueOf: A => Double,
+                        failed: A => Boolean)(thunk: => A): LegResult[A] = {
+    val firsts = scala.collection.mutable.ArrayBuffer[(A, Tele)]()
+    var consecFails = 0
+    var envBlocked = false
+    var i = 1
+    while (i <= n) {
+      if (envBlocked)
+        skipped += s"$leg fork $i/$n (environment-blocked: 2 consecutive fork failures)"
+      else if (!budgetLeft())
+        skipped += s"$leg fork $i/$n (budget exceeded)"
+      else {
+        val s = instrumented(thunk)
+        firsts += s
+        if (failed(s._1)) {
+          consecFails += 1
+          if (consecFails >= 2) envBlocked = true
+        } else consecFails = 0
+      }
+      i += 1
     }
-    val flags = discardFlags(firsts.map(f => valueOf(f._1)), firsts.map(_._2),
-      loadGated)
+    val flags = discardFlags(firsts.map(f => valueOf(f._1)).toSeq,
+      firsts.map(_._2).toSeq, loadGated)
     var keptFlagged = false
-    val finals = firsts.zip(flags).zipWithIndex.map { case (((a, t), bad), i) =>
+    val finals = firsts.toSeq.zip(flags).zipWithIndex.map { case (((a, t), bad), j) =>
       if (!bad) (a, t)
-      else if (!budgetLeft()) {
-        skipped += s"$leg fork ${i + 1} re-run (budget exceeded; flagged sample kept)"
+      else if (envBlocked || !budgetLeft()) {
+        val why = if (envBlocked) "environment-blocked" else "budget exceeded"
+        skipped += s"$leg fork ${j + 1} re-run ($why; flagged sample kept)"
         keptFlagged = true
         (a, t)
       } else {
@@ -450,8 +565,24 @@ object Bench {
         instrumented(thunk)
       }
     }
-    (finals.map(_._1), finals.map(_._2), keptFlagged)
+    val window = legWindow(finals.map(f => valueOf(f._1)), finals.map(_._2),
+      loadGated, keptFlagged)
+    LegResult(finals.map(_._1), finals.map(_._2), keptFlagged, envBlocked, window)
   }
+
+  /** Per-leg window tag from the FINAL kept samples: re-apply the same
+    * run-relative gates to exactly what the median is computed from — a
+    * re-run that is STILL contended, or a flagged sample kept for budget,
+    * tags the leg "contended"; no positive samples reads "unknown". The
+    * sweep-level canary certifies only the query pass's window; the legs
+    * run minutes later and r15 sweep 5 showed the window shifting between
+    * them (wire fork 3 at 86.9k among 122k siblings). */
+  private[graft] def legWindow(values: Seq[Double], teles: Seq[Tele],
+                               loadGated: Boolean, keptFlagged: Boolean): String =
+    if (!values.exists(_ > 0)) "unknown"
+    else if (keptFlagged || discardFlags(values, teles, loadGated)
+      .zip(values).exists { case (b, v) => b && v > 0 }) "contended"
+    else "clean"
 
   /** Post-hoc per-leg discard decision, calibrated against the run's OWN
     * samples instead of absolute thresholds (r13 proved absolute caps
@@ -505,6 +636,15 @@ object Bench {
     * wire forks read load1_mid_max 14-26 on this 32-core box). */
   private[graft] val WireAbsMidCapFallback = 28.0
 
+  /** Hard per-fork wall-clock cap. Healthy forks finish in 60–90 s; the
+    * r15 driver run hung to the EXTERNAL rc=124 kill because one fork
+    * died at Spark RPC boot and the blocking Process.! had no timeout —
+    * every later leg and emit was lost behind it. A fork that outlives
+    * this cap is destroyed and recorded as a timeout failure, never
+    * waited on. */
+  private[graft] def defaultForkTimeoutSec: Int =
+    sys.env.get("SPARK_GRAFT_FORK_TIMEOUT_SEC").flatMap(_.toIntOption).getOrElse(300)
+
   /** Run a graft main in a fresh forked JVM (same JVM opts + classpath as
     * this one) and return its output line containing `marker`, or a Left
     * describing why there is none — a lost bench number must never be
@@ -512,10 +652,16 @@ object Bench {
     * line matching (Exception|Error) plus the five lines after it (a JVM
     * exception prints its class and message at the TOP of the trace — the
     * r13 crash records held only bottom-of-stack frames and the round's
-    * central mystery stayed unexplained) AND the last five lines. */
+    * central mystery stayed unexplained) AND the last five lines.
+    *
+    * The fork runs under a wall-clock deadline ([[defaultForkTimeoutSec]])
+    * and with its Spark driver RPC pinned to loopback — the r15 driver
+    * fork died in RpcEnv.setupEndpointRefByURI under host churn, so
+    * hostname resolution must never be a boot dependency. */
   private[graft] def forkedLine(mainClass: String, args: Seq[String],
                                 marker: String,
-                                extraEnv: Seq[(String, String)] = Nil): Either[String, String] =
+                                extraEnv: Seq[(String, String)] = Nil,
+                                timeoutSec: Int = defaultForkTimeoutSec): Either[String, String] =
     try {
       import scala.sys.process._
       val javaBin = new java.io.File(
@@ -523,29 +669,43 @@ object Bench {
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-      val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+        // fork boot armor: RpcEnv setup must not depend on the host's
+        // name resolution (SparkConf reads spark.* system properties)
+        "-Dspark.driver.bindAddress=127.0.0.1",
+        "-Dspark.driver.host=localhost",
+        "-cp", System.getProperty("java.class.path"), mainClass) ++ args
       val out = new StringBuilder
       val err = new java.util.ArrayDeque[String]()
       val head = new scala.collection.mutable.ArrayBuffer[String]()
       val headPat = java.util.regex.Pattern.compile("(Exception|Error)([:\\s]|$)")
-      val code = Process(cmd, cwd = None, extraEnv = (sys.env.toSeq ++ extraEnv): _*)
-        .!(ProcessLogger(
-          l => { out.append(l).append('\n'); () },
-          l => {
+      val proc = Process(cmd, cwd = None, extraEnv = (sys.env.toSeq ++ extraEnv): _*)
+        .run(ProcessLogger(
+          l => { out.synchronized { out.append(l).append('\n') }; () },
+          l => err.synchronized {
             if (err.size >= 5) err.removeFirst()
             err.addLast(l)
             if (head.isEmpty) { if (headPat.matcher(l).find()) head += l }
             else if (head.size < 6) head += l
             ()
           }))
-      lazy val errTail = err.asScala.mkString(" | ")
-      lazy val errHead = head.mkString(" | ")
-      if (code != 0)
-        Left(s"$mainClass exited $code; exception head: " +
-          s"${if (errHead.nonEmpty) errHead else "(none captured)"}; stderr tail: $errTail")
-      else out.toString.linesIterator.find(_.contains(marker))
-        .toRight(s"$mainClass exited 0 but printed no '$marker' line; stderr tail: $errTail")
+      val deadline = System.nanoTime() + timeoutSec * 1000000000L
+      while (proc.isAlive() && System.nanoTime() < deadline) Thread.sleep(200)
+      def errTail = err.synchronized(err.asScala.mkString(" | "))
+      def errHead = err.synchronized(head.mkString(" | "))
+      if (proc.isAlive()) {
+        proc.destroy()
+        Left(s"$mainClass fork timeout after ${timeoutSec}s (process destroyed); " +
+          s"stderr tail: $errTail")
+      } else {
+        val code = proc.exitValue()
+        Thread.sleep(100) // let the logger threads drain the last lines
+        if (code != 0)
+          Left(s"$mainClass exited $code; exception head: " +
+            s"${if (errHead.nonEmpty) errHead else "(none captured)"}; stderr tail: $errTail")
+        else out.synchronized(out.toString).linesIterator.find(_.contains(marker))
+          .toRight(s"$mainClass exited 0 but printed no '$marker' line; stderr tail: $errTail")
+      }
     } catch { case e: Throwable => Left(s"fork of $mainClass threw $e") }
 
   private def num(key: String, s: String): Option[Double] =
@@ -680,7 +840,13 @@ object Bench {
   /** Block until MemAvailable recovers past the floor (or 90 s). Returns
     * ms waited — recorded per run, so a sample that started without full
     * quiesce says so in the artifact. */
+  /** Test-only gate bypass (system property, set by BenchGateSpec): the
+    * leg-machinery specs drive runLeg with synthetic thunks and must not
+    * pay the 60–90 s real-host quiesce/CPU gates per synthetic fork. */
+  private def noGates: Boolean = System.getProperty("graft.bench.nogates") != null
+
   private def quiesce(): Long = {
+    if (noGates) return 0L
     val avail0 = memAvailableKb()
     if (avail0 < 0) return 0L // no /proc (non-Linux): guard disabled
     if (quiesceFloorKb < 0) { quiesceFloorKb = avail0 - (2L << 20); return 0L }
@@ -698,6 +864,7 @@ object Bench {
     * junk sample the median can't always outvote, so don't start it.
     * Returns ms waited (recorded per run). */
   private def cpuGate(): Long = {
+    if (noGates) return 0L
     if (cpuJiffies()._1 == 0L) return 0L // no /proc: gate disabled
     val t0 = System.nanoTime()
     val deadline = t0 + 60L * 1000000000L

@@ -119,6 +119,10 @@ object IngestBench {
       // at 1 attempt a single transient socket hiccup under host jitter
       // aborts the whole bench job (the r13 graded-run failure mode)
       .master(s"local[$cpus,4]")
+      // boot armor: driver RPC pinned to loopback — the r15 driver-window
+      // wire fork died in RpcEnv.setupEndpointRefByURI under host churn
+      .config("spark.driver.bindAddress", "127.0.0.1")
+      .config("spark.driver.host", "localhost")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

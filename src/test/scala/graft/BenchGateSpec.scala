@@ -132,4 +132,80 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r.isLeft)
     assert(r.left.toOption.get.contains("printed no"), r.left.toOption.get)
   }
+
+  test("a HANGING fork is destroyed at the wall-clock cap, never waited on (r15 rc=124 mode)") {
+    // the r15 driver run hung to the external rc=124 kill because
+    // Process.! had no timeout — one dead fork must cost timeoutSec, not
+    // the whole budget
+    val t0 = System.nanoTime()
+    val r = Bench.forkedLine("graft.HangForTest", Seq.empty, "\"never\"",
+      timeoutSec = 3)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(r.isLeft)
+    val msg = r.left.toOption.get
+    assert(msg.contains("fork timeout after 3s"), msg)
+    assert(msg.contains("destroyed"), msg)
+    assert(elapsedSec < 30.0,
+      f"the hanging fork must be cut at ~3s, took $elapsedSec%.1fs")
+  }
+
+  test("an RPC-boot death (exit 56 pre-marker) reports the exit code and exception head") {
+    val r = Bench.forkedLine("graft.CrashForTest", Seq("exit56"), "\"never\"")
+    assert(r.isLeft)
+    val msg = r.left.toOption.get
+    assert(msg.contains("exited 56"), msg)
+    assert(msg.contains("awaitResult"),
+      s"the boot exception must be recoverable from the record: $msg")
+  }
+
+  test("runLeg fail-fasts after 2 consecutive fork failures: remaining forks skipped, leg environment-blocked") {
+    System.setProperty("graft.bench.nogates", "1")
+    try {
+      val skipped = scala.collection.mutable.ArrayBuffer[String]()
+      val discards = scala.collection.mutable.ArrayBuffer[(Double, Bench.Tele)]()
+      var calls = 0
+      val r = Bench.runLeg[Double](5, "testleg", skipped, () => true, discards,
+        loadGated = false, identity, failed = _ <= 0) { calls += 1; -1.0 }
+      assert(calls == 2, s"a dead environment must cost 2 forks, not 5 (got $calls)")
+      assert(r.envBlocked)
+      assert(r.window == "unknown")
+      assert((3 to 5).forall(i => skipped.exists(_.contains(
+        s"fork $i/5 (environment-blocked"))),
+        s"forks 3..5 must be recorded as environment-blocked skips: $skipped")
+      // a single failure followed by successes RESETS the counter — one
+      // transient boot hiccup must not block the leg
+      val skipped2 = scala.collection.mutable.ArrayBuffer[String]()
+      var calls2 = 0
+      val r2 = Bench.runLeg[Double](4, "testleg2", skipped2, () => true, discards,
+        loadGated = false, identity, failed = _ <= 0) {
+        calls2 += 1; if (calls2 == 1) -1.0 else 100000.0 + calls2
+      }
+      assert(calls2 >= 4, s"one failure then successes must run the full leg")
+      assert(!r2.envBlocked)
+      assert(!skipped2.exists(_.contains("environment-blocked")), skipped2.toString)
+    } finally System.clearProperty("graft.bench.nogates")
+  }
+
+  test("legWindow: clean/contended/unknown from the final samples' own telemetry") {
+    val healthy = Seq(
+      tele(0.1, 25.0, 55.0, 18.0), tele(0.2, 26.0, 54.0, 19.0),
+      tele(0.1, 24.0, 56.0, 17.0))
+    assert(Bench.legWindow(Seq(300e3, 310e3, 305e3), healthy,
+      loadGated = true, keptFlagged = false) == "clean")
+    // a kept flagged sample tags the leg even if the gates re-pass
+    assert(Bench.legWindow(Seq(300e3, 310e3, 305e3), healthy,
+      loadGated = true, keptFlagged = true) == "contended")
+    // one sample under half the run median (idle-but-slow) tags contended
+    assert(Bench.legWindow(Seq(300e3, 310e3, 86.9e3), healthy,
+      loadGated = true, keptFlagged = false) == "contended")
+    // steal on a final sample tags contended
+    val steal = healthy.updated(2, tele(3.0, 25.0, 40.0, 18.0))
+    assert(Bench.legWindow(Seq(300e3, 310e3, 305e3), steal,
+      loadGated = true, keptFlagged = false) == "contended")
+    // no positive samples: unknown, never a false clean
+    assert(Bench.legWindow(Seq(-1.0, -1.0), healthy.take(2),
+      loadGated = true, keptFlagged = false) == "unknown")
+    assert(Bench.legWindow(Nil, Nil, loadGated = true, keptFlagged = false)
+      == "unknown")
+  }
 }

@@ -13,4 +13,4 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" "$@"
+  -cp "target/scala-2.13/classes:src/main/resources${GRAFT_EXTRA_CP:+:$GRAFT_EXTRA_CP}:/opt/spark/jars/*" "$@"
