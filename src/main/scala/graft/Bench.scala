@@ -330,8 +330,14 @@ object Bench {
     val wireMainClass =
       sys.env.getOrElse("SPARK_GRAFT_TEST_WIRE_MAIN", "graft.WireIngestBench")
     if (only.isEmpty) {
-      // ---- wire leg (3 forks, each = warm-up pass + measured pass)
-      val wl = runLeg[Double](3, "wire", skipped, () => budgetLeft,
+      // ---- wire leg (3 forks, each = warm-up pass + measured pass;
+      // SPARK_GRAFT_WIRE_FORKS widens the sample count for clean-window
+      // hunts — the wire band swings 45k-330k with host position while
+      // batch/streaming stay flat, and a wider median is the only defense
+      // the harness itself can mount)
+      val wireForks =
+        sys.env.get("SPARK_GRAFT_WIRE_FORKS").flatMap(_.toIntOption).getOrElse(3)
+      val wl = runLeg[Double](wireForks, "wire", skipped, () => budgetLeft,
         wireDiscards, loadGated = true, identity, failed = _ <= 0) {
         forkedLine(wireMainClass, Seq("2000000", "8"),
           "\"wire_ingest_throughput\"") match {
