@@ -25,12 +25,15 @@ object ProfileQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     case class StageRow(id: Int, name: String, tasks: Int, ms: Long,
-                        shufWrite: Long, shufRead: Long, input: Long)
+                        shufWrite: Long, shufRead: Long, input: Long,
+                        runMs: Long, gcMs: Long, cpuMs: Long)
     val stages = ArrayBuffer[StageRow]()
     var jobs = 0
     val listener = new SparkListener {
@@ -47,7 +50,8 @@ object ProfileQuery {
             si.numTasks, ms,
             m.shuffleWriteMetrics.bytesWritten,
             m.shuffleReadMetrics.totalBytesRead,
-            m.inputMetrics.bytesRead)
+            m.inputMetrics.bytesRead,
+            m.executorRunTime, m.jvmGCTime, m.executorCpuTime / 1000000)
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -66,13 +70,18 @@ object ProfileQuery {
         Thread.sleep(300)
         val snap = stages.synchronized { stages.toVector.sortBy(-_.ms) }
         val stageSum = snap.map(_.ms).sum / 1e3
+        val gcSum = snap.map(_.gcMs).sum / 1e3
+        val runSum = snap.map(_.runMs).sum / 1e3
+        val cpuSum = snap.map(_.cpuMs).sum / 1e3
         println(f"== $q run$i: wall $wall%.2f s, $n rows, ${jobs} jobs, " +
           f"${snap.size} stages, stage-sum $stageSum%.2f s " +
-          f"(gap ${wall - stageSum}%.2f s = driver/planning/codegen)")
+          f"(gap ${wall - stageSum}%.2f s driver) " +
+          f"taskRun $runSum%.1f s taskCpu $cpuSum%.1f s taskGc $gcSum%.1f s")
         snap.take(15).foreach { s =>
-          println(f"   ${s.ms}%6d ms  ${s.tasks}%4d tasks  " +
-            f"in=${s.input / 1024}%8d KiB  sw=${s.shufWrite / 1024}%6d KiB  " +
-            f"sr=${s.shufRead / 1024}%6d KiB  [${s.id}] ${s.name.take(90)}")
+          println(f"   ${s.ms}%6d ms  ${s.tasks}%4d tasks  run=${s.runMs}%6d  " +
+            f"cpu=${s.cpuMs}%6d  gc=${s.gcMs}%5d  " +
+            f"in=${s.input / 1024}%7d KiB  sw=${s.shufWrite / 1024}%6d KiB  " +
+            f"sr=${s.shufRead / 1024}%6d KiB  [${s.id}] ${s.name.take(60)}")
         }
       }
     }

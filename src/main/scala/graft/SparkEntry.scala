@@ -4824,7 +4824,12 @@ object SparkEntry {
       val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select((col("doc_id") + (1L << 40)).as("id"),
           col("doc_id").as("seed"), lit(3).as("off"))
-      val imgs = base.unionByName(planted)
+      // spread BEFORE the PNG synthesis so the exchange moves three longs
+      // per row and the generator runs core-parallel (guide §2.5/§8: the
+      // scan floor is 1 task here, and payloads must not cross a shuffle);
+      // dhashPairs' own spread guard then sees a wide frame and no-ops
+      val imgs = graft.data.Spread
+        .byKey(base.unionByName(planted), col("id"))
         .withColumn("content", pngUdf(col("seed"), col("off")))
       Multimodal.dhashPairs(imgs, "id", "content")
     },
@@ -4861,8 +4866,13 @@ object SparkEntry {
         .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
       // persisted because BOTH the seed derivation and the operator's own
       // edge cache read it — without this the orders⋈lineitem build runs
-      // twice (Bench/Verify clearCache between queries, so nothing leaks)
-      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      // twice (Bench/Verify clearCache between queries, so nothing leaks).
+      // Symmetrize via ONE explode rather than a self-union: each union
+      // branch re-ran the orders⋈lineitem join, so the build joined twice.
+      val e = e0.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .persist()
       val nodes = e.select(col("u").as("id")).distinct()
       val seeds = nodes.filter(pmod(col("id"), lit(97)) === 0)
@@ -4880,8 +4890,13 @@ object SparkEntry {
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("u"), col("l_suppkey").as("v"),
           col("l_quantity").cast("long").as("w"))
-      val e = e0.unionByName(
-        e0.select(col("v").as("u"), col("u").as("v"), col("w"))).persist()
+      // one-pass symmetrize (see q_bfs_distance: a self-union re-ran the
+      // orders⋈lineitem build once per branch)
+      val e = e0.select(explode(array(
+          struct(col("u"), col("v"), col("w")),
+          struct(col("v").as("u"), col("u").as("v"), col("w")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+        .persist()
       val seeds = e.select(col("u").as("id")).distinct()
         .filter(pmod(col("id"), lit(97)) === 0)
       graft.operators.Bfs.ssspBounded(e, "u", "v", "w", seeds, "id", 3)

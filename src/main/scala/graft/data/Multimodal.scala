@@ -21,6 +21,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream cache defaults to FILE-backed: every encode/decode
+  // creates, writes and deletes a temp file. Our images live entirely in
+  // memory, so under 32-way task parallelism those per-image syscalls —
+  // not pixel work — dominated the dhash stage (measured 23× the serial
+  // CPU at sf0.1 once the scan was spread). Memory caching is
+  // semantically identical; it only changes the scratch medium.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media row schema. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -548,8 +556,16 @@ object Multimodal {
                  maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4 bands guarantee recall only below 4 bits")
     val hashUdf = udf { bytes: Array[Byte] => dHash56(bytes) }
-    val hashed = df.select(col(idCol).cast("long").as("id"),
-      hashUdf(col(bytesCol)).as("h"))
+    // Spread before the decode+hash UDF (single-row-group inputs floor the
+    // scan at ONE task — guide §2.5; no-op when the scan is already wide),
+    // and checkpoint after it: `bands` below feeds BOTH sides of the
+    // band-bucket self-join, so under lazy lineage every image was decoded
+    // and hashed twice, single-threaded. The checkpointed frame is the
+    // 16-byte (id, hash) proxy — image bytes are read once, never joined.
+    val hashed = Spread.byKey(df, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        hashUdf(col(bytesCol)).as("h"))
+      .localCheckpoint()
     val bands = hashed.select(col("id"), col("h"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket",

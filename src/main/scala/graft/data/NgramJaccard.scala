@@ -268,7 +268,17 @@ object NgramJaccard {
                        thresholdDen: Int = 5,
                        hotGramDf: Int = 1024): DataFrame = {
     val (tn, td) = (thresholdNum, thresholdDen)
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Spread before the gram-hash UDF (single-row-group inputs plan the
+    // scan as ONE task — guide §2.5), and checkpoint AFTER it: `hashed`
+    // feeds five separate consumers below (dfreq, the prefix postings,
+    // the hot-gram pairs, and both sides of the posting-list build), and
+    // under lazy lineage each consumer re-ran the tokenize+hash UDF from
+    // the raw text — measured as six ~1-2 s single-task stages at sf0.1.
+    // The checkpointed frame is the lightweight proxy (id + sorted hash
+    // array), so the raw text is scanned once for hashing and once for
+    // the final survivor re-verify, never per consumer.
+    val base = Spread.byKey(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
     val hashSet = udf { text: String =>
       val toks = if (text == null || text.trim.isEmpty) Array.empty[String]
       else text.trim.split("\\s+")
@@ -293,6 +303,7 @@ object NgramJaccard {
     val hashed = base.select(col("id"), hashSet(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
+      .localCheckpoint()
     val exploded = hashed.select(col("id"), col("sz"),
       explode(col("hs")).as("h"))
     val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))

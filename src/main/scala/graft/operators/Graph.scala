@@ -55,41 +55,64 @@ object Graph {
     * bounded by the peel depth (log-ish in practice), never by |V|. */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             maxRounds: Int = 100): DataFrame = {
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("lo").as("id")).union(e.select(col("hi")))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-    // localCheckpoint (not persist): each round's frame references the
-    // previous one THREE times (the edge set itself + the keep set on
-    // both join sides), so carrying lineage would grow the logical plan
-    // 3^rounds — plan rendering and analysis blow up long before
-    // execution does. Checkpointing truncates lineage to a flat scan per
-    // round; the eager materialization doubles as the fixpoint count's
-    // job. On a cluster where executor loss must be survivable, swap for
-    // reliable checkpoint(dir) — same shape, durable storage.
-    var cur = edges
+    import org.apache.spark.storage.StorageLevel
+    // DELTA peeling (r16 optimization; same unique fixpoint, different
+    // loop invariant). The original loop REWROTE the edge frame every
+    // round — two semi-joins over all surviving edges plus a full-edge
+    // localCheckpoint per round, so a 14-deep peel checkpointed the edge
+    // set 14 times and scanned it twice per round. But peeling only ever
+    // needs (a) current degrees and (b) which nodes just dropped: the
+    // edge set itself is STATIC. So: cache the symmetric edge list once,
+    // hash-partitioned by u (persist preserves the partitioning, so the
+    // initial degree aggregate plans with no Exchange — probed, see
+    // OPTIMIZATION_r16.md), and iterate on the NODE-sized degree frame:
+    // each round broadcasts the just-removed set, counts each survivor's
+    // removed neighbors from one scan-local pass over the cached edges
+    // (the only shuffle is the partial-agg'd per-node decrement — bounded
+    // by nodes, not edges), and subtracts. Per-round work is
+    // O(edges incident to removed) + node-sized updates, against the old
+    // O(surviving edges) rewrite+checkpoint; the per-round checkpoint is
+    // the 20k-row degree frame, not the million-row edge frame. Each
+    // edge decrements a given endpoint at most once (when its OTHER
+    // endpoint is removed; removed→removed edges die with the anti-join),
+    // so the maintained degree is exactly the degree within the surviving
+    // subgraph — the original invariant. Broadcasts are node-sized; at
+    // billions of surviving nodes swap them for keyed shuffles, as the
+    // old form documented.
+    val sym = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
       .distinct()
+      .select(explode(array(
+        struct(col("lo").as("u"), col("hi").as("v")),
+        struct(col("hi").as("u"), col("lo").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // degree = row count per u in the symmetric list; node-sized, and the
+    // per-round lineage is truncated by the cheap NODE-frame checkpoint
+    var deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("id"), col("deg"))
       .localCheckpoint()
-    var nEdges = cur.count()
     var rounds = 0
     while (rounds < maxRounds) {
-      val keep = degrees(cur).filter(col("deg") >= k).select(col("id"))
-      // keep is node-sized; the edge frame is checkpointed (no stats), so
-      // unhinted AQE plans BOTH per-round semi-joins as sort-merge joins
-      // of the full edge list — the label-propagation finding (measured
-      // 7.0 s → 4.1 s at sf0.1 from the two hints). Beyond tens of
-      // millions of surviving nodes, drop the hint for the keyed shuffle.
-      val next = cur
-        .join(broadcast(keep.withColumnRenamed("id", "lo")), Seq("lo"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("id", "hi")), Seq("hi"), "left_semi")
+      val removed = deg.filter(col("deg") < k).select(col("id"))
+      if (removed.isEmpty) {
+        sym.unpersist(false)
+        return deg
+      }
+      val decr = sym
+        .join(broadcast(removed.withColumnRenamed("id", "u")), Seq("u"),
+          "left_semi")
+        .groupBy(col("v")).agg(count(lit(1)).as("dec"))
+      deg = deg
+        .join(broadcast(removed), Seq("id"), "left_anti")
+        .join(broadcast(decr.withColumnRenamed("v", "id")), Seq("id"), "left")
+        .select(col("id"),
+          (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint()
-      val m = next.count()
-      if (m == nEdges) return degrees(next)
-      cur = next
-      nEdges = m
       rounds += 1
     }
     throw new IllegalStateException(s"k-core did not converge in $maxRounds rounds")
@@ -133,9 +156,23 @@ object Graph {
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
       .distinct()
-    val sym = und.select(col("lo").as("u"), col("hi").as("v"))
-      .union(und.select(col("hi").as("u"), col("lo").as("v")))
-      .localCheckpoint()
+    // Symmetrize in ONE pass (explode, not union — a union of two selects
+    // over `und` duplicates the distinct's whole subtree and runs it
+    // twice), then hash-partition by u and persist: every round's
+    // (u,label)-count and per-u argmax below require only
+    // ClusteredDistribution(u), which HashPartitioning(u) satisfies, and
+    // the label frame joins in as a broadcast — so with the edge list
+    // pre-partitioned by u the per-round plan carries ZERO exchanges
+    // (guide §2.4: operations keyed the same way share one exchange; the
+    // one shuffle happens here, once, instead of once per round).
+    import org.apache.spark.storage.StorageLevel
+    val sym = und
+      .select(explode(array(
+        struct(col("lo").as("u"), col("hi").as("v")),
+        struct(col("hi").as("u"), col("lo").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // identity-label round: distinct neighbors ⇒ all counts 1 ⇒ min(v)
     var labels = sym.groupBy(col("u")).agg(min(col("v")).as("label"))
       .select(col("u").as("id"), col("label"))
@@ -152,6 +189,9 @@ object Graph {
         .localCheckpoint()
       r += 1
     }
+    // every round's labels frame is eagerly checkpointed, so nothing
+    // downstream re-reads the cached edge list
+    sym.unpersist(false)
     labels
   }
 

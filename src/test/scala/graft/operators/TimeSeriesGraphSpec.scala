@@ -183,6 +183,19 @@ class TimeSeriesGraphSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("kCore delta-peel cascades: chain into a clique peels one layer per round") {
+    // path 10-11-12-13 hanging off a 4-clique {0,1,2,3} at node 0: at k=2
+    // the path peels from the tail one NODE per round (10's removal drops
+    // 11 below k, then 12, then 13 — wait, tail-first: 13 has deg 1), so
+    // the maintained-degree decrement path is exercised across 4 cascaded
+    // rounds before the clique survives intact with in-core degree 3.
+    val clique = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val path = Seq((0L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val got = Graph.kCore((clique ++ path).toDF("a", "b"), "a", "b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+  }
+
   test("ewmaIntStreaming finalizes to the batch operator under scrambled arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
