@@ -3174,7 +3174,10 @@ object SparkEntry {
     // frame, and the corpus pays only its word explode plus one
     // vocabulary join — documents are never folded per merge.
     "q_bpe_encode" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // spread the single-task scan once; BOTH corpus passes (the dict
+      // build and the doc-word explode) tokenize from it (guide §2.5)
+      val docs = graft.data.Spread
+        .byKey(Tables.documents(s, dir), col("doc_id"))
       val dict = graft.data.Bpe.wordFreq(docs, "text")
       val (merges, _) = graft.data.Bpe.learnMerges(dict, "word", "n", nMerges = 3)
       val docWords = docs.select(col("doc_id"),
@@ -3649,7 +3652,8 @@ object SparkEntry {
       // measured ~25% off the query). Within-doc repeats ride the cnt
       // column, so the frame is distinct-triple-sized, not
       // occurrence-sized.
-      val triples = Tables.documents(s, dir)
+      val triples = graft.data.Spread
+        .byKey(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(pairs).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -4646,8 +4650,13 @@ object SparkEntry {
             struct(
               least(element_at(t, i), element_at(t, j)).as("w1"),
               greatest(element_at(t, i), element_at(t, j)).as("w2"))))))
-      val docs = Tables.documents(s, dir)
+      // spread the single-task scan before tokenizing, and checkpoint the
+      // token arrays: both the window-pair explosion and the unigram
+      // totals read them, and each re-ran the tokenizer under lazy lineage
+      val docs = graft.data.Spread
+        .byKey(Tables.documents(s, dir), col("doc_id"))
         .select(TextFunctions.tokens(col("text")).as("t"))
+        .localCheckpoint()
       val pairs = docs.select(explode(windowPairs).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
@@ -4725,13 +4734,19 @@ object SparkEntry {
         .otherwise(transform(sequence(lit(1), size(t) - 1),
           i => struct(element_at(t, i).as("w1"),
             element_at(t, i + 1).as("w2"))))
-      val pairs = Tables.documents(s, dir)
+      // spread the single-task scan before tokenizing (guide §2.5), and
+      // symmetrize in ONE explode pass — the self-union re-ran the
+      // tokenize+pair explosion once per branch
+      val pairs = graft.data.Spread
+        .byKey(Tables.documents(s, dir), col("doc_id"))
         .select(TextFunctions.tokens(col("text")).as("t"))
         .select(explode(adjacent).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .filter(col("w1") =!= col("w2"))
-      val und = pairs
-        .unionByName(pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+      val und = pairs.select(explode(array(
+          struct(col("w1"), col("w2")),
+          struct(col("w2").as("w1"), col("w1").as("w2")))).as("e"))
+        .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
       graft.operators.PageRank.fixedPointKeyed(und, "w1", "w2", 3)
         .select(col("id").as("word"), col("rank_micro"))
     },

@@ -24,16 +24,25 @@ object Basket {
     * (basket, item) — duplicates are collapsed first so support counts
     * baskets, not occurrences. Output: `item_a < item_b`, `support`. */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame =
+    frequentPairsFrom(basketSets(df, basketCol, itemCol), minSupport)
+
+  /** One partial-agg'd shuffle builds the per-basket item SET (map-side
+    * collect_set dedups in place); singletons, the prune and the pair
+    * explosion all derive from it without ever self-joining the item
+    * table — pair fan-out is quadratic per basket (bounded), generated
+    * scan-locally after the in-basket prune. Checkpointed because every
+    * derivation below reads it more than once — under lazy lineage the
+    * basket aggregate re-ran per consumer. */
+  private[data] def basketSets(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame = df
+    .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+    .groupBy(col("basket"))
+    .agg(sort_array(collect_set(col("item"))).as("its"))
+    .localCheckpoint()
+
+  private[data] def frequentPairsFrom(baskets: DataFrame,
       minSupport: Long): DataFrame = {
-    // One partial-agg'd shuffle builds the per-basket item SET (map-side
-    // collect_set dedups in place); singletons, the prune and the pair
-    // explosion all derive from it without ever self-joining the item
-    // table — pair fan-out is quadratic per basket (bounded), generated
-    // scan-locally after the in-basket prune.
-    val baskets = df
-      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .groupBy(col("basket"))
-      .agg(sort_array(collect_set(col("item"))).as("its"))
     val frequent = baskets.select(explode(col("its")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
@@ -71,10 +80,13 @@ object Basket {
     * (item, map task), never a partition sort. */
   def cosineTopK(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, k: Int): DataFrame = {
-    val pairs = frequentPairs(df, basketCol, itemCol, minSupport)
-    val counts = df
-      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
+    // ONE basket-set build feeds both the pair generation and the
+    // singleton counts — the separate distinct+aggregate chain this
+    // replaced re-scanned the raw item table a third time
+    val baskets = basketSets(df, basketCol, itemCol)
+    val pairs = frequentPairsFrom(baskets, minSupport)
+    val counts = baskets
+      .select(explode(col("its")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("n"))
     // Symmetrize so every item sees its full neighbor list, then score.
     val sym = pairs.select(col("item_a").as("item"), col("item_b").as("partner"),

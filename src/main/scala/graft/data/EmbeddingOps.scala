@@ -116,7 +116,11 @@ object EmbeddingOps {
                      seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // checkpointed: the home rows and the probe expansion both read the
+    // bucketed frame, and under lazy lineage each re-ran the signature
+    // projection over every vector
     val bucketed = lshBuckets(df, idCol, vecCol, dim, planes, seed)
+      .localCheckpoint()
     // nonzero masks with popcount ≤ 2·probeHamming (pair-distance form of
     // the probe radius); 0 is the home bucket, handled by the home row
     val masks = probeBuckets(0L, planes, 2 * probeHamming).filter(_ != 0L)

@@ -132,8 +132,14 @@ object MinHashDedup {
     * back to the raw text for exact verification. */
   def duplicatePairs(df: DataFrame, idCol: String, textCol: String,
                      cfg: Config = Config()): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // spread before the signature UDF (single-row-group scans plan one
+    // task — guide §2.5) and checkpoint the (id, sig) proxy: the band
+    // self-join inside candidatePairs reads it for both sides, which
+    // under lazy lineage re-ran the MinHash signature UDF per side
+    val base = Spread.byKey(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
     val sigs = base.select(col("id"), sigFromTextUdf(cfg)(col("text")).as("sig"))
+      .localCheckpoint()
     val cands = candidatePairs(sigs, cfg)
     cands
       .join(base.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")

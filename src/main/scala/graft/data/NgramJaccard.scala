@@ -60,7 +60,10 @@ object NgramJaccard {
                      cfg: Config = Config()): DataFrame = {
     val tn = cfg.thresholdNum
     val td = cfg.thresholdDen
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // spread before the gram-hash UDF: single-row-group inputs floor the
+    // scan at one task (guide §2.5; no-op when the scan is already wide)
+    val base = Spread.byKey(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), col("id"))
     // Sorted 64-bit gram hashes per doc: the merge-intersect
     // representation, built in one tight primitive loop per doc (Catalyst
     // cannot hoist shared subexpressions out of HOF lambdas, so the
@@ -99,8 +102,13 @@ object NgramJaccard {
     // and within-group pairs are emitted directly (identical sets are at
     // Jaccard 1 ≥ any threshold) — the quadratic blow-up survives only in
     // the OUTPUT, which is inherent to the pair contract.
+    // checkpointed: `groups` feeds the representative index below AND the
+    // member-expansion at the end, and `hashed` feeds both the gram
+    // explode and the posting-list rejoin — under lazy lineage each
+    // consumer re-ran the tokenize+hash UDF over the raw text
     val groups = allDocs.groupBy(col("hs"), col("sz"))
       .agg(min(col("id")).as("id"), collect_list(col("id")).as("members"))
+      .localCheckpoint()
     val hashed = groups.select(col("id"), col("hs"), col("sz"))
     val exploded = hashed.select(col("id"), col("sz"),
       explode(col("hs")).as("h"))

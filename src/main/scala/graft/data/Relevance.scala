@@ -35,11 +35,16 @@ object Relevance {
     * heap's struct comparison: score desc, then term desc). */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int, minDf: Long = 2L): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
+    // spread the single-task scan before tokenizing (guide §2.5), and
+    // checkpoint the (id, term, tf) frame: both the df aggregate and the
+    // scoring join read it, and each re-ran the tokenize+explode
+    val base = Spread.byKey(docs, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
     val n = base.count()
     val tf = base.select(col("id"), explode(col("toks")).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .withColumn("idf", log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0)

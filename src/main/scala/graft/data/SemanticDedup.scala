@@ -109,7 +109,11 @@ object SemanticDedup {
     * Returns one row per vector: (id, cluster_id, kept). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, threshold: Double): DataFrame = {
+    // checkpointed: `assigned` feeds both self-join sides AND the final
+    // kept-join — under lazy lineage each consumer re-ran every Lloyd
+    // round (the quantize + assign scans) from scratch
     val assigned = kmeansAssign(df, idCol, vecCol, k, iters)
+      .localCheckpoint()
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val withVec = assigned.join(vecs, "id")
     val a = withVec.alias("a"); val b = withVec.alias("b")

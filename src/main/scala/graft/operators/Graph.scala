@@ -199,22 +199,26 @@ object Graph {
     * (direction and duplicates ignored, self-loops dropped). Returns
     * `(id, n_triangles)` for every node with ≥1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // Checkpointed: the normalized-distinct edge frame feeds the degree
+    // aggregate AND both orientation joins — under lazy lineage the
+    // caller's whole edge build (e.g. the basket pair explosion) re-ran
+    // once per consumer. The checkpoint truncates to one flat m-row scan.
+    // (`oriented` itself stays deliberately unmaterialized: caching it was
+    // measured 50% SLOWER on the earlier wedge formulation — an
+    // InMemoryRelation there blocks AQE's runtime-stats replanning of the
+    // downstream joins; recompute-from-the-checkpoint keeps AQE free.)
     val und = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
       .distinct()
+      .localCheckpoint()
 
     // (degree, id) total order; orient every edge small-rank → large-rank.
-    // Deliberately NOT persisted even though `oriented` is read twice below:
-    // measured at sf0.1 (on the earlier wedge-join formulation), caching it
-    // (MEMORY_AND_DISK) ran 50% SLOWER — the InMemoryRelation blocks AQE's
-    // runtime-stats replanning of the downstream joins and adds the cache
-    // build, which costs more than recomputing the O(m) orientation.
-    // Recompute-with-AQE is the right default; a caller iterating many
-    // rounds over a static graph can persist upstream.
-    val deg = und.select(col("lo").as("id")).union(und.select(col("hi")))
+    // One-pass explode symmetrize — a self-union would scan `und` twice.
+    val deg = und
+      .select(explode(array(col("lo"), col("hi"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val oriented = und
       .join(deg.withColumnRenamed("id", "lo").withColumnRenamed("deg", "dlo"), "lo")

@@ -41,15 +41,29 @@ object PageRank {
     * not a semantic requirement. */
   def fixedPointKeyed(edges: DataFrame, srcCol: String, dstCol: String,
                       iterations: Int): DataFrame = {
+    // One checkpoint, one final DAG (r16). Nothing here was materialized
+    // before, so under lazy lineage the CALLER's edge build (a join or a
+    // tokenize+explode) was re-derived by every reference — nodes, outdeg
+    // and each iteration's contribs, ~14 rebuilds at 3 iterations. The
+    // edge frame checkpoints once to a flat scan. Everything else stays
+    // LAZY on purpose: `rank` is referenced exactly once per iteration,
+    // so the lineage is linear (no 3^rounds blow-up — that pathology
+    // needs multiple references per round, as in the k-core keep-set),
+    // and executing all iterations as ONE physical plan lets Spark reuse
+    // the identical per-iteration exchanges (outdeg, e⋈outdeg) instead
+    // of running a job per materialization. Deep traversals still bound
+    // their plan depth with a periodic checkpoint.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    // one-pass node derivation (a union of two selects scans e twice)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
     val n = nodes.count()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val teleport = 150000L / n
     var rank = nodes.withColumn("rank_micro", lit(1000000L / n))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val contribs = e
         .join(outdeg, "src")
         .join(rank.withColumnRenamed("id", "src"), "src")
@@ -61,6 +75,7 @@ object PageRank {
         .select(col("id"),
           (lit(teleport) +
             expr("85 * coalesce(contrib, 0L) div 100")).as("rank_micro"))
+      if (i % 8 == 0) rank = rank.localCheckpoint()
     }
     rank
   }
