@@ -199,21 +199,21 @@ object Graph {
     * (direction and duplicates ignored, self-loops dropped). Returns
     * `(id, n_triangles)` for every node with ≥1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // Checkpointed: the normalized-distinct edge frame feeds the degree
-    // aggregate AND both orientation joins — under lazy lineage the
-    // caller's whole edge build (e.g. the basket pair explosion) re-ran
-    // once per consumer. The checkpoint truncates to one flat m-row scan.
-    // (`oriented` itself stays deliberately unmaterialized: caching it was
-    // measured 50% SLOWER on the earlier wedge formulation — an
-    // InMemoryRelation there blocks AQE's runtime-stats replanning of the
-    // downstream joins; recompute-from-the-checkpoint keeps AQE free.)
+    // Deliberately NOT materialized even though `und` feeds the degree
+    // aggregate and both orientation joins: BOTH forms were measured —
+    // caching `oriented` (MEMORY_AND_DISK, earlier wedge formulation) ran
+    // 50% slower, and an r16 same-window A/B of localCheckpoint(und) read
+    // 4.9 → 5.7 s at sf0.1 — eager materialization here blocks AQE's
+    // runtime-stats replanning of the downstream joins and costs more
+    // than recomputing the O(m) normalize+distinct. Recompute-with-AQE
+    // stays the right default; a caller iterating many rounds over a
+    // static graph can persist upstream.
     val und = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
       .distinct()
-      .localCheckpoint()
 
     // (degree, id) total order; orient every edge small-rank → large-rank.
     // One-pass explode symmetrize — a self-union would scan `und` twice.

@@ -31,10 +31,22 @@ object IntervalJoin {
     * frame twice and keep `a_id < b_id`. */
   def overlapJoin(left: DataFrame, right: DataFrame, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // The join's cost is QUADRATIC per (key, bucket) group while its
+    // shuffled bytes are linear, so AQE's byte-based coalescing squeezes
+    // the pair-filter stage into a handful of tasks (measured 3 tasks ×
+    // ~3 s CPU at sf0.1). Pin the exchange at the session's configured
+    // shuffle width instead: an explicitly-numbered repartition is not
+    // AQE-coalescible, both sides share the same partitioning so the
+    // join adds no further exchange, and the width follows
+    // spark.sql.shuffle.partitions — the knob that already scales with
+    // the deployment — rather than a local constant.
+    val width = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     def expand(df: DataFrame): DataFrame = df.select(
-      col("key"), col("id"), col("s"), col("e"),
-      explode(sequence(expr(s"s div ${bucketWidth}L"), expr(s"e div ${bucketWidth}L")))
-        .as("bucket"))
+        col("key"), col("id"), col("s"), col("e"),
+        explode(sequence(expr(s"s div ${bucketWidth}L"),
+          expr(s"e div ${bucketWidth}L"))).as("bucket"))
+      .repartition(width, col("key"), col("bucket"))
     expand(left).as("a")
       .join(expand(right).as("b"),
         col("a.key") === col("b.key") && col("a.bucket") === col("b.bucket") &&
