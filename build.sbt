@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's output through VERBATIM. sbt's default
+// LoggedOutput strategy prefixes every child stdout line with "[info] ",
+// which breaks the bench contract ("print ONE JSON line" — a strict
+// parser rejects "[info] {...}"); the driver graded `parsed: null` in
+// every round this prefix existed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

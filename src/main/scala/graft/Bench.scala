@@ -27,10 +27,27 @@ object Bench {
     val benchT0 = System.nanoTime()
     val budgetMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "45").toInt
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
-    def budgetLeft: Boolean = elapsedSec < budgetMin * 60.0
+    def remainingSec: Double = budgetMin * 60.0 - elapsedSec
+    // HARD WALL (r16 lesson: the 45-min budget was only consulted BETWEEN
+    // units, each of which could run 90 s quiesce + 60 s CPU gate + 300 s
+    // fork past it — the graded run overran its own budget by 25%+ and the
+    // 8-cpu scaling run was killed externally with the scaling block
+    // empty). Every unit now clips its own internal timeout to the time
+    // left, and no new unit starts with less than a minute remaining.
+    hardDeadlineNanos = benchT0 + budgetMin * 60L * 1000000000L
+    def budgetLeft: Boolean = remainingSec > 60.0
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The driver re-runs this bench at a LOW core count purely to measure
+    // how each QUERY scales (PERF's scaling block reads `queries`); the
+    // ingest legs are graded from the main run only. At low core counts
+    // every leg runs 2-4x slower, and in r16 the cumulative leg +
+    // diagnostic cost pushed the 8-cpu run past the driver's window — the
+    // scaling block came back EMPTY. Bound the non-query work there:
+    // fewer forks per leg, no LC A/B, no in-session extras (each cut is
+    // recorded in `skipped`).
+    val lowCore = cpus.toIntOption.exists(_ <= 16)
     val spark = SparkSession.builder()
       // local[N,4]: 4 task attempts — local mode ignores the
       // spark.task.maxFailures conf (the master string carries it), and
@@ -68,9 +85,18 @@ object Bench {
     // the streaming engine's first micro-batch machinery. Exercise each
     // path once at sf0.001 before the timed loop so every graded number
     // reflects its operator. Per-query timing is unchanged.
+    // The warm-up scale dir derives from $SPARK_GRAFT_SF_DIR (r16 hardcoded
+    // /root/testdata/sf0.001 and off the standard layout the try/catch
+    // silently un-warmed the four queries): prefer the smallest sfN sibling
+    // of the configured dir, fall back to the configured dir itself.
+    val warmDir = {
+      val dir = new java.io.File(sfDir).getAbsoluteFile
+      val sibling = Option(dir.getParentFile).map(p => new java.io.File(p, "sf0.001"))
+      sibling.filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
+    }
     Seq("q1_agg", "q_ntile", "q_word_bigram", "q_dedup_windowed_stream")
       .foreach { w =>
-        try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").count()
+        try SparkEntry.queries(w)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
     // SPARK_GRAFT_ONLY=q_a,q_b limits the run (profiling aid); the driver
@@ -359,8 +385,11 @@ object Bench {
       // hunts — the wire band swings 45k-330k with host position while
       // batch/streaming stay flat, and a wider median is the only defense
       // the harness itself can mount)
-      val wireForks =
-        sys.env.get("SPARK_GRAFT_WIRE_FORKS").flatMap(_.toIntOption).getOrElse(3)
+      val wireForks = sys.env.get("SPARK_GRAFT_WIRE_FORKS")
+        .flatMap(_.toIntOption).getOrElse(if (lowCore) 2 else 3)
+      if (lowCore)
+        skipped += "low-core run: wire 2 forks, batch 2, streaming 1, " +
+          "no LC A/B, no in-session extras (scaling leg must fit the driver window)"
       val wl = runLeg[Double](wireForks, "wire", skipped, () => budgetLeft,
         wireDiscards, loadGated = true, identity, failed = _ <= 0) {
         forkedLine(wireMainClass, Seq("2000000", "8"),
@@ -377,8 +406,8 @@ object Bench {
       wireWindow = wl.window
       emit(partial = true)
 
-      // ---- batch leg (5 forks)
-      val bl = runLeg[Option[(Double, Double)]](5, "batch", skipped,
+      // ---- batch leg (5 forks; 2 at low core)
+      val bl = runLeg[Option[(Double, Double)]](if (lowCore) 2 else 5, "batch", skipped,
         () => budgetLeft, batchDiscards, loadGated = false,
         v => v.map(_._1).getOrElse(-1.0), failed = !_.exists(_._1 > 0)) {
         forkedIngest(2000000L)
@@ -390,8 +419,8 @@ object Bench {
       batchWindow = bl.window
       emit(partial = true)
 
-      // ---- streaming leg (3 forks)
-      val sl = runLeg[(Double, String)](3, "streaming", skipped,
+      // ---- streaming leg (3 forks; 1 at low core)
+      val sl = runLeg[(Double, String)](if (lowCore) 1 else 3, "streaming", skipped,
         () => budgetLeft, streamingDiscards, loadGated = false, _._1,
         failed = _._1 <= 0) {
         forkedStreaming(75)
@@ -406,14 +435,39 @@ object Bench {
           s"STREAMING BENCH FAILED: ${sl.samples.map(_._2).mkString("; ")}")
       emit(partial = true)
 
-      // ---- in-session comparability number (kept for round continuity)
-      if (budgetLeft) {
-        inSession = try {
+      // In-session measurements run INSIDE the sweep JVM with no fork
+      // timeout protecting them — the r16 8-cpu run died externally inside
+      // the in-session wire INSERT loop. Bound each one with a watchdog
+      // that cancels the Spark jobs at a wall cap (clipped to the budget).
+      def boundedInSession(capSec: Int, label: String)(thunk: => Double): Double = {
+        val cap = math.min(capSec.toLong, hardRemainingSec).max(1L)
+        @volatile var done = false
+        val watchdog = new Thread(() => {
+          val dl = System.nanoTime() + cap * 1000000000L
+          while (!done && System.nanoTime() < dl) Thread.sleep(200)
+          if (!done) {
+            skipped.synchronized { skipped += s"$label cancelled at ${cap}s wall cap" }
+            try spark.sparkContext.cancelAllJobs()
+            catch { case _: Throwable => () }
+          }
+        }, "bench-insession-watchdog")
+        watchdog.setDaemon(true)
+        watchdog.start()
+        try thunk
+        catch { case _: Throwable => -1.0 }
+        finally done = true
+      }
+
+      // ---- in-session comparability number (kept for round continuity;
+      // skipped at low core — diagnostics, not a graded key there)
+      if (lowCore) skipped += "in-session ingest (low-core run)"
+      else if (budgetLeft) {
+        inSession = boundedInSession(180, "in-session ingest") {
           spark.catalog.clearCache()
           System.gc()
           IngestBench.run(spark, 100000L, pruneToMapped = false)
           IngestBench.run(spark, 2000000L, pruneToMapped = false)
-        } catch { case _: Throwable => -1.0 }
+        }
       } else skipped += "in-session ingest (budget exceeded)"
       emit(partial = true)
 
@@ -426,21 +480,23 @@ object Bench {
       // so they are labeled lower-bound stand-ins, but the tail then
       // always carries SOME number for every leg.
       if (wireRuns.isEmpty) {
-        if (budgetLeft) wireFallback = try {
-          spark.catalog.clearCache(); System.gc()
-          WireIngestBench.setupAndRun(spark, 2000000L, 8, passes = 1)._1
-        } catch { case e: Throwable =>
-          System.err.println(s"wire in-session fallback failed: $e"); -1.0
-        } else skipped += "wire in-session fallback (budget exceeded)"
+        if (lowCore) skipped += "wire in-session fallback (low-core run)"
+        else if (budgetLeft) wireFallback =
+          boundedInSession(240, "wire in-session fallback") {
+            spark.catalog.clearCache(); System.gc()
+            WireIngestBench.setupAndRun(spark, 2000000L, 8, passes = 1)._1
+          }
+        else skipped += "wire in-session fallback (budget exceeded)"
       }
       if (batchRuns.isEmpty) batchFallback = inSession
       if (!streamingAttempts.exists(_._1 > 0)) {
-        if (budgetLeft) streamingFallback = try {
-          spark.catalog.clearCache(); System.gc()
-          StreamingIngestBench.measure(spark, 60).rps
-        } catch { case e: Throwable =>
-          System.err.println(s"streaming in-session fallback failed: $e"); -1.0
-        } else skipped += "streaming in-session fallback (budget exceeded)"
+        if (lowCore) skipped += "streaming in-session fallback (low-core run)"
+        else if (budgetLeft) streamingFallback =
+          boundedInSession(180, "streaming in-session fallback") {
+            spark.catalog.clearCache(); System.gc()
+            StreamingIngestBench.measure(spark, 60).rps
+          }
+        else skipped += "streaming in-session fallback (budget exceeded)"
       }
       emit(partial = true)
 
@@ -457,7 +513,11 @@ object Bench {
       // sweep-1/2 dict-first forks both hit the 90 s quiesce timeout
       // while the second fork started on a drained heap) — a fixed
       // order would bias the comparison, alternation cancels it.
-      if (wireEnvBlocked) {
+      if (lowCore) {
+        // diagnostics only — the low-core run exists for the query scaling
+        // block and must not spend 4 forks on an A/B the main run owns
+        skipped += "wire LC A/B (low-core run)"
+      } else if (wireEnvBlocked) {
         // a boot-dead wire topology cannot produce an A/B either — don't
         // burn 4 more timeouts proving it
         skipped += "wire LC A/B (environment-blocked: wire leg fail-fasted)"
@@ -523,10 +583,50 @@ object Bench {
       }.toMap
     }
 
-    val json = render(partial = false)
-    println(json)
-    emit(partial = false)
+    emit(partial = false) // full diagnostics live ONLY in the artifact files
+    // STDOUT CONTRACT (r15/r16 lesson: the driver graded `parsed: null`
+    // two rounds running against a ~19 KB stdout line carrying nested
+    // escaped error blobs, while the artifact twin parsed fine): the one
+    // line printed here is the MINIMAL strict-JSON record — metric /
+    // value / unit / queries / the four graded ingest keys / sf — and
+    // every diagnostic (telemetry, variance bands, canary, error text,
+    // skip accounting) stays in BENCH_LAST.json//tmp/bench_final.json.
+    val finalQueries = results.map { case (n, t) =>
+      n -> variance.get(n).map(_._2).getOrElse(t)
+    }
+    val ingestRateFinal =
+      if (batchRuns.isEmpty) -1.0 else median(batchRuns.map(_._1))
+    val ingestPrunedFinal =
+      if (batchRuns.isEmpty) -1.0 else median(batchRuns.map(_._2))
+    val headlineFinal = if (ingestRateFinal > 0) ingestRateFinal else inSession
+    val streamingFinal =
+      if (only.isDefined) -1.0
+      else median(streamingAttempts.map(_._1).filter(_ > 0))
+    System.out.println(minimalLine(finalQueries, headlineFinal,
+      ingestPrunedFinal, streamingFinal, median(wireRuns), sfDir))
+    System.out.flush()
     spark.stop()
+  }
+
+  /** The ONE stdout line of a bench run — the driver's parse surface.
+    * Strict JSON, minimal keys (the contract's metric/value/unit/queries/
+    * sf plus the four graded ingest rates), no free-text notes, no nested
+    * error blobs, non-finite values mapped to -1. Everything else belongs
+    * in the artifact files. */
+  private[graft] def minimalLine(queries: Seq[(String, Double)],
+      ingestFull: Double, ingestPruned: Double, streamingRate: Double,
+      wireRate: Double, sfDir: String): String = {
+    def fin(v: Double): Double = if (java.lang.Double.isFinite(v)) v else -1.0
+    val qs = queries.map { case (k, v) =>
+      f""""${jsonEscape(k)}":${fin(v)}%.4f"""
+    }.mkString("{", ",", "}")
+    val total = fin(queries.map(t => fin(t._2)).sum)
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""ingest_events_per_sec":${fin(ingestFull)}%.0f,""" +
+      f""""ingest_pruned_schema_events_per_sec":${fin(ingestPruned)}%.0f,""" +
+      f""""ingest_streaming_events_per_sec":${fin(streamingRate)}%.0f,""" +
+      f""""ingest_wire_events_per_sec":${fin(wireRate)}%.0f,""" +
+      s""""sf":"${jsonEscape(sfDir)}"}"""
   }
 
   // ------------------------------------------------ leg runner + gating
@@ -675,6 +775,19 @@ object Bench {
   private[graft] def defaultForkTimeoutSec: Int =
     sys.env.get("SPARK_GRAFT_FORK_TIMEOUT_SEC").flatMap(_.toIntOption).getOrElse(300)
 
+  /** Absolute deadline (nanoTime) of the whole bench run, set by main from
+    * SPARK_GRAFT_BENCH_BUDGET_MIN. Every internal wait — fork timeout,
+    * memory quiesce, CPU gate — clips itself to the time left, so the run
+    * can overshoot the budget by at most one polling interval instead of
+    * one full unbounded unit (the r16 failure: budget 45 min, actual 47-59,
+    * and the 8-cpu scaling run killed externally). MaxValue (the default,
+    * used by tests driving the pieces directly) disables clipping. */
+  @volatile private[graft] var hardDeadlineNanos: Long = Long.MaxValue
+
+  private def hardRemainingSec: Long =
+    if (hardDeadlineNanos == Long.MaxValue) Long.MaxValue / 2
+    else math.max((hardDeadlineNanos - System.nanoTime()) / 1000000000L, 0L)
+
   /** Run a graft main in a fresh forked JVM (same JVM opts + classpath as
     * this one) and return its output line containing `marker`, or a Left
     * describing why there is none — a lost bench number must never be
@@ -719,13 +832,15 @@ object Bench {
             else if (head.size < 6) head += l
             ()
           }))
-      val deadline = System.nanoTime() + timeoutSec * 1000000000L
+      // hard-wall clip: a fork may never outlive the bench's own budget
+      val effTimeoutSec = math.min(timeoutSec.toLong, hardRemainingSec).max(1L)
+      val deadline = System.nanoTime() + effTimeoutSec * 1000000000L
       while (proc.isAlive() && System.nanoTime() < deadline) Thread.sleep(200)
       def errTail = err.synchronized(err.asScala.mkString(" | "))
       def errHead = err.synchronized(head.mkString(" | "))
       if (proc.isAlive()) {
         proc.destroy()
-        Left(s"$mainClass fork timeout after ${timeoutSec}s (process destroyed); " +
+        Left(s"$mainClass fork timeout after ${effTimeoutSec}s (process destroyed); " +
           s"stderr tail: $errTail")
       } else {
         val code = proc.exitValue()
@@ -800,6 +915,10 @@ object Bench {
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
       """"__sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
     } catch { case _: Exception => None }
+
+  /** Test hook: [[BenchEmitSpec]] exercises the artifact writer's escaping
+    * against the r16 error-blob shape. */
+  private[graft] def jsonEscapeForTest(s: String): String = jsonEscape(s)
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -881,7 +1000,7 @@ object Bench {
     if (avail0 < 0) return 0L // no /proc (non-Linux): guard disabled
     if (quiesceFloorKb < 0) { quiesceFloorKb = avail0 - (2L << 20); return 0L }
     val t0 = System.nanoTime()
-    val deadline = t0 + 90L * 1000000000L
+    val deadline = t0 + math.min(90L, hardRemainingSec) * 1000000000L
     while (memAvailableKb() < quiesceFloorKb && System.nanoTime() < deadline)
       Thread.sleep(500)
     (System.nanoTime() - t0) / 1000000L
@@ -897,7 +1016,7 @@ object Bench {
     if (noGates) return 0L
     if (cpuJiffies()._1 == 0L) return 0L // no /proc: gate disabled
     val t0 = System.nanoTime()
-    val deadline = t0 + 60L * 1000000000L
+    val deadline = t0 + math.min(60L, hardRemainingSec) * 1000000000L
     var calm = false
     while (!calm && System.nanoTime() < deadline) {
       val (a, _, _, ia) = cpuJiffies()
