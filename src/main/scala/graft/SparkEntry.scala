@@ -3174,14 +3174,22 @@ object SparkEntry {
     // frame, and the corpus pays only its word explode plus one
     // vocabulary join — documents are never folded per merge.
     "q_bpe_encode" -> { (s, dir) =>
-      // spread the single-task scan once; BOTH corpus passes (the dict
-      // build and the doc-word explode) tokenize from it (guide §2.5)
+      // ONE tokenize pass over the corpus, checkpointed (r17; guide §8
+      // proxy discipline): the exploded (doc_id, word) frame feeds THREE
+      // consumers — the training dict aggregate, the distinct vocabulary
+      // for encoding, and the final per-doc join — and under lazy lineage
+      // each re-ran the regexp tokenizer over the raw text. The dict is
+      // derived from the same frame (groupBy word ≡ Bpe.wordFreq over the
+      // docs — the doc_id column doesn't change per-word counts), so the
+      // corpus is scanned and tokenized exactly once.
       val docs = graft.data.Spread
         .byKey(Tables.documents(s, dir), col("doc_id"))
-      val dict = graft.data.Bpe.wordFreq(docs, "text")
-      val (merges, _) = graft.data.Bpe.learnMerges(dict, "word", "n", nMerges = 3)
       val docWords = docs.select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .localCheckpoint()
+      val dict = docWords.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+      val (merges, _) = graft.data.Bpe.learnMerges(dict, "word", "n", nMerges = 3)
       val symCounts = graft.data.Bpe.applySymbolCounts(
         docWords.select(col("word")).distinct(), "word",
         merges.map(m => (m.leftSym, m.rightSym)))

@@ -38,10 +38,19 @@ object Bpe {
     * table and the final per-word symbolization `(word, n, sym)`. */
   def learnMerges(dict: DataFrame, wordCol: String, nCol: String,
                   nMerges: Int): (Seq[LearnedMerge], DataFrame) = {
-    var syms = dict.select(col(wordCol).as("word"), col(nCol).cast("long").as("n"),
+    val initial = dict.select(col(wordCol).as("word"), col(nCol).cast("long").as("n"),
         split(col(wordCol), "").as("sym"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val merges = Seq.newBuilder[LearnedMerge]
+    var syms = initial
+    // One driver action per merge step (the top-pair argmax — inherently
+    // sequential: merge k+1 depends on k). The per-step vocabulary-size
+    // probe is DEFERRED: each step's symbolization stays persisted and
+    // all nMerges distinct-symbol counts run as ONE unioned aggregate
+    // after the loop (r17: the loop paid 2 driver round-trips per step
+    // where 1 is inherent; the counts are decisions' METADATA, nothing
+    // downstream in the loop reads them).
+    val stepFrames = Seq.newBuilder[(Int, DataFrame)]
+    val decisions = Seq.newBuilder[(Int, String, String, Long)]
     (1 to nMerges).foreach { step =>
       val top = syms.filter(size(col("sym")) >= 2)
         .select(col("n"), explode(expr(
@@ -53,15 +62,29 @@ object Bpe {
         .limit(1).collect()
       require(top.nonEmpty, s"no adjacent pairs left at merge step $step")
       val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      val prev = syms
-      syms = prev.withColumn("sym", mergeFold(a, b))
+      syms = syms.withColumn("sym", mergeFold(a, b))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val vocabAfter = syms.select(explode(col("sym")).as("s"))
-        .agg(countDistinct(col("s"))).collect()(0).getLong(0)
-      prev.unpersist()
-      merges += LearnedMerge(step, a, b, cnt, vocabAfter)
+      stepFrames += (step -> syms)
+      decisions += ((step, a, b, cnt))
     }
-    (merges.result(), syms)
+    val frames = stepFrames.result()
+    val vocabAfter: Map[Int, Long] = frames
+      .map { case (step, f) =>
+        f.select(explode(col("sym")).as("s"))
+          .agg(countDistinct(col("s")).as("c"))
+          .select(lit(step).as("step"), col("c"))
+      }
+      .reduce(_ unionByName _)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // intermediate symbolizations are parents of the returned final frame;
+    // with every step materialized by the counts action above, the lineage
+    // no longer needs their cached blocks
+    initial.unpersist()
+    frames.dropRight(1).foreach(_._2.unpersist())
+    val merges = decisions.result().map { case (step, a, b, cnt) =>
+      LearnedMerge(step, a, b, cnt, vocabAfter(step))
+    }
+    (merges, syms)
   }
 
   /** Greedy left-to-right application of one merge `(a, b) → ab` over a

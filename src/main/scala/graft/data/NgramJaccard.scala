@@ -122,15 +122,30 @@ object NgramJaccard {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - expr(s"(sz * $tn + $td - 1) div $td") + 1)
+      // df-prune (r17): a df=1 gram's posting list holds one doc and can
+      // never produce a pair — the size(ids)>1 filter below would drop it
+      // anyway, but only AFTER the list groupBy and the hash-array rejoin
+      // shuffled it. Prefix grams are each doc's RAREST, so most of them
+      // are df=1 and the prune removes the bulk of the posting volume.
+      // Ranks are computed over the FULL gram set first, so the kept
+      // prefix is byte-identical to before minus the sterile entries.
+      .filter(col("df") >= 2)
       .select(col("h"), col("id"))
 
     // Posting lists that can produce a pair, rejoined to the members'
     // hash arrays (fetched only for docs inside shared lists).
+    // The final groupBy's exchange is PINNED at the session shuffle width
+    // (r17; the IntervalJoin lesson): the stage reading it runs the
+    // bitset pair sweep — quadratic CPU per list over linear bytes — and
+    // AQE's byte model coalesced it to 1-3 tasks at sf0.1.
+    val width = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val lists = postings.groupBy("h")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("h"), explode(col("ids")).as("id"))
       .join(hashed.select(col("id"), col("hs")), "id")
+      .repartition(width, col("h"))
       .groupBy("h")
       .agg(collect_list(struct(col("id"), col("hs"))).as("docs"))
       .select(transform(col("docs"), d => d.getField("id")).as("ids"),
@@ -192,9 +207,13 @@ object NgramJaccard {
       out.toSeq
     }
 
+    // Pinned dedup exchange (r17; same argument as containmentPairs): the
+    // stage reading it fuses the raw-text re-verify UDF, which AQE's byte
+    // model otherwise squeezes onto 1-2 tasks.
     val repPairs = lists
       .select(explode(sweep(col("ids"), col("sets"))).as("p"))
       .select(col("p._1").as("ra"), col("p._2").as("rb"))
+      .repartition(width, col("ra"), col("rb"))
       .distinct()
 
     // Exact re-verification on raw text at the REPRESENTATIVE level —
@@ -321,17 +340,25 @@ object NgramJaccard {
         Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - expr(s"(sz * $tn + $td - 1) div $td") + 1)
       .select(col("h"), col("id").as("id_sub"), col("df"))
-    val subPrefix = subPrefixAll.filter(col("df") <= hotGramDf)
+    // df-prune (r17, same argument as duplicatePairs): a df=1 prefix gram
+    // indexes only the sub itself — its list sweeps nothing — yet it rode
+    // the exploded⋈subLists join, the hash-array rejoin and the final
+    // groupBy. Most prefix grams are df=1 (the prefix keeps each doc's
+    // rarest), so this prunes the posting build's dominant volume while
+    // leaving the survivor set byte-identical.
+    val subPrefix = subPrefixAll
+      .filter(col("df") <= hotGramDf && col("df") >= 2)
       .select("h", "id_sub")
     // Hot grams (df above the cap) skip the posting-list sweep entirely:
     // plain candidate pairs, deduped, exact-verified below with the cold
     // survivors. Every list the sweep sees is then ≤ hotGramDf docs wide.
+    // no distinct here (r17): the survivor stream's single pinned dedup
+    // below collapses hot-pair duplicates map-side in the same pass
     val hotPairs = subPrefixAll.filter(col("df") > hotGramDf)
       .select(col("h"), col("id_sub"))
       .join(exploded.select(col("h"), col("id").as("id_super")), "h")
       .filter(col("id_sub") =!= col("id_super"))
       .select("id_sub", "id_super")
-      .distinct()
 
     // Candidate pairs NEVER materialize outside posting lists (the
     // duplicatePairs lesson: on template-clustered corpora millions of
@@ -343,9 +370,16 @@ object NgramJaccard {
     // magnitude fewer) leave the lists.
     val subLists = subPrefix.groupBy("h")
       .agg(collect_list(col("id_sub")).as("subs"))
+    // Pinned exchange before the sweep-feeding aggregate (r17; see
+    // duplicatePairs): the downstream stage runs the per-list bitset
+    // containment sweep — profiled at sf0.1 as ~2 s of CPU in ONE
+    // AQE-coalesced task over a 235 KB shuffle.
+    val width = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val lists = exploded.select(col("h"), col("id"))
       .join(subLists, "h")
       .join(hashed.select(col("id"), col("hs")), "id")
+      .repartition(width, col("h"))
       .groupBy(col("h"))
       .agg(first(col("subs")).as("subs"),
         collect_list(struct(col("id"), col("hs"))).as("docs"))
@@ -401,11 +435,19 @@ object NgramJaccard {
       out.toSeq
     }
 
+    // ONE pinned dedup for the survivor stream (r17): the sweep output,
+    // the hot-pair stream and their union each carried a distinct() —
+    // three exchanges where one suffices (distinct partial-aggregates
+    // map-side, so early dedup bought nothing the final pass doesn't).
+    // The surviving exchange is pinned at the session shuffle width
+    // because the stage reading it fuses the raw-text re-verify UDF
+    // below (profiled: ~1.9 s of gramSet CPU in ONE AQE-coalesced task
+    // over a 235 KB shuffle).
     val survivors = lists
       .select(explode(sweep(col("subs"), col("ids"), col("sets"))).as("p"))
       .select(col("p._1").as("id_sub"), col("p._2").as("id_super"))
-      .distinct()
       .unionByName(hotPairs)
+      .repartition(width, col("id_sub"), col("id_super"))
       .distinct()
 
     // Exact re-verify the (few) survivors on raw text: containment is

@@ -32,6 +32,12 @@ object Spread {
     * pre-UDF columns, not derived payloads. */
   def byKey(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+    // toRdd, not .rdd: both plan the query once to read the partition
+    // count (the accepted, documented double-pay — the count exists only
+    // on the physical plan), but .rdd additionally appends the
+    // internal-row → external-row deserializer to the lineage it builds.
+    if (df.queryExecution.toRdd.getNumPartitions < p)
+      df.repartition(p, key)
+    else df
   }
 }

@@ -34,6 +34,21 @@ object Bfs {
     * pattern) so plan depth stays bounded for deep traversals, and the
     * loop exits early once the frontier drains — `maxDepth` far above
     * the graph's diameter costs nothing past the drain point. */
+  /** Round bound under which [[ssspBounded]] builds as ONE lazy plan (no
+    * per-round actions) — the r16 PageRank lesson: a linear per-round
+    * lineage (each round = one groupBy over the previous round's output)
+    * plans as a single physical DAG whose per-round aggregate exchanges
+    * are each consumed twice (relax join + union) and shared by
+    * reference, so the whole query runs as one job instead of
+    * 2-3 driver jobs per round. A/B at sf0.1 (alternating, 2 windows):
+    * 3.3-3.9 s lazy vs 5.2-7.1 s eager, taskCpu 5 s vs 13-23 s. Only for
+    * small fixed round counts — plan size grows per round. [[distances]]
+    * deliberately does NOT take this path (measured: jobs 29 → 62, wall
+    * par-to-worse) because its state is a growing union-of-layers that
+    * later anti-joins re-reference, which the lazy DAG re-derives per
+    * reference. */
+  private val LazyDepthCap = 8
+
   def distances(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
                 maxDepth: Int, checkpointEvery: Int = 4): DataFrame = {
@@ -42,6 +57,12 @@ object Bfs {
     // rows, and the per-round distinct() on the expansion collapses those
     // anyway — a distinct here would pay an extra aggregate over the full
     // edge set for nothing (measured ~2s of the old 8s at sf0.1).
+    // NOTE (r17, measured): the ssspBounded-style LAZY unroll was A/B'd
+    // here and REGRESSED (jobs 29 → 62, wall par-to-worse): BFS's state is
+    // a GROWING UNION of layers that every later round's anti-join also
+    // references, so the lazy DAG re-derives each layer once per
+    // downstream reference (sssp's state is one linear groupBy chain and
+    // wins lazy — see below). The eager per-layer checkpoint stays.
     // Persist partitioned by the join key: the cached relation carries
     // HashPartitioning(u), so every round's frontier join reuses it and
     // exchanges only the frontier.
@@ -101,6 +122,25 @@ object Bfs {
                   weightCol: String, seeds: DataFrame, seedCol: String,
                   rounds: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    if (rounds <= LazyDepthCap) {
+      // LAZY bounded relaxation (see [[distances]]): k unrolled rounds as
+      // one plan, one job at the caller's action. Each round's min
+      // aggregate is an exchange the next round's join and union both
+      // reference — shared, not recomputed — and the checkpointed edge
+      // frame ships through one reused exchange.
+      val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w")).localCheckpoint()
+      var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+        .withColumn("dist", lit(0L))
+      (1 to rounds).foreach { _ =>
+        val relaxed = dist.join(e, col("id") === col("u"))
+          .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("id").agg(min(col("dist")).as("dist"))
+      }
+      return dist
+    }
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"),
       col(weightCol).cast("long").as("w"))

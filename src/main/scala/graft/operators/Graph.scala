@@ -232,7 +232,18 @@ object Graph {
           .otherwise(col("lo")).as("v"))
 
     // Sorted out-adjacency per node; Σ|nbrs| = m, each |nbrs| = O(√m).
-    val adj = oriented.groupBy(col("u").as("id"))
+    // Pinned exchange width (r17; the IntervalJoin lesson): the stage
+    // that reads this aggregate's shuffle is where the per-edge sorted
+    // intersect runs — cost QUADRATIC-ish per byte (profiled at sf0.1:
+    // 5.9 s of task CPU squeezed into 4 AQE-coalesced tasks over a 5 MB
+    // shuffle). An explicitly-numbered repartition by the same key is
+    // not AQE-coalescible, satisfies the aggregate's distribution (no
+    // extra exchange), and rides spark.sql.shuffle.partitions — the
+    // deployment-scaled knob.
+    val width = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val adj = oriented.repartition(width, col("u"))
+      .groupBy(col("u").as("id"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
 
     // Edge (u,v) closes one triangle per w ∈ N⁺(u) ∩ N⁺(v); the DAG

@@ -40,6 +40,26 @@ object IntervalJoin {
     // join adds no further exchange, and the width follows
     // spark.sql.shuffle.partitions — the knob that already scales with
     // the deployment — rather than a local constant.
+    //
+    // SKEW GUARD (documented bound): a pinned REPARTITION_BY_NUM exchange
+    // is not eligible for AQE's skewed-join splitting, so one hot
+    // (key, bucket) group lands on one task with no runtime rescue. What
+    // bounds it: hotness here is a DENSITY property — g intervals of one
+    // key inside one bucket-width window — and `bucketWidth` is the knob
+    // that controls it directly (halving the width halves the expected
+    // group population at the cost of +1 replication per interval). The
+    // group is hashed with its bucket, so a hot KEY alone does not pin a
+    // task — only a hot key×window does, and the output for that group is
+    // itself Θ(g²) rows, i.e. the task's work is proportional to its own
+    // emitted result, not wasted wedge volume. If a deployment still sees
+    // a single key×window with millions of co-located intervals, the
+    // remedy is a stats pass over the NARROW (key, bucket) projection
+    // (16 bytes/row, one partial-agg'd count) to pick the hot groups,
+    // then the standard S×S sub-split of just those groups (salt each
+    // side by pmod(xxhash64(id), S), replicate the opposite side S ways,
+    // join on (key, bucket, salt_a, salt_b)); deliberately NOT paid here
+    // by default — the extra aggregate pass costs every caller ~15% to
+    // guard a case the width knob already bounds.
     val width = left.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
     def expand(df: DataFrame): DataFrame = df.select(

@@ -99,6 +99,28 @@ class TimeSeriesGraphSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin: one pathologically hot (key,bucket) group stays exact") {
+    // skew-guard precondition (see the IntervalJoin.overlapJoin comment):
+    // a single key whose intervals all overlap inside one bucket window is
+    // the worst case the pinned exchange cannot split at runtime — the
+    // group must still compute EXACTLY (one row per pair, correct overlap),
+    // only slower. 120 mutually-overlapping intervals → 7140 pairs from
+    // one group, plus a cold key to prove the hot group doesn't bleed.
+    val hot = (0L until 120L).map(i => (1L, i, 10L + (i % 5), 40L + (i % 7)))
+    val cold = Seq((2L, 1000L, 0L, 5L), (2L, 1001L, 3L, 9L), (2L, 1002L, 50L, 60L))
+    val df = (hot ++ cold).toDF("key", "id", "s", "e")
+    val got = IntervalJoin.overlapJoin(df, df, bucketWidth = 1000L)
+      .filter(col("a_id") < col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val all = hot ++ cold
+    val brute = for {
+      a <- all; b <- all
+      if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._2, math.min(a._4, b._4) - math.max(a._3, b._3) + 1)
+    assert(got.length === 7140 + 1)
+    assert(got.sorted.toSeq === brute.sorted.toSeq)
+  }
+
   test("bpe: greedy fold merges left-to-right without re-consuming output") {
     // dict {aaaa:2, aab:1}: pair (a,a) count = 2*3 + 1 = 7 wins.
     // aaaa -> [aa, aa] (greedy non-overlap), aab -> [aa, b].
