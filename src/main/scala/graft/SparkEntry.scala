@@ -2364,7 +2364,15 @@ object SparkEntry {
       // ordered pairs scan-locally, instead of a lineitem self-join that
       // shuffles both sides and re-filters. Pair fan-out is quadratic per
       // ORDER (baskets are small and bounded), never per part.
-      val sets = Tables.lineitem(s, dir)
+      // spread the single-task scan to the basket key BEFORE the aggregate
+      // (r17, guide §2.5): the basket agg reuses the spread's partitioning
+      // (no second exchange) and the quadratic pair explode downstream runs
+      // core-wide instead of on 1-3 AQE-coalesced tasks; at production
+      // scale the scan is already wide and Spread no-ops, restoring the
+      // partial-agg'd shuffle
+      val sets = graft.data.Spread.byKey(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       val edges = sets.select(posexplode(col("ps")).as(Seq("i", "a")),

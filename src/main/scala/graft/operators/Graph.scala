@@ -79,6 +79,12 @@ object Graph {
     // subgraph — the original invariant. Broadcasts are node-sized; at
     // billions of surviving nodes swap them for keyed shuffles, as the
     // old form documented.
+    // NOT width-pinned (r17, measured): pinning this build's exchanges at
+    // the session shuffle width the way triangleCounts does REGRESSED
+    // kCore ~60% in an isolated alternating A/B — a 32-partition cached
+    // edge list multiplies per-round task-launch overhead across the peel
+    // rounds, and the rounds' work is node-sized. AQE's narrow layout is
+    // the right one for a frame scanned many times cheaply.
     val sym = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -96,13 +102,26 @@ object Graph {
     var deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("id"), col("deg"))
       .localCheckpoint()
+    // Per-round driver round-trips cut from ~4 to 2 (r17): the removed
+    // set was probed with isEmpty (job 1) and then BROADCAST twice (the
+    // semi and the anti sides — two more collect jobs over the same
+    // node-sized frame). It is node-sized and already funnels through
+    // the driver inside those broadcast builds, so collect it ONCE: the
+    // emptiness check is free, and broadcasting the resulting
+    // LocalRelation builds driver-side with no job at all. Same
+    // at-billions caveat as before — swap broadcasts for keyed shuffles
+    // when the node frame outgrows the driver.
+    val session = edges.sparkSession
     var rounds = 0
     while (rounds < maxRounds) {
-      val removed = deg.filter(col("deg") < k).select(col("id"))
-      if (removed.isEmpty) {
+      val removedIds = deg.filter(col("deg") < k).select(col("id"))
+        .collect().map(_.getLong(0))
+      if (removedIds.isEmpty) {
         sym.unpersist(false)
         return deg
       }
+      import session.implicits._
+      val removed = removedIds.toSeq.toDF("id")
       val decr = sym
         .join(broadcast(removed.withColumnRenamed("id", "u")), Seq("u"),
           "left_semi")
@@ -150,6 +169,9 @@ object Graph {
     * join+count+argmax. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       rounds: Int): DataFrame = {
+    // not width-pinned (r17, measured — see kCore): the pinned variant
+    // read ~10% slower in an isolated A/B; per-round scans of the cached
+    // list favor AQE's narrow layout
     val und = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -208,11 +230,17 @@ object Graph {
     // than recomputing the O(m) normalize+distinct. Recompute-with-AQE
     // stays the right default; a caller iterating many rounds over a
     // static graph can persist upstream.
+    val width = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val und = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
+      // pinned (r17): the distinct's read stage carries the degree explode
+      // and both orientation join probes — profiled at 3-4 AQE-coalesced
+      // tasks over ~5 MB while CPU-dense
+      .repartition(width, col("lo"), col("hi"))
       .distinct()
 
     // (degree, id) total order; orient every edge small-rank → large-rank.
@@ -240,8 +268,6 @@ object Graph {
     // not AQE-coalescible, satisfies the aggregate's distribution (no
     // extra exchange), and rides spark.sql.shuffle.partitions — the
     // deployment-scaled knob.
-    val width = edges.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
     val adj = oriented.repartition(width, col("u"))
       .groupBy(col("u").as("id"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
