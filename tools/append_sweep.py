@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
-"""Append the just-finished sweep (BENCH_LAST.json) to BENCH_R15_RUNS.jsonl
+"""Append the just-finished sweep (BENCH_LAST.json) to BENCH_R17_RUNS.jsonl
 and print a one-line summary (health tag, leg medians, A/B, flags)."""
 import json, sys
 
 art = json.load(open('BENCH_LAST.json'))
-with open('BENCH_R15_RUNS.jsonl', 'a') as f:
+with open('BENCH_R17_RUNS.jsonl', 'a') as f:
     f.write(json.dumps(art) + '\n')
 ab = art.get('wire_lc_ab') or {}
 if isinstance(ab, dict):  # pre-alternation object form
